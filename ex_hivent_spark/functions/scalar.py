@@ -1,0 +1,195 @@
+"""Scalar function surface: string / date / math / array / map-json /
+case-cast queries. All JVM-side built-ins inside whole-stage codegen —
+no Python UDFs in any hot path.
+
+Reference grounding: ISO-8601 ``created_at`` handling (memory.ex:95) ≙
+the date functions; the dynamic JSON payload (event.ex:33) ≙ the
+map/json functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround
+from ex_hivent_spark.plans.registry import register
+
+
+@register(
+    "q_fn_string",
+    oracle=r"""
+    SELECT doc_id,
+           upper(lang) AS lang_u,
+           substring(text, 1, 10) AS prefix10,
+           concat_ws('|', lang, source) AS lang_source,
+           CAST(length(text) AS INTEGER) AS text_len,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(regexp_extract(source, 'src(\d+)', 1) AS INTEGER) AS src_num
+    FROM documents
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function library over documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_u"),
+        F.substring("text", 1, 10).alias("prefix10"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+        F.length("text").alias("text_len"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("src_num"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT event_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+           CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                AS INTEGER) AS days_since
+    FROM events
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function library over event timestamps
+    (created_at handling, memory.ex:95). Spark's dayofweek is 1=Sunday;
+    DuckDB's is 0=Sunday, hence the +1 in the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofweek("ts").alias("dow"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("days_since"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0
+               AS net_price,
+           abs(l_quantity - 25) AS qty_dev,
+           CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct,
+           sqrt(l_quantity) AS qty_sqrt,
+           pow(l_discount, 2) AS disc_sq
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function library over lineitem (all per-row IEEE double ops —
+    bit-deterministic across engines)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+        .alias("net_price"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.pow("l_discount", F.lit(2)).alias("disc_sq"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT pos, n_vals,
+           CAST(sum_val AS DOUBLE) / n_vals AS avg_val
+    FROM (
+      SELECT pos, count(*) AS n_vals,
+             sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(25,10))) AS sum_val
+      FROM (
+        SELECT CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+               unnest(embedding) AS val
+        FROM embeddings
+      ) WHERE pos < 4
+      GROUP BY pos
+    )
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayType surface: posexplode the embedding vector, average the
+    first 4 dimensions across all rows (decimal-summed for determinism)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    exploded = em.select(F.posexplode("embedding").alias("pos", "val")).filter(
+        F.col("pos") < 4
+    )
+    return (
+        exploded.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.sum(F.col("val").cast("double").cast("decimal(25,10)"))
+            .alias("sum_val_dec"),
+        )
+        .select(
+            "pos",
+            "n_vals",
+            (F.col("sum_val_dec").cast("double") / F.col("n_vals"))
+            .alias("avg_val"),
+        )
+    )
+
+
+@register(
+    "q_fn_json_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+    FROM events
+    """,
+)
+def q_fn_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the dynamic JSON payload (event.ex:33) into
+    a map, read a key and count keys."""
+    e = load_table(spark, sf_dir, "events")
+    props_map = F.from_json("props", T.MapType(T.StringType(), T.StringType()))
+    return e.select(
+        "event_id",
+        F.element_at(props_map, "k").cast("int").alias("prop_k"),
+        F.size(F.map_keys(props_map)).alias("n_keys"),
+    )
+
+
+@register(
+    "q_fn_case_cast",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value < 50 THEN 'low'
+                WHEN value < 200 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           CAST(floor(value) AS INTEGER) AS value_floor_int,
+           CAST(user_id AS DOUBLE) AS user_id_d,
+           CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT)
+               AS prop_k_long
+    FROM events
+    """,
+)
+def q_fn_case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN buckets + cross-type casts. (double→int casts go through
+    floor: Spark truncates while DuckDB rounds, so raw casts disagree.)"""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+        .alias("bucket"),
+        F.floor("value").cast("int").alias("value_floor_int"),
+        F.col("user_id").cast("double").alias("user_id_d"),
+        F.get_json_object("props", "$.k").cast("int").cast("long")
+        .alias("prop_k_long"),
+    )

@@ -1,0 +1,149 @@
+"""LLM-pipeline text analysis: corpus statistics, quality scoring,
+language-ID heuristic, token counting, and document fingerprinting.
+
+All built-in string/array expressions — codegen'd, no Python in the row
+path. Quality/language scores are deterministic rule-based heuristics
+(the container has no ML libs; the operator shape — per-doc scores
+produced scalably — is what matters at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround, sql_davg
+from ex_hivent_spark.plans.registry import register
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish splitting on punctuation too
+    would use the same regex-split shape)."""
+    return F.size(F.split(text, r"\s+"))
+
+
+_TOK = r"len(string_split_regex(text, '\s+'))"
+
+@register(
+    "q_llm_text_stats",
+    oracle=(
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars, "
+        f"CAST(sum({_TOK}) AS DOUBLE) / count(*) AS avg_tokens, "
+        + sql_davg(f"length(text) / {_TOK}", "avg_token_len")
+        + " FROM documents GROUP BY lang"
+    ),
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc count, avg chars, avg tokens,
+    avg chars-per-token. Integer sums are exact; the one float mean goes
+    through decimal summation."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = token_count(F.col("text"))
+    chars_per_tok = F.length("text") / ntok
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum(ntok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        (
+            F.sum(chars_per_tok.cast("decimal(25,6)")).cast("double")
+            / F.count(chars_per_tok)
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "q_llm_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_actual,
+           floor((CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                     t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                     AS DOUBLE)
+                 / len(string_split_regex(text, '\\s+'))) * 10000.0 + 0.5)
+               / 10000.0 AS stopword_ratio,
+           CASE WHEN len(string_split_regex(text, '\\s+')) BETWEEN 20 AND 1000
+                THEN 1 ELSE 0 END AS length_ok
+    FROM documents
+    """,
+)
+def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: token count, char count, stopword ratio,
+    length gate — the standard cheap pre-filters of a training-data
+    pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    ntok = F.size(toks)
+    return d.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        dround(n_stop.cast("double") / ntok, 4).alias("stopword_ratio"),
+        F.when((ntok >= 20) & (ntok <= 1000), 1).otherwise(0).alias("length_ok"),
+    )
+
+
+@register(
+    "q_llm_lang_id",
+    oracle=None,
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: score each doc against per-language marker
+    token sets (deterministic n-gram-style heuristic; a real model would
+    slot into the same mapInPandas shape). Output: doc_id, declared lang,
+    predicted lang, agreement flag. Rows-only check (heuristic)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower("text"), r"\s+"))
+    markers = {
+        "en": ("the", "and", "of"),
+        "es": ("el", "la", "de"),
+        "de": ("der", "die", "und"),
+        "fr": ("le", "la", "et"),
+        "zh": ("zh",),
+    }
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        toks, F.array(*[F.lit(t) for t in ts])
+                    )
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ts in markers.items()
+        ]
+    )
+    best = F.array_max(scores)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        best["lang"].alias("predicted_lang"),
+        (best["lang"] == F.col("lang")).alias("agrees"),
+    )
+
+
+@register(
+    "q_llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           substring(md5(text), 1, 8) AS short_fp
+    FROM documents
+    """,
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full md5 + truncated fingerprint (rolling
+    hash families live in llm/dedup.py as shingle hashes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.substring(F.md5("text"), 1, 8).alias("short_fp"),
+    )

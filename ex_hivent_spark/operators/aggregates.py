@@ -1,0 +1,203 @@
+"""Aggregation operators: hash aggregates, distinct/approx-distinct,
+rollup/cube/grouping-sets, having.
+
+Reference grounding: the reference counts distinct event identity by
+``meta.uuid`` (consumer.ex:73, memory.ex:90); everything else is the
+driver-mandated batch surface.
+
+Scale notes: all groupBys here are partial-aggregated map-side by Spark
+(hash agg with merge), so shuffle volume is |groups|, not |rows|. Float
+sums go through the decimal trick (functions/decimals.py) for
+order-insensitive determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table, register_views
+from ex_hivent_spark.functions.decimals import davg, dsum, sql_davg, sql_dsum
+from ex_hivent_spark.plans.registry import register
+
+
+@register(
+    "q_agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc")},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: the flagship batch spine
+    (scan → pushed filter → project → partial+final hash agg)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (identity ≙ meta.uuid
+    dedup, memory.ex:90). Spark expands this to a two-phase agg."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("q_agg_approx_distinct", oracle=None)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type — the
+    scale path for count-distinct (constant memory per group, one pass,
+    merge-able sketches). No SQL oracle: sketch estimates are
+    engine-specific; driver records a rows-only check."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {sql_dsum("o_totalprice", "revenue")},
+           count(*) AS n_orders,
+           GROUPING(r_name, n_name) AS gid
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (region, nation) with rollup subtotals + grand total;
+    ``grouping_id`` distinguishes subtotal levels."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            dsum("o_totalprice", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT event_type,
+           CASE WHEN value < 50 THEN 'low'
+                WHEN value < 200 THEN 'mid'
+                ELSE 'high' END AS value_bucket,
+           count(*) AS n_events,
+           {sql_dsum("value", "sum_value")}
+    FROM events
+    GROUP BY CUBE (event_type,
+                   CASE WHEN value < 50 THEN 'low'
+                        WHEN value < 200 THEN 'mid'
+                        ELSE 'high' END)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts/sums by (event_type, value bucket) over the full cube."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value_bucket",
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high"),
+    )
+    return e.cube("event_type", "value_bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle=f"""
+    SELECT r_name, n_name, count(*) AS n_customers,
+           {sql_dsum("c_acctbal", "sum_acctbal")}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL surface (spark.sql passthrough —
+    the engine registers the catalog as temp views)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT r_name, n_name, count(*) AS n_customers,
+               {sql_dsum("c_acctbal", "sum_acctbal")}
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT event_type,
+             {sql_davg("value", "avg_value")},
+             count(*) AS n_events
+      FROM events GROUP BY event_type
+    ) WHERE n_events > 10 AND avg_value > 90
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + post-aggregation filter (HAVING)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(davg("value", "avg_value"), F.count(F.lit(1)).alias("n_events"))
+        .filter((F.col("n_events") > 10) & (F.col("avg_value") > 90))
+    )

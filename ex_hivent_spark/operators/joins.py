@@ -1,0 +1,284 @@
+"""Join operators: equi, star multiway, outer, semi/anti, broadcast,
+range/theta (time-window), and as-of.
+
+The reference has no joins (SURVEY.md §2.A) — this is the engine's batch
+relational surface mandated by the driver contract. Scale notes:
+
+- Small dims (region/nation/customer at star scale) broadcast — either
+  explicitly (``F.broadcast``) or via AQE's dynamic broadcast selection.
+- The time-window range join is rewritten to an *equi* join on a
+  time-bucket key plus a residual predicate, so it hash-joins and scales
+  linearly instead of falling into BroadcastNestedLoopJoin.
+- The as-of join is the union+window implementation in
+  :mod:`ex_hivent_spark.operators.asof` — one shuffle, no pair blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dsum, sql_dsum
+from ex_hivent_spark.operators.asof import asof_join
+from ex_hivent_spark.plans.registry import register
+
+
+@register(
+    "q_join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain inner equi-join orders ⋈ customer (shuffled hash/SMJ or
+    broadcast per AQE's size estimate)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_star_multiway",
+    oracle=f"""
+    SELECT r_name,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           count(*) AS n_rows
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema 5-way join, revenue per region. Dimension tables are
+    orders-of-magnitude smaller than the fact table, so Catalyst/AQE
+    broadcasts them — the fact table is scanned once with no shuffle
+    until the final 5-group aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customers with their order counts, including zero."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    WITH s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey),
+         c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+               FROM customer GROUP BY c_nationkey)
+    SELECT coalesce(s.nk, c.nk) AS nationkey, n_suppliers, n_customers
+    FROM s FULL OUTER JOIN c ON s.nk = c.nk
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier vs customer presence per nation, full outer — aggregates
+    pushed below the join so the outer join runs on tiny inputs."""
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return s.join(c, s.nk == c.nk, "full").select(
+        F.coalesce(s.nk, c.nk).alias("nationkey"), "n_suppliers", "n_customers"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one order (no order columns leak out)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT p_brand,
+           {sql_dsum("l_quantity", "sum_qty")},
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size > 40
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(selective dim): the part-side filter prunes before
+    broadcast, so the fact table never shuffles for the join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "q_join_range_theta",
+    oracle="""
+    WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, ts FROM events
+               WHERE event_type IN ('click', 'view'))
+    SELECT p.event_id AS purchase_id, count(c.event_id) AS n_recent
+    FROM p LEFT JOIN c
+      ON c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+)
+def q_join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window theta join with no equi key: for each purchase, how
+    many click/view events (any user) happened in the preceding hour.
+
+    Scale strategy: bucket both sides by epoch-hour and turn the range
+    predicate into an equi join on the bucket plus a residual filter —
+    each candidate row lands in at most 2 buckets, so the join is a hash
+    join over ~2·|C| rows instead of a nested-loop over |P|·|C| pairs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+    )
+    c = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("ts").alias("c_ts"),
+            F.expr("unix_micros(ts) div 3600000000").alias("c_bucket"),
+        )
+        # a click in hour H can precede-within-1h a purchase in H or H+1
+        .withColumn("bucket", F.explode(F.array("c_bucket", F.col("c_bucket") + 1)))
+        .drop("c_bucket")
+    )
+    counts = (
+        p.join(c, "bucket")
+        .filter(
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts"))
+        )
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+    return (
+        p.select("purchase_id")
+        .join(counts, "purchase_id", "left")
+        .select("purchase_id", F.coalesce("n_recent", F.lit(0)).alias("n_recent"))
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+                  p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+         ),
+         matched AS (SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+                     FROM j WHERE rn = 1)
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts, m.click_id AS click_id, m.click_ts AS click_ts
+    FROM p LEFT JOIN matched m ON p.event_id = m.purchase_id
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click by the same user
+    at-or-before the purchase time (null if none). Uses the scalable
+    union+window implementation (see operators/asof.py) — the oracle uses
+    the quadratic row_number formulation DuckDB can afford at sf0.01."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        p, c, by="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        right_seq="click_id",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("asof.click_id").alias("click_id"),
+        F.col("asof.click_ts").alias("click_ts"),
+    )

@@ -1,0 +1,131 @@
+"""Set operations, exact dedup, sorts/limits/top-k.
+
+Reference grounding: ``Memory.last`` (memory.ex:123) ≙ ORDER BY ... DESC
+LIMIT 1; event identity/dedup by ``meta.uuid`` (memory.ex:90).
+
+Scale notes: `orderBy().limit(k)` compiles to TakeOrderedAndProject —
+each partition keeps a k-heap, only k·partitions rows reach the driver
+stage. Set ops are shuffle-distinct; exact dedup keeps a deterministic
+winner via row_number so the oracle can reproduce it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.plans.registry import register
+
+
+@register(
+    "q_sort_multi",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with limit (TakeOrderedAndProject; the trailing
+    unique key makes the top-100 set deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(),
+                 F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "q_last_event",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+)
+def q_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Memory.last`` (memory.ex:123): the most recent event."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+    )
+
+
+@register(
+    "q_set_union",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events WHERE event_type = 'signup'
+    UNION
+    SELECT event_id, user_id, event_type FROM events WHERE event_type = 'error'
+    """,
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct union of two topic streams."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    signup = e.filter(F.col("event_type") == "signup")
+    error = e.filter(F.col("event_type") == "error")
+    return signup.union(error).distinct()
+
+
+@register(
+    "q_set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who both purchased and viewed."""
+    e = load_table(spark, sf_dir, "events")
+    purchased = e.filter(F.col("event_type") == "purchase").select("user_id")
+    viewed = e.filter(F.col("event_type") == "view").select("user_id")
+    return purchased.intersect(viewed)
+
+
+@register(
+    "q_set_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who viewed but never purchased."""
+    e = load_table(spark, sf_dir, "events")
+    viewed = e.filter(F.col("event_type") == "view").select("user_id")
+    purchased = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewed.subtract(purchased)
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, value, event_id AS kept_event_id
+    FROM (
+      SELECT user_id, event_type, value, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type, value
+                                ORDER BY event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication by (user_id, event_type, value), keeping the
+    smallest event_id — the deterministic twin of ``dropDuplicates``
+    (reference identity: meta.uuid, memory.ex:90)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", "value").orderBy("event_id")
+    return (
+        e.select("user_id", "event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value",
+                F.col("event_id").alias("kept_event_id"))
+    )

@@ -1,0 +1,202 @@
+"""Window-function operators: ranking, lag/lead, running frames,
+batch sessionization, and the batch twin of the streaming tumbling
+window.
+
+Reference grounding: sessionization is the batch twin of consuming the
+event stream per user/key (consumer.ex:105 partition-by-key); the
+streaming `session_window` version lives in
+:mod:`ex_hivent_spark.streaming` and must agree with
+``q_win_sessionize`` on static data (SURVEY.md §5.2.3).
+
+Determinism: every window ORDER BY ends in a unique key (event_id /
+o_orderkey) so ranks and frames are total-ordered; running float sums
+use decimal accumulation (see functions/decimals.py) because engines
+disagree on float association inside window frames (DuckDB uses segment
+trees).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dsum, sql_dsum
+from ex_hivent_spark.plans.registry import register
+
+
+@register(
+    "q_win_rank_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def q_win_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer (rank/dense_rank/row_number).
+    One shuffle on o_custkey; per-group sort is bounded by group size."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+           lead(event_id) OVER w AS next_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap (exact microseconds) + next event id."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@register(
+    "q_win_running_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_n
+    FROM events
+    """,
+)
+def q_win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum of value over an explicit rows frame."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double")
+        .alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "q_win_sessionize",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {SESSION_GAP_MIN} * 60 * 1000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM gaps
+    ),
+    per_session AS (
+      SELECT user_id, session_id, count(*) AS n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           max(n_events) AS longest_session_events,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           max(duration_us) AS max_session_duration_us
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the
+    per-user gap exceeds 30 minutes. Batch twin of the streaming
+    ``session_window`` aggregation (must agree on static data)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    sessions = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn(
+            "new_session",
+            F.when(gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1)
+            .otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("longest_session_events"),
+        F.sum("n_events").alias("total_events"),
+        F.max("duration_us").alias("max_session_duration_us"),
+    )
+
+
+@register(
+    "q_win_tumbling_batch",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           {sql_dsum("value", "sum_value")}
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_win_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window aggregate: hourly
+    counts/sums per event type (streaming version uses
+    ``groupBy(window(ts, '1 hour'), ...)`` — same results on static
+    data)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+    )

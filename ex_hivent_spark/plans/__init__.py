@@ -1,0 +1,25 @@
+"""Plan registry package. ``load_all()`` imports every module that
+registers queries; ``registry.all_specs()`` returns the full inventory.
+"""
+
+from __future__ import annotations
+
+_LOADED = False
+
+
+def load_all() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    # Import for registration side effects.
+    import ex_hivent_spark.operators.scans  # noqa: F401
+    import ex_hivent_spark.operators.joins  # noqa: F401
+    import ex_hivent_spark.operators.aggregates  # noqa: F401
+    import ex_hivent_spark.operators.windows  # noqa: F401
+    import ex_hivent_spark.operators.sets  # noqa: F401
+    import ex_hivent_spark.functions.scalar  # noqa: F401
+    import ex_hivent_spark.llm.dedup  # noqa: F401
+    import ex_hivent_spark.llm.text  # noqa: F401
+    import ex_hivent_spark.llm.similarity  # noqa: F401
+
+    _LOADED = True

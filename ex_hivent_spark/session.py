@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults chosen for correctness parity with the DuckDB oracle and for
+scale-out behavior:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast).
+- UTC session timezone so parquet naive timestamps agree with DuckDB.
+- ``spark.sql.legacy.parquet.nanosAsLong`` because the testdata `events`
+  table stores TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
+  the catalog layer converts the raw nanos back to a timestamp column.
+- Arrow enabled for any pandas interchange (LLM ops use vectorized paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "ex-hivent-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    On a real cluster the ``master``/resource configs come from
+    spark-submit; everything set here is allocation-independent.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
