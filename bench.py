@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion through the noop sink (full plan
+runs, no driver-side result serialization). One untimed warm-up query
+first so JVM/codegen startup doesn't pollute the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_agg_pricing_summary",
+    "q_join_star_multiway",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_join_range_theta",
+    "q_win_rank_topk_per_group",
+    "q_win_sessionize",
+    "q_agg_count_distinct",
+    "q_agg_rollup",
+    "q_set_except",
+    "q_dedup_exact",
+    "q_sort_multi",
+    "q_llm_exact_dedup",
+    "q_llm_text_stats",
+    "q_llm_embed_norm",
+    "q_llm_cosine_topk",
+    "q_llm_minhash_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from ex_hivent_spark.plans.registry import all_specs
+    from ex_hivent_spark.session import get_session
+
+    spark = get_session(app_name="ex-hivent-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        specs[name].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    run("q_agg_pricing_summary")  # warm-up (JVM + codegen + file listing)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run(name), 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

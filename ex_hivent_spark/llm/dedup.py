@@ -68,23 +68,13 @@ def shingles(text: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
-def _perm_hasher(a: int, b: int):
-    # NB: returns a 1-arg lambda — pyspark's higher-order-function
-    # binding counts *all* parameters (including defaults), so the usual
-    # `lambda x, a=a` closure trick breaks arity detection.
-    return lambda x: F.pmod(a * F.pmod(x, F.lit(_P)) + b, F.lit(_P))
-
-
-def minhash_signature(shingle_hashes: Column, n_perm: int = N_PERM) -> Column:
-    """MinHash signature: for permutation i, min over shingles of the
-    universal hash (a_i*x + b_i) mod p. Coefficients are fixed odd
-    constants — fully deterministic across runs and partitionings."""
-    sigs = []
-    for i in range(n_perm):
-        a = 2 * i + 1  # odd multiplier
-        b = 1_000_003 * (i + 1)
-        sigs.append(F.array_min(F.transform(shingle_hashes, _perm_hasher(a, b))))
-    return F.array(*sigs)
+def perm_hash(shingle: Column, i: int) -> Column:
+    """Permutation-i universal hash of a shingle hash:
+    (a_i*x + b_i) mod p with a_i = 2i+1, b_i = 1000003(i+1). Fixed
+    coefficients — fully deterministic across runs/partitionings."""
+    return F.pmod(
+        (2 * i + 1) * F.pmod(shingle, F.lit(_P)) + 1_000_003 * (i + 1), F.lit(_P)
+    )
 
 
 @register("q_llm_minhash_neardup", oracle=None)
@@ -96,29 +86,34 @@ def q_llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation); result is deterministic, the driver records rows-only.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = d.select(
-        "doc_id",
-        F.split("text", " ").alias("tokens"),
-        minhash_signature(shingles(F.col("text"))).alias("sig"),
+
+    # Signature via explode + hash-aggregate, NOT per-row array folds:
+    # Spark's higher-order functions evaluate lambdas interpreted
+    # per-element (outside codegen), which measured ~25x slower here.
+    # Exploding shingles and taking 32 mins in one groupBy keeps every
+    # permutation hash inside whole-stage codegen, and partial (map-side)
+    # aggregation means the shuffle carries only |docs| x 32 longs.
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(perm_hash(F.col("sh"), i)).alias(f"mh{i}") for i in range(N_PERM)]
     )
 
     # LSH: hash each band of the signature; docs sharing any band bucket
     # become candidate pairs.
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.element_at("sig", i * ROWS_PER_BAND + j + 1)
-                            for j in range(ROWS_PER_BAND)
-                        ]
-                    )
-                    for i in range(N_BANDS)
-                ]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"mh{i * ROWS_PER_BAND + j}") for j in range(ROWS_PER_BAND)]
+                ).alias("band_hash"),
             )
-        ).alias("band_id", "band_hash"),
+            for i in range(N_BANDS)
+        ]
+    )
+    bands = (
+        mins.select("doc_id", F.explode(band_structs).alias("b"))
+        .select("doc_id", "b.band_id", "b.band_hash")
     )
     left = bands.alias("a")
     right = bands.alias("b")
@@ -136,7 +131,9 @@ def q_llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Exact verification: token-set Jaccard on the candidate pairs only.
-    toks = sig.select("doc_id", F.array_distinct("tokens").alias("tok_set"))
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tok_set")
+    )
     verified = (
         candidates.join(toks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("tok_set", "tok_a")
@@ -166,23 +163,28 @@ def q_llm_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     but sketch-based → rows-only check. Output: (simhash, n_docs,
     min_doc_id)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tokens = F.array_distinct(F.split("text", " "))
-    th = F.transform(tokens, lambda t: F.xxhash64(t))
-
-    def _bit_vote(b: int):
-        # 2-arg merge lambda (see _perm_hasher note on arity detection)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
+    # Explode + codegen'd aggregate (same rationale as the MinHash
+    # signature: per-element HOF lambdas are interpreted, exploded hash
+    # aggregation is whole-stage codegen with map-side combine).
+    tk = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
     # For each of 16 bits: sum(+1/-1 per token) >= 0 -> bit set.
-    bits = []
-    for b in range(16):
-        bit_votes = F.aggregate(th, F.lit(0), _bit_vote(b))
-        bits.append(F.when(bit_votes >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    votes = tk.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(16)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(16)
+    ]
     simhash = sum(bits[1:], bits[0])
     return (
-        d.select("doc_id", simhash.alias("simhash"))
+        votes.select("doc_id", simhash.alias("simhash"))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )
