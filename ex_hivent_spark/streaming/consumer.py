@@ -1,0 +1,146 @@
+"""Streaming consumer: topic subscription + per-event processing +
+quarantine, on Structured Streaming.
+
+Reference lifecycle (lib/hivent/consumer.ex):
+- subscribe: join channel ``event:<topic>`` with ``partition_count``
+  (consumer.ex:105-107) → here: ``readStream`` + ``filter(name == topic)``
+  + ``repartition(partition_count, meta.key)``.
+- process: user ``process/1`` callback per event (consumer.ex:25, 68-81);
+  ``:ok`` → done, ``{:error, reason}`` → quarantine the ``{event, queue}``
+  pair (consumer.ex:98-100).
+- consumer identity: ``service`` is the consumer group → one streaming
+  query + checkpoint dir per service; queue name = ``service:partition``
+  (the (service, partition) claim of the Redis backend).
+- delivery: the reference is at-least-once with no success ack
+  (consumer.ex:75-77); checkpointed ``foreachBatch`` upgrades sink writes
+  to effectively-once — documented deviation (SURVEY.md §3.2).
+- restart: bounded reconnect attempts with linearly growing backoff
+  (consumer.ex:110-127, emitter.ex:113-139) → ``run_with_restarts``.
+
+Processing supports two callback shapes:
+- an *expression* (Column → error-message-or-null): the fast path, stays
+  in codegen — use whenever the check is expressible;
+- a *Python callable* ``(event_dict) -> None | str``: the literal
+  ``process/1`` semantics, applied via a UDF (the slow path, as in the
+  reference where every event crosses into user code).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ex_hivent_spark.envelope import DEFAULT_PARTITION_COUNT, EVENT_SCHEMA
+
+INGRESS_SCHEMA = T.StructType(
+    [*EVENT_SCHEMA.fields, T.StructField("partition_id", T.IntegerType())]
+)
+
+ProcessFn = Callable[[Mapping[str, Any]], "None | str"]
+
+
+def _error_column(process: "Column | ProcessFn") -> Column:
+    if isinstance(process, Column):
+        return process
+
+    @F.udf("string")
+    def _proc_udf(name, payload, version, uuid):
+        try:
+            result = process(
+                {"name": name, "payload": payload, "version": version, "uuid": uuid}
+            )
+            return None if result is None else str(result)
+        except Exception as ex:  # the reference quarantines on {:error, _}
+            return str(ex)
+
+    return _proc_udf(
+        F.col("name"), F.col("payload"), F.col("meta.version"), F.col("meta.uuid")
+    )
+
+
+@dataclass
+class Consumer:
+    """One consumer group (``service``) over one topic."""
+
+    spark: SparkSession
+    source_dir: str
+    service: str
+    topic: str
+    process: "Column | ProcessFn"
+    checkpoint_dir: str
+    processed_dir: str
+    quarantine_dir: str
+    partition_count: int = DEFAULT_PARTITION_COUNT
+
+    def _stream(self) -> DataFrame:
+        raw = (
+            self.spark.readStream.schema(INGRESS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.source_dir)
+        )
+        return raw.filter(F.col("name") == F.lit(self.topic)).repartition(
+            self.partition_count, F.col("meta.key")
+        )
+
+    def _handle_batch(self, batch: DataFrame, batch_id: int) -> None:
+        evaluated = batch.withColumn("error", _error_column(self.process)).withColumn(
+            "queue",
+            F.concat_ws(":", F.lit(self.service), F.col("partition_id").cast("string")),
+        )
+        # Single evaluation per row, two filtered writes (the reference's
+        # ok/quarantine split, consumer.ex:71-81).
+        evaluated = evaluated.localCheckpoint(eager=True)
+        ok = evaluated.filter(F.col("error").isNull()).drop("error")
+        failed = evaluated.filter(F.col("error").isNotNull()).withColumn(
+            "quarantined_at", F.current_timestamp()
+        )
+        ok.write.mode("append").parquet(self.processed_dir)
+        failed.write.mode("append").parquet(self.quarantine_dir)
+
+    def start(self) -> StreamingQuery:
+        return (
+            self._stream()
+            .writeStream.foreachBatch(self._handle_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )
+
+    def run_available(self) -> None:
+        """Process everything currently in the source, then stop —
+        the batch-ish drain used by tests and catch-up jobs."""
+        q = self.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+
+def run_with_restarts(
+    start_query: Callable[[], StreamingQuery],
+    max_tries: int = 3,
+    backoff_s: float = 1.0,
+) -> StreamingQuery:
+    """Bounded-restart supervisor for a streaming query: on failure,
+    retry after a linearly growing delay; give up (re-raise) after
+    ``max_tries`` (emitter.ex:113-139 — including its linear
+    ``timer += backoff`` growth; the reference's off-by-one ``<=`` that
+    admits an extra attempt is NOT reproduced). Recovery is from the
+    query's checkpoint, so no data is lost or reprocessed into sinks."""
+    attempt = 0
+    while True:
+        query = start_query()
+        try:
+            query.awaitTermination()
+            return query
+        except Exception:
+            attempt += 1
+            if attempt >= max_tries:
+                raise
+            time.sleep(backoff_s * attempt)

@@ -1,0 +1,282 @@
+"""Streaming tests mirroring the reference's consumer/emitter suites
+(SURVEY.md §5.2.3-4): quarantine split (≙ consumer_test.exs:90-111),
+checkpoint restart (≙ reconnect tests emitter_test.exs:74-94), window
+aggregations with batch-twin equivalence, watermark late-data dropping,
+and streaming dedup.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.streaming.consumer import Consumer
+from ex_hivent_spark.streaming.emitter import StreamEmitter
+from ex_hivent_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        name: str(tmp_path / name)
+        for name in ("ingress", "checkpoint", "processed", "quarantine")
+    }
+    return d
+
+
+def make_consumer(spark, dirs, process, topic="some:event"):
+    return Consumer(
+        spark=spark,
+        source_dir=dirs["ingress"],
+        service="a_service",
+        topic=topic,
+        process=process,
+        checkpoint_dir=dirs["checkpoint"],
+        processed_dir=dirs["processed"],
+        quarantine_dir=dirs["quarantine"],
+        partition_count=2,
+    )
+
+
+def make_process_response():
+    """≙ the reference test consumer: payload.response drives ok/error
+    (consumer_test.exs:75-81, 91-97). Built as a nested closure so
+    cloudpickle serializes it by value (a module-level test function
+    would be pickled by reference, which executors can't import)."""
+
+    def process_response(event) -> "None | str":
+        payload = json.loads(event["payload"])
+        if payload.get("response") == "error":
+            raise ValueError("boom")
+        return None
+
+    return process_response
+
+
+class TestConsumerQuarantine:
+    def test_ok_error_split(self, spark, dirs):
+        em = StreamEmitter(spark, dirs["ingress"], producer="svc", partition_count=2)
+        em.emit("some:event", {"response": "ok"}, version=1, key="k1")
+        em.emit("some:event", {"response": "error"}, version=1, key="k2")
+        em.emit("other:event", {"response": "error"}, version=1)  # other topic
+
+        make_consumer(spark, dirs, make_process_response()).run_available()
+
+        ok = spark.read.parquet(dirs["processed"])
+        bad = spark.read.parquet(dirs["quarantine"])
+        assert ok.count() == 1 and bad.count() == 1
+        assert json.loads(ok.take(1)[0].payload) == {"response": "ok"}
+        qrow = bad.take(1)[0]
+        # quarantined as the {event, queue} pair + error (consumer.ex:98-100)
+        assert qrow.queue.startswith("a_service:")
+        assert "boom" in qrow.error
+        assert qrow.name == "some:event"
+        assert qrow.quarantined_at is not None
+
+    def test_expression_process_path(self, spark, dirs):
+        em = StreamEmitter(spark, dirs["ingress"], producer="svc")
+        em.emit("some:event", {"response": "ok"}, version=1)
+        em.emit("some:event", {"response": "error"}, version=1)
+        # codegen fast path: error-or-null expression instead of a UDF
+        expr = F.when(
+            F.get_json_object("payload", "$.response") == "error",
+            F.lit("rejected by expression"),
+        )
+        make_consumer(spark, dirs, expr).run_available()
+        assert spark.read.parquet(dirs["processed"]).count() == 1
+        bad = spark.read.parquet(dirs["quarantine"])
+        assert bad.count() == 1
+        assert bad.take(1)[0].error == "rejected by expression"
+
+    def test_checkpoint_restart_exactly_once(self, spark, dirs):
+        em = StreamEmitter(spark, dirs["ingress"], producer="svc")
+        em.emit("some:event", {"n": 1}, version=1)
+        consumer = make_consumer(spark, dirs, lambda e: None)
+        consumer.run_available()
+        em.emit("some:event", {"n": 2}, version=1)
+        consumer.run_available()  # same checkpoint — only the new file runs
+
+        ok = spark.read.parquet(dirs["processed"])
+        assert ok.count() == 2  # each event exactly once despite restart
+        ns = sorted(json.loads(r.payload)["n"] for r in ok.collect())
+        assert ns == [1, 2]
+
+
+def _write_events(spark, path, rows):
+    import datetime as dt
+
+    rows = [
+        (eid, dt.datetime.fromisoformat(ts), uid, et, v)
+        for eid, ts, uid, et, v in rows
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("append").parquet(path)
+
+
+def _stream_events(spark, path):
+    return (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def _run_to_memory(spark, df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+class TestWindows:
+    def test_tumbling_stream_matches_batch_twin(self, spark, sf_dir, tmp_path):
+        from ex_hivent_spark.catalog import load_table
+
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        src = str(tmp_path / "ev")
+        events.write.parquet(src)
+
+        streamed = _run_to_memory(
+            spark,
+            tumbling_counts(_stream_events(spark, src), watermark=None),
+            "tumbling_out",
+            "complete",
+        ).select("window_start", "event_type", "n_events", "sum_value")
+
+        batch = (
+            events.groupBy(
+                F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+                .alias("sum_value"),
+            )
+        )
+        assert sorted(map(repr, streamed.collect())) == sorted(
+            map(repr, batch.collect())
+        )
+
+    def test_session_stream_matches_batch_twin(self, spark, sf_dir, tmp_path):
+        """session_window (stream) must agree with the gaps-and-islands
+        batch twin q_win_sessionize on static data (SURVEY.md §5.2.3)."""
+        from ex_hivent_spark.catalog import load_table
+        from ex_hivent_spark.plans.registry import all_specs
+
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        src = str(tmp_path / "ev")
+        events.write.parquet(src)
+
+        sessions = _run_to_memory(
+            spark,
+            session_counts(_stream_events(spark, src), watermark=None),
+            "session_out",
+            "complete",
+        )
+        per_user = (
+            sessions.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.max("n_events").alias("longest_session_events"),
+                F.sum("n_events").alias("total_events"),
+                F.max("duration_us").alias("max_session_duration_us"),
+            )
+        )
+        batch = all_specs()["q_win_sessionize"].spark(spark, sf_dir)
+        assert sorted(map(repr, per_user.collect())) == sorted(
+            map(repr, batch.collect())
+        )
+
+    def test_watermark_drops_late_rows(self, spark, tmp_path):
+        """Late rows beyond the watermark are excluded from finalized
+        windows (allowed-lateness parity, SURVEY.md §2.B streaming)."""
+        src = str(tmp_path / "ev")
+        sink = str(tmp_path / "sink")
+        cp = str(tmp_path / "cp")
+
+        def run():
+            q = (
+                tumbling_counts(
+                    _stream_events(spark, src), window="1 hour", watermark="2 hours"
+                )
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", cp)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(30)
+
+        # batch 1: two events in the 10:00 window
+        _write_events(
+            spark,
+            src,
+            [
+                (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+                (2, "2024-01-01 10:30:00", 1, "click", 1.0),
+            ],
+        )
+        # batch 2: advances watermark to 12:00 -> finalizes the 10:00 window
+        _write_events(spark, src, [(3, "2024-01-01 14:00:00", 1, "click", 1.0)])
+        run()
+        out1 = spark.read.parquet(sink)
+        w10 = out1.filter(F.col("window_start") == "2024-01-01 10:00:00")
+        assert [r.n_events for r in w10.collect()] == [2]
+
+        # batch 3: a late row at 09:00 (< 12:00 watermark) must be DROPPED;
+        # batch 4 advances watermark to finalize the 14:00 window.
+        _write_events(spark, src, [(4, "2024-01-01 09:00:00", 1, "click", 1.0)])
+        _write_events(spark, src, [(5, "2024-01-01 18:00:00", 1, "click", 1.0)])
+        run()
+        out2 = spark.read.parquet(sink)
+        # the 10:00 window was already emitted with 2 events and the late
+        # row created no new 09:00 window
+        assert out2.filter(F.col("window_start") == "2024-01-01 09:00:00").count() == 0
+        w10b = out2.filter(F.col("window_start") == "2024-01-01 10:00:00")
+        assert [r.n_events for r in w10b.collect()] == [2]
+        w14 = out2.filter(F.col("window_start") == "2024-01-01 14:00:00")
+        assert [r.n_events for r in w14.collect()] == [1]
+
+    def test_streaming_dedup_within_watermark(self, spark, tmp_path):
+        """≙ uuid-identity dedup (memory.ex:90) as
+        dropDuplicatesWithinWatermark."""
+        src = str(tmp_path / "ev")
+        _write_events(
+            spark,
+            src,
+            [
+                (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+                (1, "2024-01-01 10:00:00", 1, "click", 1.0),  # duplicate id
+                (2, "2024-01-01 10:05:00", 1, "click", 1.0),
+            ],
+        )
+        out = _run_to_memory(
+            spark,
+            dedup_within_watermark(
+                _stream_events(spark, src), ["event_id"], watermark="1 hour"
+            ),
+            "dedup_out",
+            "append",
+        )
+        assert sorted(r.event_id for r in out.collect()) == [1, 2]
