@@ -1,0 +1,111 @@
+"""User-defined-function surface (SURVEY.md §2.B UDF table).
+
+The reference's only user-code hooks are the per-event ``process/1``
+callback (consumer.ex:25) and subscription matcher/mapper closures
+(channel_client.ex:146-149) — row-level functions. This module provides
+the engine's full UDF ladder, fastest first:
+
+1. native Column expressions (everything in functions/scalar.py) —
+   always preferred;
+2. Arrow-vectorized scalar ``pandas_udf`` — the acceptable Python path
+   (~10-100x over row-at-a-time UDFs);
+3. ``pandas_udf`` GROUPED_AGG — custom aggregates;
+4. ``applyInPandas`` — grouped-map transforms (per-key model-ish logic);
+(5. per-row Python UDFs exist only in streaming/consumer.py, where the
+   reference's semantics are literally a per-event callback.)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.plans.registry import register
+
+
+# pandas_udf parses its return-type string against the active session,
+# so construction must be lazy (module import happens before any Spark
+# session exists in the driver harness).
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def token_count_pudf():
+    """Vectorized whitespace token count (Arrow batch in, batch out)."""
+
+    @pandas_udf("int")
+    def _token_count(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").str.len().astype("int32")
+
+    return _token_count
+
+
+@lru_cache(maxsize=None)
+def p90_pudf():
+    """GROUPED_AGG pandas UDF: 90th percentile (linear interpolation)."""
+
+    @pandas_udf("double")
+    def _p90(values: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.percentile(values.to_numpy(), 90))
+
+    return _p90
+
+
+def zscore_per_group(df: DataFrame, key: str, value: str) -> DataFrame:
+    """applyInPandas grouped-map: z-score of ``value`` within each key
+    group. Equivalent to the window-function formulation (tested against
+    it) but demonstrates the per-group pandas path used when logic
+    genuinely needs a dataframe per key (model scoring, curve fits)."""
+    schema = f"{', '.join(f'{c} {t}' for c, t in df.dtypes)}, zscore double"
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value]
+        std = v.std(ddof=1)
+        pdf = pdf.copy()
+        pdf["zscore"] = (v - v.mean()) / std if std and std > 0 else 0.0
+        return pdf
+
+    return df.groupBy(key).applyInPandas(norm, schema)
+
+
+@register(
+    "q_udf_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def q_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF with exact split semantics — hash-matches the
+    SQL oracle, proving the Arrow path is lossless."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_pudf()("text").alias("n_tokens"))
+
+
+@register("q_udf_grouped_p90", oracle=None)
+def q_udf_grouped_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF: p90 of event value per type. No oracle:
+    percentile interpolation arithmetic is engine-specific float work;
+    unit-tested against numpy directly."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(p90_pudf()("value").alias("p90_value"))
+
+
+@register("q_udf_zscore", oracle=None)
+def q_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas z-score per user over event values (rows-only;
+    equivalence with the window-function twin asserted in unit tests)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = zscore_per_group(e, "user_id", "value")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("zscore") * 1e6 + F.lit(0.5)).alias("zscore_e6"),
+    )

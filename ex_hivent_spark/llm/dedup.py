@@ -154,6 +154,71 @@ def q_llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS n_common,
+             len(a.s) AS la, len(b.s) AS lb
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (la + lb - n_common) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (la + lb - n_common) >= 0.5
+    """,
+)
+def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard near-dup pairs, blocked by language
+    (metadata blocking bounds the pair space: pairs are compared only
+    within a lang bucket — the standard cheap blocking key; the sketch-free
+    exact twin of q_llm_minhash_neardup, fully SQL-oracle-checkable).
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) is a single integer-ratio double
+    division — bit-deterministic, no rounding needed."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tokens) - 2, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, 3)),
+            )
+        ).alias("s"),
+    ).repartition("lang")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
     "q_llm_simhash_groups",
     oracle=None,
 )

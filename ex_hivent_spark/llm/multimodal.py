@@ -1,0 +1,228 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched pandas functions over
+``mapInPandas``.
+
+The pattern this module makes real (and tests):
+- schema: ``media_id BIGINT, kind STRING, payload BINARY,
+  meta STRUCT<width INT, height INT, sample_rate INT, n_frames INT,
+  format STRING>`` — the payload is opaque to Spark; all pruning /
+  predicate work happens on the typed metadata columns, so a filter on
+  ``kind`` or ``meta.width`` never deserializes a byte of payload.
+- compute: ``mapInPandas`` — each Arrow batch arrives as a pandas
+  DataFrame whose ``payload`` column is ``bytes``; output is an
+  iterator of pandas DataFrames matching the declared result schema.
+  Batch size is governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+  at 100 TB the same code runs unchanged, parallelism = input partitions.
+- the *decode* step is STUBBED: this container has no image/audio
+  libraries, so ``_decode_payload`` derives deterministic fake
+  pixels/samples from the payload bytes. A real deployment replaces that
+  one function with PIL/torchaudio/av — the Spark-side plumbing (schema,
+  partitioning, UDF signatures, batch shapes) is identical and is what
+  these operators verify.
+
+Media for the testdata is synthesized deterministically from the
+``documents`` table (payload = repeated md5 bytes of the text), so every
+operator is reproducible without binary fixtures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.plans.registry import register
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("format", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_KINDS = ("image", "audio", "video")
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media table derived from ``documents``:
+    payload bytes = md5(text) repeated (1 + doc_id mod 7) times; kind
+    cycles image/audio/video; metadata consistent with the kind. Pure
+    built-in expressions — scales like any projection."""
+    d = load_table(spark, sf_dir, "documents")
+    payload_hex = F.repeat(F.md5("text"), (F.col("doc_id") % 7 + 1).cast("int"))
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    meta = F.struct(
+        F.when(kind != "audio", (F.col("doc_id") % 64 + 1).cast("int")).alias("width"),
+        F.when(kind != "audio", (F.col("doc_id") % 48 + 1).cast("int")).alias("height"),
+        F.when(kind == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+        F.when(kind == "video", (F.col("doc_id") % 30 + 2).cast("int"))
+        .otherwise(F.lit(1))
+        .alias("n_frames"),
+        kind.alias("format"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def _decode_payload(payload: bytes) -> bytes:
+    """STUB decode. A real implementation would be e.g.
+    ``PIL.Image.open(io.BytesIO(payload))`` / an ffmpeg demux; this
+    container has no media libraries, so the 'decoded samples' are the
+    payload bytes themselves (deterministic fake). Raise
+    NotImplementedError for formats a real decoder would reject."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("empty payload: no decodable stream")
+    return payload
+
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, mean_byte double, "
+    "byte_entropy double, histogram array<int>"
+)
+
+
+def extract_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Decode + feature-extract over mapInPandas: per media item, byte
+    statistics and an n-bin byte histogram (stand-ins for pixel stats /
+    MFCCs). Vectorized with numpy inside each Arrow batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            decoded = [
+                np.frombuffer(_decode_payload(p), dtype=np.uint8)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(a) for a in decoded],
+                    "mean_byte": [float(a.mean()) for a in decoded],
+                    "byte_entropy": [
+                        float(
+                            -(
+                                (np.bincount(a, minlength=256) / len(a))
+                                * np.log2(
+                                    np.bincount(a, minlength=256) / len(a) + 1e-12
+                                )
+                            ).sum()
+                        )
+                        for a in decoded
+                    ],
+                    "histogram": [
+                        np.bincount(a // (256 // n_bins), minlength=n_bins)
+                        .astype("int32")
+                        .tolist()
+                        for a in decoded
+                    ],
+                }
+            )
+
+    return media.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub: images only; payload truncated/tiled to the target
+    pixel count (a real impl calls the image library here), metadata
+    updated to the new dimensions — demonstrates a payload-rewriting
+    mapInPandas with a binary output column."""
+    out_schema = MEDIA_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            payloads = []
+            metas = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                raw = _decode_payload(p)
+                scaled = (raw * (target // len(raw) + 1))[:target]
+                payloads.append(scaled)
+                m = dict(m)
+                m["width"], m["height"] = width, height
+                metas.append(m)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = metas
+            yield out
+
+    return media.filter(F.col("kind") == "image").mapInPandas(gen, out_schema)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Frame-sampling stub for video: emits one row per sampled frame
+    (1->N mapInPandas, the UDTF shape); frame payload is the
+    corresponding slice of the fake stream."""
+    schema = "media_id long, frame_idx int, frame_payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                raw = _decode_payload(p)
+                n = max(int(m["n_frames"] or 1), 1)
+                size = max(len(raw) // n, 1)
+                for i in range(0, n, every_nth):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(raw[i * size : (i + 1) * size])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(gen, schema)
+
+
+@register("q_mm_decode_features", oracle=None)
+def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature extraction end-to-end: synthesize the
+    media table from documents, extract byte features via mapInPandas.
+    Deterministic but not SQL-expressible (binary synthesis + numpy) —
+    rows-only check; exact values unit-tested in tests/test_multimodal.py.
+    """
+    feats = extract_features(synth_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.floor(F.col("mean_byte") * 1e4 + F.lit(0.5)).alias("mean_byte_e4"),
+        F.element_at("histogram", 1).alias("hist_bin0"),
+    )
+
+
+@register("q_mm_frame_sample", oracle=None)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 2nd frame) + per-video frame counts —
+    the 1->N multimodal shape. Rows-only check (binary payloads)."""
+    frames = sample_frames(synth_media(spark, sf_dir), every_nth=2)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("frame_idx").alias("max_frame_idx"),
+        F.sum(F.length("frame_payload")).alias("sampled_bytes"),
+    )

@@ -123,6 +123,37 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_embedding_neardup", oracle=None)
+def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label metadata
+    (pairs compared within a label bucket), reporting the top-100 closest
+    pairs with cosine >= 0.35. Rows-only check (pair scores are
+    float-order sensitive); deterministic via fixed tie-breaks."""
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = em.select("vec_id", "label", "embedding")
+    norm = l2_norm(F.col("embedding"))
+    unit = unit.withColumn(
+        "unit", F.transform("embedding", lambda x: x.cast("double") / norm)
+    ).drop("embedding").repartition("label")
+    a = unit.alias("a")
+    b = unit.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        F.round(dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
+    )
+    return (
+        pairs.filter(F.col("cosine") >= 0.35)
+        .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
+        .limit(100)
+    )
+
+
 N_HYPERPLANES = 8
 
 

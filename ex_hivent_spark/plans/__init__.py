@@ -18,8 +18,10 @@ def load_all() -> None:
     import ex_hivent_spark.operators.windows  # noqa: F401
     import ex_hivent_spark.operators.sets  # noqa: F401
     import ex_hivent_spark.functions.scalar  # noqa: F401
+    import ex_hivent_spark.functions.udfs  # noqa: F401
     import ex_hivent_spark.llm.dedup  # noqa: F401
     import ex_hivent_spark.llm.text  # noqa: F401
     import ex_hivent_spark.llm.similarity  # noqa: F401
+    import ex_hivent_spark.llm.multimodal  # noqa: F401
 
     _LOADED = True

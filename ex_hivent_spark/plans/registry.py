@@ -37,7 +37,18 @@ def register(name: str, oracle: Optional[str] = None):
     """Decorator registering a query implementation + its oracle SQL."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Executors need the package on their PYTHONPATH for any
+            # Python-on-worker operator (pandas UDF / mapInPandas);
+            # see ex_hivent_spark/shipping.py. Idempotent and cheap.
+            from ex_hivent_spark.shipping import ensure_shipped
+
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = QuerySpec(name, wrapped, oracle, (fn.__doc__ or "").strip())
         return fn
 
     return deco

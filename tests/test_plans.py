@@ -1,0 +1,102 @@
+"""Physical-plan quality gates: these assert the *plan shape* that makes
+the operators scale — predicate pushdown into the parquet scan, column
+pruning, broadcast joins for dims, no nested-loop joins in the rewritten
+range/as-of joins, and whole-stage codegen coverage. A regression here
+is a 100 TB performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ex_hivent_spark.plans.registry import all_specs
+
+SPECS = all_specs()
+
+
+def plan_of(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = SPECS[name].spark(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_filter_topic")
+    assert "PushedFilters" in plan
+    assert "event_type" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_scan_projection")
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "event_type" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_join_star_multiway")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_broadcast_join_prunes_dim_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    # the p_size filter must be pushed into the part scan, not applied
+    # post-join
+    assert "PushedFilters" in plan and "p_size" in plan
+
+
+def test_semi_anti_joins_stay_hash(spark, sf_dir):
+    for q in ("q_join_semi", "q_join_anti"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The time-bucket rewrite must produce a hash join on the bucket —
+    a BroadcastNestedLoopJoin here means the rewrite regressed to the
+    O(n*m) plan."""
+    plan = plan_of(spark, sf_dir, "q_join_range_theta")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_single_window_no_join(spark, sf_dir):
+    """The as-of implementation is union+window: no join node at all,
+    hence no quadratic candidate blow-up."""
+    plan = plan_of(spark, sf_dir, "q_join_asof", mode="simple")
+    assert "Window" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    """Hash aggregation must be two-phase (map-side partial + final) so
+    the shuffle carries |groups| rows, not |lineitem| rows."""
+    plan = plan_of(spark, sf_dir, "q_agg_pricing_summary", mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_whole_stage_codegen_on_batch_spine(spark, sf_dir):
+    # Under AQE the codegen spans only appear in the *final* adaptive
+    # plan, so execute first, then explain.
+    df = SPECS["q_agg_pricing_summary"].spark(spark, sf_dir)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "== Final Plan ==" in plan
+    assert "codegen id" in plan  # whole-stage codegen spans on the spine
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_sort_multi", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_no_cross_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_llm_minhash_neardup", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

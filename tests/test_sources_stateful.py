@@ -1,0 +1,100 @@
+"""Source readers, topic multiplexer sink, and the custom stateful
+operator."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.sources.readers import (
+    read_events_csv,
+    read_events_json,
+    stream_ingress,
+)
+from ex_hivent_spark.sources.sinks import topic_multiplexer
+from ex_hivent_spark.streaming.emitter import StreamEmitter
+from ex_hivent_spark.streaming.stateful import user_running_totals
+
+
+def test_read_events_json(spark, tmp_path):
+    p = tmp_path / "ev.json"
+    rows = [
+        {"name": "a:b", "payload": json.dumps({"x": 1}),
+         "meta": {"name": "a:b", "version": 1, "producer": "p", "cid": "c",
+                  "uuid": "u", "key": "k", "created_at": "2024-01-01T00:00:00Z"}},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = read_events_json(spark, str(p))
+    row = df.take(1)[0]
+    assert row.name == "a:b" and row.meta.version == 1
+    assert json.loads(row.payload) == {"x": 1}
+
+
+def test_read_events_csv(spark, tmp_path):
+    p = tmp_path / "ev.csv"
+    p.write_text(
+        "event_id,ts,user_id,event_type,value,props\n"
+        '1,2024-01-01 10:00:00,7,click,3.5,"{""k"": 1}"\n'
+    )
+    row = read_events_csv(spark, str(p)).take(1)[0]
+    assert row.event_id == 1 and row.user_id == 7 and row.value == 3.5
+    assert row.ts is not None
+
+
+def test_topic_multiplexer_single_pass(spark, tmp_path):
+    ingress = str(tmp_path / "in")
+    em = StreamEmitter(spark, ingress, producer="svc")
+    em.emit("topic:a", {"i": 1}, version=1)
+    em.emit("topic:b", {"i": 2}, version=1)
+    em.emit("topic:a", {"i": 3}, version=1)
+
+    sinks = {"topic:a": str(tmp_path / "a"), "topic:b": str(tmp_path / "b")}
+    q = topic_multiplexer(
+        stream_ingress(spark, ingress), sinks, str(tmp_path / "cp")
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    a = spark.read.parquet(sinks["topic:a"])
+    b = spark.read.parquet(sinks["topic:b"])
+    assert a.count() == 2 and b.count() == 1
+    assert {r.name for r in a.select("name").distinct().collect()} == {"topic:a"}
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    import datetime as dt
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0), 1, "click", 2.0),
+            (2, dt.datetime(2024, 1, 1, 10, 1), 1, "click", 3.0),
+            (3, dt.datetime(2024, 1, 1, 10, 2), 2, "view", 5.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(src)
+    )
+    q = (
+        user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.closed)
+        for r in spark.sql("SELECT * FROM totals").collect()
+    }
+    assert got[1] == (2, 5.0, False)
+    assert got[2] == (1, 5.0, False)
