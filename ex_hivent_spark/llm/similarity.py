@@ -218,3 +218,83 @@ def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 1)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+@register("q_llm_ivf_topk", oracle=None)
+def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors — the coarse-
+    quantizer scale path complementing sign-LSH (q_llm_lsh_topk):
+
+    1. centroids: a deterministic training-free coarse codebook — the
+       unit vectors with ``vec_id % (n/N_CELLS-ish stride) == 0``
+       (at scale: KMeans fit on a sample; the *assignment/probe plan
+       below is identical either way*);
+    2. assign every vector to its nearest centroid (broadcast the tiny
+       codebook, argmax over dot products — one narrow pass, no shuffle
+       of the vector side beyond the final cell-key exchange);
+    3. queries probe their N_PROBE nearest cells; candidate scoring
+       joins query→cell→members, so compared pairs are
+       Σ_probed |cell| ≪ n per query — the IVF inverted-list pruning.
+
+    Rows-only check (float-order sensitive); recall vs the brute-force
+    baseline is asserted in tests/test_llm_ops.py.
+    """
+    from pyspark.sql import Window
+
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em)
+
+    # Deterministic stride-sample of the codebook; orderBy+limit is a
+    # TakeOrdered (per-partition top-N + driver merge), never a global sort.
+    cents = (
+        unit.filter(F.col("vec_id") % 37 == 1)
+        .orderBy("vec_id")
+        .limit(N_CELLS)
+        .select(F.col("vec_id").alias("cell_id"), F.col("unit").alias("centroid"))
+    )
+
+    # Nearest cell per vector: broadcast codebook, keep argmax via window.
+    sims = unit.join(F.broadcast(cents)).select(
+        "vec_id",
+        "unit",
+        "cell_id",
+        dot(F.col("unit"), F.col("centroid")).alias("csim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell_id")
+    )
+    ranked = sims.withColumn("crn", F.row_number().over(w_assign))
+    members = ranked.filter(F.col("crn") == 1).select("vec_id", "unit", "cell_id")
+
+    # Query subset probes its N_PROBE nearest cells.
+    probes = (
+        ranked.filter(F.col("vec_id") % 50 == 0)
+        .filter(F.col("crn") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("unit").alias("q_unit"),
+            "cell_id",
+        )
+    )
+
+    scored = (
+        probes.join(members, on="cell_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )

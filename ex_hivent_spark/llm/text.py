@@ -147,3 +147,35 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_md5"),
         F.substring(F.md5("text"), 1, 8).alias("short_fp"),
     )
+
+
+# GPT-2-style pre-tokenizer shape: letter runs | single digits |
+# punctuation runs. Same pattern string in both engines (RE2/Java
+# agree on this subset — no lookarounds).
+_BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+
+
+@register(
+    "q_llm_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+'))
+                AS INTEGER) AS n_bpe_tokens,
+           CAST(len(list_distinct(
+                regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+')))
+                AS INTEGER) AS n_unique_tokens
+    FROM documents
+    """,
+)
+def q_llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-pre-tokenizer-style regex (letter
+    runs / digits / punctuation runs) extracted wholly JVM-side with
+    ``regexp_extract_all`` — the exact-count twin of the whitespace
+    tokenizer, hash-checked against the same regex in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
