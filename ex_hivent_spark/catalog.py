@@ -38,9 +38,35 @@ TABLES = (
 # Columns written as TIMESTAMP(NANOS) that need the nanos->micros fix.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+# Runtime-settable SQL confs every query in this engine depends on.  The
+# driver harness supplies its OWN SparkSession (not our session.get_session
+# factory), so these must be applied to whatever session we are handed:
+#  - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which Spark's
+#    reader rejects outright without this flag.
+#  - UTC timezone: parquet naive timestamps must agree with the DuckDB
+#    oracle's UTC interpretation or every date/timestamp hash drifts.
+#  - Arrow: the pandas-UDF ops assume Arrow batch transfer.
+_SESSION_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime SQL confs to any session."""
+    for key, value in _SESSION_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf not recognised
+            spark.conf.set(key, value)
+    return spark
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing nano-timestamps."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

@@ -33,6 +33,19 @@ def get_session(
     """
     active = SparkSession.getActiveSession()
     if active is not None:
+        # Static confs (master, driver memory) cannot change on a live
+        # session, but every conf correctness depends on is runtime-settable
+        # — apply those instead of silently returning a drifted session.
+        from ex_hivent_spark.catalog import ensure_session_confs
+
+        ensure_session_confs(active)
+        active.conf.set("spark.sql.adaptive.enabled", "true")
+        active.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        active.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        if shuffle_partitions is not None:
+            active.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        for k, v in (extra_conf or {}).items():
+            active.conf.set(k, v)
         return active
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
