@@ -179,10 +179,16 @@ def q_llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-3-gram Jaccard near-dup pairs, blocked by language
-    (metadata blocking bounds the pair space: pairs are compared only
-    within a lang bucket — the standard cheap blocking key; the sketch-free
-    exact twin of q_llm_minhash_neardup, fully SQL-oracle-checkable).
+    """Exact token-3-gram Jaccard near-dup pairs within a language, via
+    *prefix filtering* (the AllPairs/PPJoin bound): under any global
+    total order on shingles, two sets with Jaccard >= t MUST share at
+    least one of each other's |s| - ceil(t*|s|) + 1 smallest shingles.
+    So candidate generation is an equi-join on (lang, prefix-shingle
+    hash) — a high-cardinality content-derived key — followed by exact
+    verification; never an all-pairs product within a lang block. The
+    result set is IDENTICAL to the naive all-pairs-within-lang plan
+    (the filter is lossless for t=0.5), which is what the SQL oracle
+    computes; the sketch-free exact twin of q_llm_minhash_neardup.
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) is a single integer-ratio double
     division — bit-deterministic, no rounding needed."""
@@ -197,23 +203,43 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.concat_ws(" ", F.slice(tokens, i, 3)),
             )
         ).alias("s"),
-    ).repartition("lang")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
-    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    )
+
+    # Prefix under the xxhash64 global order: the |s| - ceil(0.5*|s|) + 1
+    # smallest shingle hashes of each doc.
+    hashes = F.array_sort(
+        F.array_distinct(F.transform(F.col("s"), lambda x: F.xxhash64(x)))
+    )
+    prefix_len = F.size(hashes) - F.ceil(F.size(hashes) * F.lit(0.5)).cast("int") + 1
+    prefix = (
+        sh.select(
+            "doc_id", "lang", F.explode(F.slice(hashes, 1, prefix_len)).alias("ph")
+        )
+    )
+    pa = prefix.alias("pa")
+    pb = prefix.alias("pb")
+    candidates = (
+        pa.join(
+            pb,
+            (F.col("pa.lang") == F.col("pb.lang"))
+            & (F.col("pa.ph") == F.col("pb.ph"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # Exact verification on candidates only.
+    sets = sh.select("doc_id", "s")
+    a = sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa")
+    b = sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
     jac = inter.cast("double") / union
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
 

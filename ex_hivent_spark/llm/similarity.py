@@ -93,19 +93,32 @@ def _normalized(em: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+N_QUERIES = 100
+
+
 @register("q_llm_cosine_topk", oracle=None)
 def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k neighbors for a deterministic query
-    subset (vec_id % 50 == 0): normalize once, broadcast the query side,
-    dot-product join, per-query top-k via window. Rows-only check
-    (float-order sensitivity makes a SQL oracle hash unstable).
+    """Brute-force cosine top-k neighbors for a deterministic, BOUNDED
+    query subset: normalize once, broadcast the query side, dot-product
+    join, per-query top-k via window. Rows-only check (float-order
+    sensitivity makes a SQL oracle hash unstable).
+
+    The query side is capped at N_QUERIES via orderBy+limit (a
+    TakeOrdered, not a global sort), so the broadcast is O(k·dim)
+    regardless of corpus size — at 100 TB the corpus side streams
+    through one narrow map stage against a fixed-size broadcast.
+    Brute force over the *corpus* is inherently the exact baseline;
+    the sublinear paths are q_llm_lsh_topk / q_llm_ivf_topk.
     """
     from pyspark.sql import Window
 
     em = load_table(spark, sf_dir, "embeddings")
     unit = _normalized(em)
-    queries = unit.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit")
+    queries = (
+        unit.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit"))
     )
     pairs = unit.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
@@ -123,29 +136,73 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sign-LSH banding for near-dup candidate generation: 4 bands x 2
+# hyperplane bits. Agreeing on any one band makes a pair a candidate.
+# For a pair at cosine c, P(bit agrees) = 1 - acos(c)/pi, so a genuine
+# near-dup at c=0.99 is missed with prob ~6e-5; candidates are verified
+# with the exact dot product, so precision is unaffected.
+NEARDUP_BANDS = 4
+NEARDUP_BAND_BITS = 2
+
+
 @register("q_llm_embedding_neardup", oracle=None)
 def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label metadata
-    (pairs compared within a label bucket), reporting the top-100 closest
-    pairs with cosine >= 0.35. Rows-only check (pair scores are
-    float-order sensitive); deterministic via fixed tie-breaks."""
+    """Embedding-cosine near-duplicate pairs, reporting the top-100
+    closest pairs with cosine >= 0.35 within a (label, LSH-band) block.
+
+    Candidate pairs must share a *content-derived* sign-LSH band (plus
+    the label metadata key), never label alone: label is low-cardinality,
+    so label-only blocking is O(n²/|labels|) per block at scale, while
+    band buckets shrink with corpus density. The joint key
+    (label, band_id, band_hash) keeps the pair join shuffle-partitioned
+    on a high-cardinality key; the exact cosine then verifies every
+    candidate. Rows-only check (pair scores are float-order sensitive);
+    deterministic via hash-derived hyperplanes and fixed tie-breaks."""
     em = load_table(spark, sf_dir, "embeddings")
-    unit = em.select("vec_id", "label", "embedding")
     norm = l2_norm(F.col("embedding"))
-    unit = unit.withColumn(
-        "unit", F.transform("embedding", lambda x: x.cast("double") / norm)
-    ).drop("embedding").repartition("label")
-    a = unit.alias("a")
-    b = unit.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.col("a.label").alias("label"),
-        F.round(dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
+    unit = em.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit"),
+    )
+
+    bits = _sign_bits(NEARDUP_BANDS * NEARDUP_BAND_BITS)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                sum(
+                    (
+                        bits[band * NEARDUP_BAND_BITS + j] * F.lit(1 << j)
+                        for j in range(1, NEARDUP_BAND_BITS)
+                    ),
+                    bits[band * NEARDUP_BAND_BITS],
+                ).alias("band_hash"),
+            )
+            for band in range(NEARDUP_BANDS)
+        ]
+    )
+    banded = unit.select(
+        "vec_id", "label", "unit", F.explode(band_structs).alias("b")
+    ).select("vec_id", "label", "unit", "b.band_id", "b.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
+        )
+        .distinct()  # a pair can agree on several bands
     )
     return (
         pairs.filter(F.col("cosine") >= 0.35)
@@ -157,20 +214,12 @@ def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_HYPERPLANES = 8
 
 
-@register("q_llm_lsh_topk", oracle=None)
-def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate neighbor candidates via sign-random-projection LSH:
-    8 deterministic pseudo-random hyperplanes (values derived from
-    xxhash64(dim, plane) — no RNG, reproducible on any cluster) bucket
-    every vector by an 8-bit sign signature; cosine is computed only
-    within buckets. This is the 100 TB path: shuffle by bucket key,
-    Σ bucket² work instead of n².  Output: per-vector best in-bucket
-    neighbor."""
-    em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em)
+def _sign_bits(n_planes: int, unit_col: str = "unit") -> list[Column]:
+    """0/1 sign bits of ``n_planes`` deterministic pseudo-random
+    hyperplane projections of a unit-vector column. Hyperplane component
+    for (dim i, plane p) derives from xxhash64(i, p) mapped to [-1, 1) —
+    no RNG, reproducible on any cluster/partitioning."""
 
-    # Deterministic hyperplane component for (dim i, plane p):
-    # map xxhash64 of (i, p) to [-1, 1).
     def plane_component(i: Column, p: int) -> Column:
         h = F.xxhash64(i, F.lit(p))
         return (F.pmod(h, F.lit(2_000_003)) / F.lit(1_000_001.5)) - F.lit(1.0)
@@ -181,17 +230,36 @@ def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lambda — the index would silently replace p.
         return lambda i: plane_component(i, p)
 
-    idx = F.sequence(F.lit(0), F.size("unit") - 1)
-    sig_bits = []
-    for p in range(N_HYPERPLANES):
+    idx = F.sequence(F.lit(0), F.size(unit_col) - 1)
+    bits = []
+    for p in range(n_planes):
         proj = F.aggregate(
-            F.zip_with(F.col("unit"), F.transform(idx, _plane_fn(p)),
+            F.zip_with(F.col(unit_col), F.transform(idx, _plane_fn(p)),
                        lambda x, h: x * h),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        sig_bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    signature = sum(sig_bits[1:], sig_bits[0])
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+@register("q_llm_lsh_topk", oracle=None)
+def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbor candidates via sign-random-projection LSH:
+    8 deterministic hyperplanes bucket every vector by an 8-bit sign
+    signature; cosine is computed only within buckets. This is the
+    100 TB path: shuffle by bucket key, Σ bucket² work instead of n².
+    Output: per-vector best in-bucket neighbor, found with a single
+    max(struct) hash aggregation — partial (map-side) combine, no
+    per-group sort, unlike a row_number window."""
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em)
+
+    sig_bits = _sign_bits(N_HYPERPLANES)
+    signature = sum(
+        (sig_bits[p] * F.lit(1 << p) for p in range(1, N_HYPERPLANES)),
+        sig_bits[0],
+    )
 
     bucketed = unit.withColumn("bucket", signature)
     a = bucketed.alias("a")
@@ -208,15 +276,21 @@ def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
+    # argmax by (cosine desc, neighbor_id asc): max of a struct ordered
+    # lexicographically, with -neighbor_id implementing the asc tie-break.
+    best = scored.groupBy("query_id").agg(
+        F.max(
+            F.struct(
+                F.col("cosine"),
+                (-F.col("neighbor_id")).alias("neg_id"),
+                F.col("neighbor_id"),
+            )
+        ).alias("best")
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 1)
-        .select("query_id", "neighbor_id", "cosine")
+    return best.select(
+        "query_id",
+        F.col("best.neighbor_id").alias("neighbor_id"),
+        F.col("best.cosine").alias("cosine"),
     )
 
 
@@ -257,28 +331,62 @@ def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cell_id"), F.col("unit").alias("centroid"))
     )
 
-    # Nearest cell per vector: broadcast codebook, keep argmax via window.
+    # Nearest cell per vector: broadcast codebook, argmax via a single
+    # max(struct) hash aggregation — the broadcast join keeps all
+    # N_CELLS candidate rows of a vector in one partition, so partial
+    # (map-side) aggregation collapses them before any shuffle; no
+    # per-vector sort window. Tie-break (csim desc, cell_id asc) via
+    # the -cell_id struct field; `unit` rides along un-compared (the
+    # first two fields never tie: -cell_id is unique).
     sims = unit.join(F.broadcast(cents)).select(
         "vec_id",
         "unit",
         "cell_id",
         dot(F.col("unit"), F.col("centroid")).alias("csim"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cell_id")
+    members = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cell_id")).alias("neg_cell"),
+                    F.col("cell_id"),
+                    F.col("unit"),
+                )
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.unit").alias("unit"),
+                F.col("best.cell_id").alias("cell_id"))
     )
-    ranked = sims.withColumn("crn", F.row_number().over(w_assign))
-    members = ranked.filter(F.col("crn") == 1).select("vec_id", "unit", "cell_id")
 
-    # Query subset probes its N_PROBE nearest cells.
+    # Query subset probes its N_PROBE nearest cells: rank the N_CELLS
+    # candidates with one sorted-array aggregation over the (tiny,
+    # pre-filtered) query side — never a window over the full corpus.
     probes = (
-        ranked.filter(F.col("vec_id") % 50 == 0)
-        .filter(F.col("crn") <= N_PROBE)
+        sims.filter(F.col("vec_id") % 50 == 0)
+        .groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("csim")).alias("neg_sim"),
+                            F.col("cell_id"),
+                        )
+                    )
+                ),
+                1,
+                N_PROBE,
+            ).alias("top_cells"),
+            F.first("unit").alias("q_unit"),
+        )
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("unit").alias("q_unit"),
-            "cell_id",
+            "q_unit",
+            F.explode("top_cells").alias("c"),
         )
+        .select("query_id", "q_unit", F.col("c.cell_id").alias("cell_id"))
     )
 
     scored = (
