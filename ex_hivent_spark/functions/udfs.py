@@ -68,7 +68,11 @@ def zscore_per_group(df: DataFrame, key: str, value: str) -> DataFrame:
         v = pdf[value]
         std = v.std(ddof=1)
         pdf = pdf.copy()
-        pdf["zscore"] = (v - v.mean()) / std if std and std > 0 else 0.0
+        # Degenerate groups (one row -> std NaN; constant -> std 0) yield
+        # NaN, matching the window twin where stddev_samp is NULL / the
+        # division is by zero (Spark returns NULL for both; NaN is the
+        # closest Arrow-representable value on the pandas path).
+        pdf["zscore"] = (v - v.mean()) / std if std and std > 0 else float("nan")
         return pdf
 
     return df.groupBy(key).applyInPandas(norm, schema)
@@ -89,23 +93,49 @@ def q_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", token_count_pudf()("text").alias("n_tokens"))
 
 
-@register("q_udf_grouped_p90", oracle=None)
+@register(
+    "q_udf_grouped_p90",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(quantile_cont(value, 0.9) * 1000000.0 + 0.5) AS BIGINT)
+               AS p90_e6
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_udf_grouped_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPED_AGG pandas UDF: p90 of event value per type. No oracle:
-    percentile interpolation arithmetic is engine-specific float work;
-    unit-tested against numpy directly."""
+    """GROUPED_AGG pandas UDF: p90 of event value per type, rounded to
+    1e-6 — np.percentile and DuckDB quantile_cont share the linear-
+    interpolation definition, so the rounded values hash-match."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(p90_pudf()("value").alias("p90_value"))
+    return e.groupBy("event_type").agg(
+        F.floor(p90_pudf()("value") * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("p90_e6")
+    )
 
 
-@register("q_udf_zscore", oracle=None)
+@register(
+    "q_udf_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor((value - avg(value) OVER w) / stddev_samp(value) OVER w
+                      * 1000000.0 + 0.5) AS BIGINT) AS zscore_e6
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
 def q_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas z-score per user over event values (rows-only;
-    equivalence with the window-function twin asserted in unit tests)."""
+    """applyInPandas z-score per user over event values, rounded to 1e-6
+    so the pandas arithmetic hash-matches the SQL window formulation
+    (equivalence also asserted in unit tests). Degenerate groups (NaN on
+    the pandas path, NULL in SQL) surface as NULL."""
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     out = zscore_per_group(e, "user_id", "value")
     return out.select(
         "event_id",
         "user_id",
-        F.floor(F.col("zscore") * 1e6 + F.lit(0.5)).alias("zscore_e6"),
+        F.when(
+            F.isnan("zscore"), F.lit(None).cast("bigint")
+        ).otherwise(F.floor(F.col("zscore") * 1e6 + F.lit(0.5))).alias("zscore_e6"),
     )

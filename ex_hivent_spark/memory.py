@@ -25,7 +25,6 @@ from dataclasses import dataclass, field
 from typing import Any, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ex_hivent_spark.envelope import (
@@ -125,11 +124,10 @@ class MemoryEmitter:
         return list(self._events)
 
     def last(self) -> Event | None:
-        """Most recent event (memory.ex:123) — ORDER BY seq DESC LIMIT 1."""
-        if not self._events:
-            return None
-        row = self.df().orderBy(F.col("ingest_seq").desc()).limit(1).take(1)[0]
-        return self._events[row.ingest_seq]
+        """Most recent event (memory.ex:123). The store is a driver-side
+        list in insertion order — no Spark job needed (df() ordering by
+        ingest_seq is itself covered in tests)."""
+        return self._events[-1] if self._events else None
 
     def clear(self) -> None:
         """Reset the store (memory.ex:128)."""

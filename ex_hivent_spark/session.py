@@ -13,11 +13,13 @@ scale-out behavior:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+from ex_hivent_spark.config import setting, setting_integer
+
+
+def _default_shuffle_partitions() -> int:
+    return setting_integer("cpus", 32)
 
 
 def get_session(
@@ -48,22 +50,22 @@ def get_session(
             active.conf.set(k, v)
         return active
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = setting("cpus", "32")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .master(master or setting("master") or f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+            str(shuffle_partitions or _default_shuffle_partitions()),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", setting("driver_memory", "8g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -94,14 +94,28 @@ class Consumer:
             F.concat_ws(":", F.lit(self.service), F.col("partition_id").cast("string")),
         )
         # Single evaluation per row, two filtered writes (the reference's
-        # ok/quarantine split, consumer.ex:71-81).
+        # ok/quarantine split, consumer.ex:71-81). localCheckpoint
+        # materializes the batch once so a non-deterministic/stateful
+        # process callback cannot see a row twice across the two writes
+        # (costs one in-memory copy of the micro-batch — bounded by
+        # maxFilesPerTrigger).
         evaluated = evaluated.localCheckpoint(eager=True)
         ok = evaluated.filter(F.col("error").isNull()).drop("error")
         failed = evaluated.filter(F.col("error").isNotNull()).withColumn(
             "quarantined_at", F.current_timestamp()
         )
-        ok.write.mode("append").parquet(self.processed_dir)
-        failed.write.mode("append").parquet(self.quarantine_dir)
+        # Idempotent replay: each write targets a batch_id-keyed partition
+        # directory with overwrite. If the stream crashes between the two
+        # writes (or before the checkpoint commits), the replayed batch
+        # overwrites the same directories instead of appending duplicates
+        # — this is what upgrades the source's at-least-once delivery to
+        # effectively-once *sink contents*.
+        ok.write.mode("overwrite").parquet(
+            f"{self.processed_dir}/batch_id={batch_id}"
+        )
+        failed.write.mode("overwrite").parquet(
+            f"{self.quarantine_dir}/batch_id={batch_id}"
+        )
 
     def start(self) -> StreamingQuery:
         return (

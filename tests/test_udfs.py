@@ -51,4 +51,42 @@ def test_zscore_matches_window_twin(spark, sf_dir):
     }
     assert via_pandas.keys() == via_window.keys()
     for k, v in via_window.items():
-        assert via_pandas[k] == pytest.approx(v, rel=1e-9)
+        assert _nonvalue(via_pandas[k]) == pytest.approx(_nonvalue(v), rel=1e-9)
+
+
+def _nonvalue(v):
+    """NULL (window twin) and NaN (pandas path) both mean 'no z-score'."""
+    import math
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    return v
+
+
+def test_zscore_degenerate_groups(spark):
+    """Single-row and constant-value groups yield no z-score on BOTH
+    paths (window: NULL via stddev_samp/div-by-zero; pandas: NaN)."""
+    e = spark.createDataFrame(
+        [(1, "solo", 5.0), (2, "const", 3.0), (3, "const", 3.0),
+         (4, "ok", 1.0), (5, "ok", 2.0)],
+        "event_id int, user_id string, value double",
+    )
+    via_pandas = {
+        r.event_id: _nonvalue(r.zscore)
+        for r in zscore_per_group(e, "user_id", "value").collect()
+    }
+    w = Window.partitionBy("user_id")
+    via_window = {
+        r.event_id: _nonvalue(r.z)
+        for r in e.select(
+            "event_id",
+            # try_divide: ANSI-safe NULL for the zero-std group
+            F.try_divide(
+                F.col("value") - F.avg("value").over(w), F.stddev("value").over(w)
+            ).alias("z"),
+        ).collect()
+    }
+    assert via_pandas[1] is None and via_window[1] is None
+    assert via_pandas[2] is None and via_window[2] is None
+    for k in via_window:
+        assert via_pandas[k] == pytest.approx(via_window[k])
