@@ -38,6 +38,11 @@ HEADLINE = [
     "q_llm_embed_norm",
     "q_llm_cosine_topk",
     "q_llm_minhash_neardup",
+    # added r2 (r1 entries above are unchanged for per-query comparability)
+    "q_llm_ngram_jaccard",
+    "q_llm_lsh_topk",
+    "q_llm_ivf_topk",
+    "q_win_sliding_batch",
 ]
 
 

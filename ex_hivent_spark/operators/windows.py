@@ -200,3 +200,46 @@ def q_win_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
     )
+
+
+_SLIDE_US = 30 * 60 * 1_000_000  # 30-minute slide of the 1-hour window
+
+
+@register(
+    "q_win_sliding_batch",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT make_timestamp(s_us) AS window_start, event_type, value
+      FROM events,
+           unnest([(epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US},
+                   (epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US} - {_SLIDE_US}])
+             AS t(s_us)
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           {sql_dsum("value", "sum_value")}
+    FROM assigned
+    GROUP BY window_start, event_type
+    """,
+)
+def q_win_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming SLIDING-window aggregate: 1-hour
+    windows every 30 minutes over events (each event lands in exactly
+    window/slide = 2 windows). Uses the same ``F.window(ts, '1 hour',
+    '30 minutes')`` expression as the streaming path
+    (streaming/windows.py), so the driver's oracle row checks the
+    sliding-window semantics shared by both; the SQL oracle enumerates
+    the two covering window starts per event arithmetically."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

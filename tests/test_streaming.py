@@ -174,6 +174,37 @@ class TestWindows:
             map(repr, batch.collect())
         )
 
+    def test_sliding_stream_matches_batch_twin(self, spark, sf_dir, tmp_path):
+        """Sliding window (stream) must agree with the registered batch
+        twin q_win_sliding_batch on static data: same (window_start,
+        event_type, n_events) groups for 1h windows sliding 30m."""
+        from ex_hivent_spark.catalog import load_table
+        from ex_hivent_spark.plans.registry import all_specs
+        from ex_hivent_spark.streaming.windows import sliding_counts
+
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        src = str(tmp_path / "ev")
+        events.write.parquet(src)
+
+        streamed = _run_to_memory(
+            spark,
+            sliding_counts(
+                _stream_events(spark, src), slide="30 minutes", watermark=None
+            ),
+            "sliding_out",
+            "complete",
+        ).select("window_start", "event_type", "n_events")
+        batch = (
+            all_specs()["q_win_sliding_batch"]
+            .spark(spark, sf_dir)
+            .select("window_start", "event_type", "n_events")
+        )
+        assert sorted(map(repr, streamed.collect())) == sorted(
+            map(repr, batch.collect())
+        )
+
     def test_session_stream_matches_batch_twin(self, spark, sf_dir, tmp_path):
         """session_window (stream) must agree with the gaps-and-islands
         batch twin q_win_sessionize on static data (SURVEY.md §5.2.3)."""
