@@ -1,0 +1,263 @@
+"""LLM training-data pipeline operators beyond dedup/similarity:
+chunking, PII scrubbing, deterministic sampling and train/test splits,
+context packing, and embedding quantization.
+
+Determinism convention: outputs are integers, md5 digests, or
+decimal-rounded values, so every op here is hash-exact against its SQL
+oracle — no float tolerance anywhere. Sampling/splitting is
+content-hash based (md5 of the key), never RNG-based: the same row
+lands in the same split on any cluster, any partitioning, any retry —
+the property a 100 TB pipeline needs for reproducible dataset builds.
+
+Scale notes: everything is built-in expressions (split/slice/md5/
+regexp), map-only except where a groupBy/window is the semantic
+(packing, split summary); chunk explosion multiplies rows by ~n_tokens/
+stride — the chunker keeps only (ids, hash, counts) per chunk, never
+duplicating the text payload into every chunk row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.plans.registry import register
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "q_llm_doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(least({CHUNK_TOKENS}, len(t) - s + 1) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(array_to_string(t[s:s + {CHUNK_TOKENS - 1}], ' ')) AS chunk_md5
+    FROM toks, unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS u(s)
+    """,
+)
+def q_llm_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 64-token chunks every 48 tokens
+    (16-token overlap), the standard pre-tokenization shape for LLM
+    training. Pure expressions (split + sequence + slice + explode);
+    each chunk row carries only its md5 and token count, not the text —
+    at scale the chunk table is narrow even though rows multiply."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(tokens), F.lit(CHUNK_STRIDE))
+    return (
+        d.select("doc_id", tokens.alias("t"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size("t") - F.col("s") + 1
+            ).cast("bigint").alias("n_chunk_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice("t", F.col("s"), CHUNK_TOKENS))
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_NUM_RE = "[0-9]+"
+
+
+@register(
+    "q_llm_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_NUM_RE}')) AS BIGINT)
+               AS n_numbers,
+           md5(regexp_replace(
+                 regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_NUM_RE}', '<NUM>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+)
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: replace email-shaped tokens and digit runs
+    with placeholder tags, reporting match counts and the digest of the
+    scrubbed text. Patterns stay in the regex subset Java and RE2 treat
+    identically (character classes + quantifiers — no backrefs or
+    lookaround). Map-only, whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _NUM_RE, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE)))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_NUM_RE)))
+        .cast("bigint").alias("n_numbers"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "q_llm_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) = '0'
+    """,
+)
+def q_llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 sample: keep docs whose md5(doc_id) ends in
+    the hex digit '0'. Content-hash sampling is reproducible across
+    clusters/partitionings/retries (unlike rand()-based .sample), and
+    stratification is inherent — the hash is independent of lang/source,
+    so every stratum is sampled at the same rate. Map-only filter that
+    pushes nothing to the driver."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1) == "0"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_TRAIN_DIGITS = tuple("0123456789ab")  # 12/16 = 75% train
+
+
+@register(
+    "q_llm_train_test_split",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN {_TRAIN_DIGITS} THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based 75/25 train/test assignment (first md5 hex digit of
+    doc_id), summarized per (lang, split). The assignment is a pure
+    function of the row key — stable under reshuffles and incremental
+    re-runs, which rand()-seeded splits are not."""
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *_TRAIN_DIGITS
+        ),
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+PACK_BUDGET = 2048  # tokens per training context
+
+
+@register(
+    "q_llm_context_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    runs AS (
+      SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT lang,
+           -- explicit floor: DuckDB CAST(double AS BIGINT) rounds, Spark truncates
+           CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc_id
+    FROM runs
+    GROUP BY 1, 2
+    """,
+)
+def q_llm_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential context packing: per language, docs in doc_id order
+    are packed into ~2048-token contexts — a doc starts a new pack when
+    the running total before it crosses the budget boundary. One window
+    sum (shuffle by lang, sort by doc_id) + one aggregate; the exact
+    streaming-concat shape a tokenized-dataset builder uses."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runs = d.select("doc_id", "lang", n_tokens.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    return (
+        runs.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+            .cast("bigint"),
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+@register(
+    "q_llm_embed_quantize",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(floor(maxabs * 1000000.0 + 0.5) AS BIGINT) AS maxabs_e6,
+           CAST(list_sum(list_transform(embedding,
+                x -> floor(CAST(x AS DOUBLE) / maxabs * 127.0 + 0.5)))
+               AS BIGINT) AS q_checksum
+    FROM scaled
+    """,
+)
+def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings: per-vector max-abs
+    scale, each component mapped to round(x/maxabs*127). Emits the
+    e6-rounded scale and the integer checksum of the quantized vector —
+    integers, so the float->int boundary is the only rounding and it is
+    the same floor(x+0.5) formula on both engines. Map-only; the
+    quantized representation is what a 100 TB vector store would
+    actually persist (4x smaller + SIMD-friendly)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(xd(x) / F.col("maxabs") * 127.0 + F.lit(0.5)),
+    )
+    return (
+        em.withColumn("maxabs", maxabs)
+        .select(
+            "vec_id",
+            "label",
+            F.floor(F.col("maxabs") * 1e6 + F.lit(0.5))
+            .cast("bigint").alias("maxabs_e6"),
+            F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+            .alias("q_checksum"),
+        )
+    )

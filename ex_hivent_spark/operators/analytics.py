@@ -1,0 +1,356 @@
+"""Composite analytics queries: TPC-H-style multi-join aggregations,
+pivot/unpivot reshaping, exact moment statistics, subqueries, and exact
+percentiles.
+
+These exercise the engine's optimizer the way a warehouse workload
+would — star joins with selective filters (pushdown + AQE join
+planning), reshape operators, and statistics that must hash-match a
+second engine. Float determinism follows the decimal-sum convention
+(functions/decimals.py): per-row double products are IEEE-deterministic
+across engines, aggregation goes through fixed-scale decimals, and
+final formulas are plain double arithmetic — so even corr/covar are
+bit-exact vs the oracle with NO tolerance loosening.
+
+Scale notes: every query here is shuffle-keyed on its natural join/group
+keys; the TPC-H composites rely on filter pushdown into the scans (the
+date/segment predicates reach PushedFilters) and leave join-strategy
+choice to AQE, which broadcasts the dimension sides at real scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table, register_views
+from ex_hivent_spark.functions.decimals import dround, dsum, sql_dround, sql_dsum
+from ex_hivent_spark.plans.registry import register
+
+_Q3_DATE = "1998-06-01"
+_SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _revenue():
+    # built lazily: classic pyspark Column construction needs a live JVM
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q_tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum(_SQL_REVENUE, "revenue")},
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+      AND l_shipdate > TIMESTAMP '{_Q3_DATE}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped BUILDING-segment orders by
+    revenue. Selective filters sit directly on each scan (pushdown), the
+    two joins are equi-keyed, and the top-10 is a TakeOrdered with a
+    unique tie-break — no global sort materialization."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_revenue(), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n_name, {sql_dsum(_SQL_REVENUE, "revenue")}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 1997 revenue per ASIA nation where customer and
+    supplier share the nation. Six-table star: nation/region explicitly
+    broadcast (tiny dims at any scale); the fact-side joins stay
+    shuffle-keyed and AQE picks broadcast for supplier/customer when
+    their filtered size allows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(_revenue(), "revenue"))
+    )
+
+
+@register(
+    "q_tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum(_SQL_REVENUE, "revenue")},
+           any_value(c_acctbal) AS c_acctbal
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by Q4-1997 revenue lost to
+    returned items. any_value(c_acctbal) is constant within the group
+    (functionally dependent on c_custkey) — deterministic on both
+    engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(_revenue(), "revenue"),
+            F.any_value("c_acctbal").alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q_pivot_event_matrix",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f"count(*) FILTER (event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts spread into one column per event
+    type (explicit value list, so the plan is a single hash aggregate —
+    no second pass to discover pivot values). Missing combinations
+    surface as 0, matching SQL's FILTER counts."""
+    e = load_table(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+@register(
+    "q_unpivot_part_attrs",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+    """,
+)
+def q_unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: widen-to-long reshape of part attributes via the
+    native unpivot operator (a single Expand node — one pass, no
+    self-union double scan)."""
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "p_size", F.col("p_size").cast("double")
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "q_agg_stats_suite",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             {sql_dsum("l_quantity", "sx")},
+             {sql_dsum("l_extendedprice", "sy")},
+             {sql_dsum("l_quantity * l_quantity", "sxx")},
+             {sql_dsum("l_extendedprice * l_extendedprice", "syy")},
+             {sql_dsum("l_quantity * l_extendedprice", "sxy")}
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           {sql_dround(
+               "(sxy - sx * sy / n)"
+               " / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))", 12)}
+               AS corr_qty_price
+    FROM m
+    """,
+)
+def q_agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics (covariance/variance/correlation) per return
+    flag, computed from decimal-exact raw moments rather than the
+    engines' native corr/covar accumulators: per-row products are
+    IEEE-deterministic, decimal sums are order-insensitive, and the
+    closing formulas are plain double arithmetic — bit-exact vs the
+    oracle with no tolerance, which native streaming co-moment
+    implementations cannot guarantee across engines. Same single hash
+    aggregate + map-side combine as any sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sx"),
+        dsum("l_extendedprice", "sy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), "sxx"),
+        dsum(F.col("l_extendedprice") * F.col("l_extendedprice"), "syy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), "sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        # the sqrt+divide chain can differ by 1 ulp between engines —
+        # the one spot here where exactness needs an e12 round
+        dround(
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            12,
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice,
+           (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(25,6))) AS DOUBLE)
+                   / count(*) FROM part) AS avg_price
+    FROM part
+    WHERE p_retailprice >
+          (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(25,6))) AS DOUBLE)
+                  / count(*) FROM part)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: parts priced above the overall average (average
+    via the decimal-sum convention so both engines agree bit-exactly).
+    Catalyst plans the uncorrelated scalar subquery as a one-row
+    broadcast — the part scan streams against it, no join shuffle."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice,
+               (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(25,6))) AS DOUBLE)
+                       / count(*) FROM part) AS avg_price
+        FROM part
+        WHERE p_retailprice >
+              (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(25,6))) AS DOUBLE)
+                      / count(*) FROM part)
+        """
+    )
+
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+@register(
+    "q_percentile_exact",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             unnest(quantile_cont(value, {list(_QUANTILES)})) AS qv,
+             unnest(list_transform({list(_QUANTILES)},
+                                   x -> CAST(x AS DOUBLE))) AS quantile
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, quantile, {sql_dround("qv", 6)} AS value_at_q
+    FROM q
+    """,
+)
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile per event type: Spark's percentile() and
+    DuckDB's quantile_cont share the linear-interpolation definition;
+    rounded to 1e-6 against last-ulp sort/interpolation drift. Exact
+    percentile is a per-group sort — bounded by group size, the same
+    cost envelope as any per-key ranking; approx_percentile is the
+    sketch alternative when groups are huge (q_agg_approx_distinct
+    demonstrates the sketch path)."""
+    e = load_table(spark, sf_dir, "events")
+    pct = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(list(_QUANTILES))).alias("qs")
+    )
+    return (
+        pct.select(
+            "event_type",
+            F.posexplode("qs").alias("pos", "qv"),
+        )
+        .select(
+            "event_type",
+            F.element_at(
+                F.lit(list(_QUANTILES)), F.col("pos") + 1
+            ).alias("quantile"),
+            dround(F.col("qv"), 6).alias("value_at_q"),
+        )
+    )

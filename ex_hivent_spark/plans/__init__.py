@@ -17,11 +17,13 @@ def load_all() -> None:
     import ex_hivent_spark.operators.aggregates  # noqa: F401
     import ex_hivent_spark.operators.windows  # noqa: F401
     import ex_hivent_spark.operators.sets  # noqa: F401
+    import ex_hivent_spark.operators.analytics  # noqa: F401
     import ex_hivent_spark.functions.scalar  # noqa: F401
     import ex_hivent_spark.functions.udfs  # noqa: F401
     import ex_hivent_spark.llm.dedup  # noqa: F401
     import ex_hivent_spark.llm.text  # noqa: F401
     import ex_hivent_spark.llm.similarity  # noqa: F401
     import ex_hivent_spark.llm.multimodal  # noqa: F401
+    import ex_hivent_spark.llm.pipeline  # noqa: F401
 
     _LOADED = True
