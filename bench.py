@@ -43,6 +43,11 @@ HEADLINE = [
     "q_llm_lsh_topk",
     "q_llm_ivf_topk",
     "q_win_sliding_batch",
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q5_local_supplier",
+    "q_tpch_q10_returned_items",
+    "q_llm_doc_chunks",
+    "q_llm_context_pack",
 ]
 
 

@@ -100,3 +100,56 @@ def test_minhash_no_cross_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_llm_minhash_neardup", mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q3_pushdown_and_topk(spark, sf_dir):
+    """Date/segment filters must reach the scans; top-10 must be a
+    TakeOrdered, not a global sort."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q3_shipping_priority")
+    assert "PushedFilters" in plan
+    assert "c_mktsegment" in plan and "o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_tpch_q5_local_supplier", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pivot_single_aggregate_pass(spark, sf_dir):
+    """Explicit pivot values -> one aggregate over events, no extra
+    distinct-values job or join."""
+    plan = plan_of(spark, sf_dir, "q_pivot_event_matrix", mode="simple")
+    assert "Join" not in plan
+
+
+def test_stats_suite_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_agg_stats_suite", mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_ngram_prefix_join_no_cartesian(spark, sf_dir):
+    """Prefix-filtered near-dup must stay an equi-join on the shingle
+    bucket — a nested-loop here means the lossless blocking regressed
+    to all-pairs."""
+    plan = plan_of(spark, sf_dir, "q_llm_ngram_jaccard", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_banded_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_llm_embedding_neardup", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunker_is_map_only(spark, sf_dir):
+    """Doc chunking must be a pure map pipeline: no shuffle exchange at
+    all (explode + projections only)."""
+    plan = plan_of(spark, sf_dir, "q_llm_doc_chunks", mode="simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan

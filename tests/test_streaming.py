@@ -237,6 +237,45 @@ class TestWindows:
             map(repr, batch.collect())
         )
 
+    def test_stream_stream_interval_join_matches_batch(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Stream-stream inner join (view→click attribution within 1h)
+        must agree with the identical join on static DataFrames."""
+        from ex_hivent_spark.catalog import load_table
+        from ex_hivent_spark.streaming.joins import interval_join
+
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        views = events.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("l_ts")
+        )
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("r_ts")
+        )
+        vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+        views.write.parquet(vdir)
+        clicks.write.parquet(cdir)
+
+        def _stream(path, ts_name):
+            return (
+                spark.readStream.schema(f"user_id long, {ts_name} timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+
+        streamed = _run_to_memory(
+            spark,
+            interval_join(_stream(vdir, "l_ts"), _stream(cdir, "r_ts")),
+            "ssjoin_out",
+            "append",
+        )
+        batch = interval_join(views, clicks, watermark=None)
+        assert sorted(map(repr, streamed.collect())) == sorted(
+            map(repr, batch.collect())
+        )
+
     def test_watermark_drops_late_rows(self, spark, tmp_path):
         """Late rows beyond the watermark are excluded from finalized
         windows (allowed-lateness parity, SURVEY.md §2.B streaming)."""
