@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
-from ex_hivent_spark.functions.decimals import dround, sql_davg
+from ex_hivent_spark.functions.decimals import dround, sql_davg, sql_dround
 from ex_hivent_spark.plans.registry import register
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -178,4 +178,95 @@ def q_llm_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+@register(
+    "q_llm_repetition_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                            i -> array_to_string(t[i:i+1], ' ')) AS g
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CAST(len(g) AS BIGINT) AS n_2grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_unique_2grams,
+           1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+               AS dup_2gram_frac
+    FROM grams
+    """,
+)
+def q_llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher/MassiveText-style filter):
+    fraction of duplicated token 2-grams per document. High values mark
+    boilerplate/templated text for exclusion from training sets. Pure
+    integer ratio — hash-exact, map-only, codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, 2)),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(grams).cast("bigint").alias("n_2grams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_unique_2grams"),
+        (
+            1.0
+            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+        ).alias("dup_2gram_frac"),
+    )
+
+
+@register(
+    "q_llm_char_entropy",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(text) + 1),
+                                           i -> text[i:i])) AS ch
+      FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+           {sql_dround(
+               "log2(CAST(sum(c) AS DOUBLE))"
+               " - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))"
+               " / sum(c)", 6)} AS char_entropy
+    FROM freq GROUP BY doc_id
+    """,
+)
+def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the cheap
+    perplexity proxy for garbage detection (base64 blobs, key-mash, and
+    repeated-char padding score far from natural-language entropy).
+    Uses the identity H = log2(n) - (Σ c·log2 c)/n so one explode + two
+    keyed aggregations suffice (no per-doc window); rounded to 1e-6
+    because log2 is correctly-rounded on neither JVM nor libm."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.substring(F.col("text"), i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    c = F.col("c").cast("double")
+    return freq.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        dround(
+            F.log2(F.sum("c").cast("double"))
+            - F.sum(c * F.log2(c)) / F.sum("c"),
+            6,
+        ).alias("char_entropy"),
     )

@@ -61,3 +61,44 @@ def topic_multiplexer(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout (``col=value/`` dirs).
+
+    The 100 TB read-path contract: a filter on a partition column becomes
+    a PartitionFilters entry in the scan — pruned directories are never
+    listed, let alone read (asserted in tests/test_storage.py). Choose
+    low-cardinality, always-filtered columns (lang, date, topic);
+    high-cardinality partitioning produces millions of tiny files.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed (hash-clustered) table: rows are pre-partitioned into
+    ``n_buckets`` files by ``bucket_col`` at write time, so a join or
+    aggregation on that column needs NO shuffle at read time — the
+    exchange both sides would pay on every query is paid once at write.
+    The standard layout for fact tables joined repeatedly on the same
+    key (orders ⋈ lineitem on orderkey); asserted shuffle-free in
+    tests/test_storage.py.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
