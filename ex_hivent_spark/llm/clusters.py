@@ -1,0 +1,128 @@
+"""Near-duplicate cluster assembly: connected components over dup
+pairs.
+
+Pair-finding (MinHash/ngram/embedding ops) yields edges; the dedup
+endgame is grouping transitively-connected documents so one canonical
+doc per CLUSTER survives — A~B and B~C must collapse to one keeper even
+when A~C was never directly compared.
+
+The algorithm is iterative min-label propagation (the standard
+map-reduce connected-components shape): every node starts labeled with
+itself; each round, a node adopts the minimum label among itself and
+its neighbors; converged when no label changes. Rounds needed =
+component diameter, which for near-dup clusters is tiny. Each round is
+one join + one aggregate, all keyed — at 100 TB, per-round cost is two
+shuffles of the (node, label) table, and ``localCheckpoint`` truncates
+the plan lineage so round N doesn't replan rounds 1..N-1 (the classic
+iterative-Spark failure mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.plans.registry import register
+
+MAX_ROUNDS = 20
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    max_rounds: int = MAX_ROUNDS,
+) -> DataFrame:
+    """(node, cluster_id) for every node in ``pairs``, where cluster_id
+    is the minimum node id reachable through the pair graph."""
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+_NGRAM_PAIRS_SQL = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    )
+"""
+
+
+@register(
+    "q_llm_dedup_clusters",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+    """,
+)
+def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clusters over the exact 3-gram-Jaccard
+    pairs (q_llm_ngram_jaccard's edge set): every clustered doc mapped
+    to its canonical keeper (minimum reachable doc_id). The Spark side
+    is iterative label propagation; the oracle is a recursive-CTE
+    transitive closure — same fixpoint, hash-checked."""
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    pairs = q_llm_ngram_jaccard(spark, sf_dir)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )

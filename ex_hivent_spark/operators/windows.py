@@ -202,6 +202,37 @@ def q_win_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval assembly: each per-user event opens a validity
+    interval closed by the next event (half-open [valid_from, valid_to)),
+    the open interval flagged current — how a warehouse derives
+    dimension history from a change stream. One window keyed by user,
+    totally ordered by (ts, event_id)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
 _SLIDE_US = 30 * 60 * 1_000_000  # 30-minute slide of the 1-hour window
 
 

@@ -1,0 +1,72 @@
+"""Custom Python DataSource tests: deterministic batch reads across
+partition layouts, and the incremental stream reader reaching its
+finite end exactly once."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.sources.pydatasource import HiventEventsDataSource
+
+
+def _register(spark):
+    spark.dataSource.register(HiventEventsDataSource)
+
+
+def test_batch_read_deterministic_and_partitioned(spark):
+    _register(spark)
+    df = (
+        spark.read.format("hivent_events")
+        .option("n_rows", 200)
+        .option("n_partitions", 8)
+        .load()
+    )
+    assert df.count() == 200
+    # same rows regardless of partition layout (minus the partition_id)
+    df2 = (
+        spark.read.format("hivent_events")
+        .option("n_rows", 200)
+        .option("n_partitions", 3)
+        .load()
+    )
+    a = sorted(map(repr, df.drop("partition_id").collect()))
+    b = sorted(map(repr, df2.drop("partition_id").collect()))
+    assert a == b
+    # event_ids are a complete range, once each
+    ids = [r.event_id for r in df.select("event_id").collect()]
+    assert sorted(ids) == list(range(200))
+
+
+def test_batch_read_composes_with_engine_ops(spark):
+    _register(spark)
+    df = (
+        spark.read.format("hivent_events")
+        .option("n_rows", 500)
+        .load()
+    )
+    agg = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert agg.count() == 5
+    assert sum(r.n for r in agg.collect()) == 500
+
+
+def test_stream_reader_reaches_finite_end_exactly_once(spark, tmp_path):
+    _register(spark)
+    stream = (
+        spark.readStream.format("hivent_events")
+        .option("total_rows", 300)
+        .option("rows_per_batch", 100)
+        .option("n_partitions", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    got = spark.sql("SELECT event_id FROM pyds_out").collect()
+    assert sorted(r.event_id for r in got) == list(range(300))
