@@ -74,3 +74,40 @@ def rate_events(
         ).alias("event_type"),
         (F.pmod(F.col("value") * 37, F.lit(500)) / 1.0).alias("value"),
     )
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_events_json_permissive(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSON reader with source-level quarantine: PERMISSIVE parsing
+    keeps malformed lines in a corrupt-record column instead of failing
+    the job (FAILFAST) or silently dropping rows (DROPMALFORMED) — the
+    batch-source twin of the consumer's process-callback quarantine
+    (consumer.ex:98-100). Returns (ok, quarantined).
+
+    At 100 TB a single bad producer line must never kill a pipeline or
+    vanish unaccounted; the quarantine side keeps the raw line for
+    redrive after the producer is fixed.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [*EVENT_SCHEMA.fields, T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        # Spark requires a checkpoint/cache boundary before filtering on
+        # the corrupt column (the parser is lazy per-column otherwise)
+        .cache()
+    )
+    ok = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantined = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return ok, quarantined

@@ -48,3 +48,18 @@ def test_lsh_neighbors_exist(spark, sf_dir):
     out = SPECS["q_llm_lsh_topk"].spark(spark, sf_dir).collect()
     assert len(out) > 0
     assert all(r.query_id != r.neighbor_id for r in out)
+
+
+def test_connected_components_transitivity(spark):
+    """A~B, B~C, D~E must yield clusters {A,B,C} and {D,E} with min-id
+    canonical labels — including nodes never directly compared (A,C)."""
+    from ex_hivent_spark.llm.clusters import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4), (7, 8), (8, 9), (9, 10)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.node: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 8: 7, 9: 7, 10: 7}
