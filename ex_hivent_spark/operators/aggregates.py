@@ -201,3 +201,106 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(davg("value", "avg_value"), F.count(F.lit(1)).alias("n_events"))
         .filter((F.col("n_events") > 10) & (F.col("avg_value") > 90))
     )
+
+
+@register(
+    "q_agg_mode_deterministic",
+    oracle="""
+    WITH freq AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+      SELECT user_id, event_type, c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY c DESC, event_type) AS rn
+      FROM freq
+    )
+    SELECT user_id, event_type AS modal_type, c AS modal_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user modal event type. Native mode() breaks
+    ties arbitrarily on BOTH engines — unusable under a value-hash gate
+    — so the mode is an argmax over (count desc, type asc):
+    min(struct(-c, type)) — one count aggregate + one min(struct)
+    aggregate, both partial-aggregated map-side, no per-group sort
+    (the oracle spells the same order as a window rank)."""
+    e = load_table(spark, sf_dir, "events")
+    freq = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    best = freq.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("c")).alias("neg_c"),
+                F.col("event_type"),
+                F.col("c"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.event_type").alias("modal_type"),
+        F.col("b.c").alias("modal_count"),
+    )
+
+
+@register(
+    "q_agg_string_concat",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+           count(*) AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    GROUP BY o_custkey
+    """,
+)
+def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): per-customer pipe-joined
+    order priorities. collect_list order is partition-dependent, so the
+    list is array_sort'ed before joining — the only way string_agg can
+    survive an exact hash check on a distributed engine."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list("o_orderpriority")), "|"
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q_agg_time_grain_rollup",
+    oracle=f"""
+    SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_start,
+           count(*) AS n_events, {sql_dsum("value", "sum_value")}
+    FROM events GROUP BY date_trunc('hour', ts)
+    UNION ALL
+    SELECT 'day' AS grain, date_trunc('day', ts) AS bucket_start,
+           count(*) AS n_events, {sql_dsum("value", "sum_value")}
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+)
+def q_agg_time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the same measure
+    maintained at multiple time grains (hour + day) with a grain label.
+    Implemented as GROUPING SETS over pre-computed truncations — ONE
+    scan and one Expand feeding a single hash aggregate, instead of a
+    UNION ALL of per-grain scans (what the oracle spells out)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "value",
+    )
+    e.createOrReplaceTempView("ev_grains")
+    return spark.sql(
+        f"""
+        SELECT CASE WHEN d IS NULL THEN 'hour' ELSE 'day' END AS grain,
+               coalesce(h, d) AS bucket_start,
+               count(*) AS n_events,
+               {sql_dsum("value", "sum_value")}
+        FROM ev_grains
+        GROUP BY GROUPING SETS ((h), (d))
+        """
+    )
