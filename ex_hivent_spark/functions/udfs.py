@@ -139,3 +139,59 @@ def q_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.isnan("zscore"), F.lit(None).cast("bigint")
         ).otherwise(F.floor(F.col("zscore") * 1e6 + F.lit(0.5))).alias("zscore_e6"),
     )
+
+
+@lru_cache(maxsize=None)
+def chunk_spans_udtf():
+    """Python UDTF (1→N rows): emit chunk spans (64-token windows every
+    48) for one document — the table-function escape hatch for logic
+    that genuinely must run as Python per input row. The arithmetic
+    twin of the pure-expression chunker (llm/pipeline.py), kept so the
+    UDTF surface is exercised and oracle-checked."""
+    from pyspark.sql.functions import udtf
+
+    class ChunkSpans:
+        def eval(self, doc_id, n_tokens: int):
+            start, idx = 1, 0
+            while start <= n_tokens:
+                yield doc_id, idx, start, min(64, n_tokens - start + 1)
+                idx += 1
+                start += 48
+
+    return udtf(
+        ChunkSpans,
+        returnType=(
+            "doc_id bigint, chunk_idx int, start_token int, n_chunk_tokens int"
+        ),
+    )
+
+
+@register(
+    "q_udtf_chunk_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 48 AS INTEGER) AS chunk_idx,
+           CAST(s AS INTEGER) AS start_token,
+           CAST(least(64, n - s + 1) AS INTEGER) AS n_chunk_tokens
+    FROM toks, unnest(range(1, n + 1, 48)) AS u(s)
+    """,
+)
+def q_udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join: one input row (doc) → N output
+    rows (chunk spans). Slow path by design — the pure-expression
+    chunker (q_llm_doc_chunks) is the production plan; this query
+    proves the UDTF surface end-to-end against the same arithmetic."""
+    from ex_hivent_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("chunk_spans", chunk_spans_udtf())
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.chunk_idx, s.start_token, s.n_chunk_tokens
+        FROM documents,
+             LATERAL chunk_spans(doc_id, size(split(text, ' '))) s
+        """
+    )

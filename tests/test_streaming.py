@@ -350,3 +350,37 @@ class TestWindows:
             "append",
         )
         assert sorted(r.event_id for r in out.collect()) == [1, 2]
+
+
+class TestUpsertView:
+    def test_upsert_view_matches_batch_last_event(self, spark, sf_dir, tmp_path):
+        """Feeding the events table through the streaming upsert view
+        must converge to exactly the batch latest-per-user reduction."""
+        from ex_hivent_spark.catalog import load_table
+        from ex_hivent_spark.streaming.upsert import UpsertView, latest_per_key
+
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        src = str(tmp_path / "ev")
+        # several files so the stream sees multiple micro-batches
+        events.repartition(4).write.parquet(src)
+
+        view = UpsertView(
+            spark, str(tmp_path / "view"), key="user_id", ts_col="ts",
+            cols=["event_id", "event_type", "value"],
+        )
+        q = view.start(
+            _stream_events(spark, src), checkpoint_dir=str(tmp_path / "cp")
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+        got = view.read().select("user_id", "ts", "event_id")
+        want = latest_per_key(
+            events, "user_id", "ts", ["event_id", "event_type", "value"]
+        ).select("user_id", "ts", "event_id")
+        assert sorted(map(repr, got.collect())) == sorted(
+            map(repr, want.collect())
+        )
