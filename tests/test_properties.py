@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for the two subtlest engine
+claims:
+
+1. asof_join implements exactly "latest right row at-or-before each
+   left row, per key" — checked against a brute-force Python reference
+   on generated timestamp multisets (ties included);
+2. the prefix-filtered ngram candidate generation is LOSSLESS for
+   Jaccard >= 0.5 — the AllPairs/PPJoin bound — checked against the
+   all-pairs computation on generated token sets.
+
+Few examples, deliberately small shapes: each example pays a Spark
+job; the value is in hypothesis finding adversarial tie/empty/boundary
+cases, not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def _asof_case(draw):
+    n_keys = draw(st.integers(1, 3))
+    lefts, rights = [], []
+    for k in range(n_keys):
+        lts = draw(st.lists(st.integers(0, 50), min_size=0, max_size=6))
+        rts = draw(st.lists(st.integers(0, 50), min_size=0, max_size=6))
+        lefts += [(k, t) for t in lts]
+        rights += [(k, t) for t in rts]
+    return lefts, rights
+
+
+@given(_asof_case())
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, case):
+    from ex_hivent_spark.operators.asof import asof_join
+
+    lefts, rights = case
+    schema_l = "k long, ts long, lid long"
+    schema_r = "k long, ts long, rid long"
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], schema_l
+    )
+    right = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rights)], schema_r
+    )
+    got = {
+        r.lid: (None if r.asof is None else r.asof.rid)
+        for r in asof_join(left, right, by="k", right_seq="rid").collect()
+    }
+    assert set(got) == set(range(len(lefts)))  # every left row survives
+
+    # brute force: per left row, right rows same key with ts <= left ts,
+    # max by (ts, rid)
+    rrows = [(k, t, i) for i, (k, t) in enumerate(rights)]
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, rid) for (rk, rt, rid) in rrows if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, f"lid={i}: got {got[i]} want {want}"
+
+
+@st.composite
+def _docs_case(draw):
+    # token universe small enough to force shared shingles and ties
+    n_docs = draw(st.integers(2, 6))
+    docs = []
+    for d in range(n_docs):
+        toks = draw(st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=10))
+        docs.append((d, " ".join(toks)))
+    return docs
+
+
+@given(_docs_case())
+@settings(**_SETTINGS)
+def test_prefix_filter_is_lossless(spark, case):
+    """q_llm_ngram_jaccard's prefix-filtered plan must return exactly
+    the pairs the naive all-pairs plan returns (same lang block)."""
+    import ex_hivent_spark.llm.dedup as dedup
+
+    df = spark.createDataFrame(
+        [(i, t, "xx") for i, t in case], "doc_id long, text string, lang string"
+    )
+    df.createOrReplaceTempView("prop_docs")
+
+    # run the registered implementation against this table by monkey-
+    # patching the loader (the query only reads `documents`)
+    orig = dedup.load_table
+    try:
+        dedup.load_table = lambda spark_, sf_dir_, name_: df
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.q_llm_ngram_jaccard(spark, "ignored").collect()
+        }
+    finally:
+        dedup.load_table = orig
+
+    # naive all-pairs with the same shingle definition
+    tokens = F.split("text", " ")
+    sh = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tokens) - 2, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, 3)),
+            )
+        ).alias("s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    allpairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    want = {(r.doc_a, r.doc_b): r.jaccard for r in allpairs.collect()}
+    assert got == want
