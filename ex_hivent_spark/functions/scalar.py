@@ -193,3 +193,73 @@ def q_fn_case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").cast("long")
         .alias("prop_k_long"),
     )
+
+
+@register(
+    "q_fn_null_semantics",
+    oracle="""
+    SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'scrubbed') AS type_scrubbed,
+           (value IS NOT DISTINCT FROM NULL) AS value_is_null,
+           CASE WHEN value IS NOT DISTINCT FROM 0.0 THEN 'zero'
+                WHEN value IS NULL THEN 'missing'
+                ELSE 'present' END AS value_class,
+           ifnull(CAST(user_id AS VARCHAR), '<anon>') AS user_label
+    FROM events
+    """,
+)
+def q_fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics surface: NULLIF / COALESCE / null-safe equality
+    (Spark's <=> ≙ SQL IS NOT DISTINCT FROM) / IFNULL — the exact
+    three-valued-logic corners engines must agree on."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("scrubbed"))
+        .alias("type_scrubbed"),
+        F.col("value").eqNullSafe(F.lit(None).cast("double"))
+        .alias("value_is_null"),
+        F.when(F.col("value").eqNullSafe(F.lit(0.0)), "zero")
+        .when(F.col("value").isNull(), "missing")
+        .otherwise("present")
+        .alias("value_class"),
+        F.ifnull(F.col("user_id").cast("string"), F.lit("<anon>"))
+        .alias("user_label"),
+    )
+
+
+@register(
+    "q_fn_higher_order",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)
+               AS n_positive,
+           CAST(list_sum(list_transform(embedding,
+                x -> CASE WHEN CAST(x AS DOUBLE) > 0 THEN 1 ELSE 0 END))
+               AS INTEGER) AS n_positive_via_reduce,
+           len(embedding) > 0
+               AND list_bool_and(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)) < 10.0))
+               AS all_bounded,
+           list_bool_or(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) > 2.5)) AS any_large
+    FROM embeddings
+    """,
+)
+def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter / transform+aggregate /
+    forall / exists) over the embedding vectors — the lambda-expression
+    surface, all JVM-side."""
+    em = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    return em.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: xd(x) > 0)).alias("n_positive"),
+        F.aggregate(
+            "embedding",
+            F.lit(0),
+            lambda acc, x: acc + F.when(xd(x) > 0, 1).otherwise(0),
+        ).alias("n_positive_via_reduce"),
+        F.forall("embedding", lambda x: F.abs(xd(x)) < 10.0).alias("all_bounded"),
+        F.exists("embedding", lambda x: xd(x) > 2.5).alias("any_large"),
+    )
