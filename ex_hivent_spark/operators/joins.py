@@ -282,3 +282,37 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof.click_id").alias("click_id"),
         F.col("asof.click_ts").alias("click_ts"),
     )
+
+
+@register(
+    "q_join_interval_attribution",
+    oracle="""
+    SELECT v.user_id,
+           v.ts AS l_ts,
+           c.ts AS r_ts,
+           epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_join_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click attribution within 1 hour — the BATCH twin of the
+    stream-stream interval join, produced by the SAME builder
+    (streaming/joins.py interval_join) on static frames: Structured
+    Streaming's batch/stream unification means one implementation
+    serves both, and this oracle row checks the shared semantics. The
+    equi-key keeps it a hash join; the time predicates are residual
+    filters, never a nested loop."""
+    from ex_hivent_spark.streaming.joins import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    return interval_join(views, clicks, watermark=None)
