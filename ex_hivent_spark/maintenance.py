@@ -44,3 +44,57 @@ def compact_parquet(
     fs.rename(hadoop.fs.Path(staging), p)
     fs.delete(backup, True)
     return n_files
+
+
+def zorder_write(
+    spark: SparkSession,
+    df,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` z-ordered on two numeric columns: rows are sorted
+    along a Morton (bit-interleaved) space-filling curve, so parquet
+    min/max footer stats become selective on BOTH columns at once —
+    2-D predicate data skipping, where a plain sort only skips on its
+    leading column. The standard lakehouse OPTIMIZE ZORDER layout,
+    expressed as: normalize each column to ``bits`` levels, interleave
+    bits JVM-side, range-partition on the z-value, drop it.
+
+    One tiny pre-pass collects the two min/max pairs (4 scalars); the
+    write itself is one range exchange + local sort.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
+    ).collect()[0]
+    x_min, x_max, y_min, y_max = (float(v) for v in stats)
+    levels = (1 << bits) - 1
+
+    def _norm(col: str, lo: float, hi: float):
+        span = (hi - lo) or 1.0
+        return F.least(
+            F.lit(levels),
+            F.floor((F.col(col).cast("double") - lo) / span * levels),
+        ).cast("long")
+
+    zx, zy = _norm(col_x, x_min, x_max), _norm(col_y, y_min, y_max)
+    terms = []
+    for b in range(bits):
+        terms.append(F.shiftleft(F.shiftright(zx, b).bitwiseAND(1), 2 * b))
+        terms.append(F.shiftleft(F.shiftright(zy, b).bitwiseAND(1), 2 * b + 1))
+    zval = terms[0]
+    for t in terms[1:]:
+        zval = zval + t
+
+    (
+        df.withColumn("__z", zval)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

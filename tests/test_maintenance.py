@@ -44,3 +44,38 @@ def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
     after_files = glob.glob(f"{out}/*.parquet")
     assert len(after_files) == n == 1
     assert spark.read.parquet(out).count() == 400
+
+
+def test_zorder_write_shrinks_per_file_ranges(spark, sf_dir, tmp_path):
+    """Z-ordered files must have narrower per-file min/max spans on BOTH
+    columns than the unsorted layout — the property parquet data
+    skipping depends on."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from ex_hivent_spark.catalog import load_table
+    from ex_hivent_spark.maintenance import zorder_write
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    plain_dir = str(tmp_path / "plain")
+    z_dir = str(tmp_path / "zorder")
+    events.repartition(8).write.parquet(plain_dir)
+    zorder_write(spark, events, z_dir, "user_id", "value", n_files=8)
+
+    def avg_span(d, col):
+        spans = []
+        for f in _glob.glob(f"{d}/*.parquet"):
+            row = spark.read.parquet(f).agg(
+                F.min(col).cast("double"), F.max(col).cast("double")
+            ).collect()[0]
+            if row[0] is not None:
+                spans.append(row[1] - row[0])
+        return sum(spans) / len(spans)
+
+    assert spark.read.parquet(z_dir).count() == events.count()
+    # both dimensions shrink vs the shuffled layout
+    assert avg_span(z_dir, "user_id") < avg_span(plain_dir, "user_id") * 0.6
+    assert avg_span(z_dir, "value") < avg_span(plain_dir, "value") * 0.9
