@@ -134,3 +134,71 @@ class HiventEventsDataSource(DataSource):
 
     def streamReader(self, schema) -> HiventEventsStreamReader:
         return HiventEventsStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Writer side: the connector's egress half, with the two-phase commit
+# protocol every distributed sink needs — tasks stage their output and
+# return commit messages; only the driver's commit() publishes, so a
+# failed/speculated task can never leave partial data visible. (A real
+# transport would push frames on write() and ack offsets on commit().)
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class HiventJsonSinkWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("hivent_sink requires .option('path', ...)")
+        self.staging = _os.path.join(self.path, "_staging")
+
+    def write(self, iterator) -> _StagedFile:
+        """Executor-side: stage one JSON-lines file per partition."""
+        _os.makedirs(self.staging, exist_ok=True)
+        staged = _os.path.join(self.staging, f"{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _StagedFile(staged, n)
+
+    def commit(self, messages) -> None:
+        """Driver-side: atomically publish every staged file, then the
+        manifest — readers treat _MANIFEST presence as commit."""
+        total = 0
+        for i, m in enumerate(messages):
+            final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+            _os.replace(m.staged_path, final)
+            total += m.n_rows
+        with open(_os.path.join(self.path, "_MANIFEST"), "w") as f:
+            _json.dump({"n_files": len(messages), "n_rows": total}, f)
+        _os.rmdir(self.staging)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and _os.path.exists(m.staged_path):
+                _os.remove(m.staged_path)
+
+
+class HiventJsonSinkDataSource(DataSource):
+    """df.write.format('hivent_sink').option('path', d).mode('append').save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "hivent_sink"
+
+    def writer(self, schema, overwrite: bool) -> HiventJsonSinkWriter:
+        return HiventJsonSinkWriter(self.options)

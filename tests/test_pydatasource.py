@@ -70,3 +70,34 @@ def test_stream_reader_reaches_finite_end_exactly_once(spark, tmp_path):
     q.awaitTermination(30)
     got = spark.sql("SELECT event_id FROM pyds_out").collect()
     assert sorted(r.event_id for r in got) == list(range(300))
+
+
+def test_json_sink_two_phase_commit(spark, tmp_path):
+    """Writer stages per task, commit publishes atomically with a
+    manifest; round-trip preserves every row."""
+    import json
+    import os
+
+    from ex_hivent_spark.sources.pydatasource import HiventJsonSinkDataSource
+
+    spark.dataSource.register(HiventJsonSinkDataSource)
+    out = str(tmp_path / "sink")
+    os.makedirs(out, exist_ok=True)
+    df = spark.range(100).selectExpr(
+        "id AS event_id", "id % 7 AS user_id", "CAST(id * 1.5 AS DOUBLE) AS value"
+    )
+    df.repartition(4).write.format("hivent_sink").option("path", out).mode(
+        "append"
+    ).save()
+
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        manifest = json.load(f)
+    assert manifest["n_rows"] == 100
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+    rows = []
+    for name in os.listdir(out):
+        if name.endswith(".jsonl"):
+            with open(os.path.join(out, name)) as f:
+                rows += [json.loads(line) for line in f]
+    assert sorted(r["event_id"] for r in rows) == list(range(100))

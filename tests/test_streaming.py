@@ -384,3 +384,29 @@ class TestUpsertView:
         assert sorted(map(repr, got.collect())) == sorted(
             map(repr, want.collect())
         )
+
+
+class TestConsumerIdempotency:
+    def test_batch_replay_does_not_duplicate(self, spark, dirs):
+        """Crash-replay semantics: re-running the same micro-batch
+        (same batch_id) must overwrite, not append — sink contents are
+        effectively-once even though delivery is at-least-once."""
+        em = StreamEmitter(spark, dirs["ingress"], producer="svc")
+        em.emit("some:event", {"response": "ok"}, version=1, key="k1")
+        em.emit("some:event", {"response": "error"}, version=1, key="k2")
+
+        consumer = make_consumer(spark, dirs, make_process_response())
+        batch = spark.read.schema(
+            spark.read.parquet(dirs["ingress"]).schema
+        ).parquet(dirs["ingress"])
+
+        consumer._handle_batch(batch, batch_id=7)
+        once_ok = spark.read.parquet(dirs["processed"]).count()
+        once_bad = spark.read.parquet(dirs["quarantine"]).count()
+        # the crash-replay: same batch_id delivered again
+        consumer._handle_batch(batch, batch_id=7)
+        assert spark.read.parquet(dirs["processed"]).count() == once_ok == 1
+        assert spark.read.parquet(dirs["quarantine"]).count() == once_bad == 1
+        # a NEW batch id appends
+        consumer._handle_batch(batch, batch_id=8)
+        assert spark.read.parquet(dirs["processed"]).count() == 2
