@@ -270,3 +270,105 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("char_entropy"),
     )
+
+
+@register(
+    "q_llm_tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tfc AS (
+      SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tfc.doc_id, tfc.term,
+             tfc.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+      FROM tfc JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, {sql_dround("score", 6)} AS tfidf_e6, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document under
+    smoothed idf = ln((N+1)/(df+1)) + 1 (the sklearn formulation).
+    Three keyed aggregations + one broadcast-scalar join; the doc-freq
+    side is |vocab| rows — tiny next to the corpus, so the join
+    broadcast-resolves at any scale. Scores e6-rounded (ln is the only
+    non-exact step)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # one scalar; reused as a literal
+
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tfc = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tfc.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tfc.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", dround(F.col("score"), 6).alias("tfidf_e6"), "rn")
+    )
+
+
+@register(
+    "q_llm_bpe_merge_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    pairs AS (
+      SELECT tok, unnest(range(1, len(tok))) AS i FROM toks WHERE len(tok) >= 2
+    )
+    SELECT tok[i:i+1] AS merge_pair, count(*) AS n_occurrences
+    FROM pairs
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, merge_pair
+    LIMIT 50
+    """,
+)
+def q_llm_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, round one: count every adjacent
+    character pair inside tokens and rank the top-50 merge candidates —
+    the inner loop of byte-pair-encoding training, as one explode +
+    hash aggregate + TakeOrdered (deterministic tie-break on the pair).
+    At 100 TB this is the exact shape each BPE merge iteration runs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+            )
+        ).alias("merge_pair")
+    )
+    return (
+        pairs.groupBy("merge_pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "merge_pair")
+        .limit(50)
+    )
