@@ -91,13 +91,35 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_llm_lang_id",
-    oracle=None,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+        list_aggregate([
+          {'score': len(list_intersect(t, ['the','and','of'])), 'lang': 'en'},
+          {'score': len(list_intersect(t, ['el','la','de'])),  'lang': 'es'},
+          {'score': len(list_intersect(t, ['der','die','und'])),'lang': 'de'},
+          {'score': len(list_intersect(t, ['le','la','et'])),  'lang': 'fr'},
+          {'score': len(list_intersect(t, ['zh'])),            'lang': 'zh'}
+        ], 'max') AS best
+      FROM toks
+    )
+    SELECT doc_id, lang AS declared_lang, best.lang AS predicted_lang,
+           best.lang = lang AS agrees
+    FROM scored
+    """,
 )
 def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID: score each doc against per-language marker
     token sets (deterministic n-gram-style heuristic; a real model would
     slot into the same mapInPandas shape). Output: doc_id, declared lang,
-    predicted lang, agreement flag. Rows-only check (heuristic)."""
+    predicted lang, agreement flag. The argmax tie-break is the struct
+    lexicographic max on (score, lang) — identical on both engines, so
+    the heuristic is fully hash-checked."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.lower("text"), r"\s+"))
     markers = {
