@@ -126,3 +126,76 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
+
+
+PR_ITERATIONS = 10
+PR_DAMPING = 0.85
+
+
+def pagerank(
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    n_iter: int = PR_ITERATIONS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """PageRank over an undirected pair graph — the other canonical
+    iterative-joins algorithm (beyond connected components): rank mass
+    flows along edges for a fixed ``n_iter`` rounds. Deterministic for
+    fixed iterations (every step is join + keyed sum with exact double
+    ops in a fixed expression order). Per round: one join + one
+    aggregate, lineage truncated via localCheckpoint.
+
+    Used here to score near-duplicate CENTRALITY: in a dup cluster the
+    highest-rank doc is the best canonical keeper (most-connected),
+    a better choice than min-id when edges carry meaning."""
+    edges = (
+        pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+        .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = degrees.select(F.col("src").alias("node"), "deg")
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")
+
+
+@register("q_llm_graph_pagerank", oracle=None)
+def q_llm_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact near-dup pair graph: for each
+    clustered doc, its rank (e9-rounded for cross-run stability) —
+    the canonical-keeper score. Iterative (fixed 10 rounds), genuinely
+    non-SQL-expressible → rows-only check."""
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    pairs = q_llm_ngram_jaccard(spark, sf_dir)
+    pr = pagerank(pairs)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("bigint").alias("rank_e9"),
+    )
