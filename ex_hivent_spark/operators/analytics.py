@@ -354,3 +354,176 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("qv"), 6).alias("value_at_q"),
         )
     )
+
+
+@register(
+    "q_quality_sequence_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id,
+             lead(event_id) OVER (ORDER BY event_id) AS next_id
+      FROM events
+    )
+    SELECT event_id + 1 AS gap_start, next_id - 1 AS gap_end,
+           next_id - event_id - 1 AS n_missing
+    FROM seq
+    WHERE next_id - event_id > 1
+    """,
+)
+def q_quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gap detection: missing ranges in the event_id
+    sequence (the dropped-message audit every at-least-once pipeline
+    runs). Single global-ordered lead window — at scale this would be
+    range-partitioned by id block first; the operator shape (islands
+    detection) is identical."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    seq = e.select("event_id", F.lead("event_id").over(w).alias("next_id"))
+    return (
+        seq.filter(F.col("next_id") - F.col("event_id") > 1)
+        .select(
+            (F.col("event_id") + 1).alias("gap_start"),
+            (F.col("next_id") - 1).alias("gap_end"),
+            (F.col("next_id") - F.col("event_id") - 1).alias("n_missing"),
+        )
+    )
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(least(floor(value / 25.0), 7) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(value) AS DOUBLE) AS bucket_min,
+           CAST(max(value) AS DOUBLE) AS bucket_max
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (8 buckets of 25,
+    last bucket open-ended) — one hash aggregate on the bucketed key;
+    min/max per bucket are exact doubles (no summation)."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(7)).cast("bigint")
+    return (
+        e.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("bucket_min"),
+            F.max("value").alias("bucket_max"),
+        )
+    )
+
+
+@register(
+    "q_funnel_signup_purchase",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, min(ts) AS first_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.first_signup, min(e.ts) AS first_purchase_after
+      FROM signup s
+      LEFT JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts > s.first_signup
+      GROUP BY s.user_id, s.first_signup
+    )
+    SELECT user_id, first_signup, first_purchase_after,
+           CASE WHEN first_purchase_after IS NOT NULL THEN 1 ELSE 0 END
+               AS converted,
+           epoch_us(first_purchase_after) - epoch_us(first_signup)
+               AS time_to_convert_us
+    FROM conv
+    """,
+)
+def q_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, first signup → earliest subsequent
+    purchase (the sequential-pattern building block of event analytics).
+    Two keyed aggregates + one equi-join with residual time predicate —
+    never a pair materialization beyond the user's own events."""
+    e = load_table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signup.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("first_signup")),
+            "left",
+        )
+        .groupBy("user_id", "first_signup")
+        .agg(F.min("p_ts").alias("first_purchase_after"))
+    )
+    return conv.select(
+        "user_id",
+        "first_signup",
+        "first_purchase_after",
+        F.when(F.col("first_purchase_after").isNotNull(), 1)
+        .otherwise(0)
+        .alias("converted"),
+        (
+            F.unix_micros("first_purchase_after") - F.unix_micros("first_signup")
+        ).alias("time_to_convert_us"),
+    )
+
+
+@register(
+    "q_agg_higher_moments",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             {sql_dsum("value", "s1")},
+             {sql_dsum("value * value", "s2")},
+             {sql_dsum("value * value * value", "s3")}
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           s1 / n AS mean_value,
+           {sql_dround("(s2 - s1 * s1 / n) / n", 6)} AS pop_variance,
+           {sql_dround(
+               "(s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+               " / pow((s2 - s1 * s1 / n) / n, 1.5)", 9)} AS skewness
+    FROM m
+    """,
+)
+def q_agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance + skewness from decimal-exact raw moments —
+    the same bit-exact-moments technique as q_agg_stats_suite extended
+    to the third moment. Native skewness() accumulators are engine-
+    specific float streams; raw-moment formulas with e6/e9 rounding are
+    not. Still one hash aggregate with map-side combine."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "s1"),
+        dsum(v * v, "s2"),
+        dsum(v * v * v, "s3"),
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    mean = s1 / n
+    pop_var = (s2 - s1 * s1 / n) / n
+    skew = (s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean) / F.pow(
+        pop_var, 1.5
+    )
+    return m.select(
+        "event_type",
+        "n",
+        mean.alias("mean_value"),
+        dround(pop_var, 6).alias("pop_variance"),
+        dround(skew, 9).alias("skewness"),
+    )
