@@ -263,3 +263,62 @@ def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.forall("embedding", lambda x: F.abs(xd(x)) < 10.0).alias("all_bounded"),
         F.exists("embedding", lambda x: xd(x) > 2.5).alias("any_large"),
     )
+
+
+@register(
+    "q_fn_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER)
+               AS n_vowel_runs,
+           regexp_matches(text, '^[A-Z]') AS starts_upper,
+           regexp_replace(source, '[0-9]+', '#', 'g') AS source_masked
+    FROM documents
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function surface: group extraction, match counting,
+    anchored match test, global replace — all in the regex subset Java
+    and RE2 evaluate identically (classes/quantifiers/anchors, no
+    lookaround or backreferences)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"src([0-9]+)", 1).alias("src_num"),
+        F.size(F.regexp_extract_all("text", F.lit("[aeiou]+"), F.lit(0)))
+        .alias("n_vowel_runs"),
+        F.col("text").rlike("^[A-Z]").alias("starts_upper"),
+        F.regexp_replace("source", "[0-9]+", "#").alias("source_masked"),
+    )
+
+
+@register(
+    "q_agg_conditional",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (value > 100) AS n_high,
+           count(*) FILTER (value IS NULL) AS n_null_value,
+           bool_and(value >= 0) AS all_nonnegative,
+           bool_or(value > 190) AS any_very_high,
+           CAST(max(CASE WHEN user_id % 2 = 0 THEN value END) AS DOUBLE)
+               AS max_even_user_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation surface: count_if / filtered counts,
+    every/any (bool_and/bool_or), and CASE-guarded max — all one hash
+    aggregate, the FILTER-clause family every warehouse query leans
+    on."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_high"),
+        F.count_if(F.col("value").isNull()).alias("n_null_value"),
+        F.every(F.col("value") >= 0).alias("all_nonnegative"),
+        F.some(F.col("value") > 190).alias("any_very_high"),
+        F.max(
+            F.when(F.col("user_id") % 2 == 0, F.col("value"))
+        ).alias("max_even_user_value"),
+    )

@@ -96,9 +96,12 @@ def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE)))
+        # group idx 0 (whole match) must be explicit: pyspark's
+        # regexp_extract_all defaults to group 1, which errors at
+        # evaluation time the moment a group-less pattern matches
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
         .cast("bigint").alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit(_NUM_RE)))
+        F.size(F.regexp_extract_all("text", F.lit(_NUM_RE), F.lit(0)))
         .cast("bigint").alias("n_numbers"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
