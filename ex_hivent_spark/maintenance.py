@@ -98,3 +98,76 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def refresh_time_rollup(
+    spark: SparkSession,
+    events_path: str,
+    rollup_path: str,
+    processed_marker: str,
+) -> int:
+    """Incrementally maintain an hourly (window_start, event_type) →
+    (n_events, sum_value) rollup: aggregate only source files not yet
+    recorded in the marker file, merge into the existing rollup by
+    SUMMING partials (count and decimal-sum are both associative, so
+    merging partial aggregates is exact), and publish via staging swap.
+
+    This is the batch form of a continuous aggregate: cost per refresh
+    is O(new data) + O(|rollup|), never O(all history) — the property
+    that keeps a 100 TB/day rollup maintainable. Returns the number of
+    newly processed files.
+    """
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    done: set[str] = set()
+    if os.path.exists(processed_marker):
+        with open(processed_marker) as f:
+            done = set(json.load(f))
+    all_files = sorted(glob.glob(f"{events_path}/*.parquet"))
+    new_files = [f for f in all_files if f not in done]
+    if not new_files:
+        return 0
+
+    partial = (
+        spark.read.parquet(*new_files)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value_dec"),
+        )
+    )
+    try:
+        current = spark.read.parquet(rollup_path)
+        merged = (
+            current.unionByName(partial)
+            .groupBy("window_start", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value_dec").alias("sum_value_dec"),
+            )
+        )
+    except Exception:  # first refresh
+        merged = partial
+
+    staging = f"{rollup_path}__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+    Path = jvm.org.apache.hadoop.fs.Path
+    old = Path(f"{rollup_path}__old")
+    fs.delete(old, True)
+    if fs.exists(Path(rollup_path)):
+        fs.rename(Path(rollup_path), old)
+    fs.rename(Path(staging), Path(rollup_path))
+    fs.delete(old, True)
+
+    with open(processed_marker, "w") as f:
+        json.dump(sorted(done | set(new_files)), f)
+    return len(new_files)

@@ -79,3 +79,44 @@ def test_zorder_write_shrinks_per_file_ranges(spark, sf_dir, tmp_path):
     # both dimensions shrink vs the shuffled layout
     assert avg_span(z_dir, "user_id") < avg_span(plain_dir, "user_id") * 0.6
     assert avg_span(z_dir, "value") < avg_span(plain_dir, "value") * 0.9
+
+
+def test_incremental_rollup_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Refreshing in two increments must equal the one-shot aggregation
+    (associative partial merge), and a no-op refresh processes 0 files."""
+    from pyspark.sql import functions as F
+
+    from ex_hivent_spark.catalog import load_table
+    from ex_hivent_spark.maintenance import refresh_time_rollup
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "events_inc")
+    first, second = events.filter(F.col("event_id") % 2 == 0), events.filter(
+        F.col("event_id") % 2 == 1
+    )
+    first.coalesce(1).write.mode("append").parquet(src)
+    rollup = str(tmp_path / "rollup")
+    marker = str(tmp_path / "marker.json")
+
+    assert refresh_time_rollup(spark, src, rollup, marker) >= 1
+    second.coalesce(1).write.mode("append").parquet(src)
+    assert refresh_time_rollup(spark, src, rollup, marker) >= 1
+    assert refresh_time_rollup(spark, src, rollup, marker) == 0
+
+    got = (
+        spark.read.parquet(rollup)
+        .select(
+            "window_start", "event_type", "n_events",
+            F.col("sum_value_dec").cast("double").alias("sum_value"),
+        )
+    )
+    want = events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+        .alias("sum_value"),
+    )
+    assert sorted(map(repr, got.collect())) == sorted(map(repr, want.collect()))

@@ -101,4 +101,4 @@ def test_entry_smoke(spark):
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 30
+    assert len(q) >= 95
