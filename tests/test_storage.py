@@ -74,3 +74,21 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appends with a widened schema read back losslessly under
+    mergeSchema (old rows surface NULL for the new column) — the
+    additive-evolution contract a long-lived event table needs."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.mode("append").parquet(out)
+    spark.createDataFrame(
+        [(3, "c", 3.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert sorted(merged.columns) == ["id", "name", "score"]
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 3.5)}
