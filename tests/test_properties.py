@@ -127,3 +127,79 @@ def test_prefix_filter_is_lossless(spark, case):
     )
     want = {(r.doc_a, r.doc_b): r.jaccard for r in allpairs.collect()}
     assert got == want
+
+
+@st.composite
+def _interval_case(draw):
+    n_users = draw(st.integers(1, 3))
+    views, clicks = [], []
+    for u in range(n_users):
+        views += [(u, t) for t in draw(st.lists(st.integers(0, 120), max_size=5))]
+        clicks += [(u, t) for t in draw(st.lists(st.integers(0, 120), max_size=5))]
+    return views, clicks
+
+
+@given(_interval_case())
+@settings(**_SETTINGS)
+def test_interval_join_matches_bruteforce(spark, case):
+    """interval_join must pair exactly the (view, click) combos with
+    l_ts < r_ts <= l_ts + 1h, per user — including boundary equality."""
+    import datetime as dt
+
+    from ex_hivent_spark.streaming.joins import interval_join
+
+    views, clicks = case
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(u, ts(t)) for u, t in views], "user_id long, l_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(u, ts(t)) for u, t in clicks], "user_id long, r_ts timestamp"
+    )
+    got = sorted(
+        (r.user_id, r.l_ts, r.r_ts)
+        for r in interval_join(left, right, watermark=None).collect()
+    )
+    want = sorted(
+        (u, ts(lt), ts(rt))
+        for (u, lt) in views
+        for (cu, rt) in clicks
+        if cu == u and lt < rt <= lt + 60
+    )
+    assert got == want
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+             min_size=0, max_size=30),
+    st.integers(2, 8),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_on_generated_skew(spark, fact_rows, n_salt):
+    """salted_join == plain inner join for any key distribution and any
+    salt width (including duplicate fact rows and absent build keys)."""
+    from ex_hivent_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(fact_rows)] or [],
+        "k long, row_id long, v long",
+    )
+    build = spark.createDataFrame(
+        [(k, k * 100) for k in range(0, 4)], "k long, payload long"
+    )
+    plain = sorted(
+        map(repr, fact.join(build, "k").select("k", "row_id", "payload").collect())
+    )
+    salted = sorted(
+        map(
+            repr,
+            salted_join(fact, build, "k", fact_unique_col="row_id")
+            .select("k", "row_id", "payload")
+            .collect(),
+        )
+    )
+    assert plain == salted
