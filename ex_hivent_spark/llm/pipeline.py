@@ -264,3 +264,127 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_checksum"),
         )
     )
+
+
+# Per-source sampling weights for corpus mixing (doc-level Bernoulli
+# with a deterministic uniform — no RNG, reproducible across clusters).
+_SOURCE_WEIGHTS = {"src0": 1.0, "src1": 1.0, "src2": 0.5, "src3": 0.5}
+_DEFAULT_WEIGHT = 0.25
+_KNUTH = 2654435761  # multiplicative-hash constant
+_MOD = 1 << 32
+
+
+def _sql_weight_case() -> str:
+    whens = "\n".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in _SOURCE_WEIGHTS.items()
+    )
+    return f"CASE {whens} ELSE {_DEFAULT_WEIGHT} END"
+
+
+@register(
+    "q_llm_weighted_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT source, doc_id,
+             CAST((doc_id * {_KNUTH}) % {_MOD} AS DOUBLE) / {_MOD} AS unif,
+             {_sql_weight_case()} AS w
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           count(*) FILTER (unif < w) AS n_kept,
+           CAST(floor(any_value(w) * 10000.0 + 0.5) AS BIGINT) AS weight_e4
+    FROM u
+    GROUP BY source
+    """,
+)
+def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: per-source Bernoulli keep-rates applied
+    via a deterministic uniform (Knuth multiplicative hash of doc_id —
+    pure integer arithmetic, identical on every engine/cluster/retry;
+    the reproducibility property rand()-based sampling lacks). Reports
+    per-source totals/kept so the realized mixture is auditable."""
+    d = load_table(spark, sf_dir, "documents")
+    unif = ((F.col("doc_id") * _KNUTH) % _MOD).cast("double") / _MOD
+    w = F.lit(_DEFAULT_WEIGHT)
+    for s, wt in reversed(list(_SOURCE_WEIGHTS.items())):
+        w = F.when(F.col("source") == s, F.lit(wt)).otherwise(w)
+    return (
+        d.select("source", unif.alias("unif"), w.alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.col("unif") < F.col("w")).alias("n_kept"),
+            F.floor(F.any_value("w") * 1e4 + F.lit(0.5))
+            .cast("bigint").alias("weight_e4"),
+        )
+    )
+
+
+# Target language shares for the mixture planner (sums to 1).
+_TARGET_SHARES = {"en": 0.4, "zh": 0.2, "de": 0.15, "fr": 0.15, "es": 0.1}
+
+
+def _sql_target_case() -> str:
+    whens = "\n".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in _TARGET_SHARES.items()
+    )
+    return f"CASE {whens} ELSE 0.0 END"
+
+
+@register(
+    "q_llm_mixture_rates",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n, {_sql_target_case()} AS target_share
+      FROM documents GROUP BY lang
+    ),
+    scaled AS (
+      SELECT lang, n, target_share,
+             -- largest corpus size achievable under the targets given
+             -- each lang's supply: min over langs of n/target
+             (SELECT min(n / target_share) FROM counts WHERE target_share > 0)
+                 AS feasible_total
+      FROM counts
+    )
+    SELECT lang, n AS n_available,
+           CAST(floor(target_share * feasible_total + 0.5) AS BIGINT)
+               AS n_to_take,
+           CAST(floor(least(1.0, target_share * feasible_total / n) * 1000000.0
+                      + 0.5) AS BIGINT) AS rate_e6
+    FROM scaled
+    """,
+)
+def q_llm_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: given target language shares, compute per-lang
+    take counts and sampling rates for the LARGEST corpus achievable
+    without upsampling — feasible_total = min(n_lang / share_lang), the
+    standard data-mixing feasibility bound. One aggregate + a broadcast
+    scalar; the plan every multilingual dataset build starts from."""
+    d = load_table(spark, sf_dir, "documents")
+    target = F.lit(0.0)
+    for k, v in reversed(list(_TARGET_SHARES.items())):
+        target = F.when(F.col("lang") == k, F.lit(v)).otherwise(target)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "target_share", target
+    )
+    feasible = counts.filter(F.col("target_share") > 0).agg(
+        F.min(F.col("n") / F.col("target_share")).alias("feasible_total")
+    )
+    return (
+        counts.join(F.broadcast(feasible))
+        .select(
+            "lang",
+            F.col("n").alias("n_available"),
+            F.floor(F.col("target_share") * F.col("feasible_total") + F.lit(0.5))
+            .cast("bigint").alias("n_to_take"),
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.col("target_share") * F.col("feasible_total") / F.col("n"),
+                )
+                * 1e6
+                + F.lit(0.5)
+            ).cast("bigint").alias("rate_e6"),
+        )
+    )
