@@ -199,3 +199,66 @@ def q_llm_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("bigint").alias("rank_e9"),
     )
+
+
+@register(
+    "q_llm_dedup_keep_best",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    clusters AS (
+      SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+           count(*) AS n_docs,
+           count(*) - 1 AS n_dropped
+    FROM ranked
+    GROUP BY cluster_id
+    """,
+)
+def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup DECISION: near-dup clusters composed with a
+    quality signal — per cluster, keep the longest document (n_chars,
+    doc_id tie-break) and count the drops. This is the row a production
+    dedup job actually writes; keeper selection is one max(struct)
+    argmax per cluster, no sort."""
+    from ex_hivent_spark.catalog import load_table
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    pairs = q_llm_ngram_jaccard(spark, sf_dir)
+    clusters = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        clusters.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("doc_id"),
+                )
+            )["doc_id"].alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+    )
