@@ -303,3 +303,77 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.first("o_orderkey").over(w).alias("cheapest_order"),
     )
+
+
+_GRID_US = 6 * 3600 * 1_000_000  # 6-hour resample grid
+
+
+@register(
+    "q_ts_resample_ffill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT user_id,
+             (epoch_us(min(ts)) // {_GRID_US}) * {_GRID_US} AS lo_us,
+             epoch_us(max(ts)) AS hi_us
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, make_timestamp(g_us) AS grid_ts
+      FROM bounds, unnest(range(lo_us, hi_us + 1, {_GRID_US})) AS u(g_us)
+    ),
+    ordered AS (
+      SELECT user_id, ts, value, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS seq
+      FROM events
+    )
+    SELECT g.user_id, g.grid_ts,
+           o.value AS last_value,
+           o.event_id AS last_event_id
+    FROM grid g
+    ASOF LEFT JOIN (
+      -- among same-ts events the LARGEST seq wins (engine convention),
+      -- so keep only that row per (user_id, ts) before the asof match
+      SELECT user_id, ts, value, event_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                         ORDER BY seq DESC) AS rn
+            FROM ordered)
+      WHERE rn = 1
+    ) o ON g.user_id = o.user_id AND g.grid_ts >= o.ts
+    """,
+)
+def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: per user, a 6-hour
+    grid from floor(first event) to last event, each grid point carrying
+    the most recent event at-or-before it — the gap-filling primitive of
+    monitoring/feature pipelines. Composition of a sequence-explode
+    (grid) with the engine's as-of join (union + single window pass, no
+    pair blow-up); the oracle is DuckDB's native ASOF JOIN, so two
+    completely independent as-of implementations must agree."""
+    from ex_hivent_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("user_id").agg(
+        (
+            (F.unix_micros(F.min("ts")) / _GRID_US).cast("long") * _GRID_US
+        ).alias("lo_us"),
+        F.unix_micros(F.max("ts")).alias("hi_us"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo_us"), F.col("hi_us"), F.lit(_GRID_US))
+        ).alias("g_us"),
+    ).select("user_id", F.timestamp_micros("g_us").alias("grid_ts"))
+
+    right = e.select("user_id", "ts", "value", "event_id")
+    joined = asof_join(
+        grid, right, by="user_id", left_ts="grid_ts", right_ts="ts",
+        right_seq="event_id",
+    )
+    return joined.select(
+        "user_id",
+        "grid_ts",
+        F.col("asof.value").alias("last_value"),
+        F.col("asof.event_id").alias("last_event_id"),
+    )
