@@ -316,3 +316,22 @@ def q_join_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").alias("r_ts")
     )
     return interval_join(views, clicks, watermark=None)
+
+
+@register(
+    "q_join_right_outer",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (every customer, matched orders or NULLs) —
+    completes the join-type surface next to left/full/semi/anti.
+    Planned identically to the mirrored left join: hash join with the
+    preserved side streamed."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )

@@ -129,3 +129,41 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "value",
                 F.col("event_id").alias("kept_event_id"))
     )
+
+
+@register(
+    "q_set_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT event_type FROM events WHERE value > 100),
+         b AS (SELECT event_type FROM events WHERE user_id % 2 = 0)
+    SELECT 'intersect_all' AS op, event_type, count(*) AS n
+    FROM (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b)
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'except_all' AS op, event_type, count(*) AS n
+    FROM (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b)
+    GROUP BY event_type
+    """,
+)
+def q_set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) semantics: INTERSECT ALL / EXCEPT ALL preserve
+    duplicate counts — min(m,n) and max(m-n,0) per value respectively —
+    unlike their distinct-izing set twins (q_set_intersect/except).
+    Summarized as counts per type so the bag cardinalities are the
+    hash-checked signal."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("value") > 100).select("event_type")
+    b = e.filter(F.col("user_id") % 2 == 0).select("event_type")
+    ia = (
+        a.intersectAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return ia.unionByName(ea).select("op", "event_type", "n")

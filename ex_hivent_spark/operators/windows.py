@@ -377,3 +377,38 @@ def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof.value").alias("last_value"),
         F.col("asof.event_id").alias("last_event_id"),
     )
+
+
+@register(
+    "q_win_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth order per customer over the FULL partition frame —
+    last_value under the default running frame is the classic window
+    trap (it returns the current row); the explicit unbounded frame is
+    the correct formulation and both engines agree on it."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
