@@ -527,3 +527,127 @@ def q_agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(pop_var, 6).alias("pop_variance"),
         dround(skew, 9).alias("skewness"),
     )
+
+
+@register(
+    "q_basket_event_lift",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (SELECT count(DISTINCT user_id) AS n FROM events),
+    singles AS (
+      SELECT event_type, count(*) AS n_with FROM per_user GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM per_user a JOIN per_user b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           {sql_dround(
+               "(CAST(p.n_both AS DOUBLE) / n.n)"
+               " / ((CAST(sa.n_with AS DOUBLE) / n.n)"
+               "    * (CAST(sb.n_with AS DOUBLE) / n.n))", 6)} AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN n_users n
+    """,
+)
+def q_basket_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis over event types: for every pair of
+    event types, co-occurrence count across users and lift
+    (P(a,b) / P(a)P(b)). The pair join is per-user over a ≤5-element
+    distinct set — bounded fan-out, never a cross join over users; the
+    type-level tables are vocabulary-sized broadcasts."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.select("user_id", "event_type").distinct()
+    n_users = per_user.select("user_id").distinct().count()
+    singles = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_with")
+    )
+    a = per_user.alias("a")
+    b = per_user.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_with").alias("na")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_with").alias("nb")
+    )
+    lift = (F.col("n_both").cast("double") / n_users) / (
+        (F.col("na").cast("double") / n_users)
+        * (F.col("nb").cast("double") / n_users)
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select("type_a", "type_b", "n_both", dround(lift, 6).alias("lift"))
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      -- explicit TIMESTAMP: DuckDB's date_trunc('week', ...) yields DATE
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                 AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor((epoch_us(date_trunc('week', e.ts))
+                         - epoch_us(f.cohort_week))
+                        / CAST(604800000000 AS BIGINT))
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_active_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    as active per week offset since their cohort — the standard product
+    retention triangle. Two keyed aggregates + one equi-join; the
+    distinct collapses multiple events per (user, week) before
+    counting."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    week_us = 7 * 24 * 3600 * 1_000_000
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (
+                    F.unix_micros(F.date_trunc("week", F.col("ts")))
+                    - F.unix_micros(F.col("cohort_week"))
+                )
+                / week_us
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
