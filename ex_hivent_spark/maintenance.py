@@ -26,6 +26,8 @@ def compact_parquet(
     mid-compaction never leaves the table truncated: readers see either
     the old layout or the new one.
     """
+    from ex_hivent_spark import fsutil
+
     sc = spark.sparkContext
     hadoop = sc._jvm.org.apache.hadoop
     conf = sc._jsc.hadoopConfiguration()
@@ -34,15 +36,11 @@ def compact_parquet(
     size = fs.getContentSummary(p).getLength()
     n_files = max(min_files, math.ceil(size / (target_file_mb * 1024 * 1024)))
 
-    staging = f"{path}__compacting"
     df = spark.read.parquet(path)
-    df.repartition(n_files).write.mode("overwrite").parquet(staging)
-
-    backup = hadoop.fs.Path(f"{path}__old")
-    fs.delete(backup, True)
-    fs.rename(p, backup)
-    fs.rename(hadoop.fs.Path(staging), p)
-    fs.delete(backup, True)
+    df.repartition(n_files).write.mode("overwrite").parquet(
+        fsutil.staging_path(path)
+    )
+    fsutil.publish_swap(spark, path)
     return n_files
 
 
@@ -100,17 +98,30 @@ def zorder_write(
     )
 
 
+PROCESSED_MANIFEST = "_PROCESSED.json"
+
+
 def refresh_time_rollup(
     spark: SparkSession,
     events_path: str,
     rollup_path: str,
-    processed_marker: str,
+    processed_marker: str | None = None,
 ) -> int:
     """Incrementally maintain an hourly (window_start, event_type) →
     (n_events, sum_value) rollup: aggregate only source files not yet
-    recorded in the marker file, merge into the existing rollup by
-    SUMMING partials (count and decimal-sum are both associative, so
-    merging partial aggregates is exact), and publish via staging swap.
+    recorded in the processed-file manifest, merge into the existing
+    rollup by SUMMING partials (count and decimal-sum are both
+    associative, so merging partial aggregates is exact), and publish
+    via the crash-safe staging swap.
+
+    The manifest lives INSIDE the rollup directory
+    (``<rollup>/_PROCESSED.json``, underscore-prefixed so Spark's
+    parquet reader ignores it) and is written into the staging dir
+    before the swap — data and marker commit in the same atomic rename,
+    so a crash can never publish merged data without recording its
+    inputs (which would double-count them on the next refresh).
+    ``processed_marker`` is accepted for back-compat as a read-only
+    legacy location; it is no longer written.
 
     This is the batch form of a continuous aggregate: cost per refresh
     is O(new data) + O(|rollup|), never O(all history) — the property
@@ -123,10 +134,15 @@ def refresh_time_rollup(
 
     from pyspark.sql import functions as F
 
+    from ex_hivent_spark import fsutil
+
+    view_exists = fsutil.recover_swap(spark, rollup_path)
     done: set[str] = set()
-    if os.path.exists(processed_marker):
-        with open(processed_marker) as f:
-            done = set(json.load(f))
+    manifest_path = f"{rollup_path}/{PROCESSED_MANIFEST}"
+    if view_exists and fsutil.exists(spark, manifest_path):
+        done = set(json.loads(fsutil.read_text_file(spark, manifest_path)))
+    elif processed_marker and os.path.exists(processed_marker):
+        done = set(json.load(open(processed_marker)))
     all_files = sorted(glob.glob(f"{events_path}/*.parquet"))
     new_files = [f for f in all_files if f not in done]
     if not new_files:
@@ -142,7 +158,7 @@ def refresh_time_rollup(
             F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value_dec"),
         )
     )
-    try:
+    if view_exists:
         current = spark.read.parquet(rollup_path)
         merged = (
             current.unionByName(partial)
@@ -152,22 +168,15 @@ def refresh_time_rollup(
                 F.sum("sum_value_dec").alias("sum_value_dec"),
             )
         )
-    except Exception:  # first refresh
+    else:
         merged = partial
 
-    staging = f"{rollup_path}__staging"
+    staging = fsutil.staging_path(rollup_path)
     merged.write.mode("overwrite").parquet(staging)
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
-    Path = jvm.org.apache.hadoop.fs.Path
-    old = Path(f"{rollup_path}__old")
-    fs.delete(old, True)
-    if fs.exists(Path(rollup_path)):
-        fs.rename(Path(rollup_path), old)
-    fs.rename(Path(staging), Path(rollup_path))
-    fs.delete(old, True)
-
-    with open(processed_marker, "w") as f:
-        json.dump(sorted(done | set(new_files)), f)
+    fsutil.write_text_file(
+        spark,
+        f"{staging}/{PROCESSED_MANIFEST}",
+        json.dumps(sorted(done | set(new_files))),
+    )
+    fsutil.publish_swap(spark, rollup_path)
     return len(new_files)

@@ -37,7 +37,24 @@ def salted_join(
 
     ``fact_unique_col`` seeds the deterministic salt (any column that
     varies within a key group — a row id, an event id).
+
+    Only fact-preserving join types are allowed: with the build side
+    replicated ``n_salt`` times, a right/full outer join would emit
+    each unmatched build row once per salt replica — ``n_salt``
+    duplicates the plain join never produces. Fact-side semantics are
+    unaffected (each fact row carries exactly one salt), and
+    semi/anti remain correct because a key present in build is present
+    for every salt value.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — build-side "
+            f"replication breaks right/full outer semantics; use one of "
+            f"{sorted(allowed)}"
+        )
     salted_fact = fact.withColumn(
         SALT_COL,
         F.pmod(F.xxhash64(F.col(fact_unique_col)), F.lit(n_salt)).cast("int"),

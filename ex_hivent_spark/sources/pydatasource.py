@@ -103,6 +103,12 @@ class HiventEventsStreamReader(DataSourceStreamReader):
         return {"offset": self._latest}
 
     def partitions(self, start, end):
+        # After a checkpoint restart this reader is a fresh instance with
+        # _latest=0, but Spark replays from the committed offset — fold
+        # every offset Spark shows us back into _latest so latestOffset
+        # never regresses below an already-committed position (end <
+        # start violates the stream-reader offset contract).
+        self._latest = max(self._latest, start["offset"], end["offset"])
         lo, hi = start["offset"], end["offset"]
         per = -(-(hi - lo) // self.n_partitions) if hi > lo else 0
         out = []
@@ -118,7 +124,7 @@ class HiventEventsStreamReader(DataSourceStreamReader):
             yield _gen_row(i, partition.pid)
 
     def commit(self, end):
-        pass
+        self._latest = max(self._latest, end["offset"])
 
 
 class HiventEventsDataSource(DataSource):
@@ -176,16 +182,37 @@ class HiventJsonSinkWriter(DataSourceWriter):
         return _StagedFile(staged, n)
 
     def commit(self, messages) -> None:
-        """Driver-side: atomically publish every staged file, then the
-        manifest — readers treat _MANIFEST presence as commit."""
+        """Driver-side: atomically publish every staged file under a
+        per-commit unique prefix, then version the manifest — so
+        repeated ``.mode('append')`` writes coexist instead of the
+        second commit clobbering the first's part files. Readers treat
+        _MANIFEST presence as commit; its totals cover ALL commits."""
+        commit_id = _uuid.uuid4().hex[:12]
         total = 0
         for i, m in enumerate(messages):
-            final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = _os.path.join(
+                self.path, f"part-{commit_id}-{i:05d}.jsonl"
+            )
             _os.replace(m.staged_path, final)
             total += m.n_rows
-        with open(_os.path.join(self.path, "_MANIFEST"), "w") as f:
-            _json.dump({"n_files": len(messages), "n_rows": total}, f)
-        _os.rmdir(self.staging)
+        manifest_path = _os.path.join(self.path, "_MANIFEST")
+        manifest = {"commits": [], "n_files": 0, "n_rows": 0}
+        if _os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = _json.load(f)
+        manifest["commits"].append(
+            {"id": commit_id, "n_files": len(messages), "n_rows": total}
+        )
+        manifest["n_files"] += len(messages)
+        manifest["n_rows"] += total
+        tmp = manifest_path + f".{commit_id}.tmp"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        _os.replace(tmp, manifest_path)
+        try:
+            _os.rmdir(self.staging)
+        except OSError:  # another in-flight commit still staging here
+            pass
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -5,10 +5,10 @@ The batch twin is ``q_last_event`` (max-ts row per user); this is its
 continuously-maintained form — the reference's Memory.last-per-key
 semantics (memory.ex:123) turned into a serving table. Plain parquet
 has no MERGE, so each micro-batch rewrites the view via
-read-union-reduce-overwrite staged through a swap directory (the same
-crash-safe pattern as maintenance.compact_parquet); on a lakehouse
-format (Delta/Iceberg) the reduce becomes a keyed MERGE and the plan
-below is unchanged.
+read-union-reduce-overwrite staged through the crash-safe swap in
+:mod:`ex_hivent_spark.fsutil` (ready-marker + explicit roll-forward /
+roll-back recovery); on a lakehouse format (Delta/Iceberg) the reduce
+becomes a keyed MERGE and the plan below is unchanged.
 
 Scale notes: the rewrite cost is O(|view|) per batch, which is the
 honest cost of parquet-as-serving-table; the reduce itself is one
@@ -54,29 +54,26 @@ class UpsertView:
         self.cols = cols
 
     def _merge_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ex_hivent_spark import fsutil
+
         spark = self.spark
         incoming = latest_per_key(batch, self.key, self.ts_col, self.cols)
-        try:
+        # Explicit recovery instead of except-Exception: a half-completed
+        # prior swap is rolled forward/back first, and only a verified
+        # absence of the view means "first batch" — any real read error
+        # (permissions, corrupt footer) propagates and fails the batch so
+        # the checkpoint retries it rather than silently resetting state.
+        if fsutil.recover_swap(spark, self.view_dir):
             current = spark.read.parquet(self.view_dir).select(
                 self.key, self.ts_col, *self.cols
             )
             merged = latest_per_key(
                 current.unionByName(incoming), self.key, self.ts_col, self.cols
             )
-        except Exception:  # first batch: no view yet
+        else:
             merged = incoming
-        staging = f"{self.view_dir}__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
-        Path = jvm.org.apache.hadoop.fs.Path
-        old = Path(f"{self.view_dir}__old")
-        fs.delete(old, True)
-        if fs.exists(Path(self.view_dir)):
-            fs.rename(Path(self.view_dir), old)
-        fs.rename(Path(staging), Path(self.view_dir))
-        fs.delete(old, True)
+        merged.write.mode("overwrite").parquet(fsutil.staging_path(self.view_dir))
+        fsutil.publish_swap(spark, self.view_dir)
 
     def start(self, stream: DataFrame, checkpoint_dir: str) -> StreamingQuery:
         return (
