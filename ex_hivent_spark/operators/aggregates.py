@@ -79,15 +79,40 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct", oracle=None)
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type — the
     scale path for count-distinct (constant memory per group, one pass,
-    merge-able sketches). No SQL oracle: sketch estimates are
-    engine-specific; driver records a rows-only check."""
+    merge-able sketches). The raw estimate is engine-specific, so the
+    oracled contract is the sketch's actual GUARANTEE: the estimate
+    lands within 5% of the exact count (rsd=0.02 ⟹ ±2σ ≈ 4%). The
+    query emits the exact count plus an in-bound boolean; the oracle
+    asserts the same exact count and literal TRUE — making the sketch's
+    accuracy, not its internals, the hash-checked surface. Spark's HLL
+    hash is deterministic, so the boolean is stable run-to-run."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("approx") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(0.05)
+            ).alias("approx_ok"),
+        )
     )
 
 
@@ -303,4 +328,83 @@ def q_agg_time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ev_grains
         GROUP BY GROUPING SETS ((h), (d))
         """
+    )
+
+
+@register(
+    "q_agg_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS sketch_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketches — the continuous-
+    aggregate pattern for 100 TB rollups: build one Datasketches HLL
+    sketch per (event_type, day) cell, then MERGE the daily sketches
+    into a per-event-type total with ``hll_union_agg`` — never
+    re-touching raw rows. This is what makes hierarchical time rollups
+    maintainable: day cells merge into weeks/months for free, and a
+    late-arriving day only rebuilds its own cell.
+
+    Exact distinct counts do NOT compose this way (distinct is not
+    associative over partial counts), which is the whole point of
+    shipping sketches. The oracled contract is again the guarantee, not
+    the internals: the merged estimate must land within 5% of the exact
+    count (lgConfigK=12 -> ~1.6% rsd), emitted as a boolean next to the
+    exact value so the DuckDB hash check pins both."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(0.05)
+        ).alias("sketch_ok"),
+    )
+
+
+@register(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT event_type,
+           floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0
+               AS p50_exact,
+           TRUE AS approx_in_bounds
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median via the KLL/GK-style ``approx_percentile``
+    sketch (bounded rank error, mergeable, one pass) next to the exact
+    interpolated median. The sketch's guarantee is a RANK bound, so the
+    oracled boolean asserts the estimate lands between the exact p45
+    and p55 values — a 5-percentile rank tolerance, far looser than the
+    sketch's actual n/accuracy bound. The exact median is hash-compared
+    (rounded to 1e-6 for cross-engine interpolation arithmetic)."""
+    e = load_table(spark, sf_dir, "events")
+    qs = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit([0.45, 0.5, 0.55])).alias("pv"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap"),
+    )
+    from ex_hivent_spark.functions.decimals import dround
+
+    return qs.select(
+        "event_type",
+        dround(F.element_at("pv", 2), 6).alias("p50_exact"),
+        (
+            (F.col("ap") >= F.element_at("pv", 1))
+            & (F.col("ap") <= F.element_at("pv", 3))
+        ).alias("approx_in_bounds"),
     )

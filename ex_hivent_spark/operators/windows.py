@@ -412,3 +412,46 @@ def q_win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@register(
+    "q_win_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS hour_sum,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                          RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+               AS hour_n
+    FROM events
+    """,
+)
+def q_win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour rolling sum/count via a RANGE window
+    frame over epoch-milliseconds — the time-interval frame ROWS frames
+    can't express (frame membership depends on timestamp distance, not
+    row position, so gaps and bursts are handled correctly). The range
+    bound is a value offset; Spark evaluates it with a sliding frame
+    over the sorted partition, one pass per partition.
+
+    RANGE frames peer-group ties: all rows with equal ts share one
+    frame, so the result is deterministic without a unique tie-break
+    key (sum/count are order-insensitive within the frame; decimal
+    accumulation keeps the float sum association-proof)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-3_600_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )

@@ -63,3 +63,32 @@ def test_connected_components_transitivity(spark):
         r.node: r.cluster_id for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 7: 7, 8: 7, 9: 7, 10: 7}
+
+
+def test_decontaminate_flags_known_overlap(spark, tmp_path):
+    """A doc sharing one 4-gram with the benchmark slice is flagged
+    with the right gram count; disjoint docs are not."""
+    from ex_hivent_spark.plans.registry import all_specs
+
+    docs = spark.createDataFrame(
+        [
+            # doc_id 0 -> benchmark slice (0 % 97 == 0)
+            (0, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+            # shares "quick brown fox jumps" (and the 3 overlapping grams
+            # around it) with the benchmark doc
+            (1, "a quick brown fox jumps over fences daily", "en", "s", 41),
+            # no 4-token overlap
+            (2, "completely different text with no shared runs here", "en", "s", 50),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        r.doc_id: r.n_contaminated_grams
+        for r in all_specs()["q_llm_decontaminate"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out

@@ -153,3 +153,28 @@ def test_chunker_is_map_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_llm_doc_chunks", mode="simple")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set must be the broadcast side — the corpus
+    side streams map-only until the final per-doc count."""
+    plan = plan_of(spark, sf_dir, "q_llm_decontaminate", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sketch_rollup_two_level_merge(spark, sf_dir):
+    """Sketch rollup: daily sketches then a merge agg — two HashAggregate
+    pairs, no re-scan of raw rows for the merge level."""
+    plan = plan_of(spark, sf_dir, "q_agg_sketch_rollup", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+
+
+def test_time_range_frame_single_window_pass(spark, sf_dir):
+    """RANGE frame: one Window node over one sort — no self-join
+    formulation."""
+    plan = plan_of(spark, sf_dir, "q_win_time_range_frame", mode="simple")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
