@@ -48,6 +48,12 @@ HEADLINE = [
     "q_tpch_q10_returned_items",
     "q_llm_doc_chunks",
     "q_llm_context_pack",
+    # added r3 (prior entries unchanged for per-query comparability)
+    "q_llm_decontaminate",
+    "q_llm_cross_dedup",
+    "q_agg_sketch_rollup",
+    "q_win_time_range_frame",
+    "q_join_asof_tolerance",
 ]
 
 

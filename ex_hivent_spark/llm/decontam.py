@@ -87,3 +87,97 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_contaminated_grams"))
     )
+
+
+# The cross-corpus split uses a coarser modulus than decontamination:
+# near-dup pairs are rare in the synthetic corpus, and a 1/97 benchmark
+# slice intersects none of them — 1/7 yields a small non-empty report.
+CROSS_MOD = 7
+
+
+@register(
+    "q_llm_cross_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS bench_id, b.doc_id AS doc_id,
+             len(list_intersect(a.s, b.s)) AS n_common,
+             len(a.s) AS la, len(b.s) AS lb
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang
+       AND a.doc_id % {CROSS_MOD} = 0
+       AND b.doc_id % {CROSS_MOD} <> 0
+    )
+    SELECT bench_id, doc_id,
+           CAST(n_common AS DOUBLE) / (la + lb - n_common) AS jaccard
+    FROM pairs
+    WHERE CAST(n_common AS DOUBLE) / (la + lb - n_common) >= 0.5
+    """,
+)
+def q_llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination / cross-corpus dedup: training docs whose
+    token-3-gram Jaccard vs ANY benchmark-slice doc is >= 0.5 — catches
+    paraphrased/reformatted eval leakage that exact-gram matching
+    (q_llm_decontaminate) misses, and is equally the "dedup new crawl
+    against the previous snapshot" op.
+
+    Same lossless prefix-filter plan as q_llm_ngram_jaccard (equi-join
+    on (lang, prefix-shingle hash), exact verification on candidates,
+    never an all-pairs product) — but across the bench/corpus split, so
+    candidate volume is |bench grams| ∩ |corpus grams| rather than a
+    full self-join. The oracle brute-forces the split within lang,
+    which sf0.01 DuckDB can afford."""
+    from ex_hivent_spark.llm.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", "lang", F.explode(shingles(F.col("text"))).alias("h")
+    )
+    hs = tk.groupBy("doc_id", "lang").agg(
+        F.array_sort(F.collect_set("h")).alias("hs")
+    )
+    hs = hs.localCheckpoint(eager=False)
+
+    n = F.size("hs")
+    prefix_len = n - F.ceil(n * F.lit(0.5)).cast("int") + 1
+    prefix = hs.select(
+        "doc_id", "lang", F.explode(F.slice("hs", 1, prefix_len)).alias("ph")
+    )
+    pa = prefix.filter(F.col("doc_id") % CROSS_MOD == 0).alias("pa")
+    pb = prefix.filter(F.col("doc_id") % CROSS_MOD != 0).alias("pb")
+    candidates = (
+        pa.join(
+            pb,
+            (F.col("pa.lang") == F.col("pb.lang"))
+            & (F.col("pa.ph") == F.col("pb.ph")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("bench_id"),
+            F.col("pb.doc_id").alias("doc_id"),
+        )
+        .distinct()
+    )
+
+    sets = hs.select("doc_id", "hs")
+    a = sets.withColumnRenamed("doc_id", "bench_id").withColumnRenamed(
+        "hs", "ha"
+    )
+    b = sets.withColumnRenamed("hs", "hb")
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size("ha") + F.size("hb") - inter
+    jac = inter.cast("double") / union
+    return (
+        candidates.join(a, "bench_id")
+        .join(b, "doc_id")
+        .select("bench_id", "doc_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -96,12 +96,48 @@ def _normalized(em: DataFrame, id_col: str = "vec_id") -> DataFrame:
 N_QUERIES = 100
 
 
-@register("q_llm_cosine_topk", oracle=None)
+@register(
+    "q_llm_cosine_topk",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    q AS (
+      SELECT vec_id AS query_id, u AS qu FROM unit
+      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, unit.vec_id AS neighbor_id,
+             floor(list_dot_product(q.qu, unit.u) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cosine
+      FROM q JOIN unit ON unit.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
 def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k neighbors for a deterministic, BOUNDED
     query subset: normalize once, broadcast the query side, dot-product
-    join, per-query top-k via window. Rows-only check (float-order
-    sensitivity makes a SQL oracle hash unstable).
+    join, per-query top-k via window.
+
+    Hash-checked against a SQL oracle that mirrors the arithmetic
+    step-for-step (cast float->double, normalize by sqrt of the
+    sequential square-sum, sequential dot, round e6): both engines
+    accumulate in index order in double precision, so the e6-rounded
+    cosines — and therefore the ranks, which tie-break on neighbor_id —
+    agree exactly (verified at sf0.001 and sf0.01).
 
     The query side is capped at N_QUERIES via orderBy+limit (a
     TakeOrdered, not a global sort), so the broadcast is O(k·dim)

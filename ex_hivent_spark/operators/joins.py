@@ -284,6 +284,68 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOL_US = 30 * 60 * 1_000_000  # 30-minute max staleness
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id AS purchase_id,
+                  c.event_id AS click_id, c.ts AS click_ts,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+         ),
+         matched AS (SELECT purchase_id, click_id, click_ts
+                     FROM j WHERE rn = 1)
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           CASE WHEN epoch_us(p.ts) - epoch_us(m.click_ts) <= {ASOF_TOL_US}
+                THEN m.click_id END AS click_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(m.click_ts) <= {ASOF_TOL_US}
+                THEN epoch_us(p.ts) - epoch_us(m.click_ts) END AS staleness_us
+    FROM p LEFT JOIN matched m ON p.event_id = m.purchase_id
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance (pandas
+    ``merge_asof(tolerance=...)`` semantics): the latest same-user click
+    at-or-before each purchase counts only if it is at most 30 minutes
+    old; staler matches report NULL, exactly like no match. The
+    tolerance is a post-filter on the single as-of match — same
+    union+window plan as q_join_asof (one shuffle + one sort, no pair
+    blow-up), zero extra cost."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        p, c, by="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        right_seq="click_id",
+    )
+    gap = F.unix_micros("purchase_ts") - F.unix_micros(F.col("asof.click_ts"))
+    within = F.col("asof").isNotNull() & (gap <= ASOF_TOL_US)
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.when(within, F.col("asof.click_id")).alias("click_id"),
+        F.when(within, gap).alias("staleness_us"),
+    )
+
+
 @register(
     "q_join_interval_attribution",
     oracle="""

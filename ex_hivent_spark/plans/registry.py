@@ -109,22 +109,23 @@ DRIVER_CHECK_FIRST = [
     "q_llm_weighted_sample",
     "q_llm_mixture_rates",
     "q_llm_decontaminate",
+    "q_llm_cross_dedup",
     # dedup endgame
     "q_llm_dedup_clusters",
     "q_llm_dedup_keep_best",
-    # sketch-contract + window additions (r3)
+    # sketch-contract + window + join additions (r3)
     "q_agg_approx_distinct",
     "q_agg_sketch_rollup",
     "q_agg_approx_percentile",
     "q_win_time_range_frame",
+    "q_join_asof_tolerance",
+    "q_llm_cosine_topk",
     # rows-only flagships: sketch/ANN/multimodal ops whose estimates are
-    # not SQL-expressible — the driver records the weaker ran+rows check
+    # not SQL-expressible — the driver records the weaker ran+rows check.
+    # (q_mm_frame_sample / q_llm_embedding_neardup rotate in next round.)
     "q_llm_lsh_topk",
     "q_llm_ivf_topk",
-    "q_llm_cosine_topk",
-    "q_llm_embedding_neardup",
     "q_mm_decode_features",
-    "q_mm_frame_sample",
 ]
 
 

@@ -4,8 +4,11 @@ fresh vanilla session (no engine confs — exactly what the driver
 supplies) and compare each oracle-backed query against DuckDB on the
 same parquet.
 
-Usage: python scripts/driver_sim.py [sf_dir]   (default sf0.01)
-Exit code 0 iff every query passes its check.
+Usage: python scripts/driver_sim.py [sf_dir] [--out results.json]
+(default sf_dir sf0.01). Exit code 0 iff every query passes its check.
+With --out, writes a per-query JSON record in the driver's CORRECTNESS
+format — committed per round as CORRECTNESS_LOCAL.json, the full-
+inventory complement to the driver's first-50 record.
 """
 
 from __future__ import annotations
@@ -32,7 +35,13 @@ def canon(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -58,21 +67,36 @@ def main() -> int:
 
     n_pass = n_rows_only = 0
     fails: list[tuple[str, str]] = []
+    records: dict[str, dict] = {}
     for name in sorted(queries):
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        records[name] = rec
         try:
             sdf = queries[name](spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
             if name in oracles:
                 s = canon(sdf.columns, srows)
                 res = con.execute(oracles[name])
-                d = canon([x[0] for x in res.description], res.fetchall())
+                dcols = [x[0] for x in res.description]
+                drows = res.fetchall()
+                d = canon(dcols, drows)
+                rec["oracle_rows"] = len(d)
+                rec["rows_match"] = len(s) == len(d)
+                rec["schema_match"] = sorted(sdf.columns) == sorted(dcols)
+                rec["hash_match"] = s == d
                 if s == d:
                     n_pass += 1
                 else:
                     fails.append((name, f"hash_mismatch ({len(s)} vs {len(d)} rows)"))
             else:
+                rec["err"] = "no_oracle"
                 n_rows_only += 1
         except Exception as ex:  # noqa: BLE001 - report and continue
+            rec["err"] = str(ex)[:160]
             fails.append((name, str(ex)[:160]))
 
     print(
@@ -81,6 +105,12 @@ def main() -> int:
     )
     for name, why in fails:
         print(f"FAIL {name}: {why}")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(records, f, indent=1, default=str)
+        print(f"wrote {out_path}")
     return 1 if fails else 0
 
 

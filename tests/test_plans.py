@@ -178,3 +178,19 @@ def test_time_range_frame_single_window_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_win_time_range_frame", mode="simple")
     assert plan.count("Window") == 1
     assert "Join" not in plan
+
+
+def test_cross_dedup_prefix_join_no_cartesian(spark, sf_dir):
+    """Cross-corpus near-dup must candidate-join on the prefix-shingle
+    hash, never an all-pairs product across the split."""
+    plan = plan_of(spark, sf_dir, "q_llm_cross_dedup", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_tolerance_single_window_no_pair_join(spark, sf_dir):
+    """Tolerance as-of keeps the union+window shape: one Window, no
+    join between the event sides."""
+    plan = plan_of(spark, sf_dir, "q_join_asof_tolerance", mode="simple")
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
