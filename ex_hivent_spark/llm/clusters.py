@@ -130,6 +130,7 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PR_ITERATIONS = 10
 PR_DAMPING = 0.85
+PR_SCALE = 10**12  # ranks held as e12 fixed-point integers
 
 
 def pagerank(
@@ -141,14 +142,22 @@ def pagerank(
 ) -> DataFrame:
     """PageRank over an undirected pair graph — the other canonical
     iterative-joins algorithm (beyond connected components): rank mass
-    flows along edges for a fixed ``n_iter`` rounds. Deterministic for
-    fixed iterations (every step is join + keyed sum with exact double
-    ops in a fixed expression order). Per round: one join + one
-    aggregate, lineage truncated via localCheckpoint.
+    flows along edges for a fixed ``n_iter`` rounds. Per round: one
+    join + one keyed aggregate, lineage truncated via localCheckpoint.
+
+    Ranks are e12 FIXED-POINT INTEGERS (``rank_e12``), not doubles:
+    per-edge contribution is integer division ``rank_e12 div deg``, the
+    per-node inflow an exact bigint sum (order-insensitive — a double
+    sum here would make results partitioning-dependent), and the
+    damping step one IEEE multiply + floor, bit-identical on any
+    engine. That makes iterative PageRank exactly reproducible across
+    cluster sizes AND hash-checkable against an unrolled SQL oracle.
 
     Used here to score near-duplicate CENTRALITY: in a dup cluster the
     highest-rank doc is the best canonical keeper (most-connected),
     a better choice than min-id when edges carry meaning."""
+    import math
+
     edges = (
         pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
         .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
@@ -159,14 +168,21 @@ def pagerank(
     nodes = degrees.select(F.col("src").alias("node"), "deg")
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint(
-        eager=True
-    )
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_e12"))
+    # Expression order mirrors the SQL oracle exactly (left-to-right
+    # IEEE ops): floor(1e12 / n + 0.5), floor((1.0-d) * 1e12 / n + 0.5).
+    init = int(math.floor(float(PR_SCALE) / n_nodes + 0.5))
+    base = int(math.floor((1.0 - damping) * float(PR_SCALE) / n_nodes + 0.5))
+    ranks = nodes.withColumn(
+        "rank_e12", F.lit(init).cast("long")
+    ).localCheckpoint(eager=True)
     for _ in range(n_iter):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_e12 div deg").alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
@@ -176,28 +192,71 @@ def pagerank(
                 "node",
                 "deg",
                 (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
+                    F.lit(base)
+                    + F.floor(
+                        F.lit(damping)
+                        * F.coalesce("inflow", F.lit(0)).cast("double")
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).alias("rank_e12"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.select("node", "rank")
+    return ranks.select("node", "rank_e12")
 
 
-@register("q_llm_graph_pagerank", oracle=None)
+def _pagerank_oracle_sql(n_iter: int = PR_ITERATIONS) -> str:
+    """Unrolled-iteration SQL twin of :func:`pagerank` over the exact
+    near-dup edge set: one (contribs, ranks) CTE pair per round, same
+    fixed-point arithmetic — bigint division/summation plus one IEEE
+    multiply-floor per round, so the hash match is exact, not lucky."""
+    sql = (
+        _NGRAM_PAIRS_SQL
+        + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT a AS node, count(*) AS deg FROM edges GROUP BY a),
+    nc AS (SELECT count(*) AS n FROM deg),
+    bs AS (SELECT CAST(floor((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                             * 1000000000000.0 / n + 0.5) AS BIGINT) AS base
+           FROM nc),
+    r0 AS (SELECT d.node, d.deg,
+                  CAST(floor(1000000000000.0 / n + 0.5) AS BIGINT) AS rk
+           FROM deg d CROSS JOIN nc)
+    """
+    )
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    c{i} AS (SELECT e.b AS node, sum(r.rk // r.deg) AS inflow
+             FROM edges e JOIN r{i - 1} r ON e.a = r.node GROUP BY e.b),
+    r{i} AS (SELECT d.node, d.deg,
+                    bs.base + CAST(floor(CAST(0.85 AS DOUBLE)
+                        * coalesce(c.inflow, 0) + 0.5) AS BIGINT) AS rk
+             FROM deg d CROSS JOIN bs LEFT JOIN c{i} c ON d.node = c.node)
+    """
+    sql += (
+        f"\n    SELECT node AS doc_id, (rk + 500) // 1000 AS rank_e9"
+        f" FROM r{n_iter}"
+    )
+    return sql
+
+
+@register("q_llm_graph_pagerank", oracle=_pagerank_oracle_sql())
 def q_llm_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the exact near-dup pair graph: for each
-    clustered doc, its rank (e9-rounded for cross-run stability) —
-    the canonical-keeper score. Iterative (fixed 10 rounds), genuinely
-    non-SQL-expressible → rows-only check."""
+    clustered doc, its e9 fixed-point rank — the canonical-keeper
+    score. Iterative (fixed 10 rounds) yet HASH-CHECKED: the e12
+    fixed-point formulation makes every round bit-deterministic, and
+    the oracle unrolls the same 10 rounds as chained SQL CTEs."""
     from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
 
     pairs = q_llm_ngram_jaccard(spark, sf_dir)
     pr = pagerank(pairs)
     return pr.select(
         F.col("node").alias("doc_id"),
-        F.floor(F.col("rank") * 1e9 + F.lit(0.5)).cast("bigint").alias("rank_e9"),
+        F.expr("(rank_e12 + 500) div 1000").alias("rank_e9"),
     )
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
-from ex_hivent_spark.functions.decimals import dround, sql_davg, sql_dround
+from ex_hivent_spark.functions.decimals import davg, dround, sql_davg, sql_dround
 from ex_hivent_spark.plans.registry import register
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -393,4 +393,51 @@ def q_llm_bpe_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), "merge_pair")
         .limit(50)
+    )
+
+
+@register(
+    "q_llm_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT count(*) AS t FROM toks),
+    scored AS (
+      SELECT doc_id,
+             {sql_dround("ln(CAST(t AS DOUBLE) / CAST(c AS DOUBLE))", 6)}
+                 AS nll
+      FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           {sql_davg("nll", "avg_surprisal")}
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (the CCNet / KenLM-style
+    perplexity filter, with the corpus itself as the LM): per document,
+    the mean token surprisal ``-ln p(w) = ln(total/freq)`` under the
+    corpus unigram distribution. Low = repetitive/common boilerplate,
+    high = rare-token noise; the standard mid-band keep rule.
+
+    Two corpus passes: one hash aggregate for the |vocab|-row frequency
+    table (tiny → broadcast back to the token stream, no shuffle of the
+    corpus side), one per-doc aggregate. ``ln`` is the single libm op —
+    e6-rounded per token, then decimal-summed, so the driver hash
+    matches DuckDB exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()  # one scalar; reused as a literal
+
+    nll = dround(
+        F.log(F.lit(float(total)) / F.col("c").cast("double")), 6
+    ).alias("nll")
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .select("doc_id", nll)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), davg("nll", "avg_surprisal"))
     )

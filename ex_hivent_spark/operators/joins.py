@@ -397,3 +397,113 @@ def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, o.o_custkey == c.c_custkey, "right").select(
         "o_orderkey", "o_totalprice", "c_custkey", "c_name"
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE event_type WHEN 'click' THEN 0 ELSE 1 END AS side,
+             CASE event_type WHEN 'click' THEN event_id END AS c_id,
+             CASE event_type WHEN 'click' THEN epoch_us(ts) END AS c_us,
+             event_id, ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT *,
+        last_value(c_id IGNORE NULLS) OVER bw AS prev_id,
+        last_value(c_us IGNORE NULLS) OVER bw AS prev_us,
+        first_value(c_id IGNORE NULLS) OVER fw AS next_id,
+        first_value(c_us IGNORE NULLS) OVER fw AS next_us
+      FROM u
+      WINDOW bw AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fw AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN prev_id IS NULL THEN next_id
+                WHEN next_id IS NULL THEN prev_id
+                WHEN ts_us - prev_us <= next_us - ts_us THEN prev_id
+                ELSE next_id END AS click_id,
+           CASE WHEN prev_id IS NULL THEN next_us - ts_us
+                WHEN next_id IS NULL THEN ts_us - prev_us
+                WHEN ts_us - prev_us <= next_us - ts_us THEN ts_us - prev_us
+                ELSE next_us - ts_us END AS gap_us,
+           CASE WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+                WHEN next_id IS NULL THEN 'backward'
+                WHEN prev_id IS NULL THEN 'forward'
+                WHEN ts_us - prev_us <= next_us - ts_us THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM w WHERE side = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, ``direction='nearest'`` (pandas ``merge_asof``): each
+    purchase matches its temporally CLOSEST same-user click, before or
+    after. Tie-breaks are fully deterministic: equal |gap| prefers the
+    backward match; same-timestamp clicks resolve to the largest
+    click_id backward / smallest forward.
+
+    One union + ONE window pass over (user_id, ts): the backward
+    candidate is ``last_value(..., ignorenulls)`` over the preceding
+    frame, the forward candidate ``first_value`` over the following
+    frame — both frames share the sort, so Spark runs a single Window
+    operator (plan-asserted). One shuffle, no join, no pair blow-up,
+    and the gap arithmetic is all-integer (microseconds) so the oracle
+    match is exact by construction."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_click = F.col("event_type") == "click"
+    u = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(is_click, F.lit(0)).otherwise(F.lit(1)).alias("side"),
+        F.when(is_click, F.col("event_id")).alias("c_id"),
+        F.when(is_click, F.unix_micros("ts")).alias("c_us"),
+        "event_id",
+        "ts",
+    )
+    order = [F.col("ts_us"), F.col("side"), F.col("event_id")]
+    bw = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fw = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = u.select(
+        "*",
+        F.last("c_id", ignorenulls=True).over(bw).alias("prev_id"),
+        F.last("c_us", ignorenulls=True).over(bw).alias("prev_us"),
+        F.first("c_id", ignorenulls=True).over(fw).alias("next_id"),
+        F.first("c_us", ignorenulls=True).over(fw).alias("next_us"),
+    ).filter(F.col("side") == 1)
+    back_gap = F.col("ts_us") - F.col("prev_us")
+    fwd_gap = F.col("next_us") - F.col("ts_us")
+    backward = F.col("next_id").isNull() | (
+        F.col("prev_id").isNotNull() & (back_gap <= fwd_gap)
+    )
+    return w.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(backward, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("click_id"),
+        F.when(backward, back_gap).otherwise(fwd_gap).alias("gap_us"),
+        F.when(
+            F.col("prev_id").isNull() & F.col("next_id").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(backward, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

@@ -455,3 +455,131 @@ def q_win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hour_sum"),
         F.count(F.lit(1)).over(w).alias("hour_n"),
     )
+
+
+@register(
+    "q_ts_linear_interp",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT user_id,
+             (epoch_us(min(ts)) // {_GRID_US}) * {_GRID_US} AS lo_us,
+             epoch_us(max(ts)) AS hi_us
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, g_us
+      FROM bounds, unnest(range(lo_us, hi_us + 1, {_GRID_US})) AS u(g_us)
+    ),
+    obs AS (
+      SELECT user_id, epoch_us(ts) AS t_us, max_by(value, event_id) AS v
+      FROM events GROUP BY user_id, epoch_us(ts)
+    ),
+    u AS (
+      SELECT user_id, g_us AS ts_us, 1 AS side,
+             CAST(NULL AS DOUBLE) AS v, CAST(NULL AS BIGINT) AS o_us
+      FROM grid
+      UNION ALL
+      SELECT user_id, t_us, 0, v, t_us FROM obs
+    ),
+    w AS (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER bw AS pv,
+        last_value(o_us IGNORE NULLS) OVER bw AS p_us,
+        first_value(v IGNORE NULLS) OVER fw AS nv,
+        first_value(o_us IGNORE NULLS) OVER fw AS n_us
+      FROM u
+      WINDOW bw AS (PARTITION BY user_id ORDER BY ts_us, side
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fw AS (PARTITION BY user_id ORDER BY ts_us, side
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, make_timestamp(ts_us) AS grid_ts,
+           pv AS prev_value, nv AS next_value,
+           CASE WHEN p_us = ts_us THEN pv
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN pv + (nv - pv) * (CAST(ts_us - p_us AS DOUBLE)
+                                       / CAST(n_us - p_us AS DOUBLE))
+                END AS value_interp
+    FROM w WHERE side = 1
+    """,
+)
+def q_ts_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation (the
+    ``resample().interpolate()`` counterpart of q_ts_resample_ffill):
+    per user, each 6-hour grid point carries
+    ``prev + (next - prev) * elapsed_fraction`` between its bracketing
+    observations — exact observation value when the grid point lands on
+    one, NULL when a bracket side is missing. Same-timestamp duplicate
+    observations resolve to the largest event_id (engine convention)
+    via one max_by aggregate.
+
+    Plan shape: grid explode + union + ONE window pass (both frames
+    share the (user_id; ts,side) sort, so Spark runs a single Window
+    operator — plan-asserted). The interpolation itself is per-row IEEE
+    arithmetic on integer microsecond gaps: deterministic across
+    engines with no rounding detour."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("user_id").agg(
+        (
+            (F.unix_micros(F.min("ts")) / _GRID_US).cast("long") * _GRID_US
+        ).alias("lo_us"),
+        F.unix_micros(F.max("ts")).alias("hi_us"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo_us"), F.col("hi_us"), F.lit(_GRID_US))
+        ).alias("ts_us"),
+    ).select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(None).cast("long").alias("o_us"),
+    )
+    obs = (
+        e.groupBy("user_id", F.unix_micros("ts").alias("t_us"))
+        .agg(F.max_by("value", "event_id").alias("v"))
+        .select(
+            "user_id",
+            F.col("t_us").alias("ts_us"),
+            F.lit(0).alias("side"),
+            "v",
+            F.col("t_us").alias("o_us"),
+        )
+    )
+    u = grid.unionByName(obs)
+    bw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = u.select(
+        "*",
+        F.last("v", ignorenulls=True).over(bw).alias("pv"),
+        F.last("o_us", ignorenulls=True).over(bw).alias("p_us"),
+        F.first("v", ignorenulls=True).over(fw).alias("nv"),
+        F.first("o_us", ignorenulls=True).over(fw).alias("n_us"),
+    ).filter(F.col("side") == 1)
+    frac = (F.col("ts_us") - F.col("p_us")).cast("double") / (
+        F.col("n_us") - F.col("p_us")
+    ).cast("double")
+    return w.select(
+        "user_id",
+        F.timestamp_micros("ts_us").alias("grid_ts"),
+        F.col("pv").alias("prev_value"),
+        F.col("nv").alias("next_value"),
+        F.when(F.col("p_us") == F.col("ts_us"), F.col("pv"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .alias("value_interp"),
+    )

@@ -194,3 +194,27 @@ def test_asof_tolerance_single_window_no_pair_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_join_asof_tolerance", mode="simple")
     assert plan.count("Window") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_nearest_single_window_no_join(spark, sf_dir):
+    """Nearest-direction as-of runs both frames in ONE Window operator
+    over one shuffle — no join between the event sides."""
+    plan = plan_of(spark, sf_dir, "q_join_asof_nearest", mode="simple")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_linear_interp_single_window(spark, sf_dir):
+    """Linear interpolation brackets prev/next in one Window operator;
+    the only join-free exchanges are the grid/obs aggregates."""
+    plan = plan_of(spark, sf_dir, "q_ts_linear_interp", mode="simple")
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    """The |vocab|-row frequency table must broadcast back onto the
+    token stream — the corpus side never shuffles for the join."""
+    plan = plan_of(spark, sf_dir, "q_llm_unigram_logprob", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
