@@ -321,3 +321,40 @@ def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - 1).alias("n_dropped"),
         )
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    SELECT count(*) AS n_triangles,
+           count(DISTINCT p1.doc_a) AS n_apex_nodes
+    FROM pairs p1
+    JOIN pairs p2 ON p2.doc_a = p1.doc_b
+    JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-dup graph — the standard cluster
+    density / cohesion metric (a dup cluster that is a clique is safe to
+    collapse; a chain is suspect). Uses the oriented-edge formulation on
+    the a<b pair list: each triangle {a<b<c} is counted exactly once via
+    the two-hop join (a,b)+(b,c) closed by (a,c) — two equi-joins, no
+    squaring, the standard distributed triangle-count plan."""
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    pairs = (
+        q_llm_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    tri = p1.join(p2, F.col("p2.doc_a") == F.col("p1.doc_b")).join(
+        p3,
+        (F.col("p3.doc_a") == F.col("p1.doc_a"))
+        & (F.col("p3.doc_b") == F.col("p2.doc_b")),
+    )
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.countDistinct(F.col("p1.doc_a")).alias("n_apex_nodes"),
+    )

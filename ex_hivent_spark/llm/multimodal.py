@@ -226,3 +226,68 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frame_idx").alias("max_frame_idx"),
         F.sum(F.length("frame_payload")).alias("sampled_bytes"),
     )
+
+
+SHARD_TARGET_BYTES = 4096  # test-scale stand-in for the ~512 MB prod shard
+
+
+@register(
+    "q_mm_shard_pack",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+             16 * (doc_id % 7 + 1) AS n_bytes
+      FROM documents
+    ),
+    packed AS (
+      SELECT kind, media_id, n_bytes,
+             (sum(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - n_bytes)
+                 // {SHARD_TARGET_BYTES} AS shard_id
+      FROM media
+    )
+    SELECT kind, shard_id, count(*) AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+           min(media_id) AS first_media_id, max(media_id) AS last_media_id
+    FROM packed GROUP BY kind, shard_id
+    """,
+)
+def q_mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard packing for multimodal training data: assign media items to
+    fixed-size output shards (WebDataset/tar-shard style) by greedy
+    sequential fill — shard = floor(bytes-before-me / target) within
+    each kind, i.e. a new shard starts once the running payload size
+    crosses the target. One window cumsum + one aggregate, all-integer.
+
+    The payload itself is never shuffled for the PLAN of the packing —
+    only (kind, media_id, n_bytes) flows through the window; the writer
+    stage later repartitions by (kind, shard_id) so each task streams
+    exactly one shard. ``octet_length`` on the binary column prunes to
+    parquet column statistics at scale; the test target is 4 KB standing
+    in for the ~512 MB production shard."""
+    media = synth_media(spark, sf_dir)
+    from pyspark.sql import Window
+
+    sized = media.select(
+        "kind", "media_id", F.octet_length("payload").alias("n_bytes")
+    )
+    w = (
+        Window.partitionBy("kind")
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_bytes").over(w) - F.col("n_bytes"))
+            / F.lit(SHARD_TARGET_BYTES)
+        ),
+    )
+    return packed.groupBy("kind", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+        F.min("media_id").alias("first_media_id"),
+        F.max("media_id").alias("last_media_id"),
+    )

@@ -388,3 +388,47 @@ def q_llm_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("rate_e6"),
         )
     )
+
+
+RESERVOIR_K = 10
+
+
+@register(
+    "q_llm_reservoir_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, rn
+    FROM ranked WHERE rn <= {RESERVOIR_K}
+    """,
+)
+def q_llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE per-stratum sample (the reservoir-sampling contract:
+    exactly K docs per language, every doc equally likely) made
+    deterministic: rank docs inside each stratum by md5(doc_id) — a
+    uniform pseudo-random order that is reproducible across clusters,
+    partitionings, and retries, unlike rand()-reservoirs — and keep the
+    first K. Complements q_llm_stratified_sample (fixed RATE): fixed
+    size is what eval-set carving and per-domain caps need.
+
+    Plan: one window rank per stratum. At 100 TB the same contract runs
+    as groupBy(lang).agg(min_by-K) — a partial-aggregating top-K — but
+    the window form keeps the driver-checkable rank column."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        d.select(
+            "doc_id", "lang", "source", "n_chars",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= RESERVOIR_K)
+    )
