@@ -203,3 +203,83 @@ def test_salted_join_equals_plain_on_generated_skew(spark, fact_rows, n_salt):
         )
     )
     assert plain == salted
+
+
+@st.composite
+def _nearest_case(draw):
+    """Per-user purchase/click integer timestamps, ids globally unique."""
+    n_keys = draw(st.integers(1, 2))
+    purchases, clicks = [], []
+    eid = 0
+    for k in range(n_keys):
+        for t in draw(st.lists(st.integers(0, 30), min_size=1, max_size=5)):
+            purchases.append((eid, k, t))
+            eid += 1
+        for t in draw(st.lists(st.integers(0, 30), min_size=0, max_size=5)):
+            clicks.append((eid, k, t))
+            eid += 1
+    return purchases, clicks
+
+
+@given(case=_nearest_case())
+@settings(**_SETTINGS)
+def test_asof_nearest_matches_pandas_merge_asof(spark, case, tmp_path_factory):
+    """q_join_asof_nearest implements pandas merge_asof(direction=
+    'nearest') semantics exactly — including the backward preference on
+    equal distance and input-order resolution of duplicate right
+    timestamps — verified against pandas itself as the independent
+    oracle on generated tie-heavy cases."""
+    import pandas as pd
+
+    from ex_hivent_spark.operators.joins import q_join_asof_nearest
+
+    purchases, clicks = case
+    rows = [(eid, k, t, "purchase") for eid, k, t in purchases] + [
+        (eid, k, t, "click") for eid, k, t in clicks
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, user_id long, t long, event_type string"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    d = tmp_path_factory.mktemp("nearest")
+    src.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        r["purchase_id"]: (r["click_id"], r["gap_us"])
+        for r in q_join_asof_nearest(spark, str(d)).collect()
+    }
+
+    p = (
+        pd.DataFrame(purchases, columns=["purchase_id", "user_id", "t"])
+        .sort_values(["t", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    c = (
+        pd.DataFrame(clicks, columns=["click_id", "user_id", "t"])
+        .sort_values(["t", "click_id"])
+        .reset_index(drop=True)
+    )
+    if len(c) == 0:
+        expected = {pid: None for pid in p["purchase_id"]}
+    else:
+        m = pd.merge_asof(p, c, on="t", by="user_id", direction="nearest")
+        expected = {
+            r.purchase_id: None if pd.isna(r.click_id) else int(r.click_id)
+            for r in m.itertuples()
+        }
+
+    assert set(got) == set(expected)
+    click_ts = {eid: t for eid, _, t in clicks}
+    purch_ts = {eid: t for eid, _, t in purchases}
+    for pid, (cid, gap) in got.items():
+        assert cid == expected[pid], (pid, cid, expected[pid])
+        if cid is None:
+            assert gap is None
+        else:
+            assert gap == abs(purch_ts[pid] - click_ts[cid]) * 1_000_000
