@@ -322,3 +322,40 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("user_id") % 2 == 0, F.col("value"))
         ).alias("max_even_user_value"),
     )
+
+
+@register(
+    "q_fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER)
+               AS prop_missing,
+           json_valid('x' || props) AS still_valid
+    FROM events
+    """,
+)
+def q_fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4's VARIANT type: ``props``
+    parsed once with ``parse_json``, fields extracted with typed
+    ``variant_get`` paths (missing path → NULL, not an error), and
+    malformed input probed with ``try_parse_json`` (returns NULL
+    instead of raising — the quarantine-friendly path).
+
+    VARIANT is the scale answer for heterogeneous event payloads: the
+    binary encoding is parsed once at ingest and every downstream
+    field access is a cheap typed probe, instead of re-parsing JSON
+    text per expression as ``get_json_object`` does. The oracle mirrors
+    with DuckDB's JSON probes on the same paths."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("prop_k"),
+        F.variant_get(v, "$.missing", "int").alias("prop_missing"),
+        # prefix corruption: both engines reject it (Spark's Jackson
+        # parser tolerates TRAILING garbage after a complete value)
+        F.try_parse_json(F.concat(F.lit("x"), F.col("props")))
+        .isNotNull()
+        .alias("still_valid"),
+    )

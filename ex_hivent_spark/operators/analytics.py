@@ -651,3 +651,64 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 12  # z-bucket granularity (keys are ~8-11 bits at test SFs)
+
+
+def _z_terms_sql(x: str, y: str, bits: int = _Z_BITS) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "q_layout_zorder",
+    oracle=f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey,
+             ({_z_terms_sql("l_partkey", "l_suppkey")}) AS zval
+      FROM lineitem
+    )
+    SELECT zval >> {_Z_BUCKET_SHIFT} AS z_bucket, count(*) AS n_rows,
+           min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+    FROM z GROUP BY 1
+    """,
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout clustering — the lakehouse
+    OPTIMIZE ZORDER primitive as a driver-checkable query: interleave
+    the bits of two join/filter keys, bucket rows by the top z-bits,
+    and report per-bucket min/max of BOTH keys. The tight per-bucket
+    ranges on both dimensions at once ARE the data-skipping property
+    (parquet footer min/max becomes selective for either predicate);
+    a plain sort gives this on its leading column only.
+
+    The bit interleave is a pure integer expression (codegen'd, exact
+    in any engine); the production write path with range partitioning
+    is :func:`ex_hivent_spark.maintenance.zorder_write`, which this
+    query's bucket stats verify the clustering contract of."""
+    li = load_table(spark, sf_dir, "lineitem")
+    zx, zy = F.col("l_partkey"), F.col("l_suppkey")
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(F.shiftleft(F.shiftright(zx, b).bitwiseAND(1), 2 * b))
+        terms.append(F.shiftleft(F.shiftright(zy, b).bitwiseAND(1), 2 * b + 1))
+    zval = terms[0]
+    for t in terms[1:]:
+        zval = zval + t
+    return (
+        li.select("l_partkey", "l_suppkey", zval.alias("zval"))
+        .groupBy(F.shiftright("zval", _Z_BUCKET_SHIFT).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
