@@ -54,6 +54,13 @@ HEADLINE = [
     "q_agg_sketch_rollup",
     "q_win_time_range_frame",
     "q_join_asof_tolerance",
+    "q_join_asof_nearest",
+    "q_ts_linear_interp",
+    "q_llm_unigram_logprob",
+    "q_agg_bitmap_rollup",
+    "q_win_rolling_median",
+    "q_mm_shard_pack",
+    "q_layout_zorder",
 ]
 
 

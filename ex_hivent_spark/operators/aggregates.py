@@ -408,3 +408,42 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ap") <= F.element_at("pv", 3))
         ).alias("approx_in_bounds"),
     )
+
+
+@register(
+    "q_agg_bitmap_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           count(DISTINCT user_id) AS n_users_exact
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user rollup via bitmap aggregates — the exact
+    counterpart of the HLL sketch rollup (q_agg_sketch_rollup): per
+    (day, bitmap-bucket) cells hold a roaring-style bitmap of user ids
+    (``bitmap_construct_agg``); the week level merges cells with
+    ``bitmap_or_agg`` and sums per-bucket ``bitmap_count`` — exact
+    distinct counts at any rollup level WITHOUT re-touching raw rows.
+
+    This is how exact distinct survives 100 TB/day: the day→week→month
+    hierarchy merges fixed-size bitmap cells (one OR per bucket), and
+    dedup work distributes across (day, bucket) keys instead of one
+    giant count-distinct shuffle. The oracle is the semantic contract:
+    plain count(DISTINCT) per week."""
+    e = load_table(spark, sf_dir, "events")
+    day_cells = (
+        e.select(
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .groupBy("week", "day", F.bitmap_bucket_number("user_id").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    )
+    week_cells = day_cells.groupBy("week", "bucket").agg(
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("n_in_bucket")
+    )
+    return week_cells.groupBy("week").agg(
+        F.sum("n_in_bucket").alias("n_users_exact")
+    )

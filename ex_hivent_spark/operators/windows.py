@@ -583,3 +583,52 @@ def q_ts_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("value_interp"),
     )
+
+
+_MED_WINDOW = 5  # rolling frame: current row + 4 preceding
+
+
+@register(
+    "q_win_rolling_median",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {_MED_WINDOW - 1} PRECEDING
+                               AND CURRENT ROW) AS roll_median
+    FROM events
+    """,
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the last {n} events per user — the robust
+    smoother Spark has no native window-percentile for. Implemented as
+    ``collect_list`` over the rows frame + ``array_sort`` + middle
+    element (odd count) / mean of the two middles (even count, one
+    exact IEEE add+halve — matching DuckDB's interpolating median).
+
+    Sound ONLY for small fixed frames (O(w log w) per row, w=5 here):
+    the right tool for bounded "last N readings" smoothing. Unbounded
+    or large-frame percentiles belong to q_agg_approx_percentile's
+    sketch contract instead — that asymmetry is the scale design, not
+    an accident."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_MED_WINDOW - 1), Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    odd = F.try_element_at(arr, ((n + F.lit(1)) / 2).cast("int"))
+    even = (
+        F.try_element_at(arr, (n / 2).cast("int"))
+        + F.try_element_at(arr, (n / 2).cast("int") + 1)
+    ) / 2
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, odd)
+        .otherwise(even)
+        .alias("roll_median"),
+    )
