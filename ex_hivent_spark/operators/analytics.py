@@ -712,3 +712,137 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_supp"),
         )
     )
+
+
+@register(
+    "q_tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")},
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast-revenue-change — a pure scan-filter-
+    aggregate with every predicate pushed into the parquet scan (year
+    range, discount band, quantity cap are all footer-stat prunable)
+    and a single map-side-combining global sum. The canonical
+    'selective scan beats any index' OLAP query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_SQL_PROMO_REV = (
+    "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+    "ELSE 0 END"
+)
+
+
+@register(
+    "q_tpch_q14_promo_effect",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           {sql_dsum(_SQL_PROMO_REV, "promo_revenue")},
+           {sql_dsum(_SQL_REVENUE, "total_revenue")},
+           (100.0 * CAST(sum(CAST({_SQL_PROMO_REV} AS DECIMAL(25,6)))
+                         AS DOUBLE))
+               / CAST(sum(CAST({_SQL_REVENUE} AS DECIMAL(25,6))) AS DOUBLE)
+               AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share per ship month. The
+    part side is a dimension → broadcast join; both sums are one
+    conditional aggregate pass (no second scan for the numerator); the
+    share is a single deterministic double division of two decimal
+    sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    out = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+        )
+        .agg(
+            dsum(promo, "promo_revenue"),
+            dsum(rev, "total_revenue"),
+        )
+    )
+    return out.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        ((F.lit(100.0) * F.col("promo_revenue")) / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+_Q18_QTY = 250
+
+
+@register(
+    "q_tpch_q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             {sql_dsum("l_quantity", "total_qty")}
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > {_Q18_QTY}
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (total quantity above a
+    threshold) with their customers. The quantity rollup aggregates
+    BEFORE any join — the pre-aggregation pushdown that matters at
+    scale (lineitem never joins at line granularity); the surviving
+    ~1% of orders then equi-join orders and customer, and the top-100
+    is a TakeOrdered with a unique tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > _Q18_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
