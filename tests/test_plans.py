@@ -218,3 +218,26 @@ def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_llm_unigram_logprob", mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q6_predicates_pushed_to_scan(spark, sf_dir):
+    """Q6's date/discount/quantity predicates must reach the parquet
+    scan as PushedFilters — the whole point of the Q6 shape."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q14_broadcasts_part_dim(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_tpch_q14_promo_effect", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_preaggregates_before_join(spark, sf_dir):
+    """The quantity rollup must occur BELOW both joins in the plan:
+    lineitem never joins at line granularity."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q18_large_orders", mode="simple")
+    agg_pos = plan.rfind("HashAggregate")
+    join_pos = plan.rfind("Join")
+    assert agg_pos > join_pos, "expected the deepest aggregate below joins"
