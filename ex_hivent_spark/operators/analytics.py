@@ -846,3 +846,111 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q_quality_fk_orphans",
+    oracle="""
+    SELECT 'orders->customer' AS relation,
+           count(*) AS n_rows,
+           count(*) FILTER (c_custkey IS NULL) AS n_orphans
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders', count(*),
+           count(*) FILTER (o_orderkey IS NULL)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', count(*),
+           count(*) FILTER (p_partkey IS NULL)
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    UNION ALL
+    SELECT 'supplier->nation', count(*),
+           count(*) FILTER (n_nationkey IS NULL)
+    FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def q_quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: per foreign-key relation, total rows
+    and rows whose key has no parent — the standard pre-pipeline data
+    contract check. Each relation is a LEFT join probed for null parent
+    keys; dimension parents broadcast, and at scale the fact side
+    aggregates to (key, count) BEFORE probing when orphan context isn't
+    needed. One result row per relation, trivially unionable into a
+    quality dashboard."""
+
+    def audit(rel, fact, dim, fk, pk):
+        joined = fact.join(dim, fact[fk] == dim[pk], "left")
+        return joined.agg(
+            F.lit(rel).alias("relation"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(dim[pk].isNull(), 1)).alias("n_orphans"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        audit("orders->customer", o, c, "o_custkey", "c_custkey")
+        .unionByName(audit("lineitem->orders", li, o, "l_orderkey", "o_orderkey"))
+        .unionByName(audit("lineitem->part", li, p, "l_partkey", "p_partkey"))
+        .unionByName(audit("supplier->nation", s, n, "s_nationkey", "n_nationkey"))
+    )
+
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "q_quality_profile",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'event_id' AS col, count(*) AS n_rows,
+             count(event_id) AS n_filled,
+             count(DISTINCT event_id) AS n_distinct FROM events
+      UNION ALL
+      SELECT 'ts', count(*), count(ts), count(DISTINCT ts) FROM events
+      UNION ALL
+      SELECT 'user_id', count(*), count(user_id),
+             count(DISTINCT user_id) FROM events
+      UNION ALL
+      SELECT 'event_type', count(*), count(event_type),
+             count(DISTINCT event_type) FROM events
+      UNION ALL
+      SELECT 'value', count(*), count(value),
+             count(DISTINCT value) FROM events
+      UNION ALL
+      SELECT 'props', count(*), count(props),
+             count(DISTINCT props) FROM events
+    )
+    """,
+)
+def q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (completeness + cardinality) for the events
+    table: one row per column with total / non-null / exact-distinct
+    counts — the ingest-time data-profile every warehouse emits.
+
+    ONE scan, no per-column passes: all 18 aggregates compute in a
+    single hash-aggregate stage (count + count(col) + count_distinct
+    per column), then unpivot to rows via a literal stack — the
+    multi-count-distinct plan Spark expands internally is still one
+    source read. At 100 TB, swap exact distinct for approx_ or the
+    bitmap cells of q_agg_bitmap_rollup; the profile SHAPE is
+    identical."""
+    e = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col in _PROFILE_COLS:
+        aggs.append(F.count(col).alias(f"f_{col}"))
+        aggs.append(F.countDistinct(col).alias(f"d_{col}"))
+    wide = e.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', f_{c}, d_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, n_filled, n_distinct)"
+        ),
+        "n_rows",
+    ).select("col", "n_rows", "n_filled", "n_distinct")
