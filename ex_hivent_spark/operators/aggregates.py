@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table, register_views
-from ex_hivent_spark.functions.decimals import davg, dsum, sql_davg, sql_dsum
+from ex_hivent_spark.functions.decimals import (
+    davg,
+    dround,
+    dsum,
+    sql_davg,
+    sql_dround,
+    sql_dsum,
+)
 from ex_hivent_spark.plans.registry import register
 
 
@@ -446,4 +453,50 @@ def q_agg_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return week_cells.groupBy("week").agg(
         F.sum("n_in_bucket").alias("n_users_exact")
+    )
+
+
+@register(
+    "q_agg_winsorize",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             {sql_dround("quantile_cont(value, 0.05)", 6)} AS p05,
+             {sql_dround("quantile_cont(value, 0.95)", 6)} AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, any_value(p05) AS p05, any_value(p95) AS p95,
+           count(*) FILTER (value < p05 OR value > p95) AS n_clipped,
+           {sql_davg("greatest(p05, least(p95, value))", "winsorized_mean")},
+           {sql_davg("value", "raw_mean")}
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped-tail) robust aggregation: per event type,
+    the 5th/95th percentile bounds, how many values they clip, and the
+    winsorized vs raw mean — the outlier-robust KPI pattern. Two
+    passes: a per-group exact percentile (per-group sort, same envelope
+    as any ranking), then the tiny bounds table broadcast back onto the
+    fact scan for clip-and-aggregate. Percentiles e6-rounded (shared
+    Spark/DuckDB interpolation definition, last-ulp guard); clipping
+    compares against the rounded bounds so the clip set is identical in
+    both engines, and means go through decimal sums."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        dround(F.percentile("value", F.lit(0.05)), 6).alias("p05"),
+        dround(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+    j = e.join(F.broadcast(bounds), "event_type")
+    clipped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value")))
+    out_of_band = (F.col("value") < F.col("p05")) | (
+        F.col("value") > F.col("p95")
+    )
+    return j.groupBy("event_type").agg(
+        F.any_value("p05").alias("p05"),
+        F.any_value("p95").alias("p95"),
+        F.count(F.when(out_of_band, 1)).alias("n_clipped"),
+        davg(clipped, "winsorized_mean"),
+        davg("value", "raw_mean"),
     )
