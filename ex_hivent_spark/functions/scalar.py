@@ -359,3 +359,43 @@ def q_fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isNotNull()
         .alias("still_valid"),
     )
+
+
+@register(
+    "q_fn_fuzzy_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    t AS (
+      SELECT p_name, string_split(p_name, ' ')[2] AS noun FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM t a JOIN t b ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def q_fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching with blocking — the record-linkage /
+    entity-resolution primitive: candidate part-name pairs share a
+    blocking key (the noun token) and survive a levenshtein edit-
+    distance threshold. The blocked equi-join is the scale pattern —
+    distance computes only within blocks, never across the full n²;
+    at 100 TB the block key comes from phonetic/sorted-token keys, the
+    plan is identical. Distinct names first, so the pair space is the
+    name VOCABULARY, not the row count."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    t = names.select(
+        "p_name", F.split("p_name", " ").getItem(1).alias("noun")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.noun") == F.col("b.noun"))
+        & (F.col("a.p_name") < F.col("b.p_name")),
+    ).select(
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+    )
+    return pairs.filter(F.col("edit_dist") <= 4)
