@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -160,7 +162,7 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+        dround(dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -172,6 +174,46 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_HYPERPLANES = 8
+EMBED_DIM = 64  # embeddings table dimensionality (TESTDATA.md)
+
+
+def _plane_matrix(n_planes: int, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, PRECOMPUTED as plain
+    floats: component (plane p, dim i) derives from md5(f"{p}:{i}")
+    mapped to [-1, 1). No RNG — and because the matrix is ordinary
+    literals rather than per-row hash expressions, (a) the projection
+    is a cheap literal-array dot product in codegen, and (b) the SQL
+    oracle can embed the IDENTICAL constants, making sign-LSH
+    hash-checkable across engines."""
+    out = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:12], 16)
+            row.append(h % 2_000_003 / 1_000_001.5 - 1.0)
+        out.append(row)
+    return out
+
+
+def _plane_sql(row: list[float]) -> str:
+    """The literal hyperplane as SQL — scientific notation so DuckDB
+    types every element DOUBLE (a plain decimal list would be DECIMAL
+    and hash-mismatch), with round-trip precision."""
+    return "[" + ", ".join(f"{v:.17e}" for v in row) + "]"
+
+
+def _sign_bits(n_planes: int, unit_col: str = "unit") -> list[Column]:
+    """0/1 sign bits of ``n_planes`` hyperplane projections of a
+    unit-vector column (projection = sequential fold over the literal
+    plane, same index order as the oracle's list_dot_product)."""
+    bits = []
+    for row in _plane_matrix(n_planes):
+        proj = dot(F.col(unit_col), F.lit(row))
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
 # Sign-LSH banding for near-dup candidate generation: 4 bands x 2
 # hyperplane bits. Agreeing on any one band makes a pair a candidate.
 # For a pair at cosine c, P(bit agrees) = 1 - acos(c)/pi, so a genuine
@@ -181,7 +223,64 @@ NEARDUP_BANDS = 4
 NEARDUP_BAND_BITS = 2
 
 
-@register("q_llm_embedding_neardup", oracle=None)
+def _neardup_oracle_sql() -> str:
+    """SQL twin of the full sign-LSH near-dup pipeline: identical
+    hyperplane literals, identical fold order (list_dot_product ≙ the
+    sequential aggregate), identical banding arithmetic — so even the
+    LSH candidate SET is reproduced exactly, not approximated."""
+    planes = _plane_matrix(NEARDUP_BANDS * NEARDUP_BAND_BITS)
+    bit_cols = ",\n             ".join(
+        f"CASE WHEN list_dot_product(u, {_plane_sql(planes[p])}) >= 0"
+        f" THEN 1 ELSE 0 END AS bit{p}"
+        for p in range(len(planes))
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, label, u, {band} AS band_id,"
+        f" bit{2 * band} + 2 * bit{2 * band + 1} AS band_hash FROM sig"
+        for band in range(NEARDUP_BANDS)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id, label,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    sig AS (
+      SELECT vec_id, label, u,
+             {bit_cols}
+      FROM unit
+    ),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                      a.label AS label
+      FROM banded a JOIN banded b
+        ON a.label = b.label AND a.band_id = b.band_id
+       AND a.band_hash = b.band_hash AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.vec_a, c.vec_b, c.label,
+             floor(list_dot_product(ua.u, ub.u) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cosine
+      FROM cand c
+      JOIN unit ua ON ua.vec_id = c.vec_a
+      JOIN unit ub ON ub.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, label, cosine
+    FROM scored WHERE cosine >= 0.35
+    ORDER BY cosine DESC, vec_a, vec_b LIMIT 100
+    """
+
+
+@register("q_llm_embedding_neardup", oracle=_neardup_oracle_sql())
 def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, reporting the top-100
     closest pairs with cosine >= 0.35 within a (label, LSH-band) block.
@@ -192,8 +291,10 @@ def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band buckets shrink with corpus density. The joint key
     (label, band_id, band_hash) keeps the pair join shuffle-partitioned
     on a high-cardinality key; the exact cosine then verifies every
-    candidate. Rows-only check (pair scores are float-order sensitive);
-    deterministic via hash-derived hyperplanes and fixed tie-breaks."""
+    candidate. HASH-CHECKED end to end: the hyperplanes are literal
+    constants shared with the oracle text, so the oracle reproduces the
+    exact LSH candidate set and the e6 cosines (both engines fold in
+    index order in double precision)."""
     em = load_table(spark, sf_dir, "embeddings")
     norm = l2_norm(F.col("embedding"))
     unit = em.select(
@@ -236,7 +337,7 @@ def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            F.round(dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
+            dround(dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
         )
         .distinct()  # a pair can agree on several bands
     )
@@ -247,36 +348,6 @@ def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_HYPERPLANES = 8
-
-
-def _sign_bits(n_planes: int, unit_col: str = "unit") -> list[Column]:
-    """0/1 sign bits of ``n_planes`` deterministic pseudo-random
-    hyperplane projections of a unit-vector column. Hyperplane component
-    for (dim i, plane p) derives from xxhash64(i, p) mapped to [-1, 1) —
-    no RNG, reproducible on any cluster/partitioning."""
-
-    def plane_component(i: Column, p: int) -> Column:
-        h = F.xxhash64(i, F.lit(p))
-        return (F.pmod(h, F.lit(2_000_003)) / F.lit(1_000_001.5)) - F.lit(1.0)
-
-    def _plane_fn(p: int):
-        # 1-arg lambda factory: pyspark HOF binding counts default args,
-        # so `lambda i, p=p` would be (mis)bound as a 2-arg (value, index)
-        # lambda — the index would silently replace p.
-        return lambda i: plane_component(i, p)
-
-    idx = F.sequence(F.lit(0), F.size(unit_col) - 1)
-    bits = []
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(F.col(unit_col), F.transform(idx, _plane_fn(p)),
-                       lambda x, h: x * h),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
-    return bits
 
 
 @register("q_llm_lsh_topk", oracle=None)
@@ -309,7 +380,7 @@ def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-            F.round(dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
+            dround(dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
         )
     )
     # argmax by (cosine desc, neighbor_id asc): max of a struct ordered
@@ -431,7 +502,7 @@ def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+            dround(dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
         )
     )
     w_top = Window.partitionBy("query_id").orderBy(

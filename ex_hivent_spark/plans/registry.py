@@ -120,12 +120,12 @@ DRIVER_CHECK_FIRST = [
     "q_win_time_range_frame",
     "q_join_asof_tolerance",
     "q_llm_cosine_topk",
+    "q_llm_embedding_neardup",
     # rows-only flagships: sketch/ANN/multimodal ops whose estimates are
     # not SQL-expressible — the driver records the weaker ran+rows check.
-    # (q_mm_frame_sample / q_llm_embedding_neardup rotate in next round.)
+    # (q_mm_frame_sample rotates in next round, with the 14 late-r3 ops.)
     "q_llm_lsh_topk",
     "q_llm_ivf_topk",
-    "q_mm_decode_features",
 ]
 
 
