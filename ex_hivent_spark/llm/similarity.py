@@ -350,7 +350,52 @@ def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("q_llm_lsh_topk", oracle=None)
+def _lsh_topk_oracle_sql() -> str:
+    """SQL twin of the sign-LSH bucket search: identical literal
+    hyperplanes, identical signature arithmetic, per-bucket cosine with
+    the shared floor-rounding — the argmax mirrors max(struct) as
+    row_number() = 1 with the same (cosine desc, id asc) tie-break."""
+    planes = _plane_matrix(N_HYPERPLANES)
+    bit_cols = ",\n             ".join(
+        f"CASE WHEN list_dot_product(u, {_plane_sql(planes[p])}) >= 0"
+        f" THEN 1 ELSE 0 END AS bit{p}"
+        for p in range(N_HYPERPLANES)
+    )
+    signature = " + ".join(f"{1 << p} * bit{p}" for p in range(N_HYPERPLANES))
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    sig AS (
+      SELECT vec_id, u,
+             {bit_cols}
+      FROM unit
+    ),
+    bucketed AS (SELECT vec_id, u, {signature} AS bucket FROM sig),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             floor(list_dot_product(a.u, b.u) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cosine
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn = 1
+    """
+
+
+@register("q_llm_lsh_topk", oracle=_lsh_topk_oracle_sql())
 def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate neighbor candidates via sign-random-projection LSH:
     8 deterministic hyperplanes bucket every vector by an 8-bit sign
@@ -358,7 +403,8 @@ def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path: shuffle by bucket key, Σ bucket² work instead of n².
     Output: per-vector best in-bucket neighbor, found with a single
     max(struct) hash aggregation — partial (map-side) combine, no
-    per-group sort, unlike a row_number window."""
+    per-group sort, unlike a row_number window. HASH-CHECKED against a
+    SQL twin sharing the literal hyperplanes and fold order."""
     em = load_table(spark, sf_dir, "embeddings")
     unit = _normalized(em)
 
@@ -405,7 +451,56 @@ N_CELLS = 16
 N_PROBE = 4
 
 
-@register("q_llm_ivf_topk", oracle=None)
+_IVF_ORACLE_SQL = """
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, u AS centroid FROM unit
+      WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT {n_cells}
+    ),
+    sims AS (
+      SELECT v.vec_id, v.u, c.cell_id,
+             list_dot_product(v.u, c.centroid) AS csim
+      FROM unit v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim DESC, cell_id) AS rn
+      FROM sims
+    ),
+    members AS (SELECT vec_id, u, cell_id FROM assigned WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, u AS qu, cell_id
+      FROM assigned WHERE vec_id % 50 = 0 AND rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id,
+             floor(list_dot_product(p.qu, m.u) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cosine
+      FROM probes p JOIN members m USING (cell_id)
+      WHERE m.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {top_k}
+"""
+
+
+@register(
+    "q_llm_ivf_topk",
+    oracle=_IVF_ORACLE_SQL.format(n_cells=N_CELLS, n_probe=N_PROBE, top_k=TOP_K),
+)
 def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors — the coarse-
     quantizer scale path complementing sign-LSH (q_llm_lsh_topk):
@@ -421,8 +516,10 @@ def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        joins query→cell→members, so compared pairs are
        Σ_probed |cell| ≪ n per query — the IVF inverted-list pruning.
 
-    Rows-only check (float-order sensitive); recall vs the brute-force
-    baseline is asserted in tests/test_llm_ops.py.
+    HASH-CHECKED: literal-constant centrostride + index-order folds
+    make assignment, probing, and e6 scoring identical in the SQL twin;
+    recall vs the brute-force baseline is asserted in
+    tests/test_llm_ops.py.
     """
     from pyspark.sql import Window
 

@@ -121,9 +121,10 @@ DRIVER_CHECK_FIRST = [
     "q_join_asof_tolerance",
     "q_llm_cosine_topk",
     "q_llm_embedding_neardup",
-    # rows-only flagships: sketch/ANN/multimodal ops whose estimates are
-    # not SQL-expressible — the driver records the weaker ran+rows check.
-    # (q_mm_frame_sample rotates in next round, with the 14 late-r3 ops.)
+    # ANN flagships — hash-checked since the literal-hyperplane /
+    # literal-codebook rewrite (oracles reproduce the exact candidate
+    # sets). (q_mm_frame_sample/q_mm_decode_features rotate in next
+    # round, with the other late-r3 ops.)
     "q_llm_lsh_topk",
     "q_llm_ivf_topk",
 ]
