@@ -1,8 +1,8 @@
 """LLM-pipeline deduplication operators: exact (hash-groupBy) and
 MinHash-LSH near-duplicate detection.
 
-Everything is built-in Spark expressions (xxhash64 / md5 / higher-order
-array functions) — no Python UDFs, so the whole pipeline stays in
+Everything is built-in Spark expressions (md5-prefix integer hashing /
+higher-order array functions) — no Python UDFs, so the whole pipeline stays in
 whole-stage codegen and scales linearly:
 
 - exact dedup: one shuffle on the content hash.
@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround
 from ex_hivent_spark.plans.registry import register
 
 # MinHash parameters: 16 bands x 2 rows = 32 permutations.
@@ -54,16 +55,27 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def md5_int48(col: Column) -> Column:
+    """48-bit non-negative integer from the md5 hex prefix. md5 is the
+    one hash every SQL engine shares, so these values are reproducible
+    VERBATIM in the DuckDB oracle (``('0x' || substr(md5(x), 1, 12))::
+    BIGINT``) — the property that lets sketch pipelines (MinHash bands,
+    SimHash votes) be hash-checked end to end. xxhash64 would be ~5x
+    cheaper per call but Spark-only; the explode+aggregate pipeline
+    shape, which dominates cost, is unchanged."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
 def shingles(text: Column, k: int = SHINGLE_K) -> Column:
     """Distinct k-token shingles of a whitespace-tokenized text, each
-    hashed to a 64-bit int with xxhash64. Pure built-ins: split +
-    transform over an index sequence + slice + concat."""
+    hashed to a 48-bit int via :func:`md5_int48`. Pure built-ins:
+    split + transform over an index sequence + slice + concat."""
     tokens = F.split(text, " ")
     n = F.greatest(F.size(tokens) - (k - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, k))),
+            lambda i: md5_int48(F.concat_ws(" ", F.slice(tokens, i, k))),
         )
     )
 
@@ -77,13 +89,68 @@ def perm_hash(shingle: Column, i: int) -> Column:
     )
 
 
-@register("q_llm_minhash_neardup", oracle=None)
+def _minhash_oracle_sql() -> str:
+    """SQL twin of the FULL MinHash+LSH pipeline — md5-prefix shingle
+    ints, the same 32 universal-hash minima, the same arithmetic band
+    keys, the same verification ratio — so even the sketch's candidate
+    set is reproduced exactly, not approximated."""
+    mins = ",\n             ".join(
+        f"min(({2 * i + 1} * (x % {_P}) + {1_000_003 * (i + 1)}) % {_P})"
+        f" AS mh{i}"
+        for i in range(N_PERM)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_id,"
+        f" mh{i * ROWS_PER_BAND} * {1 << 31} + mh{i * ROWS_PER_BAND + 1}"
+        f" AS band_hash FROM mins"
+        for i in range(N_BANDS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')),
+                                    1, 12))::BIGINT)) AS s
+      FROM toks
+    ),
+    xs AS (SELECT doc_id, unnest(s) AS x FROM sh),
+    mins AS (SELECT doc_id, {mins} FROM xs GROUP BY doc_id),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    tok_sets AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+      FROM documents
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             floor(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ta.ts, tb.ts)))
+                   * 10000.0 + 0.5) / 10000.0 AS jaccard
+      FROM cand c JOIN tok_sets ta ON ta.doc_id = c.doc_a
+                  JOIN tok_sets tb ON tb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+    """
+
+
+@register("q_llm_minhash_neardup", oracle=_minhash_oracle_sql())
 def q_llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate document pairs via MinHash + LSH banding, verified
     with exact token-set Jaccard >= 0.5. Output: (doc_a, doc_b, jaccard).
 
-    Not SQL-expressible for the oracle (sketch-based candidate
-    generation); result is deterministic, the driver records rows-only.
+    HASH-CHECKED end to end: shingle ints are md5-prefix values shared
+    with every SQL engine, the 32 permutation minima are exact integer
+    arithmetic, and band keys are injective integer combinations — the
+    oracle reproduces the sketch's candidate set exactly.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -100,12 +167,17 @@ def q_llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # LSH: hash each band of the signature; docs sharing any band bucket
     # become candidate pairs.
+    # Band key: injective integer combination of the band's minima
+    # (each < 2^31, so a*2^31 + b < 2^62) — an exact join key both
+    # engines compute identically, where a hash of the pair would be
+    # engine-specific.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band_id"),
-                F.xxhash64(
-                    *[F.col(f"mh{i * ROWS_PER_BAND + j}") for j in range(ROWS_PER_BAND)]
+                (
+                    F.col(f"mh{i * ROWS_PER_BAND}") * F.lit(1 << 31)
+                    + F.col(f"mh{i * ROWS_PER_BAND + 1}")
                 ).alias("band_hash"),
             )
             for i in range(N_BANDS)
@@ -142,7 +214,7 @@ def q_llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("tok_set", "tok_b")
         .withColumn(
             "jaccard",
-            F.round(
+            dround(
                 F.size(F.array_intersect("tok_a", "tok_b"))
                 / F.size(F.array_union("tok_a", "tok_b")),
                 4,
@@ -194,8 +266,8 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) is a single integer-ratio double
     division — bit-deterministic, no rounding needed.
 
-    Implementation notes: shingles are represented by their xxhash64
-    values throughout (set cardinalities are unchanged barring a 64-bit
+    Implementation notes: shingles are represented by their md5-prefix
+    48-bit ints throughout (set cardinalities are unchanged barring a
     collision; the sf0.01 oracle hash-check agrees with the string-set
     SQL oracle). The per-doc hash set is built once with one explode +
     groupBy(collect_set) — the cheap exploded-hash pattern shared with
@@ -218,7 +290,7 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows on executor-local disk — far smaller than the text itself.
     hs = hs.localCheckpoint(eager=False)
 
-    # Prefix under the xxhash64 global order: the |s| - ceil(0.5*|s|) + 1
+    # Prefix under the hashed-shingle global order: |s| - ceil(0.5*|s|) + 1
     # smallest shingle hashes of each doc.
     n = F.size("hs")
     prefix_len = n - F.ceil(n * F.lit(0.5)).cast("int") + 1
@@ -253,22 +325,48 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle_sql() -> str:
+    """SQL twin of the 16-bit SimHash: md5-prefix token ints, the same
+    per-bit +1/-1 votes, the same fingerprint assembly — all integer
+    arithmetic, exact in any engine."""
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h FROM tk
+    ),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, {fp} AS simhash FROM votes)
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+    FROM fp GROUP BY simhash
+    """
+
+
 @register(
     "q_llm_simhash_groups",
-    oracle=None,
+    oracle=_simhash_oracle_sql(),
 )
 def q_llm_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprinting: 16-bit simhash over token hashes; groups
-    documents by fingerprint (candidate near-dup clusters). Deterministic
-    but sketch-based → rows-only check. Output: (simhash, n_docs,
-    min_doc_id)."""
+    documents by fingerprint (candidate near-dup clusters). HASH-CHECKED:
+    md5-prefix token ints and integer bit votes make the sketch itself
+    cross-engine-exact. Output: (simhash, n_docs, min_doc_id)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # Explode + codegen'd aggregate (same rationale as the MinHash
     # signature: per-element HOF lambdas are interpreted, exploded hash
     # aggregation is whole-stage codegen with map-side combine).
     tk = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select("doc_id", md5_int48(F.col("tok")).alias("h"))
     # For each of 16 bits: sum(+1/-1 per token) >= 0 -> bit set.
     votes = tk.groupBy("doc_id").agg(
         *[
