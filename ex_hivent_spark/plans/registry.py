@@ -114,7 +114,9 @@ DRIVER_CHECK_FIRST = [
     "q_llm_dedup_clusters",
     "q_llm_dedup_keep_best",
     # sketch-contract + window + join additions (r3)
-    "q_agg_approx_distinct",
+    # (q_agg_approx_distinct already holds its best-possible rows-only
+    # entry from r02 — slot goes to the newly-oracled PageRank instead)
+    "q_llm_graph_pagerank",
     "q_agg_sketch_rollup",
     "q_agg_approx_percentile",
     "q_win_time_range_frame",
