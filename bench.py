@@ -61,6 +61,13 @@ HEADLINE = [
     "q_win_rolling_median",
     "q_mm_shard_pack",
     "q_layout_zorder",
+    # added r4 (prior entries unchanged for per-query comparability)
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q8_market_share",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q13_order_distribution",
+    "q_tpch_q17_small_qty_revenue",
+    "q_tpch_q21_sole_supplier",
 ]
 
 
@@ -83,24 +90,32 @@ def main() -> None:
         ).save()
         return time.perf_counter() - t0
 
-    run("q_agg_pricing_summary")  # warm-up (JVM + codegen + file listing)
+    try:
+        run("q_agg_pricing_summary")  # warm-up (JVM + codegen + file listing)
+    except Exception:  # noqa: BLE001 - warm-up failure must not kill the bench
+        pass
 
+    # Fault isolation: one broken query must never zero the whole bench —
+    # record it under "errors" and keep timing the rest.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        times[name] = round(run(name), 4)
+        try:
+            times[name] = round(run(name), 4)
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = str(ex).splitlines()[0][:200] if str(ex) else repr(ex)
 
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

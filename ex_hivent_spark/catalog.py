@@ -4,17 +4,25 @@ Tables (TESTDATA.md): region nation customer supplier part orders
 lineitem events documents embeddings — one parquet file/dir per table
 under a scale-factor directory.
 
-The ``events`` table stores its ``ts`` column as parquet TIMESTAMP(NANOS),
-which Spark cannot read natively; with
-``spark.sql.legacy.parquet.nanosAsLong=true`` it surfaces as a bigint of
-nanoseconds and we convert with ``timestamp_micros(ts div 1000)`` —
-truncation to microseconds, exactly matching how DuckDB (and any
-microsecond-resolution engine) reads the same file.
+Timestamp normalization: the testdata's timestamp columns (``events.ts``,
+``lineitem.l_shipdate``, ``orders.o_orderdate``) are parquet
+``TIMESTAMP(MICROS, isAdjustedToUTC=false)`` — naive wall-clock values.
+Spark 4 infers those as TIMESTAMP_NTZ by default, but several epoch
+functions (``unix_micros``/``unix_millis``) and struct unions reject NTZ,
+and the DuckDB oracle treats the same values as plain (session-naive)
+TIMESTAMP.  We therefore disable ``spark.sql.parquet.inferTimestampNTZ``
+on whatever session we are handed so the scan itself produces TIMESTAMP
+(session tz pinned to UTC — identical wall clock AND identical epoch to
+the oracle), with a cast fallback if the conf cannot apply.  Disabling at
+the scan — rather than casting after the read — keeps predicate pushdown
+on timestamp columns intact (PushedFilters reach the parquet reader).
+
+Earlier driver rounds shipped the same columns as TIMESTAMP(NANOS); the
+``nanosAsLong`` conf + bigint conversion below is kept for compatibility
+with that layout.
 
 At 100 TB these reads are plain distributed parquet scans: predicate
-pushdown and column pruning still apply to every column except the
-converted ``ts`` (whose source column is a bigint — range filters on it
-can be pushed as nanos if ever needed).
+pushdown and column pruning apply to every column.
 """
 
 from __future__ import annotations
@@ -48,6 +56,7 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 #  - Arrow: the pandas-UDF ops assume Arrow batch transfer.
 _SESSION_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
@@ -71,6 +80,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    # Fallback: if the NTZ-inference conf did not apply to this scan (e.g.
+    # a session that rejects runtime conf writes), reinterpret NTZ columns
+    # as session-tz timestamps.  Under the UTC session tz this is the same
+    # wall clock and the same epoch the oracle computes.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for col in ntz_cols:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
