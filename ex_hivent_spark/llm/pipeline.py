@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import davg
 from ex_hivent_spark.plans.registry import register
 
 CHUNK_TOKENS = 64
@@ -431,4 +432,126 @@ def q_llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= RESERVOIR_K)
+    )
+
+
+PASSAGE_TOKENS = 32  # disjoint windows for passage-level dedup
+
+
+@register(
+    "q_llm_passage_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pas AS (
+      SELECT doc_id,
+             md5(array_to_string(t[s:s + {PASSAGE_TOKENS - 1}], ' '))
+                 AS passage_md5
+      FROM toks, unnest(range(1, len(t) + 1, {PASSAGE_TOKENS})) AS u(s)
+    ), dup AS (
+      SELECT passage_md5 FROM pas
+      GROUP BY passage_md5 HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT p.doc_id,
+           count(*) AS n_passages,
+           count(d.passage_md5) AS n_dup_passages,
+           CAST(count(d.passage_md5) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS dup_frac
+    FROM pas p LEFT JOIN dup d ON p.passage_md5 = d.passage_md5
+    GROUP BY p.doc_id
+    """,
+)
+def q_llm_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication audit (RefinedWeb/Dolma-style): split
+    each doc into disjoint 32-token passages, mark passages whose md5
+    occurs in >= 2 distinct docs, and report the per-doc duplicated-
+    passage fraction — the signal for paragraph-level dedup decisions
+    that document-level hashing misses (boilerplate, quoted headers).
+
+    Plan: explode to the narrow (doc_id, md5) passage table, one hash
+    aggregate keyed on passage_md5 (high cardinality — no skew), equi-
+    join the duplicate keys back, one aggregate keyed on doc_id.  At
+    100 TB both shuffles carry 16-byte keys + counts, never text."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(tokens), F.lit(PASSAGE_TOKENS))
+    pas = d.select(
+        "doc_id", tokens.alias("t"), F.explode(starts).alias("s")
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice("t", F.col("s"), PASSAGE_TOKENS))
+        ).alias("passage_md5"),
+    )
+    dup = (
+        pas.groupBy("passage_md5")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("passage_md5", F.lit(1).alias("is_dup"))
+    )
+    return (
+        pas.join(dup, "passage_md5", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.count("is_dup").alias("n_dup_passages"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup_passages",
+            (
+                F.col("n_dup_passages").cast("double")
+                / F.col("n_passages").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+DOMAIN_MIN_DOCS = 20  # under-represented-domain flag threshold
+
+
+@register(
+    "q_llm_domain_stats",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+           CAST(sum(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE)
+             / count(n_chars) AS avg_chars,
+           CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS corpus_share,
+           count(*) < {DOMAIN_MIN_DOCS} AS flagged
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation report (CCNet/Gopher rules run per source
+    domain, not per doc): doc count, token volume, mean length, share
+    of corpus, and an under-represented flag per `source`.  Domain
+    granularity is where crawl filtering decisions actually happen —
+    a domain is kept/dropped/capped as a unit.
+
+    Plan: one hash aggregate keyed on source; the corpus share divides
+    by a window total over the *aggregated* frame (|domains| rows, not
+    |docs| — a one-partition window over domain counts is trivially
+    small even at 100 TB where |domains| ~ 10^8 rows of 3 numbers)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("total_tokens"),
+        davg("n_chars", "avg_chars"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "avg_chars",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy())
+        ).alias("corpus_share"),
+        (F.col("n_docs") < DOMAIN_MIN_DOCS).alias("flagged"),
     )

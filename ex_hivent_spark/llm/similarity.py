@@ -610,3 +610,255 @@ def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+# Shared CTE chain: the IVF coarse codebook + nearest-cell assignment
+# (identical semantics to _IVF_ORACLE_SQL's prefix) — reused by the
+# k-means-step and SemDeDup oracles below.
+_CELLS_CTE_SQL = """
+    emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, u AS centroid FROM unit
+      WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT {n_cells}
+    ),
+    sims AS (
+      SELECT v.vec_id, v.u, c.cell_id,
+             list_dot_product(v.u, c.centroid) AS csim
+      FROM unit v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim DESC, cell_id) AS rn
+      FROM sims
+    ),
+    members AS (SELECT vec_id, u, cell_id FROM assigned WHERE rn = 1)
+"""
+
+
+def _cell_members(spark: SparkSession, sf_dir: str):
+    """(cents, members): the IVF literal-stride codebook and every
+    vector's nearest-cell assignment — the same broadcast + argmax
+    aggregation plan as q_llm_ivf_topk (see that docstring)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em)
+    cents = (
+        unit.filter(F.col("vec_id") % 37 == 1)
+        .orderBy("vec_id")
+        .limit(N_CELLS)
+        .select(F.col("vec_id").alias("cell_id"), F.col("unit").alias("centroid"))
+    )
+    sims = unit.join(F.broadcast(cents)).select(
+        "vec_id",
+        "unit",
+        "cell_id",
+        dot(F.col("unit"), F.col("centroid")).alias("csim"),
+    )
+    members = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cell_id")).alias("neg_cell"),
+                    F.col("cell_id"),
+                    F.col("unit"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.cell_id").alias("cell_id"),
+            F.col("b.unit").alias("u"),
+        )
+    )
+    return cents, members
+
+
+_KMEANS_ORACLE_SQL = (
+    "WITH "
+    + _CELLS_CTE_SQL
+    + """,
+    counts AS (
+      SELECT cell_id, count(*) AS n_members FROM members GROUP BY cell_id
+    ),
+    expl AS (
+      SELECT cell_id, unnest(u) AS val, generate_subscripts(u, 1) AS pos
+      FROM members
+    ),
+    means AS (
+      SELECT cell_id, pos,
+             CAST(sum(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / count(val)
+                 AS mean_d
+      FROM expl GROUP BY cell_id, pos
+    ),
+    centpos AS (
+      SELECT cell_id, unnest(centroid) AS old_d,
+             generate_subscripts(centroid, 1) AS pos
+      FROM cents
+    ),
+    metrics AS (
+      SELECT m.cell_id,
+             floor(CAST(sum(CAST(mean_d * mean_d AS DECIMAL(25,6)))
+                        AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+                 AS new_norm2,
+             floor(CAST(sum(CAST(mean_d * old_d AS DECIMAL(25,6)))
+                        AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+                 AS drift_dot
+      FROM means m JOIN centpos c ON m.cell_id = c.cell_id AND m.pos = c.pos
+      GROUP BY m.cell_id
+    )
+    SELECT c.cell_id, c.n_members, new_norm2, drift_dot
+    FROM metrics JOIN counts c USING (cell_id)
+"""
+)
+
+
+@register(
+    "q_llm_kmeans_step",
+    oracle=_KMEANS_ORACLE_SQL.format(n_cells=N_CELLS),
+)
+def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) iteration over the embedding corpus, from
+    the literal-stride codebook: assign every vector to its nearest
+    cell, then recompute per-cell mean vectors and report the
+    convergence metrics — member count, squared norm of the new mean,
+    and its dot with the old centroid (drift).  This is the training
+    step behind cluster-based curation (IVF codebooks, SemDeDup
+    clustering); iterate it and the codebook converges.
+
+    Plan: assignment is the broadcast+argmax pass of q_llm_ivf_topk;
+    the mean recomputation posexplodes members into (cell, dim, val) —
+    a 64x narrow fan-out — and hash-aggregates keyed on (cell, dim):
+    decimal-summed means, so each dimension's mean is order-exact.
+    Metrics then aggregate 64 rows per cell.  At 100 TB the (cell,dim)
+    aggregate has |cells|*dim groups — tiny — and partials combine
+    map-side; nothing ever gathers full vectors to one place.
+
+    HASH-CHECKED: the oracle shares the literal stride codebook,
+    index-order folds, and decimal-mean arithmetic."""
+    cents, members = _cell_members(spark, sf_dir)
+    DEC = "decimal(25,6)"
+    counts = members.groupBy("cell_id").agg(F.count("*").alias("n_members"))
+    expl = members.select(
+        "cell_id", F.posexplode("u").alias("pos", "val")
+    )
+    means = expl.groupBy("cell_id", "pos").agg(
+        (
+            F.sum(F.col("val").cast(DEC)).cast("double") / F.count("val")
+        ).alias("mean_d")
+    )
+    centpos = cents.select(
+        "cell_id", F.posexplode("centroid").alias("pos", "old_d")
+    )
+    metrics = (
+        means.join(centpos, ["cell_id", "pos"])
+        .groupBy("cell_id")
+        .agg(
+            dround(
+                F.sum((F.col("mean_d") * F.col("mean_d")).cast(DEC)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("new_norm2"),
+            dround(
+                F.sum((F.col("mean_d") * F.col("old_d")).cast(DEC)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("drift_dot"),
+        )
+    )
+    return metrics.join(counts, "cell_id").select(
+        "cell_id", "n_members", "new_norm2", "drift_dot"
+    )
+
+
+SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_ORACLE_SQL = (
+    "WITH "
+    + _CELLS_CTE_SQL
+    + """,
+    pairs AS (
+      SELECT a.cell_id, b.vec_id,
+             a.vec_id AS keep_cand,
+             list_dot_product(a.u, b.u) AS cos
+      FROM members a JOIN members b USING (cell_id)
+      WHERE a.vec_id < b.vec_id
+    ),
+    hits AS (SELECT * FROM pairs WHERE cos >= {tau})
+    SELECT cell_id, vec_id,
+           min(keep_cand) AS keeper_id,
+           floor(min({{'kc': keep_cand, 'c': cos}})['c'] * 1000000.0 + 0.5)
+               / 1000000.0 AS cos_to_keeper,
+           count(*) AS n_better
+    FROM hits
+    GROUP BY cell_id, vec_id
+"""
+)
+
+
+@register(
+    "q_llm_semdedup",
+    oracle=_SEMDEDUP_ORACLE_SQL.format(n_cells=N_CELLS, tau=SEMDEDUP_TAU),
+)
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    corpus with the coarse codebook, then inside each cluster drop any
+    vector that has a lower-id near-twin with cosine >= tau — pairs are
+    only ever compared within a cell, never across the corpus.  Output:
+    each dropped vector, its keeper (the smallest qualifying lower id),
+    the cosine to that keeper, and how many qualifying twins it had.
+
+    Plan: the within-cell self-join is keyed on cell_id, so compared
+    pairs are sum of |cell|^2 over cells — the same quadratic-block
+    bound as the IVF probe, a tiny fraction of n^2 (and at 100 TB the
+    codebook grows to keep |cell| bounded; assignment cost stays one
+    broadcast pass per vector).  The keeper argmin is one max(struct)
+    -free hash aggregate: min over (keep_cand, cos) structs.
+
+    HASH-CHECKED: literal codebook + index-order folds, e6 cosine."""
+    _, members = _cell_members(spark, sf_dir)
+    a = members.select(
+        "cell_id",
+        F.col("vec_id").alias("keep_cand"),
+        F.col("u").alias("u1"),
+    )
+    b = members.select(
+        "cell_id", "vec_id", F.col("u").alias("u2")
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("keep_cand") < F.col("vec_id"))
+        .select(
+            "cell_id",
+            "vec_id",
+            "keep_cand",
+            dot(F.col("u1"), F.col("u2")).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+    )
+    return (
+        pairs.groupBy("cell_id", "vec_id")
+        .agg(
+            F.min("keep_cand").alias("keeper_id"),
+            F.min(F.struct(F.col("keep_cand"), F.col("cos"))).alias("k"),
+            F.count("*").alias("n_better"),
+        )
+        .select(
+            "cell_id",
+            "vec_id",
+            "keeper_id",
+            dround(F.col("k.cos"), 6).alias("cos_to_keeper"),
+            "n_better",
+        )
+    )

@@ -116,10 +116,12 @@ DRIVER_CHECK_FIRST = [
     "q_win_tumbling_batch",
     "q_win_sliding_batch",
     "q_win_lag_lead",
-    "q_win_running_frame",
-    "q_last_event",
-    "q_ts_resample_ffill",
-    "q_join_interval_attribution",
+    # curation ops new in r4 (never checked — take the last slots over
+    # lower-risk r02 re-proves)
+    "q_llm_passage_dedup",
+    "q_llm_domain_stats",
+    "q_llm_kmeans_step",
+    "q_llm_semdedup",
 ]
 
 
