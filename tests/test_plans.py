@@ -241,3 +241,79 @@ def test_q18_preaggregates_before_join(spark, sf_dir):
     agg_pos = plan.rfind("HashAggregate")
     join_pos = plan.rfind("Join")
     assert agg_pos > join_pos, "expected the deepest aggregate below joins"
+
+
+TPCH_FULL = [
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q4_priority_exists",
+    "q_tpch_q7_nation_volume",
+    "q_tpch_q8_market_share",
+    "q_tpch_q9_product_profit",
+    "q_tpch_q11_important_value",
+    "q_tpch_q12_priority_by_flag",
+    "q_tpch_q13_order_distribution",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q16_supplier_variety",
+    "q_tpch_q17_small_qty_revenue",
+    "q_tpch_q19_disjunctive",
+    "q_tpch_q20_excess_suppliers",
+    "q_tpch_q21_sole_supplier",
+    "q_tpch_q22_dormant_customers",
+]
+
+
+@pytest.mark.parametrize("name", TPCH_FULL)
+def test_tpch_full_no_cartesian_or_nested_loop(spark, sf_dir, name):
+    """None of the 15 TPC-H completion shapes may fall back to a
+    cartesian product; nested-loop appearances are restricted to
+    one-row scalar-subquery broadcasts (Q11/Q15/Q17/Q22 CTE scalars),
+    never a fact-fact pairing."""
+    plan = plan_of(spark, sf_dir, name, mode="simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """The EXISTS must plan as a semi join (no row multiplication)."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q4_priority_exists", mode="simple")
+    assert "LeftSemi" in plan
+
+
+def test_q22_not_exists_is_anti_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_tpch_q22_dormant_customers", mode="simple")
+    assert "LeftAnti" in plan
+
+
+def test_q19_common_envelope_pushed(spark, sf_dir):
+    """Catalyst must extract a pushable envelope from the OR-of-three
+    blocks: the part scan gets brand/size filters pushed down."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q19_disjunctive")
+    assert "PushedFilters" in plan
+    assert "p_brand" in plan or "p_size" in plan
+
+
+def test_q21_single_orderkey_aggregation(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS collapse: exactly one scan-side shape —
+    no correlated re-scan means lineitem appears at most twice (stats
+    + R-pairs), never three+ times as the correlated form would."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q21_sole_supplier", mode="simple")
+    assert plan.count("Scan parquet") <= 4  # 2x lineitem + orders + supplier
+
+
+def test_semdedup_join_keyed_on_cell(spark, sf_dir):
+    """SemDeDup's pair join must be an equi-join on cell_id — the
+    quadratic-block bound — not an unkeyed pairing of members."""
+    plan = plan_of(spark, sf_dir, "q_llm_semdedup", mode="simple")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the 16-row codebook broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_passage_dedup_shuffles_keys_not_text(spark, sf_dir):
+    """The duplicate-passage aggregate must group on passage_md5 (16-byte
+    keys); the text column must not survive past the projection."""
+    plan = plan_of(spark, sf_dir, "q_llm_passage_dedup")
+    assert "passage_md5" in plan
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read  # scan needs text...
+    post = plan.split("HashAggregate")[0]
+    assert "Exchange" not in post or "text" not in post.split("Exchange")[-1]
