@@ -114,8 +114,9 @@ DRIVER_CHECK_FIRST = [
     "q_join_range_theta",
     "q_win_sessionize",
     "q_win_tumbling_batch",
-    "q_win_sliding_batch",
-    "q_win_lag_lead",
+    # sketch ops oracled in late r3 — hash checks never ran driver-side
+    "q_llm_minhash_neardup",
+    "q_llm_simhash_groups",
     # curation ops new in r4 (never checked — take the last slots over
     # lower-risk r02 re-proves)
     "q_llm_passage_dedup",
