@@ -68,6 +68,11 @@ HEADLINE = [
     "q_tpch_q13_order_distribution",
     "q_tpch_q17_small_qty_revenue",
     "q_tpch_q21_sole_supplier",
+    "q_llm_passage_dedup",
+    "q_llm_kmeans_step",
+    "q_llm_semdedup",
+    "q_llm_quality_classifier",
+    "q_stream_late_audit",
 ]
 
 

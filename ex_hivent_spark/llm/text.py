@@ -441,3 +441,82 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tokens"), davg("nll", "avg_surprisal"))
     )
+
+
+# Literal linear-model weights for the quality classifier: intercept +
+# (stopword_ratio, mean_token_len, digit_ratio, log-length) coefficients.
+# Stand-ins for a trained fasttext/logreg export — the *serving plan*
+# (feature extraction + literal dot + sigmoid) is identical either way.
+_QC_W0 = -1.5
+_QC_W = (4.0, 0.25, -6.0, 0.35)
+
+
+@register(
+    "q_llm_quality_classifier",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                  t -> list_contains(['the','a','of','and','to','in','is','it'],
+                                     t))) AS DOUBLE) AS nstop,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 AS nchar,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 AS ndigit
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             {_QC_W0} + {_QC_W[0]} * (nstop / ntok)
+                      + {_QC_W[1]} * (nchar / ntok)
+                      + {_QC_W[2]} * (ndigit / nchar)
+                      + {_QC_W[3]} * ln(ntok) AS z
+      FROM feat
+    )
+    SELECT doc_id, lang,
+           {sql_dround("1.0 / (1.0 + exp(-(floor(z * 1000000.0 + 0.5) / 1000000.0)))", 6)}
+               AS quality_p,
+           floor(1.0 / (1.0 + exp(-(floor(z * 1000000.0 + 0.5) / 1000000.0)))
+                 * 1000000.0 + 0.5) / 1000000.0 >= 0.5 AS keep
+    FROM scored
+    """,
+)
+def q_llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the GPT-3/LLaMA-pipeline step after
+    the cheap heuristics): a linear classifier over engineered features
+    — stopword ratio, mean token length, digit ratio, log token count —
+    with literal exported weights, sigmoid-calibrated, thresholded at
+    0.5 into a keep decision.  In production the weight vector comes
+    from a trained fasttext/logreg export; the serving plan is the same
+    literal-constant dot product, entirely in codegen — no model server
+    round-trip, no Python in the hot path.
+
+    Determinism: per-row feature arithmetic is IEEE-identical in both
+    engines; the logit is e6-rounded BEFORE the transcendental exp()
+    (libm last-ulp drift is the one non-portable step), then the
+    probability is e6-rounded again and the keep decision derives from
+    the rounded value — bit-exact across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    ntok = F.size(toks).cast("double")
+    nstop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    )
+    nchar = F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+    ndigit = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+    z = (
+        F.lit(_QC_W0)
+        + _QC_W[0] * (nstop / ntok)
+        + _QC_W[1] * (nchar / ntok)
+        + _QC_W[2] * (ndigit / nchar)
+        + _QC_W[3] * F.log(ntok)
+    )
+    z6 = F.floor(z * 1000000.0 + F.lit(0.5)) / 1000000.0
+    p = dround(1.0 / (1.0 + F.exp(-z6)), 6)
+    return d.select(
+        "doc_id",
+        "lang",
+        p.alias("quality_p"),
+        (p >= 0.5).alias("keep"),
+    )

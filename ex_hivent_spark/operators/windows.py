@@ -632,3 +632,71 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(even)
         .alias("roll_median"),
     )
+
+
+_WATERMARK_HOURS = 2
+
+
+@register(
+    "q_stream_late_audit",
+    oracle=f"""
+    WITH hw AS (
+      SELECT event_type, ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS high_water
+      FROM events
+    ), lat AS (
+      SELECT event_type,
+             CASE WHEN ts < high_water - INTERVAL {_WATERMARK_HOURS} HOUR
+                  THEN epoch_us(high_water) - epoch_us(ts) END AS late_us
+      FROM hw
+    )
+    SELECT event_type,
+           count(*) AS n_total,
+           count(late_us) AS n_late,
+           max(late_us) AS max_late_us
+    FROM lat
+    GROUP BY event_type
+    """,
+)
+def q_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data audit — the batch-checkable twin of
+    ``withWatermark("ts", "2 hours")`` drop semantics: replaying the
+    events table in ingest order (event_id is the monotone arrival id),
+    an event is *late beyond the watermark* if its event time trails
+    the running high-water mark (max event time seen so far) by more
+    than the allowed lateness.  Reports, per event_type, how many rows
+    a 2-hour watermark would have dropped and the worst lateness — the
+    audit you run before choosing a production watermark.
+
+    Plan note: the running high-water mark orders by event_id with no
+    partition key — a global range-sort, the one shape in this engine
+    that intentionally models a single logical stream.  In production
+    the same audit runs per source partition (arrival order only exists
+    within a partition; the effective watermark is the min across
+    partitions), turning it into a partitioned window.  All-integer
+    microsecond arithmetic — no float detour needed."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hw = e.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("high_water"),
+    )
+    late_us = F.when(
+        F.col("ts")
+        < F.col("high_water") - F.expr(f"INTERVAL {_WATERMARK_HOURS} HOURS"),
+        F.unix_micros("high_water") - F.unix_micros("ts"),
+    )
+    return (
+        hw.select("event_type", late_us.alias("late_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("late_us").alias("n_late"),
+            F.max("late_us").alias("max_late_us"),
+        )
+    )

@@ -108,12 +108,12 @@ DRIVER_CHECK_FIRST = [
     # timestamp-heavy core last verified in r02 — re-prove against the
     # regenerated (NTZ-micros) testdata under the driver's session
     "q_agg_pricing_summary",
-    "q_scan_events",
+    "q_llm_quality_classifier",
     "q_source_json_props",
     "q_join_asof",
     "q_join_range_theta",
     "q_win_sessionize",
-    "q_win_tumbling_batch",
+    "q_stream_late_audit",
     # sketch ops oracled in late r3 — hash checks never ran driver-side
     "q_llm_minhash_neardup",
     "q_llm_simhash_groups",
