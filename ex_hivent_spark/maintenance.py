@@ -180,3 +180,43 @@ def refresh_time_rollup(
     )
     fsutil.publish_swap(spark, rollup_path)
     return len(new_files)
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys,
+) -> int:
+    """Keyed deletion rewrite (the GDPR / right-to-be-forgotten
+    primitive): remove every row whose ``key_col`` appears in ``keys``
+    (a list of values or a one-column DataFrame) and atomically replace
+    the table at ``path`` via the crash-safe staging swap — readers see
+    the old table until publish, and an interrupted delete either rolls
+    forward or back on the next call (fsutil.recover_swap).
+
+    Plan: one left-anti join against the (broadcast) key set — at
+    100 TB a delete set is millions of keys against billions of rows,
+    so the anti join stays a broadcast hash probe with zero shuffle of
+    the fact side; partition-pruned paths can narrow the rewrite
+    further.  Returns the number of rows deleted."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from ex_hivent_spark import fsutil
+
+    fsutil.recover_swap(spark, path)
+    if isinstance(keys, DataFrame):
+        key_df = keys.toDF(key_col)
+    else:
+        key_df = spark.createDataFrame(
+            [(k,) for k in keys], schema=[key_col]
+        )
+    current = spark.read.parquet(path)
+    before = current.count()
+    kept = current.join(F.broadcast(key_df), on=key_col, how="left_anti")
+    staging = fsutil.staging_path(path)
+    kept.write.mode("overwrite").parquet(staging)
+    after = spark.read.parquet(staging).count()
+    fsutil.publish_swap(spark, path)
+    return before - after

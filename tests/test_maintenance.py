@@ -120,3 +120,31 @@ def test_incremental_rollup_equals_full_recompute(spark, sf_dir, tmp_path):
         .alias("sum_value"),
     )
     assert sorted(map(repr, got.collect())) == sorted(map(repr, want.collect()))
+
+
+def test_delete_keys_rewrites_without_keys(spark, tmp_path):
+    from ex_hivent_spark.maintenance import delete_keys
+
+    path = str(tmp_path / "events_del")
+    events = spark.range(0, 500).selectExpr(
+        "id AS event_id", "id % 50 AS user_id", "CAST(id AS DOUBLE) AS value"
+    )
+    events.write.parquet(path)
+
+    n = delete_keys(spark, path, "user_id", [7, 13])
+    assert n == 20  # 10 events per user_id bucket
+    back = spark.read.parquet(path)
+    assert back.count() == 480
+    assert back.filter("user_id IN (7, 13)").count() == 0
+    # idempotent: deleting the same keys again removes nothing
+    assert delete_keys(spark, path, "user_id", [7, 13]) == 0
+
+
+def test_delete_keys_accepts_dataframe(spark, tmp_path):
+    from ex_hivent_spark.maintenance import delete_keys
+
+    path = str(tmp_path / "docs_del")
+    spark.range(0, 100).selectExpr("id AS doc_id").write.parquet(path)
+    kill = spark.range(90, 200).selectExpr("id AS doc_id")
+    assert delete_keys(spark, path, "doc_id", kill) == 10
+    assert spark.read.parquet(path).count() == 90
