@@ -73,6 +73,7 @@ HEADLINE = [
     "q_llm_semdedup",
     "q_llm_quality_classifier",
     "q_stream_late_audit",
+    "q_llm_pq_encode",
 ]
 
 

@@ -862,3 +862,143 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_better",
         )
     )
+
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = EMBED_DIM // PQ_M  # 8 dims per subspace
+PQ_K = 16  # centroids per subspace -> 4-bit codes, 8 per vector
+
+_PQ_ORACLE_SQL = """
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, u AS centroid FROM unit
+      WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT {k}
+    ),
+    cents_k AS (
+      SELECT cell_id, centroid,
+             row_number() OVER (ORDER BY cell_id) - 1 AS k_id
+      FROM cents
+    ),
+    subs AS (
+      SELECT vec_id, m, u[m * {d} + 1 : (m + 1) * {d}] AS sub_x
+      FROM unit, unnest(range(0, {mm})) AS t(m)
+    ),
+    csubs AS (
+      SELECT k_id, m, centroid[m * {d} + 1 : (m + 1) * {d}] AS sub_c
+      FROM cents_k, unnest(range(0, {mm})) AS t(m)
+    ),
+    scored AS (
+      SELECT s.vec_id, s.m, c.k_id,
+             list_dot_product(s.sub_x, c.sub_c) AS ip,
+             row_number() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY list_dot_product(s.sub_x, c.sub_c) DESC, c.k_id
+             ) AS rn
+      FROM subs s JOIN csubs c ON s.m = c.m
+    ),
+    best AS (SELECT vec_id, m, k_id, ip FROM scored WHERE rn = 1)
+    SELECT vec_id,
+           CAST(sum(k_id * power(2, 4 * m)) AS BIGINT) AS pq_code,
+           floor(CAST(sum(CAST(ip AS DECIMAL(25,6))) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS retained
+    FROM best
+    GROUP BY vec_id
+"""
+
+
+@register(
+    "q_llm_pq_encode",
+    oracle=_PQ_ORACLE_SQL.format(k=PQ_K, d=PQ_SUBDIM, mm=PQ_M),
+)
+def q_llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (PQ) encoding — the standard compression for
+    billion-scale embedding stores (IVF-PQ): split each unit vector
+    into 8 subvectors of 8 dims, assign each subvector to the best of
+    16 sub-centroids by inner product, and pack the eight 4-bit indices
+    into one bigint code (64 floats -> 4 bytes, 64:1).  `retained` (the
+    decimal-summed best inner products) measures how much similarity
+    mass the codebook preserves per vector — the PQ analog of
+    reconstruction error.
+
+    Sub-codebooks reuse the deterministic stride-sample vectors of the
+    IVF coarse quantizer, sliced per subspace (at scale: trained
+    per-subspace k-means via q_llm_kmeans_step; the encode plan is
+    identical).  Plan: subspace explode is an 8x narrow fan-out; the
+    (vec,subspace)-keyed argmax is one map-side-combining max(struct)
+    aggregate against a broadcast 128-row codebook; the final pack is a
+    second tiny aggregate.  Nothing ever shuffles full vectors.
+
+    HASH-CHECKED: literal stride codebook + index-order folds; codes
+    are exact integers, `retained` is e6."""
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em)
+    from pyspark.sql import Window
+
+    cents = (
+        unit.filter(F.col("vec_id") % 37 == 1)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("cell_id"), F.col("unit").alias("centroid"))
+    )
+    # dense 0..K-1 ids in cell_id order; 16 rows, window is trivial
+    cents_k = cents.withColumn(
+        "k_id", F.row_number().over(Window.orderBy("cell_id")) - 1
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    subs = (
+        unit.select("vec_id", "unit", ms)
+        .select(
+            "vec_id",
+            "m",
+            F.slice(
+                "unit", F.col("m") * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)
+            ).alias("sub_x"),
+        )
+    )
+    csubs = (
+        cents_k.select("k_id", "centroid", ms)
+        .select(
+            "k_id",
+            "m",
+            F.slice(
+                "centroid", F.col("m") * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)
+            ).alias("sub_c"),
+        )
+    )
+    scored = subs.join(F.broadcast(csubs), "m").select(
+        "vec_id",
+        "m",
+        "k_id",
+        dot(F.col("sub_x"), F.col("sub_c")).alias("ip"),
+    )
+    best = (
+        scored.groupBy("vec_id", "m")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ip"), (-F.col("k_id")).alias("neg_k"), F.col("k_id")
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id", "m", F.col("b.k_id").alias("k_id"), F.col("b.ip").alias("ip")
+        )
+    )
+    DEC = "decimal(25,6)"
+    return best.groupBy("vec_id").agg(
+        F.sum(
+            F.col("k_id") * F.pow(F.lit(2.0), F.col("m") * 4)
+        ).cast("bigint").alias("pq_code"),
+        dround(
+            F.sum(F.col("ip").cast(DEC)).cast("double"), 6
+        ).alias("retained"),
+    )

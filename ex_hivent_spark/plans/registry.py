@@ -109,7 +109,7 @@ DRIVER_CHECK_FIRST = [
     # regenerated (NTZ-micros) testdata under the driver's session
     "q_agg_pricing_summary",
     "q_llm_quality_classifier",
-    "q_source_json_props",
+    "q_llm_pq_encode",
     "q_join_asof",
     "q_join_range_theta",
     "q_win_sessionize",

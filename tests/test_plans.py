@@ -317,3 +317,11 @@ def test_passage_dedup_shuffles_keys_not_text(spark, sf_dir):
     assert "text" in read  # scan needs text...
     post = plan.split("HashAggregate")[0]
     assert "Exchange" not in post or "text" not in post.split("Exchange")[-1]
+
+
+def test_pq_encode_broadcast_codebook(spark, sf_dir):
+    """PQ encoding must probe a broadcast codebook (128 rows) and
+    aggregate map-side — no shuffle of full vectors, no cartesian."""
+    plan = plan_of(spark, sf_dir, "q_llm_pq_encode", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
