@@ -74,6 +74,7 @@ HEADLINE = [
     "q_llm_quality_classifier",
     "q_stream_late_audit",
     "q_llm_pq_encode",
+    "q_llm_ivfpq_search",
 ]
 
 

@@ -1002,3 +1002,231 @@ def q_llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ip").cast(DEC)).cast("double"), 6
         ).alias("retained"),
     )
+
+
+_IVFPQ_ORACLE_SQL = """
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, u AS centroid FROM unit
+      WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT {k}
+    ),
+    cents_k AS (
+      SELECT cell_id, centroid,
+             row_number() OVER (ORDER BY cell_id) - 1 AS k_id
+      FROM cents
+    ),
+    sims AS (
+      SELECT v.vec_id, c.cell_id,
+             list_dot_product(v.u, c.centroid) AS csim
+      FROM unit v CROSS JOIN cents c
+    ),
+    members AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell_id) AS rn
+        FROM sims) WHERE rn = 1
+    ),
+    subs AS (
+      SELECT vec_id, m, u[m * {d} + 1 : (m + 1) * {d}] AS sub_x
+      FROM unit, unnest(range(0, {mm})) AS t(m)
+    ),
+    csubs AS (
+      SELECT k_id, m, centroid[m * {d} + 1 : (m + 1) * {d}] AS sub_c
+      FROM cents_k, unnest(range(0, {mm})) AS t(m)
+    ),
+    codes AS (
+      SELECT vec_id, m, k_id FROM (
+        SELECT s.vec_id, s.m, c.k_id,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY list_dot_product(s.sub_x, c.sub_c) DESC, c.k_id
+               ) AS rn
+        FROM subs s JOIN csubs c ON s.m = c.m) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell_id) AS rn
+        FROM sims WHERE vec_id % 50 = 0) WHERE rn <= {n_probe}
+    ),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.m, c.k_id,
+             list_dot_product(s.sub_x, c.sub_c) AS ip
+      FROM subs s JOIN csubs c ON s.m = c.m
+      WHERE s.vec_id % 50 = 0
+    ),
+    cand AS (
+      SELECT p.query_id, mem.vec_id
+      FROM probes p JOIN members mem USING (cell_id)
+      WHERE mem.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id,
+             floor(CAST(sum(CAST(l.ip AS DECIMAL(25,6))) AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0 AS adc
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.vec_id
+      JOIN lut l ON l.query_id = c.query_id
+               AND l.m = k.m AND l.k_id = k.k_id
+      GROUP BY c.query_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, adc, rn FROM ranked WHERE rn <= {top_k}
+"""
+
+
+@register(
+    "q_llm_ivfpq_search",
+    oracle=_IVFPQ_ORACLE_SQL.format(
+        k=PQ_K, d=PQ_SUBDIM, mm=PQ_M, n_probe=N_PROBE, top_k=TOP_K
+    ),
+)
+def q_llm_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ asymmetric-distance search (the FAISS billion-scale ANN
+    plan, end to end): queries probe their N_PROBE nearest coarse
+    cells, candidates in those cells are scored WITHOUT touching their
+    full vectors — each candidate contributes only its 8 PQ code ids,
+    looked up in the query's 128-entry inner-product table (ADC) — and
+    the decimal-summed table lookups rank the top-k.
+
+    Why this is *the* 100 TB shape: the corpus side of the score join
+    carries (vec_id, m, k_id) — a few bytes per vector — while the
+    per-query LUT (|queries| x 128 rows) broadcasts; full vectors are
+    read once to build codes and never shuffle afterwards.  Memory
+    per 10^9 vectors: 4 GB of codes vs 256 GB of float32 vectors.
+
+    Composes the registered building blocks: coarse assignment =
+    q_llm_ivf_topk's argmax; codes = q_llm_pq_encode; probe ranking =
+    the sorted-array slice over the pre-filtered query side.
+
+    HASH-CHECKED end to end: literal stride codebook, index-order
+    folds, decimal-summed ADC, e6 rounding, unique tie-breaks."""
+    from pyspark.sql import Window
+
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em)
+    cents = (
+        unit.filter(F.col("vec_id") % 37 == 1)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("cell_id"), F.col("unit").alias("centroid"))
+    )
+    cents_k = cents.withColumn(
+        "k_id", F.row_number().over(Window.orderBy("cell_id")) - 1
+    )
+    sims = unit.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        dot(F.col("unit"), F.col("centroid")).alias("csim"),
+    )
+    members = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"), (-F.col("cell_id")).alias("neg"), F.col("cell_id")
+                )
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.cell_id").alias("cell_id"))
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    subs = unit.select("vec_id", "unit", ms).select(
+        "vec_id",
+        "m",
+        F.slice("unit", F.col("m") * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)).alias(
+            "sub_x"
+        ),
+    )
+    csubs = cents_k.select("k_id", "centroid", ms).select(
+        "k_id",
+        "m",
+        F.slice(
+            "centroid", F.col("m") * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)
+        ).alias("sub_c"),
+    )
+    codes = (
+        subs.join(F.broadcast(csubs), "m")
+        .select(
+            "vec_id", "m", "k_id",
+            dot(F.col("sub_x"), F.col("sub_c")).alias("ip"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(
+            F.max(
+                F.struct(F.col("ip"), (-F.col("k_id")).alias("neg"), F.col("k_id"))
+            ).alias("b")
+        )
+        .select("vec_id", "m", F.col("b.k_id").alias("k_id"))
+    )
+    probes = (
+        sims.filter(F.col("vec_id") % 50 == 0)
+        .groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("csim")).alias("neg_sim"), F.col("cell_id")
+                        )
+                    )
+                ),
+                1,
+                N_PROBE,
+            ).alias("top_cells")
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode("top_cells").alias("c"),
+        )
+        .select("query_id", F.col("c.cell_id").alias("cell_id"))
+    )
+    lut = (
+        subs.filter(F.col("vec_id") % 50 == 0)
+        .join(F.broadcast(csubs), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "k_id",
+            dot(F.col("sub_x"), F.col("sub_c")).alias("ip"),
+        )
+    )
+    cand = (
+        probes.join(members, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    DEC = "decimal(25,6)"
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "k_id"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            dround(
+                F.sum(F.col("ip").cast(DEC)).cast("double"), 6
+            ).alias("adc")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc", "rn")
+    )

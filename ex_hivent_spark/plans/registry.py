@@ -112,7 +112,7 @@ DRIVER_CHECK_FIRST = [
     "q_llm_pq_encode",
     "q_join_asof",
     "q_join_range_theta",
-    "q_win_sessionize",
+    "q_llm_ivfpq_search",
     "q_stream_late_audit",
     # sketch ops oracled in late r3 — hash checks never ran driver-side
     "q_llm_minhash_neardup",

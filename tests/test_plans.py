@@ -325,3 +325,13 @@ def test_pq_encode_broadcast_codebook(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_llm_pq_encode", mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_ivfpq_candidates_never_carry_vectors(spark, sf_dir):
+    """The ADC score join must move only (vec_id, m, k_id) on the
+    candidate side — the full embedding array may appear in the plan
+    only below the code/probe builders, never in the final score
+    aggregate's shuffle."""
+    plan = plan_of(spark, sf_dir, "q_llm_ivfpq_search", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # LUT + codebook broadcasts
