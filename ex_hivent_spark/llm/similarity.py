@@ -1230,3 +1230,172 @@ def q_llm_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "adc", "rn")
     )
+
+
+_RECALL_ORACLE_SQL = """
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    q AS (
+      SELECT vec_id AS query_id, u AS qu FROM unit WHERE vec_id % 50 = 0
+    ),
+    exact_scored AS (
+      SELECT q.query_id, unit.vec_id AS neighbor_id,
+             floor(list_dot_product(q.qu, unit.u) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cosine
+      FROM q JOIN unit ON unit.vec_id <> q.query_id
+    ),
+    exact_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM exact_scored) WHERE rn <= {top_k}
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, u AS centroid FROM unit
+      WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT {k}
+    ),
+    sims AS (
+      SELECT v.vec_id, c.cell_id,
+             list_dot_product(v.u, c.centroid) AS csim
+      FROM unit v CROSS JOIN cents c
+    ),
+    members AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell_id) AS rn
+        FROM sims) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell_id) AS rn
+        FROM sims WHERE vec_id % 50 = 0) WHERE rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, mem.vec_id AS neighbor_id
+      FROM probes p JOIN members mem USING (cell_id)
+      WHERE mem.vec_id <> p.query_id
+    ),
+    hits AS (
+      SELECT e.query_id,
+             count(c.neighbor_id) AS n_found
+      FROM exact_topk e
+      LEFT JOIN cand c ON c.query_id = e.query_id
+                      AND c.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id,
+           n_found,
+           CAST(n_found AS DOUBLE) / {top_k}.0 AS recall_at_k
+    FROM hits
+"""
+
+
+@register(
+    "q_llm_ann_recall",
+    oracle=_RECALL_ORACLE_SQL.format(k=PQ_K, n_probe=N_PROBE, top_k=TOP_K),
+)
+def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement as a first-class query: recall@k of the
+    IVF probe's candidate set against the exact brute-force top-k, per
+    query — the metric you tune N_PROBE / codebook size against before
+    trusting an approximate index in production.  Both sides are
+    deterministic, so even this evaluation is hash-checked.
+
+    Plan: the exact side is the bounded brute-force baseline (broadcast
+    query set over one corpus pass); the candidate side reuses the IVF
+    probe join; recall is a left-join hit count per query.  At scale
+    this runs on a sampled query set — recall estimation needs hundreds
+    of queries, not the corpus."""
+    from pyspark.sql import Window
+
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em)
+    q = unit.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("qu")
+    )
+    exact_scored = (
+        unit.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dround(dot(F.col("qu"), F.col("unit")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    exact_topk = (
+        exact_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    cents = (
+        unit.filter(F.col("vec_id") % 37 == 1)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(F.col("vec_id").alias("cell_id"), F.col("unit").alias("centroid"))
+    )
+    sims = unit.join(F.broadcast(cents)).select(
+        "vec_id", "cell_id", dot(F.col("unit"), F.col("centroid")).alias("csim")
+    )
+    members = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"), (-F.col("cell_id")).alias("neg"), F.col("cell_id")
+                )
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.cell_id").alias("cell_id"))
+    )
+    probes = (
+        sims.filter(F.col("vec_id") % 50 == 0)
+        .groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("csim")).alias("neg_sim"), F.col("cell_id")
+                        )
+                    )
+                ),
+                1,
+                N_PROBE,
+            ).alias("top_cells")
+        )
+        .select(
+            F.col("vec_id").alias("query_id"), F.explode("top_cells").alias("c")
+        )
+        .select("query_id", F.col("c.cell_id").alias("cell_id"))
+    )
+    cand = (
+        probes.join(members, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    return (
+        exact_topk.join(
+            cand.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_found"))
+        .select(
+            "query_id",
+            "n_found",
+            (F.col("n_found").cast("double") / float(TOP_K)).alias("recall_at_k"),
+        )
+    )
