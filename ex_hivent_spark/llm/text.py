@@ -520,3 +520,138 @@ def q_llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("quality_p"),
         (p >= 0.5).alias("keep"),
     )
+
+
+_BM25_TERMS = ("join", "stream", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 10
+
+
+@register(
+    "q_llm_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(CAST(doc_len AS DECIMAL(25,6))) AS DOUBLE)
+               / count(doc_len) AS avg_len
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN {_BM25_TERMS} GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+      WHERE tok IN {_BM25_TERMS} GROUP BY tok
+    ),
+    idf AS (
+      SELECT tok,
+             floor(ln(((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5)
+                      + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS idf6
+      FROM df
+    ),
+    terms AS (
+      SELECT t.doc_id,
+             i.idf6 * (t.tf * ({_BM25_K1} + 1.0))
+               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * (d.doc_len / (SELECT avg_len FROM stats))))
+                 AS s
+      FROM tf t JOIN idf i USING (tok) JOIN dl d USING (doc_id)
+    ),
+    scored AS (
+      SELECT doc_id,
+             floor(CAST(sum(CAST(s AS DECIMAL(25,6))) AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0 AS bm25
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOP}
+    """,
+)
+def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus for a literal query-term set —
+    the lexical-search step behind benchmark-contamination sweeps and
+    retrieval-based data selection (find the training docs most similar
+    to a probe query).  Okapi BM25 with k1=1.2, b=0.75.
+
+    Determinism: idf goes through ln() (the one libm-sensitive step) and
+    is e6-rounded immediately; all other arithmetic is per-row IEEE with
+    matching association order, term scores decimal-sum per doc, and the
+    top-10 sorts on (score, doc_id).
+
+    Plan: one token explode feeds doc lengths, term frequencies (the IN
+    filter prunes the explode before either aggregate), and document
+    frequencies; N/avg_len is a one-row broadcast; idf is a 3-row
+    broadcast join.  At 100 TB everything shuffles on doc_id or tok —
+    the probe-term filter keeps the tf/df tables tiny regardless of
+    corpus size."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        davg("doc_len", "avg_len"),
+    )
+    qtoks = toks.filter(F.col("tok").isin(*_BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = qtoks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df.join(F.broadcast(stats.select("n_docs"))).select(
+        "tok",
+        (
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("idf6"),
+    )
+    terms = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats.select("avg_len")))
+        .select(
+            "doc_id",
+            (
+                F.col("idf6")
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1.0
+                        - _BM25_B
+                        + _BM25_B * (F.col("doc_len") / F.col("avg_len"))
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    DEC = "decimal(25,6)"
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("s").cast(DEC)).cast("double") * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOP)
+    )
