@@ -75,6 +75,9 @@ HEADLINE = [
     "q_stream_late_audit",
     "q_llm_pq_encode",
     "q_llm_ivfpq_search",
+    "q_llm_bm25_topk",
+    "q_ts_ewma",
+    "q_ts_anomaly",
 ]
 
 

@@ -700,3 +700,154 @@ def q_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("late_us").alias("max_late_us"),
         )
     )
+
+
+_EWMA_WINDOW = 8  # trailing rows in the truncated EWMA
+
+
+@register(
+    "q_ts_ewma",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT event_id, user_id, value,
+             list(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN {_EWMA_WINDOW - 1} PRECEDING
+                                        AND CURRENT ROW) AS arr
+      FROM events
+    )
+    SELECT event_id, user_id, value,
+           floor(
+             list_sum(list_transform(range(1, len(arr) + 1),
+               i -> arr[i] * power(0.5, len(arr) - i)))
+             / list_sum(list_transform(range(1, len(arr) + 1),
+               i -> power(0.5, len(arr) - i)))
+             * 1000000.0 + 0.5) / 1000000.0 AS ewma
+    FROM arrs
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average per user (alpha =
+    0.5 over the trailing 8 events) — the smoothing baseline behind
+    rate monitoring and anomaly scoring.  Alpha is deliberately 0.5:
+    the weights 2^-k are EXACT binary doubles, so the only arithmetic
+    is products and ordered sums — no libm pow() drift to round away
+    (powers of two are exact; power(0.5, k) is correctly rounded in
+    both engines).
+
+    Plan: one bounded rows-frame window per user — frame order is the
+    (ts, event_id) sort both engines share, and the per-element fold
+    runs in index order.  Frame size is constant, so cost is O(n·K)
+    with no growing state."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_WINDOW - 1), Window.currentRow)
+    )
+    arr = F.collect_list("value").over(w)
+    n = F.size(arr)
+    idx = F.sequence(F.lit(1), n)
+    num = F.aggregate(
+        F.zip_with(
+            arr,
+            idx,
+            lambda x, i: x * F.pow(F.lit(0.5), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    den = F.aggregate(
+        F.transform(idx, lambda i: F.pow(F.lit(0.5), (n - i).cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.floor(num / den * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("ewma"),
+    )
+
+
+_ANOM_WINDOW = 20
+_ANOM_SIGMA = 3.0
+
+
+@register(
+    "q_ts_anomaly",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+                 AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+                 AS s2,
+             count(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           floor((s1 / n) * 1000000.0 + 0.5) / 1000000.0 AS base_mean,
+           floor(sqrt((s2 - s1 * s1 / n) / n) * 1000000.0 + 0.5)
+               / 1000000.0 AS base_std,
+           value > s1 / n + {_ANOM_SIGMA} * sqrt((s2 - s1 * s1 / n) / n)
+               AS is_anomaly
+    FROM stats WHERE n >= {_ANOM_WINDOW}
+    """,
+)
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection per user: flag events more than
+    3 sigma above the mean of the previous 20 observations (the window
+    excludes the current row, so a spike cannot mask itself).  The
+    operational alerting primitive over any metric stream.
+
+    Determinism: window sums go through decimals (order-free), the
+    variance closes with the raw-moment formula in doubles, and sqrt is
+    IEEE-correctly-rounded everywhere — so even the BOOLEAN flag (an
+    unrounded threshold compare) is bit-exact across engines; mean/std
+    are e6 for display.  Rows with fewer than 20 predecessors are
+    warm-up and excluded.
+
+    Plan: one bounded rows-frame window, shuffle keyed on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ANOM_WINDOW, -1)
+    )
+    DEC = "decimal(25,6)"
+    s1 = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast(DEC)).over(w).cast("double")
+    )
+    n = F.count("*").over(w)
+    mean = s1 / n
+    std = F.sqrt((s2 - s1 * s1 / n) / n)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "value",
+            n.alias("n"),
+            mean.alias("mean_raw"),
+            std.alias("std_raw"),
+        )
+        .filter(F.col("n") >= _ANOM_WINDOW)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            (
+                F.floor(F.col("mean_raw") * 1000000.0 + F.lit(0.5)) / 1000000.0
+            ).alias("base_mean"),
+            (
+                F.floor(F.col("std_raw") * 1000000.0 + F.lit(0.5)) / 1000000.0
+            ).alias("base_std"),
+            (
+                F.col("value")
+                > F.col("mean_raw") + _ANOM_SIGMA * F.col("std_raw")
+            ).alias("is_anomaly"),
+        )
+    )

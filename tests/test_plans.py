@@ -335,3 +335,25 @@ def test_ivfpq_candidates_never_carry_vectors(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_llm_ivfpq_search", mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan  # LUT + codebook broadcasts
+
+
+def test_ewma_single_window_pass(spark, sf_dir):
+    """EWMA must be one bounded rows-frame window — exactly one Window
+    operator, no self-joins."""
+    plan = plan_of(spark, sf_dir, "q_ts_ewma", mode="simple")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_anomaly_single_window_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_ts_anomaly", mode="simple")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_bm25_prunes_explode_before_aggregates(spark, sf_dir):
+    """The probe-term IN filter must appear in the plan (pruning the
+    token explode) and the stats/idf sides must broadcast."""
+    plan = plan_of(spark, sf_dir, "q_llm_bm25_topk", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
