@@ -851,3 +851,45 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "q_win_sliding_distinct",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           CAST(len(list_distinct(
+             list(user_id) OVER (PARTITION BY event_type
+                                 ORDER BY epoch_us(ts)
+                                 RANGE BETWEEN 3600000000 PRECEDING
+                                           AND CURRENT ROW)
+           )) AS BIGINT) AS uniq_users_1h
+    FROM events
+    """,
+)
+def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding distinct cardinality: unique users in the trailing hour
+    per event type, evaluated AT every event — the live 'current
+    actives' metric a tumbling window can't give (it quantizes time)
+    and COUNT(DISTINCT) OVER can't express (not supported in either
+    engine).  collect_set/list_distinct over a time-range frame instead:
+    exact, integer, order-free.
+
+    Plan: one range-frame window keyed on event_type over epoch-µs.
+    The frame holds ids, so state is O(events/hour) per group — at
+    100 TB this op runs per (event_type, time-bucket) partition or
+    downgrades to the HLL sketch (q_agg_sketch_rollup) when exactness
+    isn't required; the exact form is the audit/backfill path."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600000000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.size(F.collect_set("user_id").over(w)).cast("bigint").alias(
+            "uniq_users_1h"
+        ),
+    )
