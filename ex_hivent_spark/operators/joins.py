@@ -507,3 +507,51 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+@register(
+    "q_join_salted_skew",
+    oracle="""
+    SELECT user_id, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS matched_order_value
+    FROM events
+    JOIN orders ON o_custkey = user_id % 100
+    WHERE event_type IN ('purchase', 'view')
+    GROUP BY user_id, event_type
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join, driver-verified: events join a synthetic hot
+    key (user_id % 100 folds every user onto 100 order custkeys — each
+    key ~1% of the fact table, the power-law shape that overflows one
+    reducer at scale).  The salted plan spreads each hot key over 8
+    deterministic sub-keys and replicates the build side 8x; the result
+    hash-matches the PLAIN join SQL — proving salting changes only the
+    shuffle distribution, never the answer.
+
+    At 100 TB this is the tool for the keys AQE skew-splitting can't
+    fix (a single key exceeding one executor); salt is derived from
+    xxhash64 of a unique column, never rand(), so shuffle retries are
+    idempotent.  See operators/skew.py."""
+    from ex_hivent_spark.operators.skew import salted_join
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .withColumn("join_key", (F.col("user_id") % 100))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("join_key"), "o_totalprice"
+    )
+    joined = salted_join(
+        e, o, on="join_key", fact_unique_col="event_id", n_salt=8
+    )
+    DEC = "decimal(25,6)"
+    return joined.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias(
+            "matched_order_value"
+        ),
+    )
