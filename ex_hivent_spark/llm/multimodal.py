@@ -13,12 +13,16 @@ The pattern this module makes real (and tests):
   iterator of pandas DataFrames matching the declared result schema.
   Batch size is governed by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
   at 100 TB the same code runs unchanged, parallelism = input partitions.
-- the *decode* step is STUBBED: this container has no image/audio
-  libraries, so ``_decode_payload`` derives deterministic fake
-  pixels/samples from the payload bytes. A real deployment replaces that
-  one function with PIL/torchaudio/av — the Spark-side plumbing (schema,
-  partitioning, UDF signatures, batch shapes) is identical and is what
-  these operators verify.
+- the *decode* step tries the real image library first:
+  ``_decode_payload`` decodes encoded images to pixel bytes via PIL
+  when it is importable, and falls back to deterministic fake
+  pixels/samples (the payload bytes) when the library is absent or the
+  payload isn't an encoded image — so the same code runs real decodes
+  in a full deployment and stays reproducible in this container (which
+  has no media libraries). Audio/video decode (torchaudio/av) sits
+  behind the same try-import pattern. The Spark-side plumbing (schema,
+  partitioning, UDF signatures, batch shapes) is identical either way
+  and is what these operators verify.
 
 Media for the testdata is synthesized deterministically from the
 ``documents`` table (payload = repeated md5 bytes of the text), so every
@@ -89,14 +93,35 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_payload(payload: bytes) -> bytes:
-    """STUB decode. A real implementation would be e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` / an ffmpeg demux; this
-    container has no media libraries, so the 'decoded samples' are the
-    payload bytes themselves (deterministic fake). Raise
-    NotImplementedError for formats a real decoder would reject."""
+def _decode_payload(payload: bytes, kind: str | None = None) -> bytes:
+    """Decode a media payload to raw sample bytes.
+
+    Image path: when the optional image library (PIL) is importable AND
+    the payload is a real encoded image, returns the decoded grayscale
+    pixel bytes — the real decode.  Everything else (no library, or a
+    payload PIL rejects — the synthetic testdata payloads are md5
+    streams, not encoded images) falls back to the payload bytes
+    themselves, a deterministic stand-in that keeps every downstream
+    feature reproducible across environments.  Audio/video would slot
+    in the same way with torchaudio/av; those libraries have no
+    pure-python fallback so they stay behind the same try-import.
+
+    Raises NotImplementedError for empty payloads — no decodable
+    stream in any real decoder either."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload: no decodable stream")
+    if kind == "image":
+        try:
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as img:
+                return img.convert("L").tobytes()
+        except ImportError:
+            pass  # no image library in this environment: fallback
+        except Exception:
+            pass  # not an encoded image (synthetic payload): fallback
     return payload
 
 
@@ -116,8 +141,8 @@ def extract_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
 
         for pdf in batches:
             decoded = [
-                np.frombuffer(_decode_payload(p), dtype=np.uint8)
-                for p in pdf["payload"]
+                np.frombuffer(_decode_payload(p, k), dtype=np.uint8)
+                for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
                 {
@@ -161,7 +186,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             payloads = []
             metas = []
             for p, m in zip(pdf["payload"], pdf["meta"]):
-                raw = _decode_payload(p)
+                raw = _decode_payload(p, "image")
                 scaled = (raw * (target // len(raw) + 1))[:target]
                 payloads.append(scaled)
                 m = dict(m)
@@ -185,7 +210,7 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                raw = _decode_payload(p)
+                raw = _decode_payload(p, "video")
                 n = max(int(m["n_frames"] or 1), 1)
                 size = max(len(raw) // n, 1)
                 for i in range(0, n, every_nth):
@@ -237,18 +262,18 @@ SHARD_TARGET_BYTES = 4096  # test-scale stand-in for the ~512 MB prod shard
     WITH media AS (
       SELECT doc_id AS media_id,
              ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
-             16 * (doc_id % 7 + 1) AS n_bytes
+             CAST(len(md5(text)) // 2 * (doc_id % 7 + 1) AS BIGINT) AS n_bytes
       FROM documents
     ),
     packed AS (
       SELECT kind, media_id, n_bytes,
-             (sum(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) - n_bytes)
-                 // {SHARD_TARGET_BYTES} AS shard_id
+             CAST((CAST(sum(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT) - n_bytes)
+                 // {SHARD_TARGET_BYTES} AS BIGINT) AS shard_id
       FROM media
     )
-    SELECT kind, shard_id, count(*) AS n_items,
+    SELECT kind, shard_id, CAST(count(*) AS BIGINT) AS n_items,
            CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
            min(media_id) AS first_media_id, max(media_id) AS last_media_id
     FROM packed GROUP BY kind, shard_id
@@ -266,7 +291,15 @@ def q_mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage later repartitions by (kind, shard_id) so each task streams
     exactly one shard. ``octet_length`` on the binary column prunes to
     parquet column statistics at scale; the test target is 4 KB standing
-    in for the ~512 MB production shard."""
+    in for the ~512 MB production shard.
+
+    Hardened after the r4 driver hash mismatch: the oracle now derives
+    n_bytes from the SAME construction as the Spark side
+    (``len(md5(text)) // 2 * reps`` — the payload is the md5 digest
+    repeated), not the `16*(doc_id%7+1)` data-shape shortcut, so a data
+    generator change cannot split the two; every integer window/agg
+    output is CAST(... AS BIGINT) so DuckDB's HUGEINT sums can't
+    hash-diverge from Spark's BIGINT."""
     media = synth_media(spark, sf_dir)
     from pyspark.sql import Window
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
-from ex_hivent_spark.functions.decimals import davg
+from ex_hivent_spark.functions.decimals import davg, dround, sql_dround
 from ex_hivent_spark.plans.registry import register
 
 CHUNK_TOKENS = 64
@@ -515,14 +515,22 @@ DOMAIN_MIN_DOCS = 20  # under-represented-domain flag threshold
     "q_llm_domain_stats",
     oracle=f"""
     SELECT source,
-           count(*) AS n_docs,
-           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
-           CAST(sum(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE)
-             / count(n_chars) AS avg_chars,
-           CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS corpus_share,
-           count(*) < {DOMAIN_MIN_DOCS} AS flagged
-    FROM documents
-    GROUP BY source
+           n_docs,
+           total_tokens,
+           {sql_dround('avg_chars_raw', 6)} AS avg_chars,
+           {sql_dround('CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()', 6)}
+             AS corpus_share,
+           n_docs < {DOMAIN_MIN_DOCS} AS flagged
+    FROM (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                  AS BIGINT) AS total_tokens,
+             CAST(sum(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE)
+               / count(n_chars) AS avg_chars_raw
+      FROM documents
+      GROUP BY source
+    ) per_domain
     """,
 )
 def q_llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,7 +543,13 @@ def q_llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one hash aggregate keyed on source; the corpus share divides
     by a window total over the *aggregated* frame (|domains| rows, not
     |docs| — a one-partition window over domain counts is trivially
-    small even at 100 TB where |domains| ~ 10^8 rows of 3 numbers)."""
+    small even at 100 TB where |domains| ~ 10^8 rows of 3 numbers).
+
+    Hardened after the r4 driver hash mismatch: avg_chars and
+    corpus_share are e6-rounded via :func:`dround` on BOTH engines (they
+    were the only headline floats skipping the repo's decimals
+    convention), and the oracle's token sum is CAST(... AS BIGINT) so
+    DuckDB's HUGEINT sum type can't diverge from Spark's BIGINT."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -548,10 +562,11 @@ def q_llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "total_tokens",
-        "avg_chars",
-        (
+        dround(F.col("avg_chars"), 6).alias("avg_chars"),
+        dround(
             F.col("n_docs").cast("double")
-            / F.sum("n_docs").over(Window.partitionBy())
+            / F.sum("n_docs").over(Window.partitionBy()),
+            6,
         ).alias("corpus_share"),
         (F.col("n_docs") < DOMAIN_MIN_DOCS).alias("flagged"),
     )

@@ -209,14 +209,22 @@ def delete_keys(
     if isinstance(keys, DataFrame):
         key_df = keys.toDF(key_col)
     else:
+        keys = list(keys)
+        if not keys:
+            return 0  # no pending keys: a no-op, not an error
         key_df = spark.createDataFrame(
             [(k,) for k in keys], schema=[key_col]
         )
     current = spark.read.parquet(path)
-    before = current.count()
+    # Deleted count = rows hitting the key set (broadcast semi probe) —
+    # one narrow pass instead of before/after full-table counts.
+    deleted = current.join(
+        F.broadcast(key_df), on=key_col, how="left_semi"
+    ).count()
+    if deleted == 0:
+        return 0  # nothing to rewrite; keep the table bytes untouched
     kept = current.join(F.broadcast(key_df), on=key_col, how="left_anti")
     staging = fsutil.staging_path(path)
     kept.write.mode("overwrite").parquet(staging)
-    after = spark.read.parquet(staging).count()
     fsutil.publish_swap(spark, path)
-    return before - after
+    return deleted

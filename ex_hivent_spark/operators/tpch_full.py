@@ -349,25 +349,30 @@ def q_tpch_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q12_priority_by_flag",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l_shipdate < TIMESTAMP '1998-01-01'
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
     GROUP BY l_returnflag
     """,
 )
 def q_tpch_q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: urgent-vs-other order counts per return flag
-    (return flag replaces ship mode).  Conditional integer sums — no
-    float determinism concerns; the date filter pushes into the
-    lineitem scan and the join shuffles on orderkey."""
+    (return flag replaces ship mode).  Conditional integer sums.
+
+    Hardened after the r4 driver hash mismatch: BOTH engines compare
+    ``cast(l_shipdate AS date)`` against DATE literals, so the year
+    boundary is a pure calendar comparison immune to any timestamp-vs-NTZ
+    or session-timezone interpretation drift between Spark and the
+    oracle; the oracle's conditional sums are CAST(... AS BIGINT) so
+    DuckDB's HUGEINT sum result can't hash-diverge from Spark's BIGINT."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (

@@ -55,78 +55,80 @@ def register(name: str, oracle: Optional[str] = None):
 
 
 # The external driver's correctness harness checks the FIRST 50 entries
-# of queries() each round (CORRECTNESS_r01-r03 all cut off at exactly
+# of queries() each round (CORRECTNESS_r01-r04 all cut off at exactly
 # 50, in dict order). With >150 registered queries, rounds therefore
-# ROTATE which 50 lead: r01 verified the early-registered core + LLM
-# basics, r02 the full relational surface, r03 the analytics/LLM-pipeline
-# surface (47/50 green; its 3 errs were the TIMESTAMP_NTZ regression the
-# r4 catalog fix addresses). r04 fronts: those 3 fixed queries, the 19
-# never-driver-checked ops, the 15 new TPC-H shapes, the new r4
-# curation/ANN ops (classifier, PQ, IVF-PQ, late audit, passage dedup,
-# domain stats, k-means, SemDeDup), the late-oracled sketch hash-checks,
-# and a few timestamp-heavy r02 re-proves against the regenerated
-# testdata. After r04 every registered query has been driver-checked at
-# least once; scripts/driver_sim.py re-verifies ALL queries locally
-# every round regardless of this ordering.
+# ROTATE which 50 lead: r01 core+LLM basics, r02 relational surface,
+# r03 analytics/LLM-pipeline, r04 TPC-H completion + r4 curation ops.
+# Verification state after r04: six queries registered late in r4
+# (q_join_salted_skew, q_win_sliding_distinct, q_ts_ewma, q_ts_anomaly,
+# q_llm_bm25_topk, q_llm_ann_recall) have NEVER been driver-checked
+# (local driver_sim evidence only), three r04 checks hash-mismatched
+# driver-side while passing locally (q_tpch_q12_priority_by_flag,
+# q_llm_domain_stats, q_mm_shard_pack — hardened for r5: DATE-literal
+# boundaries, e6 rounding, construction-parity oracle, BIGINT casts),
+# and q_agg_approx_distinct's only driver row predates its bounded-error
+# oracle. r05 fronts those 10, then re-proves oldest-evidence queries:
+# the 8 whose latest green is r01 and 32 of the 46 whose latest green is
+# r02. (r06 should front the remaining 14 r02-era queries, then oldest
+# r03.) scripts/driver_sim.py re-verifies ALL queries locally every
+# round regardless of this ordering.
 DRIVER_CHECK_FIRST = [
-    # r03 errs — TIMESTAMP_NTZ regression, fixed in catalog.load_table
-    "q_funnel_signup_purchase",
-    "q_win_time_range_frame",
-    "q_join_asof_tolerance",
-    # never driver-checked (registered late in r3)
-    "q_agg_bitmap_rollup",
-    "q_agg_winsorize",
-    "q_fn_fuzzy_match",
-    "q_fn_variant_json",
-    "q_graph_triangles",
-    "q_join_asof_nearest",
-    "q_layout_zorder",
-    "q_llm_reservoir_sample",
-    "q_llm_unigram_logprob",
-    "q_mm_decode_features",
-    "q_mm_frame_sample",
-    "q_mm_shard_pack",
-    "q_quality_fk_orphans",
-    "q_quality_profile",
-    "q_tpch_q6_forecast_revenue",
-    "q_tpch_q14_promo_effect",
-    "q_tpch_q18_large_orders",
-    "q_ts_linear_interp",
-    "q_win_rolling_median",
-    # TPC-H completion (new in r4): the 15 remaining classic shapes
-    "q_tpch_q2_min_cost_supplier",
-    "q_tpch_q4_priority_exists",
-    "q_tpch_q7_nation_volume",
-    "q_tpch_q8_market_share",
-    "q_tpch_q9_product_profit",
-    "q_tpch_q11_important_value",
+    # r04 driver hash-mismatches, hardened this round — must re-prove
     "q_tpch_q12_priority_by_flag",
-    "q_tpch_q13_order_distribution",
-    "q_tpch_q15_top_supplier",
-    "q_tpch_q16_supplier_variety",
-    "q_tpch_q17_small_qty_revenue",
-    "q_tpch_q19_disjunctive",
-    "q_tpch_q20_excess_suppliers",
-    "q_tpch_q21_sole_supplier",
-    "q_tpch_q22_dormant_customers",
-    # timestamp-heavy core last verified in r02 — re-prove against the
-    # regenerated (NTZ-micros) testdata under the driver's session
-    "q_agg_pricing_summary",
-    "q_llm_quality_classifier",
-    "q_llm_pq_encode",
-    "q_join_asof",
-    "q_join_range_theta",
-    "q_llm_ivfpq_search",
-    "q_stream_late_audit",
-    # sketch ops oracled in late r3 — hash checks never ran driver-side
-    "q_llm_minhash_neardup",
-    "q_llm_simhash_groups",
-    # curation ops new in r4 (never checked — take the last slots over
-    # lower-risk r02 re-proves)
-    "q_llm_passage_dedup",
     "q_llm_domain_stats",
-    "q_llm_kmeans_step",
-    "q_llm_semdedup",
+    "q_mm_shard_pack",
+    # declared ✅ in SURVEY but only driver row is r2 no_oracle
+    "q_agg_approx_distinct",
+    # never driver-checked (registered late in r4)
+    "q_join_salted_skew",
+    "q_llm_ann_recall",
+    "q_llm_bm25_topk",
+    "q_ts_anomaly",
+    "q_ts_ewma",
+    "q_win_sliding_distinct",
+    # oldest evidence: latest driver green was r01
+    "q_fn_string",
+    "q_fn_math",
+    "q_fn_array",
+    "q_udf_token_count",
+    "q_llm_exact_dedup",
+    "q_llm_ngram_jaccard",
+    "q_llm_text_stats",
+    "q_llm_quality_score",
+    # oldest evidence: latest driver green was r02 (first 32 of 46;
+    # the remaining 14 rotate in next round)
+    "q_scan_events",
+    "q_scan_projection",
+    "q_source_json_props",
+    "q_filter_topic",
+    "q_filter_compound",
+    "q_filter_null_like",
+    "q_project_enrich",
+    "q_include_subset",
+    "q_join_inner_equi",
+    "q_join_star_multiway",
+    "q_join_left_outer",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_agg_count_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_win_rank_topk_per_group",
+    "q_win_lag_lead",
+    "q_win_running_frame",
+    "q_win_sessionize",
+    "q_win_tumbling_batch",
+    "q_sort_multi",
+    "q_last_event",
+    "q_set_union",
+    "q_set_intersect",
+    "q_set_except",
+    "q_dedup_exact",
+    "q_join_interval_attribution",
 ]
 
 

@@ -140,6 +140,21 @@ def test_delete_keys_rewrites_without_keys(spark, tmp_path):
     assert delete_keys(spark, path, "user_id", [7, 13]) == 0
 
 
+def test_delete_keys_empty_list_is_noop(spark, tmp_path):
+    from ex_hivent_spark.maintenance import delete_keys
+
+    path = str(tmp_path / "events_del_empty")
+    spark.range(0, 50).selectExpr("id AS user_id").write.parquet(path)
+    files_before = sorted((tmp_path / "events_del_empty").iterdir())
+    assert delete_keys(spark, path, "user_id", []) == 0
+    # no staging swap happened: identical file listing, rows intact
+    assert sorted((tmp_path / "events_del_empty").iterdir()) == files_before
+    assert spark.read.parquet(path).count() == 50
+    # a miss-only key set is also a no-op rewrite
+    assert delete_keys(spark, path, "user_id", [999, 1000]) == 0
+    assert sorted((tmp_path / "events_del_empty").iterdir()) == files_before
+
+
 def test_delete_keys_accepts_dataframe(spark, tmp_path):
     from ex_hivent_spark.maintenance import delete_keys
 

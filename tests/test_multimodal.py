@@ -77,6 +77,70 @@ def test_sample_frames(media):
         assert r.n == (n_frames + 1) // 2  # every 2nd frame
 
 
+def test_decode_pil_branch_with_fake_library(monkeypatch):
+    """Exercise the real-decode branch without the library installed:
+    inject a minimal fake PIL into sys.modules and check that an
+    'encoded image' payload comes back as decoded pixel bytes while a
+    payload the decoder rejects falls back to the deterministic path.
+    (The genuine-PIL test below runs wherever PIL exists.)"""
+    import sys
+    import types
+
+    from ex_hivent_spark.llm.multimodal import _decode_payload
+
+    PIXELS = bytes(range(12))
+
+    class FakeImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def tobytes(self):
+            return PIXELS
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeImageModule:
+        @staticmethod
+        def open(buf):
+            if buf.read(4) != b"\x89PNG":
+                raise OSError("cannot identify image file")
+            return FakeImg()
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = FakeImageModule
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", FakeImageModule)
+
+    # encoded-image payload → decoded pixels from the library
+    assert _decode_payload(b"\x89PNGxxxx", "image") == PIXELS
+    # undecodable payload → deterministic fallback (payload bytes)
+    assert _decode_payload(b"notapng", "image") == b"notapng"
+    # non-image kinds never consult the image library
+    assert _decode_payload(b"\x89PNGxxxx", "audio") == b"\x89PNGxxxx"
+
+
+def test_decode_real_pil_when_available():
+    """Decode a genuine encoded PNG via the real library. Skips (with
+    reason) in containers without PIL — the fake-library test above
+    still covers the branch there."""
+    PIL = pytest.importorskip("PIL", reason="PIL not installed in this container")
+    import io
+
+    from PIL import Image
+
+    from ex_hivent_spark.llm.multimodal import _decode_payload
+
+    img = Image.frombytes("L", (2, 2), bytes([10, 20, 30, 40]))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    assert _decode_payload(buf.getvalue(), "image") == bytes([10, 20, 30, 40])
+
+
 def test_empty_payload_raises_not_implemented(spark):
     df = spark.createDataFrame(
         [(1, "image", b"", (1, 1, None, 1, "image"))],

@@ -100,6 +100,79 @@ def test_stateful_running_totals(spark, tmp_path):
     assert got[2] == (1, 5.0, False)
 
 
+def test_tws_processor_equivalence_harness(spark):
+    """Runtime evidence for the transformWithStateInPandas operator in
+    a container without its transport deps: drive the REAL
+    ``RunningTotals`` StatefulProcessor through its full lifecycle
+    (init → per-key handleInputRows across micro-batches → close)
+    against a stub StatefulProcessorHandle implementing the ValueState
+    contract (exists/get/update), and assert the final emissions equal
+    a batch groupBy aggregation of the same static data.
+
+    This proves the operator's state threading and accumulation logic —
+    everything above the protobuf state-server wire protocol, which is
+    engine transport, not operator semantics.  The e2e streaming test
+    below still runs wherever google.protobuf exists (it cannot be
+    vendored here: no network and no installs in this container)."""
+    import pandas as pd
+
+    from ex_hivent_spark.streaming.stateful import make_running_totals_processor
+
+    class StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class StubHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, StubValueState())
+
+    rows = [(i, i % 3, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+
+    # Three micro-batches with uneven splits; within each, rows arrive
+    # grouped by key (the engine's groupBy guarantee), possibly split
+    # across several pandas chunks — both shapes must accumulate right.
+    batches = [rows[:7], rows[7:18], rows[18:]]
+    handles = {}
+    emissions = {}
+    proc = make_running_totals_processor()
+    for batch in batches:
+        by_key = {}
+        for r in batch:
+            by_key.setdefault(r[1], []).append(r)
+        for key, krows in sorted(by_key.items()):
+            handle = handles.setdefault(key, StubHandle())
+            proc.init(handle)  # re-init binds the same named state
+            pdf = pd.DataFrame(krows, columns=["event_id", "user_id", "value"])
+            chunks = [pdf.iloc[:1], pdf.iloc[1:]] if len(pdf) > 1 else [pdf]
+            for out in proc.handleInputRows((key,), iter(chunks), None):
+                emissions[key] = (
+                    int(out["n_events"].iloc[-1]),
+                    float(out["total_value"].iloc[-1]),
+                )
+    proc.close()
+
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in df.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert emissions == want
+
+
 def test_transform_with_state_running_totals(spark, tmp_path):
     """transformWithStateInPandas (Spark 4 typed-state API) computes the
     same per-user running totals as a batch aggregation after draining
