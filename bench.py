@@ -78,6 +78,10 @@ HEADLINE = [
     "q_llm_bm25_topk",
     "q_ts_ewma",
     "q_ts_anomaly",
+    # added r5 (prior entries unchanged for per-query comparability)
+    "q_llm_substring_dedup",
+    "q_llm_hard_negatives",
+    "q_llm_dsir_weights",
 ]
 
 

@@ -386,3 +386,106 @@ def q_llm_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# Substring-level duplication (word-anchored character windows)
+# --------------------------------------------------------------------------
+
+SUBSTR_WIN_CHARS = 40  # duplicated-span detection granularity, in chars
+
+
+@register(
+    "q_llm_substring_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, list_distinct(list_filter(
+        list_transform(range(1, len(t) + 1),
+          i -> substr(array_to_string(t[i:i+{SUBSTR_WIN_CHARS - 1}], ' '),
+                      1, {SUBSTR_WIN_CHARS})),
+        w -> len(w) = {SUBSTR_WIN_CHARS})) AS ws
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT AS h
+      FROM wins, unnest(ws) AS u(w)
+    ),
+    sharers AS (
+      SELECT h, count(DISTINCT doc_id) AS nd FROM hashed GROUP BY h
+    )
+    SELECT hashed.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS dup_frac
+    FROM hashed JOIN sharers USING (h)
+    GROUP BY hashed.doc_id
+    """,
+)
+def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication report (the exact-substring-dedup
+    semantics of Lee et al.'s "Deduplicating Training Data Makes
+    Language Models Better", re-expressed scalably): per document, how
+    many of its K-char spans also occur verbatim in ANOTHER document,
+    where spans are anchored at every word start. Word-boundary
+    anchoring makes detection alignment-free — a region copied between
+    two documents at different offsets still yields the IDENTICAL
+    window set, because anchors derive from content, not position
+    (the property a fixed-stride sampler lacks; a suffix array gives
+    per-character exactness at far higher cost). Catches duplication
+    that passage-aligned dedup (q_llm_passage_dedup) misses: spans
+    crossing passage boundaries and partial-passage overlap.
+
+    Plan shape: one explode of ~|tokens| windows per doc, each hashed
+    to a 48-bit md5-prefix int (the engine's cross-engine-reproducible
+    hash, md5_int48) — so only (doc_id, 8-byte hash) rows shuffle,
+    never window text; one hash-aggregate on the content-derived hash
+    counts distinct sharers (map-side combine applies); a join-back on
+    the same key (partitioning reused) and a per-doc aggregate emit
+    the report. At 100 TB this is ~2 narrow shuffles of ~token-count
+    rows — the same volume as the 3-gram shingle pipeline — with no
+    all-pairs stage anywhere; dup_frac is a single bigint/bigint
+    double division, bit-deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    K = SUBSTR_WIN_CHARS
+    toks = F.split(F.col("text"), " ")
+    wins = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda i: F.substring(
+                    F.concat_ws(" ", F.slice(toks, i, K)), 1, K
+                ),
+            ),
+            lambda w: F.length(w) == K,
+        )
+    )
+    hashed = (
+        d.select("doc_id", wins.alias("ws"))
+        .select("doc_id", F.explode("ws").alias("win"))
+        .select("doc_id", md5_int48(F.col("win")).alias("h"))
+    )
+    sharers = hashed.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        hashed.join(sharers, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            (
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

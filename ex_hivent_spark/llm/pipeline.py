@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
-from ex_hivent_spark.functions.decimals import davg, dround, sql_dround
+from ex_hivent_spark.functions.decimals import (
+    DEC,
+    davg,
+    dround,
+    dsum,
+    sql_dround,
+    sql_dsum,
+)
 from ex_hivent_spark.plans.registry import register
 
 CHUNK_TOKENS = 64
@@ -570,3 +577,109 @@ def q_llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corpus_share"),
         (F.col("n_docs") < DOMAIN_MIN_DOCS).alias("flagged"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram proxy)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed feature space (Xie et al. use 10k; scale-free)
+DSIR_TARGET_SOURCE = "src0"  # literal stand-in for the curated target domain
+
+
+@register(
+    "q_llm_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(tok), 1, 12))::BIGINT % {DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    src_cnt AS (SELECT b, count(*) AS cs FROM toks GROUP BY b),
+    tgt_cnt AS (SELECT b, count(*) AS ct FROM toks
+                WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b),
+    tot AS (
+      SELECT count(*) AS ts,
+             count(*) FILTER (WHERE source = '{DSIR_TARGET_SOURCE}') AS tt
+      FROM toks
+    ),
+    stats AS (
+      SELECT s.b, s.cs, coalesce(t.ct, 0) AS ct
+      FROM src_cnt s LEFT JOIN tgt_cnt t USING (b)
+    ),
+    scored AS (
+      SELECT doc_id,
+             {sql_dround(
+                 "ln((CAST(ct + 1 AS DOUBLE) * CAST(ts + " + str(DSIR_BUCKETS) + " AS DOUBLE))"
+                 " / (CAST(cs + 1 AS DOUBLE) * CAST(tt + " + str(DSIR_BUCKETS) + " AS DOUBLE)))",
+                 6,
+             )} AS lr
+      FROM toks JOIN stats USING (b) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           {sql_dsum("lr", "dsir_logweight")},
+           CAST(sum(CAST(lr AS DECIMAL(25,6))) AS DOUBLE) > 0 AS selected
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    over hashed unigram features: per document, the log importance
+    weight ln(p_target/p_source) summed over its tokens, where both
+    distributions are Laplace-smoothed histograms over
+    ``md5_int48(token) % 256`` feature buckets. Documents with positive
+    weight look more like the target domain (literal 'src0' here — a
+    curated-domain stand-in) than the general corpus, the standard
+    pretraining-data-selection signal.
+
+    Plan: one token explode feeds BOTH histogram aggregates (source =
+    whole corpus, target = the filtered slice) — each a 256-row result
+    broadcast back to the token stream, so the corpus side never
+    shuffles: two tiny hash-aggs + one broadcast join + one per-doc
+    aggregate, linear at 100 TB. Determinism: the smoothed ratio is
+    computed as exact-integer-to-double casts multiplied THEN divided
+    (never bigint products that could overflow at corpus scale), ln is
+    the single libm op e6-rounded per token (the q_llm_unigram_logprob
+    contract), and the per-doc sum is the decimal-sum trick — so the
+    driver hash matches DuckDB bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(
+                F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long"),
+                F.lit(DSIR_BUCKETS),
+            ).alias("b"),
+        )
+    )
+    src_cnt = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    tgt_cnt = (
+        toks.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    stats = src_cnt.join(tgt_cnt, "b", "left").na.fill({"ct": 0})
+    ts = toks.count()
+    tt = toks.filter(F.col("source") == DSIR_TARGET_SOURCE).count()
+
+    lr = dround(
+        F.log(
+            ((F.col("ct") + 1).cast("double") * F.lit(float(ts + DSIR_BUCKETS)))
+            / ((F.col("cs") + 1).cast("double") * F.lit(float(tt + DSIR_BUCKETS)))
+        ),
+        6,
+    ).alias("lr")
+    per_doc = (
+        toks.join(F.broadcast(stats), "b")
+        .select("doc_id", lr)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            dsum("lr", "dsir_logweight"),
+            (F.sum(F.col("lr").cast(DEC)).cast("double") > 0).alias("selected"),
+        )
+    )
+    return per_doc

@@ -1399,3 +1399,97 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_found").cast("double") / float(TOP_K)).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive training data)
+# --------------------------------------------------------------------------
+
+N_NEG_PROBES = 50
+
+
+@register(
+    "q_llm_hard_negatives",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id, label,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, label AS probe_label, u AS pu FROM unit
+      WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT {N_NEG_PROBES}
+    ),
+    scored AS (
+      SELECT p.probe_id, p.probe_label,
+             unit.vec_id AS neg_id, unit.label AS neg_label,
+             floor(list_dot_product(p.pu, unit.u) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cosine
+      FROM probes p JOIN unit ON unit.label <> p.probe_label
+    )
+    SELECT probe_id, probe_label, neg_id, neg_label, cosine
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, neg_id) = 1
+    """,
+)
+def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each probe vector, the single most-similar vector carrying a
+    DIFFERENT label — the negative that most confuses a classifier and
+    therefore the one worth training against (the batch analogue of
+    in-batch hard negatives).
+
+    Plan: the probe set is bounded and deterministic (vec_id % 97,
+    TakeOrdered limit), so it broadcasts as O(probes·dim) and the
+    corpus streams through ONE map stage computing label-filtered
+    dot products — linear in corpus size with a constant probe factor,
+    no shuffle of the embedding column at all; the per-probe argmax is
+    a window over probes·|corpus| narrow score rows. Same determinism
+    contract as q_llm_cosine_topk: double-cast, sequential-fold
+    normalize + dot, e6 round, tie-break on neg_id. For probe sets too
+    large to broadcast, the IVF-bucketed path (q_llm_ivf_topk) is the
+    scale route; this exact scan is also the recall oracle for it."""
+    from pyspark.sql import Window
+
+    em = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    unit = em.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
+    )
+    probes = (
+        unit.filter(F.col("vec_id") % 97 == 0)
+        .orderBy("vec_id")
+        .limit(N_NEG_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("label").alias("probe_label"),
+            F.col("u").alias("pu"),
+        )
+    )
+    scored = (
+        unit.join(F.broadcast(probes), F.col("label") != F.col("probe_label"))
+        .select(
+            "probe_id",
+            "probe_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            dround(dot(F.col("pu"), F.col("u")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "probe_label", "neg_id", "neg_label", "cosine")
+    )

@@ -92,3 +92,97 @@ def test_decontaminate_flags_known_overlap(spark, tmp_path):
     }
     assert 1 in out and out[1] >= 1
     assert 2 not in out
+
+
+def test_substring_dedup_alignment_free(spark, tmp_path):
+    """The defining property vs fixed-stride sampling: a span copied
+    into another document at a DIFFERENT character offset is still
+    detected, because windows anchor at word starts (content-derived),
+    not at absolute positions."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " unique tail zero zero zero", "en", "s", 83),
+            # same span, shifted by a different-length prefix
+            (1, "xx " + shared + " other continuation words", "en", "s", 85),
+            (2, "wholly unrelated words with no forty char overlap at all "
+                "more filler tokens here", "en", "s", 80),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    from ex_hivent_spark.plans.registry import all_specs
+
+    out = {
+        r.doc_id: r
+        for r in all_specs()["q_llm_substring_dedup"].spark(spark, sf_dir).collect()
+    }
+    assert out[0].n_dup_windows >= 1, "shifted copy must be detected"
+    assert out[1].n_dup_windows >= 1
+    assert out[2].n_dup_windows == 0
+    assert 0.0 < out[0].dup_frac <= 1.0
+    assert out[2].dup_frac == 0.0
+
+
+def test_hard_negatives_label_constraint(spark, sf_dir):
+    """Every mined negative carries a different label than its probe,
+    and is the argmax-similarity such vector (verified per probe
+    against a driver-side exhaustive check at the test SF)."""
+    import math
+
+    from ex_hivent_spark.plans.registry import all_specs
+    from ex_hivent_spark.catalog import load_table
+
+    got = all_specs()["q_llm_hard_negatives"].spark(spark, sf_dir).collect()
+    assert got, "no probes at this SF"
+    vecs = {
+        r.vec_id: (r.label, r.embedding)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def unit(v):
+        n = math.sqrt(sum(float(x) * float(x) for x in v))
+        return [float(x) / n for x in v]
+
+    for row in got:
+        assert row.probe_label != row.neg_label
+        pu = unit(vecs[row.probe_id][1])
+        best = max(
+            (
+                (sum(a * b for a, b in zip(pu, unit(v))), -vid)
+                for vid, (lab, v) in vecs.items()
+                if lab != row.probe_label
+            ),
+        )
+        assert -best[1] == row.neg_id
+
+
+def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
+    """Docs whose token distribution matches the target domain must get
+    higher (positive) DSIR log-weights than docs matching the general
+    corpus; every doc gets a weight and the selected flag mirrors the
+    sign."""
+    rows = []
+    # target domain src0: vocabulary A; general corpus src1/src2: vocabulary B
+    for i in range(8):
+        rows.append((i, "alpha beta gamma delta " * 5, "en", "src0", 120))
+    for i in range(8, 24):
+        rows.append((i, "omega psi chi phi upsilon " * 5, "en", f"src{1 + i % 2}", 150))
+    # one src1 doc written in target vocabulary — should score positive
+    rows.append((24, "alpha beta gamma delta " * 5, "en", "src1", 120))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    from ex_hivent_spark.plans.registry import all_specs
+
+    out = {
+        r.doc_id: r
+        for r in all_specs()["q_llm_dsir_weights"].spark(spark, sf_dir).collect()
+    }
+    assert len(out) == 25
+    assert out[24].dsir_logweight > 0 and out[24].selected
+    assert out[8].dsir_logweight < 0 and not out[8].selected
+    assert all(out[i].dsir_logweight > 0 for i in range(8))

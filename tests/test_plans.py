@@ -357,3 +357,33 @@ def test_bm25_prunes_explode_before_aggregates(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_llm_bm25_topk", mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_substring_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """The window text must be consumed map-side (hashed to md5_int48
+    before any Exchange): no Exchange carries a 'win' column, and no
+    all-pairs stage exists."""
+    plan = plan_of(spark, sf_dir, "q_llm_substring_dedup")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    for chunk in plan.split("Exchange")[1:]:
+        first_line = chunk.splitlines()[0]
+        assert "win" not in first_line
+
+
+def test_hard_negatives_broadcasts_probes(spark, sf_dir):
+    """The probe side must broadcast (corpus never shuffles for the
+    score stage): a BroadcastNestedLoopJoin on the label-inequality
+    condition is the intended shape — the build side is O(probes·dim)."""
+    plan = plan_of(spark, sf_dir, "q_llm_hard_negatives")
+    assert "Broadcast" in plan
+    # corpus-side embedding column must not cross a shuffle Exchange
+    for chunk in plan.split("ShuffleExchange")[1:]:
+        assert "embedding" not in chunk.splitlines()[0]
+
+
+def test_dsir_histograms_broadcast_back(spark, sf_dir):
+    """Both histogram join-backs must broadcast the 256-row stats side;
+    the token stream itself never shuffles before the per-doc agg."""
+    plan = plan_of(spark, sf_dir, "q_llm_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
