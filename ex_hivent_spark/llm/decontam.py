@@ -140,7 +140,9 @@ def q_llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     tk = d.select(
-        "doc_id", "lang", F.explode(shingles(F.col("text"))).alias("h")
+        "doc_id",
+        "lang",
+        F.explode(shingles(F.col("text"), hasher=F.xxhash64)).alias("h"),
     )
     hs = tk.groupBy("doc_id", "lang").agg(
         F.array_sort(F.collect_set("h")).alias("hs")

@@ -66,16 +66,26 @@ def md5_int48(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
-def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+def shingles(text: Column, k: int = SHINGLE_K, hasher=None) -> Column:
     """Distinct k-token shingles of a whitespace-tokenized text, each
-    hashed to a 48-bit int via :func:`md5_int48`. Pure built-ins:
-    split + transform over an index sequence + slice + concat."""
+    hashed to an int. Pure built-ins: split + transform over an index
+    sequence + slice + concat.
+
+    ``hasher`` picks the hash: the default :func:`md5_int48` is
+    cross-engine-reproducible (required wherever the SQL oracle
+    re-derives the hash values themselves — MinHash sketches), while
+    queries whose hashes stay internal (the exact-Jaccard family: their
+    oracles compare STRING shingle sets, so only set cardinalities
+    matter) pass ``F.xxhash64`` — native, measured ~2x faster per
+    shingle pass, and 64-bit so strictly fewer collisions than the
+    48-bit md5 prefix."""
+    h = hasher if hasher is not None else md5_int48
     tokens = F.split(text, " ")
     n = F.greatest(F.size(tokens) - (k - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n),
-            lambda i: md5_int48(F.concat_ws(" ", F.slice(tokens, i, k))),
+            lambda i: h(F.concat_ws(" ", F.slice(tokens, i, k))),
         )
     )
 
@@ -266,10 +276,13 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) is a single integer-ratio double
     division — bit-deterministic, no rounding needed.
 
-    Implementation notes: shingles are represented by their md5-prefix
-    48-bit ints throughout (set cardinalities are unchanged barring a
-    collision; the sf0.01 oracle hash-check agrees with the string-set
-    SQL oracle). The per-doc hash set is built once with one explode +
+    Implementation notes: shingles are represented by 64-bit xxhash64
+    ints throughout — the hashes never appear in the output, so only
+    set CARDINALITIES must survive hashing (unchanged barring a
+    collision, strictly rarer at 64 bits than the md5-prefix 48 bits
+    the sketch ops use; the sf0.01 oracle hash-check agrees with the
+    string-set SQL oracle, and the native hash measures ~2x faster
+    than md5 per shingle pass). The per-doc hash set is built once with one explode +
     groupBy(collect_set) — the cheap exploded-hash pattern shared with
     MinHash — and both the prefix explode and the two verification
     join-backs read that one aggregate. Verification joins carry only
@@ -279,7 +292,11 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs 159 s vs ~3.5 s for this plan (45x) — the blocking key, not
     the engine, is the win."""
     d = load_table(spark, sf_dir, "documents")
-    tk = d.select("doc_id", "lang", F.explode(shingles(F.col("text"))).alias("h"))
+    tk = d.select(
+        "doc_id",
+        "lang",
+        F.explode(shingles(F.col("text"), hasher=F.xxhash64)).alias("h"),
+    )
     hs = tk.groupBy("doc_id", "lang").agg(
         F.array_sort(F.collect_set("h")).alias("hs")
     )
@@ -398,20 +415,16 @@ SUBSTR_WIN_CHARS = 40  # duplicated-span detection granularity, in chars
 @register(
     "q_llm_substring_dedup",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    wins AS (
-      SELECT doc_id, list_distinct(list_filter(
-        list_transform(range(1, len(t) + 1),
-          i -> substr(array_to_string(t[i:i+{SUBSTR_WIN_CHARS - 1}], ' '),
-                      1, {SUBSTR_WIN_CHARS})),
-        w -> len(w) = {SUBSTR_WIN_CHARS})) AS ws
-      FROM toks
+    WITH wins AS (
+      SELECT doc_id, list_distinct(list_transform(
+        list_filter(range(1, len(text) - {SUBSTR_WIN_CHARS - 2}),
+          p -> p = 1 OR substr(text, p - 1, 1) = ' '),
+        p -> ('0x' || substr(md5(substr(text, p, {SUBSTR_WIN_CHARS})),
+                             1, 12))::BIGINT)) AS ws
+      FROM documents WHERE len(text) >= {SUBSTR_WIN_CHARS}
     ),
     hashed AS (
-      SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT AS h
-      FROM wins, unnest(ws) AS u(w)
+      SELECT doc_id, h FROM wins, unnest(ws) AS u(h)
     ),
     sharers AS (
       SELECT h, count(DISTINCT doc_id) AS nd FROM hashed GROUP BY h
@@ -440,45 +453,59 @@ def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that passage-aligned dedup (q_llm_passage_dedup) misses: spans
     crossing passage boundaries and partial-passage overlap.
 
-    Plan shape: one explode of ~|tokens| windows per doc, each hashed
-    to a 48-bit md5-prefix int (the engine's cross-engine-reproducible
-    hash, md5_int48) — so only (doc_id, 8-byte hash) rows shuffle,
-    never window text; one hash-aggregate on the content-derived hash
-    counts distinct sharers (map-side combine applies); a join-back on
-    the same key (partitioning reused) and a per-doc aggregate emit
-    the report. At 100 TB this is ~2 narrow shuffles of ~token-count
-    rows — the same volume as the 3-gram shingle pipeline — with no
-    all-pairs stage anywhere; dup_frac is a single bigint/bigint
-    double division, bit-deterministic."""
+    Plan shape: windows are taken straight out of the original text at
+    space-anchored character positions (one O(len) anchor scan + one
+    O(K) substring per window — never a per-window token-slice
+    reassembly, which measured ~2x the whole query), each hashed
+    map-side to a 48-bit md5-prefix int (md5_int48, reproduced verbatim
+    in the oracle so hash collisions — the only lossy step — strike
+    both engines identically) — so only (doc_id, 8-byte hash) rows
+    shuffle, never window text. The aggregation is asymmetric on
+    purpose: per-doc window counts come straight off the window array
+    map-side (zero shuffle), and ONLY the hashes that are actually
+    duplicated (sharer count > 1 — a tiny, data-proportional set)
+    survive to the doc-attribution join, so the full window stream is
+    shuffled exactly once (the sharer count), never joined back whole.
+    No collect_list anywhere — a boilerplate window shared by millions
+    of docs skews a shuffle partition at worst (AQE splits it), it
+    cannot OOM an executor. dup_frac is a single bigint/bigint double
+    division, bit-deterministic."""
     d = load_table(spark, sf_dir, "documents")
     K = SUBSTR_WIN_CHARS
-    toks = F.split(F.col("text"), " ")
+    text = F.col("text")
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.length(text) - (K - 1)),
+        lambda p: (p == 1) | (F.substring(text, p - 1, 1) == " "),
+    )
     wins = F.array_distinct(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks)),
-                lambda i: F.substring(
-                    F.concat_ws(" ", F.slice(toks, i, K)), 1, K
-                ),
-            ),
-            lambda w: F.length(w) == K,
-        )
+        F.transform(anchors, lambda p: md5_int48(F.substring(text, p, K)))
     )
-    hashed = (
-        d.select("doc_id", wins.alias("ws"))
-        .select("doc_id", F.explode("ws").alias("win"))
-        .select("doc_id", md5_int48(F.col("win")).alias("h"))
+    # Two consumers (map-side counts + the explode) read the window
+    # arrays; lazy-localCheckpoint materializes the scan+window build
+    # once, same rationale as the ngram-jaccard hash-set aggregate.
+    base = (
+        d.filter(F.length(text) >= K)
+        .select("doc_id", wins.alias("ws"))
+        .localCheckpoint(eager=False)
     )
-    sharers = hashed.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
-    return (
-        hashed.join(sharers, "h")
+    per_doc = base.select(
+        "doc_id", F.size("ws").cast("bigint").alias("n_windows")
+    )
+    hashed = base.select("doc_id", F.explode("ws").alias("h"))
+    dup_hashes = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))  # (doc,h) pairs are distinct
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    dup_counts = (
+        hashed.join(dup_hashes, "h")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_dup_windows"),
-        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"))
+    )
+    return (
+        per_doc.join(dup_counts, "doc_id", "left")
+        .na.fill({"n_dup_windows": 0})
         .select(
             "doc_id",
             "n_windows",
