@@ -82,6 +82,7 @@ HEADLINE = [
     "q_llm_substring_dedup",
     "q_llm_hard_negatives",
     "q_llm_dsir_weights",
+    "q_layout_hilbert",
 ]
 
 

@@ -954,3 +954,134 @@ def q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("col", "n_rows", "n_filled", "n_distinct")
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout (the locality-stronger sibling of Z-order)
+# --------------------------------------------------------------------------
+
+_H_BITS = 16
+_H_N = 1 << _H_BITS  # curve order: 16 bits per dimension
+_H_BUCKET_SHIFT = 16
+
+
+def _hilbert_ctes_sql(table: str, xcol: str, ycol: str) -> str:
+    """Chained CTEs computing the Hilbert index ``hd`` of
+    (xcol, ycol) — the classic xy2d quadrant-rotation recurrence,
+    one CTE per bit level, generated by the SAME loop that builds the
+    Spark expressions so the two engines are mechanically identical."""
+    lines = [
+        f"h{_H_BITS} AS (SELECT {xcol}, {ycol}, "
+        f"CAST({xcol} & {_H_N - 1} AS BIGINT) AS hx, "
+        f"CAST({ycol} & {_H_N - 1} AS BIGINT) AS hy, "
+        f"CAST(0 AS BIGINT) AS hd FROM {table})"
+    ]
+    for k in range(_H_BITS - 1, -1, -1):
+        rx = f"((hx >> {k}) & 1)"
+        ry = f"((hy >> {k}) & 1)"
+        quad = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 THEN 1 WHEN {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        nx = (
+            f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {_H_N - 1} - hy ELSE hy END) ELSE hx END)"
+        )
+        ny = (
+            f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {_H_N - 1} - hx ELSE hx END) ELSE hy END)"
+        )
+        lines.append(
+            f"h{k} AS (SELECT {xcol}, {ycol}, {nx} AS hx, {ny} AS hy, "
+            f"hd + {1 << (2 * k)} * {quad} AS hd FROM h{k + 1})"
+        )
+    return ",\n    ".join(lines)
+
+
+def with_hilbert_index(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
+    """Append a Hilbert-index column ``hd`` for (xcol, ycol): the xy2d
+    recurrence over 16 bit levels, one named projection per level.
+
+    Per-level PROJECTIONS (not one folded Column) are load-bearing: the
+    recurrence reads each intermediate several times, so textual
+    inlining grows the expression tree ~4x per level — 4^16 nodes by
+    the last — which OOMs the driver during analysis. Named columns
+    keep the tree linear, exactly like the oracle's CTE chain (Catalyst
+    keeps it so: CollapseProject declines to merge projections that
+    would duplicate non-cheap expressions)."""
+    keep = [c for c in df.columns]
+    out = df.select(
+        *keep,
+        F.col(xcol).bitwiseAND(F.lit(_H_N - 1)).cast("long").alias("hx"),
+        F.col(ycol).bitwiseAND(F.lit(_H_N - 1)).cast("long").alias("hy"),
+        F.lit(0).cast("long").alias("hd"),
+    )
+    for k in range(_H_BITS - 1, -1, -1):
+        x, y = F.col("hx"), F.col("hy")
+        rx = F.shiftright(x, k).bitwiseAND(F.lit(1))
+        ry = F.shiftright(y, k).bitwiseAND(F.lit(1))
+        quad = (
+            F.when((rx == 0) & (ry == 0), 0)
+            .when(rx == 0, 1)
+            .when(ry == 1, 2)
+            .otherwise(3)
+        )
+        nx = F.when(
+            ry == 0, F.when(rx == 1, F.lit(_H_N - 1) - y).otherwise(y)
+        ).otherwise(x)
+        ny = F.when(
+            ry == 0, F.when(rx == 1, F.lit(_H_N - 1) - x).otherwise(x)
+        ).otherwise(y)
+        out = out.select(
+            *keep,
+            nx.alias("hx"),
+            ny.alias("hy"),
+            # long literal: 3 * 2^30 at the top level overflows INT
+            # under ANSI the moment a key's bit 15 is set
+            (
+                F.col("hd") + F.lit(1 << (2 * k)).cast("long") * quad
+            ).alias("hd"),
+        )
+    return out
+
+
+@register(
+    "q_layout_hilbert",
+    oracle=f"""
+    WITH {_hilbert_ctes_sql("lineitem", "l_partkey", "l_suppkey")}
+    SELECT hd >> {_H_BUCKET_SHIFT} AS h_bucket, count(*) AS n_rows,
+           min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+    FROM h0 GROUP BY 1
+    """,
+)
+def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout clustering — the stronger-locality sibling
+    of q_layout_zorder (every curve step moves one cell, so per-bucket
+    bounding boxes avoid the large jumps Morton interleaving admits at
+    power-of-two boundaries; Delta/Databricks moved OPTIMIZE to Hilbert
+    for exactly this). Same driver-checkable contract as the Z-order
+    query: index rows on the curve, bucket by the top index bits, and
+    report per-bucket min/max of BOTH keys — the tight two-dimensional
+    ranges ARE the data-skipping property parquet footers exploit.
+
+    The index is the classic xy2d quadrant-rotation recurrence unrolled
+    over 16 bit levels as pure integer/CASE expressions (codegen'd, no
+    UDF, exact in any engine); the oracle's CTE chain is emitted by the
+    same generator, so both engines execute the identical recurrence.
+    The production write path is range-partitioning by hilbert_index —
+    same one-shuffle cost as any global sort at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        with_hilbert_index(li, "l_partkey", "l_suppkey")
+        .groupBy(F.shiftright("hd", _H_BUCKET_SHIFT).alias("h_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )

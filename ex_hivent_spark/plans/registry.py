@@ -67,13 +67,13 @@ def register(name: str, oracle: Optional[str] = None):
 # q_llm_domain_stats, q_mm_shard_pack — hardened for r5: DATE-literal
 # boundaries, e6 rounding, construction-parity oracle, BIGINT casts),
 # and q_agg_approx_distinct's only driver row predates its bounded-error
-# oracle. r05 fronts those 10, then the three ops new in r5
-# (q_llm_substring_dedup, q_llm_hard_negatives, q_llm_dsir_weights),
-# then re-proves oldest-evidence queries: the 8 whose latest green is
-# r01 and 29 of the 46 whose latest green is r02. (r06 should front
-# the remaining 17 r02-era queries, then oldest r03.)
-# scripts/driver_sim.py re-verifies ALL queries locally every round
-# regardless of this ordering.
+# oracle. r05 fronts those 10, then the four ops new in r5
+# (q_llm_substring_dedup, q_llm_hard_negatives, q_llm_dsir_weights,
+# q_layout_hilbert), then re-proves oldest-evidence queries: the 8
+# whose latest green is r01 and 28 of the 46 whose latest green is
+# r02. (r06 should front the remaining 18 r02-era queries, then oldest
+# r03.) scripts/driver_sim.py re-verifies ALL queries locally every
+# round regardless of this ordering.
 DRIVER_CHECK_FIRST = [
     # r04 driver hash-mismatches, hardened this round — must re-prove
     "q_tpch_q12_priority_by_flag",
@@ -92,6 +92,7 @@ DRIVER_CHECK_FIRST = [
     "q_llm_substring_dedup",
     "q_llm_hard_negatives",
     "q_llm_dsir_weights",
+    "q_layout_hilbert",
     # oldest evidence: latest driver green was r01
     "q_fn_string",
     "q_fn_math",
@@ -131,7 +132,6 @@ DRIVER_CHECK_FIRST = [
     "q_sort_multi",
     "q_last_event",
     "q_set_union",
-    "q_set_intersect",
 ]
 
 

@@ -163,3 +163,43 @@ def test_delete_keys_accepts_dataframe(spark, tmp_path):
     kill = spark.range(90, 200).selectExpr("id AS doc_id")
     assert delete_keys(spark, path, "doc_id", kill) == 10
     assert spark.read.parquet(path).count() == 90
+
+
+def test_hilbert_index_matches_reference(spark):
+    """The unrolled Column recurrence must equal the classic xy2d
+    reference implementation point-for-point, including the rotation
+    edge cells (0, max, power-of-two boundaries)."""
+    from ex_hivent_spark.operators.analytics import _H_BITS, with_hilbert_index
+
+    n = 1 << _H_BITS
+
+    def xy2d(x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(0, 0), (0, 1), (1, 0), (1, 1), (255, 255), (256, 0),
+           (0, 256), (12345, 54321), (n - 1, n - 1), (n - 1, 0),
+           (0, n - 1), (32768, 32767)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.hd
+        for r in with_hilbert_index(df, "x", "y").collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == xy2d(x, y), (x, y)
+
+    # locality: consecutive curve indices differ by one grid step
+    line = [(i, i // 2) for i in range(64)]
+    df2 = spark.createDataFrame(line, "x long, y long")
+    for r in with_hilbert_index(df2, "x", "y").collect():
+        assert r.hd == xy2d(r.x, r.y)
