@@ -167,13 +167,16 @@ def test_delete_keys_accepts_dataframe(spark, tmp_path):
 
 def test_hilbert_index_matches_reference(spark):
     """The unrolled Column recurrence must equal the classic xy2d
-    reference implementation point-for-point, including the rotation
-    edge cells (0, max, power-of-two boundaries)."""
-    from ex_hivent_spark.operators.analytics import _H_BITS, with_hilbert_index
+    reference implementation point-for-point over the range-bucketed
+    grid, including the rotation edge cells (grid corners,
+    power-of-two boundaries)."""
+    from ex_hivent_spark.operators.analytics import (
+        _H_BITS,
+        _H_N,
+        with_hilbert_index,
+    )
 
-    n = 1 << _H_BITS
-
-    def xy2d(x, y):
+    def xy2d(x, y, n):
         d = 0
         s = n // 2
         while s > 0:
@@ -188,18 +191,32 @@ def test_hilbert_index_matches_reference(spark):
         return d
 
     pts = [(0, 0), (0, 1), (1, 0), (1, 1), (255, 255), (256, 0),
-           (0, 256), (12345, 54321), (n - 1, n - 1), (n - 1, 0),
-           (0, n - 1), (32768, 32767)]
+           (0, 256), (12345, 54321), (65535, 65535), (65535, 0),
+           (0, 65535), (32768, 32767)]
+    xmin = min(p[0] for p in pts); xmax = max(p[0] for p in pts)
+    ymin = min(p[1] for p in pts); ymax = max(p[1] for p in pts)
+
+    def bucket(v, lo, hi):
+        return (v - lo) * _H_N // max(hi - lo + 1, 1)
+
     df = spark.createDataFrame(pts, "x long, y long")
     got = {
         (r.x, r.y): r.hd
         for r in with_hilbert_index(df, "x", "y").collect()
     }
     for x, y in pts:
-        assert got[(x, y)] == xy2d(x, y), (x, y)
+        want = xy2d(bucket(x, xmin, xmax), bucket(y, ymin, ymax), _H_N)
+        assert got[(x, y)] == want, (x, y)
 
-    # locality: consecutive curve indices differ by one grid step
-    line = [(i, i // 2) for i in range(64)]
+    # a dense grid keyed directly in [0, 2^bits) maps onto itself
+    # (span = _H_N), pinning every cell of the recurrence at order 4
+    line = [(i % 16, i // 16) for i in range(256)]
     df2 = spark.createDataFrame(line, "x long, y long")
-    for r in with_hilbert_index(df2, "x", "y").collect():
-        assert r.hd == xy2d(r.x, r.y)
+    got2 = {
+        (r.x, r.y): r.hd
+        for r in with_hilbert_index(df2, "x", "y").collect()
+    }
+    for x, y in line:
+        bx = x * _H_N // 16
+        by = y * _H_N // 16
+        assert got2[(x, y)] == xy2d(bx, by, _H_N), (x, y)
