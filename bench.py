@@ -83,6 +83,10 @@ HEADLINE = [
     "q_llm_hard_negatives",
     "q_llm_dsir_weights",
     "q_layout_hilbert",
+    "q_llm_gopher_rules",
+    "q_llm_bigram_logprob",
+    "q_llm_ccnet_buckets",
+    "q_emb_dim_stats",
 ]
 
 

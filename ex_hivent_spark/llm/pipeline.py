@@ -683,3 +683,79 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_doc
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity buckets (head / middle / tail per language)
+# --------------------------------------------------------------------------
+@register(
+    "q_llm_ccnet_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT count(*) AS t FROM toks),
+    scored AS (
+      SELECT doc_id, lang,
+             floor(ln(CAST(t AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000.0
+                   + 0.5) / 1000000.0 AS nll
+      FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(sum(CAST(nll AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+                 AS avg_surprisal
+      FROM scored GROUP BY doc_id, lang
+    ),
+    tiled AS (
+      SELECT doc_id, lang, avg_surprisal,
+             ntile(3) OVER (PARTITION BY lang
+                            ORDER BY avg_surprisal, doc_id) AS tile
+      FROM per_doc
+    )
+    SELECT doc_id, lang, avg_surprisal,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+    FROM tiled
+    """,
+)
+def q_llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    document with the corpus-unigram LM surprisal, then split every
+    language into head / middle / tail terciles of fluency — the
+    standard mixture knob ("train on head+middle, drop tail") of web-
+    corpus curation.  The tercile is ntile(3) over (surprisal, doc_id),
+    a total order, so assignment is deterministic cross-engine.
+
+    Plan: one vocab-sized hash aggregate broadcast back onto the token
+    stream, one per-doc aggregate, then a per-language window.  The
+    window's sort is the only per-language serial step; at 100 TB the
+    rank would come from a two-pass distributed quantile cut
+    (approx thresholds -> map-side bucket label), which this plan
+    degrades to without changing the output contract."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()
+    nll = dround(F.log(F.lit(float(total)) / F.col("c").cast("double")), 6)
+    per_doc = (
+        toks.join(F.broadcast(freq), "tok")
+        .select("doc_id", "lang", nll.alias("nll"))
+        .groupBy("doc_id", "lang")
+        .agg(davg("nll", "avg_surprisal"))
+    )
+    w = Window.partitionBy("lang").orderBy("avg_surprisal", "doc_id")
+    tile = F.ntile(3).over(w)
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "avg_surprisal",
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

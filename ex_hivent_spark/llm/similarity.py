@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
-from ex_hivent_spark.functions.decimals import dround
+from ex_hivent_spark.functions.decimals import DEC, dround
 from ex_hivent_spark.plans.registry import register
 
 TOP_K = 5
@@ -1492,4 +1492,64 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("probe_id", "probe_label", "neg_id", "neg_label", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding statistics (drift / collapse monitoring)
+# --------------------------------------------------------------------------
+@register(
+    "q_emb_dim_stats",
+    oracle="""
+    WITH x AS (
+      SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    agg AS (
+      SELECT label, dim, count(*) AS n,
+             CAST(sum(CAST(v AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(v * v AS DECIMAL(25,6))) AS DOUBLE) AS sx2
+      FROM x GROUP BY label, dim
+    )
+    SELECT label, dim, n,
+           floor(sx / n * 1000000.0 + 0.5) / 1000000.0 AS mean,
+           floor((sx2 / n - (sx / n) * (sx / n)) * 1000000.0 + 0.5)
+               / 1000000.0 AS var_pop
+    FROM agg
+    """,
+)
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label, per-dimension embedding statistics (count, mean,
+    population variance) — the monitoring aggregate behind embedding
+    drift detection and dimensional-collapse checks on a training
+    corpus.  posexplode widens rows x dims once; the single hash
+    aggregate partially combines map-side, so at 100 TB the shuffle
+    carries only |labels| x dim x 3 accumulators, not vectors.
+
+    Determinism: float32 lanes widen to float64 identically in both
+    engines; sums go through the decimal(25,6) convention, and the
+    mean/variance are e6-rounded doubles, so the driver hash is exact.
+    Note var uses sums rounded at decimal(25,6): v*v is rounded to 6
+    decimal places BEFORE summation in both engines, keeping the
+    E[x^2]-E[x]^2 arithmetic bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v32")
+    ).select(
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("v32").cast("double").alias("v"),
+    )
+    agg = x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double").alias("sx2"),
+    )
+    mean = F.col("sx") / F.col("n")
+    return agg.select(
+        "label",
+        "dim",
+        "n",
+        dround(mean, 6).alias("mean"),
+        dround(F.col("sx2") / F.col("n") - mean * mean, 6).alias("var_pop"),
     )

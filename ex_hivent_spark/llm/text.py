@@ -655,3 +655,197 @@ def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_BM25_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style rule battery (Rae et al. 2021, MassiveText filtering)
+# --------------------------------------------------------------------------
+_GOPHER_STOP_SQL = "['" + "','".join(_STOPWORDS) + "']"
+
+
+@register(
+    "q_llm_gopher_rules",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split_regex(text, '\\s+') AS toks,
+             length(regexp_replace(text, '\\s', '', 'g')) AS nonws_chars
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             floor(CAST(nonws_chars AS DOUBLE) / len(toks) * 10000.0 + 0.5)
+                 / 10000.0 AS mean_word_len,
+             floor(CAST(len(list_filter(toks,
+                       t -> regexp_full_match(t, '[a-z]+'))) AS DOUBLE)
+                   / len(toks) * 10000.0 + 0.5) / 10000.0 AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(toks),
+                                     {_GOPHER_STOP_SQL})) AS BIGINT)
+                 AS n_distinct_stop,
+             floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                          / len(toks)) * 10000.0 + 0.5) / 10000.0
+                 AS dup_word_frac
+      FROM w
+    )
+    SELECT doc_id, lang, n_words, mean_word_len, alpha_word_frac,
+           n_distinct_stop, dup_word_frac,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND mean_word_len BETWEEN 3.0 AND 10.0
+                 AND alpha_word_frac >= 0.8
+                 AND n_distinct_stop >= 2
+                THEN 1 ELSE 0 END AS keep
+    FROM feat
+    """,
+)
+def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document-filter rule battery (Rae et al. 2021
+    §A1.1): per document, word count, mean word length, fraction of
+    purely-alphabetic words, number of distinct stopwords present, and
+    duplicate-word fraction — plus the combined keep gate (word count in
+    [50, 100k], mean word length in [3, 10], >=80% alphabetic words,
+    >=2 distinct stopwords).  The gate compares the ALREADY-ROUNDED e4
+    ratios in both engines so a boundary value can't flip the flag
+    cross-engine.
+
+    Map-only — one regex split per doc, all higher-order array
+    expressions, no shuffle at all; at 100 TB this runs at scan speed
+    and feeds the keep flag straight into a partition-pruned rewrite."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_words = F.size(toks)
+    nonws = F.length(F.regexp_replace("text", r"\s", ""))
+    mean_wl = dround(nonws.cast("double") / n_words, 4)
+    alpha_frac = dround(
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double")
+        / n_words,
+        4,
+    )
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    dup_frac = dround(
+        1.0 - F.size(F.array_distinct(toks)).cast("double") / n_words, 4
+    )
+    out = d.select(
+        "doc_id",
+        "lang",
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("bigint").alias("n_distinct_stop"),
+        dup_frac.alias("dup_word_frac"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_distinct_stop") >= 2)
+    )
+    return out.withColumn("keep", F.when(keep, 1).otherwise(0))
+
+
+# --------------------------------------------------------------------------
+# Interpolated bigram LM surprisal (KenLM-style fluency filter)
+# --------------------------------------------------------------------------
+_BG_LAMBDA = 0.7  # bigram weight; (1 - lambda) backs off to unigram
+
+
+@register(
+    "q_llm_bigram_logprob",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(2, len(t) + 1),
+                                   i -> t[i-1] || ' ' || t[i])) AS bigram
+      FROM w
+    ),
+    uni AS (
+      SELECT tok, count(*) AS cu
+      FROM (SELECT unnest(t) AS tok FROM w) GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS total FROM uni),
+    bgc AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram),
+    ctx AS (
+      SELECT split_part(bigram, ' ', 1) AS prev,
+             CAST(sum(cb) AS BIGINT) AS cc
+      FROM bgc GROUP BY 1
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             {sql_dround(
+                 f"-ln({_BG_LAMBDA} * CAST(cb AS DOUBLE) / cc"
+                 f" + {1.0 - _BG_LAMBDA} * CAST(cu AS DOUBLE) / total)", 6)}
+                 AS nll
+      FROM bg
+      JOIN bgc USING (bigram)
+      JOIN ctx ON split_part(bg.bigram, ' ', 1) = ctx.prev
+      JOIN uni ON split_part(bg.bigram, ' ', 2) = uni.tok
+      CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_bigrams, {sql_davg("nll", "avg_surprisal")}
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram language-model fluency score (the KenLM-style
+    perplexity filter of CCNet/RefinedWeb, with the corpus itself as the
+    LM): per document, the mean token surprisal under
+    ``p(w|v) = 0.7 * c(v w)/c(v .) + 0.3 * c(w)/T``.  Unlike the
+    unigram score (q_llm_unigram_logprob) this penalizes improbable
+    word ORDER, the signal that actually separates fluent text from
+    shuffled-word noise.
+
+    Plan: one explode builds the bigram stream; the bigram-count table
+    shuffles on the bigram key (the only wide exchange — at 100 TB it is
+    a plain hash aggregation over ~vocab^2-bounded keys), while the
+    context- and unigram-count tables are vocab-sized and broadcast.
+    Per-instance nll is e6-rounded then decimal-averaged, so the driver
+    hash matches DuckDB bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    w = d.select("doc_id", t.alias("t")).where(F.size("t") >= 2)
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("t")),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i - 1), F.element_at("t", i)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    uni = (
+        w.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = float(uni.agg(F.sum("cu")).first()[0])  # one scalar pre-pass
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = (
+        bgc.withColumn("prev", F.substring_index("bigram", " ", 1))
+        .groupBy("prev")
+        .agg(F.sum("cb").cast("bigint").alias("cc"))
+    )
+    p = (
+        _BG_LAMBDA * F.col("cb").cast("double") / F.col("cc")
+        + (1.0 - _BG_LAMBDA) * F.col("cu").cast("double") / total
+    )
+    scored = (
+        bg.join(bgc, "bigram")
+        .join(
+            F.broadcast(ctx),
+            F.substring_index(F.col("bigram"), " ", 1) == F.col("prev"),
+        )
+        .join(
+            F.broadcast(uni),
+            F.substring_index(F.col("bigram"), " ", -1) == F.col("tok"),
+        )
+        .select("doc_id", dround(-F.log(p), 6).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), davg("nll", "avg_surprisal")
+    )

@@ -186,3 +186,89 @@ def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
     assert out[24].dsir_logweight > 0 and out[24].selected
     assert out[8].dsir_logweight < 0 and not out[8].selected
     assert all(out[i].dsir_logweight > 0 for i in range(8))
+
+
+def test_gopher_rules_gate_semantics(spark, tmp_path):
+    """The keep gate requires all four Gopher rules at once: a long
+    fluent doc passes; a too-short doc, a no-stopword doc, and a
+    digit-heavy doc each fail on exactly the expected rule."""
+    good = ("the quick brown fox jumps over a lazy dog and runs to it "
+            "again in the field with many other words around here ") * 3
+    rows = [
+        (0, good, "en", "src0", len(good)),
+        (1, "too short to keep", "en", "src0", 17),
+        (2, "word " * 60, "en", "src0", 300),          # no 2nd stopword
+        (3, ("12345 67890 " * 30) + "the it", "en", "src0", 366),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    from ex_hivent_spark.plans.registry import all_specs
+
+    out = {
+        r.doc_id: r
+        for r in all_specs()["q_llm_gopher_rules"].spark(spark, str(tmp_path)).collect()
+    }
+    assert out[0].keep == 1
+    assert out[1].keep == 0 and out[1].n_words < 50
+    assert out[2].keep == 0 and out[2].n_distinct_stop < 2
+    assert out[3].keep == 0 and out[3].alpha_word_frac < 0.8
+
+
+def test_bigram_logprob_orders_fluency(spark, tmp_path):
+    """Documents built from common in-corpus bigrams must score lower
+    surprisal than a doc of the same tokens in a never-seen order."""
+    fluent = "spark reads parquet fast " * 10
+    rows = [(i, fluent, "en", "src0", len(fluent)) for i in range(6)]
+    rows.append((6, "fast spark parquet reads " * 2, "en", "src0", 48))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    from ex_hivent_spark.plans.registry import all_specs
+
+    out = {
+        r.doc_id: r
+        for r in all_specs()["q_llm_bigram_logprob"].spark(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 7
+    assert out[0].avg_surprisal < out[6].avg_surprisal
+
+
+def test_ccnet_buckets_are_per_lang_terciles(spark, sf_dir):
+    """Every language splits into head/middle/tail with balanced sizes
+    (difference at most 1), and surprisal is monotone across buckets."""
+    from ex_hivent_spark.plans.registry import all_specs
+
+    rows = all_specs()["q_llm_ccnet_buckets"].spark(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {b: sum(1 for r in rs if r.bucket == b)
+                 for b in ("head", "middle", "tail")}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        hi_head = max(r.avg_surprisal for r in rs if r.bucket == "head")
+        lo_tail = min(r.avg_surprisal for r in rs if r.bucket == "tail")
+        assert hi_head <= lo_tail
+
+
+def test_emb_dim_stats_match_numpy(spark, sf_dir):
+    """Per-(label, dim) mean and population variance agree with a numpy
+    reference on the real embeddings table."""
+    import numpy as np
+
+    from ex_hivent_spark.catalog import load_table
+    from ex_hivent_spark.plans.registry import all_specs
+
+    rows = all_specs()["q_emb_dim_stats"].spark(spark, sf_dir).collect()
+    raw = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {}
+    for r in raw:
+        vecs.setdefault(r.label, []).append(r.embedding)
+    for r in rows[:50]:
+        m = np.asarray(vecs[r.label], dtype=np.float64)
+        assert r.n == m.shape[0]
+        assert abs(r.mean - m[:, r.dim].mean()) < 1e-5
+        assert abs(r.var_pop - m[:, r.dim].var()) < 1e-5
