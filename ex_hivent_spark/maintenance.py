@@ -228,3 +228,82 @@ def delete_keys(
     kept.write.mode("overwrite").parquet(staging)
     fsutil.publish_swap(spark, path)
     return deleted
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    updates,
+    delete_col: str | None = None,
+) -> dict:
+    """Batch MERGE (SCD1 upsert): apply ``updates`` to the table at
+    ``path`` keyed on ``key_col`` — matched rows are replaced by their
+    update, unmatched update rows are inserted, and (optionally) update
+    rows whose boolean ``delete_col`` is true delete the matched target
+    row instead (the CDC apply shape: upserts + tombstones in one pass).
+    Published via the crash-safe staging swap, same contract as
+    delete_keys. Returns ``{"inserted", "updated", "deleted"}`` counts.
+
+    Plan: target ⟕ update-keys is ONE left join; with a typical
+    million-row changeset against a billion-row table the update side
+    broadcasts, so the fact table is never shuffled — the same
+    broadcast-probe shape Delta/Iceberg MERGE produces for small
+    changesets. Updates must be unique per key (enforced — duplicate
+    keys in a MERGE source are ambiguous and an error in every
+    lakehouse MERGE implementation)."""
+    from pyspark.sql import functions as F
+
+    from ex_hivent_spark import fsutil
+
+    fsutil.recover_swap(spark, path)
+    updates = updates.cache()
+    n_up = updates.count()
+    if n_up == 0:
+        return {"inserted": 0, "updated": 0, "deleted": 0}
+    if updates.select(key_col).distinct().count() != n_up:
+        raise ValueError(
+            "merge_upsert: duplicate keys in the update set — "
+            "per-key resolution (e.g. latest_per_key) must happen first"
+        )
+
+    current = spark.read.parquet(path)
+    data_cols = [c for c in current.columns if c != key_col]
+    is_delete = (
+        F.col(delete_col) if delete_col else F.lit(False)
+    )
+    upd = updates.select(
+        F.col(key_col),
+        is_delete.alias("__del"),
+        *[F.col(c).alias(f"__u_{c}") for c in data_cols],
+    )
+
+    joined = current.join(F.broadcast(upd), on=key_col, how="left").cache()
+    matched_del = joined.where(F.col("__del") == True)  # noqa: E712
+    matched_upd = joined.where(F.col("__del") == False)  # noqa: E712
+    n_deleted = matched_del.count()
+    n_updated = matched_upd.count()
+
+    kept = joined.where(F.col("__del").isNull()).select(key_col, *data_cols)
+    updated = matched_upd.select(
+        F.col(key_col), *[F.col(f"__u_{c}").alias(c) for c in data_cols]
+    )
+    existing_keys = current.select(key_col)
+    inserts = (
+        updates.where(~is_delete)
+        .join(existing_keys, on=key_col, how="left_anti")
+        .select(key_col, *data_cols)
+    )
+    n_inserted = inserts.count()
+
+    merged = kept.unionByName(updated).unionByName(inserts)
+    staging = fsutil.staging_path(path)
+    merged.write.mode("overwrite").parquet(staging)
+    fsutil.publish_swap(spark, path)
+    joined.unpersist()
+    updates.unpersist()
+    return {
+        "inserted": n_inserted,
+        "updated": n_updated,
+        "deleted": n_deleted,
+    }

@@ -220,3 +220,63 @@ def test_hilbert_index_matches_reference(spark):
         bx = x * _H_N // 16
         by = y * _H_N // 16
         assert got2[(x, y)] == xy2d(bx, by, _H_N), (x, y)
+
+
+def test_merge_upsert_full_cdc_apply(spark, tmp_path):
+    """One MERGE pass applies updates, inserts, and tombstone deletes;
+    untouched rows survive byte-identical and the swap is crash-safe
+    (no staging residue)."""
+    from ex_hivent_spark.maintenance import merge_upsert
+
+    path = str(tmp_path / "users")
+    spark.createDataFrame(
+        [(1, "ann", 10.0), (2, "bob", 20.0), (3, "cat", 30.0)],
+        "user_id long, name string, balance double",
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [
+            (2, "bob2", 25.0, False),   # update
+            (4, "dan", 40.0, False),    # insert
+            (3, None, None, True),      # delete tombstone
+            (9, None, None, True),      # tombstone with no match: no-op
+        ],
+        "user_id long, name string, balance double, is_deleted boolean",
+    )
+    out = merge_upsert(spark, path, "user_id", updates, delete_col="is_deleted")
+    assert out == {"inserted": 1, "updated": 1, "deleted": 1}
+
+    back = {r.user_id: r for r in spark.read.parquet(path).collect()}
+    assert set(back) == {1, 2, 4}
+    assert back[1].name == "ann" and back[1].balance == 10.0
+    assert back[2].name == "bob2" and back[2].balance == 25.0
+    assert back[4].name == "dan"
+    assert not glob.glob(str(tmp_path / "users__staging*"))
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    import pytest
+
+    from ex_hivent_spark.maintenance import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(path)
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k long, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(spark, path, "k", dup)
+    # table untouched after the rejected merge
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_merge_upsert_empty_changeset_is_noop(spark, tmp_path):
+    from ex_hivent_spark.maintenance import merge_upsert
+
+    path = str(tmp_path / "t2")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(path)
+    empty = spark.createDataFrame([], "k long, v string")
+    assert merge_upsert(spark, path, "k", empty) == {
+        "inserted": 0, "updated": 0, "deleted": 0,
+    }
+    assert spark.read.parquet(path).count() == 1
