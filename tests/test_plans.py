@@ -387,3 +387,37 @@ def test_dsir_histograms_broadcast_back(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_llm_dsir_weights")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_is_map_only(spark, sf_dir):
+    """The rule battery must be one scan + project: any Exchange means
+    an accidental shuffle in a per-row filter."""
+    plan = plan_of(spark, sf_dir, "q_llm_gopher_rules")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_bigram_logprob_broadcasts_vocab_tables(spark, sf_dir):
+    """Context and unigram count tables are vocab-sized → must
+    broadcast; only the bigram-count aggregate may shuffle. No
+    cartesian/nested-loop anywhere."""
+    plan = plan_of(spark, sf_dir, "q_llm_bigram_logprob")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_ccnet_buckets_single_token_shuffle(spark, sf_dir):
+    """The vocab frequency table must come back as a broadcast, not a
+    shuffled sort-merge join against the token stream."""
+    plan = plan_of(spark, sf_dir, "q_llm_ccnet_buckets")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_emb_dim_stats_partial_aggregation(spark, sf_dir):
+    """The (label, dim) aggregate must partially combine map-side
+    (HashAggregate appears below AND above the exchange) so the shuffle
+    carries accumulators, not exploded lanes."""
+    plan = plan_of(spark, sf_dir, "q_emb_dim_stats")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
