@@ -1,0 +1,146 @@
+"""Snapshot-versioned parquet tables: time travel, atomic commits,
+retention vacuum.
+
+The missing piece next to compaction / MERGE / keyed delete: every
+write lands in an immutable ``v=N`` snapshot directory and a tiny
+``_VERSION`` pointer file names the current one — the single-file
+analogue of a Delta/Iceberg log head. Readers resolve the pointer once
+and then scan an immutable directory, so a concurrent writer can
+publish ``v=N+1`` without ever disturbing an in-flight ``v=N`` scan
+(snapshot isolation for free), and any historical version stays
+queryable until vacuumed.
+
+Commit protocol (single-writer, HCFS rename semantics like fsutil):
+
+1. fully write ``<table>/v=N`` (plus its ``_SNAPSHOT.json`` manifest)
+2. write ``_VERSION.tmp`` containing ``N``
+3. rename ``_VERSION.tmp`` → ``_VERSION``   (the atomic commit point)
+
+A crash before step 3 leaves an orphan ``v=N`` directory that the next
+write overwrites or vacuum removes; readers never see it because the
+pointer still names the previous snapshot. Rename of a small file is
+atomic on local disk/HDFS; on S3-proper this pointer is the one object
+to CAS via a metadata service.
+
+At 100 TB the pointer read is one tiny file per query plan — no
+directory listing of historical snapshots — and snapshots share
+nothing, so retention cost is explicit and bounded by ``vacuum``.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ex_hivent_spark import fsutil
+
+POINTER = "_VERSION"
+MANIFEST = "_SNAPSHOT.json"
+
+
+def _pointer_path(table_dir: str) -> str:
+    return f"{table_dir}/{POINTER}"
+
+
+def _snapshot_dir(table_dir: str, version: int) -> str:
+    return f"{table_dir}/v={version}"
+
+
+def current_version(spark: SparkSession, table_dir: str) -> int | None:
+    """The committed version, or None for a table with no snapshot."""
+    if not fsutil.exists(spark, _pointer_path(table_dir)):
+        return None
+    return int(fsutil.read_text_file(spark, _pointer_path(table_dir)).strip())
+
+
+def write_snapshot(
+    spark: SparkSession, df: DataFrame, table_dir: str, note: str = ""
+) -> int:
+    """Publish ``df`` as the next snapshot and commit the pointer to
+    it. Returns the new version number. The write is all-or-nothing:
+    until the pointer rename, readers keep resolving the old snapshot.
+    """
+    prev = current_version(spark, table_dir)
+    version = 0 if prev is None else prev + 1
+    snap = _snapshot_dir(table_dir, version)
+    df.write.mode("overwrite").parquet(snap)
+    n_rows = spark.read.parquet(snap).count()
+    fsutil.write_text_file(
+        spark,
+        f"{snap}/{MANIFEST}",
+        json.dumps(
+            {"version": version, "rows": n_rows, "note": note,
+             "parent": prev}
+        ),
+    )
+    # two-step pointer commit: tmp write + atomic rename
+    sc = spark.sparkContext
+    hadoop = sc._jvm.org.apache.hadoop
+    fs = hadoop.fs.FileSystem.get(sc._jsc.hadoopConfiguration())
+    tmp = hadoop.fs.Path(f"{table_dir}/{POINTER}.tmp")
+    dst = hadoop.fs.Path(_pointer_path(table_dir))
+    out = fs.create(tmp, True)
+    out.write(bytearray(str(version).encode()))
+    out.close()
+    fs.delete(dst, False)
+    fs.rename(tmp, dst)
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the current snapshot, or time-travel to ``version``."""
+    if version is None:
+        version = current_version(spark, table_dir)
+        if version is None:
+            raise FileNotFoundError(
+                f"versioned table has no committed snapshot: {table_dir}"
+            )
+    snap = _snapshot_dir(table_dir, version)
+    if not fsutil.exists(spark, snap):
+        raise FileNotFoundError(f"snapshot v={version} not found (vacuumed?)")
+    return spark.read.parquet(snap)
+
+
+def history(spark: SparkSession, table_dir: str) -> list[dict]:
+    """Manifest of every retained snapshot, newest first."""
+    head = current_version(spark, table_dir)
+    out: list[dict] = []
+    v = head
+    while v is not None and v >= 0:
+        mpath = f"{_snapshot_dir(table_dir, v)}/{MANIFEST}"
+        if not fsutil.exists(spark, mpath):
+            v -= 1  # vacuumed gap or pre-commit orphan
+            continue
+        m = json.loads(fsutil.read_text_file(spark, mpath))
+        out.append(m)
+        v = v - 1
+    return out
+
+
+def vacuum(
+    spark: SparkSession, table_dir: str, keep_last: int = 2
+) -> list[int]:
+    """Delete snapshots older than the newest ``keep_last`` (the
+    committed head is always retained). Also removes uncommitted
+    orphan snapshots above the head (a crashed writer's leftovers).
+    Returns the versions removed."""
+    head = current_version(spark, table_dir)
+    if head is None:
+        return []
+    sc = spark.sparkContext
+    hadoop = sc._jvm.org.apache.hadoop
+    fs = hadoop.fs.FileSystem.get(sc._jsc.hadoopConfiguration())
+    removed: list[int] = []
+    cutoff = head - max(keep_last, 1) + 1
+    for status in fs.listStatus(hadoop.fs.Path(table_dir)):
+        name = status.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        v = int(name[2:])
+        if v < cutoff or v > head:
+            fs.delete(status.getPath(), True)
+            removed.append(v)
+    return sorted(removed)
