@@ -87,6 +87,8 @@ HEADLINE = [
     "q_llm_bigram_logprob",
     "q_llm_ccnet_buckets",
     "q_emb_dim_stats",
+    "q_win_pattern_match",
+    "q_llm_temperature_mix",
 ]
 
 

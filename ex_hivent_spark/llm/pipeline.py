@@ -759,3 +759,82 @@ def q_llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled source mixing (UniMax / mT5 alpha sampling)
+# --------------------------------------------------------------------------
+_MIX_ALPHA = 0.3  # p^alpha; alpha<1 flattens toward uniform
+
+
+@register(
+    "q_llm_temperature_mix",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per_src),
+    shares AS (
+      SELECT source, n_docs, n_tokens,
+             floor(n_tokens / t * 1000000.0 + 0.5) / 1000000.0 AS p
+      FROM per_src CROSS JOIN tot
+    ),
+    powed AS (
+      SELECT source, n_docs, n_tokens, p,
+             floor(exp({_MIX_ALPHA} *
+                       (floor(ln(p) * 1000000.0 + 0.5) / 1000000.0))
+                   * 1000000.0 + 0.5) / 1000000.0 AS p_alpha
+      FROM shares
+    ),
+    norm AS (SELECT CAST(sum(CAST(p_alpha AS DECIMAL(25,6))) AS DOUBLE)
+                 AS z FROM powed)
+    SELECT source, n_docs, n_tokens, p,
+           floor(p_alpha / z * 1000000.0 + 0.5) / 1000000.0 AS mix_weight,
+           floor((p_alpha / z) / p * 1000000.0 + 0.5) / 1000000.0
+               AS upsample_factor
+    FROM powed CROSS JOIN norm
+    """,
+)
+def q_llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing weights (the mT5/UniMax
+    multilingual sampling rule): per source, the token share p and the
+    renormalized p^alpha sampling weight (alpha = 0.3 flattens the
+    distribution so low-resource sources are upsampled), plus the
+    realized upsample factor weight/p that a mixture builder applies.
+
+    p^alpha is computed as exp(alpha * ln p) with BOTH intermediate
+    libm results e6-rounded — ln and exp are the two primitives already
+    proven bit-stable cross-engine in this repo (unigram LM, quality
+    classifier); a direct pow() would introduce a third libm surface
+    with no such evidence.  Shape: one hash aggregate (|sources| rows),
+    then scalar normalization over the aggregated frame — the corpus is
+    read once; everything after is O(|sources|)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    total = float(per_src.agg(F.sum("n_tokens")).first()[0])
+    p = dround(F.col("n_tokens") / F.lit(total), 6)
+    shares = per_src.withColumn("p", p)
+    p_alpha = dround(
+        F.exp(F.lit(_MIX_ALPHA) * dround(F.log("p"), 6)), 6
+    )
+    powed = shares.withColumn("p_alpha", p_alpha)
+    z = float(
+        powed.agg(F.sum(F.col("p_alpha").cast(DEC)).cast("double")).first()[0]
+    )
+    return powed.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "p",
+        dround(F.col("p_alpha") / F.lit(z), 6).alias("mix_weight"),
+        dround((F.col("p_alpha") / F.lit(z)) / F.col("p"), 6).alias(
+            "upsample_factor"
+        ),
+    )

@@ -893,3 +893,66 @@ def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniq_users_1h"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# CEP sequence pattern match (MATCH_RECOGNIZE / Flink-CEP class)
+# --------------------------------------------------------------------------
+@register(
+    "q_win_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_matches,
+           min(ts) AS first_match_ts,
+           min(event_id) AS first_match_event_id
+    FROM seq
+    WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def q_win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing sequence detection (the
+    MATCH_RECOGNIZE / Flink-CEP operator class): per user, occurrences
+    of the STRICTLY CONSECUTIVE event pattern view → click → purchase
+    in event-time order — adjacency is the semantic the funnel query
+    (q_funnel_signup_purchase, eventually-follows) cannot express.
+    Output: users with ≥1 match, match count, and the time/id of the
+    earliest match start.
+
+    Plan: one window pass (two leads over the same (user, ts, id)
+    frame — a single per-user sort serves both) + one hash aggregate.
+    A k-step pattern is k-1 leads in the SAME pass; per-user state
+    never exceeds the pattern length, which is exactly how the
+    streaming CEP engines bound it. ORDER BY ends in the unique
+    event_id, so matches are total-ordered and the result is
+    deterministic cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    return (
+        seq.where(
+            (F.col("event_type") == "view")
+            & (F.col("e1") == "click")
+            & (F.col("e2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("ts").alias("first_match_ts"),
+            F.min("event_id").alias("first_match_event_id"),
+        )
+    )

@@ -272,3 +272,69 @@ def test_emb_dim_stats_match_numpy(spark, sf_dir):
         assert r.n == m.shape[0]
         assert abs(r.mean - m[:, r.dim].mean()) < 1e-5
         assert abs(r.var_pop - m[:, r.dim].var()) < 1e-5
+
+
+def test_pattern_match_requires_strict_adjacency(spark, tmp_path):
+    """view->click->purchase must be CONSECUTIVE: an intervening event
+    breaks the match (the semantic difference vs the funnel query)."""
+    from datetime import datetime
+
+    rows = [
+        # user 1: exact consecutive pattern -> 1 match
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 0, 1), 1, "click", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 0, 2), 1, "purchase", 1.0, "{}"),
+        # user 2: pattern with an error event inside -> NO match
+        (4, datetime(2024, 1, 1, 0, 0, 0), 2, "view", 1.0, "{}"),
+        (5, datetime(2024, 1, 1, 0, 0, 1), 2, "error", 1.0, "{}"),
+        (6, datetime(2024, 1, 1, 0, 0, 2), 2, "click", 1.0, "{}"),
+        (7, datetime(2024, 1, 1, 0, 0, 3), 2, "purchase", 1.0, "{}"),
+        # user 3: two back-to-back matches -> 2 matches
+        (8, datetime(2024, 1, 1, 1, 0, 0), 3, "view", 1.0, "{}"),
+        (9, datetime(2024, 1, 1, 1, 0, 1), 3, "click", 1.0, "{}"),
+        (10, datetime(2024, 1, 1, 1, 0, 2), 3, "purchase", 1.0, "{}"),
+        (11, datetime(2024, 1, 1, 1, 0, 3), 3, "view", 1.0, "{}"),
+        (12, datetime(2024, 1, 1, 1, 0, 4), 3, "click", 1.0, "{}"),
+        (13, datetime(2024, 1, 1, 1, 0, 5), 3, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    from ex_hivent_spark.plans.registry import all_specs
+
+    out = {
+        r.user_id: r
+        for r in all_specs()["q_win_pattern_match"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1].n_matches == 1 and out[1].first_match_event_id == 1
+    assert out[3].n_matches == 2 and out[3].first_match_event_id == 8
+
+
+def test_temperature_mix_flattens_distribution(spark, tmp_path):
+    """alpha < 1 must upsample the low-resource source (factor > 1) and
+    downsample the dominant one (factor < 1); weights sum to ~1."""
+    rows = []
+    i = 0
+    for _ in range(90):
+        rows.append((i, "big corpus words here now", "en", "srcA", 20)); i += 1
+    for _ in range(10):
+        rows.append((i, "small corpus words", "en", "srcB", 18)); i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    from ex_hivent_spark.plans.registry import all_specs
+
+    out = {
+        r.source: r
+        for r in all_specs()["q_llm_temperature_mix"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["srcA"].upsample_factor < 1.0 < out["srcB"].upsample_factor
+    assert abs(out["srcA"].mix_weight + out["srcB"].mix_weight - 1.0) < 1e-4
+    assert out["srcA"].p > out["srcB"].p
