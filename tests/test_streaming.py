@@ -410,3 +410,76 @@ class TestConsumerIdempotency:
         # a NEW batch id appends
         consumer._handle_batch(batch, batch_id=8)
         assert spark.read.parquet(dirs["processed"]).count() == 2
+
+
+class TestStreamStreamOuter:
+    def test_left_outer_emits_unmatched_after_watermark(
+        self, spark, tmp_path
+    ):
+        """Stream-stream LEFT OUTER interval join: matched pairs emit
+        immediately; an unmatched view emits with null click columns
+        only after the watermark proves no click can still arrive."""
+        from datetime import datetime
+
+        from ex_hivent_spark.streaming.joins import interval_join
+
+        vdir, cdir = str(tmp_path / "v"), str(tmp_path / "c")
+        cp = str(tmp_path / "cp")
+
+        def write(path, ts_name, rows, fname):
+            spark.createDataFrame(
+                rows, f"user_id long, {ts_name} timestamp"
+            ).coalesce(1).write.mode("append").parquet(path)
+
+        def stream(path, ts_name):
+            return (
+                spark.readStream.schema(f"user_id long, {ts_name} timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+
+        # round 1: user 1 view never clicks; user 2 view->click matches
+        write(vdir, "l_ts", [(1, datetime(2024, 1, 1, 0, 0)),
+                             (2, datetime(2024, 1, 1, 0, 30))], "f1")
+        write(cdir, "r_ts", [(2, datetime(2024, 1, 1, 1, 0))], "f1")
+
+        joined = interval_join(
+            stream(vdir, "l_ts"), stream(cdir, "r_ts"), how="leftOuter"
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ss_outer")
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.processAllAvailable()
+        # rounds 2..3: watermark pushers on BOTH sides (combined
+        # watermark = min of sides); each extra batch lets the engine
+        # evict state the previous batch's watermark already expired
+        for h in (10, 20):
+            write(vdir, "l_ts", [(90 + h, datetime(2024, 1, 1, h, 0))], "p")
+            write(cdir, "r_ts", [(90 + h, datetime(2024, 1, 1, h, 1))], "p")
+            q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+
+        rows = spark.sql("SELECT * FROM ss_outer").collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        # the matched pair emitted with a real lag
+        assert by_user[2][0].lag_us == 30 * 60 * 1_000_000
+        # the unmatched view emitted exactly once, with null right side
+        assert len(by_user[1]) == 1
+        assert by_user[1][0].r_ts is None and by_user[1][0].lag_us is None
+
+    def test_left_outer_without_watermark_rejected(self, spark, tmp_path):
+        import pytest
+
+        from ex_hivent_spark.streaming.joins import interval_join
+
+        left = spark.createDataFrame([], "user_id long, l_ts timestamp")
+        right = spark.createDataFrame([], "user_id long, r_ts timestamp")
+        with pytest.raises(ValueError, match="leftOuter requires"):
+            interval_join(left, right, watermark=None, how="leftOuter")
