@@ -89,6 +89,7 @@ HEADLINE = [
     "q_emb_dim_stats",
     "q_win_pattern_match",
     "q_llm_temperature_mix",
+    "q_graph_ancestry",
 ]
 
 

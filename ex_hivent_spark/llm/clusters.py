@@ -358,3 +358,98 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles"),
         F.countDistinct(F.col("p1.doc_a")).alias("n_apex_nodes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive hierarchy traversal (the WITH RECURSIVE query class)
+# --------------------------------------------------------------------------
+_ANC_ROUNDS = 7  # pointer jumping covers depth <= 2^7 = 128
+
+
+@register(
+    "q_graph_ancestry",
+    oracle="""
+    WITH RECURSIVE par AS (
+      SELECT doc_id AS node,
+             CASE WHEN doc_id = 0 THEN NULL
+                  ELSE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 12)) AS BIGINT) % doc_id
+             END AS parent
+      FROM documents
+    ),
+    walk(node, anc, depth) AS (
+      SELECT node, parent, CAST(1 AS BIGINT) FROM par
+      WHERE parent IS NOT NULL
+      UNION ALL
+      SELECT w.node, p.parent, w.depth + 1
+      FROM walk w JOIN par p ON w.anc = p.node
+      WHERE p.parent IS NOT NULL
+    )
+    SELECT node AS doc_id, depth AS depth_to_root
+    FROM walk WHERE anc = 0
+    UNION ALL
+    SELECT 0, CAST(0 AS BIGINT)
+    """,
+)
+def q_graph_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy traversal — the ``WITH RECURSIVE`` query
+    class (org charts, bill-of-materials, category trees), which Spark
+    SQL lacks natively.  The hierarchy is a deterministic random tree
+    over doc_ids (``parent(d) = md5_int48(d) % d``, root 0 — md5-derived
+    so both engines build the identical tree); output is every node's
+    depth to the root.
+
+    The oracle walks the tree edge-by-edge with a recursive CTE (O(depth)
+    sequential steps); the Spark plan is POINTER JUMPING — each round
+    composes the known ancestor map with itself (anc[2k] = anc[k]∘anc[k])
+    via one self-equi-join, reaching depth 2^rounds in ``_ANC_ROUNDS``
+    rounds.  O(log depth) joins instead of O(depth): the distributed
+    formulation that makes hierarchy queries feasible at 100 TB, with
+    localCheckpoint truncating lineage per round.  Random-recursive-tree
+    height is Θ(e·ln n) ≈ 42 at n = 5·10⁶, far under the 128 bound."""
+    from ex_hivent_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    par = d.select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") == 0, F.lit(None).cast("long")).otherwise(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                16,
+                10,
+            ).cast("long")
+            % F.col("doc_id")
+        ).alias("parent"),
+    )
+    cur = (
+        par.where(F.col("parent").isNotNull())
+        .select(
+            "node",
+            F.col("parent").alias("anc"),
+            F.lit(1).cast("long").alias("depth"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_ANC_ROUNDS):
+        nxt = cur.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("depth").alias("j_depth"),
+        )
+        cur = (
+            cur.join(nxt, cur.anc == nxt.j_node, "left")
+            .select(
+                "node",
+                F.coalesce("j_anc", "anc").alias("anc"),
+                (F.col("depth") + F.coalesce("j_depth", F.lit(0))).alias(
+                    "depth"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    root = par.where(F.col("parent").isNull()).select(
+        F.col("node").alias("doc_id"), F.lit(0).cast("long").alias("depth_to_root")
+    )
+    return cur.select(
+        F.col("node").alias("doc_id"), F.col("depth").alias("depth_to_root")
+    ).unionByName(root)

@@ -67,13 +67,14 @@ def register(name: str, oracle: Optional[str] = None):
 # q_llm_domain_stats, q_mm_shard_pack — hardened for r5: DATE-literal
 # boundaries, e6 rounding, construction-parity oracle, BIGINT casts),
 # and q_agg_approx_distinct's only driver row predates its bounded-error
-# oracle. r05 fronts those 10, then the ten ops new in r5
+# oracle. r05 fronts those 10, then the ops new in r5
 # (q_llm_substring_dedup, q_llm_hard_negatives, q_llm_dsir_weights,
 # q_layout_hilbert, q_llm_gopher_rules, q_llm_bigram_logprob,
 # q_llm_ccnet_buckets, q_emb_dim_stats, q_win_pattern_match,
-# q_llm_temperature_mix), then re-proves oldest-evidence queries: the
-# 8 whose latest green is r01 and 22 of the 46 whose latest green is
-# r02. (r06 should front the remaining 24 r02-era queries, then oldest
+# q_llm_temperature_mix, q_graph_ancestry — eleven total), then
+# re-proves oldest-evidence queries: the 8 whose latest green is r01
+# and 21 of the 46 whose latest green is r02. (r06 should front the
+# remaining 25 r02-era queries, then oldest
 # r03.) scripts/driver_sim.py re-verifies ALL queries locally every
 # round regardless of this ordering.
 DRIVER_CHECK_FIRST = [
@@ -101,6 +102,7 @@ DRIVER_CHECK_FIRST = [
     "q_emb_dim_stats",
     "q_win_pattern_match",
     "q_llm_temperature_mix",
+    "q_graph_ancestry",
     # oldest evidence: latest driver green was r01
     "q_fn_string",
     "q_fn_math",
@@ -110,8 +112,8 @@ DRIVER_CHECK_FIRST = [
     "q_llm_ngram_jaccard",
     "q_llm_text_stats",
     "q_llm_quality_score",
-    # oldest evidence: latest driver green was r02 (first 32 of 46;
-    # the remaining 14 rotate in next round)
+    # oldest evidence: latest driver green was r02 (first 21 of 46;
+    # the remaining 25 rotate in next round)
     "q_scan_events",
     "q_scan_projection",
     "q_source_json_props",
@@ -133,7 +135,6 @@ DRIVER_CHECK_FIRST = [
     "q_agg_grouping_sets",
     "q_agg_having",
     "q_win_rank_topk_per_group",
-    "q_win_lag_lead",
 ]
 
 

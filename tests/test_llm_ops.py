@@ -338,3 +338,29 @@ def test_temperature_mix_flattens_distribution(spark, tmp_path):
     assert out["srcA"].upsample_factor < 1.0 < out["srcB"].upsample_factor
     assert abs(out["srcA"].mix_weight + out["srcB"].mix_weight - 1.0) < 1e-4
     assert out["srcA"].p > out["srcB"].p
+
+
+def test_graph_ancestry_depths_match_sequential_walk(spark, sf_dir):
+    """Pointer-jumping depths must equal a driver-side sequential walk
+    of the same md5-derived tree for every node."""
+    import hashlib
+
+    from ex_hivent_spark.plans.registry import all_specs
+
+    got = {
+        r.doc_id: r.depth_to_root
+        for r in all_specs()["q_graph_ancestry"].spark(spark, sf_dir).collect()
+    }
+
+    def parent(d):
+        if d == 0:
+            return None
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:12], 16) % d
+
+    for d in list(got)[:200]:
+        depth, cur = 0, d
+        while cur != 0:
+            cur = parent(cur)
+            depth += 1
+        assert got[d] == depth, (d, got[d], depth)
+    assert got[0] == 0
