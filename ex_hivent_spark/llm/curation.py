@@ -1,0 +1,213 @@
+"""Corpus-curation reweighting and novelty metrics.
+
+Training-data curation beyond hard dedup: SoftDeDup-style inverse-
+commonness sampling weights (reweight common content instead of
+dropping it), first-occurrence n-gram novelty (how much genuinely new
+text a document contributes), and subword-fertility statistics (the
+tokenizer-efficiency metric that decides byte budgets per language).
+
+Reference parity note: the reference event client (lib/hivent) has no
+text surface; these operators extend the driver's LLM-pipeline north
+star alongside ex_hivent_spark/llm/dedup.py. All plans are one explode
++ hash aggregate (+ one hash join-back) — the shape that survives
+100 TB: shuffles carry (doc_id, 64-bit gram hash) pairs, never text,
+and every aggregate partially combines map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import sql_davg
+from ex_hivent_spark.llm.dedup import shingles
+from ex_hivent_spark.plans.registry import register
+
+# Shared DuckDB CTE: per-doc distinct token-3-gram list, the string
+# twin of ``shingles()`` (the Spark side hashes each gram with xxhash64;
+# the oracles below compare per-gram COUNTS and memberships, which are
+# identical unless two distinct grams in the corpus collide at 64 bits).
+_SQL_GRAMS = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh)
+"""
+
+
+def _exploded_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gram-hash) pairs, one row per distinct 3-gram per doc.
+    Lazily localCheckpointed: both consumers (the per-gram aggregate and
+    the join-back) read the one materialization instead of re-running
+    the scan+shingle+explode per branch — the pattern proven 2x on
+    q_llm_ngram_jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), hasher=F.xxhash64)).alias("h"),
+    )
+    return ex.localCheckpoint(eager=False)
+
+
+@register(
+    "q_llm_softdedup_weights",
+    oracle=_SQL_GRAMS
+    + """,
+    df AS (SELECT g, count(*) AS gram_df FROM ex GROUP BY g)
+    SELECT e.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(d.gram_df) AS BIGINT) AS sum_df,
+           CAST(sum(d.gram_df) AS DOUBLE) / count(*) AS commonness,
+           CAST(count(*) AS DOUBLE) / sum(d.gram_df) AS soft_weight,
+           CAST(sum(d.gram_df) AS DOUBLE) / count(*) >= 2.0
+               AS downweighted
+    FROM ex e JOIN df d ON e.g = d.g
+    GROUP BY e.doc_id
+    """,
+)
+def q_llm_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style sampling reweighting (He et al. 2024): instead of
+    DROPPING near-duplicate text, downweight it — each document gets a
+    sampling weight inversely proportional to its *commonness*, the mean
+    corpus document-frequency of its distinct 3-grams. A doc made of
+    grams nobody else uses has commonness 1.0 and weight 1.0; a doc
+    whose grams each appear in k docs gets weight 1/k.
+
+    Plan: ONE gram explode feeds a (gram -> df) hash aggregate, joined
+    back onto the same exploded stream, then a per-doc aggregate —
+    shuffles carry (doc_id, int64) pairs only. Commonness and weight are
+    single integer-ratio double divisions (exact in both engines; no
+    rounding detour needed), so even the downweighted flag hash-matches.
+    At 100 TB the df table is |distinct grams| rows of two ints and the
+    join-back is a plain shuffled equi-join on the gram hash — the exact
+    shape of the passage-dedup op already proven at r4."""
+    ex = _exploded_grams(spark, sf_dir)
+    df = ex.groupBy("h").agg(F.count(F.lit(1)).alias("gram_df"))
+    joined = ex.join(df, "h")
+    out = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("gram_df").alias("sum_df"),
+    )
+    commonness = F.col("sum_df").cast("double") / F.col("n_grams")
+    weight = F.col("n_grams").cast("double") / F.col("sum_df")
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "sum_df",
+        commonness.alias("commonness"),
+        weight.alias("soft_weight"),
+        (commonness >= 2.0).alias("downweighted"),
+    )
+
+
+@register(
+    "q_llm_ngram_novelty",
+    oracle=_SQL_GRAMS
+    + """,
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g)
+    SELECT e.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS novelty
+    FROM ex e JOIN firsts f ON e.g = f.g
+    GROUP BY e.doc_id
+    """,
+)
+def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence n-gram novelty: for each document, the fraction
+    of its distinct 3-grams whose FIRST corpus occurrence (minimum
+    doc_id over containing docs) is this document — the standard
+    measure of how much new content each source contributes in
+    ingestion order (a crawl snapshot that re-serves old pages scores
+    near zero and can be cut before tokenization).
+
+    Plan: the softdedup explode reused with min(doc_id) instead of
+    count as the per-gram aggregate, then the same narrow join-back.
+    The novelty ratio is a single integer-ratio division — exact."""
+    ex = _exploded_grams(spark, sf_dir)
+    firsts = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    joined = ex.join(firsts, "h")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        novel.alias("n_novel"),
+        (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+    )
+
+
+@register(
+    "q_llm_tokenizer_fertility",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             count(*) AS n_words,
+             sum(CAST(ceil(length(word) / 4.0) AS BIGINT)) AS n_subwords
+      FROM w GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+           CAST(sum(n_subwords) AS DOUBLE) / sum(n_words)
+               AS corpus_fertility,
+           {sql_davg("CAST(n_subwords AS DOUBLE) / n_words",
+                     "avg_doc_fertility")}
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword units emitted per
+    whitespace word, under a fixed-width subword proxy (a word of L
+    chars splits into ceil(L/4) units — the budget model for a
+    byte-fallback BPE with ~4-char average merges; the real tokenizer
+    is a vocab lookup with the same per-word map shape). Fertility is
+    THE metric that decides per-language byte budgets when mixing a
+    multilingual corpus — high-fertility languages consume more context
+    window per word.
+
+    Plan: map-only per-doc word fold (higher-order aggregate over the
+    split array — no explode, no shuffle of words), then one per-lang
+    hash aggregate. Corpus fertility is an exact integer ratio; the
+    per-doc mean goes through the decimal-sum convention."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_subwords = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+    per_doc = d.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_words"),
+        n_subwords.alias("n_subwords"),
+    )
+    doc_fert = F.col("n_subwords").cast("double") / F.col("n_words")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_subwords").alias("total_subwords"),
+        (F.sum("n_subwords").cast("double") / F.sum("n_words")).alias(
+            "corpus_fertility"
+        ),
+        (
+            F.sum(doc_fert.cast("decimal(25,6)")).cast("double")
+            / F.count(doc_fert)
+        ).alias("avg_doc_fertility"),
+    )

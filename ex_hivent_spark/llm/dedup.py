@@ -516,3 +516,125 @@ def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# Containment threshold tau = 4/5, kept as an integer ratio so the
+# prefix-filter bound and the verification predicate are pure integer
+# arithmetic (0.8 is not exactly representable in binary; ceil(n*0.8)
+# in floats would round the bound differently per engine for n % 5 == 0).
+_CONTAIN_NUM, _CONTAIN_DEN = 4, 5
+
+
+@register(
+    "q_llm_containment_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+             len(list_intersect(a.s, b.s)) AS n_common,
+             len(a.s) AS la
+      FROM sh a JOIN sh b
+        ON (len(a.s) < len(b.s)
+            OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id))
+    )
+    SELECT doc_small, doc_big,
+           CAST(n_common AS DOUBLE) / la AS containment
+    FROM pairs
+    WHERE n_common * {_CONTAIN_DEN} >= la * {_CONTAIN_NUM}
+    """,
+)
+def q_llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection by set containment: pairs where
+    C(A,B) = |A intersect B| / |A| >= 4/5 for the smaller-gram-set doc A
+    — the sub-document duplication Jaccard misses (a short doc fully
+    embedded in a long one has high containment but low Jaccard because
+    the union is dominated by the long doc). This is the
+    crawl-boilerplate / quoted-reply / excerpt detector.
+
+    Lossless prefix filter for containment (the PPJoin bound adapted to
+    the asymmetric measure): C(A,B) >= t implies |A intersect B| >=
+    ceil(t*|A|), so A has at most |A| - ceil(t*|A|) elements outside B —
+    among A's (|A| - ceil(t*|A|) + 1) smallest gram hashes under the
+    global order, at least one must be in B. Candidate generation is
+    therefore A-prefix x B-FULL on the gram hash (the asymmetric price:
+    the probed side explodes all grams — still linear in corpus gram
+    count, the same volume the df aggregate in curation.py shuffles),
+    then exact verification on candidates only. ceil(t*|A|) is computed
+    as (4*|A| + 4) div 5 — integer, engine-independent. The candidate
+    ordering key (|set| asc, doc_id asc) is content-derived and total,
+    so each qualifying pair is emitted exactly once.
+
+    Containment itself is one integer-ratio double division (exact);
+    the threshold predicate compares integers. Result is IDENTICAL to
+    the oracle's all-pairs plan, which runs quadratically in DuckDB —
+    the blocking key is the 100 TB path, as with q_llm_ngram_jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), hasher=F.xxhash64)).alias("h"),
+    )
+    hs = tk.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("h")).alias("hs")
+    )
+    # Three consumers (A-prefix, B-full, verification join-backs) read
+    # this one aggregate — same lazy-localCheckpoint reuse as jaccard.
+    hs = hs.localCheckpoint(eager=False)
+    sized = hs.select("doc_id", "hs", F.size("hs").alias("n"))
+
+    # ceil(4n/5) = (4n + 4) div 5; prefix_len = n - ceil(4n/5) + 1.
+    min_common = (
+        F.col("n") * _CONTAIN_NUM + (_CONTAIN_DEN - 1)
+    ).cast("long") / F.lit(_CONTAIN_DEN)
+    min_common = F.floor(min_common).cast("int")
+    prefix_len = F.col("n") - min_common + 1
+    apre = sized.select(
+        F.col("doc_id").alias("doc_small"),
+        F.col("n").alias("la"),
+        F.explode(F.slice("hs", F.lit(1), prefix_len)).alias("h"),
+    )
+    bfull = sized.select(
+        F.col("doc_id").alias("doc_big"),
+        F.col("n").alias("lb"),
+        F.explode("hs").alias("h"),
+    )
+    candidates = (
+        apre.join(
+            bfull,
+            (apre["h"] == bfull["h"])  # the equi key — hash-partitioned join
+            & (
+                (F.col("la") < F.col("lb"))
+                | (
+                    (F.col("la") == F.col("lb"))
+                    & (F.col("doc_small") < F.col("doc_big"))
+                )
+            ),
+        )
+        .select("doc_small", "doc_big")
+        .distinct()
+    )
+
+    a = hs.select(
+        F.col("doc_id").alias("doc_small"), F.col("hs").alias("ha")
+    )
+    b = hs.select(F.col("doc_id").alias("doc_big"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    la = F.size("ha")
+    return (
+        candidates.join(a, "doc_small")
+        .join(b, "doc_big")
+        .filter(inter * _CONTAIN_DEN >= la * _CONTAIN_NUM)
+        .select(
+            "doc_small",
+            "doc_big",
+            (inter.cast("double") / la).alias("containment"),
+        )
+    )

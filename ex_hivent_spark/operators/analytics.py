@@ -1107,3 +1107,72 @@ def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_supp"),
         )
     )
+
+
+@register(
+    "q_ts_seasonal_decompose",
+    oracle=f"""
+    WITH cell AS (
+      SELECT event_type, extract(hour FROM ts) AS hr,
+             count(*) AS n,
+             {sql_dsum("value", "s1")},
+             {sql_dsum("value * value", "s2")}
+      FROM events GROUP BY event_type, extract(hour FROM ts)
+    )
+    SELECT e.event_id, e.event_type, CAST(extract(hour FROM e.ts) AS INT)
+               AS hr,
+           c.s1 / c.n AS seasonal_mean,
+           {sql_dround("e.value - c.s1 / c.n", 6)} AS residual,
+           (e.value - c.s1 / c.n) * (e.value - c.s1 / c.n)
+               > 4 * ((c.s2 - c.s1 * c.s1 / c.n) / c.n) AS is_anomaly
+    FROM events e
+    JOIN cell c ON c.event_type = e.event_type
+               AND c.hr = extract(hour FROM e.ts)
+    """,
+)
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition of the event stream: the seasonal
+    component is the per-(event_type, hour-of-day) mean — the diurnal
+    profile — and each event's residual is its value minus that
+    profile; residuals beyond 2 sigma of the cell flag as anomalies
+    (the calendar-aware twin of q_ts_anomaly's trailing window: a spike
+    at 3 AM is anomalous even when the same value at noon is not).
+
+    Plan: ONE hash aggregate over (type, hour) — at most |types| x 24
+    cells — broadcast back onto the fact scan; the events table never
+    shuffles. At 100 TB that is a map-side join against a dozen-KB
+    profile table, recomputed incrementally per day in production.
+
+    Determinism: cell moments use the decimal-sum convention, means are
+    single exact divisions, and residual/variance arithmetic is per-row
+    IEEE — so even the boolean flag hash-matches (residual^2 vs
+    4*variance compares identically derived doubles; same technique
+    q_ts_anomaly proved driver-side)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    cell = (
+        e.groupBy(F.col("event_type").alias("c_type"), F.hour("ts").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "s1"),
+            dsum(v * v, "s2"),
+        )
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    resid = v - mean
+    return (
+        e.join(
+            F.broadcast(cell),
+            (F.col("event_type") == F.col("c_type"))
+            & (F.hour("ts") == F.col("hr")),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            mean.alias("seasonal_mean"),
+            dround(resid, 6).alias("residual"),
+            (resid * resid > 4 * var).alias("is_anomaly"),
+        )
+    )

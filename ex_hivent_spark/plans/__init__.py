@@ -28,5 +28,6 @@ def load_all() -> None:
     import ex_hivent_spark.llm.multimodal  # noqa: F401
     import ex_hivent_spark.llm.pipeline  # noqa: F401
     import ex_hivent_spark.llm.clusters  # noqa: F401
+    import ex_hivent_spark.llm.curation  # noqa: F401
 
     _LOADED = True

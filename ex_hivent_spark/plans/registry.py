@@ -71,10 +71,12 @@ def register(name: str, oracle: Optional[str] = None):
 # (q_llm_substring_dedup, q_llm_hard_negatives, q_llm_dsir_weights,
 # q_layout_hilbert, q_llm_gopher_rules, q_llm_bigram_logprob,
 # q_llm_ccnet_buckets, q_emb_dim_stats, q_win_pattern_match,
-# q_llm_temperature_mix, q_graph_ancestry — eleven total), then
-# re-proves oldest-evidence queries: the 8 whose latest green is r01
-# and 21 of the 46 whose latest green is r02. (r06 should front the
-# remaining 25 r02-era queries, then oldest
+# q_llm_temperature_mix, q_graph_ancestry, q_llm_softdedup_weights,
+# q_llm_ngram_novelty, q_llm_tokenizer_fertility,
+# q_llm_containment_dedup, q_ts_seasonal_decompose — sixteen total),
+# then re-proves oldest-evidence queries: the 8 whose latest green is
+# r01 and 16 of the 46 whose latest green is r02. (r06 should front
+# the remaining 30 r02-era queries, then oldest
 # r03.) scripts/driver_sim.py re-verifies ALL queries locally every
 # round regardless of this ordering.
 DRIVER_CHECK_FIRST = [
@@ -103,6 +105,11 @@ DRIVER_CHECK_FIRST = [
     "q_win_pattern_match",
     "q_llm_temperature_mix",
     "q_graph_ancestry",
+    "q_llm_softdedup_weights",
+    "q_llm_ngram_novelty",
+    "q_llm_tokenizer_fertility",
+    "q_llm_containment_dedup",
+    "q_ts_seasonal_decompose",
     # oldest evidence: latest driver green was r01
     "q_fn_string",
     "q_fn_math",
@@ -112,8 +119,8 @@ DRIVER_CHECK_FIRST = [
     "q_llm_ngram_jaccard",
     "q_llm_text_stats",
     "q_llm_quality_score",
-    # oldest evidence: latest driver green was r02 (first 21 of 46;
-    # the remaining 25 rotate in next round)
+    # oldest evidence: latest driver green was r02 (first 16 of 46;
+    # the remaining 30 rotate in next round)
     "q_scan_events",
     "q_scan_projection",
     "q_source_json_props",
@@ -130,11 +137,6 @@ DRIVER_CHECK_FIRST = [
     "q_join_anti",
     "q_join_broadcast",
     "q_agg_count_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_win_rank_topk_per_group",
 ]
 
 

@@ -421,3 +421,43 @@ def test_emb_dim_stats_partial_aggregation(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_emb_dim_stats")
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_softdedup_novelty_shuffle_hashes_not_text(spark, sf_dir):
+    """Both curation aggregates shuffle (doc_id, gram-hash) pairs; the
+    document text must be pruned out before any Exchange, and the df /
+    first-occurrence join-back is an equi-join, never a product."""
+    for q in ("q_llm_softdedup_weights", "q_llm_ngram_novelty"):
+        plan = plan_of(spark, sf_dir, q)
+        post_exchange = plan.split("Exchange", 1)[1]
+        assert "text" not in post_exchange.split("ReadSchema")[0]
+        assert "CartesianProduct" not in plan
+        assert "NestedLoop" not in plan
+
+
+def test_tokenizer_fertility_single_aggregate(spark, sf_dir):
+    """Fertility is a per-doc HOF fold + ONE per-lang hash aggregate
+    with map-side combine — no explode of words, exactly one shuffle."""
+    plan = plan_of(spark, sf_dir, "q_llm_tokenizer_fertility", mode="simple")
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Generate" not in plan  # no word explode
+
+
+def test_containment_candidates_equi_join(spark, sf_dir):
+    """Containment candidate generation must be an equi-join on the
+    gram hash (the prefix filter is the blocking key) — a nested-loop
+    or cartesian means the asymmetric-size condition swallowed the
+    equi-predicate."""
+    plan = plan_of(spark, sf_dir, "q_llm_containment_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_seasonal_decompose_broadcasts_profile(spark, sf_dir):
+    """The (type, hour) diurnal profile is dozens of rows — it must
+    come back onto the fact scan as a broadcast; the events table
+    itself never shuffles."""
+    plan = plan_of(spark, sf_dir, "q_ts_seasonal_decompose")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
