@@ -280,3 +280,39 @@ def test_merge_upsert_empty_changeset_is_noop(spark, tmp_path):
         "inserted": 0, "updated": 0, "deleted": 0,
     }
     assert spark.read.parquet(path).count() == 1
+
+
+def test_analyze_table_single_pass_stats(spark, sf_dir, tmp_path):
+    from ex_hivent_spark.catalog import load_table
+    from ex_hivent_spark.maintenance import analyze_table, read_table_stats
+
+    out = str(tmp_path / "events_stats")
+    events = load_table(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(out)
+
+    stats = analyze_table(spark, out)
+    n = events.count()
+    assert stats["n_rows"] == n
+    # exact facts the sketch-free parts must nail
+    assert stats["columns"]["event_id"]["null_count"] == 0
+    assert stats["columns"]["event_id"]["min"] == 0
+    assert stats["columns"]["event_id"]["max"] == n - 1
+    # HLL ndv within the configured 5% rsd (3 sigma margin)
+    ndv = stats["columns"]["event_id"]["approx_ndv"]
+    assert abs(ndv - n) <= 0.15 * n
+    # manifest round-trips (datetimes stringified) and does not break
+    # table reads
+    import json
+
+    assert read_table_stats(spark, out) == json.loads(
+        json.dumps(stats, default=str)
+    )
+    assert spark.read.parquet(out).count() == n  # _STATS.json ignored
+
+
+def test_analyze_table_unanalyzed_returns_none(spark, tmp_path):
+    from ex_hivent_spark.maintenance import read_table_stats
+
+    p = str(tmp_path / "never_analyzed")
+    spark.range(3).write.parquet(p)
+    assert read_table_stats(spark, p) is None
