@@ -90,6 +90,14 @@ HEADLINE = [
     "q_win_pattern_match",
     "q_llm_temperature_mix",
     "q_graph_ancestry",
+    # added late-r5 (prior entries unchanged for per-query comparability)
+    "q_llm_softdedup_weights",
+    "q_llm_ngram_novelty",
+    "q_llm_tokenizer_fertility",
+    "q_llm_containment_dedup",
+    "q_ts_seasonal_decompose",
+    "q_agg_mad_outliers",
+    "q_ts_cusum_changepoint",
 ]
 
 

@@ -1176,3 +1176,183 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (resid * resid > 4 * var).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "q_agg_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type,
+             {sql_dround("quantile_cont(value, 0.5)", 6)} AS med_r
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med_r,
+             abs(e.value - m.med_r) AS absdev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             {sql_dround("quantile_cont(absdev, 0.5)", 6)} AS mad_r
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           any_value(d.med_r) AS median_value,
+           any_value(a.mad_r) AS mad,
+           CAST(sum(CASE WHEN d.absdev > 3 * a.mad_r THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts via MEDIAN ABSOLUTE DEVIATION: per event
+    type, the exact median, the MAD (median of |value - median|), and
+    how many events sit beyond 3 MADs — the robust-statistics twin of
+    the 3-sigma rules (q_ts_anomaly, q_ts_seasonal_decompose): a single
+    extreme event shifts a mean-based threshold but not a median-based
+    one, so MAD gates stay stable on heavy-tailed data.
+
+    Plan: two exact-percentile aggregates with the per-type results
+    (|types| rows) broadcast back between them — the fact table is
+    scanned, never shuffled on rows (percentile aggregates shuffle
+    per-group accumulator state). MAD fundamentally needs the second
+    pass; at 100 TB both passes are scan+broadcast shapes, and the
+    approx_percentile sketch (q_agg_approx_percentile) is the
+    single-pass degradation when exactness can be traded.
+
+    Determinism: both medians are e6-rounded (the q_percentile_exact
+    convention — interpolation parity between percentile() and
+    quantile_cont is already driver-proven), deviations and the 3*MAD
+    comparison are per-row IEEE on identically derived doubles, so the
+    outlier COUNT hash-matches too."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        dround(F.percentile("value", F.lit(0.5)), 6).alias("med_r")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med_r",
+        F.abs(F.col("value") - F.col("med_r")).alias("absdev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        dround(F.percentile("absdev", F.lit(0.5)), 6).alias("mad_r")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.any_value("med_r").alias("median_value"),
+            F.any_value("mad_r").alias("mad"),
+            F.sum(
+                F.when(F.col("absdev") > 3 * F.col("mad_r"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q_ts_cusum_changepoint",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, value,
+             count(*) OVER (PARTITION BY user_id) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(25,6)))
+                      OVER (PARTITION BY user_id) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY user_id) AS mean_v
+      FROM events
+    ),
+    cs AS (
+      SELECT user_id, event_id, n_events,
+             CAST(sum(CAST(value AS DECIMAL(25,6)))
+                      OVER (PARTITION BY user_id
+                            ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS DOUBLE)
+                 - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id) * mean_v
+                 AS cusum
+      FROM base
+    ),
+    mx AS (
+      SELECT user_id, event_id, n_events, abs(cusum) AS abs_cusum,
+             max(abs(cusum)) OVER (PARTITION BY user_id) AS max_abs
+      FROM cs
+    )
+    SELECT user_id,
+           any_value(n_events) AS n_events,
+           any_value(max_abs) AS max_abs_cusum,
+           min(event_id) AS changepoint_event_id
+    FROM mx
+    WHERE abs_cusum = max_abs
+    GROUP BY user_id
+    """,
+)
+def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per user: the cumulative sum of
+    deviations from the user's own mean, S_i = sum_{j<=i}(v_j - mean),
+    peaks in magnitude at the most likely level-shift point — the
+    classic offline CUSUM statistic. Emits each user's peak |S| and the
+    event where it occurs (deterministic min-event_id tie-break).
+
+    Plan: per-user mean via a full-partition window frame (no join —
+    the same sort serves all three window passes: mean, running sum,
+    partition max), then one filter + tiny aggregate. ONE shuffle on
+    user_id total; state per user is O(1). Determinism: S_i is computed
+    as (running decimal sum of value) - i*mean rather than a float
+    cumsum of deviations — only RAW values are decimal-cast (the
+    repo-wide dsum convention; casting a COMPUTED double hits
+    engine-specific half-way rounding, measured as 1-ulp drift), the
+    rest is two IEEE ops on identically derived doubles; the argmax is
+    an exact double equality between identically derived values."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    full = Window.partitionBy("user_id")
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count(F.lit(1)).over(full).alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(25,6)")).over(full)
+            .cast("double")
+            / F.count(F.lit(1)).over(full)
+        ).alias("mean_v"),
+    )
+    ordered = Window.partitionBy("user_id").orderBy("event_id")
+    cs = base.select(
+        "user_id",
+        "event_id",
+        "n_events",
+        (
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .over(running)
+            .cast("double")
+            - F.row_number().over(ordered) * F.col("mean_v")
+        ).alias("cusum"),
+    )
+    mx = cs.select(
+        "user_id",
+        "event_id",
+        "n_events",
+        F.abs("cusum").alias("abs_cusum"),
+        F.max(F.abs("cusum")).over(full).alias("max_abs"),
+    )
+    return (
+        mx.filter(F.col("abs_cusum") == F.col("max_abs"))
+        .groupBy("user_id")
+        .agg(
+            F.any_value("n_events").alias("n_events"),
+            F.any_value("max_abs").alias("max_abs_cusum"),
+            F.min("event_id").alias("changepoint_event_id"),
+        )
+    )

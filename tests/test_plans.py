@@ -461,3 +461,20 @@ def test_seasonal_decompose_broadcasts_profile(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_ts_seasonal_decompose")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mad_outliers_broadcasts_percentile_tables(spark, sf_dir):
+    """Both per-type percentile results (|types| rows) must come back
+    as broadcasts; the fact table is scanned, never row-shuffled."""
+    plan = plan_of(spark, sf_dir, "q_agg_mad_outliers", mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_cusum_single_user_shuffle(spark, sf_dir):
+    """All three window passes and the final aggregate share ONE
+    shuffle on user_id — extra Exchanges mean the window frames stopped
+    sharing their partitioning."""
+    plan = plan_of(spark, sf_dir, "q_ts_cusum_changepoint", mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
