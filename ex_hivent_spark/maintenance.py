@@ -359,8 +359,14 @@ def analyze_table(
             aggs.append(F.max(c).alias(f"__max__{c}"))
     row = df.agg(*aggs).collect()[0].asDict()
 
+    sc = spark.sparkContext
+    hadoop = sc._jvm.org.apache.hadoop
+    fs = hadoop.fs.FileSystem.get(sc._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hadoop.fs.Path(path)).getLength()
+
     stats = {
         "n_rows": row["__n_rows"],
+        "total_bytes": int(total_bytes),
         "ndv_rsd": ndv_rsd,
         "columns": {},
     }

@@ -1,0 +1,93 @@
+"""CBO-lite planning advisor over ``analyze_table`` stats manifests.
+
+Spark's own cost-based decisions (broadcast selection, AQE coalescing)
+read catalog statistics that a metastore normally supplies. This module
+closes the loop for the engine's file-based tables: the ``_STATS.json``
+manifests written by :func:`ex_hivent_spark.maintenance.analyze_table`
+feed the same three decisions a human (or the session builder) makes
+before launching a 100 TB job — how many shuffle partitions, which join
+sides to broadcast, and roughly how large a join output will be.
+
+Everything here is arithmetic over a dict read from a few-KB manifest:
+no Spark session needed, so it can run in a launcher before the first
+job is submitted.
+"""
+
+from __future__ import annotations
+
+import math
+
+MB = 1024 * 1024
+
+
+def suggest_shuffle_partitions(
+    stats: dict,
+    target_partition_mb: int = 128,
+    min_partitions: int = 1,
+    max_partitions: int = 200_000,
+) -> int:
+    """Shuffle-partition count so post-shuffle partitions land near the
+    target size (the spill-avoidance rule of thumb: partitions must fit
+    comfortably in executor memory). Parquet bytes are compressed ~2-4x
+    vs in-memory rows; the compressed size is still the right sizing
+    basis because shuffle files are compressed too."""
+    n = math.ceil(stats["total_bytes"] / (target_partition_mb * MB))
+    return max(min_partitions, min(max_partitions, n))
+
+
+def is_broadcastable(stats: dict, threshold_mb: int = 32) -> bool:
+    """Whether a table fits Spark's broadcast regime (driver collects +
+    every executor holds a copy). The default mirrors a production
+    ``spark.sql.autoBroadcastJoinThreshold`` bumped for dimension
+    tables; pass your own threshold for memory-tight clusters."""
+    return stats["total_bytes"] <= threshold_mb * MB
+
+
+def estimate_join_rows(
+    stats_a: dict, stats_b: dict, key_a: str, key_b: str
+) -> int:
+    """Classic CBO equi-join cardinality estimate:
+    ``|A| * |B| / max(ndv(A.key), ndv(B.key))`` — exact under the
+    uniform-frequency / containment assumptions every textbook
+    optimizer starts from. Used to decide whether a join output will
+    explode (many-to-many on a low-ndv key) before running it."""
+    ndv_a = max(1, stats_a["columns"][key_a]["approx_ndv"])
+    ndv_b = max(1, stats_b["columns"][key_b]["approx_ndv"])
+    return int(stats_a["n_rows"] * stats_b["n_rows"] / max(ndv_a, ndv_b))
+
+
+def suggest_join_strategy(
+    stats_a: dict,
+    stats_b: dict,
+    key_a: str,
+    key_b: str,
+    broadcast_threshold_mb: int = 32,
+) -> dict:
+    """Join-planning advice for A ⋈ B on (key_a = key_b): which side to
+    broadcast (smaller side, if it fits), the estimated output rows,
+    and a skew warning when one side's key ndv is so low relative to
+    its row count that AQE skew splitting (or explicit salting,
+    operators/skew.py) should be enabled."""
+    a_b, b_b = stats_a["total_bytes"], stats_b["total_bytes"]
+    small, small_stats = ("a", stats_a) if a_b <= b_b else ("b", stats_b)
+    broadcast = (
+        small if is_broadcastable(small_stats, broadcast_threshold_mb) else None
+    )
+    est = estimate_join_rows(stats_a, stats_b, key_a, key_b)
+    # rows-per-key above this ratio means the hottest keys dominate
+    # partitions: flag for AQE skew join / salting.
+    def rows_per_key(stats, key):
+        return stats["n_rows"] / max(1, stats["columns"][key]["approx_ndv"])
+
+    skew_risk = max(
+        rows_per_key(stats_a, key_a), rows_per_key(stats_b, key_b)
+    ) > 10_000
+    return {
+        "broadcast_side": broadcast,
+        "estimated_rows": est,
+        "skew_risk": skew_risk,
+        "shuffle_partitions": max(
+            suggest_shuffle_partitions(stats_a),
+            suggest_shuffle_partitions(stats_b),
+        ),
+    }

@@ -1,0 +1,55 @@
+"""CBO-lite advisor: analyze_table manifests drive partition sizing,
+broadcast choice, and join cardinality estimates."""
+
+from __future__ import annotations
+
+from ex_hivent_spark import planner
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.maintenance import analyze_table
+
+
+def _stats_for(spark, sf_dir, table, tmp_path):
+    out = str(tmp_path / table)
+    load_table(spark, sf_dir, table).write.mode("overwrite").parquet(out)
+    return analyze_table(spark, out)
+
+
+def test_broadcast_and_partition_sizing(spark, sf_dir, tmp_path):
+    nation = _stats_for(spark, sf_dir, "nation", tmp_path)
+    orders = _stats_for(spark, sf_dir, "orders", tmp_path)
+    assert nation["total_bytes"] > 0
+    assert planner.is_broadcastable(nation)
+    # a deliberately tiny threshold forces the non-broadcast path
+    assert not planner.is_broadcastable(orders, threshold_mb=0)
+    # partition count scales with bytes and respects the floor
+    assert planner.suggest_shuffle_partitions(nation) == 1
+    assert planner.suggest_shuffle_partitions(
+        orders, target_partition_mb=1
+    ) >= planner.suggest_shuffle_partitions(orders)
+
+
+def test_join_estimate_and_strategy(spark, sf_dir, tmp_path):
+    orders = _stats_for(spark, sf_dir, "orders", tmp_path)
+    customer = _stats_for(spark, sf_dir, "customer", tmp_path)
+    est = planner.estimate_join_rows(
+        orders, customer, "o_custkey", "c_custkey"
+    )
+    # orders->customer is a FK join: output ~ |orders| (each order has
+    # exactly one customer); HLL error bounds the estimate to +-20%
+    assert abs(est - orders["n_rows"]) <= 0.2 * orders["n_rows"]
+    advice = planner.suggest_join_strategy(
+        orders, customer, "o_custkey", "c_custkey"
+    )
+    assert advice["broadcast_side"] == "b"  # customer is the small side
+    assert advice["skew_risk"] is False
+    assert advice["shuffle_partitions"] >= 1
+
+
+def test_skew_flag_on_low_ndv_key(spark, sf_dir, tmp_path):
+    # a one-value key column over many rows must trip the skew flag
+    df = spark.range(50_000).selectExpr("1 AS k", "id AS v")
+    out = str(tmp_path / "skewed")
+    df.write.mode("overwrite").parquet(out)
+    s = analyze_table(spark, out)
+    advice = planner.suggest_join_strategy(s, s, "k", "k")
+    assert advice["skew_risk"] is True
