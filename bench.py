@@ -98,6 +98,7 @@ HEADLINE = [
     "q_ts_seasonal_decompose",
     "q_agg_mad_outliers",
     "q_ts_cusum_changepoint",
+    "q_llm_minhash_error",
 ]
 
 

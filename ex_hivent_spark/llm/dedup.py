@@ -638,3 +638,156 @@ def q_llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / la).alias("containment"),
         )
     )
+
+
+def _minhash_error_oracle_sql() -> str:
+    """SQL twin of the sketch-error audit: the same md5-prefix shingle
+    ints, 32 minima, band candidates — then per pair the signature
+    agreement fraction next to the exact shingle-set Jaccard."""
+    mins = ",\n             ".join(
+        f"min(({2 * i + 1} * (x % {_P}) + {1_000_003 * (i + 1)}) % {_P})"
+        f" AS mh{i}"
+        for i in range(N_PERM)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_id,"
+        f" mh{i * ROWS_PER_BAND} * {1 << 31} + mh{i * ROWS_PER_BAND + 1}"
+        f" AS band_hash FROM mins"
+        for i in range(N_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN ma.mh{i} = mb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(N_PERM)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')),
+                                    1, 12))::BIGINT)) AS s
+      FROM toks
+    ),
+    xs AS (SELECT doc_id, unnest(s) AS x FROM sh),
+    mins AS (SELECT doc_id, {mins} FROM xs GROUP BY doc_id),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({agree} AS BIGINT) AS n_agree,
+           CAST({agree} AS DOUBLE) / {N_PERM} AS jaccard_est,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+               AS jaccard_exact,
+           abs(CAST({agree} AS DOUBLE) / {N_PERM}
+               - CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))
+               AS abs_err
+    FROM cand c
+    JOIN mins ma ON ma.doc_id = c.doc_a
+    JOIN mins mb ON mb.doc_id = c.doc_b
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    """
+
+
+@register("q_llm_minhash_error", oracle=_minhash_error_oracle_sql())
+def q_llm_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for the MinHash pipeline — the dedup twin of
+    q_llm_ann_recall: for every LSH-banded candidate pair, the
+    signature-agreement estimate (matching minima / 32) next to the
+    EXACT shingle-set Jaccard, and their absolute error. This is the
+    measurement that tunes N_PERM / banding before trusting the sketch
+    on a real corpus: E[estimate] = true Jaccard, and the observed error
+    distribution tells you whether 32 permutations suffice at the
+    chosen threshold.
+
+    Plan: the same explode + 32-codegen-minima aggregate and banded
+    equi-join as q_llm_minhash_neardup (signature table reused via one
+    lazy localCheckpoint feeding bands AND both estimate join-backs);
+    exact Jaccard adds two narrow (doc_id -> shingle-hash-array) joins
+    on the candidates only. Everything the audit shuffles is ids +
+    fixed-width signatures. Determinism: agreement counts are integer;
+    both ratios are single exact divisions; abs_err is IEEE on
+    identically derived doubles — fully hash-checked, no tolerance."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(perm_hash(F.col("sh"), i)).alias(f"mh{i}")
+            for i in range(N_PERM)
+        ]
+    ).localCheckpoint(eager=False)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                (
+                    F.col(f"mh{i * ROWS_PER_BAND}") * F.lit(1 << 31)
+                    + F.col(f"mh{i * ROWS_PER_BAND + 1}")
+                ).alias("band_hash"),
+            )
+            for i in range(N_BANDS)
+        ]
+    )
+    bands = mins.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_hash"
+    )
+    left, right = bands.alias("a"), bands.alias("b")
+    candidates = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    ma = mins.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_PERM)],
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERM)],
+    )
+    sets = d.select(
+        "doc_id", F.array_sort(shingles(F.col("text"))).alias("s")
+    ).localCheckpoint(eager=False)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+
+    n_agree = None
+    for i in range(N_PERM):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        n_agree = term if n_agree is None else n_agree + term
+    inter = F.size(F.array_intersect("sa", "sb"))
+    exact = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    est = F.col("n_agree").cast("double") / N_PERM
+    return (
+        candidates.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .withColumn("n_agree", n_agree.cast("bigint"))
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            est.alias("jaccard_est"),
+            exact.alias("jaccard_exact"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )

@@ -478,3 +478,11 @@ def test_cusum_single_user_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_ts_cusum_changepoint", mode="simple")
     assert plan.count("Exchange") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_minhash_error_no_cross_join(spark, sf_dir):
+    """The audit must keep the banded equi-join candidate shape — five
+    equi-joins total, zero products."""
+    plan = plan_of(spark, sf_dir, "q_llm_minhash_error", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
