@@ -99,6 +99,7 @@ HEADLINE = [
     "q_agg_mad_outliers",
     "q_ts_cusum_changepoint",
     "q_llm_minhash_error",
+    "q_llm_corpus_audit",
 ]
 
 

@@ -364,3 +364,18 @@ def test_graph_ancestry_depths_match_sequential_walk(spark, sf_dir):
             depth += 1
         assert got[d] == depth, (d, got[d], depth)
     assert got[0] == 0
+
+
+def test_corpus_curate_matches_audit(spark, sf_dir):
+    """curate() must return exactly the lang_cap stage's n_out docs."""
+    from ex_hivent_spark.llm import corpus
+
+    audit = {
+        r.stage: r.n_out
+        for r in corpus.q_llm_corpus_audit(spark, sf_dir).collect()
+    }
+    final = corpus.curate(spark, sf_dir)
+    assert final.count() == audit["lang_cap"]
+    # survivors respect the cap in every language
+    per_lang = final.groupBy("lang").count().collect()
+    assert all(r["count"] <= corpus.CAP_PER_LANG for r in per_lang)

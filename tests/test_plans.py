@@ -486,3 +486,14 @@ def test_minhash_error_no_cross_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_llm_minhash_error", mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_funnel_one_job_shape(spark, sf_dir):
+    """The 4-stage funnel must stay one composed plan: bench grams come
+    back as a broadcast, the two windows are the only wide stages, and
+    nothing degenerates to a product."""
+    plan = plan_of(spark, sf_dir, "q_llm_corpus_audit", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") == 2  # dedup window + cap window
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
