@@ -100,6 +100,7 @@ HEADLINE = [
     "q_ts_cusum_changepoint",
     "q_llm_minhash_error",
     "q_llm_corpus_audit",
+    "q_emb_pca_power_step",
 ]
 
 

@@ -1553,3 +1553,82 @@ def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(mean, 6).alias("mean"),
         dround(F.col("sx2") / F.col("n") - mean * mean, 6).alias("var_pop"),
     )
+
+
+@register(
+    "q_emb_pca_power_step",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, x,
+             floor(list_sum(x) * 1000000.0 + 0.5) / 1000000.0 AS sr
+      FROM e
+    ),
+    contrib AS (
+      SELECT u.i AS dim, x[u.i] * sr AS c
+      FROM s, unnest(range(1, len(x) + 1)) AS u(i)
+    ),
+    comp AS (
+      SELECT CAST(dim AS INT) AS dim,
+             CAST(sum(CAST(c AS DECIMAL(25,6))) AS DOUBLE) AS comp_raw
+      FROM contrib GROUP BY dim
+    ),
+    normed AS (
+      SELECT dim, comp_raw,
+             CAST(sum(CAST(comp_raw * comp_raw AS DECIMAL(25,6)))
+                      OVER () AS DOUBLE) AS norm2
+      FROM comp
+    )
+    SELECT dim,
+           floor(comp_raw * 1000000.0 + 0.5) / 1000000.0 AS component,
+           floor(comp_raw / sqrt(norm2) * 1000000.0 + 0.5) / 1000000.0
+               AS loading
+    FROM normed
+    """,
+)
+def q_emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One POWER-ITERATION step toward the corpus' top principal
+    direction: v1 = normalize(X^T X v0) computed as
+    sum_x x * (x . v0) with the deterministic all-ones probe v0 — the
+    anisotropy / dimensional-collapse monitor for an embedding corpus
+    (a dominant principal direction with outsized loading means the
+    embedding space has collapsed toward a cone; re-run with v <- v1
+    broadcast to converge). Output: per dimension, the unnormalized
+    component and the unit-normalized loading.
+
+    Plan: one map stage (per-row projection x . v0, e6-rounded per the
+    engine's transcendental-step convention) + ONE (dim)-keyed decimal
+    aggregate — the shuffle carries 64 accumulator rows. Iterating k
+    steps is k such jobs with the 64-float v broadcast back; the corpus
+    never re-shuffles. The norm pass is a window over the 64 aggregated
+    rows — driver-trivial at any corpus size."""
+    em = load_table(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    s = F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v)
+    rows = em.select(
+        F.posexplode(x).alias("pos", "xd"),
+        dround(s, 6).alias("sr"),
+    )
+    comp = (
+        rows.groupBy((F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.sum((F.col("xd") * F.col("sr")).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("comp_raw")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    norm2 = (
+        F.sum((F.col("comp_raw") * F.col("comp_raw")).cast("decimal(25,6)"))
+        .over(Window.partitionBy())
+        .cast("double")
+    )
+    return comp.select(
+        "dim",
+        dround(F.col("comp_raw"), 6).alias("component"),
+        dround(F.col("comp_raw") / F.sqrt(norm2), 6).alias("loading"),
+    )

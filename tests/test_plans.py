@@ -497,3 +497,13 @@ def test_corpus_funnel_one_job_shape(spark, sf_dir):
     assert plan.count("Window") == 2  # dedup window + cap window
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pca_power_step_partial_aggregation(spark, sf_dir):
+    """The dim-keyed aggregate must partially combine map-side so the
+    shuffle carries 64 accumulators, not |corpus|x64 exploded lanes;
+    no join anywhere."""
+    plan = plan_of(spark, sf_dir, "q_emb_pca_power_step", mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+    assert "Join" not in plan

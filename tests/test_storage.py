@@ -158,3 +158,35 @@ def test_versioned_pointer_commit_is_crash_safe(spark, tmp_path):
     # commits cleanly
     v = V.write_snapshot(spark, spark.range(0, 6), t)
     assert v == 1 and V.read_snapshot(spark, t).count() == 6
+
+
+def test_dynamic_partition_pruning_on_join(spark, sf_dir, tmp_path):
+    """Catalyst's dynamic partition pruning must kick in when a
+    partitioned fact table is joined against a filtered dim: the fact
+    scan's PartitionFilters gains a dynamicpruning subquery, so at
+    100 TB only the joined partitions are read at all."""
+    from ex_hivent_spark.catalog import load_table
+
+    fact = str(tmp_path / "events_by_type")
+    load_table(spark, sf_dir, "events").write.partitionBy(
+        "event_type"
+    ).mode("overwrite").parquet(fact)
+
+    dim = spark.createDataFrame(
+        [("purchase", 1.0), ("view", 0.5)], ["event_type", "weight"]
+    )
+    joined = (
+        spark.read.parquet(fact)
+        .join(dim.filter("weight > 0.9"), "event_type")
+    )
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan
+    # semantics: only the surviving partition's rows come back
+    n_purchase = (
+        spark.read.parquet(fact)
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert joined.count() == n_purchase
