@@ -144,3 +144,48 @@ def vacuum(
             fs.delete(status.getPath(), True)
             removed.append(v)
     return sorted(removed)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+    key_col: str,
+) -> DataFrame:
+    """CDC between two snapshots: one row per changed key with
+    ``change ∈ {insert, delete, update}`` — inserts carry the new row's
+    columns, deletes the old row's, updates the new ones. This is the
+    change feed a downstream incremental consumer (or merge_upsert into
+    a derived table) applies instead of reprocessing the full snapshot:
+    at 100 TB the diff of a daily snapshot pair is typically orders of
+    magnitude smaller than the table.
+
+    Plan: one full-outer join of the two immutable snapshots on the
+    key; rows equal on every shared column drop out. The join is the
+    unavoidable cost of diffing unordered snapshots — partition both
+    snapshots by the key at write time (write_snapshot accepts any
+    pre-partitioned frame) and it runs exchange-free."""
+    from pyspark.sql import functions as F
+
+    old = read_snapshot(spark, table_dir, from_version)
+    new = read_snapshot(spark, table_dir, to_version)
+    cols = [c for c in new.columns if c != key_col]
+    o = old.select(
+        F.col(key_col), F.struct(*cols).alias("__old")
+    )
+    n = new.select(
+        F.col(key_col), F.struct(*cols).alias("__new")
+    )
+    j = o.join(n, key_col, "full_outer")
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .when(F.col("__old") != F.col("__new"), F.lit("update"))
+    )
+    payload = F.coalesce(F.col("__new"), F.col("__old"))
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(key_col, "change", *[payload[c].alias(c) for c in cols])
+    )

@@ -190,3 +190,34 @@ def test_dynamic_partition_pruning_on_join(spark, sf_dir, tmp_path):
         .count()
     )
     assert joined.count() == n_purchase
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    """snapshot_diff emits exactly the inserted/deleted/updated keys
+    between two committed versions — the change feed an incremental
+    consumer applies instead of reprocessing the snapshot."""
+    from ex_hivent_spark.sources import versioned as V
+
+    t = str(tmp_path / "cdc_tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "val"]
+    )
+    V.write_snapshot(spark, base, t, note="v0")
+    nxt = spark.createDataFrame(
+        # 1 unchanged, 2 updated, 3 deleted, 4 inserted
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40)], ["k", "name", "val"]
+    )
+    V.write_snapshot(spark, nxt, t, note="v1")
+
+    diff = {
+        r.k: (r.change, r.name, r.val)
+        for r in V.snapshot_diff(spark, t, 0, 1, "k").collect()
+    }
+    assert diff == {
+        2: ("update", "b", 99),
+        3: ("delete", "c", 30),
+        4: ("insert", "d", 40),
+    }
+    # applying the diff via merge semantics reproduces v1 exactly:
+    # unchanged keys never appear in the feed
+    assert 1 not in diff
