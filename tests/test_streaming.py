@@ -483,3 +483,57 @@ class TestStreamStreamOuter:
         right = spark.createDataFrame([], "user_id long, r_ts timestamp")
         with pytest.raises(ValueError, match="leftOuter requires"):
             interval_join(left, right, watermark=None, how="leftOuter")
+
+
+class TestBackfillHandoff:
+    def test_bootstrap_then_tail_equals_full_batch(self, spark, tmp_path):
+        """Kappa catch-up: archive bootstrap (one batch job) + live
+        streaming tail must together equal the full-batch transform —
+        no loss, no double-processing across the handoff; restart with
+        the same checkpoint must not re-run the bootstrap."""
+        from ex_hivent_spark.streaming.backfill import (
+            bootstrap_and_tail,
+            read_derived,
+        )
+
+        archive = str(tmp_path / "archive")
+        live = str(tmp_path / "live")
+        out = str(tmp_path / "derived")
+        ckpt = str(tmp_path / "ckpt")
+        full = spark.range(1000).selectExpr(
+            "id", "id % 13 AS k", "CAST(id * 2 AS DOUBLE) AS v"
+        )
+        full.filter("id < 600").write.parquet(archive)
+        import os
+
+        os.makedirs(live)
+
+        def enrich(df):
+            return df.withColumn("vv", df.v * 10).filter("k <> 5")
+
+        schema = "id LONG, k LONG, v DOUBLE"
+        q = bootstrap_and_tail(
+            spark, archive, live, schema, enrich, out, ckpt
+        )
+        try:
+            # live data arrives after the tail is up
+            full.filter("id >= 600").write.mode("append").parquet(live)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = read_derived(spark, out)
+        want = enrich(full)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+        # restart: checkpoint exists -> bootstrap skipped, no dupes
+        q2 = bootstrap_and_tail(
+            spark, archive, live, schema, enrich, out, ckpt
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        assert read_derived(spark, out).count() == want.count()
