@@ -101,6 +101,8 @@ HEADLINE = [
     "q_llm_minhash_error",
     "q_llm_corpus_audit",
     "q_emb_pca_power_step",
+    "q_geo_radius_join",
+    "q_win_attribution_multitouch",
 ]
 
 

@@ -1356,3 +1356,90 @@ def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("changepoint_event_id"),
         )
     )
+
+
+@register(
+    "q_win_attribution_multitouch",
+    oracle=f"""
+    WITH last_purchase AS (
+      SELECT user_id, max(ts) AS pts
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS pos,
+             count(*) OVER (PARTITION BY e.user_id) AS n
+      FROM events e JOIN last_purchase p
+        ON e.user_id = p.user_id AND e.ts < p.pts
+    ),
+    credits AS (
+      SELECT user_id, event_type,
+             floor(CASE
+               WHEN n = 1 THEN 1.0
+               WHEN n = 2 THEN 0.5
+               WHEN pos = 1 OR pos = n THEN 0.4
+               ELSE 0.2 / (n - 2)
+             END * 1000000.0 + 0.5) / 1000000.0 AS credit
+      FROM touches
+    )
+    SELECT event_type,
+           count(*) AS n_touches,
+           {sql_dsum("credit", "total_credit")}
+    FROM credits GROUP BY event_type
+    """,
+)
+def q_win_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) MULTI-TOUCH ATTRIBUTION: every event a
+    user generated before their last purchase is a touch; the first and
+    last touches earn 40% credit each and the middle splits the
+    remaining 20% evenly (1.0 / 0.5-0.5 for 1- and 2-touch paths).
+    Reports total credited influence per event type — the marketing
+    attribution twin of the funnel/basket analytics, and the window
+    shape (per-user ordered positions + per-user totals in one pass)
+    every sequence-credit model shares.
+
+    Plan: one tiny per-user aggregate (last purchase) joined back —
+    AQE broadcasts it — then ONE window pass over the touch stream
+    (position + count share the same user sort), then one hash agg.
+    Determinism: credits are exact fractions e6-rounded BEFORE the
+    decimal sum (the repo's computed-double convention), position
+    ties broken by event_id."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    last_p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("pts"))
+    )
+    touches = (
+        e.join(last_p, "user_id")
+        .filter(F.col("ts") < F.col("pts"))
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("pos"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id"))
+            .alias("n"),
+        )
+    )
+    n, pos = F.col("n"), F.col("pos")
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((pos == 1) | (pos == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    return (
+        touches.select("event_type", dround(credit, 6).alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            dsum("credit", "total_credit"),
+        )
+    )

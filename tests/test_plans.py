@@ -507,3 +507,24 @@ def test_pca_power_step_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "partial_" in plan
     assert "Join" not in plan
+
+
+def test_geo_radius_cell_equi_join(spark, sf_dir):
+    """The radius join must equi-join on the neighbor cell key — a
+    nested-loop or product means the spatial blocking collapsed into
+    the quadratic plan."""
+    plan = plan_of(spark, sf_dir, "q_geo_radius_join", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    """Position and per-user total are two Window nodes sharing ONE
+    sort + user_id exchange; the last-purchase table is tiny and must
+    broadcast back."""
+    plan = plan_of(spark, sf_dir, "q_win_attribution_multitouch",
+                   mode="simple")
+    assert plan.count("Window") == 2
+    assert plan.count("Sort") == 1  # the full-frame count needs no sort
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
