@@ -103,6 +103,7 @@ HEADLINE = [
     "q_emb_pca_power_step",
     "q_geo_radius_join",
     "q_win_attribution_multitouch",
+    "q_fn_bitwise",
 ]
 
 

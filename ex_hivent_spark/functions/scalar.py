@@ -399,3 +399,37 @@ def q_fn_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
     )
     return pairs.filter(F.col("edit_dist") <= 4)
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & user_id AS band,
+           event_id | user_id AS bor,
+           xor(event_id, user_id) AS bxor,
+           (event_id & 255) << 3 AS shl,
+           event_id >> 2 AS shr,
+           CAST(bit_count(event_id) AS INT) AS popcount,
+           ~event_id AS bnot
+    FROM events
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface: AND/OR/XOR, shifts, population
+    count, complement — the integer toolkit flag-packed columns and
+    hash/bitmap constructions build on (the engine's bitmap rollup and
+    Hilbert/Morton layouts use exactly these). Pure int64 arithmetic —
+    identical in every engine, map-only plan."""
+    e = load_table(spark, sf_dir, "events")
+    x, y = F.col("event_id"), F.col("user_id")
+    return e.select(
+        "event_id",
+        x.bitwiseAND(y).alias("band"),
+        x.bitwiseOR(y).alias("bor"),
+        x.bitwiseXOR(y).alias("bxor"),
+        F.shiftleft(x.bitwiseAND(F.lit(255)), 3).cast("long").alias("shl"),
+        F.shiftright(x, 2).cast("long").alias("shr"),
+        F.bit_count(x).alias("popcount"),
+        F.bitwise_not(x).alias("bnot"),
+    )
