@@ -104,6 +104,7 @@ HEADLINE = [
     "q_geo_radius_join",
     "q_win_attribution_multitouch",
     "q_fn_bitwise",
+    "q_fn_datetime_arith",
 ]
 
 

@@ -433,3 +433,40 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(x).alias("popcount"),
         F.bitwise_not(x).alias("bnot"),
     )
+
+
+@register(
+    "q_fn_datetime_arith",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AS DATE) + CAST(user_id % 30 AS INTEGER) AS shifted_date,
+           CAST(CAST(ts AS DATE) + to_months(CAST(user_id % 6 AS INTEGER))
+                AS DATE) AS shifted_month,
+           last_day(CAST(ts AS DATE)) AS month_end,
+           CAST(quarter(ts) AS INT) AS qtr,
+           CAST(dayofyear(ts) AS INT) AS doy,
+           CAST(weekofyear(ts) AS INT) AS iso_week
+    FROM events
+    """,
+)
+def q_fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic surface: day offsets, month offsets with
+    end-of-month clamping (both engines clamp Jan 31 + 1 month to
+    Feb 28/29), last_day, quarter, day-of-year, ISO week — the
+    date-dimension toolkit every retention/billing rollup leans on.
+    Map-only; integer calendar arithmetic is engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    return e.select(
+        "event_id",
+        F.date_add(d, (F.col("user_id") % 30).cast("int")).alias(
+            "shifted_date"
+        ),
+        F.add_months(d, (F.col("user_id") % 6).cast("int")).alias(
+            "shifted_month"
+        ),
+        F.last_day(d).alias("month_end"),
+        F.quarter("ts").alias("qtr"),
+        F.dayofyear("ts").alias("doy"),
+        F.weekofyear("ts").alias("iso_week"),
+    )
