@@ -105,6 +105,7 @@ HEADLINE = [
     "q_win_attribution_multitouch",
     "q_fn_bitwise",
     "q_fn_datetime_arith",
+    "q_win_period_over_period",
 ]
 
 

@@ -1443,3 +1443,57 @@ def q_win_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("credit", "total_credit"),
         )
     )
+
+
+@register(
+    "q_win_period_over_period",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n_events,
+             {sql_dsum("value", "revenue")}
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    with_prev AS (
+      SELECT *, lag(revenue) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS prev_revenue
+      FROM daily
+    )
+    SELECT event_type, day, n_events, revenue, prev_revenue,
+           {sql_dround("(revenue - prev_revenue) / prev_revenue", 6)}
+               AS pct_change
+    FROM with_prev
+    """,
+)
+def q_win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: daily revenue per event type with
+    the previous day's value and the relative change — the ubiquitous
+    BI shape (DoD/WoW/MoM deltas) built from one time-grain aggregate
+    and one lag window. First day per type reports NULL change (no
+    prior period), matching SQL lag semantics.
+
+    Plan: one partially-combined hash aggregate to day grain (the
+    shuffle carries |types×days| rows), then a window over the ALREADY
+    AGGREGATED frame — at 100 TB the window input is thousands of
+    rows, not the event stream. Revenue sums are decimal-exact; the
+    ratio is e6-rounded on identically derived doubles."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "revenue"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        "revenue",
+        prev.alias("prev_revenue"),
+        dround((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
+    )

@@ -76,11 +76,11 @@ def register(name: str, oracle: Optional[str] = None):
 # q_llm_containment_dedup, q_ts_seasonal_decompose,
 # q_agg_mad_outliers, q_ts_cusum_changepoint, q_llm_minhash_error,
 # q_llm_corpus_audit, q_emb_pca_power_step, q_geo_radius_join,
-# q_win_attribution_multitouch, q_fn_bitwise, q_fn_datetime_arith —
-# twenty-five total), then re-proves oldest-evidence queries: the 8
-# whose latest green is r01 and 7 of the 46 whose latest green is
-# r02. (r06 should front the remaining 39 r02-era queries, then
-# oldest r03.) scripts/driver_sim.py re-verifies ALL queries locally every
+# q_win_attribution_multitouch, q_fn_bitwise, q_fn_datetime_arith,
+# q_win_period_over_period — twenty-six total), then re-proves
+# oldest-evidence queries: the 8 whose latest green is r01 and 6 of
+# the 46 whose latest green is r02. (r06 should front the remaining
+# 40 r02-era queries, then oldest r03.) scripts/driver_sim.py re-verifies ALL queries locally every
 # round regardless of this ordering.
 DRIVER_CHECK_FIRST = [
     # r04 driver hash-mismatches, hardened this round — must re-prove
@@ -122,6 +122,7 @@ DRIVER_CHECK_FIRST = [
     "q_win_attribution_multitouch",
     "q_fn_bitwise",
     "q_fn_datetime_arith",
+    "q_win_period_over_period",
     # oldest evidence: latest driver green was r01
     "q_fn_string",
     "q_fn_math",
@@ -131,15 +132,14 @@ DRIVER_CHECK_FIRST = [
     "q_llm_ngram_jaccard",
     "q_llm_text_stats",
     "q_llm_quality_score",
-    # oldest evidence: latest driver green was r02 (first 7 of 46;
-    # the remaining 39 rotate in next round)
+    # oldest evidence: latest driver green was r02 (first 6 of 46;
+    # the remaining 40 rotate in next round)
     "q_scan_events",
     "q_scan_projection",
     "q_source_json_props",
     "q_filter_topic",
     "q_filter_compound",
     "q_filter_null_like",
-    "q_project_enrich",
 ]
 
 
