@@ -283,3 +283,61 @@ def test_asof_nearest_matches_pandas_merge_asof(spark, case, tmp_path_factory):
             assert gap is None
         else:
             assert gap == abs(purch_ts[pid] - click_ts[cid]) * 1_000_000
+
+
+@given(_docs_case())
+@settings(**_SETTINGS)
+def test_containment_prefix_filter_is_lossless(spark, case):
+    """q_llm_containment_dedup's asymmetric prefix filter (with its
+    integer ceil(4n/5) bound) must return exactly the pairs the naive
+    all-ordered-pairs plan returns — hypothesis hunts the short-set /
+    tie / n%5 boundary cases where a float bound would leak."""
+    import ex_hivent_spark.llm.dedup as dedup
+
+    df = spark.createDataFrame(
+        [(i, t, "xx") for i, t in case], "doc_id long, text string, lang string"
+    )
+    orig = dedup.load_table
+    try:
+        dedup.load_table = lambda spark_, sf_dir_, name_: df
+        got = {
+            (r.doc_small, r.doc_big): r.containment
+            for r in dedup.q_llm_containment_dedup(spark, "ignored").collect()
+        }
+    finally:
+        dedup.load_table = orig
+
+    tokens = F.split("text", " ")
+    sh = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tokens) - 2, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, 3)),
+            )
+        ).alias("s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    la, lb = F.size(F.col("a.s")), F.size(F.col("b.s"))
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    allpairs = (
+        a.join(
+            b,
+            (la < lb)
+            | ((la == lb) & (F.col("a.doc_id") < F.col("b.doc_id"))),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_small"),
+            F.col("b.doc_id").alias("doc_big"),
+            inter.alias("i"),
+            la.alias("la"),
+        )
+        .filter(F.col("i") * 5 >= F.col("la") * 4)
+        .select(
+            "doc_small",
+            "doc_big",
+            (F.col("i").cast("double") / F.col("la")).alias("containment"),
+        )
+    )
+    want = {(r.doc_small, r.doc_big): r.containment for r in allpairs.collect()}
+    assert got == want
