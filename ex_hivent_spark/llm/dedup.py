@@ -718,7 +718,14 @@ def q_llm_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     both ratios are single exact divisions; abs_err is IEEE on
     identically derived doubles — fully hash-checked, no tolerance."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+    # ONE shingle explode feeds both aggregates (signature minima AND
+    # the exact shingle sets) — shingling the text is the expensive map
+    # stage, so computing it once and checkpointing the narrow
+    # (doc_id, hash) stream halves the scan work vs re-deriving sets
+    # from text.
+    sh = d.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    ).localCheckpoint(eager=False)
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min(perm_hash(F.col("sh"), i)).alias(f"mh{i}")
@@ -763,9 +770,9 @@ def q_llm_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERM)],
     )
-    sets = d.select(
-        "doc_id", F.array_sort(shingles(F.col("text"))).alias("s")
-    ).localCheckpoint(eager=False)
+    sets = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("sh")).alias("s")
+    )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
 
