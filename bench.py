@@ -106,6 +106,8 @@ HEADLINE = [
     "q_fn_bitwise",
     "q_fn_datetime_arith",
     "q_win_period_over_period",
+    "q_agg_weighted_median",
+    "q_agg_user_entropy",
 ]
 
 

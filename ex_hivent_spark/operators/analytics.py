@@ -1497,3 +1497,135 @@ def q_win_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         dround((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
     )
+
+
+@register(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, event_id, value,
+             CAST(user_id % 10 + 1 AS BIGINT) AS wt
+      FROM events
+    ),
+    cum AS (
+      SELECT event_type, event_id, value, wt,
+             sum(wt) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cumw,
+             sum(wt) OVER (PARTITION BY event_type) AS total_w
+      FROM w
+    )
+    SELECT event_type,
+           CAST(any_value(total_w) AS BIGINT) AS total_weight,
+           min(value) AS weighted_median
+    FROM cum
+    WHERE 2 * cumw >= total_w
+    GROUP BY event_type
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median per event type (weight = a deterministic
+    per-event integer; in production the row's byte count, replay
+    multiplicity, or sampling weight): the smallest value whose
+    cumulative weight reaches half the total — the aggregate Spark has
+    no native form for (percentile() is unweighted) and the correct
+    "median event" when rows count unequally.
+
+    Plan: one cumulative-weight window + the full-partition total
+    sharing the same event_type shuffle, then a tiny filtered
+    aggregate. Weights are integers, so the half-total threshold
+    (2*cumw >= total) is pure integer arithmetic — engine-exact;
+    the median itself is a raw stored value, no interpolation."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wt = (F.col("user_id") % 10 + 1).cast("long")
+    w = e.select("event_type", "event_id", "value", wt.alias("wt"))
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("event_type")
+    cum = w.select(
+        "event_type",
+        "value",
+        F.sum("wt").over(cum_w).alias("cumw"),
+        F.sum("wt").over(full).alias("total_w"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("total_w"))
+        .groupBy("event_type")
+        .agg(
+            F.any_value("total_w").alias("total_weight"),
+            F.min("value").alias("weighted_median"),
+        )
+    )
+
+
+@register(
+    "q_agg_user_entropy",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    probs AS (
+      SELECT user_id, c,
+             sum(c) OVER (PARTITION BY user_id) AS total,
+             count(*) OVER (PARTITION BY user_id) AS n_types
+      FROM counts
+    ),
+    terms AS (
+      SELECT user_id, total, n_types,
+             -(CAST(c AS DOUBLE) / total)
+               * ({sql_dround("ln(CAST(c AS DOUBLE) / total)", 6)}) AS term
+      FROM probs
+    )
+    SELECT user_id,
+           CAST(any_value(total) AS BIGINT) AS n_events,
+           CAST(any_value(n_types) AS INT) AS n_types,
+           CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE) AS entropy
+    FROM terms GROUP BY user_id
+    """,
+)
+def q_agg_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: the Shannon entropy of their
+    event-type distribution, H = -Σ p·ln p — the engagement-breadth /
+    bot-detection signal (a user who only ever clicks has H = 0; a
+    uniform mix maximizes it). Also reports event and distinct-type
+    counts.
+
+    Plan: one (user, type) hash aggregate, two windows over THAT
+    aggregated frame (≤ |users|×|types| rows — never the event
+    stream), then a per-user decimal sum. Determinism: probabilities
+    are exact integer-ratio divisions; ln is the single libm op and is
+    e6-rounded before the multiply (the unigram-logprob convention);
+    the per-user sum goes through the decimal detour."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    u = Window.partitionBy("user_id")
+    probs = counts.select(
+        "user_id",
+        "c",
+        F.sum("c").over(u).alias("total"),
+        F.count(F.lit(1)).over(u).alias("n_types"),
+    )
+    p = F.col("c").cast("double") / F.col("total")
+    term = -p * dround(F.log(p), 6)
+    return (
+        probs.select("user_id", "total", "n_types", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.any_value("total").alias("n_events"),
+            F.any_value("n_types").cast("int").alias("n_types"),
+            F.sum(F.col("term").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("entropy"),
+        )
+    )

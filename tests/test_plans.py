@@ -528,3 +528,22 @@ def test_attribution_single_window_pass(spark, sf_dir):
     assert plan.count("Sort") == 1  # the full-frame count needs no sort
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_single_shuffle(spark, sf_dir):
+    """Cumulative-weight and total-weight windows must share one
+    event_type shuffle; the final aggregate reuses the partitioning."""
+    plan = plan_of(spark, sf_dir, "q_agg_weighted_median", mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_user_entropy_windows_over_aggregate(spark, sf_dir):
+    """Windows run over the (user, type) AGGREGATED frame — the window
+    input is the hash-agg output, never raw events (HashAggregate must
+    appear below Window in the tree)."""
+    plan = plan_of(spark, sf_dir, "q_agg_user_entropy", mode="simple")
+    assert "Window" in plan
+    agg_pos = plan.rindex("HashAggregate")
+    assert agg_pos > plan.index("Window")  # deepest agg feeds the window
+    assert "Join" not in plan
