@@ -108,6 +108,7 @@ HEADLINE = [
     "q_win_period_over_period",
     "q_agg_weighted_median",
     "q_agg_user_entropy",
+    "q_fn_try_arith",
 ]
 
 

@@ -470,3 +470,35 @@ def q_fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear("ts").alias("doy"),
         F.weekofyear("ts").alias("iso_week"),
     )
+
+
+@register(
+    "q_fn_try_arith",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN user_id % 7 = 0 THEN NULL
+                ELSE CAST(value / (user_id % 7) AS DOUBLE) END AS safe_div,
+           TRY_CAST(
+             CASE WHEN event_type = 'purchase' THEN '42'
+                  ELSE event_type END AS INTEGER) AS maybe_int,
+           TRY_CAST(props AS DOUBLE) AS props_as_num
+    FROM events
+    """,
+)
+def q_fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI mode: Spark 4 runs ANSI SQL, so
+    ``x / 0`` and bad casts THROW mid-job — on a 100 TB run one
+    malformed row kills hours of work. The ``try_*`` family turns those
+    into NULLs: try_divide for the zero denominator, try_cast for
+    non-numeric strings. Hash-checked against the explicit CASE/
+    TRY_CAST oracle so the NULL-production contract is pinned."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("user_id") % 7).alias("safe_div"),
+        F.when(F.col("event_type") == "purchase", F.lit("42"))
+        .otherwise(F.col("event_type"))
+        .try_cast("int")
+        .alias("maybe_int"),
+        F.col("props").try_cast("double").alias("props_as_num"),
+    )
