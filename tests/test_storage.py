@@ -221,3 +221,54 @@ def test_snapshot_diff_cdc(spark, tmp_path):
     # applying the diff via merge semantics reproduces v1 exactly:
     # unchanged keys never appear in the feed
     assert 1 not in diff
+
+
+def test_streaming_publishes_versioned_snapshots(spark, tmp_path):
+    """Composition: a streaming consumer publishing each micro-batch's
+    derived state as a committed snapshot — readers time-travel across
+    batch boundaries and always see a fully-committed version, never a
+    half-written one."""
+    from ex_hivent_spark.sources import versioned as V
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "versioned_out")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(src)
+
+    def publish(batch_df, batch_id):
+        agg = batch_df.groupBy("k").count()
+        V.write_snapshot(spark, agg, tbl, note=f"batch {batch_id}")
+
+    # data exists before the stream starts, so batch 0 is never empty
+    # (an empty pre-append batch 0 would make the version bookkeeping
+    # below timing-dependent)
+    spark.range(100).selectExpr("id", "id % 3 AS k").write.mode(
+        "append"
+    ).json(src)
+    q = (
+        spark.readStream.schema("id LONG, k LONG")
+        .json(src)
+        .writeStream.foreachBatch(publish)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        v_after_first = V.current_version(spark, tbl)
+        spark.range(100, 160).selectExpr("id", "id % 3 AS k").write.mode(
+            "append"
+        ).json(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert v_after_first is not None
+    head = V.current_version(spark, tbl)
+    assert head > v_after_first
+    # the first committed snapshot is still time-travelable and
+    # reflects only the first batch's rows
+    first = V.read_snapshot(spark, tbl, version=v_after_first)
+    assert sum(r["count"] for r in first.collect()) == 100
+    assert V.history(spark, tbl)[0]["version"] == head
