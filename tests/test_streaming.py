@@ -537,3 +537,53 @@ class TestBackfillHandoff:
         finally:
             q2.stop()
         assert read_derived(spark, out).count() == want.count()
+
+
+class TestDimEnrichment:
+    def test_dim_refresh_visible_mid_stream(self, spark, tmp_path):
+        """Per-batch dimension re-read: a dim row updated between
+        micro-batches must enrich the NEXT batch with the new value —
+        the slowly-changing-dimension contract a pinned static join
+        cannot give."""
+        import os
+
+        from ex_hivent_spark.streaming.enrich import dim_enriched_stream
+
+        src = str(tmp_path / "src")
+        dim = str(tmp_path / "dim")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(0, "bronze"), (1, "silver")], ["k", "segment"]
+        ).write.parquet(dim)
+
+        # batch 1 data before start (deterministic batch boundaries)
+        spark.createDataFrame(
+            [(100, 0), (101, 1)], ["id", "k"]
+        ).write.mode("append").json(src)
+        q = dim_enriched_stream(
+            spark,
+            spark.readStream.schema("id LONG, k LONG").json(src),
+            dim,
+            "k",
+            out,
+            ckpt,
+        )
+        try:
+            q.processAllAvailable()
+            # dim changes between batches (atomic republish)
+            spark.createDataFrame(
+                [(0, "GOLD"), (1, "silver"), (2, "new")], ["k", "segment"]
+            ).write.mode("overwrite").parquet(dim)
+            spark.createDataFrame(
+                [(200, 0), (201, 2)], ["id", "k"]
+            ).write.mode("append").json(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {r.id: r.segment for r in spark.read.parquet(out).collect()}
+        assert got[100] == "bronze"  # batch 1 saw the old dim
+        assert got[200] == "GOLD"    # batch 2 saw the update
+        assert got[201] == "new"     # and the new key
