@@ -109,6 +109,7 @@ HEADLINE = [
     "q_agg_weighted_median",
     "q_agg_user_entropy",
     "q_fn_try_arith",
+    "q_llm_bpe_train",
 ]
 
 

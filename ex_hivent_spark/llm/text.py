@@ -849,3 +849,145 @@ def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"), davg("nll", "avg_surprisal")
     )
+
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_train_oracle_sql() -> str:
+    """The 5 merge rounds unrolled as CTEs (the PageRank-oracle
+    technique): each round recomputes weighted pair counts over the
+    current segmentations, picks the (count desc, left, right) argmax,
+    and applies the merge with boundary-delimited replace."""
+    parts = ["""
+    WITH vocab0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS repr
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    )"""]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(f""",
+    pairs{r} AS (
+      SELECT t[i] AS l, t[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq, list_filter(string_split(repr, '|'), x -> x <> '') AS t
+        FROM vocab{r - 1}
+      ), unnest(range(1, len(t))) AS u(i)
+      GROUP BY t[i], t[i+1]
+    ),
+    top{r} AS (
+      SELECT l, r, cnt FROM pairs{r}
+      ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    vocab{r} AS (
+      SELECT w, freq,
+             replace(repr, '|' || t.l || '|' || t.r || '|',
+                     '|' || t.l || t.r || '|') AS repr
+      FROM vocab{r - 1}, top{r} t
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round, l AS left_tok, r AS right_tok,"
+        f" l || r AS merged, cnt FROM top{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    parts.append(f"\n    SELECT * FROM (\n      {unions}\n    )")
+    return "".join(parts)
+
+
+@register("q_llm_bpe_train", oracle=_bpe_train_oracle_sql())
+def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINING loop itself — {_BPE_ROUNDS} merge rounds, not
+    just one round's candidate counts (q_llm_bpe_merge_counts): start
+    from character-segmented words weighted by corpus frequency
+    (Sennrich et al. 2016 train on exactly this word-frequency table,
+    which is why the corpus is scanned ONCE — every round after runs on
+    the vocabulary-sized frame), and per round (a) sum pair frequencies
+    over current segmentations, (b) pick the most frequent pair with a
+    total (count desc, left, right) tie order, (c) apply the merge to
+    every word. Output: the learned merge table (round, pair, count) —
+    the artifact a tokenizer ships.
+
+    Segmentations travel as boundary-delimited strings ('|t|h|e|') so
+    the merge is a plain non-overlapping string replace — both engines
+    scan left-to-right and resume after the replacement, so repeated
+    characters resolve identically (documented deviation from
+    canonical BPE: a replaced occurrence consumes its trailing
+    boundary, skipping an immediately-adjacent overlap; deterministic
+    and engine-exact either way).
+
+    Scale shape: one corpus scan -> |vocab| rows; each round is a
+    vocab-sized explode + hash agg + a ONE-ROW broadcast equi-join
+    (literal key, so it plans as BroadcastHashJoin, not a nested-loop
+    scalar product) + map-only replace; per-round lazy localCheckpoint
+    truncates the growing lineage exactly as the PageRank loop does."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = vocab.select(
+        "w",
+        "freq",
+        F.concat(
+            F.lit("|"), F.regexp_replace("w", "(.)", "$1|")
+        ).alias("repr"),
+    ).localCheckpoint(eager=False)
+
+    tops = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        toks = F.filter(
+            F.split("repr", "[|]"), lambda x: x != F.lit("")
+        )
+        with_toks = vocab.select("w", "freq", "repr", toks.alias("t"))
+        # guard: Spark's sequence(1, 0) DESCENDS for single-token words,
+        # so build the index list only when a pair exists
+        pair_array = F.when(
+            F.size("t") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("l"),
+                    F.element_at("t", i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        pairs = with_toks.select(
+            "freq", F.explode(pair_array).alias("p")
+        ).select("freq", "p.l", "p.r")
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .withColumn("j", F.lit(1))
+            .localCheckpoint(eager=False)
+        )
+        tops.append(
+            top.select(
+                F.lit(r).alias("round"),
+                F.col("l").alias("left_tok"),
+                F.col("r").alias("right_tok"),
+                F.concat("l", "r").alias("merged"),
+                "cnt",
+            )
+        )
+        vocab = (
+            vocab.withColumn("j", F.lit(1))
+            .join(F.broadcast(top), "j")
+            .select(
+                "w",
+                "freq",
+                F.replace(
+                    F.col("repr"),
+                    F.concat(F.lit("|"), "l", F.lit("|"), "r", F.lit("|")),
+                    F.concat(F.lit("|"), "l", "r", F.lit("|")),
+                ).alias("repr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out

@@ -547,3 +547,12 @@ def test_user_entropy_windows_over_aggregate(spark, sf_dir):
     agg_pos = plan.rindex("HashAggregate")
     assert agg_pos > plan.index("Window")  # deepest agg feeds the window
     assert "Join" not in plan
+
+
+def test_bpe_train_scalar_joins_stay_hash(spark, sf_dir):
+    """Each round's one-row merge result joins back on a literal key —
+    must plan as BroadcastHashJoin, never a nested-loop scalar
+    product, across all five rounds."""
+    plan = plan_of(spark, sf_dir, "q_llm_bpe_train", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
