@@ -110,6 +110,7 @@ HEADLINE = [
     "q_agg_user_entropy",
     "q_fn_try_arith",
     "q_llm_bpe_train",
+    "q_llm_classifier_eval",
 ]
 
 

@@ -991,3 +991,177 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tops[1:]:
         out = out.unionByName(t)
     return out
+
+
+# Shared scored-CTE SQL for classifier-derived queries (identical to
+# q_llm_quality_classifier's oracle through the e6-rounded sigmoid).
+_QC_PROB_SQL = f"""
+    feat AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                  t -> list_contains(['the','a','of','and','to','in','is','it'],
+                                     t))) AS DOUBLE) AS nstop,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 AS nchar,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 AS ndigit
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_chars,
+             floor(1.0 / (1.0 + exp(-(floor(
+                 ({_QC_W0} + {_QC_W[0]} * (nstop / ntok)
+                           + {_QC_W[1]} * (nchar / ntok)
+                           + {_QC_W[2]} * (ndigit / nchar)
+                           + {_QC_W[3]} * ln(ntok))
+                 * 1000000.0 + 0.5) / 1000000.0)))
+               * 1000000.0 + 0.5) / 1000000.0 AS p
+      FROM feat
+    )
+"""
+
+
+def _qc_probability() -> "Column":
+    """The classifier probability column (e6-rounded logit + sigmoid),
+    shared with q_llm_quality_classifier."""
+    toks = F.split("text", r"\s+")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    ntok = F.size(toks).cast("double")
+    nstop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop, t))
+    ).cast("double")
+    nchar = F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+    ndigit = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+    z = (
+        F.lit(_QC_W0)
+        + _QC_W[0] * (nstop / ntok)
+        + _QC_W[1] * (nchar / ntok)
+        + _QC_W[2] * (ndigit / nchar)
+        + _QC_W[3] * F.log(ntok)
+    )
+    z6 = F.floor(z * 1000000.0 + F.lit(0.5)) / 1000000.0
+    return dround(1.0 / (1.0 + F.exp(-z6)), 6)
+
+
+_EVAL_TRUTH_CHARS = 250  # ground-truth label: doc length >= this
+
+
+@register(
+    "q_llm_classifier_eval",
+    oracle=f"""
+    WITH {_QC_PROB_SQL},
+    labeled AS (
+      SELECT doc_id, p, (n_chars >= {_EVAL_TRUTH_CHARS}) AS y
+      FROM scored
+    ),
+    ranked AS (
+      SELECT y, p,
+             row_number() OVER (ORDER BY p, doc_id) AS rn
+      FROM labeled
+    ),
+    avg_ranked AS (
+      SELECT y,
+             CAST(sum(rn) OVER (PARTITION BY p) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY p) AS arank
+      FROM ranked
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        sum(CASE WHEN y THEN arank ELSE 0 END) AS pos_rank_sum
+      FROM avg_ranked
+    ),
+    cm AS (
+      SELECT
+        CAST(sum(CASE WHEN y AND p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS tp,
+        CAST(sum(CASE WHEN NOT y AND p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS fp,
+        CAST(sum(CASE WHEN y AND p < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS fn,
+        CAST(sum(CASE WHEN NOT y AND p < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS tn
+      FROM labeled
+    )
+    SELECT a.n_pos, a.n_neg, c.tp, c.fp, c.fn, c.tn,
+           CAST(c.tp AS DOUBLE) / (c.tp + c.fp) AS precision,
+           CAST(c.tp AS DOUBLE) / (c.tp + c.fn) AS recall,
+           CAST(2 * c.tp AS DOUBLE) / (2 * c.tp + c.fp + c.fn) AS f1,
+           (a.pos_rank_sum - CAST(a.n_pos AS DOUBLE) * (a.n_pos + 1) / 2)
+               / (CAST(a.n_pos AS DOUBLE) * a.n_neg) AS auc
+    FROM agg a, cm c
+    """,
+)
+def q_llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-model EVALUATION — the metrics every quality-classifier
+    training loop reports before the filter ships: confusion matrix at
+    the 0.5 threshold, precision/recall/F1, and EXACT ROC-AUC via the
+    Mann-Whitney rank statistic with proper tie-averaged ranks (equal
+    scores share the mean of their rank range). Ground truth here is
+    the deterministic length label (n_chars >= {_EVAL_TRUTH_CHARS});
+    in production it is the held-out human/benchmark label set joined
+    on doc_id — same plan.
+
+    Plan: the classifier's map-stage score, ONE global sort for ranks
+    (at petabyte scale ranks come from a two-pass histogram cut; the
+    statistic is unchanged), a per-score window for tie averaging, and
+    two tiny aggregates. Determinism: ranks are integers, tie-averaged
+    ranks are exact half-integers (sums of halves are exact in
+    doubles, so even the plain SUM is order-independent), and every
+    metric is a single final division — hash-exact, no tolerance."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        "doc_id",
+        _qc_probability().alias("p"),
+        (F.col("n_chars") >= _EVAL_TRUTH_CHARS).alias("y"),
+    )
+    rn = F.row_number().over(Window.orderBy("p", "doc_id"))
+    ranked = labeled.select("y", "p", rn.alias("rn"))
+    tie_w = Window.partitionBy("p")
+    arank = (
+        F.sum("rn").over(tie_w).cast("double")
+        / F.count(F.lit(1)).over(tie_w)
+    )
+    avg_ranked = ranked.select("y", "p", arank.alias("arank"))
+    agg = avg_ranked.agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("n_neg"),
+        F.sum(F.when(F.col("y"), F.col("arank")).otherwise(0.0)).alias(
+            "pos_rank_sum"
+        ),
+        F.sum(
+            F.when(F.col("y") & (F.col("p") >= 0.5), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(~F.col("y") & (F.col("p") >= 0.5), 1).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(F.col("y") & (F.col("p") < 0.5), 1).otherwise(0)
+        ).alias("fn"),
+        F.sum(
+            F.when(~F.col("y") & (F.col("p") < 0.5), 1).otherwise(0)
+        ).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    n_pos, n_neg = F.col("n_pos"), F.col("n_neg")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (tp.cast("double") / (tp + fp)).alias("precision"),
+        (tp.cast("double") / (tp + fn)).alias("recall"),
+        ((2 * tp).cast("double") / (2 * tp + fp + fn)).alias("f1"),
+        (
+            (
+                F.col("pos_rank_sum")
+                - n_pos.cast("double") * (n_pos + 1) / 2
+            )
+            / (n_pos.cast("double") * n_neg)
+        ).alias("auc"),
+    )
