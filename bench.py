@@ -111,6 +111,7 @@ HEADLINE = [
     "q_fn_try_arith",
     "q_llm_bpe_train",
     "q_llm_classifier_eval",
+    "q_set_relational_division",
 ]
 
 

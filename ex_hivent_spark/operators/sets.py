@@ -167,3 +167,43 @@ def q_set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("op", F.lit("except_all"))
     )
     return ia.unionByName(ea).select("op", "event_type", "n")
+
+
+@register(
+    "q_set_relational_division",
+    oracle="""
+    WITH t AS (SELECT count(DISTINCT event_type) AS n_all FROM events)
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+    HAVING count(DISTINCT event_type) = (SELECT n_all FROM t)
+    """,
+)
+def q_set_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION — the classic 'suppliers who supply ALL
+    parts' query shape: users whose event-type set covers every type
+    present in the corpus (the universal-quantifier predicate SQL has
+    no operator for). Implemented as the standard count-matching
+    rewrite: per-user distinct-type count equals the global distinct
+    count, the divisor arriving as a one-row broadcast scalar.
+
+    Plan: one distinct aggregate per side; the HAVING comparison is an
+    integer equality. No per-user set materialization — at 100 TB both
+    sides are partial-aggregating distinct counts."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    total = e.select(
+        F.countDistinct("event_type").alias("n_all")
+    ).withColumn("j", F.lit(1))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_types"))
+        .withColumn("j", F.lit(1))
+    )
+    return (
+        per_user.join(F.broadcast(total), "j")
+        .filter(F.col("n_types") == F.col("n_all"))
+        .select("user_id", "n_types")
+    )

@@ -78,10 +78,10 @@ def register(name: str, oracle: Optional[str] = None):
 # q_llm_corpus_audit, q_emb_pca_power_step, q_geo_radius_join,
 # q_win_attribution_multitouch, q_fn_bitwise, q_fn_datetime_arith,
 # q_win_period_over_period, q_agg_weighted_median, q_agg_user_entropy,
-# q_fn_try_arith, q_llm_bpe_train, q_llm_classifier_eval — thirty-one
-# total), then re-proves oldest-evidence queries: the 8 whose latest
-# green is r01 and 1 of the 46 whose latest green is r02. (r06 should
-# front the remaining 45 r02-era queries, then oldest r03.) scripts/driver_sim.py re-verifies ALL queries locally every
+# q_fn_try_arith, q_llm_bpe_train, q_llm_classifier_eval,
+# q_set_relational_division — thirty-two total), then re-proves the 8
+# oldest-evidence queries (latest green r01). All 46 r02-era queries
+# now rotate to r06 (front them there, then oldest r03). scripts/driver_sim.py re-verifies ALL queries locally every
 # round regardless of this ordering.
 DRIVER_CHECK_FIRST = [
     # r04 driver hash-mismatches, hardened this round — must re-prove
@@ -129,6 +129,7 @@ DRIVER_CHECK_FIRST = [
     "q_fn_try_arith",
     "q_llm_bpe_train",
     "q_llm_classifier_eval",
+    "q_set_relational_division",
     # oldest evidence: latest driver green was r01
     "q_fn_string",
     "q_fn_math",
@@ -138,9 +139,6 @@ DRIVER_CHECK_FIRST = [
     "q_llm_ngram_jaccard",
     "q_llm_text_stats",
     "q_llm_quality_score",
-    # oldest evidence: latest driver green was r02 (first 1 of 46;
-    # the remaining 45 rotate in next round)
-    "q_scan_events",
 ]
 
 
