@@ -112,6 +112,11 @@ HEADLINE = [
     "q_llm_bpe_train",
     "q_llm_classifier_eval",
     "q_set_relational_division",
+    "q_llm_topk_ngrams",
+    "q_llm_zipf_fit",
+    "q_llm_idf_rarity",
+    "q_agg_heavy_hitters",
+    "q_win_streaks",
 ]
 
 

@@ -1,0 +1,273 @@
+"""Corpus-level n-gram and vocabulary statistics — the WIMBD-style
+"what's in my big data?" audit surface (Elazar et al. 2024): the most
+frequent n-grams per corpus slice, a Zipf-law fit over the term
+frequency distribution, and a per-document term-rarity score.
+
+These are the analyses a pretraining team runs on a new crawl before
+any filtering decision: dominant boilerplate n-grams reveal template
+spam, the Zipf slope is a one-number sanity check that the corpus
+looks like natural language (slope ~ -1), and IDF rarity separates
+documents made of common filler from documents carrying rare content.
+
+Scale shape: everything here is explode -> hash aggregate -> (small)
+broadcast join or per-group window over an ALREADY AGGREGATED frame.
+The exploded token stream is the only wide flow and it carries
+(slice_key, token) pairs, never documents; the vocabulary and top-k
+frames downstream are tiny relative to the corpus, so at 100 TB the
+cost is one scan + one shuffle of narrow pairs — the same shape as
+q_llm_unigram_logprob, which this module deliberately mirrors.
+
+Reference parity note: the reference engine (an Elixir event-transport
+client, SURVEY.md §0) has no corpus-statistics surface; these derive
+from the driver's LLM-pipeline mandate and published corpus-audit
+practice (WIMBD; Zipf fits in corpus linguistics; sklearn's smoothed
+IDF used already by q_llm_tfidf_top_terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import (
+    davg,
+    dround,
+    sql_davg,
+    sql_dround,
+    sql_dsum,
+)
+from ex_hivent_spark.plans.registry import register
+
+TOPK_NGRAMS = 10
+ZIPF_TOP_TERMS = 100
+
+
+@register(
+    "q_llm_topk_ngrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT lang, t, unnest(range(1, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 3
+    ),
+    ng AS (
+      SELECT lang, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS ngram
+      FROM pos
+    ),
+    c AS (
+      SELECT lang, ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM ng GROUP BY lang, ngram
+    ),
+    r AS (
+      SELECT lang, ngram, n_occurrences,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_occurrences DESC, ngram) AS rn
+      FROM c
+    )
+    SELECT lang, ngram, n_occurrences, rn FROM r WHERE rn <= {TOPK_NGRAMS}
+    """,
+)
+def q_llm_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WIMBD-style dominant-n-gram audit: the top-10 word trigrams per
+    language by occurrence count (ties broken lexicographically) — the
+    first report run on any new crawl, because boilerplate ("click here
+    to subscribe") dominates it and drives the template-filter rules.
+
+    Plan: trigrams are built inside the row with one ``transform`` over
+    a token index sequence (no self-join of exploded tokens — the
+    classic n-gram-by-join formulation shuffles the corpus n times),
+    then ONE explode feeds ONE hash aggregate on (lang, ngram);
+    the ranking window runs over the aggregated counts frame, which is
+    |distinct trigrams| — far smaller than the corpus. Counts are
+    integers; fully deterministic, no rounding anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    d = d.select("lang", t.alias("t")).filter(F.size("t") >= 3)
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("t"), i),
+            F.element_at(F.col("t"), i + 1),
+            F.element_at(F.col("t"), i + 2),
+        ),
+    )
+    counts = (
+        d.select("lang", F.explode(trigrams).alias("ngram"))
+        .groupBy("lang", "ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_occurrences").desc(), "ngram"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_NGRAMS)
+        .select("lang", "ngram", "n_occurrences", "rn")
+    )
+
+
+@register(
+    "q_llm_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY lang, tok
+    ),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, tok) AS rank
+      FROM freq
+    ),
+    xy AS (
+      SELECT lang,
+             {sql_dround("ln(CAST(rank AS DOUBLE))", 6)} AS x,
+             {sql_dround("ln(CAST(c AS DOUBLE))", 6)} AS y
+      FROM ranked WHERE rank <= {ZIPF_TOP_TERMS}
+    ),
+    sums AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+             {sql_dsum("x", "sx")}, {sql_dsum("y", "sy")},
+             {sql_dsum("x * y", "sxy")}, {sql_dsum("x * x", "sxx")}
+      FROM xy GROUP BY lang
+    )
+    SELECT lang, n_terms,
+           {sql_dround(
+               "(n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)", 6
+           )} AS zipf_slope,
+           {sql_dround(
+               "(sy - ((n_terms * sxy - sx * sy)"
+               " / (n_terms * sxx - sx * sx)) * sx) / n_terms", 6
+           )} AS zipf_intercept
+    FROM sums
+    """,
+)
+def q_llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: OLS of ln(frequency) on ln(rank) over
+    each language's top-100 terms. Natural-language corpora fit a slope
+    near -1 (Zipf 1949); a much flatter or steeper slope is the classic
+    one-number flag for machine-generated or template-heavy text, so
+    corpus audits report it per slice.
+
+    Plan: one explode + hash aggregate builds the per-language term
+    frequencies; the rank window and the OLS moment aggregate both run
+    over frames no larger than |vocab| (and the fit itself over exactly
+    100 rows per language) — at 100 TB only the (lang, token) pair
+    stream is corpus-sized. Determinism: per-row ``ln`` is e6-rounded
+    before the moment sums (the repo's libm-drift convention, same as
+    q_llm_unigram_logprob), the four moments are decimal sums, and the
+    closed-form slope/intercept are single double expressions over
+    those — e6-rounded for the final hash."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "tok")
+    xy = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ZIPF_TOP_TERMS)
+        .select(
+            "lang",
+            dround(F.log(F.col("rank").cast("double")), 6).alias("x"),
+            dround(F.log(F.col("c").cast("double")), 6).alias("y"),
+        )
+    )
+    dec = "decimal(25,6)"
+    sums = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+    )
+    slope = (
+        F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n_terms")
+    return sums.select(
+        "lang",
+        "n_terms",
+        dround(slope, 6).alias("zipf_slope"),
+        dround(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+@register(
+    "q_llm_idf_rarity",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+      )
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT dt.doc_id,
+             {sql_dround(
+                 "ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0", 6
+             )} AS idf,
+             CASE WHEN df.df = 1 THEN 1 ELSE 0 END AS is_rare
+      FROM dt JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_terms,
+           CAST(sum(is_rare) AS BIGINT) AS n_rare_terms,
+           {sql_davg("idf", "rarity_score")}
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_llm_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term-rarity score: the mean smoothed IDF
+    (ln((N+1)/(df+1)) + 1, sklearn's formulation — shared with
+    q_llm_tfidf_top_terms) over each document's DISTINCT terms, plus
+    how many of its terms are corpus-unique (df = 1). Data-selection
+    pipelines use exactly this to separate documents carrying rare
+    content worth keeping from documents made of high-frequency filler
+    — the cheap lexical stand-in for DSIR-style importance weighting.
+
+    Plan: one explode + distinct builds the (doc, term) incidence —
+    computed ONCE and lazily checkpointed, because it feeds both the
+    document-frequency aggregate and the score join-back (without the
+    cut, Catalyst re-scans and re-explodes the corpus for each
+    consumer — exactly the double work the shared-shingle-stream
+    pattern in q_llm_minhash_error avoids). The df table aggregates it
+    to |vocab| rows and joins back BROADCAST (the vocabulary is tiny
+    next to the corpus at any scale), and the per-doc score is one
+    hash aggregate. Determinism: idf is e6-rounded per row before the
+    decimal-sum average; counts are integers."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # one scalar; reused as a literal
+    dt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    df_ = dt.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    idf = dround(
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6
+    )
+    scored = dt.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        idf.alias("idf"),
+        F.when(F.col("df") == 1, 1).otherwise(0).alias("is_rare"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_terms"),
+        F.sum("is_rare").cast("bigint").alias("n_rare_terms"),
+        davg("idf", "rarity_score"),
+    )

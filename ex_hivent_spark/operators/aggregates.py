@@ -13,7 +13,7 @@ order-insensitive determinism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table, register_views
@@ -499,4 +499,58 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(out_of_band, 1)).alias("n_clipped"),
         davg(clipped, "winsorized_mean"),
         davg("value", "raw_mean"),
+    )
+
+
+@register(
+    "q_agg_heavy_hitters",
+    oracle="""
+    WITH t AS (SELECT count(*) AS total FROM lineitem),
+    c AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+      SELECT l_partkey, n_items,
+             row_number() OVER (ORDER BY n_items DESC, l_partkey) AS rn
+      FROM c
+    )
+    SELECT l_partkey, n_items, rn,
+           floor(CAST(n_items AS DOUBLE) / total * 1000000.0 + 0.5)
+               / 1000000.0 AS share
+    FROM r CROSS JOIN t
+    WHERE rn <= 20
+    """,
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-items report: the 20 most frequent part keys
+    across all lineitems with their counts, ranks, and corpus share —
+    the exact answer a space-saving / Misra-Gries sketch approximates,
+    and the skew report run before choosing join strategies (the top
+    entries ARE the candidate salt keys). Ties break on the key, so
+    the cut is deterministic; only the reported share is (e6-rounded)
+    floating point.
+
+    Plan: one hash aggregate with map-side partial combine (a frequency
+    count stream is exactly what partial aggregation compresses best —
+    hot keys collapse within each map task), then TakeOrdered over the
+    |keys|-row counts frame for the top-20. At 100 TB only (key, count)
+    pairs shuffle and the rank never sees more than |keys| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.count()  # one scalar; reused as a literal
+    c = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items")
+    )
+    w = Window.orderBy(F.col("n_items").desc(), "l_partkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "l_partkey",
+            "n_items",
+            "rn",
+            dround(F.col("n_items").cast("double") / float(total), 6).alias(
+                "share"
+            ),
+        )
     )

@@ -956,3 +956,68 @@ def q_win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("first_match_event_id"),
         )
     )
+
+
+@register(
+    "q_win_streaks",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS island
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS streak_start,
+           max(ts) AS streak_end,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM seq
+    GROUP BY user_id, event_type, island
+    HAVING count(*) >= 2
+    """,
+)
+def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value streaks (gaps-and-islands, same-value flavor): maximal
+    runs of CONSECUTIVE same-type events per user, reported with their
+    length, bounds, and duration for every run of length >= 2 — the
+    repeated-action shape behind "N errors in a row" alerting and
+    engagement-streak features. Complements q_win_sessionize, which
+    cuts islands on time gaps; this cuts them on value changes, via
+    the classic difference-of-row-numbers grouping key.
+
+    Plan: two row_number windows over the SAME per-user sort (Catalyst
+    runs both in one Window exchange; the finer partition is a
+    subsort) + one hash aggregate on the derived island key. ORDER BY
+    ends in the unique event_id so island boundaries are total-ordered
+    and deterministic cross-engine; outputs are integers and raw
+    timestamps — nothing to round."""
+    e = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "island"
+        ),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ts").alias("streak_start"),
+            F.max("ts").alias("streak_end"),
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("duration_us"),
+        )
+        .filter(F.col("n_events") >= 2)
+        .drop("island")
+    )

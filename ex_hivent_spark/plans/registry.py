@@ -79,10 +79,13 @@ def register(name: str, oracle: Optional[str] = None):
 # q_win_attribution_multitouch, q_fn_bitwise, q_fn_datetime_arith,
 # q_win_period_over_period, q_agg_weighted_median, q_agg_user_entropy,
 # q_fn_try_arith, q_llm_bpe_train, q_llm_classifier_eval,
-# q_set_relational_division — thirty-two total), then re-proves the 8
-# oldest-evidence queries (latest green r01). All 46 r02-era queries
-# now rotate to r06 (front them there, then oldest r03). scripts/driver_sim.py re-verifies ALL queries locally every
-# round regardless of this ordering.
+# q_set_relational_division — thirty-two total), then the late-r5
+# corpus-audit batch (q_llm_topk_ngrams, q_llm_zipf_fit,
+# q_llm_idf_rarity, q_agg_heavy_hitters, q_win_streaks — five), then
+# re-proves 3 of the 8 oldest-evidence queries (latest green r01; the
+# other five r01-era queries front r06 together with the 46 r02-era
+# queries, then oldest r03). scripts/driver_sim.py re-verifies ALL
+# queries locally every round regardless of this ordering.
 DRIVER_CHECK_FIRST = [
     # r04 driver hash-mismatches, hardened this round — must re-prove
     "q_tpch_q12_priority_by_flag",
@@ -130,15 +133,19 @@ DRIVER_CHECK_FIRST = [
     "q_llm_bpe_train",
     "q_llm_classifier_eval",
     "q_set_relational_division",
-    # oldest evidence: latest driver green was r01
-    "q_fn_string",
-    "q_fn_math",
-    "q_fn_array",
-    "q_udf_token_count",
+    # new in late r5 — first driver check (corpus-audit batch)
+    "q_llm_topk_ngrams",
+    "q_llm_zipf_fit",
+    "q_llm_idf_rarity",
+    "q_agg_heavy_hitters",
+    "q_win_streaks",
+    # oldest evidence: latest driver green was r01 (the remaining five
+    # r01-era queries — q_fn_string/math/array, q_udf_token_count,
+    # q_llm_quality_score — yield their re-proof slots to the new ops'
+    # FIRST-ever checks and front r06 instead)
     "q_llm_exact_dedup",
     "q_llm_ngram_jaccard",
     "q_llm_text_stats",
-    "q_llm_quality_score",
 ]
 
 

@@ -556,3 +556,48 @@ def test_bpe_train_scalar_joins_stay_hash(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_llm_bpe_train", mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_ngrams_single_aggregate_then_window(spark, sf_dir):
+    """Trigrams are built in-row (transform over an index sequence) —
+    ONE explode feeds ONE two-phase hash aggregate, and the rank window
+    runs over the aggregated counts frame. An n-gram-by-self-join plan
+    would show extra joins here."""
+    plan = plan_of(spark, sf_dir, "q_llm_topk_ngrams", mode="simple")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+    assert "Window" in plan
+
+
+def test_zipf_fit_moments_over_vocab_frame(spark, sf_dir):
+    """The OLS moments aggregate the top-100-per-lang frame — after the
+    vocabulary hash aggregate, never the corpus. No join anywhere."""
+    plan = plan_of(spark, sf_dir, "q_llm_zipf_fit", mode="simple")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # vocab agg + moments, 2-phase
+
+
+def test_idf_rarity_broadcasts_vocab(spark, sf_dir):
+    """The document-frequency table joins back broadcast — the corpus
+    side never shuffles for the join."""
+    plan = plan_of(spark, sf_dir, "q_llm_idf_rarity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_partial_aggregation(spark, sf_dir):
+    """Frequency counting must partial-aggregate map-side; the top-20
+    window sees only the |keys|-row counts frame."""
+    plan = plan_of(spark, sf_dir, "q_agg_heavy_hitters", mode="simple")
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+    assert "Join" not in plan
+
+
+def test_streaks_one_window_exchange(spark, sf_dir):
+    """Both row_numbers share the per-user sort: exactly one shuffle
+    for the window pass (hashpartitioning on user_id), then the island
+    hash aggregate."""
+    plan = plan_of(spark, sf_dir, "q_win_streaks", mode="formatted")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
