@@ -1,0 +1,213 @@
+"""Incrementally-maintained materialized views over snapshot-versioned
+tables — the DBSP/Materialize idea scoped to distributive aggregates.
+
+A materialized aggregate view (GROUP BY keys → count + sums) can be
+kept current WITHOUT reprocessing the base table: every base-table
+change decomposes into retractions (-1, -value for the old row) and
+assertions (+1, +value for the new row), and because count and
+decimal-sum are commutative groups, folding those deltas into the
+stored state lands on EXACTLY the state a full recompute produces.
+That exactness is why the state stores sums as ``decimal(25,6)`` (the
+repo-wide deterministic-aggregation convention, functions/decimals.py)
+— float sums are order-dependent, so an incrementally-folded float
+state would drift from a recompute even with correct logic.
+
+Composition: the base table is a :mod:`sources.versioned` table, the
+change feed is ``snapshot_diff(include_old=True)`` (one join of two
+immutable snapshots), the view state itself is ANOTHER versioned table
+(so view refreshes are atomic, time-travelable, and crash-safe via the
+same pointer-rename commit), and a ``_MATVIEW.json`` manifest pins the
+view definition plus the base version it reflects.
+
+Scale shape: refresh cost is O(|diff|) + one join against the view
+state on the group key — never a base-table scan. At 100 TB with a
+daily 0.1% churn, that's a 100 GB diff folded into a state table that
+is |groups|-sized; the full recompute this replaces is the whole
+100 TB. An update that MOVES a row between groups is handled by
+construction (retraction lands in the old group, assertion in the
+new), and groups whose count reaches zero leave the state.
+
+Reference parity note: the reference (an Elixir event-transport
+client, SURVEY.md §0) has no storage layer; this derives from the
+driver's engine-completeness mandate, following published IVM
+semantics (delta processing over Z-sets / DBSP; Delta Live Tables'
+incremental aggregates).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_hivent_spark import fsutil
+from ex_hivent_spark.functions.decimals import DEC
+from ex_hivent_spark.sources import versioned
+
+MANIFEST = "_MATVIEW.json"
+
+
+def _manifest_path(view_dir: str) -> str:
+    return f"{view_dir}/{MANIFEST}"
+
+
+def _read_manifest(spark: SparkSession, view_dir: str) -> dict:
+    return json.loads(fsutil.read_text_file(spark, _manifest_path(view_dir)))
+
+
+def _aggregate(
+    df: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Full aggregation of a base frame into view-state shape: exact
+    bigint count + decimal sums (the group-fold representation)."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")] + [
+        F.sum(F.col(c).cast(DEC)).alias(f"sum_{c}") for c in sum_cols
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def create(
+    spark: SparkSession,
+    base_dir: str,
+    view_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    key_col: str,
+) -> int:
+    """Materialize the aggregate view from the CURRENT base snapshot
+    and pin its definition. Returns the view's snapshot version (0).
+
+    ``key_col`` is the base table's row identity — what snapshot_diff
+    keys the change feed on during refresh."""
+    base_version = versioned.current_version(spark, base_dir)
+    if base_version is None:
+        raise FileNotFoundError(f"base table has no snapshot: {base_dir}")
+    base = versioned.read_snapshot(spark, base_dir, base_version)
+    state = _aggregate(base, group_cols, sum_cols)
+    v = versioned.write_snapshot(
+        spark, state, view_dir, note=f"matview full @ base v{base_version}"
+    )
+    fsutil.write_text_file(
+        spark,
+        _manifest_path(view_dir),
+        json.dumps(
+            {
+                "base_dir": base_dir,
+                "key_col": key_col,
+                "group_cols": group_cols,
+                "sum_cols": sum_cols,
+                "base_version": base_version,
+            }
+        ),
+    )
+    return v
+
+
+def refresh(spark: SparkSession, view_dir: str) -> dict:
+    """Fold the base table's changes since the last refresh into the
+    view state — O(|diff|), no base rescan. Returns a refresh report
+    ``{mode, base_from, base_to, changes, groups_touched}``; ``mode``
+    is "noop" when the base hasn't moved."""
+    m = _read_manifest(spark, view_dir)
+    base_from = m["base_version"]
+    base_to = versioned.current_version(spark, m["base_dir"])
+    if base_to == base_from:
+        return {
+            "mode": "noop",
+            "base_from": base_from,
+            "base_to": base_to,
+            "changes": 0,
+            "groups_touched": 0,
+        }
+    group_cols, sum_cols = m["group_cols"], m["sum_cols"]
+    diff = versioned.snapshot_diff(
+        spark,
+        m["base_dir"],
+        base_from,
+        base_to,
+        m["key_col"],
+        include_old=True,
+    ).localCheckpoint(eager=False)  # reused: assertions + retractions
+    n_changes = diff.count()
+
+    # Assertions: +1/+value under the NEW row's group (inserts+updates);
+    # retractions: -1/-value under the OLD row's group (deletes+updates).
+    # A group-moving update thus contributes to both groups — correct by
+    # construction.
+    assert_rows = diff.filter(F.col("change") != "delete").select(
+        *[F.col(c) for c in group_cols],
+        F.lit(1).cast("bigint").alias("d_n"),
+        *[F.col(c).cast(DEC).alias(f"d_{c}") for c in sum_cols],
+    )
+    retract_rows = diff.filter(F.col("change") != "insert").select(
+        *[F.col(f"old_{c}").alias(c) for c in group_cols],
+        F.lit(-1).cast("bigint").alias("d_n"),
+        *[(-F.col(f"old_{c}").cast(DEC)).alias(f"d_{c}") for c in sum_cols],
+    )
+    deltas = (
+        assert_rows.unionByName(retract_rows)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("d_n").cast("bigint").alias("d_n"),
+            *[
+                F.sum(f"d_{c}").cast(DEC).alias(f"d_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    n_groups = deltas.count()
+
+    state = versioned.read_snapshot(spark, view_dir)
+    merged = state.join(deltas, group_cols, "full_outer").select(
+        *group_cols,
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            + F.coalesce(F.col("d_n"), F.lit(0))
+        ).cast("bigint").alias("n_rows"),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0).cast(DEC))
+                + F.coalesce(F.col(f"d_{c}"), F.lit(0).cast(DEC))
+            ).cast(DEC).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    new_state = merged.filter(F.col("n_rows") > 0)
+    versioned.write_snapshot(
+        spark,
+        new_state,
+        view_dir,
+        note=f"matview incremental base v{base_from}->v{base_to}",
+    )
+    m["base_version"] = base_to
+    fsutil.write_text_file(spark, _manifest_path(view_dir), json.dumps(m))
+    return {
+        "mode": "incremental",
+        "base_from": base_from,
+        "base_to": base_to,
+        "changes": n_changes,
+        "groups_touched": n_groups,
+    }
+
+
+def read_view(spark: SparkSession, view_dir: str) -> DataFrame:
+    """The current view state, with derived averages attached
+    (avg = decimal sum as double / count — the davg convention)."""
+    m = _read_manifest(spark, view_dir)
+    state = versioned.read_snapshot(spark, view_dir)
+    for c in m["sum_cols"]:
+        state = state.withColumn(
+            f"avg_{c}",
+            F.col(f"sum_{c}").cast("double") / F.col("n_rows"),
+        )
+    return state
+
+
+def recompute(spark: SparkSession, view_dir: str) -> DataFrame:
+    """Full recomputation of the view from its manifest — the parity
+    baseline an incremental refresh must match EXACTLY (tests assert
+    bit-equality of the decimal sums)."""
+    m = _read_manifest(spark, view_dir)
+    base = versioned.read_snapshot(spark, m["base_dir"])
+    return _aggregate(base, m["group_cols"], m["sum_cols"])

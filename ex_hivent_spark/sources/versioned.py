@@ -152,6 +152,7 @@ def snapshot_diff(
     from_version: int,
     to_version: int,
     key_col: str,
+    include_old: bool = False,
 ) -> DataFrame:
     """CDC between two snapshots: one row per changed key with
     ``change ∈ {insert, delete, update}`` — inserts carry the new row's
@@ -160,6 +161,11 @@ def snapshot_diff(
     a derived table) applies instead of reprocessing the full snapshot:
     at 100 TB the diff of a daily snapshot pair is typically orders of
     magnitude smaller than the table.
+
+    With ``include_old=True`` each row also carries ``old_<col>``
+    columns (null for inserts) — what a consumer needs to RETRACT the
+    prior contribution of an updated/deleted row, e.g. the incremental
+    materialized-view maintenance in :mod:`ex_hivent_spark.matview`.
 
     Plan: one full-outer join of the two immutable snapshots on the
     key; rows equal on every shared column drop out. The join is the
@@ -184,8 +190,11 @@ def snapshot_diff(
         .when(F.col("__old") != F.col("__new"), F.lit("update"))
     )
     payload = F.coalesce(F.col("__new"), F.col("__old"))
+    out_cols = [payload[c].alias(c) for c in cols]
+    if include_old:
+        out_cols += [F.col("__old")[c].alias(f"old_{c}") for c in cols]
     return (
         j.withColumn("change", change)
         .filter(F.col("change").isNotNull())
-        .select(key_col, "change", *[payload[c].alias(c) for c in cols])
+        .select(key_col, "change", *out_cols)
     )

@@ -1,0 +1,154 @@
+"""Incremental materialized-view maintenance: an incrementally
+refreshed aggregate view must equal a full recompute EXACTLY (bit-equal
+decimal sums), across inserts, updates (including group-moving ones),
+and deletes — plus noop detection and atomic versioned publication."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from ex_hivent_spark import matview
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.sources import versioned
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        [tuple(r[c] for c in cols) for r in df.collect()], key=repr
+    )
+
+
+def _base_v0(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(400)
+    )
+
+
+def _setup(spark, sf_dir, tmp_path):
+    base_dir = f"{tmp_path}/base"
+    view_dir = f"{tmp_path}/view"
+    versioned.write_snapshot(spark, _base_v0(spark, sf_dir), base_dir)
+    matview.create(
+        spark,
+        base_dir,
+        view_dir,
+        group_cols=["o_orderstatus"],
+        sum_cols=["o_totalprice"],
+        key_col="o_orderkey",
+    )
+    return base_dir, view_dir
+
+
+def test_create_matches_full_aggregate(spark, sf_dir, tmp_path):
+    _, view_dir = _setup(spark, sf_dir, tmp_path)
+    assert _rows(versioned.read_snapshot(spark, view_dir)) == _rows(
+        matview.recompute(spark, view_dir)
+    )
+
+
+def test_incremental_refresh_equals_recompute(spark, sf_dir, tmp_path):
+    base_dir, view_dir = _setup(spark, sf_dir, tmp_path)
+    v0 = versioned.read_snapshot(spark, base_dir, 0)
+
+    # churn: delete keys %7==0, reprice %5==0, MOVE %11==0 to a new
+    # group (tests retraction in the old group + assertion in the new),
+    # and insert two fresh rows
+    changed = (
+        v0.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("MOVED")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    inserts = spark.createDataFrame(
+        [(10_000_001, "O", 111.5), (10_000_002, "MOVED", 22.25)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    versioned.write_snapshot(
+        spark, changed.unionByName(inserts), base_dir
+    )
+
+    report = matview.refresh(spark, view_dir)
+    assert report["mode"] == "incremental"
+    assert report["base_from"] == 0 and report["base_to"] == 1
+    assert report["changes"] > 0
+
+    got = _rows(versioned.read_snapshot(spark, view_dir))
+    want = _rows(matview.recompute(spark, view_dir))
+    assert got == want  # bit-exact, including the decimal sums
+
+
+def test_refresh_chain_and_group_disappearance(spark, sf_dir, tmp_path):
+    base_dir, view_dir = _setup(spark, sf_dir, tmp_path)
+    v0 = versioned.read_snapshot(spark, base_dir, 0)
+
+    # v1: drop an entire group -> its state row must disappear
+    statuses = [r[0] for r in v0.select("o_orderstatus").distinct().collect()]
+    victim = sorted(statuses)[0]
+    versioned.write_snapshot(
+        spark, v0.filter(F.col("o_orderstatus") != victim), base_dir
+    )
+    matview.refresh(spark, view_dir)
+    state = versioned.read_snapshot(spark, view_dir)
+    assert state.filter(F.col("o_orderstatus") == victim).count() == 0
+    assert _rows(state) == _rows(matview.recompute(spark, view_dir))
+
+    # v2: more churn on top — the SECOND incremental fold must still
+    # equal a recompute (state composes across refreshes)
+    v1 = versioned.read_snapshot(spark, base_dir, 1)
+    versioned.write_snapshot(
+        spark,
+        v1.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2.0
+            ).otherwise(F.col("o_totalprice")),
+        ),
+        base_dir,
+    )
+    r2 = matview.refresh(spark, view_dir)
+    assert r2["mode"] == "incremental" and r2["base_from"] == 1
+    assert _rows(versioned.read_snapshot(spark, view_dir)) == _rows(
+        matview.recompute(spark, view_dir)
+    )
+
+
+def test_noop_refresh_and_versioned_publication(spark, sf_dir, tmp_path):
+    base_dir, view_dir = _setup(spark, sf_dir, tmp_path)
+    assert matview.refresh(spark, view_dir)["mode"] == "noop"
+    assert versioned.current_version(spark, view_dir) == 0  # no new snap
+
+    versioned.write_snapshot(
+        spark,
+        versioned.read_snapshot(spark, base_dir, 0).filter(
+            F.col("o_orderkey") % 2 == 0
+        ),
+        base_dir,
+    )
+    matview.refresh(spark, view_dir)
+    # the refresh published view v1 atomically; v0 stays time-travelable
+    assert versioned.current_version(spark, view_dir) == 1
+    assert versioned.read_snapshot(spark, view_dir, 0).count() > 0
+
+
+def test_read_view_derives_exact_averages(spark, sf_dir, tmp_path):
+    _, view_dir = _setup(spark, sf_dir, tmp_path)
+    out = matview.read_view(spark, view_dir)
+    row = out.orderBy("o_orderstatus").first()
+    assert isinstance(row["sum_o_totalprice"], Decimal)
+    assert row["avg_o_totalprice"] == float(row["sum_o_totalprice"]) / float(
+        row["n_rows"]
+    )
