@@ -117,6 +117,8 @@ HEADLINE = [
     "q_llm_idf_rarity",
     "q_agg_heavy_hitters",
     "q_win_streaks",
+    "q_ts_acf",
+    "q_agg_audience_overlap",
 ]
 
 

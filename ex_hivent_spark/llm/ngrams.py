@@ -135,7 +135,8 @@ def q_llm_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (
       SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
              {sql_dsum("x", "sx")}, {sql_dsum("y", "sy")},
-             {sql_dsum("x * y", "sxy")}, {sql_dsum("x * x", "sxx")}
+             {sql_dsum(sql_dround("x * y", 6), "sxy")},
+             {sql_dsum(sql_dround("x * x", 6), "sxx")}
       FROM xy GROUP BY lang
     )
     SELECT lang, n_terms,
@@ -162,9 +163,13 @@ def q_llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 rows per language) — at 100 TB only the (lang, token) pair
     stream is corpus-sized. Determinism: per-row ``ln`` is e6-rounded
     before the moment sums (the repo's libm-drift convention, same as
-    q_llm_unigram_logprob), the four moments are decimal sums, and the
-    closed-form slope/intercept are single double expressions over
-    those — e6-rounded for the final hash."""
+    q_llm_unigram_logprob), the cross/square products are e6-rounded
+    BEFORE their decimal cast (a full-precision computed double cast
+    straight to decimal(25,6) can land on a half-way tie the two
+    engines round differently — the hazard q_ts_cusum_changepoint's
+    docstring records as measured), the four moments are decimal sums,
+    and the closed-form slope/intercept are single double expressions
+    over those — e6-rounded for the final hash."""
     d = load_table(spark, sf_dir, "documents")
     freq = (
         d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
@@ -186,8 +191,12 @@ def q_llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
         F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum(dround(F.col("x") * F.col("y"), 6).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(dround(F.col("x") * F.col("x"), 6).cast(dec))
+        .cast("double")
+        .alias("sxx"),
     )
     slope = (
         F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")

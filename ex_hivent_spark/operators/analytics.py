@@ -1629,3 +1629,87 @@ def q_agg_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("entropy"),
         )
     )
+
+
+@register(
+    "q_agg_audience_overlap",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      FROM du GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b,
+           sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+           CAST(n_both AS DOUBLE)
+               / (sa.n_users + sb.n_users - n_both) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+)
+def q_agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-overlap matrix: for every pair of event types, how many
+    distinct users did BOTH, each audience's size, and the audience
+    Jaccard — the "audience overlap" report ad/analytics engines serve
+    from bitmap or theta sketches; this is the exact answer those
+    sketches approximate (and the exact twin of q_agg_bitmap_rollup's
+    per-grain distinct counts). Complements q_basket_event_lift, which
+    measures co-occurrence LIFT, not audience intersection size.
+
+    Plan: ONE distinct pass collapses events to the (type, user)
+    incidence (at 100 TB this is the only corpus-sized shuffle —
+    everything after runs on |types|·|users| rows bounded by the
+    distinct-type count per user), a self-equi-join on user_id expands
+    each user's bounded type set into pairs, one hash aggregate counts
+    intersections, and the |types|-row sizes table broadcasts back.
+    Determinism: all counts are integers; the Jaccard is one exact
+    IEEE division — nothing to round."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
+    )  # reused: sizes + both join sides
+    sizes = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a = du.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("ua")
+    )
+    b = du.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("ub")
+    )
+    inter = (
+        a.join(b, (F.col("ua") == F.col("ub")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
-from ex_hivent_spark.functions.decimals import dsum, sql_dsum
+from ex_hivent_spark.functions.decimals import dsum, sql_dround, sql_dsum
 from ex_hivent_spark.plans.registry import register
 
 
@@ -1020,4 +1020,119 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") >= 2)
         .drop("island")
+    )
+
+
+@register(
+    "q_ts_acf",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(cnt) AS DOUBLE) / count(*) AS xbar
+      FROM hourly GROUP BY event_type
+    ),
+    led AS (
+      SELECT hourly.event_type, cnt, xbar, n_hours,
+             lead(cnt, 1) OVER w AS c1,
+             lead(cnt, 2) OVER w AS c2,
+             lead(cnt, 3) OVER w AS c3
+      FROM hourly JOIN stats USING (event_type)
+      WINDOW w AS (PARTITION BY hourly.event_type ORDER BY h)
+    ),
+    sums AS (
+      SELECT event_type, any_value(n_hours) AS n_hours,
+             {sql_dsum(sql_dround("(cnt - xbar) * (cnt - xbar)", 6), "den")},
+             {sql_dsum(
+                 "CASE WHEN c1 IS NULL THEN NULL ELSE "
+                 + sql_dround("(cnt - xbar) * (c1 - xbar)", 6)
+                 + " END", "num1")},
+             {sql_dsum(
+                 "CASE WHEN c2 IS NULL THEN NULL ELSE "
+                 + sql_dround("(cnt - xbar) * (c2 - xbar)", 6)
+                 + " END", "num2")},
+             {sql_dsum(
+                 "CASE WHEN c3 IS NULL THEN NULL ELSE "
+                 + sql_dround("(cnt - xbar) * (c3 - xbar)", 6)
+                 + " END", "num3")}
+      FROM led GROUP BY event_type
+    )
+    SELECT event_type, n_hours,
+           CASE WHEN den <> 0 THEN {sql_dround("num1 / den", 6)} END AS acf_lag1,
+           CASE WHEN den <> 0 THEN {sql_dround("num2 / den", 6)} END AS acf_lag2,
+           CASE WHEN den <> 0 THEN {sql_dround("num3 / den", 6)} END AS acf_lag3
+    FROM sums
+    """,
+)
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-rate series per
+    event type, at lags 1-3 (the standard estimator: lag-k cross
+    moments about the mean over the full-series variance). This is the
+    seasonality/burstiness detector that tells you WHICH period
+    q_ts_seasonal_decompose should deseasonalize by, and near-1 lag-1
+    autocorrelation flags self-exciting (retry-storm) traffic.
+
+    Plan: the corpus collapses to the hourly counts frame in ONE hash
+    aggregate (≤ types x hours rows — at 100 TB still tiny), then the
+    per-type mean table broadcasts back and all three lags come from
+    ONE window pass over the aggregated frame sharing a single sort.
+    Determinism: counts are integers, the mean is one exact division,
+    per-row deviation products are e6-rounded before their decimal
+    sums (the computed-double-cast hazard documented by
+    q_ts_cusum_changepoint), and each ACF ratio is a single e6-rounded
+    division, null-guarded against a zero variance identically in both
+    engines."""
+    from ex_hivent_spark.functions.decimals import DEC, dround
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("xbar"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    led = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "cnt",
+        "xbar",
+        "n_hours",
+        F.lead("cnt", 1).over(w).alias("c1"),
+        F.lead("cnt", 2).over(w).alias("c2"),
+        F.lead("cnt", 3).over(w).alias("c3"),
+    )
+    dev = F.col("cnt") - F.col("xbar")
+
+    def moment(lagged, alias):
+        prod = dround(dev * (lagged - F.col("xbar")), 6)
+        return (
+            F.sum(F.when(lagged.isNotNull(), prod).cast(DEC))
+            .cast("double")
+            .alias(alias)
+        )
+
+    sums = led.groupBy("event_type").agg(
+        F.any_value("n_hours").alias("n_hours"),
+        F.sum(dround(dev * dev, 6).cast(DEC)).cast("double").alias("den"),
+        moment(F.col("c1"), "num1"),
+        moment(F.col("c2"), "num2"),
+        moment(F.col("c3"), "num3"),
+    )
+
+    def acf(num):
+        return F.when(
+            F.col("den") != 0, dround(F.col(num) / F.col("den"), 6)
+        )
+
+    return sums.select(
+        "event_type",
+        "n_hours",
+        acf("num1").alias("acf_lag1"),
+        acf("num2").alias("acf_lag2"),
+        acf("num3").alias("acf_lag3"),
     )

@@ -133,19 +133,21 @@ DRIVER_CHECK_FIRST = [
     "q_llm_bpe_train",
     "q_llm_classifier_eval",
     "q_set_relational_division",
-    # new in late r5 — first driver check (corpus-audit batch)
+    # new in late r5 — first driver check (corpus-audit batch + the
+    # ACF / audience-overlap pair)
     "q_llm_topk_ngrams",
     "q_llm_zipf_fit",
     "q_llm_idf_rarity",
     "q_agg_heavy_hitters",
     "q_win_streaks",
-    # oldest evidence: latest driver green was r01 (the remaining five
+    "q_ts_acf",
+    "q_agg_audience_overlap",
+    # oldest evidence: latest driver green was r01 (the other seven
     # r01-era queries — q_fn_string/math/array, q_udf_token_count,
-    # q_llm_quality_score — yield their re-proof slots to the new ops'
-    # FIRST-ever checks and front r06 instead)
-    "q_llm_exact_dedup",
+    # q_llm_quality_score, q_llm_exact_dedup, q_llm_text_stats — yield
+    # their re-proof slots to the new ops' FIRST-ever checks and front
+    # r06 instead)
     "q_llm_ngram_jaccard",
-    "q_llm_text_stats",
 ]
 
 

@@ -601,3 +601,22 @@ def test_streaks_one_window_exchange(spark, sf_dir):
     assert "Window" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Join" not in plan
+
+
+def test_acf_windows_over_hourly_aggregate(spark, sf_dir):
+    """The three lags share one window pass over the hourly counts
+    frame; the per-type means join back broadcast — the corpus-sized
+    exchange is the single counts aggregate."""
+    plan = plan_of(spark, sf_dir, "q_ts_acf", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_audience_overlap_sizes_broadcast(spark, sf_dir):
+    """The |types|-row audience-size table joins back broadcast; the
+    incidence self-join is an equi hash join on user, never a
+    cartesian expansion."""
+    plan = plan_of(spark, sf_dir, "q_agg_audience_overlap", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
