@@ -67,6 +67,35 @@ def _aggregate(
     return df.groupBy(*group_cols).agg(*aggs)
 
 
+def fold_state(
+    state: DataFrame,
+    deltas: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Fold a delta frame (``d_n`` + ``d_<col>`` decimal columns) into
+    a view state (``n_rows`` + ``sum_<col>``): one full-outer join on
+    the group key, coalesced group-wise addition, zero-count groups
+    dropped. Shared by the batch refresh and the streaming continuous
+    view — both maintenance paths MUST fold identically or their
+    states would diverge from a recompute."""
+    merged = state.join(deltas, group_cols, "full_outer").select(
+        *group_cols,
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            + F.coalesce(F.col("d_n"), F.lit(0))
+        ).cast("bigint").alias("n_rows"),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0).cast(DEC))
+                + F.coalesce(F.col(f"d_{c}"), F.lit(0).cast(DEC))
+            ).cast(DEC).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    return merged.filter(F.col("n_rows") > 0)
+
+
 def create(
     spark: SparkSession,
     base_dir: str,
@@ -159,21 +188,7 @@ def refresh(spark: SparkSession, view_dir: str) -> dict:
     n_groups = deltas.count()
 
     state = versioned.read_snapshot(spark, view_dir)
-    merged = state.join(deltas, group_cols, "full_outer").select(
-        *group_cols,
-        (
-            F.coalesce(F.col("n_rows"), F.lit(0))
-            + F.coalesce(F.col("d_n"), F.lit(0))
-        ).cast("bigint").alias("n_rows"),
-        *[
-            (
-                F.coalesce(F.col(f"sum_{c}"), F.lit(0).cast(DEC))
-                + F.coalesce(F.col(f"d_{c}"), F.lit(0).cast(DEC))
-            ).cast(DEC).alias(f"sum_{c}")
-            for c in sum_cols
-        ],
-    )
-    new_state = merged.filter(F.col("n_rows") > 0)
+    new_state = fold_state(state, deltas, group_cols, sum_cols)
     versioned.write_snapshot(
         spark,
         new_state,
