@@ -224,13 +224,48 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(gen, schema)
 
 
-@register("q_mm_decode_features", oracle=None)
+@register(
+    "q_mm_decode_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (['image','audio','video'])[(doc_id % 3 + 1)] AS kind,
+             md5(text) AS h,
+             (doc_id % 7 + 1) AS reps
+      FROM documents
+    ),
+    bytes AS (
+      SELECT media_id, kind, reps,
+             ('0x' || substr(h, CAST(2 * i + 1 AS INT), 2))::BIGINT AS b
+      FROM m, unnest(range(0, 16)) AS r(i)
+    )
+    SELECT media_id, any_value(kind) AS kind,
+           CAST(any_value(reps) * 16 AS INT) AS n_bytes,
+           CAST(floor((sum(b) / 16.0) * 10000.0 + 0.5) AS BIGINT)
+               AS mean_byte_e4,
+           CAST(sum(CASE WHEN b < 32 THEN 1 ELSE 0 END)
+                * any_value(reps) AS INT) AS hist_bin0
+    FROM bytes GROUP BY media_id
+    """,
+)
 def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + feature extraction end-to-end: synthesize the
-    media table from documents, extract byte features via mapInPandas.
-    Deterministic but not SQL-expressible (binary synthesis + numpy) —
-    rows-only check; exact values unit-tested in tests/test_multimodal.py.
-    """
+    media table from documents, extract byte features via mapInPandas
+    (numpy over Arrow batches — the real decode plumbing).
+
+    Hash-checked against a pure-SQL oracle even though the Python path
+    runs numpy on binary payloads: the synthetic payload is the md5
+    byte stream repeated (1 + doc_id mod 7) times, so every reported
+    feature is derivable from the 16 md5 bytes alone — the mean over
+    the repeated stream equals the mean over one period (the rational
+    (reps*s)/(reps*16) is the SAME number as s/16, hence the same
+    correctly-rounded double), and the first histogram bin scales by
+    reps. Byte sums are exact in float64 (< 2^53), so the e4-floored
+    mean is bit-identical cross-engine. The decode fallback is also
+    environment-stable: even with PIL installed, an md5 stream is not
+    a decodable image, so the deterministic fallback path runs
+    everywhere (tests/test_multimodal.py exercises the real-PIL branch
+    separately)."""
     feats = extract_features(synth_media(spark, sf_dir))
     return feats.select(
         "media_id",
@@ -241,10 +276,40 @@ def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_mm_frame_sample", oracle=None)
+@register(
+    "q_mm_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 30 + 2) AS n,
+             16 * (doc_id % 7 + 1) AS nbytes
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT media_id, n, nbytes,
+             greatest(nbytes // n, 1) AS sz,
+             unnest(range(0, n, 2)) AS i
+      FROM v
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(max(i) AS INT) AS max_frame_idx,
+           CAST(sum(CASE WHEN (i + 1) * sz <= nbytes THEN sz
+                         WHEN i * sz >= nbytes THEN 0
+                         ELSE nbytes - i * sz END) AS BIGINT)
+               AS sampled_bytes
+    FROM f GROUP BY media_id
+    """,
+)
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (every 2nd frame) + per-video frame counts —
-    the 1->N multimodal shape. Rows-only check (binary payloads)."""
+    the 1->N multimodal mapInPandas shape.
+
+    Hash-checked: the Python slicing arithmetic (frame size =
+    max(len//n, 1), clamped tail slice) is mirrored exactly as integer
+    SQL over the synthetic payload's known length (16 bytes per md5
+    repeat), so the oracle verifies the UDTF's per-frame byte
+    accounting, not just its row count."""
     frames = sample_frames(synth_media(spark, sf_dir), every_nth=2)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_sampled"),

@@ -3,9 +3,12 @@
 
 The spark callable has signature ``(spark, sf_dir) -> DataFrame``; the
 oracle is equivalent ANSI SQL that DuckDB runs on the same parquet (views
-pre-registered by the driver). ``oracle=None`` marks genuinely
-non-SQL-expressible ops (approximate / LSH / ANN), for which the driver
-records a weaker rows-only check.
+pre-registered by the driver). ``oracle=None`` would mark a genuinely
+non-SQL-expressible op, for which the driver records a weaker rows-only
+check — as of late r5 NO registered query needs it: even the
+sketch/ANN/multimodal-decode ops carry exact oracles (the sketches
+re-derive their hashes in SQL; the decode features exploit the synthetic
+payload's periodic structure).
 
 Column-name parity rule: every computed column is aliased identically in
 the Spark plan and the oracle SQL — the driver sorts columns by name
