@@ -119,6 +119,9 @@ HEADLINE = [
     "q_win_streaks",
     "q_ts_acf",
     "q_agg_audience_overlap",
+    "q_llm_langid_confusion",
+    "q_ts_xcorr",
+    "q_llm_ctfidf_topics",
 ]
 
 

@@ -280,3 +280,87 @@ def q_llm_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_rare").cast("bigint").alias("n_rare_terms"),
         davg("idf", "rarity_score"),
     )
+
+
+@register(
+    "q_llm_ctfidf_topics",
+    oracle=f"""
+    WITH dl AS (
+      SELECT d.doc_id, e.label, d.text
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    toks AS (
+      SELECT label, unnest(string_split(text, ' ')) AS term FROM dl
+    ),
+    tfc AS (
+      SELECT label, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY label, term
+    ),
+    ft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS DOUBLE)
+                 / (SELECT count(DISTINCT label) FROM dl) AS a
+      FROM toks
+    ),
+    scored AS (
+      SELECT label, term, tf,
+             tf * {sql_dround("ln(1.0 + a / f)", 6)} AS w
+      FROM tfc JOIN ft USING (term) CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT label, term,
+             {sql_dround("w", 6)} AS ctfidf_e6,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY w DESC, term) AS rn
+      FROM scored
+    )
+    SELECT label, term, ctfidf_e6, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def q_llm_ctfidf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF cluster labeling (c-TF-IDF, Grootendorst 2022
+    — the BERTopic topic-naming step): treat each embedding cluster
+    (the label column) as ONE concatenated document, weight each term
+    by tf_class * ln(1 + A / f_term) with A = average tokens per class
+    and f = corpus-wide term frequency, and report the top-3 terms per
+    cluster — the human-readable name of what each embedding cluster
+    contains.
+
+    Plan: the doc→label join broadcasts the |docs|-row label map, the
+    token explode feeds TWO hash aggregates (per-class tf and
+    corpus-wide f), the |vocab|-row f table joins back broadcast, and
+    the ranking window runs over the per-class vocab frame.
+    Determinism: tf/f are integers, A is one exact division, the idf
+    log is e6-rounded per row, and ranking uses the bit-identical
+    tf*idf product with a term tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    dl = d.join(F.broadcast(emb), "doc_id").select("label", "text")
+    toks = dl.select(
+        "label", F.explode(F.split("text", " ")).alias("term")
+    ).localCheckpoint(eager=False)  # reused: tf, f, and the two scalars
+    tfc = toks.groupBy("label", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    ft = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    total_toks = toks.count()
+    n_classes = toks.select("label").distinct().count()
+    a = float(total_toks) / n_classes
+    w_col = F.col("tf") * dround(F.log(1.0 + F.lit(a) / F.col("f")), 6)
+    scored = tfc.join(F.broadcast(ft), "term").select(
+        "label", "term", w_col.alias("w")
+    )
+    win = Window.partitionBy("label").orderBy(F.col("w").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "label", "term", dround(F.col("w"), 6).alias("ctfidf_e6"), "rn"
+        )
+    )

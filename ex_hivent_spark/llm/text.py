@@ -89,6 +89,50 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "zh": ("zh",),
+}
+
+# SQL twin of langid_best(): the same struct-max argmax as a DuckDB
+# list_aggregate over {'score', 'lang'} structs.
+LANGID_BEST_SQL = """
+        list_aggregate([
+          {'score': len(list_intersect(t, ['the','and','of'])), 'lang': 'en'},
+          {'score': len(list_intersect(t, ['el','la','de'])),  'lang': 'es'},
+          {'score': len(list_intersect(t, ['der','die','und'])),'lang': 'de'},
+          {'score': len(list_intersect(t, ['le','la','et'])),  'lang': 'fr'},
+          {'score': len(list_intersect(t, ['zh'])),            'lang': 'zh'}
+        ], 'max')"""
+
+
+def langid_best() -> Column:
+    """The language-ID argmax as a Column over a ``text`` field: marker
+    overlap scores per language, struct-lexicographic max on
+    (score, lang) — the deterministic tie-break shared with the SQL
+    twin (LANGID_BEST_SQL). Used by q_llm_lang_id and the confusion
+    matrix; factored so the heuristic cannot drift between its
+    consumers."""
+    toks = F.array_distinct(F.split(F.lower("text"), r"\s+"))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        toks, F.array(*[F.lit(t) for t in ts])
+                    )
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ts in LANG_MARKERS.items()
+        ]
+    )
+    return F.array_max(scores)
+
+
 @register(
     "q_llm_lang_id",
     oracle="""
@@ -121,28 +165,7 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic max on (score, lang) — identical on both engines, so
     the heuristic is fully hash-checked."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(F.lower("text"), r"\s+"))
-    markers = {
-        "en": ("the", "and", "of"),
-        "es": ("el", "la", "de"),
-        "de": ("der", "die", "und"),
-        "fr": ("le", "la", "et"),
-        "zh": ("zh",),
-    }
-    scores = F.array(
-        *[
-            F.struct(
-                F.size(
-                    F.array_intersect(
-                        toks, F.array(*[F.lit(t) for t in ts])
-                    )
-                ).alias("score"),
-                F.lit(lang).alias("lang"),
-            )
-            for lang, ts in markers.items()
-        ]
-    )
-    best = F.array_max(scores)
+    best = langid_best()
     return d.select(
         "doc_id",
         F.col("lang").alias("declared_lang"),
@@ -1164,4 +1187,63 @@ def q_llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / (n_pos.cast("double") * n_neg)
         ).alias("auc"),
+    )
+
+
+@register(
+    "q_llm_langid_confusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split_regex(lower(text), '\\s+')) AS t
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS declared_lang,
+             ({LANGID_BEST_SQL}).lang AS predicted_lang
+      FROM toks
+    ),
+    c AS (
+      SELECT declared_lang, predicted_lang,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY declared_lang, predicted_lang
+    )
+    SELECT declared_lang, predicted_lang, n_docs,
+           CAST(n_docs AS DOUBLE)
+               / sum(n_docs) OVER (PARTITION BY declared_lang)
+               AS recall_share
+    FROM c
+    """,
+)
+def q_llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the language-ID heuristic against the
+    declared labels: per (declared, predicted) cell, the document count
+    and the within-declared-language share (the per-class recall
+    decomposition). This is the eval report that decides whether a
+    cheap classifier is good enough to gate a corpus slice — the
+    categorical sibling of q_llm_classifier_eval's ROC-AUC.
+
+    Plan: the prediction is the same in-row argmax as q_llm_lang_id
+    (shared langid_best(), so query and eval can't diverge), one hash
+    aggregate to the ≤|langs|² cell frame, and the recall window runs
+    over that aggregated frame only. Determinism: counts are integers;
+    the share is a single exact division."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("declared_lang"),
+        langid_best()["lang"].alias("predicted_lang"),
+    )
+    c = pred.groupBy("declared_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("declared_lang")
+    return c.select(
+        "declared_lang",
+        "predicted_lang",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w)
+        ).alias("recall_share"),
     )

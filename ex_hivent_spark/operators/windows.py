@@ -1136,3 +1136,131 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         acf("num2").alias("acf_lag2"),
         acf("num3").alias("acf_lag3"),
     )
+
+
+@register(
+    "q_ts_xcorr",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    joined AS (
+      SELECT v.h, v.cnt AS a, p.cnt AS b
+      FROM (SELECT h, cnt FROM hourly WHERE event_type = 'view') v
+      JOIN (SELECT h, cnt FROM hourly WHERE event_type = 'purchase') p
+        USING (h)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(a) AS DOUBLE) / count(*) AS abar,
+             CAST(sum(b) AS DOUBLE) / count(*) AS bbar
+      FROM joined
+    ),
+    led AS (
+      SELECT a, b, abar, bbar, n_hours,
+             lead(b, 1) OVER (ORDER BY h) AS b1,
+             lead(b, 2) OVER (ORDER BY h) AS b2
+      FROM joined CROSS JOIN m
+    ),
+    sums AS (
+      SELECT any_value(n_hours) AS n_hours,
+             {sql_dsum(sql_dround("(a - abar) * (a - abar)", 6), "da")},
+             {sql_dsum(sql_dround("(b - bbar) * (b - bbar)", 6), "db")},
+             {sql_dsum(sql_dround("(a - abar) * (b - bbar)", 6), "num0")},
+             {sql_dsum(
+                 "CASE WHEN b1 IS NULL THEN NULL ELSE "
+                 + sql_dround("(a - abar) * (b1 - bbar)", 6) + " END",
+                 "num1")},
+             {sql_dsum(
+                 "CASE WHEN b2 IS NULL THEN NULL ELSE "
+                 + sql_dround("(a - abar) * (b2 - bbar)", 6) + " END",
+                 "num2")}
+      FROM led
+    )
+    SELECT n_hours,
+           {sql_dround("num0 / sqrt(da * db)", 6)} AS xcorr_lag0,
+           {sql_dround("num1 / sqrt(da * db)", 6)} AS xcorr_lag1,
+           {sql_dround("num2 / sqrt(da * db)", 6)} AS xcorr_lag2
+    FROM sums
+    """,
+)
+def q_ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly 'view' and
+    'purchase' event-rate series (lags 0-2, over their common hours,
+    normalized by both series' full deviations): the lead-lag detector
+    — a peak at lag k says view traffic LEADS purchase traffic by k
+    hours, which sets the attribution window and feeds any
+    forecast-from-leading-indicator model. Completes the time-series
+    kit next to q_ts_acf (self-correlation) and
+    q_join_interval_attribution (event-level attribution).
+
+    Plan: the corpus collapses to two hourly count series in one
+    filtered hash aggregate; the join, the one-row means frame, and
+    the window leads all run over ≤|hours| rows. Determinism: counts
+    are integers, means are exact divisions, deviation products are
+    e6-rounded before decimal sums, sqrt is correctly-rounded IEEE,
+    and each ratio is one e6-rounded division."""
+    from ex_hivent_spark.functions.decimals import DEC, dround
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    v = hourly.filter(F.col("event_type") == "view").select(
+        "h", F.col("cnt").alias("a")
+    )
+    p = hourly.filter(F.col("event_type") == "purchase").select(
+        "h", F.col("cnt").alias("b")
+    )
+    joined = v.join(p, "h")
+    m = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        (F.sum("a").cast("double") / F.count(F.lit(1))).alias("abar"),
+        (F.sum("b").cast("double") / F.count(F.lit(1))).alias("bbar"),
+    )
+    w = Window.orderBy("h")
+    led = joined.crossJoin(F.broadcast(m)).select(
+        "a",
+        "b",
+        "abar",
+        "bbar",
+        "n_hours",
+        F.lead("b", 1).over(w).alias("b1"),
+        F.lead("b", 2).over(w).alias("b2"),
+    )
+    da_ = F.col("a") - F.col("abar")
+
+    def mom(col, alias):
+        prod = dround(da_ * (col - F.col("bbar")), 6)
+        return (
+            F.sum(F.when(col.isNotNull(), prod).cast(DEC))
+            .cast("double")
+            .alias(alias)
+        )
+
+    sums = led.agg(
+        F.any_value("n_hours").alias("n_hours"),
+        F.sum(dround(da_ * da_, 6).cast(DEC)).cast("double").alias("da"),
+        F.sum(
+            dround(
+                (F.col("b") - F.col("bbar")) * (F.col("b") - F.col("bbar")), 6
+            ).cast(DEC)
+        )
+        .cast("double")
+        .alias("db"),
+        mom(F.col("b"), "num0"),
+        mom(F.col("b1"), "num1"),
+        mom(F.col("b2"), "num2"),
+    )
+    den = F.sqrt(F.col("da") * F.col("db"))
+    return sums.select(
+        "n_hours",
+        dround(F.col("num0") / den, 6).alias("xcorr_lag0"),
+        dround(F.col("num1") / den, 6).alias("xcorr_lag1"),
+        dround(F.col("num2") / den, 6).alias("xcorr_lag2"),
+    )

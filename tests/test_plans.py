@@ -620,3 +620,29 @@ def test_audience_overlap_sizes_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_agg_audience_overlap", mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_langid_confusion_window_over_cells(spark, sf_dir):
+    """The confusion matrix aggregates in-row predictions to |langs|^2
+    cells before the recall window — no join anywhere."""
+    plan = plan_of(spark, sf_dir, "q_llm_langid_confusion", mode="simple")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+    assert "Window" in plan
+
+
+def test_xcorr_aggregates_before_analysis(spark, sf_dir):
+    """Both series collapse to hourly counts first; the series join and
+    window run on the aggregated frames, never the event scan."""
+    plan = plan_of(spark, sf_dir, "q_ts_xcorr", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+    assert "Window" in plan
+
+
+def test_ctfidf_broadcasts_label_map_and_vocab(spark, sf_dir):
+    """The doc-to-label map and the corpus term-frequency table both
+    join broadcast; no sort-merge join of corpus-sized sides."""
+    plan = plan_of(spark, sf_dir, "q_llm_ctfidf_topics")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
