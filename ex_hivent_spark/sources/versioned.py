@@ -177,6 +177,15 @@ def snapshot_diff(
     old = read_snapshot(spark, table_dir, from_version)
     new = read_snapshot(spark, table_dir, to_version)
     cols = [c for c in new.columns if c != key_col]
+    # Schema evolution: the diff is computed over the NEW snapshot's
+    # schema. A column added since from_version reads as null on the
+    # old side, so rows that gained a value for it classify as updates
+    # — exactly what a downstream consumer must reprocess. Columns
+    # dropped in the new schema fall out of the comparison.
+    new_types = dict(new.dtypes)
+    for c in cols:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new_types[c]))
     o = old.select(
         F.col(key_col), F.struct(*cols).alias("__old")
     )

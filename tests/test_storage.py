@@ -272,3 +272,44 @@ def test_streaming_publishes_versioned_snapshots(spark, tmp_path):
     first = V.read_snapshot(spark, tbl, version=v_after_first)
     assert sum(r["count"] for r in first.collect()) == 100
     assert V.history(spark, tbl)[0]["version"] == head
+
+
+def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
+    """Adding a column between snapshots must not break the change
+    feed: the diff runs over the NEW schema, the old side reads null
+    for the added column, and rows that gained a value classify as
+    updates (what an incremental consumer must reprocess)."""
+    from pyspark.sql import functions as F
+
+    from ex_hivent_spark.sources import versioned
+
+    tdir = f"{tmp_path}/evolving"
+    v0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+    )
+    versioned.write_snapshot(spark, v0, tdir)
+    # v1: adds column `extra`, backfilled for id=1 only; id=3 deleted;
+    # id=4 inserted
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (4, "d", None)],
+        "id long, s string, extra int",
+    )
+    versioned.write_snapshot(spark, v1, tdir)
+
+    diff = versioned.snapshot_diff(spark, tdir, 0, 1, "id")
+    by_id = {r["id"]: r for r in diff.collect()}
+    assert by_id[1]["change"] == "update" and by_id[1]["extra"] == 10
+    assert by_id[3]["change"] == "delete"
+    assert by_id[4]["change"] == "insert"
+    # id=2: extra stayed null, s unchanged -> genuinely unchanged...
+    # except the null-vs-null struct compare: nulls are not unequal,
+    # so the row must NOT appear in the feed
+    assert 2 not in by_id
+
+    # include_old carries the retraction payload with the added column
+    # null on the old side
+    diff_old = versioned.snapshot_diff(
+        spark, tdir, 0, 1, "id", include_old=True
+    )
+    row1 = diff_old.filter(F.col("id") == 1).first()
+    assert row1["old_extra"] is None and row1["old_s"] == "a"
