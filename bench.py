@@ -122,6 +122,7 @@ HEADLINE = [
     "q_llm_langid_confusion",
     "q_ts_xcorr",
     "q_llm_ctfidf_topics",
+    "q_llm_dedup_threshold_sweep",
 ]
 
 

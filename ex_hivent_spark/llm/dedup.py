@@ -798,3 +798,56 @@ def q_llm_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - exact).alias("abs_err"),
         )
     )
+
+
+@register(
+    "q_llm_dedup_threshold_sweep",
+    oracle=f"""
+    SELECT CAST(floor(jaccard_est * 5.0) AS BIGINT) AS est_bucket,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN jaccard_exact >= 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_dups,
+           CAST(sum(CASE WHEN jaccard_exact >= 0.5 THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS bucket_precision
+    FROM ({_minhash_error_oracle_sql()})
+    GROUP BY CAST(floor(jaccard_est * 5.0) AS BIGINT)
+    """,
+)
+def q_llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning sweep for the MinHash dedup pipeline: bucket
+    every LSH candidate pair by its signature-estimated Jaccard
+    (0.2-wide buckets) and report per bucket how many pairs are TRUE
+    duplicates at the tau=0.5 exact-Jaccard bar — the
+    precision-per-estimate curve that picks the production threshold
+    (cut where precision collapses) before running dedup on a real
+    corpus. Composes q_llm_minhash_error's audit output, so the sweep
+    and the audit can never disagree.
+
+    Determinism: the estimate is an exact multiple of 1/32, so the
+    floor(est*5) bucket edge never lands on a representable boundary
+    except the exact 0/1 endpoints (32|5k only for k in {{0, 32}} —
+    both floor exactly); the tau compare is on identically-derived
+    IEEE doubles; counts are integers and the precision is one exact
+    division. Scale: one extra hash aggregate over the
+    candidate-pairs frame — negligible next to the audit itself."""
+    pairs = q_llm_minhash_error(spark, sf_dir)
+    is_dup = F.when(F.col("jaccard_exact") >= 0.5, 1).otherwise(0)
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard_est") * 5.0)
+            .cast("bigint")
+            .alias("est_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(is_dup).cast("bigint").alias("n_true_dups"),
+        )
+        .select(
+            "est_bucket",
+            "n_candidates",
+            "n_true_dups",
+            (
+                F.col("n_true_dups").cast("double") / F.col("n_candidates")
+            ).alias("bucket_precision"),
+        )
+    )

@@ -87,11 +87,12 @@ def register(name: str, oracle: Optional[str] = None):
 # q_llm_idf_rarity, q_agg_heavy_hitters, q_win_streaks — five), then
 # re-proves 3 of the 8 oldest-evidence queries (latest green r01; the
 # other five r01-era queries front r06 together with the 46 r02-era
-# queries, then oldest r03). Three ops added after the r5 front-50
-# filled (q_llm_langid_confusion, q_ts_xcorr, q_llm_ctfidf_topics)
-# have driver_sim-local evidence only until r06 fronts them with the
-# rest. scripts/driver_sim.py re-verifies ALL queries locally every
-# round regardless of this ordering.
+# queries, then oldest r03). Four ops added after the r5 front-50
+# filled (q_llm_langid_confusion, q_ts_xcorr, q_llm_ctfidf_topics,
+# q_llm_dedup_threshold_sweep) have driver_sim-local evidence only
+# until r06 fronts them with the rest. scripts/driver_sim.py
+# re-verifies ALL queries locally every round regardless of this
+# ordering.
 DRIVER_CHECK_FIRST = [
     # r04 driver hash-mismatches, hardened this round — must re-prove
     "q_tpch_q12_priority_by_flag",
