@@ -57,13 +57,19 @@ def _read_manifest(spark: SparkSession, view_dir: str) -> dict:
 
 
 def _aggregate(
-    df: DataFrame, group_cols: list[str], sum_cols: list[str]
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    minmax_cols: list[str] = (),
 ) -> DataFrame:
     """Full aggregation of a base frame into view-state shape: exact
-    bigint count + decimal sums (the group-fold representation)."""
+    bigint count + decimal sums (the group-fold representation), plus
+    exact min/max per ``minmax_cols`` column."""
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")] + [
         F.sum(F.col(c).cast(DEC)).alias(f"sum_{c}") for c in sum_cols
     ]
+    for c in minmax_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return df.groupBy(*group_cols).agg(*aggs)
 
 
@@ -72,26 +78,42 @@ def fold_state(
     deltas: DataFrame,
     group_cols: list[str],
     sum_cols: list[str],
+    minmax_cols: list[str] = (),
 ) -> DataFrame:
-    """Fold a delta frame (``d_n`` + ``d_<col>`` decimal columns) into
-    a view state (``n_rows`` + ``sum_<col>``): one full-outer join on
-    the group key, coalesced group-wise addition, zero-count groups
-    dropped. Shared by the batch refresh and the streaming continuous
-    view — both maintenance paths MUST fold identically or their
-    states would diverge from a recompute."""
-    merged = state.join(deltas, group_cols, "full_outer").select(
-        *group_cols,
+    """Fold a delta frame (``d_n`` + ``d_<col>`` decimal columns, plus
+    ``d_min_<col>``/``d_max_<col>`` when min/max are maintained) into a
+    view state (``n_rows`` + ``sum_<col>`` [+ ``min_/max_<col>``]): one
+    full-outer join on the group key, coalesced group-wise addition,
+    zero-count groups dropped. Shared by the batch refresh and the
+    streaming continuous view — both maintenance paths MUST fold
+    identically or their states would diverge from a recompute.
+
+    Min/max fold monotonically (least/greatest, nulls skipped) — sound
+    for ASSERTIONS only. A retraction can delete the reigning extreme,
+    which no fold can recover; the batch refresh repairs
+    retraction-touched groups with a pruned recompute afterwards
+    (see refresh), and the append-only streaming path never retracts."""
+    out_cols = [
         (
             F.coalesce(F.col("n_rows"), F.lit(0))
             + F.coalesce(F.col("d_n"), F.lit(0))
         ).cast("bigint").alias("n_rows"),
-        *[
-            (
-                F.coalesce(F.col(f"sum_{c}"), F.lit(0).cast(DEC))
-                + F.coalesce(F.col(f"d_{c}"), F.lit(0).cast(DEC))
-            ).cast(DEC).alias(f"sum_{c}")
-            for c in sum_cols
-        ],
+    ] + [
+        (
+            F.coalesce(F.col(f"sum_{c}"), F.lit(0).cast(DEC))
+            + F.coalesce(F.col(f"d_{c}"), F.lit(0).cast(DEC))
+        ).cast(DEC).alias(f"sum_{c}")
+        for c in sum_cols
+    ]
+    for c in minmax_cols:
+        out_cols += [
+            F.least(F.col(f"min_{c}"), F.col(f"d_min_{c}")).alias(f"min_{c}"),
+            F.greatest(F.col(f"max_{c}"), F.col(f"d_max_{c}")).alias(
+                f"max_{c}"
+            ),
+        ]
+    merged = state.join(deltas, group_cols, "full_outer").select(
+        *group_cols, *out_cols
     )
     return merged.filter(F.col("n_rows") > 0)
 
@@ -103,17 +125,20 @@ def create(
     group_cols: list[str],
     sum_cols: list[str],
     key_col: str,
+    minmax_cols: list[str] = (),
 ) -> int:
     """Materialize the aggregate view from the CURRENT base snapshot
     and pin its definition. Returns the view's snapshot version (0).
 
     ``key_col`` is the base table's row identity — what snapshot_diff
-    keys the change feed on during refresh."""
+    keys the change feed on during refresh. ``minmax_cols`` adds exact
+    per-group min/max maintenance (non-retractable: refresh repairs
+    retraction-touched groups with a pruned recompute)."""
     base_version = versioned.current_version(spark, base_dir)
     if base_version is None:
         raise FileNotFoundError(f"base table has no snapshot: {base_dir}")
     base = versioned.read_snapshot(spark, base_dir, base_version)
-    state = _aggregate(base, group_cols, sum_cols)
+    state = _aggregate(base, group_cols, sum_cols, minmax_cols)
     v = versioned.write_snapshot(
         spark, state, view_dir, note=f"matview full @ base v{base_version}"
     )
@@ -126,6 +151,7 @@ def create(
                 "key_col": key_col,
                 "group_cols": group_cols,
                 "sum_cols": sum_cols,
+                "minmax_cols": list(minmax_cols),
                 "base_version": base_version,
             }
         ),
@@ -150,6 +176,7 @@ def refresh(spark: SparkSession, view_dir: str) -> dict:
             "groups_touched": 0,
         }
     group_cols, sum_cols = m["group_cols"], m["sum_cols"]
+    minmax_cols = m.get("minmax_cols", [])
     diff = versioned.snapshot_diff(
         spark,
         m["base_dir"],
@@ -164,15 +191,24 @@ def refresh(spark: SparkSession, view_dir: str) -> dict:
     # retractions: -1/-value under the OLD row's group (deletes+updates).
     # A group-moving update thus contributes to both groups — correct by
     # construction.
+    # Min/max assertion extremes ride along as NULL on retraction rows
+    # (F.min/max skip nulls), so a retraction-only group folds its
+    # min/max unchanged — and is then repaired below.
+    diff_types = dict(diff.dtypes)
     assert_rows = diff.filter(F.col("change") != "delete").select(
         *[F.col(c) for c in group_cols],
         F.lit(1).cast("bigint").alias("d_n"),
         *[F.col(c).cast(DEC).alias(f"d_{c}") for c in sum_cols],
+        *[F.col(c).alias(f"mm_{c}") for c in minmax_cols],
     )
     retract_rows = diff.filter(F.col("change") != "insert").select(
         *[F.col(f"old_{c}").alias(c) for c in group_cols],
         F.lit(-1).cast("bigint").alias("d_n"),
         *[(-F.col(f"old_{c}").cast(DEC)).alias(f"d_{c}") for c in sum_cols],
+        *[
+            F.lit(None).cast(diff_types[c]).alias(f"mm_{c}")
+            for c in minmax_cols
+        ],
     )
     deltas = (
         assert_rows.unionByName(retract_rows)
@@ -183,12 +219,58 @@ def refresh(spark: SparkSession, view_dir: str) -> dict:
                 F.sum(f"d_{c}").cast(DEC).alias(f"d_{c}")
                 for c in sum_cols
             ],
+            *[
+                agg
+                for c in minmax_cols
+                for agg in (
+                    F.min(f"mm_{c}").alias(f"d_min_{c}"),
+                    F.max(f"mm_{c}").alias(f"d_max_{c}"),
+                )
+            ],
         )
     )
     n_groups = deltas.count()
 
     state = versioned.read_snapshot(spark, view_dir)
-    new_state = fold_state(state, deltas, group_cols, sum_cols)
+    new_state = fold_state(state, deltas, group_cols, sum_cols, minmax_cols)
+    if minmax_cols:
+        # Retractions can delete a group's reigning extreme — no fold
+        # recovers that. Repair: recompute min/max from the CURRENT
+        # base snapshot for ONLY the retraction-touched groups (pruned
+        # semi join — O(touched groups' rows), never a full rescan).
+        touched = retract_rows.select(*group_cols).distinct()
+        base_now = versioned.read_snapshot(spark, m["base_dir"], base_to)
+        repaired = (
+            base_now.join(F.broadcast(touched), group_cols, "left_semi")
+            .groupBy(*group_cols)
+            .agg(
+                *[
+                    agg
+                    for c in minmax_cols
+                    for agg in (
+                        F.min(c).alias(f"r_min_{c}"),
+                        F.max(c).alias(f"r_max_{c}"),
+                    )
+                ]
+            )
+        )
+        new_state = new_state.join(repaired, group_cols, "left").select(
+            *group_cols,
+            "n_rows",
+            *[F.col(f"sum_{c}") for c in sum_cols],
+            *[
+                col
+                for c in minmax_cols
+                for col in (
+                    F.coalesce(F.col(f"r_min_{c}"), F.col(f"min_{c}")).alias(
+                        f"min_{c}"
+                    ),
+                    F.coalesce(F.col(f"r_max_{c}"), F.col(f"max_{c}")).alias(
+                        f"max_{c}"
+                    ),
+                )
+            ],
+        )
     versioned.write_snapshot(
         spark,
         new_state,
@@ -225,4 +307,6 @@ def recompute(spark: SparkSession, view_dir: str) -> DataFrame:
     bit-equality of the decimal sums)."""
     m = _read_manifest(spark, view_dir)
     base = versioned.read_snapshot(spark, m["base_dir"])
-    return _aggregate(base, m["group_cols"], m["sum_cols"])
+    return _aggregate(
+        base, m["group_cols"], m["sum_cols"], m.get("minmax_cols", [])
+    )

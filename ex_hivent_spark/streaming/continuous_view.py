@@ -54,11 +54,15 @@ class ContinuousAggregateView:
         view_dir: str,
         group_cols: list[str],
         sum_cols: list[str],
+        minmax_cols: list[str] = (),
     ):
         self.spark = spark
         self.view_dir = view_dir
         self.group_cols = group_cols
         self.sum_cols = sum_cols
+        # Append-only streams produce only assertions, so the monotonic
+        # least/greatest fold is always sound here — no repair pass.
+        self.minmax_cols = list(minmax_cols)
 
     def _committed_batch(self) -> int:
         """The batch id fenced by the committed head snapshot, or -1."""
@@ -79,20 +83,27 @@ class ContinuousAggregateView:
     def _fold_batch(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id <= self._committed_batch():
             return  # checkpoint replay of an already-committed fold
-        deltas = (
-            matview._aggregate(batch, self.group_cols, self.sum_cols)
-            .withColumnRenamed("n_rows", "d_n")
-        )
+        deltas = matview._aggregate(
+            batch, self.group_cols, self.sum_cols, self.minmax_cols
+        ).withColumnRenamed("n_rows", "d_n")
         for c in self.sum_cols:
             deltas = deltas.withColumnRenamed(f"sum_{c}", f"d_{c}")
+        for c in self.minmax_cols:
+            deltas = deltas.withColumnRenamed(
+                f"min_{c}", f"d_min_{c}"
+            ).withColumnRenamed(f"max_{c}", f"d_max_{c}")
         if versioned.current_version(self.spark, self.view_dir) is None:
             new_state = matview._aggregate(
-                batch, self.group_cols, self.sum_cols
+                batch, self.group_cols, self.sum_cols, self.minmax_cols
             )
         else:
             state = versioned.read_snapshot(self.spark, self.view_dir)
             new_state = matview.fold_state(
-                state, deltas, self.group_cols, self.sum_cols
+                state,
+                deltas,
+                self.group_cols,
+                self.sum_cols,
+                self.minmax_cols,
             )
         versioned.write_snapshot(
             self.spark,

@@ -113,3 +113,33 @@ def test_state_history_is_time_travelable(spark, tmp_path):
     v1 = versioned.read_snapshot(spark, f"{tmp_path}/view", 1)
     assert v0.agg(F.sum("n_rows")).first()[0] == 1
     assert v1.agg(F.sum("n_rows")).first()[0] == 2
+
+
+def test_streaming_minmax_folds_monotonically(spark, tmp_path):
+    """Append-only batches fold min/max with least/greatest — across
+    two batches the state must equal the batch aggregate of all data,
+    extremes included."""
+    import os
+
+    from ex_hivent_spark.streaming.continuous_view import (
+        ContinuousAggregateView,
+    )
+
+    os.makedirs(f"{tmp_path}/src", exist_ok=True)
+    view = ContinuousAggregateView(
+        spark, f"{tmp_path}/view", ["cat"], ["val"], minmax_cols=["val"]
+    )
+    stream = spark.readStream.schema(SCHEMA).json(f"{tmp_path}/src")
+    _write_file(tmp_path, "a.json", [("x", 5.0), ("x", 1.0), ("y", 3.0)])
+    q = view.start(stream, f"{tmp_path}/chk")
+    try:
+        q.processAllAvailable()
+        _write_file(tmp_path, "b.json", [("x", 9.5), ("x", 0.25)])
+        q.processAllAvailable()
+        all_df = spark.read.schema(SCHEMA).json(f"{tmp_path}/src")
+        want = _rows(matview._aggregate(all_df, ["cat"], ["val"], ["val"]))
+        assert _rows(view.read()) == want
+        row = view.read().filter(F.col("cat") == "x").first()
+        assert row["min_val"] == 0.25 and row["max_val"] == 9.5
+    finally:
+        q.stop()

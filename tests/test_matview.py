@@ -203,3 +203,97 @@ def test_seeded_random_churn_parity(spark, sf_dir, tmp_path):
         assert _rows(versioned.read_snapshot(spark, view_dir)) == _rows(
             matview.recompute(spark, view_dir)
         ), f"state diverged from recompute at churn round {rnd}"
+
+
+def _setup_minmax(spark, sf_dir, tmp_path):
+    base_dir = f"{tmp_path}/base"
+    view_dir = f"{tmp_path}/view"
+    versioned.write_snapshot(spark, _base_v0(spark, sf_dir), base_dir)
+    matview.create(
+        spark,
+        base_dir,
+        view_dir,
+        group_cols=["o_orderstatus"],
+        sum_cols=["o_totalprice"],
+        key_col="o_orderkey",
+        minmax_cols=["o_totalprice"],
+    )
+    return base_dir, view_dir
+
+
+def test_minmax_create_matches_recompute(spark, sf_dir, tmp_path):
+    _, view_dir = _setup_minmax(spark, sf_dir, tmp_path)
+    state = versioned.read_snapshot(spark, view_dir)
+    assert "min_o_totalprice" in state.columns
+    assert _rows(state) == _rows(matview.recompute(spark, view_dir))
+
+
+def test_minmax_survives_deleting_the_extreme(spark, sf_dir, tmp_path):
+    """Delete the reigning max row of one group — the monotonic fold
+    cannot lower the stored max, so this exercises the pruned-repair
+    path, which must land exactly on the recompute."""
+    base_dir, view_dir = _setup_minmax(spark, sf_dir, tmp_path)
+    v0 = versioned.read_snapshot(spark, base_dir, 0)
+    # the single row holding the global max price
+    top = v0.orderBy(F.col("o_totalprice").desc(), "o_orderkey").first()
+    versioned.write_snapshot(
+        spark, v0.filter(F.col("o_orderkey") != top["o_orderkey"]), base_dir
+    )
+    report = matview.refresh(spark, view_dir)
+    assert report["mode"] == "incremental"
+    state = versioned.read_snapshot(spark, view_dir)
+    assert _rows(state) == _rows(matview.recompute(spark, view_dir))
+    # and the stored max really dropped below the deleted row's value
+    grp_max = state.filter(
+        F.col("o_orderstatus") == top["o_orderstatus"]
+    ).first()["max_o_totalprice"]
+    assert grp_max < top["o_totalprice"]
+
+
+def test_minmax_insert_only_folds_monotonically(spark, sf_dir, tmp_path):
+    base_dir, view_dir = _setup_minmax(spark, sf_dir, tmp_path)
+    v0 = versioned.read_snapshot(spark, base_dir, 0)
+    inserts = spark.createDataFrame(
+        [(10_000_001, "O", 999999.0), (10_000_002, "O", 0.01)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    versioned.write_snapshot(spark, v0.unionByName(inserts), base_dir)
+    matview.refresh(spark, view_dir)
+    state = versioned.read_snapshot(spark, view_dir)
+    assert _rows(state) == _rows(matview.recompute(spark, view_dir))
+    row = state.filter(F.col("o_orderstatus") == "O").first()
+    assert row["max_o_totalprice"] == 999999.0
+    assert row["min_o_totalprice"] == 0.01
+
+
+def test_minmax_seeded_churn_parity(spark, sf_dir, tmp_path):
+    """Three rounds of churn that mix deletes of extremes, group moves,
+    and inserts — every refresh must equal the recompute bit-exactly,
+    min/max included."""
+    import random
+
+    base_dir, view_dir = _setup_minmax(spark, sf_dir, tmp_path)
+    rng = random.Random(7)
+    next_key = 30_000_000
+    for rnd in range(3):
+        cur = versioned.read_snapshot(spark, base_dir)
+        del_mod = rng.choice([4, 6, 9])
+        changed = (
+            cur.filter(F.col("o_orderkey") % del_mod != 0)
+            .withColumn(
+                "o_orderstatus",
+                F.when(
+                    F.col("o_orderkey") % 10 == 1, F.lit(f"M{rnd}")
+                ).otherwise(F.col("o_orderstatus")),
+            )
+        )
+        inserts = spark.createDataFrame(
+            [(next_key, "O", round(rng.uniform(0, 1e6), 2))],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        next_key += 1
+        versioned.write_snapshot(spark, changed.unionByName(inserts), base_dir)
+        matview.refresh(spark, view_dir)
+        assert _rows(versioned.read_snapshot(spark, view_dir)) == _rows(
+            matview.recompute(spark, view_dir)
+        ), f"min/max state diverged at churn round {rnd}"
