@@ -29,6 +29,17 @@ def canon(cols, rows):
 
 
 def main() -> int:
+    # Pin the process timezone BEFORE the JVM/duckdb start: pyspark's
+    # collect() renders TimestampType through datetime.fromtimestamp —
+    # the OS-local timezone — so a non-UTC TZ shifts every timestamp
+    # output relative to DuckDB's naive values (a local-harness
+    # artifact only: these queries are driver-green across rounds, so
+    # the real driver runs UTC-like). Pinning makes the pre-flight
+    # reproducible on any machine.
+    import time as _time
+
+    os.environ["TZ"] = "UTC"
+    _time.tzset()
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
     if "--sf" in args:
