@@ -1126,14 +1126,21 @@ def q_llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     in production it is the held-out human/benchmark label set joined
     on doc_id — same plan.
 
-    Plan: the classifier's map-stage score, ONE global sort for ranks
-    (at petabyte scale ranks come from a two-pass histogram cut; the
-    statistic is unchanged), a per-score window for tie averaging, and
-    two tiny aggregates. Determinism: ranks are integers, tie-averaged
-    ranks are exact half-integers (sums of halves are exact in
-    doubles, so even the plain SUM is order-independent), and every
-    metric is a single final division — hash-exact, no tolerance."""
-    from pyspark.sql.window import Window
+    Plan: the classifier's map-stage score collapses to ONE row per
+    DISTINCT score (hash aggregate — this is the "histogram" of the
+    two-pass histogram-cut rank), then the tie-averaged rank of each
+    score bucket derives from the exact global running row count over
+    the score order: arank = rows_below + (bucket_size + 1)/2. The
+    running count comes from operators/prefix.running_totals — range
+    exchange + pid-partitioned window + a #partitions-row offset
+    pre-pass — so NO single-partition window anywhere: the old global
+    row_number funneled the whole corpus through one task. Determinism:
+    bucket counts are integers, aranks exact half-integers (sums of
+    halves are exact in doubles, so even the plain SUM is
+    order-independent), every metric one final division — hash-exact,
+    identical to the row-level Mann-Whitney statistic by algebra
+    (ranks below+1..below+cnt have mean below+(cnt+1)/2)."""
+    from ex_hivent_spark.operators.prefix import running_totals
 
     d = load_table(spark, sf_dir, "documents")
     labeled = d.select(
@@ -1141,20 +1148,25 @@ def q_llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qc_probability().alias("p"),
         (F.col("n_chars") >= _EVAL_TRUTH_CHARS).alias("y"),
     )
-    rn = F.row_number().over(Window.orderBy("p", "doc_id"))
-    ranked = labeled.select("y", "p", rn.alias("rn"))
-    tie_w = Window.partitionBy("p")
-    arank = (
-        F.sum("rn").over(tie_w).cast("double")
-        / F.count(F.lit(1)).over(tie_w)
+    buckets = labeled.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos_cnt"),
     )
-    avg_ranked = ranked.select("y", "p", arank.alias("arank"))
-    agg = avg_ranked.agg(
+    cum = running_totals(buckets, ["p"], {"cnt": "cum_cnt"})
+    arank = (
+        (F.col("cum_cnt") - F.col("cnt")).cast("double")
+        + (F.col("cnt") + 1).cast("double") / 2
+    )
+    rank_agg = cum.agg(
+        F.sum(F.col("pos_cnt").cast("double") * arank).alias(
+            "pos_rank_sum"
+        )
+    )
+    conf = labeled.agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
         F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("n_neg"),
-        F.sum(F.when(F.col("y"), F.col("arank")).otherwise(0.0)).alias(
-            "pos_rank_sum"
-        ),
         F.sum(
             F.when(F.col("y") & (F.col("p") >= 0.5), 1).otherwise(0)
         ).alias("tp"),
@@ -1168,6 +1180,7 @@ def q_llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("y") & (F.col("p") < 0.5), 1).otherwise(0)
         ).alias("tn"),
     )
+    agg = conf.crossJoin(F.broadcast(rank_agg))  # two one-row frames
     tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
     n_pos, n_neg = F.col("n_pos"), F.col("n_neg")
     return agg.select(

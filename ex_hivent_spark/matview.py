@@ -37,8 +37,10 @@ incremental aggregates).
 from __future__ import annotations
 
 import json
+import re
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ex_hivent_spark import fsutil
@@ -54,6 +56,21 @@ def _manifest_path(view_dir: str) -> str:
 
 def _read_manifest(spark: SparkSession, view_dir: str) -> dict:
     return json.loads(fsutil.read_text_file(spark, _manifest_path(view_dir)))
+
+
+def _null_safe_on(
+    left: DataFrame, right: DataFrame, group_cols: list[str]
+) -> Column:
+    """Null-safe equi-join condition over the group key. A NULL group
+    key is a legal GROUP BY group; plain ``=`` never matches NULL to
+    NULL, so a null-keyed state row and its delta would survive as two
+    separate rows and the fold would silently diverge from recompute().
+    Every state<->delta join in this module therefore uses eqNullSafe
+    (Spark plans it as a hash join on the key, same shuffle shape)."""
+    return reduce(
+        lambda a, b: a & b,
+        [left[c].eqNullSafe(right[c]) for c in group_cols],
+    )
 
 
 def _aggregate(
@@ -112,8 +129,14 @@ def fold_state(
                 f"max_{c}"
             ),
         ]
-    merged = state.join(deltas, group_cols, "full_outer").select(
-        *group_cols, *out_cols
+    s, d = state.alias("s"), deltas.alias("d")
+    key_cols = [
+        F.coalesce(s[c], d[c]).alias(c) for c in group_cols
+    ]  # coalesce is key-identity here: sides only both-match when
+    # eqNullSafe-equal, and a NULL key coalesces from whichever side
+    # is present
+    merged = s.join(d, _null_safe_on(s, d, group_cols), "full_outer").select(
+        *key_cols, *out_cols
     )
     return merged.filter(F.col("n_rows") > 0)
 
@@ -159,13 +182,52 @@ def create(
     return v
 
 
+_NOTE_RE = re.compile(r"matview (?:full @ base |incremental base v\d+->)v(\d+)")
+
+
+def _committed_base_version(spark: SparkSession, view_dir: str) -> int | None:
+    """The base version the COMMITTED view head actually reflects,
+    recovered from the head snapshot's note ("matview full @ base vN"
+    / "matview incremental base vA->vB"). This — not the separately
+    written _MATVIEW.json — is the crash-safe source of truth: the
+    state snapshot and the manifest update are two writes, and a crash
+    between them would otherwise make the next refresh re-apply the
+    same diff and double-count. Returns None for a head whose note
+    doesn't parse (pre-convention snapshot)."""
+    head = versioned.current_version(spark, view_dir)
+    if head is None:
+        return None
+    mpath = f"{view_dir}/v={head}/{versioned.MANIFEST}"
+    if not fsutil.exists(spark, mpath):
+        return None
+    note = json.loads(fsutil.read_text_file(spark, mpath)).get("note", "")
+    match = _NOTE_RE.match(note)
+    return int(match.group(1)) if match else None
+
+
 def refresh(spark: SparkSession, view_dir: str) -> dict:
     """Fold the base table's changes since the last refresh into the
     view state — O(|diff|), no base rescan. Returns a refresh report
     ``{mode, base_from, base_to, changes, groups_touched}``; ``mode``
-    is "noop" when the base hasn't moved."""
+    is "noop" when the base hasn't moved.
+
+    Crash safety: the state snapshot commit (pointer rename) and the
+    _MATVIEW.json base_version update are two separate writes. The
+    committed head's note encodes the base version it reflects, so
+    refresh fences on THAT — if the manifest lags (crash between the
+    two writes), the note wins and the manifest is healed instead of
+    double-applying the diff."""
     m = _read_manifest(spark, view_dir)
     base_from = m["base_version"]
+    committed = _committed_base_version(spark, view_dir)
+    if committed is not None and committed != base_from:
+        # Manifest lags the committed state (crash after snapshot
+        # commit, before manifest write). Trust the snapshot.
+        base_from = committed
+        m["base_version"] = committed
+        fsutil.write_text_file(
+            spark, _manifest_path(view_dir), json.dumps(m)
+        )
     base_to = versioned.current_version(spark, m["base_dir"])
     if base_to == base_from:
         return {
@@ -241,7 +303,11 @@ def refresh(spark: SparkSession, view_dir: str) -> dict:
         touched = retract_rows.select(*group_cols).distinct()
         base_now = versioned.read_snapshot(spark, m["base_dir"], base_to)
         repaired = (
-            base_now.join(F.broadcast(touched), group_cols, "left_semi")
+            base_now.join(
+                F.broadcast(touched),
+                _null_safe_on(base_now, touched, group_cols),
+                "left_semi",
+            )
             .groupBy(*group_cols)
             .agg(
                 *[
@@ -254,8 +320,11 @@ def refresh(spark: SparkSession, view_dir: str) -> dict:
                 ]
             )
         )
-        new_state = new_state.join(repaired, group_cols, "left").select(
-            *group_cols,
+        ns, rp = new_state.alias("ns"), repaired.alias("rp")
+        new_state = ns.join(
+            rp, _null_safe_on(ns, rp, group_cols), "left"
+        ).select(
+            *[ns[c] for c in group_cols],
             "n_rows",
             *[F.col(f"sum_{c}") for c in sum_cols],
             *[

@@ -533,18 +533,22 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one hash aggregate with map-side partial combine (a frequency
     count stream is exactly what partial aggregation compresses best —
-    hot keys collapse within each map task), then TakeOrdered over the
-    |keys|-row counts frame for the top-20. At 100 TB only (key, count)
-    pairs shuffle and the rank never sees more than |keys| rows."""
+    hot keys collapse within each map task), then orderBy().limit(20),
+    which Spark plans as TakeOrderedAndProject: each task keeps only
+    its local top-20 (key, count) pairs and the driver merges — no
+    global sort, no single-partition shuffle of the |keys|-row counts
+    frame. The row_number window that assigns rn runs AFTER the limit,
+    over exactly 20 rows, so its single partition is bounded by the
+    report size, not the key cardinality."""
     li = load_table(spark, sf_dir, "lineitem")
     total = li.count()  # one scalar; reused as a literal
     c = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_items")
     )
-    w = Window.orderBy(F.col("n_items").desc(), "l_partkey")
+    top = c.orderBy(F.col("n_items").desc(), "l_partkey").limit(20)
+    w = Window.orderBy(F.col("n_items").desc(), "l_partkey")  # 20 rows
     return (
-        c.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        top.withColumn("rn", F.row_number().over(w))
         .select(
             "l_partkey",
             "n_items",

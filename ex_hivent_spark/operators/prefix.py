@@ -1,0 +1,111 @@
+"""Distributed exact prefix sums / ranks — the partition-offset
+technique that replaces single-partition global windows.
+
+A `Window.orderBy(...)` with no partitionBy funnels the ENTIRE input
+through one task: fine at test SF, fatal at 100 TB (Spark even warns).
+But a global running total over a total order decomposes exactly:
+
+1. range-partition the rows by the order key (each partition owns a
+   contiguous key range, ranges ascend with partition id),
+2. compute ordinary per-partition running sums with a window
+   PARTITIONED by the physical partition id (distributed — each
+   partition's window state is only its own rows),
+3. compute each partition's total in one hash aggregate — a
+   #partitions-row frame, collected to the driver and turned into
+   per-partition OFFSETS (sum of all earlier partitions' totals),
+4. global running value = offset + local running value.
+
+The collect in step 3 is #shuffle-partitions rows (a few KB at any
+scale) — the same "tiny pre-pass feeding literals" pattern the repo
+uses for percentile bounds. Everything row-sized stays distributed.
+
+Exactness: the decomposition is algebraic, not approximate — the
+result is bit-identical to the single-partition window as long as the
+order columns form a TOTAL order (callers must include a tiebreaker;
+with duplicate keys the intra-tie order, and hence any row-numbered
+output, would be nondeterministic in EITHER formulation).
+
+Pinning: the range exchange samples the key distribution to pick
+bounds, and ``spark_partition_id()`` is evaluated per task — so the
+partitioned frame is local-checkpointed before fan-out, ensuring the
+offset aggregate and the windowed frame see the SAME partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID = "__prefix_pid"
+
+
+def running_totals(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: dict[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach exact global inclusive running sums over a total order.
+
+    ``order_cols`` must totally order ``df`` (include a tiebreaker).
+    ``sum_cols`` maps input column -> output running-total column; the
+    running total for a row includes that row's own value. A global
+    row rank is the running total of a literal-1 column.
+
+    Plan shape: one range exchange + one pid-partitioned window + one
+    #partitions-row aggregate (collected) — no single-partition stage.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parts = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin sampled bounds + pids
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.select(
+        "*",
+        *[
+            F.sum(src).over(w).alias(f"__local_{src}")
+            for src in sum_cols
+        ],
+    )
+    tot_df = parts.groupBy(_PID).agg(
+        *[F.sum(src).alias(src) for src in sum_cols]
+    )
+    # integral sums stay exact bigints; anything else rides as double
+    # (decimal callers should pre-round — document, don't guess scale)
+    integral = {
+        src: dict(tot_df.dtypes)[src] in ("bigint", "int", "smallint")
+        for src in sum_cols
+    }
+    totals = tot_df.collect()  # ≤ n rows — the only driver-side step
+    offsets: list[tuple] = []
+    acc: dict[str, float | int] = {
+        src: (0 if integral[src] else 0.0) for src in sum_cols
+    }
+    for row in sorted(totals, key=lambda r: r[_PID]):
+        offsets.append((row[_PID], *[acc[src] for src in sum_cols]))
+        for src in sum_cols:
+            acc[src] += row[src] or 0
+    off_schema = ", ".join(
+        [f"{_PID} int"]
+        + [
+            f"__off_{src} {'bigint' if integral[src] else 'double'}"
+            for src in sum_cols
+        ]
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)
+    out = local.join(F.broadcast(off_df), _PID)
+    for src, dst in sum_cols.items():
+        out = out.withColumn(
+            dst, F.col(f"__off_{src}") + F.col(f"__local_{src}")
+        ).drop(f"__local_{src}", f"__off_{src}")
+    return out.drop(_PID)

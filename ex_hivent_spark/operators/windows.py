@@ -1181,9 +1181,15 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM led
     )
     SELECT n_hours,
-           {sql_dround("num0 / sqrt(da * db)", 6)} AS xcorr_lag0,
-           {sql_dround("num1 / sqrt(da * db)", 6)} AS xcorr_lag1,
-           {sql_dround("num2 / sqrt(da * db)", 6)} AS xcorr_lag2
+           CASE WHEN da * db <> 0
+                THEN {sql_dround("num0 / sqrt(da * db)", 6)} END
+             AS xcorr_lag0,
+           CASE WHEN da * db <> 0
+                THEN {sql_dround("num1 / sqrt(da * db)", 6)} END
+             AS xcorr_lag1,
+           CASE WHEN da * db <> 0
+                THEN {sql_dround("num2 / sqrt(da * db)", 6)} END
+             AS xcorr_lag2
     FROM sums
     """,
 )
@@ -1257,10 +1263,19 @@ def q_ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         mom(F.col("b1"), "num1"),
         mom(F.col("b2"), "num2"),
     )
+    # Zero-variance guard (mirrors q_ts_acf): a constant series makes
+    # da*db = 0 — Spark's non-ANSI divide would yield NULL while
+    # DuckDB's IEEE float divide yields inf/nan, so BOTH sides guard
+    # explicitly and agree on NULL for the degenerate case.
     den = F.sqrt(F.col("da") * F.col("db"))
+    var_ok = F.col("da") * F.col("db") != 0
+
+    def ratio(num):
+        return F.when(var_ok, dround(F.col(num) / den, 6))
+
     return sums.select(
         "n_hours",
-        dround(F.col("num0") / den, 6).alias("xcorr_lag0"),
-        dround(F.col("num1") / den, 6).alias("xcorr_lag1"),
-        dround(F.col("num2") / den, 6).alias("xcorr_lag2"),
+        ratio("num0").alias("xcorr_lag0"),
+        ratio("num1").alias("xcorr_lag1"),
+        ratio("num2").alias("xcorr_lag2"),
     )

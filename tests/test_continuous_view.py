@@ -143,3 +143,40 @@ def test_streaming_minmax_folds_monotonically(spark, tmp_path):
         assert row["min_val"] == 0.25 and row["max_val"] == 9.5
     finally:
         q.stop()
+
+
+def test_new_checkpoint_restart_is_not_fenced_out(spark, tmp_path):
+    """Restarting the stream with a NEW checkpoint directory resets
+    batch ids to 0. A bare batch-id fence would silently drop every
+    restarted batch whose id is <= the old fence (data loss); the
+    (query identity, batch id) pair fence must fold them instead."""
+    import os
+
+    view, stream = _make(spark, tmp_path)
+    _write_file(tmp_path, "a.json", [("x", 1.0)])
+    _write_file(tmp_path, "b.json", [("x", 2.0)])
+    q = view.start(stream, f"{tmp_path}/chk1")
+    q.processAllAvailable()
+    q.stop()
+    committed = versioned.current_version(spark, f"{tmp_path}/view")
+    assert committed is not None  # fence is now at some batch id >= 0
+
+    # new source file, NEW checkpoint -> batch ids restart from 0
+    os.makedirs(f"{tmp_path}/src2", exist_ok=True)
+    with open(f"{tmp_path}/src2/c.json", "w") as f:
+        f.write(json.dumps({"cat": "y", "val": 7.5}) + "\n")
+    stream2 = spark.readStream.schema(SCHEMA).json(f"{tmp_path}/src2")
+    q2 = view.start(stream2, f"{tmp_path}/chk2")
+    q2.processAllAvailable()
+    q2.stop()
+
+    state = view.read()
+    assert state.filter(F.col("cat") == "y").count() == 1  # not dropped
+    got_sum = state.agg(F.sum("n_rows")).first()[0]
+    assert got_sum == 3  # 2 from the first query + 1 from the restart
+
+    # and a true replay under the SAME identity still fences
+    replay = spark.createDataFrame([("y", 7.5)], SCHEMA)
+    before = _rows(view.read())
+    view._fold_batch(replay, 0)  # chk2 already committed batch 0
+    assert _rows(view.read()) == before

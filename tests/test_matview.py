@@ -297,3 +297,74 @@ def test_minmax_seeded_churn_parity(spark, sf_dir, tmp_path):
         assert _rows(versioned.read_snapshot(spark, view_dir)) == _rows(
             matview.recompute(spark, view_dir)
         ), f"min/max state diverged at churn round {rnd}"
+
+
+def test_refresh_heals_lagging_manifest_no_double_count(
+    spark, sf_dir, tmp_path
+):
+    """Crash between the state-snapshot commit and the _MATVIEW.json
+    update: the manifest still names the OLD base version while the
+    committed head already folded the diff. A naive refresh would
+    re-apply the same diff and double-count; refresh must instead
+    recover base_from from the head snapshot's note and heal the
+    manifest."""
+    import json as _json
+
+    from ex_hivent_spark import fsutil
+
+    base_dir, view_dir = _setup(spark, sf_dir, tmp_path)
+    v0 = versioned.read_snapshot(spark, base_dir, 0)
+    versioned.write_snapshot(
+        spark, v0.filter(F.col("o_orderkey") % 2 == 0), base_dir
+    )
+    matview.refresh(spark, view_dir)
+
+    # simulate the crash: rewind the manifest's base_version to 0
+    mpath = f"{view_dir}/{matview.MANIFEST}"
+    m = _json.loads(fsutil.read_text_file(spark, mpath))
+    assert m["base_version"] == 1
+    m["base_version"] = 0
+    fsutil.write_text_file(spark, mpath, _json.dumps(m))
+
+    report = matview.refresh(spark, view_dir)
+    # head note says the diff v0->v1 is already folded -> noop, healed
+    assert report["mode"] == "noop"
+    assert report["base_from"] == 1
+    m2 = _json.loads(fsutil.read_text_file(spark, mpath))
+    assert m2["base_version"] == 1
+    assert _rows(versioned.read_snapshot(spark, view_dir)) == _rows(
+        matview.recompute(spark, view_dir)
+    )
+
+
+def test_null_group_key_folds_exactly(spark, sf_dir, tmp_path):
+    """A NULL group key is a legal GROUP BY group. The state<->delta
+    joins must match NULL keys null-safely or the null group's state
+    and delta rows survive separately and diverge from recompute."""
+    base_dir = f"{tmp_path}/base"
+    view_dir = f"{tmp_path}/view"
+    v0 = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "A", 5.0), (4, "A", 7.0)],
+        "k long, g string, x double",
+    )
+    versioned.write_snapshot(spark, v0, base_dir)
+    matview.create(
+        spark, base_dir, view_dir,
+        group_cols=["g"], sum_cols=["x"], key_col="k",
+        minmax_cols=["x"],
+    )
+    # churn touching the NULL group: delete one null-group row (its
+    # reigning max), insert another, update the A group
+    v1 = spark.createDataFrame(
+        [(2, None, 20.0), (5, None, 1.0), (3, "A", 6.0), (4, "A", 7.0)],
+        "k long, g string, x double",
+    )
+    versioned.write_snapshot(spark, v1, base_dir)
+    report = matview.refresh(spark, view_dir)
+    assert report["mode"] == "incremental"
+    state = versioned.read_snapshot(spark, view_dir)
+    assert _rows(state) == _rows(matview.recompute(spark, view_dir))
+    null_row = state.filter(F.col("g").isNull()).collect()
+    assert len(null_row) == 1  # ONE null-group row, not two
+    assert null_row[0]["n_rows"] == 2
+    assert null_row[0]["max_x"] == 20.0
