@@ -170,7 +170,38 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # Robustness against tail-only output capture: the driver records
+    # only the LAST 2000 characters of stdout (BENCH_r05.json's tail
+    # field), and with 100 headline queries the full one-line JSON is
+    # ~3 KB — r5's record lost its parsed object to exactly that.
+    # So: (1) per-query times stream out first, one short line each,
+    # (2) the FULL record goes to BENCH_FULL.json next to this script
+    # (committed per round), and (3) the final printed line keeps the
+    # mandated schema but includes only as many per-query entries as
+    # fit a 1800-char line (HEADLINE order, so the r1-era comparable
+    # core always survives), with the overflow counted.
+    for name, t in times.items():
+        print(f"# {name} {t}")
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the printed lines are the record
+    line_out = dict(out)
+    kept: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in times:
+            continue
+        trial = {**line_out, "queries": {**kept, name: times[name]}}
+        if len(json.dumps(trial, separators=(",", ":"))) > 1800:
+            break
+        kept[name] = times[name]
+    line_out["queries"] = kept
+    if len(kept) < len(times):
+        line_out["queries_omitted"] = len(times) - len(kept)
+        line_out["full_record"] = "BENCH_FULL.json"
+    print(json.dumps(line_out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -557,22 +557,24 @@ def q_llm_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     were the only headline floats skipping the repo's decimals
     convention), and the oracle's token sum is CAST(... AS BIGINT) so
     DuckDB's HUGEINT sum type can't diverge from Spark's BIGINT."""
-    from pyspark.sql import Window
-
     d = load_table(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("total_tokens"),
         davg("n_chars", "avg_chars"),
     )
-    return per.select(
+    # Grand total as a broadcast one-row aggregate, NOT an empty-spec
+    # window: the window form funnels the whole |domains| frame through
+    # one task, while the scalar agg stays partially-aggregated and
+    # distributed at any domain cardinality.
+    total = per.agg(F.sum("n_docs").alias("__corpus_docs"))
+    return per.crossJoin(F.broadcast(total)).select(
         "source",
         "n_docs",
         "total_tokens",
         dround(F.col("avg_chars"), 6).alias("avg_chars"),
         dround(
-            F.col("n_docs").cast("double")
-            / F.sum("n_docs").over(Window.partitionBy()),
+            F.col("n_docs").cast("double") / F.col("__corpus_docs"),
             6,
         ).alias("corpus_share"),
         (F.col("n_docs") < DOMAIN_MIN_DOCS).alias("flagged"),

@@ -104,10 +104,17 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
+    from ex_hivent_spark.planner import stats_broadcast
+
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = stats_broadcast(spark, sf_dir, "nation")
+    r = stats_broadcast(
+        spark,
+        sf_dir,
+        "region",
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -116,8 +123,8 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(dsum(_revenue(), "revenue"))
     )
@@ -373,14 +380,43 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gap detection: missing ranges in the event_id
     sequence (the dropped-message audit every at-least-once pipeline
-    runs). Single global-ordered lead window — at scale this would be
-    range-partitioned by id block first; the operator shape (islands
-    detection) is identical."""
+    runs).
+
+    Plan: range-partition the ids, then the consecutive-pair lead runs
+    PER PARTITION (each id range is contiguous, so within-partition
+    gaps are ordinary partitioned-window work), and the only
+    cross-partition information needed is each partition's (min, max)
+    — a #partitions-row aggregate collected and stitched driver-side
+    into the boundary gaps. No single-partition window over the event
+    stream anywhere; identical output to the global-ordered lead by
+    construction (every consecutive id pair is either within one range
+    partition or spans one stitched boundary)."""
     from pyspark.sql import Window
 
+    from ex_hivent_spark.operators.prefix import range_partitioned
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    seq = e.select("event_id", F.lead("event_id").over(w).alias("next_id"))
+    parts, pid = range_partitioned(e.select("event_id"), ["event_id"])
+    w = Window.partitionBy(pid).orderBy("event_id")
+    intra = parts.select(
+        "event_id", F.lead("event_id").over(w).alias("next_id")
+    )
+    bounds = sorted(
+        parts.groupBy(pid)
+        .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+        .collect(),  # ≤ #partitions rows
+        key=lambda r: r[pid],
+    )
+    boundary_pairs = [
+        (int(a["hi"]), int(b["lo"]))
+        for a, b in zip(bounds, bounds[1:])
+    ]
+    boundary = spark.createDataFrame(
+        boundary_pairs or [(0, 1)], "event_id long, next_id long"
+    )
+    if not boundary_pairs:
+        boundary = boundary.limit(0)
+    seq = intra.filter(F.col("next_id").isNotNull()).unionByName(boundary)
     return (
         seq.filter(F.col("next_id") - F.col("event_id") > 1)
         .select(

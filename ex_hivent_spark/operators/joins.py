@@ -59,12 +59,17 @@ def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema 5-way join, revenue per region. Dimension tables are
     orders-of-magnitude smaller than the fact table, so Catalyst/AQE
     broadcasts them — the fact table is scanned once with no shuffle
-    until the final 5-group aggregate."""
+    until the final 5-group aggregate. The nation/region broadcast is
+    stats-informed (planner.stats_broadcast): an ANALYZE manifest, when
+    present, overrides the static dims-are-small assumption in either
+    direction."""
+    from ex_hivent_spark.planner import stats_broadcast
+
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    n = F.broadcast(load_table(spark, sf_dir, "nation"))
-    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    n = stats_broadcast(spark, sf_dir, "nation")
+    r = stats_broadcast(spark, sf_dir, "region")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)

@@ -40,6 +40,71 @@ from pyspark.sql.window import Window
 _PID = "__prefix_pid"
 
 
+def range_partitioned(
+    df: DataFrame,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, str]:
+    """Range-partition ``df`` by the order key and pin the resulting
+    partition ids as a column. Partition ids ascend with the key range,
+    so id order IS range order. Returns (frame, pid column name); the
+    frame is lazily local-checkpointed so every consumer sees the SAME
+    sampled bounds and pid assignment."""
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parts = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    return parts, _PID
+
+
+def running_max(
+    df: DataFrame,
+    order_cols: list[str],
+    src: str,
+    dst: str,
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach the exact global running maximum of ``src`` over a total
+    order — distributed via the same partition-offset decomposition as
+    :func:`running_totals` (max is associative, so the value at a row
+    is greatest(max of all earlier partitions, partition-local running
+    max)). ``exclusive=True`` excludes the current row (the high-water
+    frame ROWS UNBOUNDED PRECEDING AND 1 PRECEDING); the first row
+    globally then gets NULL, matching the single-partition window."""
+    parts, pid = range_partitioned(df, order_cols, num_partitions)
+    hi = Window.currentRow - 1 if exclusive else Window.currentRow
+    w = (
+        Window.partitionBy(pid)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = parts.withColumn("__local_max", F.max(src).over(w))
+    tot_df = parts.groupBy(pid).agg(F.max(src).alias("__pmax"))
+    dtype = dict(tot_df.dtypes)["__pmax"]
+    totals = sorted(tot_df.collect(), key=lambda r: r[pid])
+    offsets, best = [], None
+    for row in totals:  # ≤ #partitions rows
+        offsets.append((row[pid], best))
+        v = row["__pmax"]
+        if v is not None and (best is None or v > best):
+            best = v
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"{pid} int, __off_max {dtype}"
+    )
+    out = local.join(F.broadcast(off_df), pid)
+    # greatest() skips NULLs (returns null only when ALL inputs are
+    # null) — exactly the semantics the stitched running max needs.
+    return out.withColumn(
+        dst, F.greatest(F.col("__off_max"), F.col("__local_max"))
+    ).drop("__local_max", "__off_max", pid)
+
+
 def running_totals(
     df: DataFrame,
     order_cols: list[str],
@@ -57,14 +122,7 @@ def running_totals(
     #partitions-row aggregate (collected) — no single-partition stage.
     """
     spark = df.sparkSession
-    n = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    parts = (
-        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)  # pin sampled bounds + pids
-    )
+    parts, _ = range_partitioned(df, order_cols, num_partitions)
     w = (
         Window.partitionBy(_PID)
         .orderBy(*[F.col(c) for c in order_cols])

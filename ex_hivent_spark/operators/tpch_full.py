@@ -176,22 +176,36 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    s = load_table(spark, sf_dir, "supplier")
+    from ex_hivent_spark.planner import stats_broadcast
+
+    s = stats_broadcast(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    n1 = n.select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    n1 = stats_broadcast(
+        spark,
+        sf_dir,
+        "nation",
+        n.select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        ),
     )
-    n2 = n.select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = stats_broadcast(
+        spark,
+        sf_dir,
+        "nation",
+        n.select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        ),
     )
     return (
-        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -291,18 +305,29 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order year; 1% of retail price times quantity stands in for
     ps_supplycost.  The amount is pure per-row IEEE arithmetic (same
     association order both engines), aggregated via decimal sums.
-    part/supplier/nation broadcast; lineitem-orders shuffles."""
+    part/supplier/nation broadcast (stats-informed via
+    planner.stats_broadcast when ANALYZE manifests exist);
+    lineitem-orders shuffles."""
+    from ex_hivent_spark.planner import stats_broadcast
+
     li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = stats_broadcast(spark, sf_dir, "supplier")
+    p = stats_broadcast(
+        spark,
+        sf_dir,
+        "part",
+        load_table(spark, sf_dir, "part").filter(
+            F.col("p_name").like("%gear%")
+        ),
+    )
     o = load_table(spark, sf_dir, "orders")
-    n = load_table(spark, sf_dir, "nation")
+    n = stats_broadcast(spark, sf_dir, "nation")
     amount = _revenue() - 0.01 * (F.col("p_retailprice") * F.col("l_quantity"))
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )

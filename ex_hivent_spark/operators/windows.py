@@ -670,21 +670,24 @@ def q_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 2-hour watermark would have dropped and the worst lateness — the
     audit you run before choosing a production watermark.
 
-    Plan note: the running high-water mark orders by event_id with no
-    partition key — a global range-sort, the one shape in this engine
-    that intentionally models a single logical stream.  In production
-    the same audit runs per source partition (arrival order only exists
-    within a partition; the effective watermark is the min across
-    partitions), turning it into a partitioned window.  All-integer
+    Plan note: the audit models ONE logical stream (arrival order =
+    event_id), but the running high-water mark is computed WITHOUT a
+    global-sort window: operators/prefix.running_max range-partitions
+    on arrival order, takes per-partition running maxima, and stitches
+    partitions with a #partitions-row max-offset pre-pass — bit-equal
+    to the single-partition window at any scale (max is associative).
+    The per-source-partition production variant is the same call with
+    the source partition prepended to the window key. All-integer
     microsecond arithmetic — no float detour needed."""
+    from ex_hivent_spark.operators.prefix import running_max
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    hw = e.select(
-        "event_type",
+    hw = running_max(
+        e.select("event_type", "ts", "event_id"),
+        ["event_id"],
         "ts",
-        F.max("ts").over(w).alias("high_water"),
+        "high_water",
+        exclusive=True,
     )
     late_us = F.when(
         F.col("ts")
@@ -871,28 +874,78 @@ def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per event type, evaluated AT every event — the live 'current
     actives' metric a tumbling window can't give (it quantizes time)
     and COUNT(DISTINCT) OVER can't express (not supported in either
-    engine).  collect_set/list_distinct over a time-range frame instead:
-    exact, integer, order-free.
+    engine).
 
-    Plan: one range-frame window keyed on event_type over epoch-µs.
-    The frame holds ids, so state is O(events/hour) per group — at
-    100 TB this op runs per (event_type, time-bucket) partition or
-    downgrades to the HLL sketch (q_agg_sketch_rollup) when exactness
-    isn't required; the exact form is the audit/backfill path."""
-    e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-3600000000, Window.currentRow)
+    Exact BOUNDED-STATE plan (no collect_set of ids in window state):
+    a user is in the trailing-hour window [t-1h, t] of type g iff they
+    have a g-event in it, i.e. iff exactly ONE of their g-events is the
+    FIRST of their g-events in it. Event at time s with previous
+    same-(type, user) event at p is that first-event for precisely
+    t ∈ [max(s, p+1h+1µs), s+1h] — a presence INTERVAL. So the distinct
+    count at t is the number of intervals covering t: emit +1/-1 deltas
+    at interval ends, take one exact running sum over (type, time)
+    order, and read it at each event's timestamp.
+
+    Stages, all bounded-state: a per-(type, user) lag window (O(1)
+    state), a delta hash-aggregate, and operators/prefix.running_totals
+    for the running sum (range exchange + pid-partitioned window +
+    #partitions-row offsets — per-type resets come free because each
+    type's deltas sum to zero and type leads the order key). ~3 rows
+    per event flow through; NO stage holds an id set. The HLL sketch
+    (q_agg_sketch_rollup) remains the cheaper approximate downgrade;
+    this exact form is itself 100 TB-safe."""
+    from ex_hivent_spark.operators.prefix import running_totals
+
+    HOUR = 3_600_000_000  # µs
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "user_id"
     )
-    return e.select(
-        "event_id",
+    tus = F.unix_micros("ts")
+    lag_w = Window.partitionBy("event_type", "user_id").orderBy(tus)
+    spans = e.select(
         "event_type",
-        "ts",
-        F.size(F.collect_set("user_id").over(w)).cast("bigint").alias(
-            "uniq_users_1h"
-        ),
+        tus.alias("t"),
+        F.lag(tus).over(lag_w).alias("p"),
+    ).select(
+        "event_type",
+        F.greatest(
+            F.col("t"), F.coalesce(F.col("p") + HOUR + 1, F.col("t"))
+        ).alias("a"),
+        (F.col("t") + HOUR).alias("b"),
+    ).filter(
+        F.col("a") <= F.col("b")  # duplicate-ts same-user events: empty
     )
+    deltas = (
+        spans.select("event_type", F.col("a").alias("tp"), F.lit(1).alias("d"))
+        .unionByName(
+            spans.select(
+                "event_type", (F.col("b") + 1).alias("tp"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("event_type", "tp")
+        .agg(F.sum("d").cast("bigint").alias("d"))
+        .withColumn("kind", F.lit(0))
+    )
+    queries = (
+        e.select("event_type", tus.alias("tp"))
+        .distinct()
+        .withColumn("d", F.lit(0).cast("bigint"))
+        .withColumn("kind", F.lit(1))  # deltas at equal time apply first
+    )
+    cum = running_totals(
+        deltas.unionByName(queries),
+        ["event_type", "tp", "kind"],
+        {"d": "uniq"},
+    )
+    counts = cum.filter(F.col("kind") == 1).select(
+        F.col("event_type").alias("q_type"),
+        F.col("tp").alias("q_t"),
+        F.col("uniq").cast("bigint").alias("uniq_users_1h"),
+    )
+    return e.join(
+        counts,
+        (F.col("event_type") == F.col("q_type")) & (tus == F.col("q_t")),
+    ).select("event_id", "event_type", "ts", "uniq_users_1h")
 
 
 # --------------------------------------------------------------------------

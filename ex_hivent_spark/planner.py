@@ -8,9 +8,14 @@ feed the same three decisions a human (or the session builder) makes
 before launching a 100 TB job — how many shuffle partitions, which join
 sides to broadcast, and roughly how large a join output will be.
 
-Everything here is arithmetic over a dict read from a few-KB manifest:
+Everything below is arithmetic over a dict read from a few-KB manifest:
 no Spark session needed, so it can run in a launcher before the first
-job is submitted.
+job is submitted. The one exception is :func:`stats_broadcast`, the
+builder-facing bridge: query builders route their dimension inputs
+through it so that, when a table HAS been ANALYZEd, the manifest —
+not a hardcoded assumption — decides whether the side is broadcast or
+explicitly forced to a shuffle join (a "dimension" that grew past the
+broadcast regime would otherwise OOM the driver at 100 TB).
 """
 
 from __future__ import annotations
@@ -54,6 +59,40 @@ def estimate_join_rows(
     ndv_a = max(1, stats_a["columns"][key_a]["approx_ndv"])
     ndv_b = max(1, stats_b["columns"][key_b]["approx_ndv"])
     return int(stats_a["n_rows"] * stats_b["n_rows"] / max(ndv_a, ndv_b))
+
+
+def stats_broadcast(
+    spark,
+    sf_dir: str,
+    table: str,
+    df=None,
+    default_broadcast: bool = True,
+    threshold_mb: int = 32,
+):
+    """Stats-informed broadcast decision for a join input.
+
+    - table ANALYZEd (``_STATS.json`` present) and under the broadcast
+      threshold → ``broadcast(df)``;
+    - ANALYZEd and TOO BIG → ``df.hint("shuffle_hash")`` (an explicit
+      do-not-broadcast: Spark's own size estimate can undercount a
+      compressed/partitioned table and broadcast something that OOMs
+      the driver — the manifest's byte count is ground truth);
+    - never analyzed → the caller's static default (dims broadcast),
+      which is also the driver-harness path where no manifests exist.
+    """
+    from pyspark.sql import functions as F
+
+    from ex_hivent_spark.catalog import load_table
+    from ex_hivent_spark.maintenance import read_table_stats
+
+    if df is None:
+        df = load_table(spark, sf_dir, table)
+    stats = read_table_stats(spark, f"{sf_dir}/{table}.parquet")
+    if stats is None:
+        return F.broadcast(df) if default_broadcast else df
+    if is_broadcastable(stats, threshold_mb):
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
 
 
 def suggest_join_strategy(

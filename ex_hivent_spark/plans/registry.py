@@ -58,103 +58,82 @@ def register(name: str, oracle: Optional[str] = None):
 
 
 # The external driver's correctness harness checks the FIRST 50 entries
-# of queries() each round (CORRECTNESS_r01-r04 all cut off at exactly
-# 50, in dict order). With >150 registered queries, rounds therefore
+# of queries() each round (CORRECTNESS_r01-r05 all cut off at exactly
+# 50, in dict order). With 201 registered queries, rounds therefore
 # ROTATE which 50 lead: r01 core+LLM basics, r02 relational surface,
-# r03 analytics/LLM-pipeline, r04 TPC-H completion + r4 curation ops.
-# Verification state after r04: six queries registered late in r4
-# (q_join_salted_skew, q_win_sliding_distinct, q_ts_ewma, q_ts_anomaly,
-# q_llm_bm25_topk, q_llm_ann_recall) have NEVER been driver-checked
-# (local driver_sim evidence only), three r04 checks hash-mismatched
-# driver-side while passing locally (q_tpch_q12_priority_by_flag,
-# q_llm_domain_stats, q_mm_shard_pack — hardened for r5: DATE-literal
-# boundaries, e6 rounding, construction-parity oracle, BIGINT casts),
-# and q_agg_approx_distinct's only driver row predates its bounded-error
-# oracle. r05 fronts those 10, then the ops new in r5
-# (q_llm_substring_dedup, q_llm_hard_negatives, q_llm_dsir_weights,
-# q_layout_hilbert, q_llm_gopher_rules, q_llm_bigram_logprob,
-# q_llm_ccnet_buckets, q_emb_dim_stats, q_win_pattern_match,
-# q_llm_temperature_mix, q_graph_ancestry, q_llm_softdedup_weights,
-# q_llm_ngram_novelty, q_llm_tokenizer_fertility,
-# q_llm_containment_dedup, q_ts_seasonal_decompose,
-# q_agg_mad_outliers, q_ts_cusum_changepoint, q_llm_minhash_error,
-# q_llm_corpus_audit, q_emb_pca_power_step, q_geo_radius_join,
-# q_win_attribution_multitouch, q_fn_bitwise, q_fn_datetime_arith,
-# q_win_period_over_period, q_agg_weighted_median, q_agg_user_entropy,
-# q_fn_try_arith, q_llm_bpe_train, q_llm_classifier_eval,
-# q_set_relational_division — thirty-two total), then the late-r5
-# corpus-audit batch (q_llm_topk_ngrams, q_llm_zipf_fit,
-# q_llm_idf_rarity, q_agg_heavy_hitters, q_win_streaks — five), then
-# re-proves 3 of the 8 oldest-evidence queries (latest green r01; the
-# other five r01-era queries front r06 together with the 46 r02-era
-# queries, then oldest r03). Four ops added after the r5 front-50
-# filled (q_llm_langid_confusion, q_ts_xcorr, q_llm_ctfidf_topics,
-# q_llm_dedup_threshold_sweep) have driver_sim-local evidence only
-# until r06 fronts them with the rest. scripts/driver_sim.py
-# re-verifies ALL queries locally every round regardless of this
-# ordering.
+# r03 analytics/LLM-pipeline, r04 TPC-H completion + r4 curation ops,
+# r05 the full r5-new batch (all 50 green). Verification state after
+# r05: no registered query's latest driver row is red; the remaining
+# debt is STALENESS — 4 late-r5 ops never driver-checked
+# (q_ts_xcorr, q_llm_dedup_threshold_sweep, q_llm_langid_confusion,
+# q_llm_ctfidf_topics), 2 multimodal ops whose only driver row is an
+# r4 rows-only `no_oracle` predating their late-r5 exact oracles
+# (q_mm_decode_features, q_mm_frame_sample), 7 queries last checked in
+# r01 and 46 in r02. r06 fronts: the 4 never-checked, the 2
+# multimodal, the 10 queries whose PLANS changed in r6 (classifier
+# histogram-cut rank, partitioned sequence-gaps/late-audit,
+# interval-decomposed sliding-distinct, TakeOrdered heavy-hitters,
+# broadcast-scalar domain-stats, stats-informed star/q5/q7/q9 — fresh
+# proof that the rewrites hash-identically), then the 7 r01-era and
+# the 27 oldest r02-era re-proofs. The 19 remaining r02-era queries
+# plus oldest-r03 lead r07. scripts/driver_sim.py re-verifies ALL
+# queries locally every round regardless of this ordering.
 DRIVER_CHECK_FIRST = [
-    # r04 driver hash-mismatches, hardened this round — must re-prove
-    "q_tpch_q12_priority_by_flag",
-    "q_llm_domain_stats",
-    "q_mm_shard_pack",
-    # declared ✅ in SURVEY but only driver row is r2 no_oracle
-    "q_agg_approx_distinct",
-    # never driver-checked (registered late in r4)
-    "q_join_salted_skew",
-    "q_llm_ann_recall",
-    "q_llm_bm25_topk",
-    "q_ts_anomaly",
-    "q_ts_ewma",
-    "q_win_sliding_distinct",
-    # new in r5 — first driver check
-    "q_llm_substring_dedup",
-    "q_llm_hard_negatives",
-    "q_llm_dsir_weights",
-    "q_layout_hilbert",
-    "q_llm_gopher_rules",
-    "q_llm_bigram_logprob",
-    "q_llm_ccnet_buckets",
-    "q_emb_dim_stats",
-    "q_win_pattern_match",
-    "q_llm_temperature_mix",
-    "q_graph_ancestry",
-    "q_llm_softdedup_weights",
-    "q_llm_ngram_novelty",
-    "q_llm_tokenizer_fertility",
-    "q_llm_containment_dedup",
-    "q_ts_seasonal_decompose",
-    "q_agg_mad_outliers",
-    "q_ts_cusum_changepoint",
-    "q_llm_minhash_error",
-    "q_llm_corpus_audit",
-    "q_emb_pca_power_step",
-    "q_geo_radius_join",
-    "q_win_attribution_multitouch",
-    "q_fn_bitwise",
-    "q_fn_datetime_arith",
-    "q_win_period_over_period",
-    "q_agg_weighted_median",
-    "q_agg_user_entropy",
-    "q_fn_try_arith",
-    "q_llm_bpe_train",
+    # never driver-checked (registered after the r5 front-50 filled)
+    "q_ts_xcorr",  # also rewritten r6: zero-variance guard
+    "q_llm_dedup_threshold_sweep",
+    "q_llm_langid_confusion",
+    "q_llm_ctfidf_topics",
+    # only driver row is the r4 pre-oracle `no_oracle` rows-only check
+    "q_mm_decode_features",
+    "q_mm_frame_sample",
+    # plans rewritten in r6 — re-prove hash identity under the driver
     "q_llm_classifier_eval",
-    "q_set_relational_division",
-    # new in late r5 — first driver check (corpus-audit batch + the
-    # ACF / audience-overlap pair)
-    "q_llm_topk_ngrams",
-    "q_llm_zipf_fit",
-    "q_llm_idf_rarity",
+    "q_quality_sequence_gaps",
+    "q_stream_late_audit",
+    "q_win_sliding_distinct",
     "q_agg_heavy_hitters",
-    "q_win_streaks",
-    "q_ts_acf",
-    "q_agg_audience_overlap",
-    # oldest evidence: latest driver green was r01 (the other seven
-    # r01-era queries — q_fn_string/math/array, q_udf_token_count,
-    # q_llm_quality_score, q_llm_exact_dedup, q_llm_text_stats — yield
-    # their re-proof slots to the new ops' FIRST-ever checks and front
-    # r06 instead)
-    "q_llm_ngram_jaccard",
+    "q_llm_domain_stats",
+    "q_join_star_multiway",
+    "q_tpch_q5_local_supplier",
+    "q_tpch_q7_nation_volume",
+    "q_tpch_q9_product_profit",
+    # oldest evidence: latest driver green was r01
+    "q_fn_string",
+    "q_fn_math",
+    "q_fn_array",
+    "q_udf_token_count",
+    "q_llm_exact_dedup",
+    "q_llm_text_stats",
+    "q_llm_quality_score",
+    # r02-era re-proofs (oldest 27; the other 19 lead r07)
+    "q_scan_events",
+    "q_scan_projection",
+    "q_source_json_props",
+    "q_filter_topic",
+    "q_filter_compound",
+    "q_filter_null_like",
+    "q_project_enrich",
+    "q_include_subset",
+    "q_join_inner_equi",
+    "q_join_left_outer",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_interval_attribution",
+    "q_join_right_outer",
+    "q_agg_count_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_mode_deterministic",
+    "q_agg_string_concat",
+    "q_agg_time_grain_rollup",
+    "q_win_rank_topk_per_group",
+    "q_win_lag_lead",
+    "q_win_running_frame",
 ]
 
 

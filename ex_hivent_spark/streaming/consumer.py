@@ -136,6 +136,82 @@ class Consumer:
             q.awaitTermination(30)
 
 
+@dataclass
+class Subscription:
+    """One subscriber's slice of a multiplexed stream: the topic
+    filter + process callback + its own sinks (the per-subscription
+    {matcher, mapper, callback} triple of the reference's channel
+    client, /root/reference/lib/hivent/phoenix/channel_client.ex:363-390)."""
+
+    service: str
+    topic: str
+    process: "Column | ProcessFn"
+    processed_dir: str
+    quarantine_dir: str
+    partition_count: int = DEFAULT_PARTITION_COUNT
+
+
+def route(
+    spark: SparkSession,
+    source_dir: str,
+    subscriptions: list[Subscription],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """One-pass multi-subscriber dispatch: ONE readStream feeds every
+    subscription through a single foreachBatch — the reference's single
+    socket fanning out to N subscribers (channel_client.ex:363-390,
+    each with its own matcher + callback), where N separate Consumers
+    would re-read (and at 100 TB, re-shuffle) the source N times.
+
+    Per micro-batch: the batch is materialized ONCE (localCheckpoint —
+    same single-evaluation guarantee as Consumer._handle_batch), then
+    each subscription applies its topic filter + process expression and
+    writes its own ok/quarantine sinks under batch_id-keyed directories
+    (idempotent overwrite on replay → effectively-once per sink, with
+    per-topic quarantine isolation). All subscriptions advance on the
+    shared checkpoint: one source offset log, N logical consumers."""
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint(eager=True)
+        for sub in subscriptions:
+            slice_ = batch.filter(
+                F.col("name") == F.lit(sub.topic)
+            ).repartition(sub.partition_count, F.col("meta.key"))
+            evaluated = (
+                slice_.withColumn("error", _error_column(sub.process))
+                .withColumn(
+                    "queue",
+                    F.concat_ws(
+                        ":",
+                        F.lit(sub.service),
+                        F.col("partition_id").cast("string"),
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            ok = evaluated.filter(F.col("error").isNull()).drop("error")
+            failed = evaluated.filter(F.col("error").isNotNull()).withColumn(
+                "quarantined_at", F.current_timestamp()
+            )
+            ok.write.mode("overwrite").parquet(
+                f"{sub.processed_dir}/batch_id={batch_id}"
+            )
+            failed.write.mode("overwrite").parquet(
+                f"{sub.quarantine_dir}/batch_id={batch_id}"
+            )
+
+    raw = (
+        spark.readStream.schema(INGRESS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        raw.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_with_restarts(
     start_query: Callable[[], StreamingQuery],
     max_tries: int = 3,

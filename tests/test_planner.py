@@ -53,3 +53,48 @@ def test_skew_flag_on_low_ndv_key(spark, sf_dir, tmp_path):
     s = analyze_table(spark, out)
     advice = planner.suggest_join_strategy(s, s, "k", "k")
     assert advice["skew_risk"] is True
+
+
+def test_stats_broadcast_flips_physical_plan(spark, sf_dir, tmp_path):
+    """stats_broadcast wired into the star-join builders: without an
+    ANALYZE manifest the dims broadcast (static default); with a
+    manifest whose byte count exceeds the threshold the SAME query
+    plans a shuffle join for that dim. The flip proves the builders
+    actually consult the stats, not just the advisory module."""
+    import json
+    import shutil
+
+    from ex_hivent_spark.plans.registry import all_specs
+
+    # private sf_dir: copy the five star tables so we can plant stats
+    my_sf = str(tmp_path / "sf")
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        src = f"{sf_dir}/{t}.parquet"
+        dst = f"{my_sf}/{t}.parquet"
+        spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+
+    spec = all_specs()["q_join_star_multiway"]
+
+    def plan():
+        df = spec.spark(spark, my_sf)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+
+    p_no_stats = plan()
+    assert "BroadcastHashJoin" in p_no_stats  # static default: dims fly
+
+    # plant a manifest claiming nation outgrew the broadcast regime
+    from ex_hivent_spark import fsutil
+
+    fake = analyze_table(spark, f"{my_sf}/nation.parquet")
+    fake["total_bytes"] = 10 * 1024**3  # 10 GiB "dimension"
+    fsutil.write_text_file(
+        spark,
+        f"{my_sf}/nation.parquet/_STATS.json",
+        json.dumps(fake, default=str),
+    )
+
+    p_stats = plan()
+    assert "ShuffledHashJoin" in p_stats  # nation join no longer broadcast
+    shutil.rmtree(my_sf, ignore_errors=True)

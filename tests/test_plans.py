@@ -646,3 +646,90 @@ def test_ctfidf_broadcasts_label_map_and_vocab(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_llm_ctfidf_topics")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Global gate: no single-partition Window over unbounded input
+# ---------------------------------------------------------------------------
+
+# Non-partitioned windows whose input frame is provably BOUNDED (by a
+# prior limit or an aggregation whose cardinality doesn't grow with
+# data volume). Anything else funnels the whole input through one task.
+_BOUNDED_GLOBAL_WINDOWS = {
+    # rank assignment over the 20-row post-TakeOrdered frame
+    "q_agg_heavy_hitters": 1,
+    # dense k_id over the PQ_K(=16)-row codebook (built via limit)
+    "q_llm_pq_encode": 1,
+    # same codebook window, appearing in both the encode and query arms
+    "q_llm_ivfpq_search": 2,
+    # lead over the joined HOURLY series: |hours| rows — grows with the
+    # time span, not with data volume (pre-aggregated time grain)
+    "q_ts_xcorr": 1,
+    # norm pass over the 64-row per-dimension aggregate (bounded by
+    # embedding dimensionality, not corpus size)
+    "q_emb_pca_power_step": 1,
+}
+
+
+def _global_window_nodes(plan: str) -> list[str]:
+    """Window operators with an EMPTY partition spec. In the simple
+    explain a Window line is `Window [exprs], [part], [order]`, and the
+    windowspecdefinition's leading args are the partition columns —
+    order expressions carry ASC/DESC. So a spec whose FIRST argument is
+    an order expression (or directly the frame) has no partitioning."""
+    hits = []
+    for raw in plan.splitlines():
+        line = raw.strip().lstrip("+-:* ").strip()
+        if not line.startswith("Window "):
+            continue
+        marker = "windowspecdefinition("
+        i = line.find(marker)
+        if i < 0:
+            continue
+        args = line[i + len(marker):]
+        depth, first = 0, ""
+        for ch in args:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            first += ch
+        if (
+            " ASC" in first
+            or " DESC" in first
+            or first.startswith("specifiedwindowframe")
+        ):
+            hits.append(line[:120])
+    return hits
+
+
+def test_no_unbounded_single_partition_windows(spark, sf_dir):
+    """Every registered query's physical plan: a Window with no
+    partition key is only allowed over an input bounded by construction
+    (explicit allowlist above, with the bounding argument). This is the
+    gate that keeps global-sort rank/lead paths from regressing back in
+    — they are 100 TB single-task funnels even when results are right."""
+    offenders = {}
+    for name in SPECS:
+        plan = plan_of(spark, sf_dir, name, mode="simple")
+        nodes = _global_window_nodes(plan)
+        allowed = _BOUNDED_GLOBAL_WINDOWS.get(name, 0)
+        if len(nodes) > allowed:
+            offenders[name] = nodes
+    assert not offenders, (
+        "non-partitioned Window over unbounded input in: "
+        + ", ".join(f"{k} ({len(v)})" for k, v in sorted(offenders.items()))
+    )
+
+
+def test_sliding_distinct_bounded_state_no_id_sets(spark, sf_dir):
+    """The exact sliding distinct count must run as interval deltas +
+    running sum — NO collect_set of user ids in any window state, and
+    no single-partition window (the running sum goes through the
+    partition-offset prefix machinery)."""
+    plan = plan_of(spark, sf_dir, "q_win_sliding_distinct", mode="simple")
+    assert "collect_set" not in plan
+    assert not _global_window_nodes(plan)
+    assert "Window" in plan  # the per-(type,user) lag + pid prefix sums

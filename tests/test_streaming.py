@@ -587,3 +587,88 @@ class TestDimEnrichment:
         assert got[100] == "bronze"  # batch 1 saw the old dim
         assert got[200] == "GOLD"    # batch 2 saw the update
         assert got[201] == "new"     # and the new key
+
+
+class TestMultiplexRoute:
+    """One-pass multi-subscriber dispatch (route): two consumers fed
+    from ONE source query, with per-topic quarantine isolation and
+    idempotent (effectively-once) sinks."""
+
+    def _subs(self, tmp_path):
+        from ex_hivent_spark.streaming.consumer import Subscription
+
+        def dirs(svc):
+            return (
+                str(tmp_path / f"{svc}_ok"),
+                str(tmp_path / f"{svc}_bad"),
+            )
+
+        a_ok, a_bad = dirs("a")
+        b_ok, b_bad = dirs("b")
+        subs = [
+            Subscription(
+                service="svc_a",
+                topic="some:event",
+                process=make_process_response(),
+                processed_dir=a_ok,
+                quarantine_dir=a_bad,
+                partition_count=2,
+            ),
+            Subscription(
+                service="svc_b",
+                topic="other:event",
+                process=make_process_response(),
+                processed_dir=b_ok,
+                quarantine_dir=b_bad,
+                partition_count=2,
+            ),
+        ]
+        return subs, (a_ok, a_bad, b_ok, b_bad)
+
+    def test_two_consumers_one_source_pass(self, spark, tmp_path):
+        from ex_hivent_spark.streaming.consumer import route
+
+        ingress = str(tmp_path / "ingress")
+        em = StreamEmitter(spark, ingress, producer="svc", partition_count=2)
+        em.emit("some:event", {"response": "ok"}, version=1, key="k1")
+        em.emit("some:event", {"response": "error"}, version=1, key="k2")
+        em.emit("other:event", {"response": "ok"}, version=1, key="k3")
+        em.emit("third:event", {"response": "ok"}, version=1)  # unclaimed
+
+        subs, (a_ok, a_bad, b_ok, b_bad) = self._subs(tmp_path)
+        q = route(spark, ingress, subs, str(tmp_path / "chk"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        assert spark.read.parquet(a_ok).count() == 1
+        bad_a = spark.read.parquet(a_bad)
+        assert bad_a.count() == 1  # svc_a's failure …
+        assert bad_a.take(1)[0].queue.startswith("svc_a:")
+        assert spark.read.parquet(b_ok).count() == 1
+        assert spark.read.parquet(b_bad).count() == 0  # … not svc_b's
+
+    def test_replay_is_effectively_once_per_sink(self, spark, tmp_path):
+        from ex_hivent_spark.streaming.consumer import route
+
+        ingress = str(tmp_path / "ingress")
+        em = StreamEmitter(spark, ingress, producer="svc", partition_count=2)
+        em.emit("some:event", {"response": "ok"}, version=1, key="k1")
+        subs, (a_ok, _, _, _) = self._subs(tmp_path)
+
+        q = route(spark, ingress, subs, str(tmp_path / "chk"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        em.emit("some:event", {"response": "ok"}, version=1, key="k9")
+        # restart on the SAME checkpoint: only the new file is processed,
+        # and re-delivered batches overwrite their batch_id directories
+        q2 = route(spark, ingress, subs, str(tmp_path / "chk"))
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        ok = spark.read.parquet(a_ok)
+        assert ok.count() == 2  # exactly once each, no duplicates
