@@ -1,0 +1,98 @@
+"""Distributed prefix sums / running max (operators/prefix.py): the
+partition-offset decomposition must be bit-equal to the single-partition
+global window it replaces, across partition counts, and the operators
+rebuilt on it (sequence gaps, late audit) must match their naive forms
+on data that actually exercises partition boundaries."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.operators.prefix import running_max, running_totals
+
+
+def _df(spark, n=5000, seed=11):
+    rng = random.Random(seed)
+    rows = [(i * 3 + rng.randint(0, 1), float(rng.randint(0, 99))) for i in range(n)]
+    rng.shuffle(rows)
+    return spark.createDataFrame(rows, "k long, v double")
+
+
+def test_running_totals_matches_global_window(spark):
+    df = _df(spark)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: (r["cv"], r["cn"])
+        for r in df.select(
+            "k",
+            F.sum("v").over(w).alias("cv"),
+            F.count(F.lit(1)).over(w).alias("cn"),
+        ).collect()
+    }
+    got_df = running_totals(
+        df.withColumn("one", F.lit(1).cast("bigint")),
+        ["k"],
+        {"v": "cv", "one": "cn"},
+        num_partitions=7,
+    )
+    got = {r["k"]: (r["cv"], r["cn"]) for r in got_df.collect()}
+    assert got == want  # bit-equal sums AND exact integer ranks
+
+
+def test_running_totals_single_partition_degenerate(spark):
+    df = _df(spark, n=50)
+    got = running_totals(
+        df, ["k"], {"v": "cv"}, num_partitions=1
+    ).orderBy("k")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select("k", F.sum("v").over(w).alias("cv")).orderBy("k")
+    assert [tuple(r) for r in got.select("k", "cv").collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
+def test_running_max_matches_global_window_incl_exclusive(spark):
+    df = _df(spark, n=3000, seed=5)
+    for exclusive in (False, True):
+        hi = -1 if exclusive else 0
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, hi)
+        want = {
+            r["k"]: r["m"]
+            for r in df.select("k", F.max("v").over(w).alias("m")).collect()
+        }
+        got = {
+            r["k"]: r["hw"]
+            for r in running_max(
+                df, ["k"], "v", "hw", exclusive=exclusive, num_partitions=9
+            ).collect()
+        }
+        assert got == want, f"exclusive={exclusive}"
+
+
+def test_sequence_gaps_finds_boundary_spanning_gaps(spark, tmp_path):
+    """Feed the registered gap query a sequence with known holes —
+    including ones engineered to span range-partition boundaries — and
+    check against the directly computed gap list."""
+    import os
+
+    from ex_hivent_spark.plans.registry import all_specs
+
+    ids = [i for i in range(1, 20001) if i % 97 != 0 and not 5000 < i < 5400]
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    os.makedirs(f"{tmp_path}/sf", exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/sf/events.parquet")
+
+    out = all_specs()["q_quality_sequence_gaps"].spark(spark, str(tmp_path) + "/sf")
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["n_missing"]) for r in out.collect()
+    )
+    want = [
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(ids, ids[1:])
+        if b - a > 1
+    ]
+    assert got == sorted(want)
+    assert (5001, 5399, 399) in got  # the wide hole survives stitching
