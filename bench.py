@@ -123,6 +123,10 @@ HEADLINE = [
     "q_ts_xcorr",
     "q_llm_ctfidf_topics",
     "q_llm_dedup_threshold_sweep",
+    # added r6 (prior entries unchanged for per-query comparability)
+    "q_join_bloom_prefilter",
+    "q_llm_winnowing_fingerprint",
+    "q_quality_benford",
 ]
 
 

@@ -851,3 +851,112 @@ def q_llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket_precision"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# --------------------------------------------------------------------------
+
+WINNOW_K = 3  # tokens per gram
+WINNOW_W = 4  # grams per winnowing window
+
+
+@register(
+    "q_llm_winnowing_fingerprint",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - {WINNOW_K - 1},
+                                 1) + 1),
+               i -> ('0x' || substr(md5(array_to_string(
+                        (string_split(text, ' '))[i:i+{WINNOW_K - 1}], ' ')),
+                        1, 12))::BIGINT
+             ) AS hs
+      FROM documents
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+               j -> list_min(hs[j:j+{WINNOW_W - 1}])
+             )) AS fp
+      FROM grams
+    ),
+    ex AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+    df AS (SELECT f, count(DISTINCT doc_id) AS nd FROM ex GROUP BY f),
+    per AS (
+      SELECT ex.doc_id,
+             CAST(count(*) AS BIGINT) AS n_fps,
+             CAST(count(CASE WHEN df.nd >= 2 THEN 1 END) AS BIGINT)
+                 AS n_shared
+      FROM ex JOIN df USING (f)
+      GROUP BY ex.doc_id
+    )
+    SELECT doc_id, n_fps, n_shared,
+           floor(CAST(n_shared AS DOUBLE) / n_fps * 1000000.0 + 0.5)
+               / 1000000.0 AS shared_frac
+    FROM per
+    """,
+)
+def q_llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS local fingerprinting): hash every K-token gram, slide a
+    W-gram window, keep each window's MINIMUM hash — the selected
+    fingerprints are position-independent and GUARANTEE that any
+    shared run of at least W+K-1 tokens between two documents shares
+    at least one fingerprint (the property random sampling lacks and
+    MinHash only gives set-statistically). Reports, per document, its
+    fingerprint count, how many fingerprints also occur in other
+    documents, and the shared fraction — the plagiarism/copy-detection
+    score that complements the set-similarity dedup family
+    (q_llm_minhash_neardup: whole-doc resemblance; this: localized
+    copied runs).
+
+    Plan: fingerprint selection is a pure per-row map (split +
+    transform + windowed array_min — whole-stage codegen, no UDF);
+    only the (doc_id, fingerprint-hash) pairs explode into the
+    document-frequency aggregate and back-join. At 100 TB the shuffle
+    carries ~|tokens|/W hashes per doc, never text — the winnowing
+    density 2/(W+1) is the knob that trades recall for shuffle
+    volume. Hashes are md5_int48, reproduced VERBATIM in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    n_grams = F.greatest(F.size(tokens) - (WINNOW_K - 1), F.lit(1))
+    hs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: md5_int48(F.concat_ws(" ", F.slice(tokens, i, WINNOW_K))),
+    )
+    grams = d.select("doc_id", hs.alias("hs"))
+    n_wins = F.greatest(F.size("hs") - (WINNOW_W - 1), F.lit(1))
+    fps = grams.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda j: F.array_min(F.slice("hs", j, WINNOW_W)),
+            )
+        ).alias("fp"),
+    )
+    ex = fps.select("doc_id", F.explode("fp").alias("f"))
+    df_tbl = ex.groupBy("f").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    per = (
+        ex.join(df_tbl, "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.count(F.when(F.col("nd") >= 2, 1)).cast("bigint").alias(
+                "n_shared"
+            ),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_fps",
+        "n_shared",
+        dround(
+            F.col("n_shared").cast("double") / F.col("n_fps"), 6
+        ).alias("shared_frac"),
+    )

@@ -1131,16 +1131,18 @@ def q_llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass histogram-cut rank), then the tie-averaged rank of each
     score bucket derives from the exact global running row count over
     the score order: arank = rows_below + (bucket_size + 1)/2. The
-    running count comes from operators/prefix.running_totals — range
-    exchange + pid-partitioned window + a #partitions-row offset
-    pre-pass — so NO single-partition window anywhere: the old global
-    row_number funneled the whole corpus through one task. Determinism:
+    running count comes from operators/prefix.running_totals_blocked
+    over a fixed 4096-cell score grid (p is a probability, so the grid
+    is a deterministic monotone blocking) — one block-keyed window +
+    a ≤4096-row offset pre-pass — so NO single-partition window
+    anywhere: the old global row_number funneled the whole corpus
+    through one task. Determinism:
     bucket counts are integers, aranks exact half-integers (sums of
     halves are exact in doubles, so even the plain SUM is
     order-independent), every metric one final division — hash-exact,
     identical to the row-level Mann-Whitney statistic by algebra
     (ranks below+1..below+cnt have mean below+(cnt+1)/2)."""
-    from ex_hivent_spark.operators.prefix import running_totals
+    from ex_hivent_spark.operators.prefix import running_totals_blocked
 
     d = load_table(spark, sf_dir, "documents")
     labeled = d.select(
@@ -1148,13 +1150,25 @@ def q_llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qc_probability().alias("p"),
         (F.col("n_chars") >= _EVAL_TRUTH_CHARS).alias("y"),
     )
-    buckets = labeled.groupBy("p").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt"),
-        F.sum(F.when(F.col("y"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("pos_cnt"),
+    buckets = (
+        labeled.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.when(F.col("y"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pos_cnt"),
+        )
+        .withColumn(
+            "grid", F.floor(F.col("p") * 4096).cast("bigint")  # p ∈ [0,1]
+        )
+        # the bucket frame (|distinct scores| rows) feeds the window,
+        # the offsets probe AND the confusion aggregate — pin it so the
+        # corpus is scanned exactly once
+        .localCheckpoint(eager=False)
     )
-    cum = running_totals(buckets, ["p"], {"cnt": "cum_cnt"})
+    cum = running_totals_blocked(
+        buckets, ["p"], ["grid"], {"cnt": "cum_cnt"}
+    )
     arank = (
         (F.col("cum_cnt") - F.col("cnt")).cast("double")
         + (F.col("cnt") + 1).cast("double") / 2
@@ -1164,21 +1178,15 @@ def q_llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_rank_sum"
         )
     )
-    conf = labeled.agg(
-        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
-        F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("n_neg"),
-        F.sum(
-            F.when(F.col("y") & (F.col("p") >= 0.5), 1).otherwise(0)
-        ).alias("tp"),
-        F.sum(
-            F.when(~F.col("y") & (F.col("p") >= 0.5), 1).otherwise(0)
-        ).alias("fp"),
-        F.sum(
-            F.when(F.col("y") & (F.col("p") < 0.5), 1).otherwise(0)
-        ).alias("fn"),
-        F.sum(
-            F.when(~F.col("y") & (F.col("p") < 0.5), 1).otherwise(0)
-        ).alias("tn"),
+    neg_cnt = F.col("cnt") - F.col("pos_cnt")
+    hi = F.col("p") >= 0.5  # bucket-level: every row in a bucket shares p
+    conf = buckets.agg(
+        F.sum("pos_cnt").alias("n_pos"),
+        F.sum(neg_cnt).alias("n_neg"),
+        F.sum(F.when(hi, F.col("pos_cnt")).otherwise(0)).alias("tp"),
+        F.sum(F.when(hi, neg_cnt).otherwise(0)).alias("fp"),
+        F.sum(F.when(~hi, F.col("pos_cnt")).otherwise(0)).alias("fn"),
+        F.sum(F.when(~hi, neg_cnt).otherwise(0)).alias("tn"),
     )
     agg = conf.crossJoin(F.broadcast(rank_agg))  # two one-row frames
     tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")

@@ -382,30 +382,31 @@ def q_quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence (the dropped-message audit every at-least-once pipeline
     runs).
 
-    Plan: range-partition the ids, then the consecutive-pair lead runs
-    PER PARTITION (each id range is contiguous, so within-partition
-    gaps are ordinary partitioned-window work), and the only
-    cross-partition information needed is each partition's (min, max)
-    — a #partitions-row aggregate collected and stitched driver-side
+    Plan: block the ids into fixed 8192-id ranges (deterministic — no
+    sampled exchange, no checkpoint pin), then the consecutive-pair
+    lead runs PER BLOCK (each block is a contiguous id range, so
+    within-block gaps are ordinary partitioned-window work), and the
+    only cross-block information needed is each block's (min, max) —
+    a ≤|ids|/8192-row aggregate collected and stitched driver-side
     into the boundary gaps. No single-partition window over the event
     stream anywhere; identical output to the global-ordered lead by
-    construction (every consecutive id pair is either within one range
-    partition or spans one stitched boundary)."""
+    construction (every consecutive id pair is either within one block
+    or spans one stitched boundary)."""
     from pyspark.sql import Window
 
-    from ex_hivent_spark.operators.prefix import range_partitioned
-
     e = load_table(spark, sf_dir, "events")
-    parts, pid = range_partitioned(e.select("event_id"), ["event_id"])
-    w = Window.partitionBy(pid).orderBy("event_id")
+    parts = e.select("event_id").withColumn(
+        "__blk", F.expr("event_id DIV 8192")
+    )
+    w = Window.partitionBy("__blk").orderBy("event_id")
     intra = parts.select(
         "event_id", F.lead("event_id").over(w).alias("next_id")
     )
     bounds = sorted(
-        parts.groupBy(pid)
+        parts.groupBy("__blk")
         .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
-        .collect(),  # ≤ #partitions rows
-        key=lambda r: r[pid],
+        .collect(),  # ≤ |ids|/8192 rows
+        key=lambda r: r["__blk"],
     )
     boundary_pairs = [
         (int(a["hi"]), int(b["lo"]))
@@ -1747,5 +1748,92 @@ def q_agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_both").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
             ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+# log10(1 + 1/d) as repr'd IEEE doubles: the SAME literals are embedded
+# in the Spark plan and the oracle SQL, so no engine ever evaluates a
+# logarithm (libm last-ulp differences would leak into the hash).
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_SQL_VALUES = ", ".join(
+    f"({d}, CAST({v!r} AS DOUBLE))" for d, v in _BENFORD.items()
+)
+
+
+@register(
+    "q_quality_benford",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+      FROM digits GROUP BY digit
+    ),
+    t AS (SELECT CAST(sum(n_orders) AS DOUBLE) AS total FROM c),
+    b(digit, benford_share) AS (VALUES {_BENFORD_SQL_VALUES})
+    SELECT c.digit, n_orders,
+           floor(n_orders / total * 1000000.0 + 0.5) / 1000000.0
+               AS observed_share,
+           benford_share,
+           floor(abs(n_orders / total - benford_share) * 1000000.0 + 0.5)
+               / 1000000.0 AS abs_dev
+    FROM c CROSS JOIN t JOIN b ON b.digit = c.digit
+    """,
+)
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: the leading-digit
+    distribution of naturally-occurring amounts follows
+    P(d) = log10(1+1/d); a synthetic, tampered, or truncated feed
+    breaks it long before summary stats notice. Reports, per digit,
+    the count, observed share, Benford expectation, and absolute
+    deviation — the fraud/data-generation smoke test run next to the
+    null/FK profiles (q_quality_profile, q_quality_fk_orphans).
+
+    Plan: first digit via integer-floor + string head (no logarithm —
+    log10-based digit extraction hits IEEE boundary cases at exact
+    powers of ten, and engines' libm differ in the last ulp), one
+    9-group hash aggregate, the grand total as a broadcast scalar, and
+    the expectation table as nine literal rows. Fully map-side at any
+    scale."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    t = c.agg(F.sum("n_orders").cast("double").alias("total"))
+    b = spark.createDataFrame(
+        list(_BENFORD.items()), "digit bigint, benford_share double"
+    )
+    obs = F.col("n_orders") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .join(F.broadcast(b), "digit")
+        .select(
+            "digit",
+            "n_orders",
+            dround(obs, 6).alias("observed_share"),
+            "benford_share",
+            dround(F.abs(obs - F.col("benford_share")), 6).alias("abs_dev"),
         )
     )

@@ -560,3 +560,52 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched_order_value"
         ),
     )
+
+
+@register(
+    "q_join_bloom_prefilter",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-bloom-pruned fact join: revenue by return flag for
+    lineitems of urgent 1997-H1 orders, with the lineitem scan pruned
+    BEFORE the join shuffle by a Bloom filter built from the filtered
+    order keys (operators/bloom.py — the explicit form of Spark's
+    row-level runtime filtering / Trino's dynamic filters).
+
+    The oracle is the PLAIN join: Bloom filters admit false positives
+    but never false negatives, so pruned results must be bit-identical
+    — the hash check proves that property end to end. At 100 TB the
+    bitmap is O(m) bytes (vs O(|keys|) for a broadcast key set) and
+    non-matching fact rows die map-side instead of shuffling."""
+    from ex_hivent_spark.operators.bloom import bloom_prefilter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    pruned = bloom_prefilter(
+        li, o.select("o_orderkey"), "l_orderkey", "o_orderkey"
+    )
+    return (
+        pruned.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+    )

@@ -29,6 +29,22 @@ Pinning: the range exchange samples the key distribution to pick
 bounds, and ``spark_partition_id()`` is evaluated per task — so the
 partitioned frame is local-checkpointed before fan-out, ensuring the
 offset aggregate and the windowed frame see the SAME partitioning.
+
+Two formulations:
+
+- ``running_totals``/``running_max``: generic over ANY orderable key —
+  partitions come from a sampled range exchange, which costs one
+  localCheckpoint materialization to pin the sampled bounds across
+  the two consumers.
+- ``running_totals_blocked``/``running_max_blocked``: the caller
+  supplies a DETERMINISTIC block column that is monotone in the order
+  key (a fixed id range, a time bucket, a score-grid cell). No
+  sampling → nothing to pin → no checkpoint, and the "partition" is
+  the window's own hash exchange on the block key. Prefer these
+  whenever the key has a natural fixed grid; the sampled form is the
+  fallback for arbitrary keys. Block-count contract: the per-block
+  totals are collected to the driver, so choose granularity keeping
+  blocks ≲ 10⁶ (recurse through a second blocking level beyond that).
 """
 
 from __future__ import annotations
@@ -167,3 +183,131 @@ def running_totals(
             dst, F.col(f"__off_{src}") + F.col(f"__local_{src}")
         ).drop(f"__local_{src}", f"__off_{src}")
     return out.drop(_PID)
+
+
+def _blocked_offsets(
+    df: DataFrame,
+    block_cols: list[str],
+    aggs: list,
+    fold,
+    schema_types: dict[str, str],
+) -> DataFrame:
+    """Per-block aggregate -> driver-side prefix fold over blocks in
+    block order -> broadcastable (block -> offsets) frame. ``fold``
+    maps (running_acc, row) -> new_acc where acc is a dict keyed like
+    ``schema_types``; each block's OFFSET is the acc BEFORE folding
+    that block in."""
+    spark = df.sparkSession
+    tot = df.groupBy(*block_cols).agg(*aggs).collect()
+    tot.sort(key=lambda r: tuple(r[c] for c in block_cols))
+    acc = {k: None for k in schema_types}
+    rows = []
+    for r in tot:
+        rows.append(tuple(r[c] for c in block_cols) + tuple(acc.values()))
+        acc = fold(acc, r)
+    blk_schema = df.select(*block_cols).schema
+    fields = ", ".join(
+        [f.name + " " + f.dataType.simpleString() for f in blk_schema]
+        + [f"{k} {t}" for k, t in schema_types.items()]
+    )
+    return spark.createDataFrame(rows, fields)
+
+
+def running_totals_blocked(
+    df: DataFrame,
+    order_cols: list[str],
+    block_cols: list[str],
+    sum_cols: dict[str, str],
+) -> DataFrame:
+    """Exact global inclusive running sums over a total order, using a
+    caller-supplied DETERMINISTIC blocking: ``block_cols`` must be
+    monotone in ``order_cols`` (sorting rows by the order key keeps
+    blocks contiguous and block-sorted). One window exchange keyed on
+    the block + one light per-block aggregate whose ≤|blocks| rows are
+    folded into offsets driver-side — no sampled partitioning, no
+    checkpoint, fully deterministic."""
+    w = (
+        Window.partitionBy(*block_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.select(
+        "*",
+        *[F.sum(src).over(w).alias(f"__local_{src}") for src in sum_cols],
+    )
+    probe = df.groupBy(*block_cols).agg(
+        *[F.sum(src).alias(src) for src in sum_cols]
+    )
+    integral = {
+        src: dict(probe.dtypes)[src] in ("bigint", "int", "smallint")
+        for src in sum_cols
+    }
+
+    def fold(acc, row):
+        out = dict(acc)
+        for src in sum_cols:
+            cur = acc[f"__off_{src}"] or (0 if integral[src] else 0.0)
+            out[f"__off_{src}"] = cur + (row[src] or 0)
+        return out
+
+    off = _blocked_offsets(
+        df,
+        block_cols,
+        [F.sum(src).alias(src) for src in sum_cols],
+        fold,
+        {
+            f"__off_{src}": ("bigint" if integral[src] else "double")
+            for src in sum_cols
+        },
+    )
+    out = local.join(F.broadcast(off), block_cols)
+    for src, dst in sum_cols.items():
+        out = out.withColumn(
+            dst,
+            F.coalesce(
+                F.col(f"__off_{src}"),
+                F.lit(0 if integral[src] else 0.0),
+            )
+            + F.col(f"__local_{src}"),
+        ).drop(f"__local_{src}", f"__off_{src}")
+    return out
+
+
+def running_max_blocked(
+    df: DataFrame,
+    order_cols: list[str],
+    block_cols: list[str],
+    src: str,
+    dst: str,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Exact global running max over a total order with deterministic
+    blocking (see running_totals_blocked). ``exclusive=True`` excludes
+    the current row (high-water frame); the first row globally gets
+    NULL, matching the single-partition window."""
+    hi = Window.currentRow - 1 if exclusive else Window.currentRow
+    w = (
+        Window.partitionBy(*block_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = df.withColumn("__local_max", F.max(src).over(w))
+
+    def fold(acc, row):
+        prev = acc["__off_max"]
+        v = row["__bmax"]
+        best = prev if (v is None or (prev is not None and prev >= v)) else v
+        return {"__off_max": best}
+
+    dtype = dict(df.select(F.col(src)).dtypes)[src]
+    off = _blocked_offsets(
+        df,
+        block_cols,
+        [F.max(src).alias("__bmax")],
+        fold,
+        {"__off_max": dtype},
+    )
+    out = local.join(F.broadcast(off), block_cols)
+    return out.withColumn(
+        dst, F.greatest(F.col("__off_max"), F.col("__local_max"))
+    ).drop("__local_max", "__off_max")

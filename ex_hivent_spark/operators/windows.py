@@ -672,19 +672,23 @@ def q_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan note: the audit models ONE logical stream (arrival order =
     event_id), but the running high-water mark is computed WITHOUT a
-    global-sort window: operators/prefix.running_max range-partitions
-    on arrival order, takes per-partition running maxima, and stitches
-    partitions with a #partitions-row max-offset pre-pass — bit-equal
-    to the single-partition window at any scale (max is associative).
-    The per-source-partition production variant is the same call with
-    the source partition prepended to the window key. All-integer
-    microsecond arithmetic — no float detour needed."""
-    from ex_hivent_spark.operators.prefix import running_max
+    global-sort window: operators/prefix.running_max_blocked blocks the
+    arrival ids into fixed 8192-id ranges (deterministic — no sampled
+    exchange, no checkpoint pin), takes per-block running maxima in a
+    block-partitioned window, and stitches blocks with a ≤|ids|/8192-row
+    max-offset pre-pass — bit-equal to the single-partition window at
+    any scale (max is associative). The per-source-partition production
+    variant is the same call with the source partition prepended to the
+    block key. All-integer microsecond arithmetic — no float detour."""
+    from ex_hivent_spark.operators.prefix import running_max_blocked
 
     e = load_table(spark, sf_dir, "events")
-    hw = running_max(
-        e.select("event_type", "ts", "event_id"),
+    hw = running_max_blocked(
+        e.select("event_type", "ts", "event_id").withColumn(
+            "__blk", F.expr("event_id DIV 8192")
+        ),
         ["event_id"],
+        ["__blk"],
         "ts",
         "high_water",
         exclusive=True,
@@ -887,14 +891,15 @@ def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, and read it at each event's timestamp.
 
     Stages, all bounded-state: a per-(type, user) lag window (O(1)
-    state), a delta hash-aggregate, and operators/prefix.running_totals
-    for the running sum (range exchange + pid-partitioned window +
-    #partitions-row offsets — per-type resets come free because each
-    type's deltas sum to zero and type leads the order key). ~3 rows
-    per event flow through; NO stage holds an id set. The HLL sketch
-    (q_agg_sketch_rollup) remains the cheaper approximate downgrade;
-    this exact form is itself 100 TB-safe."""
-    from ex_hivent_spark.operators.prefix import running_totals
+    state), a delta hash-aggregate, and
+    operators/prefix.running_totals_blocked for the running sum over
+    deterministic (type, hour-bucket) blocks — one block-keyed window
+    + a ≤|types|·|hours|-row offset pre-pass; per-type resets come
+    free because each type's deltas sum to zero and type leads the
+    block order. ~3 rows per event flow through; NO stage holds an id
+    set. The HLL sketch (q_agg_sketch_rollup) remains the cheaper
+    approximate downgrade; this exact form is itself 100 TB-safe."""
+    from ex_hivent_spark.operators.prefix import running_totals_blocked
 
     HOUR = 3_600_000_000  # µs
     e = load_table(spark, sf_dir, "events").select(
@@ -932,9 +937,17 @@ def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("d", F.lit(0).cast("bigint"))
         .withColumn("kind", F.lit(1))  # deltas at equal time apply first
     )
-    cum = running_totals(
-        deltas.unionByName(queries),
-        ["event_type", "tp", "kind"],
+    points = (
+        deltas.unionByName(queries)
+        .withColumn("blk", F.expr(f"tp DIV {HOUR}"))
+        # consumed by both the block window and the offsets probe —
+        # pin so the lag window + delta aggregate run once
+        .localCheckpoint(eager=False)
+    )
+    cum = running_totals_blocked(
+        points,
+        ["tp", "kind"],
+        ["event_type", "blk"],
         {"d": "uniq"},
     )
     counts = cum.filter(F.col("kind") == 1).select(

@@ -733,3 +733,13 @@ def test_sliding_distinct_bounded_state_no_id_sets(spark, sf_dir):
     assert "collect_set" not in plan
     assert not _global_window_nodes(plan)
     assert "Window" in plan  # the per-(type,user) lag + pid prefix sums
+
+
+def test_bloom_prefilter_probes_are_broadcast(spark, sf_dir):
+    """The Bloom probe must be k broadcast-hash joins against the
+    bitmap words (map-side, no shuffle added for the prefilter) before
+    the real join; the bitmap build aggregates, never collects rows."""
+    plan = plan_of(spark, sf_dir, "q_join_bloom_prefilter", mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2  # one per hash seed
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan

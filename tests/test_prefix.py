@@ -96,3 +96,68 @@ def test_sequence_gaps_finds_boundary_spanning_gaps(spark, tmp_path):
     ]
     assert got == sorted(want)
     assert (5001, 5399, 399) in got  # the wide hole survives stitching
+
+
+def test_blocked_totals_match_global_window(spark):
+    df = _df(spark, n=4000, seed=3).withColumn(
+        "blk", F.expr("k DIV 100")
+    )
+    from ex_hivent_spark.operators.prefix import running_totals_blocked
+
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["cv"]
+        for r in df.select("k", F.sum("v").over(w).alias("cv")).collect()
+    }
+    got = {
+        r["k"]: r["cv"]
+        for r in running_totals_blocked(
+            df, ["k"], ["blk"], {"v": "cv"}
+        ).collect()
+    }
+    assert got == want
+
+
+def test_blocked_max_matches_global_window(spark):
+    from ex_hivent_spark.operators.prefix import running_max_blocked
+
+    df = _df(spark, n=3000, seed=9).withColumn("blk", F.expr("k DIV 64"))
+    for exclusive in (False, True):
+        hi = -1 if exclusive else 0
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, hi)
+        want = {
+            r["k"]: r["m"]
+            for r in df.select("k", F.max("v").over(w).alias("m")).collect()
+        }
+        got = {
+            r["k"]: r["hw"]
+            for r in running_max_blocked(
+                df, ["k"], ["blk"], "v", "hw", exclusive=exclusive
+            ).collect()
+        }
+        assert got == want, f"exclusive={exclusive}"
+
+
+def test_blocked_totals_multi_block_key_resets_correctly(spark):
+    """Composite (group, bucket) blocks with a group-major order — the
+    offsets fold crosses group boundaries in sort order, matching the
+    global window over (g, k)."""
+    from ex_hivent_spark.operators.prefix import running_totals_blocked
+
+    rows = [(g, k, float((ord(g) + 1) * k % 7)) for g in ("a", "b", "c")
+            for k in range(500)]
+    df = spark.createDataFrame(rows, "g string, k long, v double").withColumn(
+        "blk", F.expr("k DIV 50")
+    )
+    w = Window.orderBy("g", "k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r["g"], r["k"]): r["cv"]
+        for r in df.select("g", "k", F.sum("v").over(w).alias("cv")).collect()
+    }
+    got = {
+        (r["g"], r["k"]): r["cv"]
+        for r in running_totals_blocked(
+            df, ["k"], ["g", "blk"], {"v": "cv"}
+        ).collect()
+    }
+    assert got == want
