@@ -74,16 +74,22 @@ def register(name: str, oracle: Optional[str] = None):
 # histogram-cut rank, partitioned sequence-gaps/late-audit,
 # interval-decomposed sliding-distinct, TakeOrdered heavy-hitters,
 # broadcast-scalar domain-stats, stats-informed star/q5/q7/q9 — fresh
-# proof that the rewrites hash-identically), then the 7 r01-era and
-# the 27 oldest r02-era re-proofs. The 19 remaining r02-era queries
-# plus oldest-r03 lead r07. scripts/driver_sim.py re-verifies ALL
-# queries locally every round regardless of this ordering.
+# proof that the rewrites hash-identically), then the 3 ops NEW in r6
+# (zero driver evidence beats stale-green r02 evidence), the 7
+# r01-era, and the 24 oldest r02-era re-proofs. The 22 remaining
+# r02-era queries plus oldest-r03 lead r07. scripts/driver_sim.py
+# re-verifies ALL queries locally every round regardless of this
+# ordering.
 DRIVER_CHECK_FIRST = [
     # never driver-checked (registered after the r5 front-50 filled)
     "q_ts_xcorr",  # also rewritten r6: zero-variance guard
     "q_llm_dedup_threshold_sweep",
     "q_llm_langid_confusion",
     "q_llm_ctfidf_topics",
+    # new in r6 — zero driver evidence
+    "q_join_bloom_prefilter",
+    "q_llm_winnowing_fingerprint",
+    "q_quality_benford",
     # only driver row is the r4 pre-oracle `no_oracle` rows-only check
     "q_mm_decode_features",
     "q_mm_frame_sample",
@@ -106,7 +112,7 @@ DRIVER_CHECK_FIRST = [
     "q_llm_exact_dedup",
     "q_llm_text_stats",
     "q_llm_quality_score",
-    # r02-era re-proofs (oldest 27; the other 19 lead r07)
+    # r02-era re-proofs (oldest 24; the other 22 lead r07)
     "q_scan_events",
     "q_scan_projection",
     "q_source_json_props",
@@ -131,9 +137,6 @@ DRIVER_CHECK_FIRST = [
     "q_agg_mode_deterministic",
     "q_agg_string_concat",
     "q_agg_time_grain_rollup",
-    "q_win_rank_topk_per_group",
-    "q_win_lag_lead",
-    "q_win_running_frame",
 ]
 
 
