@@ -127,6 +127,13 @@ HEADLINE = [
     "q_join_bloom_prefilter",
     "q_llm_winnowing_fingerprint",
     "q_quality_benford",
+    "q_ts_ks_drift",
+    "q_ts_psi_drift",
+    "q_ts_theil_sen",
+    "q_llm_jsd_sources",
+    "q_llm_good_turing",
+    "q_ts_mann_kendall",
+    "q_ab_proportion_test",
 ]
 
 

@@ -364,3 +364,169 @@ def q_llm_ctfidf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", "term", dround(F.col("w"), 6).alias("ctfidf_e6"), "rn"
         )
     )
+
+
+@register(
+    "q_llm_jsd_sources",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    st AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+      FROM toks GROUP BY source, tok
+    ),
+    ct AS (
+      SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+    ns AS (
+      SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+      FROM st GROUP BY source
+    ),
+    terms AS (
+      SELECT st.source,
+             (CAST(st.c_st AS DOUBLE) / ns.n_s) AS p,
+             (CAST(ct.c_t AS DOUBLE) / tot.n) AS q
+      FROM st JOIN ct USING (tok)
+           JOIN ns ON st.source = ns.source
+           CROSS JOIN tot
+    ),
+    contrib AS (
+      SELECT source,
+             0.5 * (p * ({sql_dround("ln(p / ((p + q) / 2))", 6)})
+                    + q * ({sql_dround("ln(q / ((p + q) / 2))", 6)})) AS term,
+             q
+      FROM terms
+    )
+    SELECT c.source,
+           CAST(any_value(ns.n_s) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(c.term AS DECIMAL(25,6))) AS DOUBLE)
+           + 0.5 * 0.693147
+             * (1 - CAST(sum(CAST(c.q AS DECIMAL(25,6))) AS DOUBLE))
+             AS jsd
+    FROM contrib c JOIN ns ON c.source = ns.source
+    GROUP BY c.source
+    """,
+)
+def q_llm_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between each source's unigram
+    distribution and the corpus-wide distribution — the mixture-design
+    number that says WHICH crawl slices are lexically unusual (high
+    JSD = a source whose vocabulary usage diverges from the blend;
+    the symmetric, bounded [0, ln2] cousin of KL used by data-mixture
+    papers such as DoReMi/DSIR for domain weighting).
+
+    The absent-token mass needs no |sources|×|vocab| densification:
+    for tokens a source never uses, p = 0 and the JSD contribution is
+    ½·q·ln 2, so JSD = ½·Σ_present[p·ln(p/m) + q·ln(q/m)]
+    + ½·ln 2·(1 − Σ_present q) — only PRESENT (source, token) pairs are
+    ever materialized.
+
+    Plan: one token explode feeds the (source, token) hash aggregate;
+    the |vocab|-row corpus-count frame joins back on token (hash join —
+    both sides are aggregates, orders of magnitude smaller than the
+    corpus); totals ride as broadcast one-row/|sources|-row aggregates.
+    Determinism: p, q, m are exact integer-ratio arithmetic, each ln is
+    e6-rounded before its multiply, both per-source sums ride the
+    decimal detour, and the closing formula (including the e6-rounded
+    ln 2 = 0.693147 literal) is written identically in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    ct = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    tot = ct.agg(F.sum("c_t").alias("n"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    joined = (
+        st.join(ct, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("c_st").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("n")
+    m = (p + q) / 2
+    contrib = joined.select(
+        "source",
+        "n_s",
+        (
+            0.5 * (p * dround(F.log(p / m), 6) + q * dround(F.log(q / m), 6))
+        ).alias("term"),
+        q.alias("q"),
+    )
+    dec = "decimal(25,6)"
+    return contrib.groupBy("source").agg(
+        F.any_value("n_s").alias("n_tokens"),
+        (
+            F.sum(F.col("term").cast(dec)).cast("double")
+            + 0.5
+            * 0.693147
+            * (1 - F.sum(F.col("q").cast(dec)).cast("double"))
+        ).alias("jsd"),
+    )
+
+
+@register(
+    "q_llm_good_turing",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tc AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS r
+      FROM toks GROUP BY lang, tok
+    )
+    SELECT lang,
+           CAST(sum(r) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(r) AS p0_unseen,
+           2.0 * sum(CASE WHEN r = 2 THEN 1 ELSE 0 END)
+             / nullif(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END), 0)
+             AS r_star_1
+    FROM tc GROUP BY lang
+    """,
+)
+def q_llm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing vocabulary accounting per language: hapax (N1) and
+    dis legomena (N2) counts, the Good–Turing unseen-mass estimate
+    p0 = N1/N (how much probability a language model should reserve
+    for words this corpus slice has never seen), and the smoothed
+    adjusted singleton count r*₁ = 2·N2/N1 — the corpus-coverage
+    number that tells a pretraining team whether a slice is large
+    enough that its vocabulary has stopped growing.
+
+    Plan: token explode → (lang, token) hash aggregate → per-lang
+    conditional aggregate over the |vocab|-row frame; both aggregates
+    combine map-side and nothing wider than (lang, token) ever
+    shuffles. Determinism: everything is integer counts plus two exact
+    IEEE divisions (N1=0 guarded by nullif/try_divide on both
+    engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tc = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    one_if = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    return tc.groupBy("lang").agg(
+        F.sum("r").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        one_if(F.col("r") == 1).cast("bigint").alias("n1"),
+        one_if(F.col("r") == 2).cast("bigint").alias("n2"),
+        (
+            one_if(F.col("r") == 1).cast("double") / F.sum("r")
+        ).alias("p0_unseen"),
+        F.try_divide(
+            2.0 * one_if(F.col("r") == 2),
+            F.nullif(one_if(F.col("r") == 1), F.lit(0)),
+        ).alias("r_star_1"),
+    )

@@ -1,0 +1,527 @@
+"""Distribution-drift and significance statistics: the monitoring
+battery an ML/data platform runs between two snapshots of the same
+stream — a two-sample Kolmogorov–Smirnov test, the population
+stability index (PSI), a Theil–Sen robust trend estimate, the
+Mann–Kendall trend significance test, and a two-proportion A/B z-test.
+
+These are the canonical "did the data change?" checks (feature drift
+before a model retrain, input-distribution regression after an upstream
+deploy). None exists as a Spark builtin; each is expressed here as a
+composition of hash aggregates, the distributed prefix-sum machinery
+(operators/prefix.py), and bounded self-joins — no single-partition
+stage anywhere, so every plan survives the 100 TB scale-up.
+
+Determinism: every statistic reduces to integer counts, exact IEEE
+divisions of those counts, and at most one e6-rounded libm call
+(``ln``/``sqrt``) per term — the same discipline as
+q_agg_user_entropy — so the outputs hash-match the DuckDB oracle
+bit-exactly with no tolerance.
+
+Reference parity note: the reference engine (an Elixir event-transport
+client, SURVEY.md §0) has no statistics surface; these derive from the
+driver's analytics mandate and standard monitoring practice (KS test,
+PSI from credit-scoring scorecard monitoring, Theil–Sen from robust
+regression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround, sql_dround
+from ex_hivent_spark.operators.prefix import running_totals_blocked
+from ex_hivent_spark.plans.registry import register
+
+# The events table spans 2024-01-01 .. 2024-01-31 at every SF; the
+# drift comparisons split it into a fixed early half vs late half.
+_CUT = "2024-01-16"
+# KS prefix-sum blocking: value lives on a fixed cents grid in
+# [0, ~500); a width-10 grid keeps ≤ ~50 blocks at any scale.
+_KS_BLOCK = 10.0
+# PSI bucket grid: width-50 value buckets, capped into bucket 9.
+_PSI_WIDTH = 50.0
+_PSI_BUCKETS = 10
+
+
+@register(
+    "q_ts_ks_drift",
+    oracle=f"""
+    WITH lab AS (
+      SELECT value,
+             CASE WHEN ts < TIMESTAMP '{_CUT}' THEN 1 ELSE 0 END AS ia
+      FROM events
+    ),
+    pv AS (
+      SELECT value,
+             CAST(sum(ia) AS BIGINT) AS a,
+             CAST(sum(1 - ia) AS BIGINT) AS b
+      FROM lab GROUP BY value
+    ),
+    tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+      FROM pv
+    ),
+    cum AS (
+      SELECT value,
+             CAST(sum(a) OVER (ORDER BY value) AS BIGINT) AS ca,
+             CAST(sum(b) OVER (ORDER BY value) AS BIGINT) AS cb
+      FROM pv
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_early,
+           CAST(t.nb AS BIGINT) AS n_late,
+           max(abs(CAST(c.ca AS DOUBLE) / t.na
+                   - CAST(c.cb AS DOUBLE) / t.nb)) AS ks_stat
+    FROM cum c CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def q_ts_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the event-value
+    distribution of the first half of the month and the second half:
+    D = max over v of |F_early(v) − F_late(v)| — THE nonparametric
+    "did this feature drift?" test, sensitive to any change in shape,
+    not just mean/variance.
+
+    Plan: one (value → early/late counts) hash aggregate collapses the
+    stream to ≤ |distinct values| rows (the cents grid bounds this at
+    any SF), the two CDFs come from the deterministic blocked prefix
+    sums of operators/prefix.py (fixed width-10 value grid — one
+    block-keyed window, never a single-partition sort), the totals ride
+    in as a broadcast one-row aggregate, and the max is a final scalar
+    aggregate. Determinism: counts are integers and each CDF value is
+    one exact IEEE division — no rounding needed anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        "value",
+        F.when(F.col("ts") < F.lit(_CUT).cast("timestamp"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ia"),
+    )
+    pv = lab.groupBy("value").agg(
+        F.sum("ia").alias("a"),
+        F.sum(1 - F.col("ia")).alias("b"),
+    )
+    tot = pv.agg(
+        F.sum("a").alias("n_early"), F.sum("b").alias("n_late")
+    )
+    blocked = pv.withColumn(
+        "blk", F.floor(F.col("value") / F.lit(_KS_BLOCK))
+    )
+    cum = running_totals_blocked(
+        blocked,
+        order_cols=["value"],
+        block_cols=["blk"],
+        sum_cols={"a": "ca", "b": "cb"},
+    )
+    gap = cum.crossJoin(F.broadcast(tot)).select(
+        "n_early",
+        "n_late",
+        F.abs(
+            F.col("ca").cast("double") / F.col("n_early")
+            - F.col("cb").cast("double") / F.col("n_late")
+        ).alias("gap"),
+    )
+    return gap.groupBy("n_early", "n_late").agg(
+        F.max("gap").alias("ks_stat")
+    )
+
+
+@register(
+    "q_ts_psi_drift",
+    oracle=f"""
+    WITH lab AS (
+      SELECT least(CAST(floor(value / {_PSI_WIDTH}) AS BIGINT),
+                   {_PSI_BUCKETS - 1}) AS bucket,
+             CASE WHEN ts < TIMESTAMP '{_CUT}' THEN 1 ELSE 0 END AS ia
+      FROM events
+    ),
+    pb AS (
+      SELECT bucket,
+             CAST(sum(ia) AS BIGINT) AS ca,
+             CAST(sum(1 - ia) AS BIGINT) AS cb
+      FROM lab GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM pb
+    ),
+    terms AS (
+      SELECT (CAST(ca + 1 AS DOUBLE) / (na + {_PSI_BUCKETS})
+              - CAST(cb + 1 AS DOUBLE) / (nb + {_PSI_BUCKETS}))
+             * ({sql_dround(
+                 f"ln((CAST(ca + 1 AS DOUBLE) / (na + {_PSI_BUCKETS}))"
+                 f" / (CAST(cb + 1 AS DOUBLE) / (nb + {_PSI_BUCKETS})))",
+                 6,
+             )}) AS term,
+             na, nb
+      FROM pb CROSS JOIN tot
+    )
+    SELECT CAST(any_value(na) AS BIGINT) AS n_early,
+           CAST(any_value(nb) AS BIGINT) AS n_late,
+           CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE) AS psi
+    FROM terms
+    """,
+)
+def q_ts_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the event-value distribution,
+    early half vs late half of the month, over a FIXED width-50 bucket
+    grid: PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with add-one smoothing so
+    empty buckets never divide by zero — the scorecard-monitoring drift
+    number (rule of thumb: <0.1 stable, >0.25 drifted).
+
+    Plan: one bucket hash aggregate (≤ 10 rows), the totals broadcast
+    back as a one-row aggregate, then a 10-row decimal sum. The grid is
+    fixed, so the aggregate combines map-side and the post-aggregate
+    frame is O(buckets) at any scale. Determinism: smoothed
+    probabilities are exact integer-ratio divisions; the single ln per
+    bucket is e6-rounded before the multiply (the q_agg_user_entropy
+    convention); the final sum rides the decimal detour."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        F.least(
+            F.floor(F.col("value") / F.lit(_PSI_WIDTH)).cast("bigint"),
+            F.lit(_PSI_BUCKETS - 1).cast("bigint"),
+        ).alias("bucket"),
+        F.when(F.col("ts") < F.lit(_CUT).cast("timestamp"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ia"),
+    )
+    pb = lab.groupBy("bucket").agg(
+        F.sum("ia").alias("ca"),
+        F.sum(1 - F.col("ia")).alias("cb"),
+    )
+    tot = pb.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    sm = pb.crossJoin(F.broadcast(tot))
+    pa = (F.col("ca") + 1).cast("double") / (
+        F.col("na") + F.lit(_PSI_BUCKETS)
+    )
+    qb = (F.col("cb") + 1).cast("double") / (
+        F.col("nb") + F.lit(_PSI_BUCKETS)
+    )
+    terms = sm.select(
+        "na",
+        "nb",
+        ((pa - qb) * dround(F.log(pa / qb), 6)).alias("term"),
+    )
+    return terms.agg(
+        F.any_value("na").alias("n_early"),
+        F.any_value("nb").alias("n_late"),
+        F.sum(F.col("term").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("psi"),
+    )
+
+
+@register(
+    "q_ts_theil_sen",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, floor(epoch(ts) / 3600)
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(b.c - a.c AS DOUBLE) / (b.h - a.h) AS slope,
+             a.h AS ha, b.h AS hb
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND a.h < b.h
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope, ha, hb) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM pairs
+    )
+    SELECT event_type,
+           CAST(any_value(n) AS BIGINT) AS n_pairs,
+           (min(slope) + max(slope)) / 2 AS theil_sen_slope
+    FROM ranked
+    WHERE rn IN (CAST(floor((n + 1) / 2.0) AS BIGINT),
+                 CAST(ceil((n + 1) / 2.0) AS BIGINT))
+    GROUP BY event_type
+    """,
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the median of all
+    pairwise slopes of the hourly event-count series — the
+    breakdown-resistant alternative to least-squares trend (up to 29%
+    of the hours can be outliers without moving it), the right "is
+    traffic growing?" estimator for spiky ops data.
+
+    Plan: the stream collapses to an hourly (type, hour, count) frame
+    first (bounded: ≤ 720 hours/month per type), the pairwise self-join
+    is quadratic only in that BOUNDED series length (≈260k pairs/type
+    at full retention, independent of raw event volume), and the exact
+    median comes from a rank window partitioned by event type over the
+    pairs frame. Determinism: slopes are integer-difference ratios
+    (exact IEEE divisions with distinct hour keys so no 0-division),
+    ties in the rank order are broken by the unique (ha, hb) pair key,
+    and the even-count median midpoint (min+max)/2 over the two middle
+    rows is written identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.h") < F.col("b.h")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.h") - F.col("a.h"))
+        ).alias("slope"),
+        F.col("a.h").alias("ha"),
+        F.col("b.h").alias("hb"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "ha", "hb")
+    n_w = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    )
+    mid_lo = F.floor((F.col("n") + 1) / F.lit(2.0)).cast("bigint")
+    mid_hi = F.ceil((F.col("n") + 1) / F.lit(2.0)).cast("bigint")
+    return (
+        ranked.filter(
+            (F.col("rn") == mid_lo) | (F.col("rn") == mid_hi)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n").alias("n_pairs"),
+            ((F.min("slope") + F.max("slope")) / 2).alias(
+                "theil_sen_slope"
+            ),
+        )
+    )
+
+
+@register(
+    "q_ts_mann_kendall",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, floor(epoch(ts) / 3600)
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.c > a.c THEN 1
+                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND a.h < b.h
+      GROUP BY a.event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_adj,
+             CAST(sum(t) AS BIGINT) AS n_hours
+      FROM (
+        SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+        FROM hourly GROUP BY event_type, c
+      ) GROUP BY event_type
+    )
+    SELECT s.event_type, ties.n_hours, s.s_stat,
+           (ties.n_hours * (ties.n_hours - 1) * (2 * ties.n_hours + 5)
+            - ties.tie_adj) / 18.0 AS var_s,
+           CASE
+             WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+               / ({sql_dround(
+                   "sqrt((ties.n_hours * (ties.n_hours - 1)"
+                   " * (2 * ties.n_hours + 5) - ties.tie_adj) / 18.0)",
+                   6,
+               )})
+             WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+               / ({sql_dround(
+                   "sqrt((ties.n_hours * (ties.n_hours - 1)"
+                   " * (2 * ties.n_hours + 5) - ties.tie_adj) / 18.0)",
+                   6,
+               )})
+             ELSE 0.0
+           END AS z_stat
+    FROM s JOIN ties ON s.event_type = ties.event_type
+    """,
+)
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per event type over the
+    hourly count series: S = Σ_{i<j} sgn(c_j − c_i), its tie-corrected
+    variance, and the normal-approximation z — the distribution-free
+    "is there ANY monotonic trend?" significance companion to the
+    Theil–Sen slope magnitude (q_ts_theil_sen), run on the same
+    bounded hourly frame.
+
+    Plan: identical shape to Theil–Sen — hourly pre-aggregate (≤720
+    rows/month per type), pairwise self-join quadratic only in that
+    bound, then three tiny per-type aggregates (S, tie groups, n)
+    joined broadcast. Determinism: S and the tie adjustment are pure
+    integers, var_s is one exact /18.0 division, and the single sqrt
+    is e6-rounded before the z division (entropy convention)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.h") < F.col("b.h")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    tie_groups = hourly.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    t = F.col("t")
+    ties = tie_groups.groupBy("event_type").agg(
+        F.sum(t * (t - 1) * (2 * t + 5)).alias("tie_adj"),
+        F.sum(t).alias("n_hours"),
+    )
+    j = s.join(F.broadcast(ties), "event_type")
+    n = F.col("n_hours")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("tie_adj")) / F.lit(18.0)
+    sq = dround(F.sqrt(var_s), 6)
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / sq,
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / sq,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        "n_hours",
+        "s_stat",
+        var_s.alias("var_s"),
+        z.alias("z_stat"),
+    )
+
+
+@register(
+    "q_ab_proportion_test",
+    oracle=f"""
+    WITH lab AS (
+      SELECT CASE WHEN ts < TIMESTAMP '{_CUT}' THEN 'early' ELSE 'late'
+             END AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS conv
+      FROM events
+    ),
+    g AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+      FROM lab GROUP BY arm
+    ),
+    w AS (
+      SELECT e.n AS n1, e.k AS k1, l.n AS n2, l.k AS k2
+      FROM (SELECT * FROM g WHERE arm = 'early') e
+      CROSS JOIN (SELECT * FROM g WHERE arm = 'late') l
+    )
+    SELECT n1, k1, n2, k2,
+           CAST(k1 AS DOUBLE) / n1 AS p1,
+           CAST(k2 AS DOUBLE) / n2 AS p2,
+           (CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+           / ({sql_dround(
+               "sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))"
+               " * (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))"
+               " * (1.0 / n1 + 1.0 / n2))",
+               6,
+           )}) AS z_stat
+    FROM w
+    """,
+)
+def q_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion, early half vs
+    late half of the month — the pooled-variance A/B significance
+    formula every experimentation platform ships:
+    z = (p̂₁−p̂₂) / √(p̂(1−p̂)(1/n₁+1/n₂)).
+
+    Plan: ONE conditional aggregate collapses the stream to two
+    (arm, n, k) rows; the pivot to a single comparison row is a 2-row
+    cross join — nothing after the scan is data-sized. Determinism:
+    counts are integers, every ratio is an exact IEEE division, and
+    the single sqrt is e6-rounded before the final division."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        F.when(
+            F.col("ts") < F.lit(_CUT).cast("timestamp"), F.lit("early")
+        )
+        .otherwise(F.lit("late"))
+        .alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("conv"),
+    )
+    g = lab.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    early = g.filter(F.col("arm") == "early").select(
+        F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    late = g.filter(F.col("arm") == "late").select(
+        F.col("n").alias("n2"), F.col("k").alias("k2")
+    )
+    w = early.crossJoin(F.broadcast(late))
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p2 = F.col("k2").cast("double") / F.col("n2")
+    pool = (F.col("k1") + F.col("k2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    se = dround(
+        F.sqrt(
+            pool
+            * (1 - pool)
+            * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+        ),
+        6,
+    )
+    return w.select(
+        "n1",
+        "k1",
+        "n2",
+        "k2",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        ((p1 - p2) / se).alias("z_stat"),
+    )
