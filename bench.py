@@ -134,6 +134,7 @@ HEADLINE = [
     "q_llm_good_turing",
     "q_ts_mann_kendall",
     "q_ab_proportion_test",
+    "q_agg_gini_concentration",
 ]
 
 

@@ -438,7 +438,8 @@ def q_llm_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_st")
-    )
+    ).localCheckpoint(eager=False)  # ct/ns/tot all derive from st:
+    # pin it so the corpus is scanned+exploded ONCE, not once per branch
     ct = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     tot = ct.agg(F.sum("c_t").alias("n"))
     ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))

@@ -102,7 +102,9 @@ def q_ts_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = lab.groupBy("value").agg(
         F.sum("ia").alias("a"),
         F.sum(1 - F.col("ia")).alias("b"),
-    )
+    ).localCheckpoint(eager=False)  # consumed by the totals AND both
+    # prefix-sum branches: pin the |values|-row frame so the event
+    # stream is scanned once
     tot = pv.agg(
         F.sum("a").alias("n_early"), F.sum("b").alias("n_late")
     )
@@ -191,7 +193,7 @@ def q_ts_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = lab.groupBy("bucket").agg(
         F.sum("ia").alias("ca"),
         F.sum(1 - F.col("ia")).alias("cb"),
-    )
+    ).localCheckpoint(eager=False)  # totals + smoothed terms: one scan
     tot = pb.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     sm = pb.crossJoin(F.broadcast(tot))
     pa = (F.col("ca") + 1).cast("double") / (
@@ -273,6 +275,8 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # both self-join sides + ranks:
+        # one event-stream scan, the ≤720-row/type frame is reused
     )
     a = hourly.alias("a")
     b = hourly.alias("b")
@@ -385,6 +389,7 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # self-join sides + tie groups
     )
     a, b = hourly.alias("a"), hourly.alias("b")
     s = (
@@ -495,7 +500,7 @@ def q_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = lab.groupBy("arm").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("conv").cast("bigint").alias("k"),
-    )
+    ).localCheckpoint(eager=False)  # both arm filters: one scan
     early = g.filter(F.col("arm") == "early").select(
         F.col("n").alias("n1"), F.col("k").alias("k1")
     )
@@ -524,4 +529,94 @@ def q_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         p1.alias("p1"),
         p2.alias("p2"),
         ((p1 - p2) / se).alias("z_stat"),
+    )
+
+
+@register(
+    "q_agg_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+      SELECT r,
+             CAST(row_number() OVER (ORDER BY r, o_custkey) AS BIGINT)
+               AS rnk
+      FROM rev
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(r AS DECIMAL(25,6))) AS DOUBLE) AS sr,
+             CAST(sum(CAST(r AS DECIMAL(25,6))
+                      * CAST(rnk AS DECIMAL(12,0))) AS DOUBLE) AS srr
+      FROM rk
+    )
+    SELECT n AS n_customers,
+           sr AS total_revenue,
+           floor(((2 * srr - (n + 1) * sr) / (n * sr)) * 1000000000.0
+                 + 0.5) / 1000000000.0 AS gini_e9
+    FROM t
+    """,
+)
+def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the concentration /
+    inequality audit ("do 1% of customers carry 80% of revenue?") that
+    feeds risk dashboards and skew-aware capacity planning. Uses the
+    rank formulation G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted values.
+
+    Plan: the orders stream collapses to a per-customer decimal-sum
+    frame first; the global ascending ranks come from the DETERMINISTIC
+    blocked prefix sums (operators/prefix.py — fixed width-100k revenue
+    grid, ties broken by custkey inside a block since equal revenues
+    share a block), so there is NO single-partition row_number anywhere;
+    the two closing sums are one more hash aggregate. Determinism:
+    per-customer revenue is a decimal sum, ranks are exact integers,
+    and the rank·revenue products are computed in EXACT decimal
+    arithmetic (decimal(25,6) × decimal(12,0)) rather than doubles —
+    at rank·revenue ≈ 10¹²⁺ a double's ulp exceeds the 6th decimal, so
+    the usual "per-row double products are exact" shortcut would let
+    the two engines' double→decimal quantizations disagree. One
+    residual cross-engine wobble remains: casting the Σ(rank·r)
+    decimal (unscaled value > 2⁵³) back to double is correctly rounded
+    by the JVM but double-rounded by DuckDB's int128/10⁶ path — a ≤
+    few-ulp input difference the e9-rounded output absorbs (gini is in
+    [0,1], so nine decimals is far beyond reporting precision)."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("r")
+    ).localCheckpoint(eager=False)  # prefix window + offsets probe:
+    # one orders scan, the per-customer frame is reused
+
+    blocked = rev.withColumn(
+        "blk", F.floor(F.col("r") / F.lit(100000.0))
+    ).withColumn("one", F.lit(1).cast("bigint"))
+    ranked = running_totals_blocked(
+        blocked,
+        order_cols=["r", "o_custkey"],
+        block_cols=["blk"],
+        sum_cols={"one": "rnk"},
+    )
+    dec = "decimal(25,6)"
+    t = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r").cast(dec)).cast("double").alias("sr"),
+        F.sum(
+            F.col("r").cast(dec) * F.col("rnk").cast("decimal(12,0)")
+        )
+        .cast("double")
+        .alias("srr"),
+    )
+    return t.select(
+        F.col("n").alias("n_customers"),
+        F.col("sr").alias("total_revenue"),
+        dround(
+            (2 * F.col("srr") - (F.col("n") + 1) * F.col("sr"))
+            / (F.col("n") * F.col("sr")),
+            9,
+        ).alias("gini_e9"),
     )
