@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.letbind import let1
 from ex_hivent_spark.plans.registry import register
 
 # Production decontamination uses 8-13-token grams (GPT-3 used 13);
@@ -38,13 +39,19 @@ def word_ngrams(text: Column, n: int = NGRAM_N) -> Column:
     """Distinct n-token word grams (as strings) of a space-tokenized
     text; docs shorter than n tokens contribute their whole text as one
     gram. Pure built-ins: split + transform over an index sequence."""
-    toks = F.split(text, " ")
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+    # let-bound split: HOF lambda bodies are outside codegen CSE, so an
+    # unbound split re-runs per gram (functions/letbind.py).
+    return let1(
+        F.split(text, " "),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks) - (n - 1), F.lit(1)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
     )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
 from ex_hivent_spark.functions.decimals import dround
+from ex_hivent_spark.functions.letbind import let1
 from ex_hivent_spark.plans.registry import register
 
 # MinHash parameters: 16 bands x 2 rows = 32 permutations.
@@ -80,13 +81,21 @@ def shingles(text: Column, k: int = SHINGLE_K, hasher=None) -> Column:
     shingle pass, and 64-bit so strictly fewer collisions than the
     48-bit md5 prefix."""
     h = hasher if hasher is not None else md5_int48
-    tokens = F.split(text, " ")
-    n = F.greatest(F.size(tokens) - (k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: h(F.concat_ws(" ", F.slice(tokens, i, k))),
-        )
+    # let-bind the split: codegen does NOT eliminate common
+    # subexpressions inside HOF lambdas, so an unbound split re-runs
+    # per shingle — measured 2.5x on the whole shingle pass
+    # (functions/letbind.py).
+    return let1(
+        F.split(text, " "),
+        lambda tokens: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(tokens) - (k - 1), F.lit(1)),
+                ),
+                lambda i: h(F.concat_ws(" ", F.slice(tokens, i, k))),
+            )
+        ),
     )
 
 
@@ -921,23 +930,37 @@ def q_llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     density 2/(W+1) is the knob that trades recall for shuffle
     volume. Hashes are md5_int48, reproduced VERBATIM in the oracle."""
     d = load_table(spark, sf_dir, "documents")
-    tokens = F.split("text", " ")
-    n_grams = F.greatest(F.size(tokens) - (WINNOW_K - 1), F.lit(1))
-    hs = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: md5_int48(F.concat_ws(" ", F.slice(tokens, i, WINNOW_K))),
+    # Both stages let-bound (functions/letbind.py): codegen does not
+    # CSE inside HOF lambdas, so unbound the O(n·K) md5-gram array
+    # re-evaluates under every one of the n windowed array_min
+    # references — O(n²) md5 calls per doc, measured 197 s at sf0.1
+    # vs ~2.5 s bound. let1 keeps it one pure codegen'd expression
+    # (no checkpoint barrier, no memory pin).
+    hs = let1(
+        F.split("text", " "),
+        lambda tokens: F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(tokens) - (WINNOW_K - 1), F.lit(1)),
+            ),
+            lambda i: md5_int48(
+                F.concat_ws(" ", F.slice(tokens, i, WINNOW_K))
+            ),
+        ),
     )
-    grams = d.select("doc_id", hs.alias("hs"))
-    n_wins = F.greatest(F.size("hs") - (WINNOW_W - 1), F.lit(1))
-    fps = grams.select(
-        "doc_id",
-        F.array_distinct(
+    fp = let1(
+        hs,
+        lambda h: F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), n_wins),
-                lambda j: F.array_min(F.slice("hs", j, WINNOW_W)),
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(h) - (WINNOW_W - 1), F.lit(1)),
+                ),
+                lambda j: F.array_min(F.slice(h, j, WINNOW_W)),
             )
-        ).alias("fp"),
+        ),
     )
+    fps = d.select("doc_id", fp.alias("fp"))
     ex = fps.select("doc_id", F.explode("fp").alias("f"))
     df_tbl = ex.groupBy("f").agg(
         F.count_distinct("doc_id").alias("nd")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
 from ex_hivent_spark.functions.decimals import davg, dround, sql_davg, sql_dround
+from ex_hivent_spark.functions.letbind import let1
 from ex_hivent_spark.plans.registry import register
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -252,19 +253,34 @@ def q_llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/templated text for exclusion from training sets. Pure
     integer ratio — hash-exact, map-only, codegen'd."""
     d = load_table(spark, sf_dir, "documents")
-    tokens = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, 2)),
+    # let-bound twice (functions/letbind.py): the gram array is
+    # referenced by three projection fields and codegen does not CSE
+    # across HOF-produced subtrees, so unbound it (and its inner
+    # split) would be rebuilt per reference. stats is a per-row struct
+    # built from ONE gram pass.
+    grams = let1(
+        F.split("text", " "),
+        lambda tokens: F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(tokens) - 1, F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, 2)),
+        ),
+    )
+    stats = let1(
+        grams,
+        lambda g: F.struct(
+            F.size(g).cast("bigint").alias("n"),
+            F.size(F.array_distinct(g)).cast("bigint").alias("u"),
+        ),
     )
     return d.select(
         "doc_id",
         "lang",
-        F.size(grams).cast("bigint").alias("n_2grams"),
-        F.size(F.array_distinct(grams)).cast("bigint").alias("n_unique_2grams"),
+        stats["n"].alias("n_2grams"),
+        stats["u"].alias("n_unique_2grams"),
         (
-            1.0
-            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+            1.0 - stats["u"].cast("double") / stats["n"]
         ).alias("dup_2gram_frac"),
     )
 

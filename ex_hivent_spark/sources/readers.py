@@ -111,3 +111,19 @@ def read_events_json_permissive(
         F.col(CORRUPT_COL).alias("raw_line")
     )
     return ok, quarantined
+
+
+def read_events_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Batch ORC reader for the events table (explicit schema — same
+    no-inference rule as the JSON/CSV readers). ORC is the second
+    columnar at-rest format warehouses commonly hand us besides
+    parquet; Spark's native reader gives predicate pushdown and column
+    pruning on it just like parquet, so downstream plans are format-
+    agnostic."""
+    return spark.read.schema(EVENTS_TABLE_SCHEMA).orc(path)
+
+
+def write_events_orc(df: DataFrame, path: str, codec: str = "zlib") -> None:
+    """ORC writer twin (zlib default — ORC's widest-compatibility
+    codec; snappy/zstd accepted)."""
+    df.write.mode("overwrite").option("compression", codec).orc(path)

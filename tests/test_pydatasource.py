@@ -101,3 +101,26 @@ def test_json_sink_two_phase_commit(spark, tmp_path):
             with open(os.path.join(out, name)) as f:
                 rows += [json.loads(line) for line in f]
     assert sorted(r["event_id"] for r in rows) == list(range(100))
+
+
+def test_orc_round_trip_matches_parquet(spark, sf_dir):
+    """ORC at-rest twin: events written to ORC and read back with the
+    explicit schema are row-identical to the parquet source (formats
+    interchangeable under one schema — sources/readers.py)."""
+    import tempfile
+
+    from ex_hivent_spark.catalog import load_table
+    from ex_hivent_spark.sources.readers import (
+        read_events_orc,
+        write_events_orc,
+    )
+
+    src = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/events_orc"
+        write_events_orc(src, path)
+        back = read_events_orc(spark, path)
+        assert back.schema == src.schema
+        a = sorted(map(tuple, src.collect()), key=repr)
+        b = sorted(map(tuple, back.collect()), key=repr)
+        assert a == b
