@@ -135,6 +135,8 @@ HEADLINE = [
     "q_ts_mann_kendall",
     "q_ab_proportion_test",
     "q_agg_gini_concentration",
+    "q_ts_markov_transitions",
+    "q_ts_diurnal_percentiles",
 ]
 
 

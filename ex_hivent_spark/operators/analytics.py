@@ -1837,3 +1837,85 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.abs(obs - F.col("benford_share")), 6).alias("abs_dev"),
         )
     )
+
+
+@register(
+    "q_ts_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_trans
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    outs AS (
+      SELECT cur, CAST(sum(n_trans) AS BIGINT) AS n_out
+      FROM pairs GROUP BY cur
+    ),
+    ins AS (
+      SELECT nxt, CAST(sum(n_trans) AS BIGINT) AS n_in
+      FROM pairs GROUP BY nxt
+    ),
+    tot AS (SELECT CAST(sum(n_trans) AS BIGINT) AS n FROM pairs)
+    SELECT p.cur, p.nxt, p.n_trans,
+           CAST(p.n_trans AS DOUBLE) / o.n_out AS p_cond,
+           (CAST(p.n_trans AS DOUBLE) / o.n_out)
+             * (CAST(t.n AS DOUBLE) / i.n_in) AS lift
+    FROM pairs p
+    JOIN outs o ON p.cur = o.cur
+    JOIN ins i ON p.nxt = i.nxt
+    CROSS JOIN tot t
+    """,
+)
+def q_ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (current → next) event-type pair, the transition count, the
+    conditional probability P(next|cur), and the lift against the
+    unconditional next-event frequency — the "what do users do after
+    X?" matrix behind next-action prediction, funnel design, and
+    anomalous-flow detection (lift ≫ 1 marks sticky sequences).
+
+    Plan: ONE lead window partitioned by user (distributed — state is
+    one row per user partition, no global sort), a (cur, nxt) hash
+    aggregate that collapses the stream to ≤ |types|² rows, and three
+    broadcast joins of tiny marginal aggregates onto that frame.
+    Determinism: counts are integers; P(next|cur) is one exact IEEE
+    division; lift is written as (c/out)·(N/in) — two exact divisions
+    and one multiply, identical in both engines — so no intermediate
+    product can overflow integer range at any scale."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+        .localCheckpoint(eager=False)  # marginals + output: one pass
+    )
+    outs = pairs.groupBy("cur").agg(F.sum("n_trans").alias("n_out"))
+    ins = pairs.groupBy("nxt").agg(F.sum("n_trans").alias("n_in"))
+    tot = pairs.agg(F.sum("n_trans").alias("n"))
+    p_cond = F.col("n_trans").cast("double") / F.col("n_out")
+    return (
+        pairs.join(F.broadcast(outs), "cur")
+        .join(F.broadcast(ins), "nxt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cur",
+            "nxt",
+            "n_trans",
+            p_cond.alias("p_cond"),
+            (
+                p_cond * (F.col("n").cast("double") / F.col("n_in"))
+            ).alias("lift"),
+        )
+    )

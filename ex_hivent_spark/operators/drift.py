@@ -1,8 +1,11 @@
-"""Distribution-drift and significance statistics: the monitoring
+"""Distribution-drift, significance, and monitoring statistics: the
 battery an ML/data platform runs between two snapshots of the same
 stream — a two-sample Kolmogorov–Smirnov test, the population
 stability index (PSI), a Theil–Sen robust trend estimate, the
-Mann–Kendall trend significance test, and a two-proportion A/B z-test.
+Mann–Kendall trend significance test, a two-proportion A/B z-test,
+the Gini revenue-concentration audit, and diurnal percentile bands.
+(The streaming twin of PSI lives in streaming/drift.py; the Markov
+behavior-transition matrix in operators/analytics.py.)
 
 These are the canonical "did the data change?" checks (feature drift
 before a model retrain, input-distribution regression after an upstream
@@ -619,4 +622,66 @@ def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("sr")),
             9,
         ).alias("gini_e9"),
+    )
+
+
+_BAND_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "q_ts_diurnal_percentiles",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             unnest(quantile_cont(value, {list(_BAND_QS)})) AS qv,
+             unnest(list_transform({list(_BAND_QS)},
+                                   x -> CAST(x AS DOUBLE))) AS quantile
+      FROM events GROUP BY event_type, extract(hour FROM ts)
+    )
+    SELECT event_type, hour_of_day, n_events, quantile,
+           floor(qv * 1000000.0 + 0.5) / 1000000.0 AS value_at_q
+    FROM q
+    """,
+)
+def q_ts_diurnal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal percentile bands: p50/p90/p99 of the event value per
+    (event type, hour-of-day) — the 24-point daily profile behind every
+    latency/size dashboard and the baseline a "tonight looks slow"
+    alert compares against.
+
+    Plan: ONE hash aggregate keyed on (type, hour-of-day) computes all
+    three exact percentiles together (percentile() takes the quantile
+    array — single sort per group, not one per quantile), then a
+    posexplode reshapes to band rows; the output is bounded at
+    |types|×24×|bands| rows at any scale. Exact percentile is a
+    per-group sort, the same cost envelope as any per-key ranking;
+    switch to approx_percentile when groups stop fitting the sort
+    buffer. Determinism: Spark percentile() and DuckDB quantile_cont
+    share the linear-interpolation definition (the q_percentile_exact
+    precedent); e6-rounded against last-ulp interpolation drift."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.percentile("value", F.lit(list(_BAND_QS))).alias("qs"),
+    )
+    return (
+        agg.select(
+            "event_type",
+            "hour_of_day",
+            "n_events",
+            F.posexplode("qs").alias("pos", "qv"),
+        )
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_events",
+            F.element_at(F.lit(list(_BAND_QS)), F.col("pos") + 1).alias(
+                "quantile"
+            ),
+            dround(F.col("qv"), 6).alias("value_at_q"),
+        )
     )
