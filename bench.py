@@ -137,6 +137,7 @@ HEADLINE = [
     "q_agg_gini_concentration",
     "q_ts_markov_transitions",
     "q_ts_diurnal_percentiles",
+    "q_win_hampel",
 ]
 
 

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
 from ex_hivent_spark.functions.decimals import dround, sql_dround
+from ex_hivent_spark.functions.letbind import let1
 from ex_hivent_spark.operators.prefix import running_totals_blocked
 from ex_hivent_spark.plans.registry import register
 
@@ -684,4 +685,88 @@ def q_ts_diurnal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             dround(F.col("qv"), 6).alias("value_at_q"),
         )
+    )
+
+
+_HAMPEL_HALF = 3  # +/- rows in the centered window
+_HAMPEL_K = 3.0 * 1.4826  # 3 sigma under the Gaussian MAD consistency
+
+
+@register(
+    "q_win_hampel",
+    oracle=f"""
+    SELECT event_id, value,
+           med AS rolling_median,
+           md AS rolling_mad,
+           CASE WHEN abs(value - med) > {_HAMPEL_K} * md
+                THEN true ELSE false END AS is_outlier,
+           CASE WHEN abs(value - med) > {_HAMPEL_K} * md
+                THEN med ELSE value END AS cleaned
+    FROM (
+      SELECT event_id, value,
+             median(value) OVER w AS med,
+             mad(value) OVER w AS md
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN {_HAMPEL_HALF} PRECEDING
+                            AND {_HAMPEL_HALF} FOLLOWING)
+    )
+    """,
+)
+def q_win_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter: the standard robust time-series despiker — for
+    each event, the median and MAD of its ±3-row neighborhood (within
+    its event type's time order); points beyond 3·1.4826·MAD are
+    flagged and replaced by the local median. Unlike a z-score window,
+    one spike cannot inflate its own threshold (median/MAD have a 50%
+    breakdown point), which is why it's the default sensor-cleaning
+    pass in ops pipelines.
+
+    Plan: ONE type-partitioned 7-row sliding window (distributed —
+    state is 7 rows/event, no global sort); Spark has no median/mad
+    window aggregate, so both come from the sorted collect_list array
+    via nested let-bindings (functions/letbind.py — the array sorts
+    once, every reference is a slot read). DuckDB's native
+    median()/mad() window aggregates form the oracle. Determinism:
+    both engines interpolate even-count medians as (lo+hi)/2 over the
+    same stored doubles — identical IEEE arithmetic end to end, no
+    rounding anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_HAMPEL_HALF, _HAMPEL_HALF)
+    )
+
+    def arr_median(a: F.Column) -> F.Column:
+        n = F.size(a)
+        lo = F.floor((n + 1) / F.lit(2.0)).cast("int")
+        hi = F.ceil((n + 1) / F.lit(2.0)).cast("int")
+        return (F.element_at(a, lo) + F.element_at(a, hi)) / 2
+
+    stats = let1(
+        F.array_sort(F.collect_list("value").over(w)),
+        lambda a: let1(
+            arr_median(a),
+            lambda med: F.struct(
+                med.alias("med"),
+                arr_median(
+                    F.array_sort(
+                        F.transform(a, lambda v: F.abs(v - med))
+                    )
+                ).alias("md"),
+            ),
+        ),
+    )
+    base = e.select("event_id", "value", stats.alias("s"))
+    med = F.col("s.med")
+    md = F.col("s.md")
+    outlier = F.abs(F.col("value") - med) > F.lit(_HAMPEL_K) * md
+    return base.select(
+        "event_id",
+        "value",
+        med.alias("rolling_median"),
+        md.alias("rolling_mad"),
+        outlier.alias("is_outlier"),
+        F.when(outlier, med).otherwise(F.col("value")).alias("cleaned"),
     )

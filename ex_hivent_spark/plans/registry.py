@@ -74,9 +74,9 @@ def register(name: str, oracle: Optional[str] = None):
 # histogram-cut rank, partitioned sequence-gaps/late-audit,
 # interval-decomposed sliding-distinct, TakeOrdered heavy-hitters,
 # broadcast-scalar domain-stats, stats-informed star/q5/q7/q9 — fresh
-# proof that the rewrites hash-identically), then the 13 ops NEW in
+# proof that the rewrites hash-identically), then the 14 ops NEW in
 # r6 (zero driver evidence beats stale-green r02 evidence), the 7
-# r01-era, and the 14 oldest r02-era re-proofs. The 32 remaining
+# r01-era, and the 13 oldest r02-era re-proofs. The 33 remaining
 # r02-era queries plus oldest-r03 lead r07. scripts/driver_sim.py
 # re-verifies ALL queries locally every round regardless of this
 # ordering.
@@ -100,6 +100,7 @@ DRIVER_CHECK_FIRST = [
     "q_agg_gini_concentration",
     "q_ts_markov_transitions",
     "q_ts_diurnal_percentiles",
+    "q_win_hampel",
     # only driver row is the r4 pre-oracle `no_oracle` rows-only check
     "q_mm_decode_features",
     "q_mm_frame_sample",
@@ -122,7 +123,7 @@ DRIVER_CHECK_FIRST = [
     "q_llm_exact_dedup",
     "q_llm_text_stats",
     "q_llm_quality_score",
-    # r02-era re-proofs (oldest 14; the other 32 lead r07)
+    # r02-era re-proofs (oldest 13; the other 33 lead r07)
     "q_scan_events",
     "q_scan_projection",
     "q_source_json_props",
@@ -136,7 +137,6 @@ DRIVER_CHECK_FIRST = [
     "q_join_full_outer",
     "q_join_semi",
     "q_join_anti",
-    "q_join_broadcast",
 ]
 
 
