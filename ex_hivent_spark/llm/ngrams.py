@@ -388,7 +388,9 @@ def q_llm_ctfidf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms AS (
       SELECT st.source,
              (CAST(st.c_st AS DOUBLE) / ns.n_s) AS p,
-             (CAST(ct.c_t AS DOUBLE) / tot.n) AS q
+             (CAST(ct.c_t AS DOUBLE) / tot.n) AS q,
+             ct.c_t AS c_t,
+             tot.n AS n
       FROM st JOIN ct USING (tok)
            JOIN ns ON st.source = ns.source
            CROSS JOIN tot
@@ -397,14 +399,16 @@ def q_llm_ctfidf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source,
              0.5 * (p * ({sql_dround("ln(p / ((p + q) / 2))", 6)})
                     + q * ({sql_dround("ln(q / ((p + q) / 2))", 6)})) AS term,
-             q
+             c_t,
+             n
       FROM terms
     )
     SELECT c.source,
            CAST(any_value(ns.n_s) AS BIGINT) AS n_tokens,
-           CAST(sum(CAST(c.term AS DECIMAL(25,6))) AS DOUBLE)
+           CAST(sum(CAST(c.term AS DECIMAL(38,15))) AS DOUBLE)
            + 0.5 * 0.693147
-             * (1 - CAST(sum(CAST(c.q AS DECIMAL(25,6))) AS DOUBLE))
+             * (1 - CAST(sum(c.c_t) AS DOUBLE)
+                    / CAST(any_value(c.n) AS DOUBLE))
              AS jsd
     FROM contrib c JOIN ns ON c.source = ns.source
     GROUP BY c.source
@@ -429,9 +433,17 @@ def q_llm_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides are aggregates, orders of magnitude smaller than the
     corpus); totals ride as broadcast one-row/|sources|-row aggregates.
     Determinism: p, q, m are exact integer-ratio arithmetic, each ln is
-    e6-rounded before its multiply, both per-source sums ride the
-    decimal detour, and the closing formula (including the e6-rounded
-    ln 2 = 0.693147 literal) is written identically in both engines."""
+    e6-rounded before its multiply, the per-source term sum rides a
+    decimal(38,15) detour (the sum is bounded by ln 2, so the unscaled
+    value stays far below 2^53 and the closing decimal→double cast is
+    exact in both engines), and the closing formula (including the
+    e6-rounded ln 2 = 0.693147 literal) is written identically in both
+    engines. The absent-q mass is summed as EXACT integer token counts
+    (Σ c_t as bigint, divided by n once at the end) rather than a
+    per-token decimal sum — a decimal(25,6) per-token q would quantize
+    every q < 5e-7 to zero, silently dropping long-tail probability
+    mass and inflating the absent-mass term as vocabulary grows at the
+    100 TB design point."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "source", F.explode(F.split("text", " ")).alias("tok")
@@ -457,16 +469,20 @@ def q_llm_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             0.5 * (p * dround(F.log(p / m), 6) + q * dround(F.log(q / m), 6))
         ).alias("term"),
-        q.alias("q"),
+        "c_t",
+        "n",
     )
-    dec = "decimal(25,6)"
     return contrib.groupBy("source").agg(
         F.any_value("n_s").alias("n_tokens"),
         (
-            F.sum(F.col("term").cast(dec)).cast("double")
+            F.sum(F.col("term").cast("decimal(38,15)")).cast("double")
             + 0.5
             * 0.693147
-            * (1 - F.sum(F.col("q").cast(dec)).cast("double"))
+            * (
+                1
+                - F.sum("c_t").cast("double")
+                / F.any_value("n").cast("double")
+            )
         ).alias("jsd"),
     )
 

@@ -559,8 +559,8 @@ def q_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_customers,
            sr AS total_revenue,
-           floor(((2 * srr - (n + 1) * sr) / (n * sr)) * 1000000000.0
-                 + 0.5) / 1000000000.0 AS gini_e9
+           floor(((2 * srr - (n + 1) * sr) / (n * sr)) * 1000000.0
+                 + 0.5) / 1000000.0 AS gini_e6
     FROM t
     """,
 )
@@ -585,9 +585,12 @@ def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two engines' double→decimal quantizations disagree. One
     residual cross-engine wobble remains: casting the Σ(rank·r)
     decimal (unscaled value > 2⁵³) back to double is correctly rounded
-    by the JVM but double-rounded by DuckDB's int128/10⁶ path — a ≤
-    few-ulp input difference the e9-rounded output absorbs (gini is in
-    [0,1], so nine decimals is far beyond reporting precision)."""
+    by the JVM but double-rounded by DuckDB's int128/10⁶ path — a
+    few-ulp input difference worth ~1e-15 absolute in the final ratio.
+    The output therefore rounds at e6 (not e9): six decimals is ample
+    reporting precision for a [0,1] statistic and leaves ~9 orders of
+    magnitude of margin between the rounding grid and the input
+    wobble, so the cross-engine hash cannot flip as data scales."""
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
@@ -621,8 +624,8 @@ def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(
             (2 * F.col("srr") - (F.col("n") + 1) * F.col("sr"))
             / (F.col("n") * F.col("sr")),
-            9,
-        ).alias("gini_e9"),
+            6,
+        ).alias("gini_e6"),
     )
 
 

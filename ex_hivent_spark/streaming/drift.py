@@ -10,14 +10,23 @@ per-batch (batch_id, n, psi, drifted) rows land in a batch_id-keyed
 sink the alerting layer tails. Fixed grid + add-one smoothing mean an
 empty or skewed batch scores high PSI instead of dividing by zero.
 
-Scale shape: the baseline is a ≤|buckets|-row parquet re-read and
-broadcast per trigger (the enrich.py dimension-refresh pattern, so a
-re-committed baseline is picked up mid-stream without a restart); the
-batch-side work is one conditional aggregate to |buckets| rows; the
-PSI fold happens on that tiny frame. State: NONE — each batch is
-scored independently, so there is no watermark, no state store, and
-replay is handled by the batch_id-keyed idempotent overwrite
-(consumer.py's effectively-once sink discipline).
+Scale shape: the baseline is a ≤|buckets|-row snapshot re-read per
+trigger (the enrich.py dimension-refresh pattern, so a re-committed
+baseline is picked up mid-stream without a restart); the batch-side
+work is one conditional aggregate to |buckets| rows, pinned with a
+lazy localCheckpoint so the live data is scanned ONCE per trigger
+(the bucket aggregate feeds both the join and the nb total); the PSI
+fold happens on that tiny frame. State: NONE — each batch is scored
+independently, so there is no watermark, no state store, and replay
+is handled by the batch_id-keyed idempotent overwrite (consumer.py's
+effectively-once sink discipline).
+
+Baseline commits are ATOMIC: write_baseline publishes the histogram
+through the versioned-table pointer commit (sources/versioned.py —
+snapshot dir write, then a tmp-write + rename of the _VERSION
+pointer), so a re-commit racing a trigger can never expose a
+partially-written histogram; per-trigger reads resolve the pointer
+and always see a complete snapshot (old or new, never a torn one).
 
 Determinism: identical to the batch twin — integer counts, exact
 smoothed-ratio divisions, one e6-rounded ln per bucket, decimal-summed
@@ -50,17 +59,36 @@ def write_baseline(
     path: str,
     width: float = DEFAULT_WIDTH,
     n_buckets: int = DEFAULT_BUCKETS,
-) -> None:
+) -> int:
     """Commit the reference histogram: (bucket, cnt) over the fixed
     grid. One hash aggregate over the reference window; the artifact
-    is ≤ n_buckets rows regardless of input size."""
-    (
+    is ≤ n_buckets rows regardless of input size.
+
+    The commit goes through the versioned-table pointer protocol
+    (sources/versioned.py): the snapshot directory is fully written
+    BEFORE the _VERSION pointer flips, so a concurrent per-trigger
+    read never sees a partial histogram — a plain mode('overwrite')
+    parquet write would first delete the old files and leave a window
+    where a racing trigger reads nothing or a torn file set. Returns
+    the committed version."""
+    from ex_hivent_spark.sources import versioned
+
+    hist = (
         df.select(_bucket(F.col(value_col), width, n_buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .write.mode("overwrite")
-        .parquet(path)
     )
+    return versioned.write_snapshot(
+        df.sparkSession, hist, path, note=f"psi baseline {value_col}"
+    )
+
+
+def read_baseline(spark: SparkSession, path: str) -> DataFrame:
+    """Resolve the CURRENT committed baseline snapshot (never a torn
+    or in-flight one)."""
+    from ex_hivent_spark.sources import versioned
+
+    return versioned.read_snapshot(spark, path).select("bucket", "cnt")
 
 
 def psi_of(
@@ -77,16 +105,25 @@ def psi_of(
     The full-outer join keeps buckets that only one side populated —
     with add-one smoothing those still contribute drift mass (a batch
     concentrated in a bucket the baseline never saw is exactly the
-    signal PSI exists to raise)."""
+    signal PSI exists to raise). No broadcast hint on it: Spark
+    ignores broadcast hints on full_outer joins (neither side can be
+    the build side for both outer directions), and both inputs are
+    ≤ n_buckets rows anyway. Both the bucket aggregate and the
+    baseline read are pinned with lazy localCheckpoints so each is
+    evaluated ONCE even though each feeds two consumers (the join and
+    its own total) — the batch side in particular must not re-scan
+    the live data per trigger."""
     counts = (
         batch_df.select(
             _bucket(F.col(value_col), width, n_buckets).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("bcnt"))
+        .localCheckpoint(eager=False)
     )
+    baseline = baseline.localCheckpoint(eager=False)
     merged = (
-        counts.join(F.broadcast(baseline), "bucket", "full_outer")
+        counts.join(baseline, "bucket", "full_outer")
         .select(
             F.coalesce(F.col("bcnt"), F.lit(0)).alias("bcnt"),
             F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
@@ -136,7 +173,7 @@ def psi_monitor(
     ``out_dir/batch_id=N`` (idempotent overwrite on replay)."""
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
-        baseline = spark.read.parquet(baseline_path)
+        baseline = read_baseline(spark, baseline_path)
         row = psi_of(
             batch_df, baseline, value_col, width, n_buckets
         ).collect()[0]

@@ -12,6 +12,7 @@ from decimal import ROUND_HALF_UP, Decimal
 from ex_hivent_spark.streaming.drift import (
     psi_monitor,
     psi_of,
+    read_baseline,
     write_baseline,
 )
 
@@ -54,7 +55,7 @@ def test_psi_of_matches_python(spark, tmp_path):
     write_baseline(_vals_df(spark, BASE), "value", bpath)
     batch = [float((v * 13) % 500) for v in range(400)]
     row = psi_of(
-        _vals_df(spark, batch), spark.read.parquet(bpath), "value"
+        _vals_df(spark, batch), read_baseline(spark, bpath), "value"
     ).collect()[0]
     assert row["n_events"] == len(batch)
     assert row["psi"] == _psi_py(batch, BASE)
@@ -64,9 +65,31 @@ def test_psi_zero_for_identical_distribution(spark, tmp_path):
     bpath = str(tmp_path / "baseline")
     write_baseline(_vals_df(spark, BASE), "value", bpath)
     row = psi_of(
-        _vals_df(spark, BASE), spark.read.parquet(bpath), "value"
+        _vals_df(spark, BASE), read_baseline(spark, bpath), "value"
     ).collect()[0]
     assert abs(row["psi"]) < 1e-9
+
+
+def test_baseline_commit_is_versioned_and_atomic(spark, tmp_path):
+    """A re-commit publishes a NEW snapshot directory and only then
+    flips the pointer: the old snapshot stays fully readable
+    throughout, so a trigger racing the re-commit can never see a
+    torn histogram (the failure mode of mode('overwrite'), which
+    deletes before it writes)."""
+    from ex_hivent_spark.sources import versioned
+
+    bpath = str(tmp_path / "baseline")
+    v0 = write_baseline(_vals_df(spark, BASE), "value", bpath)
+    old = sorted(tuple(r) for r in read_baseline(spark, bpath).collect())
+    shifted = [480.0 + (i % 20) for i in range(500)]
+    v1 = write_baseline(_vals_df(spark, shifted), "value", bpath)
+    assert (v0, v1) == (0, 1)
+    assert versioned.current_version(spark, bpath) == 1
+    # a reader pinned to the pre-commit version still sees intact data
+    pinned = versioned.read_snapshot(spark, bpath, version=0)
+    assert sorted(tuple(r) for r in pinned.select("bucket", "cnt").collect()) == old
+    # and the resolved head is the complete new histogram
+    assert read_baseline(spark, bpath).agg({"cnt": "sum"}).collect()[0][0] == len(shifted)
 
 
 def _start(spark, src, bpath, out, cp, threshold=0.25):
