@@ -382,22 +382,33 @@ def q_quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence (the dropped-message audit every at-least-once pipeline
     runs).
 
-    Plan: block the ids into fixed 8192-id ranges (deterministic — no
+    Plan: block the ids into fixed-width id ranges (deterministic — no
     sampled exchange, no checkpoint pin), then the consecutive-pair
     lead runs PER BLOCK (each block is a contiguous id range, so
     within-block gaps are ordinary partitioned-window work), and the
     only cross-block information needed is each block's (min, max) —
-    a ≤|ids|/8192-row aggregate collected and stitched driver-side
-    into the boundary gaps. No single-partition window over the event
-    stream anywhere; identical output to the global-ordered lead by
-    construction (every consecutive id pair is either within one block
-    or spans one stitched boundary)."""
+    a ≤10⁶-row aggregate collected and stitched driver-side into the
+    boundary gaps. The width is DERIVED, not fixed: a one-row min/max
+    pre-pass sizes it as max(8192, ceil(id_range/10⁶)), so the
+    driver-side bounds collect honors operators/prefix.py's ≲10⁶-row
+    contract at ANY id range (10¹¹ ids → width ~10⁵, still ~10⁶
+    blocks) while small inputs keep the historical 8192 grid. Output
+    is width-invariant: every consecutive id pair is either within one
+    block or spans one stitched boundary, so this is identical to the
+    global-ordered lead by construction. No single-partition window
+    over the event stream anywhere."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    parts = e.select("event_id").withColumn(
-        "__blk", F.expr("event_id DIV 8192")
+    ids = e.select("event_id")
+    span = ids.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]  # one-row pre-pass: sizes the block grid
+    id_range = (
+        0 if span["lo"] is None else int(span["hi"]) - int(span["lo"]) + 1
     )
+    width = max(8192, -(-id_range // 1_000_000))
+    parts = ids.withColumn("__blk", F.expr(f"event_id DIV {width}"))
     w = Window.partitionBy("__blk").orderBy("event_id")
     intra = parts.select(
         "event_id", F.lead("event_id").over(w).alias("next_id")
@@ -405,7 +416,7 @@ def q_quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = sorted(
         parts.groupBy("__blk")
         .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
-        .collect(),  # ≤ |ids|/8192 rows
+        .collect(),  # ≤ ~10⁶ rows by the derived width
         key=lambda r: r["__blk"],
     )
     boundary_pairs = [

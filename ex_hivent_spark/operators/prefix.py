@@ -42,9 +42,12 @@ Two formulations:
   sampling → nothing to pin → no checkpoint, and the "partition" is
   the window's own hash exchange on the block key. Prefer these
   whenever the key has a natural fixed grid; the sampled form is the
-  fallback for arbitrary keys. Block-count contract: the per-block
-  totals are collected to the driver, so choose granularity keeping
-  blocks ≲ 10⁶ (recurse through a second blocking level beyond that).
+  fallback for arbitrary keys. Block-count contract: per-block totals
+  are collected to the driver only while blocks ≲ 10⁶; past that the
+  fold RECURSES through DIV-8192 super-block levels computed
+  distributed (see ``_blocked_offsets``), so callers may pick a
+  natural grid width without bounding the block count — each extra
+  level multiplies the reachable block count by 8192.
 """
 
 from __future__ import annotations
@@ -185,32 +188,138 @@ def running_totals(
     return out.drop(_PID)
 
 
+# Per-level driver-side block budget: below this the prefix fold over
+# block totals runs on the driver (≤ a few MB of rows); above it, an
+# additional DIV-``_FANOUT`` blocking level is folded DISTRIBUTED and
+# the machinery recurses on the super-block totals. Each level divides
+# the block count by 8192, so two levels cover ~8×10⁹ blocks and three
+# ~7×10¹³ — no driver-side collect ever exceeds the budget.
+_MAX_DRIVER_BLOCKS = 1_000_000
+_FANOUT = 8192
+
+_INTEGRAL = ("bigint", "int", "smallint", "tinyint")
+
+
+def _broadcastable(off: DataFrame) -> bool:
+    """True when the offsets frame is small enough to broadcast (the
+    driver-folded path); the recursive distributed path flags False
+    and callers fall back to a plain (block-keyed, AQE-sized) join."""
+    return getattr(off, "_ehs_broadcastable", True)
+
+
 def _blocked_offsets(
     df: DataFrame,
     block_cols: list[str],
     aggs: list,
     fold,
     schema_types: dict[str, str],
+    combine: dict[str, tuple[str, str]] | None = None,
+    max_driver_blocks: int = _MAX_DRIVER_BLOCKS,
 ) -> DataFrame:
-    """Per-block aggregate -> driver-side prefix fold over blocks in
-    block order -> broadcastable (block -> offsets) frame. ``fold``
-    maps (running_acc, row) -> new_acc where acc is a dict keyed like
-    ``schema_types``; each block's OFFSET is the acc BEFORE folding
-    that block in."""
+    """Per-block aggregate -> prefix fold over blocks in block order ->
+    (block -> offsets) frame. ``fold`` maps (running_acc, row) ->
+    new_acc where acc is a dict keyed like ``schema_types``; each
+    block's OFFSET is the acc BEFORE folding that block in.
+
+    When the block count exceeds ``max_driver_blocks`` AND ``combine``
+    describes the fold as associative Spark aggregates (offset key ->
+    (source agg column, 'sum'|'max')) over a SINGLE integral block
+    column, the fold itself is decomposed instead of collected: blocks
+    group into DIV-8192 super-blocks, the within-super exclusive
+    prefix runs as a bounded (≤8192-row-partition) window, and the
+    super-block offsets come from a recursive call — so the driver
+    only ever folds ≤ max_driver_blocks rows per level, honoring the
+    module contract at any block count. Exactness: sum over integral
+    types and max over anything are associative, so re-association at
+    super boundaries is exact; double sums re-associate (same caveat
+    as the block decomposition itself — decimal callers pre-round).
+
+    The returned frame carries ``_ehs_broadcastable`` (False on the
+    recursive path, where |blocks| rows are too many to broadcast —
+    callers must then join block-keyed without the broadcast hint)."""
     spark = df.sparkSession
-    tot = df.groupBy(*block_cols).agg(*aggs).collect()
-    tot.sort(key=lambda r: tuple(r[c] for c in block_cols))
-    acc = {k: None for k in schema_types}
-    rows = []
-    for r in tot:
-        rows.append(tuple(r[c] for c in block_cols) + tuple(acc.values()))
-        acc = fold(acc, r)
+    tot_df = df.groupBy(*block_cols).agg(*aggs)
     blk_schema = df.select(*block_cols).schema
-    fields = ", ".join(
-        [f.name + " " + f.dataType.simpleString() for f in blk_schema]
-        + [f"{k} {t}" for k, t in schema_types.items()]
+    distributable = (
+        combine is not None
+        and len(block_cols) == 1
+        and blk_schema[0].dataType.simpleString() in _INTEGRAL
     )
-    return spark.createDataFrame(rows, fields)
+    if distributable:
+        # the totals frame feeds both the count probe and whichever
+        # path wins — pin it so df is aggregated exactly once
+        tot_df = tot_df.localCheckpoint(eager=False)
+        n_blocks = tot_df.count()
+    else:
+        n_blocks = None  # driver path unconditionally (legacy contract)
+
+    if not distributable or n_blocks <= max_driver_blocks:
+        tot = tot_df.collect()
+        tot.sort(key=lambda r: tuple(r[c] for c in block_cols))
+        acc = {k: None for k in schema_types}
+        rows = []
+        for r in tot:
+            rows.append(
+                tuple(r[c] for c in block_cols) + tuple(acc.values())
+            )
+            acc = fold(acc, r)
+        fields = ", ".join(
+            [f.name + " " + f.dataType.simpleString() for f in blk_schema]
+            + [f"{k} {t}" for k, t in schema_types.items()]
+        )
+        out = spark.createDataFrame(rows, fields)
+        out._ehs_broadcastable = True
+        return out
+
+    # ---- distributed second blocking level (recursive) ----
+    b = block_cols[0]
+    sb = f"__super_{b}"
+    super_df = tot_df.withColumn(
+        sb, F.floor(F.col(b) / F.lit(_FANOUT)).cast("bigint")
+    )
+    w = (
+        Window.partitionBy(sb)
+        .orderBy(b)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    within = super_df
+    for key, (src, kind) in combine.items():
+        expr = F.sum(src).over(w) if kind == "sum" else F.max(src).over(w)
+        within = within.withColumn(f"__within_{key}", expr)
+    super_aggs = [
+        (F.sum(src) if kind == "sum" else F.max(src)).alias(src)
+        for (src, kind) in combine.values()
+    ]
+    super_off = _blocked_offsets(
+        super_df.select(sb, *[src for (src, _k) in combine.values()]),
+        [sb],
+        super_aggs,
+        fold,
+        schema_types,
+        combine=combine,
+        max_driver_blocks=max_driver_blocks,
+    )
+    joined = (
+        within.join(F.broadcast(super_off), sb)
+        if _broadcastable(super_off)
+        else within.join(super_off, sb)
+    )
+    out_cols = [F.col(b)]
+    for key, (src, kind) in combine.items():
+        sup, loc = F.col(key), F.col(f"__within_{key}")
+        if kind == "sum":
+            # NULL offset means "no earlier block anywhere" — preserved
+            # only when BOTH the super offset and the within-super
+            # prefix are empty (i.e. the globally first block)
+            val = F.when(
+                sup.isNull() & loc.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(sup, F.lit(0)) + F.coalesce(loc, F.lit(0)))
+        else:
+            val = F.greatest(sup, loc)  # greatest skips NULLs
+        out_cols.append(val.cast(schema_types[key]).alias(key))
+    out = joined.select(*out_cols)
+    out._ehs_broadcastable = False
+    return out
 
 
 def running_totals_blocked(
@@ -218,6 +327,7 @@ def running_totals_blocked(
     order_cols: list[str],
     block_cols: list[str],
     sum_cols: dict[str, str],
+    max_driver_blocks: int = _MAX_DRIVER_BLOCKS,
 ) -> DataFrame:
     """Exact global inclusive running sums over a total order, using a
     caller-supplied DETERMINISTIC blocking: ``block_cols`` must be
@@ -259,8 +369,14 @@ def running_totals_blocked(
             f"__off_{src}": ("bigint" if integral[src] else "double")
             for src in sum_cols
         },
+        combine={f"__off_{src}": (src, "sum") for src in sum_cols},
+        max_driver_blocks=max_driver_blocks,
     )
-    out = local.join(F.broadcast(off), block_cols)
+    out = (
+        local.join(F.broadcast(off), block_cols)
+        if _broadcastable(off)
+        else local.join(off, block_cols)
+    )
     for src, dst in sum_cols.items():
         out = out.withColumn(
             dst,
@@ -280,6 +396,7 @@ def running_max_blocked(
     src: str,
     dst: str,
     exclusive: bool = False,
+    max_driver_blocks: int = _MAX_DRIVER_BLOCKS,
 ) -> DataFrame:
     """Exact global running max over a total order with deterministic
     blocking (see running_totals_blocked). ``exclusive=True`` excludes
@@ -306,8 +423,14 @@ def running_max_blocked(
         [F.max(src).alias("__bmax")],
         fold,
         {"__off_max": dtype},
+        combine={"__off_max": ("__bmax", "max")},
+        max_driver_blocks=max_driver_blocks,
     )
-    out = local.join(F.broadcast(off), block_cols)
+    out = (
+        local.join(F.broadcast(off), block_cols)
+        if _broadcastable(off)
+        else local.join(off, block_cols)
+    )
     return out.withColumn(
         dst, F.greatest(F.col("__off_max"), F.col("__local_max"))
     ).drop("__local_max", "__off_max")

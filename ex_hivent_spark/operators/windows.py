@@ -675,9 +675,12 @@ def q_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-sort window: operators/prefix.running_max_blocked blocks the
     arrival ids into fixed 8192-id ranges (deterministic — no sampled
     exchange, no checkpoint pin), takes per-block running maxima in a
-    block-partitioned window, and stitches blocks with a ≤|ids|/8192-row
-    max-offset pre-pass — bit-equal to the single-partition window at
-    any scale (max is associative). The per-source-partition production
+    block-partitioned window, and stitches blocks with a max-offset
+    pre-pass — driver-folded while blocks ≲ 10⁶, recursing through
+    distributed DIV-8192 super-block levels beyond that (prefix.py's
+    recursive fold), so the fixed 8192-id width is safe at ANY id
+    range — bit-equal to the single-partition window at any scale
+    (max is associative). The per-source-partition production
     variant is the same call with the source partition prepended to the
     block key. All-integer microsecond arithmetic — no float detour."""
     from ex_hivent_spark.operators.prefix import running_max_blocked

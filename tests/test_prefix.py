@@ -161,3 +161,92 @@ def test_blocked_totals_multi_block_key_resets_correctly(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_recursive_offsets_single_distributed_level(spark):
+    """Force the block count over the driver budget: the DIV-8192
+    super-block fold must reproduce the driver fold bit-exactly, and
+    the offsets frame must flag itself non-broadcastable."""
+    from ex_hivent_spark.operators import prefix
+    from ex_hivent_spark.operators.prefix import (
+        running_max_blocked,
+        running_totals_blocked,
+    )
+
+    df = _df(spark, n=4000, seed=3).withColumn(
+        "blk", F.expr("k DIV 16")
+    ).withColumn("one", F.lit(1).cast("bigint"))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: (r["cv"], r["cn"])
+        for r in df.select(
+            "k",
+            F.sum("v").over(w).alias("cv"),
+            F.count(F.lit(1)).over(w).alias("cn"),
+        ).collect()
+    }
+    got = {
+        r["k"]: (r["cv"], r["cn"])
+        for r in running_totals_blocked(
+            df, ["k"], ["blk"], {"v": "cv", "one": "cn"},
+            max_driver_blocks=5,
+        ).collect()
+    }
+    assert got == want
+
+    # the offsets frame itself: distributed path => not broadcastable
+    off = prefix._blocked_offsets(
+        df,
+        ["blk"],
+        [F.sum("one").alias("one")],
+        lambda acc, r: {"__off_one": (acc["__off_one"] or 0) + (r["one"] or 0)},
+        {"__off_one": "bigint"},
+        combine={"__off_one": ("one", "sum")},
+        max_driver_blocks=5,
+    )
+    assert not prefix._broadcastable(off)
+
+
+def test_recursive_offsets_two_distributed_levels(spark, monkeypatch):
+    """Shrink the fanout so the super-block totals ALSO exceed the
+    driver budget: >1 recursive fold level, sums and max both exact,
+    including the NULL offset for the globally-first block under an
+    exclusive running max."""
+    from ex_hivent_spark.operators import prefix
+    from ex_hivent_spark.operators.prefix import (
+        running_max_blocked,
+        running_totals_blocked,
+    )
+
+    monkeypatch.setattr(prefix, "_FANOUT", 8)
+    df = _df(spark, n=3000, seed=21).withColumn(
+        "blk", F.expr("k DIV 16")
+    )  # ~560 blocks -> ~70 supers -> ~9 super-supers (3 levels @ cap 4)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["cv"]
+        for r in df.select("k", F.sum("v").over(w).alias("cv")).collect()
+    }
+    got = {
+        r["k"]: r["cv"]
+        for r in running_totals_blocked(
+            df, ["k"], ["blk"], {"v": "cv"}, max_driver_blocks=4
+        ).collect()
+    }
+    assert got == want
+
+    we = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want_m = {
+        r["k"]: r["m"]
+        for r in df.select("k", F.max("v").over(we).alias("m")).collect()
+    }
+    got_m = {
+        r["k"]: r["hw"]
+        for r in running_max_blocked(
+            df, ["k"], ["blk"], "v", "hw", exclusive=True,
+            max_driver_blocks=4,
+        ).collect()
+    }
+    assert got_m == want_m
+    first_k = min(want_m)
+    assert got_m[first_k] is None  # globally-first row keeps NULL
