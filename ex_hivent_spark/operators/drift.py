@@ -47,6 +47,14 @@ _KS_BLOCK = 10.0
 # PSI bucket grid: width-50 value buckets, capped into bucket 9.
 _PSI_WIDTH = 50.0
 _PSI_BUCKETS = 10
+# Pairwise trend ops (Theil–Sen, Mann–Kendall) are quadratic in the
+# HOURLY series length, so multi-year retention (~26k hours → 3.4×10⁸
+# pairs/type) would blow the pair frame up. Both ops therefore bound
+# the series to the trailing 90 days PER TYPE (≤2160 hours → ≤2.3M
+# pairs/type, a few MB) — the recency window a trend estimate should
+# be computed over anyway; longer-horizon trends belong to a
+# downsampled (daily/weekly-grain) variant of the same plan.
+_TRAIL_HOURS = 2160
 
 
 @register(
@@ -222,18 +230,25 @@ def q_ts_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ts_theil_sen",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
       SELECT event_type,
              CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
              CAST(count(*) AS BIGINT) AS c
       FROM events GROUP BY event_type, floor(epoch(ts) / 3600)
     ),
+    maxh AS (
+      SELECT event_type, max(h) AS mh FROM hourly GROUP BY event_type
+    ),
+    bounded AS (
+      SELECT hourly.* FROM hourly JOIN maxh USING (event_type)
+      WHERE h > mh - {_TRAIL_HOURS}
+    ),
     pairs AS (
       SELECT a.event_type,
              CAST(b.c - a.c AS DOUBLE) / (b.h - a.h) AS slope,
              a.h AS ha, b.h AS hb
-      FROM hourly a JOIN hourly b
+      FROM bounded a JOIN bounded b
         ON a.event_type = b.event_type AND a.h < b.h
     ),
     ranked AS (
@@ -260,15 +275,17 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     traffic growing?" estimator for spiky ops data.
 
     Plan: the stream collapses to an hourly (type, hour, count) frame
-    first (bounded: ≤ 720 hours/month per type), the pairwise self-join
-    is quadratic only in that BOUNDED series length (≈260k pairs/type
-    at full retention, independent of raw event volume), and the exact
-    median comes from a rank window partitioned by event type over the
-    pairs frame. Determinism: slopes are integer-difference ratios
-    (exact IEEE divisions with distinct hour keys so no 0-division),
-    ties in the rank order are broken by the unique (ha, hb) pair key,
-    and the even-count median midpoint (min+max)/2 over the two middle
-    rows is written identically in both engines."""
+    first, BOUNDED to the trailing _TRAIL_HOURS (90 days) per type via
+    a broadcast per-type max-hour join — so the pairwise self-join is
+    quadratic only in ≤2160 hours (≤2.3M pairs/type at ANY retention,
+    independent of raw event volume; multi-year series no longer grow
+    the pair frame), and the exact median comes from a rank window
+    partitioned by event type over the pairs frame. Determinism:
+    slopes are integer-difference ratios (exact IEEE divisions with
+    distinct hour keys so no 0-division), ties in the rank order are
+    broken by the unique (ha, hb) pair key, and the even-count median
+    midpoint (min+max)/2 over the two middle rows is written
+    identically in both engines."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
         e.select(
@@ -279,11 +296,18 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)  # both self-join sides + ranks:
-        # one event-stream scan, the ≤720-row/type frame is reused
+        .localCheckpoint(eager=False)  # max-hour probe + both
+        # self-join sides + ranks: one event-stream scan, the bounded
+        # hourly frame is reused
     )
-    a = hourly.alias("a")
-    b = hourly.alias("b")
+    maxh = hourly.groupBy("event_type").agg(F.max("h").alias("mh"))
+    bounded = (
+        hourly.join(F.broadcast(maxh), "event_type")
+        .filter(F.col("h") > F.col("mh") - _TRAIL_HOURS)
+        .drop("mh")
+    )
+    a = bounded.alias("a")
+    b = bounded.alias("b")
     pairs = a.join(
         b,
         (F.col("a.event_type") == F.col("b.event_type"))
@@ -330,12 +354,19 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS c
       FROM events GROUP BY event_type, floor(epoch(ts) / 3600)
     ),
+    maxh AS (
+      SELECT event_type, max(h) AS mh FROM hourly GROUP BY event_type
+    ),
+    bounded AS (
+      SELECT hourly.* FROM hourly JOIN maxh USING (event_type)
+      WHERE h > mh - {_TRAIL_HOURS}
+    ),
     s AS (
       SELECT a.event_type,
              CAST(sum(CASE WHEN b.c > a.c THEN 1
                            WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
                AS s_stat
-      FROM hourly a JOIN hourly b
+      FROM bounded a JOIN bounded b
         ON a.event_type = b.event_type AND a.h < b.h
       GROUP BY a.event_type
     ),
@@ -345,7 +376,7 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(t) AS BIGINT) AS n_hours
       FROM (
         SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
-        FROM hourly GROUP BY event_type, c
+        FROM bounded GROUP BY event_type, c
       ) GROUP BY event_type
     )
     SELECT s.event_type, ties.n_hours, s.s_stat,
@@ -377,12 +408,14 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Theil–Sen slope magnitude (q_ts_theil_sen), run on the same
     bounded hourly frame.
 
-    Plan: identical shape to Theil–Sen — hourly pre-aggregate (≤720
-    rows/month per type), pairwise self-join quadratic only in that
-    bound, then three tiny per-type aggregates (S, tie groups, n)
-    joined broadcast. Determinism: S and the tie adjustment are pure
-    integers, var_s is one exact /18.0 division, and the single sqrt
-    is e6-rounded before the z division (entropy convention)."""
+    Plan: identical shape to Theil–Sen — hourly pre-aggregate bounded
+    to the trailing _TRAIL_HOURS (90 days) per type via a broadcast
+    max-hour join, pairwise self-join quadratic only in that ≤2160-hour
+    bound at ANY retention, then three tiny per-type aggregates (S, tie
+    groups, n) joined broadcast. Determinism: S and the tie adjustment
+    are pure integers, var_s is one exact /18.0 division, and the
+    single sqrt is e6-rounded before the z division (entropy
+    convention)."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
         e.select(
@@ -393,9 +426,16 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)  # self-join sides + tie groups
+        .localCheckpoint(eager=False)  # max-hour probe + self-join
+        # sides + tie groups
     )
-    a, b = hourly.alias("a"), hourly.alias("b")
+    maxh = hourly.groupBy("event_type").agg(F.max("h").alias("mh"))
+    bounded = (
+        hourly.join(F.broadcast(maxh), "event_type")
+        .filter(F.col("h") > F.col("mh") - _TRAIL_HOURS)
+        .drop("mh")
+    )
+    a, b = bounded.alias("a"), bounded.alias("b")
     s = (
         a.join(
             b,
@@ -413,7 +453,7 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s_stat")
         )
     )
-    tie_groups = hourly.groupBy("event_type", "c").agg(
+    tie_groups = bounded.groupBy("event_type", "c").agg(
         F.count(F.lit(1)).cast("bigint").alias("t")
     )
     t = F.col("t")

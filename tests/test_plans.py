@@ -743,3 +743,42 @@ def test_bloom_prefilter_probes_are_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2  # one per hash seed
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_trend_ops_bound_pair_frame_to_trailing_window(spark, tmp_path):
+    """Theil-Sen / Mann-Kendall are quadratic in the hourly series, so
+    they must bound it to the trailing _TRAIL_HOURS per type: feed a
+    series longer than the bound and check only the trailing window
+    contributes (n_hours == _TRAIL_HOURS; pair count matches n*(n-1)/2
+    for the bounded n, not the full series)."""
+    import os
+
+    from ex_hivent_spark.operators.drift import _TRAIL_HOURS
+    from ex_hivent_spark.plans.registry import all_specs
+
+    import datetime
+
+    base = datetime.datetime(2023, 1, 1)
+    n_hours_total = _TRAIL_HOURS + 500
+    rows = [
+        (i, "click", base + datetime.timedelta(hours=i), 1.0, i % 7)
+        for i in range(n_hours_total)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, ts timestamp, value double,"
+        " user_id long",
+    )
+    os.makedirs(f"{tmp_path}/sf", exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/sf/events.parquet")
+
+    mk = all_specs()["q_ts_mann_kendall"].spark(
+        spark, str(tmp_path) + "/sf"
+    ).collect()
+    assert len(mk) == 1 and mk[0]["n_hours"] == _TRAIL_HOURS
+
+    ts = all_specs()["q_ts_theil_sen"].spark(
+        spark, str(tmp_path) + "/sf"
+    ).collect()
+    assert len(ts) == 1
+    assert ts[0]["n_pairs"] == _TRAIL_HOURS * (_TRAIL_HOURS - 1) // 2
