@@ -165,15 +165,35 @@ def main() -> None:
     except Exception:  # noqa: BLE001 - warm-up failure must not kill the bench
         pass
 
-    # Fault isolation: one broken query must never zero the whole bench —
-    # record it under "errors" and keep timing the rest.
-    times: dict[str, float] = {}
+    # Per-query MEDIAN over interleaved rounds: the host shows ±15-40%
+    # CPU variance between same-code runs (BASELINE.md r6 addendum), so
+    # single-shot per-query times made round-over-round comparisons
+    # noisy. Rounds are interleaved (whole suite, repeated) rather than
+    # back-to-back per query so a load spike degrades one ROUND of many
+    # queries — which the per-query median then discards — instead of
+    # all samples of one query. Fault isolation: one broken query must
+    # never zero the whole bench — record it under "errors" once and
+    # skip it in later rounds.
+    import statistics
+
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        try:
-            times[name] = round(run(name), 4)
-        except Exception as ex:  # noqa: BLE001
-            errors[name] = str(ex).splitlines()[0][:200] if str(ex) else repr(ex)
+    for _ in range(runs):
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            try:
+                samples[name].append(round(run(name), 4))
+            except Exception as ex:  # noqa: BLE001
+                errors[name] = (
+                    str(ex).splitlines()[0][:200] if str(ex) else repr(ex)
+                )
+    times = {
+        name: round(statistics.median(ts), 4)
+        for name, ts in samples.items()
+        if ts
+    }
 
     total = round(sum(times.values()), 4)
     out = {
@@ -181,6 +201,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "runs": runs,
         "sf": sf,
     }
     if errors:
@@ -200,7 +221,11 @@ def main() -> None:
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
-            json.dump(out, f, indent=1)
+            json.dump(
+                {**out, "samples": {n: ts for n, ts in samples.items() if ts}},
+                f,
+                indent=1,
+            )
     except OSError:
         pass  # read-only checkout: the printed lines are the record
     line_out = dict(out)
