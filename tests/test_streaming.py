@@ -672,3 +672,85 @@ class TestMultiplexRoute:
             q2.stop()
         ok = spark.read.parquet(a_ok)
         assert ok.count() == 2  # exactly once each, no duplicates
+
+    def test_sink_failure_midbatch_restart_exactly_once_all_subs(
+        self, spark, tmp_path
+    ):
+        """Failure injection on the shared-checkpoint multiplex: sub 2
+        of 3's ok-sink write fails MID-BATCH (after sub 1 already wrote
+        its slice, before sub 3 ran). The batch must not commit; on
+        restart the replayed batch overwrites EVERY subscription's
+        batch_id directory — sub 1's pre-failure rows don't duplicate,
+        sub 3's never-written slice appears, and sub 2 lands once."""
+        import os
+
+        from ex_hivent_spark.streaming.consumer import Subscription, route
+
+        ingress = str(tmp_path / "ingress")
+        em = StreamEmitter(spark, ingress, producer="svc", partition_count=2)
+        em.emit("topic:a", {"response": "ok"}, version=1, key="ka")
+        em.emit("topic:b", {"response": "ok"}, version=1, key="kb")
+        em.emit("topic:c", {"response": "ok"}, version=1, key="kc")
+
+        subs, sink_dirs = [], {}
+        for svc, topic in (
+            ("svc_a", "topic:a"), ("svc_b", "topic:b"), ("svc_c", "topic:c")
+        ):
+            ok_dir = str(tmp_path / f"{svc}_ok")
+            bad_dir = str(tmp_path / f"{svc}_bad")
+            sink_dirs[svc] = ok_dir
+            subs.append(
+                Subscription(
+                    service=svc,
+                    topic=topic,
+                    process=make_process_response(),
+                    processed_dir=ok_dir,
+                    quarantine_dir=bad_dir,
+                    partition_count=2,
+                )
+            )
+        # inject: svc_b's ok sink path is a plain FILE, so the parquet
+        # write of its slice throws inside the shared foreachBatch
+        with open(sink_dirs["svc_b"], "w") as f:
+            f.write("not a directory")
+
+        chk = str(tmp_path / "chk")
+        q = route(spark, ingress, subs, chk)
+        with pytest.raises(Exception):
+            q.processAllAvailable()
+        q.stop()
+        # awaitTermination re-raises the stream's failure — expected
+        with pytest.raises(Exception):
+            q.awaitTermination(30)
+
+        # sub 1 got at least one batch dir written before the failure;
+        # none of svc_b's batches committed
+        assert os.path.isdir(sink_dirs["svc_a"])
+        assert os.path.isfile(sink_dirs["svc_b"])
+
+        # repair the sink and restart on the SAME checkpoint
+        os.remove(sink_dirs["svc_b"])
+        q2 = route(spark, ingress, subs, chk)
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+            q2.awaitTermination(30)
+
+        for svc in ("svc_a", "svc_b", "svc_c"):
+            got = spark.read.parquet(f"{sink_dirs[svc]}/batch_id=*")
+            assert got.count() == 1, svc  # exactly once, every sub
+        # continued progress after recovery stays exactly-once too
+        em.emit("topic:a", {"response": "ok"}, version=1, key="ka2")
+        q3 = route(spark, ingress, subs, chk)
+        try:
+            q3.processAllAvailable()
+        finally:
+            q3.stop()
+            q3.awaitTermination(30)
+        assert spark.read.parquet(
+            f"{sink_dirs['svc_a']}/batch_id=*"
+        ).count() == 2
+        assert spark.read.parquet(
+            f"{sink_dirs['svc_b']}/batch_id=*"
+        ).count() == 1
