@@ -28,11 +28,56 @@ filter is transparent to results, so the oracle needn't reproduce it).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-BLOOM_M = 1 << 16  # filter bits; production sizes this from ANALYZE ndv
+# Static defaults: the no-manifest path (and the driver harness, where
+# no table is ever ANALYZEd). When a _STATS.json manifest exists,
+# ``stats_bloom_params`` sizes m and k from the key's approx ndv
+# instead — the same stats wiring as planner.stats_broadcast.
+BLOOM_M = 1 << 16  # filter bits
 BLOOM_SEEDS = (101, 202)  # k = 2 hash functions
+BLOOM_FPP = 0.01  # target false-positive rate for stats-derived sizing
+# bitmap ceiling: 2^27 bits = 16 MB of words — stays broadcastable
+BLOOM_M_MAX = 1 << 27
+_SEED_POOL = (101, 202, 303, 404, 505, 606, 707, 808)
+
+
+def bloom_params(ndv: int, fpp: float = BLOOM_FPP) -> tuple[int, tuple[int, ...]]:
+    """Textbook Bloom sizing for ``ndv`` expected keys at false-positive
+    rate ``fpp``: m = ⌈−n·ln p / (ln 2)²⌉ bits and k = round(m/n · ln 2)
+    hash functions, clamped to [BLOOM_M, BLOOM_M_MAX] bits and the
+    available seed pool. Returns (m, seeds)."""
+    n = max(1, int(ndv))
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(BLOOM_M, min(BLOOM_M_MAX, m))
+    k = max(1, min(len(_SEED_POOL), round(m / n * math.log(2))))
+    return m, _SEED_POOL[:k]
+
+
+def stats_bloom_params(
+    spark,
+    table_path: str,
+    key_col: str,
+    fpp: float = BLOOM_FPP,
+) -> tuple[int, tuple[int, ...]]:
+    """ANALYZE-informed Bloom sizing (the planner.stats_broadcast
+    pattern): when ``table_path`` carries a ``_STATS.json`` manifest
+    (maintenance.analyze_table), size the filter from the key column's
+    approx ndv; otherwise fall back to the static (BLOOM_M,
+    BLOOM_SEEDS) defaults — also the driver-harness path, where no
+    manifests exist, so registered-query plans are unchanged there.
+    The manifest ndv is an upper bound on the build side's key count
+    when the build is a filtered slice of the table — conservative
+    (larger m, never an inflated false-positive rate)."""
+    from ex_hivent_spark.maintenance import read_table_stats
+
+    stats = read_table_stats(spark, table_path)
+    if not stats or key_col not in stats.get("columns", {}):
+        return BLOOM_M, BLOOM_SEEDS
+    return bloom_params(stats["columns"][key_col]["approx_ndv"], fpp)
 
 
 def _hash(col_name: str, m: int, seed: int):

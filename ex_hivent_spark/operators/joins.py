@@ -586,8 +586,14 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     but never false negatives, so pruned results must be bit-identical
     — the hash check proves that property end to end. At 100 TB the
     bitmap is O(m) bytes (vs O(|keys|) for a broadcast key set) and
-    non-matching fact rows die map-side instead of shuffling."""
-    from ex_hivent_spark.operators.bloom import bloom_prefilter
+    non-matching fact rows die map-side instead of shuffling. Sizing:
+    when the orders table has an ANALYZE manifest, m and k derive from
+    the key ndv (bloom.stats_bloom_params); sizing only moves the
+    false-positive rate, never the results."""
+    from ex_hivent_spark.operators.bloom import (
+        bloom_prefilter,
+        stats_bloom_params,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -595,8 +601,12 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
     )
+    m, seeds = stats_bloom_params(
+        spark, f"{sf_dir}/orders.parquet", "o_orderkey"
+    )
     pruned = bloom_prefilter(
-        li, o.select("o_orderkey"), "l_orderkey", "o_orderkey"
+        li, o.select("o_orderkey"), "l_orderkey", "o_orderkey",
+        m=m, seeds=seeds,
     )
     return (
         pruned.join(o, F.col("l_orderkey") == F.col("o_orderkey"))

@@ -782,3 +782,57 @@ def test_trend_ops_bound_pair_frame_to_trailing_window(spark, tmp_path):
     ).collect()
     assert len(ts) == 1
     assert ts[0]["n_pairs"] == _TRAIL_HOURS * (_TRAIL_HOURS - 1) // 2
+
+
+def test_bloom_sizing_flips_on_analyzed_table(spark, tmp_path):
+    """Bloom m/k derive from the ANALYZE manifest when present (the
+    stats_broadcast wiring): no manifest -> static defaults; manifest
+    with a large key ndv -> larger m and more hash functions; and the
+    prefilter under derived params still returns exactly the plain
+    semi-join rows (no false negatives)."""
+    from pyspark.sql import functions as F
+
+    from ex_hivent_spark.maintenance import analyze_table
+    from ex_hivent_spark.operators.bloom import (
+        BLOOM_M,
+        BLOOM_SEEDS,
+        bloom_params,
+        bloom_prefilter,
+        stats_bloom_params,
+    )
+
+    tbl = str(tmp_path / "keys.parquet")
+    keys = spark.range(0, 50_000).select(
+        (F.col("id") * 7919 % 1_000_003).alias("k")
+    )
+    keys.write.mode("overwrite").parquet(tbl)
+
+    # no manifest: static defaults (the driver-harness path)
+    assert stats_bloom_params(spark, tbl, "k") == (BLOOM_M, BLOOM_SEEDS)
+
+    analyze_table(spark, tbl)
+    m, seeds = stats_bloom_params(spark, tbl, "k")
+    assert m > BLOOM_M  # ~50k ndv needs ~479k bits at 1% fpp
+    assert len(seeds) > len(BLOOM_SEEDS)  # k ~ 7 at the optimum
+    # the closed form it should match (within ndv sketch error)
+    m_exact, seeds_exact = bloom_params(50_000)
+    assert abs(m - m_exact) / m_exact < 0.2
+    assert abs(len(seeds) - len(seeds_exact)) <= 1
+
+    # correctness under derived sizing: pruned join == plain semi-join
+    fact = spark.range(0, 20_000).select((F.col("id") * 31).alias("fk"))
+    build = spark.read.parquet(tbl).filter(F.col("k") % 97 == 0)
+    pruned = bloom_prefilter(fact, build, "fk", "k", m=m, seeds=seeds)
+    got = sorted(
+        r["fk"]
+        for r in pruned.join(
+            build, F.col("fk") == F.col("k"), "left_semi"
+        ).collect()
+    )
+    want = sorted(
+        r["fk"]
+        for r in fact.join(
+            build, F.col("fk") == F.col("k"), "left_semi"
+        ).collect()
+    )
+    assert got == want
