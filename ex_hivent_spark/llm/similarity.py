@@ -1632,3 +1632,269 @@ def q_emb_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("comp_raw"), 6).alias("component"),
         dround(F.col("comp_raw") / F.sqrt(norm2), 6).alias("loading"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF codebook TRAINING: iterate the Lloyd step (q_llm_kmeans_step) to
+# convergence and persist the trained coarse quantizer as a versioned
+# snapshot. The literal-stride codebook stays as the deterministic
+# oracle twin used by the registered queries; this is the production
+# path a real index build runs (train on a sample, commit, then
+# assign/probe with the SAME plan shape as q_llm_ivf_topk).
+# --------------------------------------------------------------------------
+
+
+def ivf_candidates(
+    unit: DataFrame,
+    cents: DataFrame,
+    n_probe: int = N_PROBE,
+    query_mod: int = 50,
+) -> DataFrame:
+    """(query_id, neighbor_id) IVF candidate pairs for the sampled
+    query set (vec_id % query_mod == 0) probing ``n_probe`` cells of
+    ``cents`` (cell_id, centroid) — the probe/member join of
+    q_llm_ivf_topk, parameterized by codebook so trained and literal
+    codebooks run the identical plan."""
+    sims = unit.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        dot(F.col("unit"), F.col("centroid")).alias("csim"),
+    )
+    members = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cell_id")).alias("neg"),
+                    F.col("cell_id"),
+                )
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.cell_id").alias("cell_id"))
+    )
+    probes = (
+        sims.filter(F.col("vec_id") % query_mod == 0)
+        .groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("csim")).alias("neg_sim"),
+                            F.col("cell_id"),
+                        )
+                    )
+                ),
+                1,
+                n_probe,
+            ).alias("top_cells")
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode("top_cells").alias("c"),
+        )
+        .select("query_id", F.col("c.cell_id").alias("cell_id"))
+    )
+    return (
+        probes.join(members, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+
+
+def ivf_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    cents: DataFrame,
+    n_probe: int = N_PROBE,
+    top_k: int = TOP_K,
+    query_mod: int = 50,
+) -> float:
+    """Mean recall@top_k of the IVF candidate set under ``cents``
+    against the exact brute-force top-k (the q_llm_ann_recall metric,
+    parameterized by codebook) — the number you compare a trained
+    codebook against the literal seed with."""
+    from pyspark.sql import Window
+
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em).localCheckpoint(eager=False)
+    q = unit.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("qu")
+    )
+    scored = unit.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dround(dot(F.col("qu"), F.col("unit")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("query_id", "neighbor_id")
+    )
+    cand = ivf_candidates(unit, cents, n_probe, query_mod)
+    hits = (
+        exact.join(
+            cand.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .agg(
+            F.count("hit").alias("found"),
+            F.count(F.lit(1)).alias("want"),
+        )
+        .collect()[0]
+    )
+    return float(hits["found"]) / max(1, int(hits["want"]))
+
+
+def literal_codebook(
+    spark: SparkSession, sf_dir: str, n_cells: int = N_CELLS
+) -> DataFrame:
+    """The deterministic stride-sample seed codebook shared with the
+    registered IVF queries (q_llm_ivf_topk's cents stage)."""
+    unit = _normalized(load_table(spark, sf_dir, "embeddings"))
+    return (
+        unit.filter(F.col("vec_id") % 37 == 1)
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.col("vec_id").alias("cell_id"), F.col("unit").alias("centroid")
+        )
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table_dir: str,
+    n_cells: int = N_CELLS,
+    max_iters: int = 10,
+    tol: float = 1e-4,
+) -> dict:
+    """Train the IVF coarse codebook: spherical k-means (Lloyd steps
+    with unit-renormalized means — the cosine-geometry variant) from
+    the literal-stride seed, iterated until the max per-cell centroid
+    movement (1 − ⟨new, old⟩) drops below ``tol`` or ``max_iters``.
+    The trained (cell_id, centroid) codebook commits through the
+    versioned-table pointer protocol (sources/versioned.py), so ANN
+    ops can ``load_ivf_codebook`` an immutable snapshot while the next
+    nightly re-train builds the successor.
+
+    Scale shape: each iteration is one broadcast+argmax assignment
+    pass over the corpus plus a (cell, dim) hash aggregate — the
+    q_llm_kmeans_step plan — and only the k×d codebook (KBs) ever
+    reaches the driver. At 100 TB you train on a sample (pass a
+    sampled sf_dir); assignment cost is what it would be for one
+    ordinary IVF build."""
+    import math as _math
+
+    from ex_hivent_spark.sources import versioned
+
+    unit = _normalized(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "unit"
+    ).localCheckpoint(eager=False)  # every iteration re-reads it
+
+    seed = (
+        unit.filter(F.col("vec_id") % 37 == 1)
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .select("unit")
+        .collect()
+    )
+    codebook = [list(map(float, r["unit"])) for r in seed]
+
+    def cents_df():
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(codebook)],
+            "cell_id long, centroid array<double>",
+        )
+
+    shift = float("inf")
+    iters = 0
+    for iters in range(1, max_iters + 1):
+        cents = F.broadcast(cents_df())
+        sims = unit.join(cents).select(
+            "vec_id",
+            "unit",
+            "cell_id",
+            dot(F.col("unit"), F.col("centroid")).alias("csim"),
+        )
+        members = (
+            sims.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("csim"),
+                        (-F.col("cell_id")).alias("neg"),
+                        F.col("cell_id"),
+                        F.col("unit"),
+                    )
+                ).alias("b")
+            )
+            .select(F.col("b.cell_id").alias("cell_id"), F.col("b.unit").alias("u"))
+        )
+        mean_rows = (
+            members.select("cell_id", F.posexplode("u").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cell_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("mean"),
+            )
+            .collect()  # k rows of d doubles — the codebook, nothing more
+        )
+        new_means = {int(r["cell_id"]): list(map(float, r["mean"])) for r in mean_rows}
+        shift = 0.0
+        nxt = []
+        for cid, old in enumerate(codebook):
+            mean = new_means.get(cid)
+            if mean is None:  # empty cell keeps its centroid
+                nxt.append(old)
+                continue
+            norm = _math.sqrt(sum(x * x for x in mean)) or 1.0
+            newc = [x / norm for x in mean]
+            shift = max(
+                shift, 1.0 - sum(a * b for a, b in zip(newc, old))
+            )
+            nxt.append(newc)
+        codebook = nxt
+        if shift < tol:
+            break
+
+    version = versioned.write_snapshot(
+        spark,
+        cents_df(),
+        table_dir,
+        note=f"ivf codebook n_cells={n_cells} iters={iters} shift={shift:.2e}",
+    )
+    return {
+        "n_cells": n_cells,
+        "iters": iters,
+        "shift": shift,
+        "version": version,
+    }
+
+
+def load_ivf_codebook(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Load a committed IVF codebook snapshot (time-travel with
+    ``version``)."""
+    from ex_hivent_spark.sources import versioned
+
+    return versioned.read_snapshot(spark, table_dir, version).select(
+        "cell_id", "centroid"
+    )

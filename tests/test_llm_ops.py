@@ -379,3 +379,38 @@ def test_corpus_curate_matches_audit(spark, sf_dir):
     # survivors respect the cap in every language
     per_lang = final.groupBy("lang").count().collect()
     assert all(r["count"] <= corpus.CAP_PER_LANG for r in per_lang)
+
+
+def test_ivf_trained_codebook_beats_literal_seed(spark, sf_dir, tmp_path):
+    """build_ivf_index: the spherical-k-means-trained codebook must
+    improve probe recall@k over the literal-stride seed on the same
+    query set, and the trained codebook must round-trip through its
+    versioned snapshot (immutable, time-travelable)."""
+    from ex_hivent_spark.llm.similarity import (
+        build_ivf_index,
+        ivf_recall,
+        literal_codebook,
+        load_ivf_codebook,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    r_lit = ivf_recall(spark, sf_dir, literal_codebook(spark, sf_dir))
+    info = build_ivf_index(spark, sf_dir, idx, max_iters=10)
+    trained = load_ivf_codebook(spark, idx)
+    r_tr = ivf_recall(spark, sf_dir, trained)
+
+    assert info["version"] == 0 and info["iters"] >= 1
+    # one trained centroid per seed cell (the stride yields 14 at
+    # this SF's 500-vector corpus)
+    assert trained.count() == literal_codebook(spark, sf_dir).count()
+    # every trained centroid is unit-norm (spherical k-means)
+    from pyspark.sql import functions as F
+
+    norms = trained.select(
+        F.aggregate(
+            "centroid", F.lit(0.0), lambda a, x: a + x * x
+        ).alias("n2")
+    ).collect()
+    assert all(abs(r["n2"] - 1.0) < 1e-9 for r in norms)
+    # Lloyd iterations strictly improve the coarse quantizer here
+    assert r_tr > r_lit
