@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
-from ex_hivent_spark.functions.decimals import dround
+from ex_hivent_spark.functions.decimals import dround, sql_dround
 from ex_hivent_spark.functions.letbind import let1
 from ex_hivent_spark.plans.registry import register
 
@@ -982,4 +982,81 @@ def q_llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(
             F.col("n_shared").cast("double") / F.col("n_fps"), 6
         ).alias("shared_frac"),
+    )
+
+
+EDIT_LEN_BUCKET = 16  # chars per length-blocking bucket
+EDIT_MAX_DIST = 48  # absolute edit-distance cutoff for reported pairs
+
+
+@register(
+    "q_llm_edit_distance_neardup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             split_part(text, ' ', 1) AS tok1,
+             n_chars // {EDIT_LEN_BUCKET} AS lb
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+             greatest(length(a.text), length(b.text)) AS max_len
+      FROM d a JOIN d b
+        ON a.tok1 = b.tok1 AND a.lb = b.lb AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, edit_distance,
+           {sql_dround("CAST(edit_distance AS DOUBLE) / max_len", 6)}
+             AS rel_dist
+    FROM pairs
+    WHERE edit_distance <= {EDIT_MAX_DIST}
+    """,
+)
+def q_llm_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate detection: Levenshtein distance
+    between candidate document pairs, the character-level dedup that
+    catches in-place edits (typo fixes, template substitutions) which
+    token-shingle Jaccard under-weights and MinHash misses entirely at
+    small edit counts. Reports pairs within EDIT_MAX_DIST plus the
+    length-normalized relative distance.
+
+    Plan — BLOCKED, never all-pairs: candidates share a deterministic
+    (first-token, 16-char-length-bucket) blocking key, so the self-join
+    is an equi-join on the key (hash-partitioned; Levenshtein's O(L²)
+    DP runs only on within-block pairs — the standard blocking trade:
+    recall is bounded by the blocking, which is why the MinHash/
+    SimHash/prefix-filter family coexists with this op). Both engines
+    implement classic Wagner–Fischer Levenshtein, so distances are
+    exact integers and the oracle is bit-identical. At 100 TB the
+    block key is 16 bytes + a bigint; text only shuffles for rows that
+    have a same-key partner."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok1"),
+        F.expr(f"n_chars DIV {EDIT_LEN_BUCKET}").alias("lb"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.tok1") == F.col("b.tok1"))
+        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        F.levenshtein(F.col("a.text"), F.col("b.text"))
+        .cast("bigint")
+        .alias("edit_distance"),
+        F.greatest(
+            F.length(F.col("a.text")), F.length(F.col("b.text"))
+        ).alias("max_len"),
+    )
+    return pairs.filter(F.col("edit_distance") <= EDIT_MAX_DIST).select(
+        "doc_id_a",
+        "doc_id_b",
+        "edit_distance",
+        dround(
+            F.col("edit_distance").cast("double") / F.col("max_len"), 6
+        ).alias("rel_dist"),
     )

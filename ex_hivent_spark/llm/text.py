@@ -1284,3 +1284,95 @@ def q_llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(w)
         ).alias("recall_share"),
     )
+
+
+@register(
+    "q_llm_doc_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    dt AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c_dt
+      FROM toks GROUP BY doc_id, tok
+    ),
+    vocab AS (
+      SELECT tok, CAST(sum(c_dt) AS BIGINT) AS c_t FROM dt GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM vocab),
+    scored AS (
+      SELECT dt.doc_id,
+             dt.c_dt,
+             dt.c_dt * ({sql_dround(
+                 "ln(CAST(vocab.c_t AS DOUBLE) / tot.n)", 6
+             )}) AS lp
+      FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(sum(c_dt) AS BIGINT) AS n_tokens,
+           {sql_dround(
+               "-(CAST(sum(CAST(lp AS DECIMAL(25,6))) AS DOUBLE))"
+               " / sum(c_dt)", 6
+           )} AS cross_entropy,
+           {sql_dround(
+               "exp(" + sql_dround(
+                   "-(CAST(sum(CAST(lp AS DECIMAL(25,6))) AS DOUBLE))"
+                   " / sum(c_dt)", 6
+               ) + ")", 6
+           )} AS perplexity
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def q_llm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus's own unigram language
+    model: H(d) = −(1/n_d)·Σ_tok c_dt·ln(c_t/N) and ppl = e^H — the
+    cheapest model-free fluency/typicality score (the same family
+    CCNet uses with an external LM): documents whose vocabulary is
+    corpus-typical score low, boilerplate of rare symbols scores high.
+    A pretraining curation pass sorts or thresholds on this.
+
+    Plan: one token explode → (doc, token) hash aggregate; the
+    |vocab|-row count frame joins back hash-on-token (both sides are
+    aggregates ≪ corpus); the total rides as a broadcast one-row
+    frame; per-doc fold is a decimal-summed aggregate. Nothing wider
+    than (doc_id, token) shuffles. Determinism: counts are integers,
+    the per-token ln is e6-rounded before the integer multiply, the
+    per-doc sum rides the decimal detour, the entropy division is one
+    exact IEEE op (e6-rounded), and the single exp is e6-rounded —
+    the one-libm-call-per-term convention throughout the suite."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_dt"))
+        .localCheckpoint(eager=False)  # vocab + totals + scoring all
+        # derive from dt: scan/explode the corpus once
+    )
+    vocab = dt.groupBy("tok").agg(F.sum("c_dt").alias("c_t"))
+    tot = vocab.agg(F.sum("c_t").alias("n"))
+    scored = (
+        dt.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "c_dt",
+            (
+                F.col("c_dt")
+                * dround(
+                    F.log(F.col("c_t").cast("double") / F.col("n")), 6
+                )
+            ).alias("lp"),
+        )
+    )
+    h = dround(
+        -(F.sum(F.col("lp").cast("decimal(25,6)")).cast("double"))
+        / F.sum("c_dt"),
+        6,
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c_dt").alias("n_tokens"),
+        h.alias("cross_entropy"),
+        dround(F.exp(h), 6).alias("perplexity"),
+    )

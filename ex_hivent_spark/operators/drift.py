@@ -813,3 +813,124 @@ def q_win_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
         outlier.alias("is_outlier"),
         F.when(outlier, med).otherwise(F.col("value")).alias("cleaned"),
     )
+
+
+_PARETO_THRESHOLDS = (50, 80, 95)
+
+
+@register(
+    "q_agg_pareto_coverage",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS t
+      FROM rev
+    ),
+    cum AS (
+      SELECT cents,
+             CAST(sum(cents) OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS cum
+      FROM rev
+    ),
+    j AS (
+      SELECT
+        {", ".join(
+            f'''CAST(sum(CASE WHEN CAST(cum AS DECIMAL(38,0)) * 100
+                       <= {100 - p} * CAST(t AS DECIMAL(38,0))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS j{p}'''
+            for p in _PARETO_THRESHOLDS
+        )},
+        any_value(n) AS n
+      FROM cum CROSS JOIN tot
+    )
+    {" UNION ALL ".join(
+        f'''SELECT CAST({p} AS BIGINT) AS threshold_pct,
+               n - j{p} AS n_customers,
+               n AS n_total,
+               floor((CAST(n - j{p} AS DOUBLE) / n) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cust_share
+        FROM j'''
+        for p in _PARETO_THRESHOLDS
+    )}
+    """,
+)
+def q_agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto revenue-concentration coverage: the minimum number of
+    customers whose combined revenue reaches 50% / 80% / 95% of total
+    — the "do 1% of customers carry 80% of revenue?" companion to the
+    Gini coefficient (q_agg_gini_concentration), reported as actual
+    head-counts a capacity/account team can act on.
+
+    Plan: per-customer revenue collapses to EXACT integer cents
+    (floor(price·100+0.5) per order, bigint sums — no float
+    aggregation anywhere), the ascending cumulative revenue comes from
+    the deterministic blocked prefix sums (operators/prefix.py — no
+    single-partition window; the recursive fold covers any block
+    count), and each threshold is one conditional count over the
+    ranked frame: top-k(θ) = n − max{{j : cum(j)·100 ≤ (100−θ)·T}},
+    exact because cum is nondecreasing. The ·100 comparisons ride
+    decimal(38,0) so they cannot overflow int64 even at 10¹⁷ total
+    cents. One orders scan, one block-keyed exchange, three stacked
+    output rows."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+        .localCheckpoint(eager=False)  # totals probe + prefix window:
+        # one orders scan
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").alias("t"),
+    )
+    blocked = rev.withColumn("blk", F.expr("cents DIV 10000000"))
+    ranked = running_totals_blocked(
+        blocked,
+        order_cols=["cents", "o_custkey"],
+        block_cols=["blk"],
+        sum_cols={"cents": "cum"},
+    )
+    dec = "decimal(38,0)"
+    j = ranked.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("cum").cast(dec) * 100
+                    <= (100 - p) * F.col("t").cast(dec),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"j{p}")
+            for p in _PARETO_THRESHOLDS
+        ],
+        F.any_value("n").alias("n"),
+    )
+    parts = [
+        j.select(
+            F.lit(p).cast("bigint").alias("threshold_pct"),
+            (F.col("n") - F.col(f"j{p}")).alias("n_customers"),
+            F.col("n").alias("n_total"),
+            dround(
+                (F.col("n") - F.col(f"j{p}")).cast("double") / F.col("n"),
+                6,
+            ).alias("cust_share"),
+        )
+        for p in _PARETO_THRESHOLDS
+    ]
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out

@@ -1348,3 +1348,75 @@ def q_ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio("num1").alias("xcorr_lag1"),
         ratio("num2").alias("xcorr_lag2"),
     )
+
+
+@register(
+    "q_ts_ohlc_bars",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+             ts, event_id, value
+      FROM events
+    ),
+    rn AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, hour_id
+                                ORDER BY ts, event_id) AS rna,
+             row_number() OVER (PARTITION BY event_type, hour_id
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM base
+    )
+    SELECT event_type, hour_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN rna = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(max(value) AS DOUBLE) AS high,
+           CAST(min(value) AS DOUBLE) AS low,
+           CAST(max(CASE WHEN rnd = 1 THEN value END) AS DOUBLE) AS close,
+           {sql_dsum("value", "volume")}
+    FROM rn
+    GROUP BY event_type, hour_id
+    """,
+)
+def q_ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, hour) bars with open (first
+    value by event time, event_id tie-break), high, low, close (last
+    value) and decimal-exact volume — the financial-style candlestick
+    rollup, and the canonical time-series downsample a metrics store
+    runs before long-horizon charting (first/last carry level
+    semantics that plain avg rollups destroy).
+
+    Plan: two row_number windows PARTITIONED by (type, hour) — each
+    partition is one hour of one type, bounded at any retention, so
+    this passes the no-global-window gate by construction — then one
+    hash aggregate with conditional first/last picks. One shuffle on
+    (type, hour); partial aggregation combines map-side. Determinism:
+    first/last are unique by the (ts, event_id) total order, min/max
+    are exact, volume rides the decimal detour."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hour_id"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "hour_id").orderBy(
+        "ts", "event_id"
+    )
+    wd = Window.partitionBy("event_type", "hour_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rn = base.select(
+        "*",
+        F.row_number().over(wa).alias("rna"),
+        F.row_number().over(wd).alias("rnd"),
+    )
+    return rn.groupBy("event_type", "hour_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(F.when(F.col("rna") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("close"),
+        dsum("value", "volume"),
+    )
