@@ -502,3 +502,62 @@ def q_fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("maybe_int"),
         F.col("props").try_cast("double").alias("props_as_num"),
     )
+
+
+@register(
+    "q_fn_url_extract",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || lang || '/'
+               || CAST(doc_id AS VARCHAR) || '?ref=corpus&n='
+               || CAST(n_chars AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref_param,
+           CAST(regexp_extract(url, '[?&]n=([0-9]+)', 1) AS BIGINT)
+             AS n_param,
+           regexp_extract(url, 'https://[^./]+[.]([^/]+)/', 1) AS domain
+    FROM urls
+    """,
+)
+def q_fn_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing via anchored regex capture groups: host, path,
+    query parameters, and registrable domain from a synthesized
+    per-document URL — the crawl-pipeline field extraction (Spark's
+    ``parse_url`` has no DuckDB twin, so the engine standardizes on
+    regexp_extract with patterns restricted to the RE2 ∩ Java-regex
+    common subset: literal classes, no backrefs/lookahead — identical
+    semantics in both engines, and a single codegen'd projection in
+    Spark).
+
+    Scale: map-only projection; regex cost is per-row constant and
+    stays in whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=corpus&n="),
+        F.col("n_chars").cast("string"),
+    )
+    urls = d.select("doc_id", url.alias("url"))
+    return urls.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("url", r"^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"[?&]ref=([^&]*)", 1).alias("ref_param"),
+        F.regexp_extract("url", r"[?&]n=([0-9]+)", 1)
+        .cast("bigint")
+        .alias("n_param"),
+        F.regexp_extract("url", r"https://[^./]+[.]([^/]+)/", 1).alias(
+            "domain"
+        ),
+    )

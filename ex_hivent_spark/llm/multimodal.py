@@ -389,3 +389,79 @@ def q_mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").alias("first_media_id"),
         F.max("media_id").alias("last_media_id"),
     )
+
+
+PATCH = 8  # ViT patch edge (pixels)
+PATCH_BUDGET = 1024  # patches per packed training batch
+
+
+@register(
+    "q_mm_resolution_bucket",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 48 + 1 AS BIGINT) AS h
+      FROM documents
+    ),
+    visual AS (
+      SELECT media_id, kind, w, h,
+             (w * 16) // h AS ar_bucket,
+             ((w + {PATCH - 1}) // {PATCH})
+               * ((h + {PATCH - 1}) // {PATCH}) AS n_patches
+      FROM media WHERE kind <> 'audio'
+    )
+    SELECT kind, ar_bucket,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(w * h) AS BIGINT) AS total_pixels,
+           CAST(max(w) AS BIGINT) AS max_w,
+           CAST(max(h) AS BIGINT) AS max_h,
+           CAST(sum(n_patches) AS BIGINT) AS total_patches,
+           CAST((sum(n_patches) + {PATCH_BUDGET - 1}) // {PATCH_BUDGET}
+                AS BIGINT) AS n_batches
+    FROM visual GROUP BY kind, ar_bucket
+    """,
+)
+def q_mm_resolution_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for variable-resolution batch packing
+    (the NaViT / bucketed-dataloader prep step): group visual media by
+    a 16-grain integer aspect-ratio bucket, count ViT patches per item
+    (⌈w/8⌉·⌈h/8⌉), and size the per-bucket batch plan against a fixed
+    patch budget — the metadata pass that decides how many packed
+    batches each shape class yields BEFORE any pixel is decoded.
+
+    Plan: metadata-only projection over the media table (the payload
+    binary column is never read — column pruning keeps it out of the
+    scan), one hash aggregate on (kind, bucket). All-integer
+    arithmetic; the oracle derives w/h from the same deterministic
+    construction as synth_media."""
+    media = synth_media(spark, sf_dir)
+    visual = media.filter(F.col("kind") != "audio").select(
+        "media_id",
+        "kind",
+        F.col("meta.width").cast("bigint").alias("w"),
+        F.col("meta.height").cast("bigint").alias("h"),
+    )
+    visual = visual.select(
+        "kind",
+        "w",
+        "h",
+        F.expr("(w * 16) DIV h").alias("ar_bucket"),
+        (
+            F.expr(f"(w + {PATCH - 1}) DIV {PATCH}")
+            * F.expr(f"(h + {PATCH - 1}) DIV {PATCH}")
+        ).alias("n_patches"),
+    )
+    return visual.groupBy("kind", "ar_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("w") * F.col("h")).cast("bigint").alias("total_pixels"),
+        F.max("w").cast("bigint").alias("max_w"),
+        F.max("h").cast("bigint").alias("max_h"),
+        F.sum("n_patches").cast("bigint").alias("total_patches"),
+        F.expr(
+            f"CAST((sum(n_patches) + {PATCH_BUDGET - 1})"
+            f" DIV {PATCH_BUDGET} AS BIGINT)"
+        ).alias("n_batches"),
+    )

@@ -1930,3 +1930,121 @@ def q_ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_DRIFT_PROFILE_COLS = ("value", "user_id", "event_type", "props")
+
+
+@register(
+    "q_quality_schema_drift",
+    oracle=f"""
+    WITH lab AS (
+      SELECT *,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS ia
+      FROM events
+    ),
+    per_col AS (
+      {" UNION ALL ".join(
+          f'''SELECT '{c}' AS column_name,
+                 CAST(sum(ia) AS BIGINT) AS n_early,
+                 CAST(sum(1 - ia) AS BIGINT) AS n_late,
+                 CAST(sum(CASE WHEN ia = 1 AND {c} IS NULL THEN 1 ELSE 0
+                          END) AS BIGINT) AS nulls_early,
+                 CAST(sum(CASE WHEN ia = 0 AND {c} IS NULL THEN 1 ELSE 0
+                          END) AS BIGINT) AS nulls_late,
+                 CAST(count(DISTINCT CASE WHEN ia = 1 THEN {c} END)
+                      AS BIGINT) AS ndv_early,
+                 CAST(count(DISTINCT CASE WHEN ia = 0 THEN {c} END)
+                      AS BIGINT) AS ndv_late
+          FROM lab'''
+          for c in _DRIFT_PROFILE_COLS
+      )}
+    )
+    SELECT column_name, n_early, n_late, nulls_early, nulls_late,
+           ndv_early, ndv_late,
+           floor((CAST(ndv_late AS DOUBLE) / greatest(ndv_early, 1))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ndv_ratio
+    FROM per_col
+    """,
+)
+def q_quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal column-profile drift: per column, row/null/distinct
+    counts for the early vs late half of the month plus the
+    late/early ndv ratio — the schema-health diff a platform runs
+    after an upstream deploy ("did a producer start nulling a field?
+    did the enum cardinality explode?"). The temporal twin of the
+    static q_quality_profile.
+
+    Plan: ONE events scan computes all per-column conditional
+    aggregates; the exact per-half distinct counts expand to one
+    count(distinct CASE...) pair per column — Spark plans the
+    multi-distinct aggregate with an expand + two-phase aggregate
+    (each distinct column partial-aggregates map-side), so the shuffle
+    carries (column-value, half) pairs, never rows. At 100 TB swap
+    the exact ndv for approx_count_distinct (documented downgrade —
+    exact is kept here because the driver compares values
+    bit-exactly). Output is |columns| rows."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.withColumn(
+        "ia",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1
+        ).otherwise(0),
+    )
+    aggs = [
+        F.sum("ia").cast("bigint").alias("n_early"),
+        F.sum(1 - F.col("ia")).cast("bigint").alias("n_late"),
+    ]
+    for c in _DRIFT_PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            F.sum(
+                F.when((F.col("ia") == 1) & col.isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"{c}__nulls_early"),
+            F.sum(
+                F.when((F.col("ia") == 0) & col.isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"{c}__nulls_late"),
+            F.count_distinct(F.when(F.col("ia") == 1, col))
+            .cast("bigint")
+            .alias(f"{c}__ndv_early"),
+            F.count_distinct(F.when(F.col("ia") == 0, col))
+            .cast("bigint")
+            .alias(f"{c}__ndv_late"),
+        ]
+    # one multi-distinct aggregate row; the per-column unpivot below
+    # reads that 1-row frame (localCheckpoint pins it so the scan runs
+    # once), so events is scanned exactly once for all columns
+    agg_row = lab.agg(*aggs).localCheckpoint(eager=False)
+    parts = [
+        agg_row.select(
+            F.lit(c).alias("column_name"),
+            "n_early",
+            "n_late",
+            F.col(f"{c}__nulls_early").alias("nulls_early"),
+            F.col(f"{c}__nulls_late").alias("nulls_late"),
+            F.col(f"{c}__ndv_early").alias("ndv_early"),
+            F.col(f"{c}__ndv_late").alias("ndv_late"),
+        )
+        for c in _DRIFT_PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "column_name",
+        "n_early",
+        "n_late",
+        "nulls_early",
+        "nulls_late",
+        "ndv_early",
+        "ndv_late",
+        dround(
+            F.col("ndv_late").cast("double")
+            / F.greatest(F.col("ndv_early"), F.lit(1)),
+            6,
+        ).alias("ndv_ratio"),
+    )

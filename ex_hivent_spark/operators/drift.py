@@ -934,3 +934,132 @@ def q_agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pdf in parts[1:]:
         out = out.unionByName(pdf)
     return out
+
+
+@register(
+    "q_ab_delta_method_ci",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT CASE WHEN ts < TIMESTAMP '{_CUT}' THEN 'early' ELSE 'late'
+             END AS arm,
+             user_id,
+             CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+                           ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(CAST(x * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+      FROM per_user GROUP BY arm
+    ),
+    closed AS (
+      SELECT arm, n, sx / sy AS ratio,
+             (sxx - sx * sx / n) / (n - 1) AS vxx,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)
+               AS vyy,
+             (sxy - sx * (CAST(sy AS DOUBLE) / n)) / (n - 1) AS vxy,
+             CAST(sy AS DOUBLE) / n AS ybar
+      FROM mom
+    )
+    SELECT arm, n AS n_users,
+           {sql_dround("ratio", 6)} AS ratio,
+           {sql_dround(
+               "sqrt((vxx - 2 * ratio * vxy + ratio * ratio * vyy)"
+               " / (n * ybar * ybar))", 6
+           )} AS se,
+           {sql_dround("ratio", 6)} - 1.96 * ({sql_dround(
+               "sqrt((vxx - 2 * ratio * vxy + ratio * ratio * vyy)"
+               " / (n * ybar * ybar))", 6
+           )}) AS ci_lo,
+           {sql_dround("ratio", 6)} + 1.96 * ({sql_dround(
+               "sqrt((vxx - 2 * ratio * vxy + ratio * ratio * vyy)"
+               " / (n * ybar * ybar))", 6
+           )}) AS ci_hi
+    FROM closed
+    """,
+)
+def q_ab_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric per
+    experiment arm: revenue-per-event R = Σx/Σy where the
+    randomization unit is the USER (x_u = purchase revenue, y_u =
+    event count) — the correct CI for ratio metrics under clustered
+    exposure (naive per-event variance understates it; this is the
+    standard delta-method/linearization every experimentation platform
+    ships): Var(R) ≈ (s_xx − 2R·s_xy + R²·s_yy) / (n·ȳ²).
+
+    Plan: one (arm, user) hash aggregate collapses the stream, then a
+    2-row per-arm moment aggregate — all second moments are computed
+    from user-level rows, decimal-summed. Determinism: per-user x is
+    a decimal sum (deterministic double), per-row products are exact
+    IEEE, cross-user sums ride the decimal detour, integer moments
+    stay bigint, and the single sqrt is e6-rounded; the closing ±1.96
+    arithmetic is written identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    dec = "decimal(25,6)"
+    per_user = (
+        e.select(
+            F.when(
+                F.col("ts") < F.lit(_CUT).cast("timestamp"), "early"
+            )
+            .otherwise("late")
+            .alias("arm"),
+            "user_id",
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0))
+            .alias("xv"),
+        )
+        .groupBy("arm", "user_id")
+        .agg(
+            F.sum(F.col("xv").cast(dec)).cast("double").alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("y"),
+        )
+    )
+    mom = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    ratio = F.col("sx") / F.col("sy")
+    vxx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    vyy = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / n
+    ) / (n - 1)
+    vxy = (
+        F.col("sxy") - F.col("sx") * (F.col("sy").cast("double") / n)
+    ) / (n - 1)
+    ybar = F.col("sy").cast("double") / n
+    closed = mom.select(
+        "arm",
+        n.alias("n_users"),
+        dround(ratio, 6).alias("ratio"),
+        dround(
+            F.sqrt(
+                (vxx - 2 * ratio * vxy + ratio * ratio * vyy)
+                / (n * ybar * ybar)
+            ),
+            6,
+        ).alias("se"),
+    )
+    return closed.select(
+        "arm",
+        "n_users",
+        "ratio",
+        "se",
+        (F.col("ratio") - 1.96 * F.col("se")).alias("ci_lo"),
+        (F.col("ratio") + 1.96 * F.col("se")).alias("ci_hi"),
+    )
