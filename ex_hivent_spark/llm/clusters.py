@@ -453,3 +453,80 @@ def q_graph_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.select(
         F.col("node").alias("doc_id"), F.col("depth").alias("depth_to_root")
     ).unionByName(root)
+
+
+@register(
+    "q_graph_lpa_step",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    , edges AS (
+      SELECT doc_a AS node, doc_b AS nb FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nbl AS (
+      SELECT e.node, d.lang AS nb_lang
+      FROM edges e JOIN documents d ON d.doc_id = e.nb
+    ),
+    cnts AS (
+      SELECT node, nb_lang, CAST(count(*) AS BIGINT) AS c
+      FROM nbl GROUP BY node, nb_lang
+    ),
+    best AS (
+      SELECT node,
+             min({'nc': -c, 'lang': nb_lang}) AS b,
+             CAST(sum(c) AS BIGINT) AS n_neighbors
+      FROM cnts GROUP BY node
+    )
+    SELECT best.node AS doc_id,
+           d.lang AS old_label,
+           b['lang'] AS new_label,
+           n_neighbors,
+           CAST(-b['nc'] AS BIGINT) AS top_count
+    FROM best JOIN documents d ON d.doc_id = best.node
+    """,
+)
+def q_graph_lpa_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One label-propagation round over the near-duplicate graph,
+    seeded with the documents' declared language labels: each node
+    adopts the MOST FREQUENT label among its neighbors (ties broken
+    lexicographically — the deterministic LPA variant), reporting old
+    vs new label, degree, and the winning vote count. Iterated, this
+    is community detection; one audited round is also the standard
+    "does my language metadata agree with the duplication structure?"
+    consistency check (a doc whose near-dups all carry another lang
+    tag is a mislabeling signal).
+
+    Plan: the edge list comes from the prefix-filtered exact-Jaccard
+    pair op (never all-pairs), labels join in via the |docs|-row lang
+    projection (hash join on doc_id), the vote is one (node, label)
+    hash aggregate, and the argmax is a min-over-struct — no window,
+    no sort. Per round: two shuffles (votes, argmax)."""
+    from ex_hivent_spark.catalog import load_table
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    pairs = q_llm_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("node"), F.col("doc_b").alias("nb")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("node"), F.col("doc_a").alias("nb")
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    nbl = edges.join(d, edges.nb == d.doc_id).select("node", F.col("lang").alias("nb_lang"))
+    cnts = nbl.groupBy("node", "nb_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    best = cnts.groupBy("node").agg(
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("nb_lang").alias("lang"))
+        ).alias("b"),
+        F.sum("c").cast("bigint").alias("n_neighbors"),
+    )
+    return best.join(d, best.node == d.doc_id).select(
+        F.col("node").alias("doc_id"),
+        F.col("lang").alias("old_label"),
+        F.col("b.lang").alias("new_label"),
+        "n_neighbors",
+        (-F.col("b.nc")).cast("bigint").alias("top_count"),
+    )

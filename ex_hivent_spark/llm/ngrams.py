@@ -547,3 +547,112 @@ def q_llm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(one_if(F.col("r") == 1), F.lit(0)),
         ).alias("r_star_1"),
     )
+
+
+PMI_MIN_DOCS = 25  # min co-occurrence document frequency
+PMI_TOP = 20
+
+
+@register(
+    "q_llm_pmi_collocations",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    df AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY tok
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok
+      HAVING count(*) >= {PMI_MIN_DOCS}
+    ),
+    scored AS (
+      SELECT tok_a, tok_b, c_ab, da.c AS c_a, db.c AS c_b,
+             {sql_dround(
+                 "ln(CAST(tot.n AS DOUBLE) * c_ab / (da.c * db.c))", 6
+             )} AS pmi
+      FROM pairs JOIN df da ON da.tok = pairs.tok_a
+                 JOIN df db ON db.tok = pairs.tok_b
+                 CROSS JOIN tot
+    )
+    SELECT tok_a, tok_b, c_ab, c_a, c_b, pmi
+    FROM scored
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT {PMI_TOP}
+    """,
+)
+def q_llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations at document
+    granularity: for token pairs co-occurring in ≥ PMI_MIN_DOCS
+    documents, PMI = ln(N·df(a,b) / (df(a)·df(b))) — the association
+    measure that separates "genuinely travel together" pairs from
+    merely-frequent ones (TF-style top-ngrams can't), used for phrase
+    mining, tokenizer merge candidates, and template detection in
+    crawl corpora. Top PMI_TOP pairs, deterministic order.
+
+    Plan: per-doc DISTINCT tokens explode once, the within-doc pair
+    frame is an equi-join on doc_id (quadratic only in per-doc
+    VOCABULARY — bounded by document length, never corpus size), pair
+    counts hash-aggregate with map-side combine, the two doc-frequency
+    lookups are hash joins against the |vocab|-row frame, and the
+    top-N is a TakeOrdered (per-partition top + driver merge, no
+    global sort). Determinism: integer counts, one e6 ln, ties broken
+    lexicographically."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split("text", " "))
+        ).alias("tok"),
+    ).localCheckpoint(eager=False)  # both pair-join sides + df derive
+    # from one explode
+    df = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_DOCS)
+    )
+    scored = (
+        pairs.join(df.withColumnRenamed("c", "c_a"), pairs.tok_a == df.tok)
+        .drop("tok")
+        .join(
+            df.withColumnRenamed("c", "c_b").withColumnRenamed(
+                "tok", "tok2"
+            ),
+            F.col("tok_b") == F.col("tok2"),
+        )
+        .drop("tok2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            dround(
+                F.log(
+                    F.col("n").cast("double")
+                    * F.col("c_ab")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "tok_a", "tok_b"
+    ).limit(PMI_TOP)

@@ -1898,3 +1898,125 @@ def load_ivf_codebook(
     return versioned.read_snapshot(spark, table_dir, version).select(
         "cell_id", "centroid"
     )
+
+
+MRL_DIM = 16  # matryoshka truncation prefix length
+
+
+@register(
+    "q_llm_matryoshka_recall",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    t16 AS (SELECT vec_id, e[1:{MRL_DIM}] AS e16 FROM emb),
+    unit16 AS (
+      SELECT vec_id,
+             list_transform(e16,
+               x -> x / sqrt(list_sum(list_transform(e16, y -> y * y))))
+               AS u16
+      FROM t16
+    ),
+    fq AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             floor(list_dot_product(a.u, b.u) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cosine
+      FROM unit a JOIN unit b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id % 50 = 0
+    ),
+    full_rank AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM fq
+    ),
+    tq AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             floor(list_dot_product(a.u16, b.u16) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cosine
+      FROM unit16 a JOIN unit16 b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id % 50 = 0
+    ),
+    tr_rank AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM tq
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_mrl
+    FROM full_rank f
+    LEFT JOIN (SELECT * FROM tr_rank WHERE rn <= {TOP_K}) t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    WHERE f.rn <= {TOP_K}
+    GROUP BY f.query_id
+    """,
+)
+def q_llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: recall@k of top-k retrieval
+    using only the first MRL_DIM embedding dimensions (renormalized)
+    against full-dimension top-k, per query — the measurement that
+    decides whether a 4× cheaper truncated index is acceptable
+    (Kusupati et al. 2022: MRL-trained embeddings concentrate
+    information in the prefix; this op quantifies how much YOUR
+    vectors do).
+
+    Plan: both rankings are the bounded brute-force baseline (sampled
+    query set broadcast against one corpus pass — recall estimation
+    needs hundreds of queries, not the corpus); the truncated side
+    slices then renormalizes BEFORE scoring, so its index cost model
+    is honest. Overlap is a per-query join-count. Determinism: e6
+    cosines, neighbor-id tie-breaks, exact integer overlap counts."""
+    from pyspark.sql import Window
+
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em).localCheckpoint(eager=False)
+    e16 = F.slice(F.col("embedding"), 1, MRL_DIM)
+    n16 = l2_norm(e16)
+    unit16 = em.select(
+        "vec_id",
+        F.transform(e16, lambda x: x.cast("double") / n16).alias("unit"),
+    ).localCheckpoint(eager=False)
+
+    def topk(u: DataFrame) -> DataFrame:
+        q = u.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("unit").alias("qu")
+        )
+        scored = u.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dround(dot(F.col("qu"), F.col("unit")), 6).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_k = topk(unit)
+    tr_k = topk(unit16).withColumn("hit", F.lit(1))
+    return (
+        full_k.join(tr_k, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("bigint").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / TOP_K).alias(
+                "recall_mrl"
+            ),
+        )
+    )

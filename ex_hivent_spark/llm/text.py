@@ -1376,3 +1376,111 @@ def q_llm_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("cross_entropy"),
         dround(F.exp(h), 6).alias("perplexity"),
     )
+
+
+@register(
+    "q_llm_calibration_bins",
+    oracle=f"""
+    WITH {_QC_PROB_SQL},
+    labeled AS (
+      SELECT doc_id, p,
+             CASE WHEN n_chars >= {_EVAL_TRUTH_CHARS} THEN 1 ELSE 0 END AS y
+      FROM scored
+    ),
+    buckets AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(y) AS BIGINT) AS pos_cnt
+      FROM labeled GROUP BY p
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM buckets),
+    cum AS (
+      SELECT p, cnt, pos_cnt,
+             CAST(sum(cnt) OVER (ORDER BY p) AS BIGINT) AS cum_cnt
+      FROM buckets
+    ),
+    binned AS (
+      SELECT least(((cum_cnt - 1) * 10) // n, 9) AS decile,
+             cnt, pos_cnt, p
+      FROM cum CROSS JOIN tot
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(sum(pos_cnt) AS BIGINT) AS n_pos,
+           {sql_dround(
+               "CAST(sum(CAST(p * cnt AS DECIMAL(25,6))) AS DOUBLE)"
+               " / sum(cnt)", 6
+           )} AS mean_score,
+           {sql_dround(
+               "CAST(sum(pos_cnt) AS DOUBLE) / sum(cnt)", 6
+           )} AS pos_rate,
+           {sql_dround(
+               "CAST(sum(CAST(p * cnt AS DECIMAL(25,6))) AS DOUBLE)"
+               " / sum(cnt)", 6
+           )} - {sql_dround(
+               "CAST(sum(pos_cnt) AS DOUBLE) / sum(cnt)", 6
+           )} AS calibration_gap
+    FROM binned GROUP BY decile
+    """,
+)
+def q_llm_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration table for the quality classifier: bucket the
+    corpus into score deciles and compare mean predicted probability
+    against the observed positive rate per decile — the reliability
+    diagram every shipped filter model is audited with (a well-
+    calibrated model has gap ≈ 0 in every decile; a confident-but-
+    wrong model shows large gaps at the extremes).
+
+    Plan — NO ntile/global row_number: scores collapse to one row per
+    DISTINCT score (hash aggregate), the exact cumulative count comes
+    from operators/prefix.running_totals_blocked over the fixed
+    4096-cell score grid (the q_llm_classifier_eval machinery), and a
+    score bucket's decile is the decile of its LAST row's global rank
+    (equal scores are never split across bins — deterministic under
+    ties, unlike ntile). Final aggregate is 10 rows. Determinism:
+    integer counts, decimal-summed score mass, e6-rounded outputs."""
+    from ex_hivent_spark.operators.prefix import running_totals_blocked
+
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        "doc_id",
+        _qc_probability().alias("p"),
+        F.when(F.col("n_chars") >= _EVAL_TRUTH_CHARS, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    buckets = (
+        labeled.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("y").cast("bigint").alias("pos_cnt"),
+        )
+        .withColumn("grid", F.floor(F.col("p") * 4096).cast("bigint"))
+        .localCheckpoint(eager=False)  # window + totals probe: the
+        # corpus is scored and bucketed once
+    )
+    tot = buckets.agg(F.sum("cnt").alias("n"))
+    cum = running_totals_blocked(buckets, ["p"], ["grid"], {"cnt": "cum_cnt"})
+    binned = cum.crossJoin(F.broadcast(tot)).select(
+        F.least(
+            F.expr("((cum_cnt - 1) * 10) DIV n"), F.lit(9).cast("bigint")
+        ).alias("decile"),
+        "cnt",
+        "pos_cnt",
+        "p",
+    )
+    dec = "decimal(25,6)"
+    mean_score = dround(
+        F.sum((F.col("p") * F.col("cnt")).cast(dec)).cast("double")
+        / F.sum("cnt"),
+        6,
+    )
+    pos_rate = dround(
+        F.sum("pos_cnt").cast("double") / F.sum("cnt"), 6
+    )
+    return binned.groupBy("decile").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum("pos_cnt").cast("bigint").alias("n_pos"),
+        mean_score.alias("mean_score"),
+        pos_rate.alias("pos_rate"),
+        (mean_score - pos_rate).alias("calibration_gap"),
+    )
