@@ -1060,3 +1060,98 @@ def q_llm_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("edit_distance").cast("double") / F.col("max_len"), 6
         ).alias("rel_dist"),
     )
+
+
+@register(
+    "q_llm_url_dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://'
+              END)
+             || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source
+                 END)
+             || '.example.com/' || lang || '/page'
+             || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN '?utm_source=feed&utm_campaign=x'
+                      WHEN doc_id % 3 = 1 THEN '?ref=keep'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#section' ELSE '' END)
+               AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(url),
+               '#.*$', ''),
+               '\\?utm_[^#]*', ''),
+               '/\\?', '?'),
+               '/$', '') AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+           min(doc_id) AS keep_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier collapse every
+    web-scale corpus runs BEFORE content hashing: lowercase scheme and
+    host, strip fragments, strip pure-tracking (utm_*) query strings
+    while KEEPING meaningful params, and drop trailing slashes, then
+    group fetches by canonical URL (keep = smallest doc_id). Reported
+    per canonical URL: total fetches, distinct raw variants, keeper.
+
+    The raw URLs are synthesized deterministically from document
+    fields with case/tracking/slash/fragment noise cycling by doc_id,
+    so the canonicalization rules are exercised end to end and the
+    oracle re-derives identical input. Canonicalization is a chain of
+    4 regexp_replace calls in the RE2 ∩ Java common subset (no
+    lookahead — '/?' collapse handled by literal '/\\?' then '/$'
+    passes). Plan: map-only canonicalize + one hash aggregate on the
+    canonical key; at 100 TB this shuffles only (canonical_url,
+    doc_id) pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "HTTPS://").otherwise("https://"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.upper("source")
+        ).otherwise(F.col("source")),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/page"),
+        F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+        F.when(
+            F.col("doc_id") % 3 == 0, "?utm_source=feed&utm_campaign=x"
+        )
+        .when(F.col("doc_id") % 3 == 1, "?ref=keep")
+        .otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, "#section").otherwise(""),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("url")), "#.*$", ""),
+                r"\?utm_[^#]*",
+                "",
+            ),
+            r"/\?",
+            "?",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        raw.select("doc_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("url").cast("bigint").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )

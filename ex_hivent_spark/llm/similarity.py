@@ -2020,3 +2020,96 @@ def q_llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+OUTLIER_TOP = 20
+
+
+@register(
+    "q_emb_outlier_centroid",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    expl AS (
+      SELECT vec_id, unnest(u) AS val, generate_subscripts(u, 1) AS pos
+      FROM unit
+    ),
+    means AS (
+      SELECT pos,
+             CAST(sum(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / count(val)
+               AS m
+      FROM expl GROUP BY pos
+    ),
+    cent AS (SELECT list(m ORDER BY pos) AS c FROM means),
+    chat AS (
+      SELECT list_transform(c,
+               x -> x / sqrt(list_sum(list_transform(c, y -> y * y)))) AS ch
+      FROM cent
+    ),
+    scored AS (
+      SELECT u.vec_id, e.label,
+             floor(list_dot_product(u.u, chat.ch) * 1000000.0 + 0.5)
+               / 1000000.0 AS cos_centroid
+      FROM unit u CROSS JOIN chat JOIN embeddings e ON e.vec_id = u.vec_id
+    )
+    SELECT vec_id, label, cos_centroid
+    FROM scored ORDER BY cos_centroid, vec_id LIMIT {OUTLIER_TOP}
+    """,
+)
+def q_emb_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: cosine of every unit vector to
+    the (normalized) corpus centroid direction, reporting the
+    OUTLIER_TOP farthest vectors — the cheap embedding-QC pass that
+    surfaces mis-embedded rows, wrong-modality leaks, and off-domain
+    contamination before any clustering/ANN index trusts the space
+    (outliers poison k-means seeds and IVF cell balance).
+
+    Plan: the per-dimension centroid is one posexplode + (dim) hash
+    aggregate with decimal-summed means (|dims| groups — tiny at any
+    corpus size), reassembled and normalized as a one-row broadcast;
+    scoring is a map-only pass; the bottom-N is a TakeOrdered
+    (per-partition top + driver merge, no global sort). Determinism:
+    decimal means, e6 cosine, vec_id tie-break."""
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em).localCheckpoint(eager=False)  # centroid
+    # aggregate + scoring pass share one normalization
+    means = (
+        unit.select(F.posexplode("unit").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(25,6)")).cast("double")
+                / F.count("val")
+            ).alias("m")
+        )
+    )
+    cent = means.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+    ).select(F.transform(F.col("pm"), lambda s: s["m"]).alias("c"))
+    chat = cent.select(
+        F.transform(
+            "c", lambda x: x / l2_norm(F.col("c"))
+        ).alias("ch")
+    )
+    labels = em.select("vec_id", "label")
+    scored = (
+        unit.crossJoin(F.broadcast(chat))
+        .select(
+            "vec_id",
+            dround(dot(F.col("unit"), F.col("ch")), 6).alias(
+                "cos_centroid"
+            ),
+        )
+        .join(labels, "vec_id")
+    )
+    return scored.orderBy("cos_centroid", "vec_id").limit(
+        OUTLIER_TOP
+    ).select("vec_id", "label", "cos_centroid")

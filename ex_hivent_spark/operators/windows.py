@@ -1420,3 +1420,75 @@ def q_ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("close"),
         dsum("value", "volume"),
     )
+
+
+def _acf_oracle_sql() -> str:
+    from ex_hivent_spark.plans.registry import _REGISTRY
+
+    return _REGISTRY["q_ts_acf"].oracle
+
+
+@register(
+    "q_ts_pacf",
+    oracle=f"""
+    WITH acf AS ({_acf_oracle_sql()}),
+    lvl2 AS (
+      SELECT event_type, n_hours,
+             acf_lag1 AS r1, acf_lag2 AS r2, acf_lag3 AS r3,
+             CASE WHEN (1 - acf_lag1 * acf_lag1) = 0 THEN NULL
+                  ELSE (acf_lag2 - acf_lag1 * acf_lag1)
+                       / (1 - acf_lag1 * acf_lag1) END AS p2
+      FROM acf
+    ),
+    lvl3 AS (
+      SELECT *, r1 - p2 * r1 AS p21 FROM lvl2
+    )
+    SELECT event_type, n_hours,
+           {sql_dround("r1", 6)} AS pacf_lag1,
+           {sql_dround("p2", 6)} AS pacf_lag2,
+           {sql_dround(
+               "CASE WHEN (1 - p21 * r1 - p2 * r2) = 0 THEN NULL"
+               " ELSE (r3 - p21 * r2 - p2 * r1)"
+               " / (1 - p21 * r1 - p2 * r2) END", 6
+           )} AS pacf_lag3
+    FROM lvl3
+    """,
+)
+def q_ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the hourly event-rate series per
+    type at lags 1-3, via the closed-form Durbin-Levinson recursion
+    over the ACF values (φ11 = r1; φ22 = (r2−r1²)/(1−r1²);
+    φ33 from the level-2 coefficients) — the AR-order picker: ACF
+    says "is there memory?", PACF says "how many AR lags explain it"
+    (a sharp PACF cutoff at lag k ⇒ AR(k) — the Box-Jenkins
+    identification step).
+
+    Plan: everything rides on the q_ts_acf frame (hourly hash
+    aggregate + one window pass over the aggregated series — see that
+    docstring); the recursion itself is per-row arithmetic on the
+    |types|-row ACF output. Determinism: the ACF inputs are already
+    e6-rounded, the recursion is pure IEEE double arithmetic written
+    identically in both engines, zero-variance denominators NULL out
+    identically, and outputs are e6-rounded."""
+    from ex_hivent_spark.functions.decimals import dround
+
+    acf = q_ts_acf(spark, sf_dir)
+    r1, r2, r3 = F.col("acf_lag1"), F.col("acf_lag2"), F.col("acf_lag3")
+    d2 = 1 - r1 * r1
+    p2 = F.when(d2 == 0, F.lit(None)).otherwise((r2 - r1 * r1) / d2)
+    out = acf.select("event_type", "n_hours", r1.alias("r1"),
+                     r2.alias("r2"), r3.alias("r3"), p2.alias("p2"))
+    p21 = F.col("r1") - F.col("p2") * F.col("r1")
+    out = out.withColumn("p21", p21)
+    d3 = 1 - F.col("p21") * F.col("r1") - F.col("p2") * F.col("r2")
+    p3 = F.when(d3 == 0, F.lit(None)).otherwise(
+        (F.col("r3") - F.col("p21") * F.col("r2") - F.col("p2") * F.col("r1"))
+        / d3
+    )
+    return out.select(
+        "event_type",
+        "n_hours",
+        dround(F.col("r1"), 6).alias("pacf_lag1"),
+        dround(F.col("p2"), 6).alias("pacf_lag2"),
+        dround(p3, 6).alias("pacf_lag3"),
+    )

@@ -175,16 +175,17 @@ def test_jsd_sources_bounds_and_identity(spark):
     for src, cnts in toks_by_source.items():
         ns = sum(cnts.values())
         term_sum = Decimal(0)
-        q_sum = Decimal(0)
+        sum_ct = 0  # absent-q mass rides EXACT integer counts now
         for tok, c in cnts.items():
             p = c / ns
             q = corpus[tok] / n
             m = (p + q) / 2
-            term_sum += _dec6(
-                0.5 * (p * _e6(math.log(p / m)) + q * _e6(math.log(q / m)))
-            )
-            q_sum += _dec6(q)
-        want = float(term_sum) + 0.5 * 0.693147 * (1 - float(q_sum))
+            # term detour widened to decimal(38,15) in r7 (ADVICE fix)
+            term_sum += Decimal(
+                repr(0.5 * (p * _e6(math.log(p / m)) + q * _e6(math.log(q / m))))
+            ).quantize(Decimal("0.000000000000001"), ROUND_HALF_UP)
+            sum_ct += corpus[tok]
+        want = float(term_sum) + 0.5 * 0.693147 * (1 - sum_ct / n)
         assert got[src]["n_tokens"] == ns
         assert abs(got[src]["jsd"] - want) < 1e-9, src
         assert -1e-9 < got[src]["jsd"] < math.log(2) + 1e-9
