@@ -138,6 +138,22 @@ HEADLINE = [
     "q_ts_markov_transitions",
     "q_ts_diurnal_percentiles",
     "q_win_hampel",
+    # added r7 (prior entries unchanged for per-query comparability)
+    "q_llm_edit_distance_neardup",
+    "q_llm_doc_perplexity",
+    "q_agg_pareto_coverage",
+    "q_ts_ohlc_bars",
+    "q_fn_url_extract",
+    "q_quality_schema_drift",
+    "q_ab_delta_method_ci",
+    "q_mm_resolution_bucket",
+    "q_llm_calibration_bins",
+    "q_graph_lpa_step",
+    "q_llm_pmi_collocations",
+    "q_llm_matryoshka_recall",
+    "q_emb_outlier_centroid",
+    "q_llm_url_dedup",
+    "q_ts_pacf",
 ]
 
 

@@ -59,17 +59,37 @@ def register(name: str, oracle: Optional[str] = None):
 
 # The external driver's correctness harness checks the FIRST 50 entries
 # of queries() each round (CORRECTNESS_r01-r06 all cut off at exactly
-# 50, in dict order). With 215 registered queries, rounds therefore
+# 50, in dict order). With 230 registered queries, rounds therefore
 # ROTATE which 50 lead. Verification state after r06: CORRECTNESS_r06
 # was 50/50 green, so every registered query's LATEST driver row is
 # green; remaining debt is STALENESS only — 31 queries' newest driver
 # row is r02-era and 46 are r03-era (all predating the catalog/decimal/
-# UTC churn of r4-r6, though all 215 are green in the local full sweep).
-# r07 fronts ALL 31 r02-era rows plus the 19 alphabetically-first
-# r03-era rows; the remaining 27 r03-era rows lead r08, which retires
-# the staleness debt entirely. scripts/driver_sim.py re-verifies ALL
-# queries locally every round regardless of this ordering.
+# UTC churn of r4-r6, though all are green in the local full sweep).
+# r07 fronts the 2 r7-REWRITTEN queries whose outputs changed
+# (q_agg_gini_concentration: gini_e9→gini_e6 column; q_llm_jsd_sources:
+# exact integer q-mass — their green r6 rows describe the OLD
+# formulations), then ALL 31 r02-era rows, then the 17 alphabetically-
+# first r03-era rows. r08 should front: the 29 remaining r03-era rows
+# and the 15 ops NEW in r7 (q_llm_edit_distance_neardup,
+# q_llm_doc_perplexity, q_agg_pareto_coverage, q_ts_ohlc_bars,
+# q_fn_url_extract, q_quality_schema_drift, q_ab_delta_method_ci,
+# q_mm_resolution_bucket, q_llm_calibration_bins, q_graph_lpa_step,
+# q_llm_pmi_collocations, q_llm_matryoshka_recall,
+# q_emb_outlier_centroid, q_llm_url_dedup, q_ts_pacf — zero driver
+# evidence) — 29+15 = 44, leaving 6 slots for the oldest r04-era rows;
+# that retires all pre-r04 staleness. (q_ts_theil_sen/q_ts_mann_kendall
+# gained a trailing-window bound in r7, but their sf0.01 outputs are
+# bit-identical — the data spans 744 h < the 2160 h bound — so their
+# r6 rows remain valid.) scripts/driver_sim.py re-verifies ALL queries
+# locally every round regardless of this ordering.
 DRIVER_CHECK_FIRST = [
+    # REWRITTEN in r7 with changed output — their green r6 rows no
+    # longer describe the current queries (gini: column renamed
+    # gini_e9→gini_e6 per ADVICE margin fix; jsd: absent-q mass now
+    # exact integer counts + decimal(38,15) term sum), so fresh
+    # driver proof outranks any staleness slot
+    "q_agg_gini_concentration",
+    "q_llm_jsd_sources",
     # r02-era evidence (all 31) — newest driver row predates r03
     "q_agg_count_distinct",
     "q_agg_cube",
@@ -102,7 +122,8 @@ DRIVER_CHECK_FIRST = [
     "q_win_sessionize",
     "q_win_sliding_batch",
     "q_win_tumbling_batch",
-    # r03-era evidence (alphabetically first 19 of 46; rest lead r08)
+    # r03-era evidence (alphabetically first 17 of 46; rest lead r08 —
+    # 2 slots yielded to the rewritten-query re-proofs above)
     "q_agg_approx_percentile",
     "q_agg_conditional",
     "q_agg_higher_moments",
@@ -120,8 +141,6 @@ DRIVER_CHECK_FIRST = [
     "q_llm_bpe_merge_counts",
     "q_llm_bpe_tokens",
     "q_llm_char_entropy",
-    "q_llm_context_pack",
-    "q_llm_cosine_topk",
 ]
 
 
