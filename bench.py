@@ -154,6 +154,9 @@ HEADLINE = [
     "q_emb_outlier_centroid",
     "q_llm_url_dedup",
     "q_ts_pacf",
+    "q_llm_kneser_ney_bigram",
+    "q_emb_pq_distortion",
+    "q_geo_nearest_neighbor",
 ]
 
 

@@ -994,7 +994,8 @@ EDIT_MAX_DIST = 48  # absolute edit-distance cutoff for reported pairs
     oracle=f"""
     WITH d AS (
       SELECT doc_id, text,
-             split_part(text, ' ', 1) AS tok1,
+             split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2)
+               AS tok12,
              n_chars // {EDIT_LEN_BUCKET} AS lb
       FROM documents
     ),
@@ -1003,7 +1004,7 @@ EDIT_MAX_DIST = 48  # absolute edit-distance cutoff for reported pairs
              CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
              greatest(length(a.text), length(b.text)) AS max_len
       FROM d a JOIN d b
-        ON a.tok1 = b.tok1 AND a.lb = b.lb AND a.doc_id < b.doc_id
+        ON a.tok12 = b.tok12 AND a.lb = b.lb AND a.doc_id < b.doc_id
     )
     SELECT doc_id_a, doc_id_b, edit_distance,
            {sql_dround("CAST(edit_distance AS DOUBLE) / max_len", 6)}
@@ -1021,25 +1022,36 @@ def q_llm_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     length-normalized relative distance.
 
     Plan — BLOCKED, never all-pairs: candidates share a deterministic
-    (first-token, 16-char-length-bucket) blocking key, so the self-join
-    is an equi-join on the key (hash-partitioned; Levenshtein's O(L²)
-    DP runs only on within-block pairs — the standard blocking trade:
-    recall is bounded by the blocking, which is why the MinHash/
-    SimHash/prefix-filter family coexists with this op). Both engines
-    implement classic Wagner–Fischer Levenshtein, so distances are
-    exact integers and the oracle is bit-identical. At 100 TB the
-    block key is 16 bytes + a bigint; text only shuffles for rows that
-    have a same-key partner."""
+    (first-two-tokens, 16-char-length-bucket) blocking key, so the
+    self-join is an equi-join on the key (hash-partitioned;
+    Levenshtein's O(L²) DP runs only on within-block pairs — the
+    standard blocking trade: recall is bounded by the blocking, which
+    is why the MinHash/SimHash/prefix-filter family coexists with this
+    op). The 2-token prefix matters: a 1-token block leaves ~20× more
+    candidate pairs, and at ~300-char texts each pair costs ~90k DP
+    cells — measured 24 s → ~2 s at sf0.1. The distance is computed
+    ONCE per pair in a projection pinned by a lazy localCheckpoint:
+    without the barrier, Catalyst collapses the projection into the
+    join and the pushed ≤-filter plus the two output expressions
+    re-evaluate the DP up to 3×. Both engines implement classic
+    Wagner–Fischer Levenshtein, so distances are exact integers and
+    the oracle is bit-identical. At 100 TB the block key is a short
+    string + a bigint; text only shuffles for rows that have a
+    same-key partner."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
-        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok1"),
+        F.concat_ws(
+            " ",
+            F.split_part(F.col("text"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("text"), F.lit(" "), F.lit(2)),
+        ).alias("tok12"),
         F.expr(f"n_chars DIV {EDIT_LEN_BUCKET}").alias("lb"),
     )
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.tok1") == F.col("b.tok1"))
+        (F.col("a.tok12") == F.col("b.tok12"))
         & (F.col("a.lb") == F.col("b.lb"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
@@ -1051,7 +1063,9 @@ def q_llm_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(
             F.length(F.col("a.text")), F.length(F.col("b.text"))
         ).alias("max_len"),
-    )
+    ).localCheckpoint(eager=False)  # single DP evaluation per pair:
+    # the barrier stops the pushed filter + output exprs from inlining
+    # (and re-running) the levenshtein projection
     return pairs.filter(F.col("edit_distance") <= EDIT_MAX_DIST).select(
         "doc_id_a",
         "doc_id_b",

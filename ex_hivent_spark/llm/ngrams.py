@@ -656,3 +656,119 @@ def q_llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), "tok_a", "tok_b"
     ).limit(PMI_TOP)
+
+
+KN_DISCOUNT = 0.75
+KN_TOP = 30
+
+
+@register(
+    "q_llm_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS b
+      FROM toks WHERE len(t) >= 2
+    ),
+    split AS (
+      SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2
+      FROM bg
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM split GROUP BY w1, w2
+    ),
+    left_stats AS (
+      SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS fanout
+      FROM c12 GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n_cont
+      FROM c12 GROUP BY w2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM c12)
+    SELECT c12.w1, c12.w2, c12.c AS c_bigram,
+           ls.c1 AS c_left, ls.fanout, cont.n_cont,
+           {sql_dround(
+               "greatest(c12.c - " + str(KN_DISCOUNT) + ", 0) / ls.c1"
+               " + (" + str(KN_DISCOUNT) + " * ls.fanout / ls.c1)"
+               " * (CAST(cont.n_cont AS DOUBLE) / tot.t_types)", 6
+           )} AS p_kn
+    FROM c12 JOIN left_stats ls USING (w1)
+             JOIN cont USING (w2)
+             CROSS JOIN tot
+    ORDER BY c_bigram DESC, w1, w2
+    LIMIT {KN_TOP}
+    """,
+)
+def q_llm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities for the corpus's
+    top bigrams: P(w₂|w₁) = max(c(w₁w₂)−d, 0)/c(w₁) +
+    d·fanout(w₁)/c(w₁) · P_cont(w₂), with the continuation probability
+    P_cont(w₂) = |{{w₁ : c(w₁w₂)>0}}| / |bigram types| — the smoothing
+    that made n-gram LMs work ("San Francisco" makes "Francisco"
+    frequent but NOT diverse, so KN correctly refuses to predict it
+    after arbitrary words). The classical LM counterpart to the
+    Good–Turing mass estimate (q_llm_good_turing), and the statistic a
+    KN-smoothed data-quality LM (CCNet-style) derives from a corpus.
+
+    Plan: bigrams are built inside the row (one transform over a
+    token-index sequence — no self-join), ONE explode feeds the
+    (w₁,w₂) hash aggregate, and all three marginal frames (left
+    counts+fanout, continuation counts, type total) are aggregates OF
+    that frame — vocab-sized, hash-joined back. TakeOrdered top-30.
+    Determinism: every input to the closed form is an integer count;
+    one e6 rounding of the final probability."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = d.select(t.alias("t")).filter(F.size("t") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
+        ),
+    )
+    c12 = (
+        toks.select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # three marginal aggregates +
+        # the final join all read this frame: one corpus explode
+    )
+    left_stats = c12.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("fanout"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cont")
+    )
+    tot = c12.agg(F.count(F.lit(1)).cast("bigint").alias("t_types"))
+    p_kn = dround(
+        F.greatest(F.col("c") - KN_DISCOUNT, F.lit(0.0)) / F.col("c1")
+        + (KN_DISCOUNT * F.col("fanout") / F.col("c1"))
+        * (F.col("n_cont").cast("double") / F.col("t_types")),
+        6,
+    )
+    return (
+        c12.join(left_stats, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("c_bigram"),
+            F.col("c1").alias("c_left"),
+            "fanout",
+            "n_cont",
+            p_kn.alias("p_kn"),
+        )
+        .orderBy(F.col("c_bigram").desc(), "w1", "w2")
+        .limit(KN_TOP)
+    )

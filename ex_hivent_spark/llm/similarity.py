@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
-from ex_hivent_spark.functions.decimals import DEC, dround
+from ex_hivent_spark.functions.decimals import DEC, dround, sql_dround
 from ex_hivent_spark.plans.registry import register
 
 TOP_K = 5
@@ -2113,3 +2113,147 @@ def q_emb_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy("cos_centroid", "vec_id").limit(
         OUTLIER_TOP
     ).select("vec_id", "label", "cos_centroid")
+
+
+@register(
+    "q_emb_pq_distortion",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, u AS centroid FROM unit
+      WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT {PQ_K}
+    ),
+    cents_k AS (
+      SELECT cell_id, centroid,
+             row_number() OVER (ORDER BY cell_id) - 1 AS k_id
+      FROM cents
+    ),
+    subs AS (
+      SELECT vec_id, m, u[m * {PQ_SUBDIM} + 1 : (m + 1) * {PQ_SUBDIM}]
+               AS sub_x
+      FROM unit, unnest(range(0, {PQ_M})) AS t(m)
+    ),
+    csubs AS (
+      SELECT k_id, m,
+             centroid[m * {PQ_SUBDIM} + 1 : (m + 1) * {PQ_SUBDIM}] AS sub_c
+      FROM cents_k, unnest(range(0, {PQ_M})) AS t(m)
+    ),
+    scored AS (
+      SELECT s.vec_id, s.m, c.k_id, s.sub_x, c.sub_c,
+             list_dot_product(s.sub_x, c.sub_c) AS ip,
+             row_number() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY list_dot_product(s.sub_x, c.sub_c) DESC, c.k_id
+             ) AS rn
+      FROM subs s JOIN csubs c ON s.m = c.m
+    ),
+    best AS (
+      SELECT vec_id, m,
+             {sql_dround(
+                 "list_dot_product(sub_x, sub_x)"
+                 " + list_dot_product(sub_c, sub_c) - 2 * ip", 6
+             )} AS err
+      FROM scored WHERE rn = 1
+    )
+    SELECT CAST(m AS BIGINT) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           {sql_dround(
+               "CAST(sum(CAST(err AS DECIMAL(25,6))) AS DOUBLE)"
+               " / count(*)", 6
+           )} AS mse,
+           CAST(max(err) AS DOUBLE) AS max_err
+    FROM best GROUP BY m
+    """,
+)
+def q_emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction-error audit per subspace: for every vector's
+    best sub-centroid (the q_llm_pq_encode assignment), the squared L2
+    quantization error ‖x_m − c‖² = x·x + c·c − 2·x·c, aggregated to
+    per-subspace count / MSE / max — the codebook-quality diagnostic
+    that tells an ANN team WHICH subspace needs more centroids (or a
+    rotation/OPQ pass) before recall is lost to quantization, the
+    error-side complement of pq_encode's `retained` similarity mass.
+
+    Plan: identical shape to pq_encode — 8× subspace fan-out, argmax
+    against the broadcast 128-row sub-codebook via max(struct), then
+    one (subspace) hash aggregate over |vectors|×8 narrow rows.
+    Determinism: the error closed form uses only sequential-fold dot
+    products (exact per-row IEEE), e6-rounded before the decimal-sum
+    MSE; max over e6-rounded values is exact."""
+    from pyspark.sql import Window
+
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em)
+    cents = (
+        unit.filter(F.col("vec_id") % 37 == 1)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            F.col("vec_id").alias("cell_id"), F.col("unit").alias("centroid")
+        )
+    )
+    cents_k = cents.withColumn(
+        "k_id", F.row_number().over(Window.orderBy("cell_id")) - 1
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    subs = unit.select("vec_id", "unit", ms).select(
+        "vec_id",
+        "m",
+        F.slice("unit", F.col("m") * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)).alias(
+            "sub_x"
+        ),
+    )
+    csubs = cents_k.select("k_id", "centroid", ms).select(
+        "k_id",
+        "m",
+        F.slice(
+            "centroid", F.col("m") * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM)
+        ).alias("sub_c"),
+    )
+    scored = subs.join(F.broadcast(csubs), "m").select(
+        "vec_id",
+        "m",
+        "k_id",
+        "sub_x",
+        "sub_c",
+        dot(F.col("sub_x"), F.col("sub_c")).alias("ip"),
+    )
+    err = dround(
+        dot(F.col("b.sub_x"), F.col("b.sub_x"))
+        + dot(F.col("b.sub_c"), F.col("b.sub_c"))
+        - 2 * F.col("b.ip"),
+        6,
+    )
+    best = (
+        scored.groupBy("vec_id", "m")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ip"),
+                    (-F.col("k_id")).alias("neg_k"),
+                    F.col("k_id"),
+                    F.col("sub_x"),
+                    F.col("sub_c"),
+                )
+            ).alias("b")
+        )
+        .select("m", err.alias("err"))
+    )
+    return best.groupBy(F.col("m").cast("bigint").alias("subspace")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        dround(
+            F.sum(F.col("err").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mse"),
+        F.max("err").cast("double").alias("max_err"),
+    )

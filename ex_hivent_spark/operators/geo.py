@@ -124,3 +124,128 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", dist2.alias("dist2"))
         .filter(F.col("dist2") <= F.lit(_RADIUS * _RADIUS))
     )
+
+
+_NN_RADIUS = 25.0  # bounded-NN search radius (plane units)
+_NN_CELL = int(_NN_RADIUS * 1000)
+
+
+@register(
+    "q_geo_nearest_neighbor",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey AS id,
+             (c_custkey * {_AX}) % {_MOD} AS kx,
+             (c_custkey * {_AY}) % {_MOD} AS ky
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey AS id,
+             (s_suppkey * {_AX}) % {_MOD} AS kx,
+             (s_suppkey * {_AY}) % {_MOD} AS ky
+      FROM supplier
+    ),
+    cand AS (
+      SELECT s.id AS supp_id, c.id AS cust_id,
+             (s.kx / 1000.0 - c.kx / 1000.0)
+               * (s.kx / 1000.0 - c.kx / 1000.0)
+             + (s.ky / 1000.0 - c.ky / 1000.0)
+               * (s.ky / 1000.0 - c.ky / 1000.0) AS dist2
+      FROM supp s JOIN cust c
+        ON (s.kx / 1000.0 - c.kx / 1000.0)
+             * (s.kx / 1000.0 - c.kx / 1000.0)
+           + (s.ky / 1000.0 - c.ky / 1000.0)
+             * (s.ky / 1000.0 - c.ky / 1000.0)
+           <= {_NN_RADIUS} * {_NN_RADIUS}
+    ),
+    best AS (
+      SELECT supp_id,
+             min({{'d': dist2, 'id': cust_id}}) AS b,
+             CAST(count(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY supp_id
+    )
+    SELECT s.id AS supp_id,
+           b['id'] AS nearest_cust,
+           b['d'] AS dist2,
+           coalesce(n_candidates, 0) AS n_candidates
+    FROM supp s LEFT JOIN best ON best.supp_id = s.id
+    """,
+)
+def q_geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius nearest-neighbor join: for every supplier point,
+    the closest customer point within _NN_RADIUS (NULL when the disc
+    is empty) plus the candidate count — the spatial assignment join
+    (nearest depot / store catchment / dedup-by-location) that a
+    plain radius join only half answers.
+
+    Plan: the q_geo_radius_join cell-blocking discipline with cell
+    width == radius — suppliers explode their 3×3 cell neighborhood,
+    customers sit in their home cell, the equi-join on the neighbor
+    cell bounds candidates losslessly (a point within R cannot be
+    farther than one cell away per axis), and the per-supplier argmin
+    is a min-over-struct hash aggregate (no window). The left join
+    back to suppliers keeps empty-disc rows. At scale, unbounded
+    exact NN runs this with expanding ring radii over the same grid;
+    the bounded form IS the production shape (assignment problems
+    always carry a service-radius cap). Determinism: exact IEEE
+    dist2 on grid-exact coordinates, (dist2, cust_id) total order."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        ((F.col("c_custkey") * _AX) % _MOD).alias("kx"),
+        ((F.col("c_custkey") * _AY) % _MOD).alias("ky"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp_id"),
+        ((F.col("s_suppkey") * _AX) % _MOD).alias("kx"),
+        ((F.col("s_suppkey") * _AY) % _MOD).alias("ky"),
+    )
+    c_cells = cust.select(
+        "cust_id",
+        F.col("kx").alias("kx_c"),
+        F.col("ky").alias("ky_c"),
+        F.floor(F.col("kx") / _NN_CELL).cast("long").alias("jx"),
+        F.floor(F.col("ky") / _NN_CELL).cast("long").alias("jy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    s_cells = supp.select(
+        "supp_id",
+        F.col("kx").alias("kx_s"),
+        F.col("ky").alias("ky_s"),
+        F.explode(offsets).alias("o"),
+        F.floor(F.col("kx") / _NN_CELL).cast("long").alias("cx"),
+        F.floor(F.col("ky") / _NN_CELL).cast("long").alias("cy"),
+    ).select(
+        "supp_id",
+        "kx_s",
+        "ky_s",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    dx = F.col("kx_s") / 1000.0 - F.col("kx_c") / 1000.0
+    dy = F.col("ky_s") / 1000.0 - F.col("ky_c") / 1000.0
+    dist2 = dx * dx + dy * dy
+    cand = (
+        s_cells.join(c_cells, ["jx", "jy"])
+        .select("supp_id", "cust_id", dist2.alias("dist2"))
+        .filter(F.col("dist2") <= _NN_RADIUS * _NN_RADIUS)
+    )
+    best = cand.groupBy("supp_id").agg(
+        F.min(
+            F.struct(F.col("dist2").alias("d"), F.col("cust_id").alias("id"))
+        ).alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+    )
+    return supp.select("supp_id").join(best, "supp_id", "left").select(
+        "supp_id",
+        F.col("b.id").alias("nearest_cust"),
+        F.col("b.d").alias("dist2"),
+        F.coalesce(F.col("n_candidates"), F.lit(0).cast("bigint")).alias(
+            "n_candidates"
+        ),
+    )

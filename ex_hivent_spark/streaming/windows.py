@@ -108,3 +108,45 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         id_cols
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Streaming OHLC candlestick bars per (key, tumbling window):
+    open/close via min_by/max_by over the (ts, event_id) total order,
+    high/low/volume as plain aggregates — the streaming twin of
+    q_ts_ohlc_bars (operators/windows.py), which verifies these
+    semantics on static data (min_by over the total order picks the
+    same row the batch twin's row_number=1 does).
+
+    State: one row per open (key, window) — min_by/max_by carry a
+    single (value, ord) pair each, so state is O(1) per window, and
+    the watermark evicts closed windows."""
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    ord_key = F.struct(F.col(ts_col), F.col("event_id"))
+    return (
+        src.groupBy(F.window(ts_col, window), key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            dsum("value", "volume"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )

@@ -174,6 +174,39 @@ class TestWindows:
             map(repr, batch.collect())
         )
 
+    def test_ohlc_stream_matches_batch_twin(self, spark, sf_dir, tmp_path):
+        """Streaming OHLC bars (min_by/max_by over the (ts, event_id)
+        total order) must equal the registered batch twin
+        q_ts_ohlc_bars row for row on static data."""
+        from ex_hivent_spark.catalog import load_table
+        from ex_hivent_spark.plans.registry import all_specs
+        from ex_hivent_spark.streaming.windows import ohlc_bars
+
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        src = str(tmp_path / "ev_ohlc")
+        events.write.parquet(src)
+
+        streamed = _run_to_memory(
+            spark,
+            ohlc_bars(_stream_events(spark, src), watermark=None),
+            "ohlc_out",
+            "complete",
+        ).select(
+            (F.unix_timestamp("window_start") / 3600).cast("bigint")
+            .alias("hour_id"),
+            "event_type", "n_events", "open", "high", "low", "close",
+            "volume",
+        )
+        batch = all_specs()["q_ts_ohlc_bars"].spark(spark, sf_dir).select(
+            "hour_id", "event_type", "n_events", "open", "high", "low",
+            "close", "volume",
+        )
+        assert sorted(map(repr, streamed.collect())) == sorted(
+            map(repr, batch.collect())
+        )
+
     def test_sliding_stream_matches_batch_twin(self, spark, sf_dir, tmp_path):
         """Sliding window (stream) must agree with the registered batch
         twin q_win_sliding_batch on static data: same (window_start,
