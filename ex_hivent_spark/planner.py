@@ -130,3 +130,67 @@ def suggest_join_strategy(
             suggest_shuffle_partitions(stats_b),
         ),
     }
+
+
+def dim_retain_fraction(dim: dict) -> float:
+    """Fraction of FACT rows an FK join against this (possibly
+    filtered) dimension retains, under the textbook uniform/containment
+    assumptions: the fact's key values spread uniformly over the dim
+    key domain, so keeping ``filtered_rows`` of ``ndv(key)`` distinct
+    keys keeps that fraction of fact rows. ``dim`` needs ``stats``,
+    ``key``, and optionally ``filtered_rows`` (defaults to the full
+    table — retain 1.0 for a complete unique-key dimension)."""
+    ndv = max(1, dim["stats"]["columns"][dim["key"]]["approx_ndv"])
+    filtered = dim.get("filtered_rows", dim["stats"]["n_rows"])
+    return min(1.0, filtered / ndv)
+
+
+def order_dimensions(dims: list[dict]) -> list[dict]:
+    """Greedy selectivity-first ordering for star joins whose
+    dimensions attach INDEPENDENTLY to the fact table (commuting
+    joins): apply the most row-reducing dimension first so every later
+    probe sees the smallest possible intermediate — the classic greedy
+    heuristic that is optimal for independent selections. Ties break
+    toward the smaller table (cheaper hash build), then name
+    (determinism). Chained snowflake joins (dim keyed off a previous
+    dim, e.g. lineitem→orders→customer) do NOT commute and must keep
+    their dependency order — this helper is for the flat-star case."""
+    return sorted(
+        dims,
+        key=lambda d: (
+            dim_retain_fraction(d),
+            d["stats"]["total_bytes"],
+            d["name"],
+        ),
+    )
+
+
+def plan_star_join(
+    fact_stats: dict,
+    dims: list[dict],
+    broadcast_threshold_mb: int = 32,
+) -> dict:
+    """Full advisory plan for fact ⋈ dim₁ ⋈ … ⋈ dimₙ (independent
+    FK dims): the greedy join order, the estimated fact-row count
+    after each step, per-dim broadcast decisions from the manifests,
+    and the shuffle-partition suggestion for the surviving fact flow.
+    Pure manifest arithmetic — runs in a launcher before any job."""
+    ordered = order_dimensions(dims)
+    est = float(fact_stats["n_rows"])
+    steps = []
+    for d in ordered:
+        est *= dim_retain_fraction(d)
+        steps.append(
+            {
+                "dim": d["name"],
+                "estimated_fact_rows": int(est),
+                "broadcast": is_broadcastable(
+                    d["stats"], broadcast_threshold_mb
+                ),
+            }
+        )
+    return {
+        "order": [d["name"] for d in ordered],
+        "steps": steps,
+        "shuffle_partitions": suggest_shuffle_partitions(fact_stats),
+    }

@@ -98,3 +98,51 @@ def test_stats_broadcast_flips_physical_plan(spark, sf_dir, tmp_path):
     p_stats = plan()
     assert "ShuffledHashJoin" in p_stats  # nation join no longer broadcast
     shutil.rmtree(my_sf, ignore_errors=True)
+
+
+def _dim(name, n_rows, ndv, bytes_, filtered=None):
+    d = {
+        "name": name,
+        "key": "k",
+        "stats": {
+            "n_rows": n_rows,
+            "total_bytes": bytes_,
+            "columns": {"k": {"approx_ndv": ndv}},
+        },
+    }
+    if filtered is not None:
+        d["filtered_rows"] = filtered
+    return d
+
+
+def test_order_dimensions_most_selective_first():
+    from ex_hivent_spark.planner import order_dimensions, plan_star_join
+
+    date_dim = _dim("date", 2555, 2555, 50_000, filtered=30)  # ~1.2%
+    cust_dim = _dim("customer", 1_000_000, 1_000_000, 400 << 20)
+    part_dim = _dim("part", 200_000, 200_000, 80 << 20, filtered=100_000)
+    order = [d["name"] for d in order_dimensions([cust_dim, part_dim, date_dim])]
+    assert order == ["date", "part", "customer"]
+
+    fact = {"n_rows": 6_000_000_000, "total_bytes": 600 << 30,
+            "columns": {}}
+    plan = plan_star_join(fact, [cust_dim, part_dim, date_dim])
+    assert plan["order"] == ["date", "part", "customer"]
+    # estimates shrink monotonically and compose multiplicatively
+    rows = [s["estimated_fact_rows"] for s in plan["steps"]]
+    assert rows[0] == int(6_000_000_000 * 30 / 2555)
+    assert rows[0] >= rows[1] >= rows[2]
+    # broadcast decisions come from the manifests
+    bcast = {s["dim"]: s["broadcast"] for s in plan["steps"]}
+    assert bcast == {"date": True, "part": False, "customer": False}
+
+
+def test_order_dimensions_flips_with_filter_stats():
+    from ex_hivent_spark.planner import order_dimensions
+
+    a = _dim("a", 1000, 1000, 1 << 20, filtered=900)
+    b = _dim("b", 1000, 1000, 1 << 20, filtered=10)
+    assert [d["name"] for d in order_dimensions([a, b])] == ["b", "a"]
+    # relax b's filter, tighten a's: the order flips
+    a["filtered_rows"], b["filtered_rows"] = 10, 900
+    assert [d["name"] for d in order_dimensions([a, b])] == ["a", "b"]
