@@ -662,6 +662,8 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "q_llm_pq_encode": 1,
     # same codebook window, appearing in both the encode and query arms
     "q_llm_ivfpq_search": 2,
+    # same 16-row codebook k_id window in the distortion audit (r7)
+    "q_emb_pq_distortion": 1,
     # lead over the joined HOURLY series: |hours| rows — grows with the
     # time span, not with data volume (pre-aggregated time grain)
     "q_ts_xcorr": 1,
