@@ -157,6 +157,8 @@ HEADLINE = [
     "q_llm_kneser_ney_bigram",
     "q_emb_pq_distortion",
     "q_geo_nearest_neighbor",
+    "q_llm_logodds_terms",
+    "q_fn_binary_codec",
 ]
 
 

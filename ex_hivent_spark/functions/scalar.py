@@ -561,3 +561,49 @@ def q_fn_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "domain"
         ),
     )
+
+
+@register(
+    "q_fn_binary_codec",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, substr(text, 1, 32) AS prefix FROM documents
+    )
+    SELECT doc_id,
+           to_base64(prefix::BLOB) AS b64,
+           lower(hex(prefix)) AS hex_lower,
+           CAST(octet_length(prefix::BLOB) AS BIGINT) AS n_bytes,
+           CAST(8 * octet_length(prefix::BLOB) AS BIGINT) AS n_bits,
+           (from_base64(to_base64(prefix::BLOB)) = prefix::BLOB)
+             AS b64_roundtrip,
+           (unhex(hex(prefix)) = prefix::BLOB) AS hex_roundtrip,
+           md5(prefix) AS prefix_md5
+    FROM p
+    """,
+)
+def q_fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec surface: base64 / hex encode-decode round-trips,
+    byte/bit lengths, and content hashing over a text prefix — the
+    function-coverage twin for opaque-payload handling (multimodal
+    payload columns, checksum manifests, wire-format debugging).
+
+    The prefix is capped at 32 bytes because Spark's ``base64``
+    follows the MIME convention of chunking output beyond 76 chars
+    (DuckDB's never chunks) — under the cap both engines emit the
+    identical unchunked encoding, and the cap is documented as the
+    cross-engine-safe envelope rather than papered over with a
+    regexp strip. Hex is lower()-normalized (Spark emits uppercase
+    A-F, DuckDB lowercase). Map-only projection, stays in codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, 32)
+    b = F.encode(prefix, "UTF-8")
+    return d.select(
+        "doc_id",
+        F.base64(b).alias("b64"),
+        F.lower(F.hex(prefix)).alias("hex_lower"),
+        F.octet_length(b).cast("bigint").alias("n_bytes"),
+        F.bit_length(b).cast("bigint").alias("n_bits"),
+        (F.unbase64(F.base64(b)) == b).alias("b64_roundtrip"),
+        (F.unhex(F.hex(prefix)) == b).alias("hex_roundtrip"),
+        F.md5(prefix).alias("prefix_md5"),
+    )

@@ -772,3 +772,105 @@ def q_llm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_bigram").desc(), "w1", "w2")
         .limit(KN_TOP)
     )
+
+
+LOGODDS_ALPHA = 0.01  # Dirichlet pseudo-count per term
+LOGODDS_TOP = 15
+
+
+@register(
+    "q_llm_logodds_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tc AS (
+      SELECT tok,
+             CAST(sum(grp) AS BIGINT) AS c1,
+             CAST(sum(1 - grp) AS BIGINT) AS c2
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS v
+      FROM tc
+    ),
+    scored AS (
+      SELECT tok, c1, c2,
+             ({sql_dround(
+                 f"ln((c1 + {LOGODDS_ALPHA})"
+                 f" / (n1 + {LOGODDS_ALPHA} * v - c1 - {LOGODDS_ALPHA}))", 6
+             )})
+             - ({sql_dround(
+                 f"ln((c2 + {LOGODDS_ALPHA})"
+                 f" / (n2 + {LOGODDS_ALPHA} * v - c2 - {LOGODDS_ALPHA}))", 6
+             )}) AS delta,
+             {sql_dround(
+                 f"sqrt(1.0 / (c1 + {LOGODDS_ALPHA})"
+                 f" + 1.0 / (c2 + {LOGODDS_ALPHA}))", 6
+             )} AS se
+      FROM tc CROSS JOIN tot
+    )
+    SELECT tok, c1, c2,
+           {sql_dround("delta / se", 6)} AS z_logodds
+    FROM scored
+    ORDER BY abs({sql_dround("delta / se", 6)}) DESC, tok
+    LIMIT {LOGODDS_TOP}
+    """,
+)
+def q_llm_logodds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-odds-ratio with informative Dirichlet prior (Monroe et al.
+    2008, "Fightin' Words"): which terms most distinguish the English
+    slice from the rest of the corpus, by the z-scored smoothed
+    log-odds delta — THE corpus-comparison statistic (raw frequency
+    ratios over-rank rare terms; the prior + per-term variance fix
+    exactly that), used for slice characterization and contamination
+    triage ("what vocabulary makes this source different?").
+
+    Plan: one token explode → per-term two-group conditional aggregate
+    (map-side combining), totals broadcast as a one-row frame, per-term
+    closed form, TakeOrdered top-|z|. Nothing wider than (token, two
+    counts) shuffles. Determinism: integer counts; each ln and the
+    sqrt are e6-rounded (one-libm-call convention); the final ratio is
+    e6-rounded and ties break lexicographically."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("grp"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    tc = toks.groupBy("tok").agg(
+        F.sum("grp").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("grp")).cast("bigint").alias("c2"),
+    ).localCheckpoint(eager=False)  # totals + scoring share one pass
+    tot = tc.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    a = LOGODDS_ALPHA
+    delta = dround(
+        F.log(
+            (F.col("c1") + a)
+            / (F.col("n1") + a * F.col("v") - F.col("c1") - a)
+        ),
+        6,
+    ) - dround(
+        F.log(
+            (F.col("c2") + a)
+            / (F.col("n2") + a * F.col("v") - F.col("c2") - a)
+        ),
+        6,
+    )
+    se = dround(
+        F.sqrt(1.0 / (F.col("c1") + a) + 1.0 / (F.col("c2") + a)), 6
+    )
+    z = dround(delta / se, 6)
+    return (
+        tc.crossJoin(F.broadcast(tot))
+        .select("tok", "c1", "c2", z.alias("z_logodds"))
+        .orderBy(F.abs(F.col("z_logodds")).desc(), "tok")
+        .limit(LOGODDS_TOP)
+    )
