@@ -159,6 +159,7 @@ HEADLINE = [
     "q_geo_nearest_neighbor",
     "q_llm_logodds_terms",
     "q_fn_binary_codec",
+    "q_ts_downsample_ltob",
 ]
 
 

@@ -397,3 +397,43 @@ def read_table_stats(spark: SparkSession, path: str) -> dict | None:
     if not fsutil.exists(spark, f"{path}/_STATS.json"):
         return None
     return _json.loads(fsutil.read_text_file(spark, f"{path}/_STATS.json"))
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    zorder_cols: "tuple[str, str] | None" = None,
+    ndv_rsd: float = 0.05,
+) -> dict:
+    """The nightly OPTIMIZE pass as one call (the lakehouse
+    OPTIMIZE [ZORDER BY] + ANALYZE idiom): compact small files toward
+    the target size — through the staging-swap, so readers never see a
+    truncated table — optionally laying rows out along the 2-D Morton
+    curve of ``zorder_cols`` (data skipping on both columns), then
+    refresh the ``_STATS.json`` manifest so the CBO-lite planner
+    (planner.py) and the stats-sized Bloom filters (operators/
+    bloom.py) see post-compaction truth. Ordering matters: ANALYZE
+    runs LAST because compaction changes total_bytes (the broadcast /
+    shuffle-partition inputs) even though row counts are unchanged.
+
+    Returns {"n_files", "stats"} — the new file count and the written
+    stats dict."""
+    from ex_hivent_spark import fsutil
+
+    if zorder_cols is None:
+        n_files = compact_parquet(spark, path, target_file_mb)
+    else:
+        sc = spark.sparkContext
+        hadoop = sc._jvm.org.apache.hadoop
+        fs = hadoop.fs.FileSystem.get(sc._jsc.hadoopConfiguration())
+        size = fs.getContentSummary(hadoop.fs.Path(path)).getLength()
+        n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+        df = spark.read.parquet(path)
+        zorder_write(
+            spark, df, fsutil.staging_path(path),
+            zorder_cols[0], zorder_cols[1], n_files=n_files,
+        )
+        fsutil.publish_swap(spark, path)
+    stats = analyze_table(spark, path, ndv_rsd=ndv_rsd)
+    return {"n_files": n_files, "stats": stats}

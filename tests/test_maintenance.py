@@ -316,3 +316,45 @@ def test_analyze_table_unanalyzed_returns_none(spark, tmp_path):
     p = str(tmp_path / "never_analyzed")
     spark.range(3).write.parquet(p)
     assert read_table_stats(spark, p) is None
+
+
+def test_optimize_table_compacts_and_refreshes_stats(spark, tmp_path):
+    """optimize_table = compact (staging-swap) + ANALYZE-last: rows are
+    bit-identical after the rewrite, the small-file count drops, and
+    the stats manifest reflects the POST-compaction layout."""
+    import glob
+
+    from ex_hivent_spark.maintenance import optimize_table, read_table_stats
+
+    path = str(tmp_path / "t.parquet")
+    df = spark.range(0, 20_000).selectExpr(
+        "id AS k", "CAST(id % 97 AS DOUBLE) AS v"
+    )
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert len(glob.glob(f"{path}/part-*")) == 64
+
+    out = optimize_table(spark, path, target_file_mb=128)
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert len(glob.glob(f"{path}/part-*")) == out["n_files"] <= 4
+    stats = read_table_stats(spark, path)
+    assert stats["n_rows"] == 20_000
+    assert stats["columns"]["k"]["approx_ndv"] > 15_000
+
+
+def test_optimize_table_zorder_path_preserves_rows(spark, tmp_path):
+    from ex_hivent_spark.maintenance import optimize_table
+
+    path = str(tmp_path / "z.parquet")
+    df = spark.range(0, 5_000).selectExpr(
+        "CAST(id % 100 AS DOUBLE) AS x",
+        "CAST((id * 37) % 100 AS DOUBLE) AS y",
+        "id AS payload",
+    )
+    df.repartition(16).write.mode("overwrite").parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    out = optimize_table(spark, path, zorder_cols=("x", "y"))
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert out["stats"]["n_rows"] == 5_000

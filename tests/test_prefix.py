@@ -250,3 +250,20 @@ def test_recursive_offsets_two_distributed_levels(spark, monkeypatch):
     assert got_m == want_m
     first_k = min(want_m)
     assert got_m[first_k] is None  # globally-first row keeps NULL
+
+
+def test_registered_query_through_recursive_fold(spark, monkeypatch):
+    """Drive a REGISTERED blocked-prefix consumer (the late-data audit)
+    with the driver budget forced to 1, so its offsets fold runs the
+    recursive distributed path end-to-end — output must be identical
+    to the default driver-folded path."""
+    from ex_hivent_spark.operators import prefix
+    from ex_hivent_spark.plans.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    spec = all_specs()["q_stream_late_audit"]
+    want = sorted(map(repr, spec.spark(spark, sf).collect()))
+    monkeypatch.setattr(prefix, "_MAX_DRIVER_BLOCKS", 1)
+    monkeypatch.setattr(prefix, "_FANOUT", 4)  # force >1 level too
+    got = sorted(map(repr, spec.spark(spark, sf).collect()))
+    assert got == want

@@ -341,3 +341,56 @@ def test_containment_prefix_filter_is_lossless(spark, case):
     )
     want = {(r.doc_small, r.doc_big): r.containment for r in allpairs.collect()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=200),      # custkey
+            st.floats(min_value=0.01, max_value=9999.99),  # order price
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_pareto_coverage_matches_bruteforce(spark, tmp_path_factory, orders):
+    """q_agg_pareto_coverage == the brute-force python head-count: for
+    each threshold, the smallest k such that the top-k customer
+    revenues (integer cents) reach the threshold share of the total."""
+    import math
+    import os
+    import uuid
+
+    from ex_hivent_spark.plans.registry import all_specs
+
+    tmp = tmp_path_factory.mktemp(f"pareto{uuid.uuid4().hex[:6]}")
+    rows = [
+        (i, int(k), "O", float(p), None, "1-URGENT")
+        for i, (k, p) in enumerate(orders)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    os.makedirs(f"{tmp}/sf", exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{tmp}/sf/orders.parquet")
+    got = {
+        r["threshold_pct"]: (r["n_customers"], r["n_total"])
+        for r in all_specs()["q_agg_pareto_coverage"]
+        .spark(spark, f"{tmp}/sf")
+        .collect()
+    }
+    cents: dict[int, int] = {}
+    for k, p in orders:
+        cents[k] = cents.get(k, 0) + int(math.floor(p * 100.0 + 0.5))
+    revs = sorted(cents.values(), reverse=True)
+    total = sum(revs)
+    for pct in (50, 80, 95):
+        need, acc, k = pct * total, 0, 0
+        while acc * 100 < need:
+            acc += revs[k]
+            k += 1
+        assert got[pct] == (k, len(revs)), (pct, revs)
