@@ -223,13 +223,21 @@ def _blocked_offsets(
 
     When the block count exceeds ``max_driver_blocks`` AND ``combine``
     describes the fold as associative Spark aggregates (offset key ->
-    (source agg column, 'sum'|'max')) over a SINGLE integral block
-    column, the fold itself is decomposed instead of collected: blocks
-    group into DIV-8192 super-blocks, the within-super exclusive
-    prefix runs as a bounded (≤8192-row-partition) window, and the
-    super-block offsets come from a recursive call — so the driver
-    only ever folds ≤ max_driver_blocks rows per level, honoring the
-    module contract at any block count. Exactness: sum over integral
+    (source agg column, 'sum'|'max')) whose LAST block column is
+    integral, the fold itself is decomposed instead of collected: the
+    last column groups into DIV-8192 super-blocks (any leading block
+    columns ride along as-is, so composite (group, bucket) blockings
+    recurse too), the within-super exclusive prefix runs as a bounded
+    (≤8192-row-partition) window partitioned by (leading cols, super),
+    and the super-block offsets come from a recursive call on the
+    (leading cols, super) totals — so the driver only ever folds
+    ≤ max_driver_blocks rows per level, honoring the module contract
+    at any block count. Exactness: blocks order lexicographically and
+    super-blocks preserve that order, so offset(block) =
+    super_offset ⊕ within_prefix is the exact global fold — including
+    carries ACROSS leading-column boundaries, which flow through the
+    super level and land in the recursion's driver-folded base case
+    (no zero-sum-per-group assumption needed). Sum over integral
     types and max over anything are associative, so re-association at
     super boundaries is exact; double sums re-associate (same caveat
     as the block decomposition itself — decimal callers pre-round).
@@ -242,18 +250,32 @@ def _blocked_offsets(
     blk_schema = df.select(*block_cols).schema
     distributable = (
         combine is not None
-        and len(block_cols) == 1
-        and blk_schema[0].dataType.simpleString() in _INTEGRAL
+        and blk_schema[-1].dataType.simpleString() in _INTEGRAL
     )
     if distributable:
         # the totals frame feeds both the count probe and whichever
         # path wins — pin it so df is aggregated exactly once
         tot_df = tot_df.localCheckpoint(eager=False)
-        n_blocks = tot_df.count()
+        probe = tot_df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max(block_cols[-1]).alias("__maxb"),
+            F.min(block_cols[-1]).alias("__minb"),
+        ).collect()[0]
+        n_blocks = probe["__n"]
+        # Termination: a DIV-fanout level only shrinks the LAST key;
+        # once its range fits inside one fanout cell, further levels
+        # cannot reduce the count below |leading-col combos| — fold on
+        # the driver (the leading columns' cardinality is the caller's
+        # own bound, e.g. |event types| or |groups|).
+        can_split = (
+            probe["__maxb"] is not None
+            and (probe["__maxb"] // _FANOUT) != ((probe["__minb"] or 0) // _FANOUT)
+        )
     else:
         n_blocks = None  # driver path unconditionally (legacy contract)
+        can_split = False
 
-    if not distributable or n_blocks <= max_driver_blocks:
+    if not distributable or n_blocks <= max_driver_blocks or not can_split:
         tot = tot_df.collect()
         tot.sort(key=lambda r: tuple(r[c] for c in block_cols))
         acc = {k: None for k in schema_types}
@@ -272,13 +294,14 @@ def _blocked_offsets(
         return out
 
     # ---- distributed second blocking level (recursive) ----
-    b = block_cols[0]
+    prefix_cols = list(block_cols[:-1])
+    b = block_cols[-1]
     sb = f"__super_{b}"
     super_df = tot_df.withColumn(
         sb, F.floor(F.col(b) / F.lit(_FANOUT)).cast("bigint")
     )
     w = (
-        Window.partitionBy(sb)
+        Window.partitionBy(*prefix_cols, sb)
         .orderBy(b)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     )
@@ -291,8 +314,10 @@ def _blocked_offsets(
         for (src, kind) in combine.values()
     ]
     super_off = _blocked_offsets(
-        super_df.select(sb, *[src for (src, _k) in combine.values()]),
-        [sb],
+        super_df.select(
+            *prefix_cols, sb, *[src for (src, _k) in combine.values()]
+        ),
+        [*prefix_cols, sb],
         super_aggs,
         fold,
         schema_types,
@@ -300,11 +325,11 @@ def _blocked_offsets(
         max_driver_blocks=max_driver_blocks,
     )
     joined = (
-        within.join(F.broadcast(super_off), sb)
+        within.join(F.broadcast(super_off), [*prefix_cols, sb])
         if _broadcastable(super_off)
-        else within.join(super_off, sb)
+        else within.join(super_off, [*prefix_cols, sb])
     )
-    out_cols = [F.col(b)]
+    out_cols = [F.col(c) for c in prefix_cols] + [F.col(b)]
     for key, (src, kind) in combine.items():
         sup, loc = F.col(key), F.col(f"__within_{key}")
         if kind == "sum":

@@ -163,11 +163,16 @@ def test_blocked_totals_multi_block_key_resets_correctly(spark):
     assert got == want
 
 
-def test_recursive_offsets_single_distributed_level(spark):
-    """Force the block count over the driver budget: the DIV-8192
-    super-block fold must reproduce the driver fold bit-exactly, and
-    the offsets frame must flag itself non-broadcastable."""
+def test_recursive_offsets_single_distributed_level(spark, monkeypatch):
+    """Force the block count over the driver budget: the super-block
+    fold must reproduce the driver fold bit-exactly, and the offsets
+    frame must flag itself non-broadcastable. Fanout shrunk so the
+    ~940 test blocks can actually split (at the production 8192 they
+    all share one cell and the termination guard correctly falls back
+    to the driver fold)."""
     from ex_hivent_spark.operators import prefix
+
+    monkeypatch.setattr(prefix, "_FANOUT", 64)
     from ex_hivent_spark.operators.prefix import (
         running_max_blocked,
         running_totals_blocked,
@@ -252,18 +257,92 @@ def test_recursive_offsets_two_distributed_levels(spark, monkeypatch):
     assert got_m[first_k] is None  # globally-first row keeps NULL
 
 
-def test_registered_query_through_recursive_fold(spark, monkeypatch):
+def test_registered_query_through_recursive_fold(spark, monkeypatch, tmp_path):
     """Drive a REGISTERED blocked-prefix consumer (the late-data audit)
-    with the driver budget forced to 1, so its offsets fold runs the
-    recursive distributed path end-to-end — output must be identical
-    to the default driver-folded path."""
+    through the recursive fold end-to-end: synthetic events span
+    enough 8192-id blocks to actually split at the shrunken fanout,
+    and the budget is forced to 1 — output must be identical to the
+    default driver-folded path. (The testdata SFs fit in one or two
+    blocks, where the termination guard correctly keeps the driver
+    fold — hence the synthetic wide id range.)"""
+    import datetime
+    import os
+
+    from ex_hivent_spark.operators import prefix
+    from ex_hivent_spark.plans.registry import all_specs
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i * 3,  # ids span ~120k -> ~15 blocks of 8192
+            ("click", "view", "error")[i % 3],
+            # event time mostly advances, every 11th event arrives LATE
+            base
+            + datetime.timedelta(
+                minutes=i - (500 if i % 11 == 0 else 0)
+            ),
+            float(i % 97),
+            i % 13,
+        )
+        for i in range(40_000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, ts timestamp, value double,"
+        " user_id long",
+    )
+    os.makedirs(f"{tmp_path}/sf", exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/sf/events.parquet")
+
+    spec = all_specs()["q_stream_late_audit"]
+    want = sorted(map(repr, spec.spark(spark, str(tmp_path) + "/sf").collect()))
+    assert want  # the late pattern produces audit rows
+    monkeypatch.setattr(prefix, "_MAX_DRIVER_BLOCKS", 1)
+    monkeypatch.setattr(prefix, "_FANOUT", 4)  # force >1 level too
+    got = sorted(map(repr, spec.spark(spark, str(tmp_path) + "/sf").collect()))
+    assert got == want
+
+
+def test_recursive_offsets_composite_block_key(spark, monkeypatch):
+    """Composite (group, bucket) blocks through the recursive fold:
+    the cross-group carry must flow through the super levels exactly
+    (no zero-sum-per-group assumption) — compare against the global
+    window over (g, k), with budget 2 and fanout 4 forcing multiple
+    recursion levels."""
+    from ex_hivent_spark.operators import prefix
+    from ex_hivent_spark.operators.prefix import running_totals_blocked
+
+    rows = [(g, k, float((ord(g) + 1) * k % 7)) for g in ("a", "b", "c")
+            for k in range(400)]
+    df = spark.createDataFrame(rows, "g string, k long, v double").withColumn(
+        "blk", F.expr("k DIV 16")
+    )
+    w = Window.orderBy("g", "k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r["g"], r["k"]): r["cv"]
+        for r in df.select("g", "k", F.sum("v").over(w).alias("cv")).collect()
+    }
+    monkeypatch.setattr(prefix, "_FANOUT", 4)
+    got = {
+        (r["g"], r["k"]): r["cv"]
+        for r in running_totals_blocked(
+            df, ["k"], ["g", "blk"], {"v": "cv"}, max_driver_blocks=2
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sliding_distinct_through_recursive_fold(spark, monkeypatch):
+    """q_win_sliding_distinct's (event_type, hour-block) composite
+    blocking end-to-end through the recursive path must match the
+    default driver-folded path."""
     from ex_hivent_spark.operators import prefix
     from ex_hivent_spark.plans.registry import all_specs
 
     sf = "/root/testdata/sf0.001"
-    spec = all_specs()["q_stream_late_audit"]
+    spec = all_specs()["q_win_sliding_distinct"]
     want = sorted(map(repr, spec.spark(spark, sf).collect()))
     monkeypatch.setattr(prefix, "_MAX_DRIVER_BLOCKS", 1)
-    monkeypatch.setattr(prefix, "_FANOUT", 4)  # force >1 level too
+    monkeypatch.setattr(prefix, "_FANOUT", 4)
     got = sorted(map(repr, spec.spark(spark, sf).collect()))
     assert got == want
