@@ -897,9 +897,11 @@ def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     state), a delta hash-aggregate, and
     operators/prefix.running_totals_blocked for the running sum over
     deterministic (type, hour-bucket) blocks — one block-keyed window
-    + a ≤|types|·|hours|-row offset pre-pass; per-type resets come
-    free because each type's deltas sum to zero and type leads the
-    block order. ~3 rows per event flow through; NO stage holds an id
+    + an offset pre-pass that driver-folds while (types × hour-blocks)
+    ≲ 10⁶ and recurses through prefix.py's composite super-block fold
+    beyond that (multi-year × high-cardinality-type retention);
+    per-type resets come free because each type's deltas sum to zero
+    and type leads the block order. ~3 rows per event flow through; NO stage holds an id
     set. The HLL sketch (q_agg_sketch_rollup) remains the cheaper
     approximate downgrade; this exact form is itself 100 TB-safe."""
     from ex_hivent_spark.operators.prefix import running_totals_blocked
