@@ -160,6 +160,8 @@ HEADLINE = [
     "q_llm_logodds_terms",
     "q_fn_binary_codec",
     "q_ts_downsample_ltob",
+    "q_llm_dedup_component_stats",
+    "q_emb_isotropy",
 ]
 
 

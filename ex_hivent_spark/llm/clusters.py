@@ -530,3 +530,85 @@ def q_graph_lpa_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neighbors",
         (-F.col("b.nc")).cast("bigint").alias("top_count"),
     )
+
+
+@register(
+    "q_llm_dedup_component_stats",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    clusters AS (
+      SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM clusters GROUP BY cluster_id
+    ),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           floor((CAST(cluster_size * count(*) AS DOUBLE) / n_corpus)
+                 * 1000000.0 + 0.5) / 1000000.0 AS corpus_share
+    FROM sizes CROSS JOIN corpus
+    GROUP BY cluster_size, n_corpus
+    """,
+)
+def q_llm_dedup_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many near-dup
+    components of each size the corpus carries and what share of all
+    documents they cover — the one-page corpus-health summary a dedup
+    run reports ("12% of the corpus sits in 2-doc clusters, one
+    180-doc template cluster") and the number that decides whether
+    keep-one dedup or soft down-weighting (SoftDeDup) is the right
+    treatment.
+
+    Plan: component labels come from the iterative min-label
+    propagation of q_llm_dedup_clusters (prefix-filtered pair graph,
+    never all-pairs), then two tiny hash aggregates (cluster → size,
+    size → histogram) and a one-row corpus-count broadcast. The
+    histogram is ≤ max-cluster-size rows."""
+    from ex_hivent_spark.catalog import load_table
+
+    labels = q_llm_dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            (
+                F.floor(
+                    (
+                        (F.col("cluster_size") * F.col("n_clusters"))
+                        .cast("double")
+                        / F.col("n_corpus")
+                    )
+                    * 1000000.0
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("corpus_share"),
+        )
+    )

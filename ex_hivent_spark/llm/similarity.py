@@ -2257,3 +2257,87 @@ def q_emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mse"),
         F.max("err").cast("double").alias("max_err"),
     )
+
+
+@register(
+    "q_emb_isotropy",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    expl AS (
+      SELECT vec_id, unnest(u) AS val, generate_subscripts(u, 1) AS pos
+      FROM unit
+    ),
+    dimsums AS (
+      SELECT pos,
+             CAST(sum(CAST(val AS DECIMAL(25,6))) AS DOUBLE) AS s
+      FROM expl GROUP BY pos
+    ),
+    agg AS (
+      SELECT CAST(sum(CAST({sql_dround("s * s", 6)}
+                      AS DECIMAL(25,6))) AS DOUBLE) AS norm2,
+             (SELECT CAST(count(*) AS BIGINT) FROM unit) AS n
+      FROM dimsums
+    )
+    SELECT n AS n_vectors,
+           {sql_dround("norm2", 6)} AS sum_vector_norm2,
+           {sql_dround(
+               "(norm2 - n) / (CAST(n AS DOUBLE) * (n - 1))", 6
+           )} AS mean_pairwise_cosine
+    FROM agg
+    """,
+)
+def q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy audit via the sum-vector identity:
+    the mean cosine over ALL ordered pairs of unit vectors equals
+    (‖Σᵢuᵢ‖² − n) / (n(n−1)) — so the O(n²) statistic comes from ONE
+    per-dimension sum pass with no pair ever materialized. High mean
+    pairwise cosine = anisotropic cone-shaped embedding space (the
+    known degeneracy of contextual embeddings, Ethayarajh 2019 /
+    Mu & Viswanath 2018's common-direction finding) — the space-health
+    check run before trusting cosine thresholds for semantic dedup or
+    retrieval, and the trigger for mean-centering/whitening.
+
+    Plan: posexplode → (dim) hash aggregate of decimal sums (|dims|
+    groups at any corpus size), then a |dims|-row fold to ‖Σu‖² and a
+    closed form — the entire quadratic statistic in two tiny
+    aggregates. Determinism: decimal dim sums, e6-rounded squares
+    before the decimal norm fold, exact count arithmetic, e6
+    outputs."""
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em).localCheckpoint(eager=False)  # dim sums +
+    # the n-count probe share one normalization pass
+    n_df = unit.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dimsums = (
+        unit.select(F.posexplode("unit").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("s")
+        )
+    )
+    agg = dimsums.agg(
+        F.sum(
+            dround(F.col("s") * F.col("s"), 6).cast("decimal(25,6)")
+        )
+        .cast("double")
+        .alias("norm2")
+    ).crossJoin(F.broadcast(n_df))
+    return agg.select(
+        F.col("n").alias("n_vectors"),
+        dround(F.col("norm2"), 6).alias("sum_vector_norm2"),
+        dround(
+            (F.col("norm2") - F.col("n"))
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            6,
+        ).alias("mean_pairwise_cosine"),
+    )
