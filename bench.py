@@ -162,6 +162,7 @@ HEADLINE = [
     "q_ts_downsample_ltob",
     "q_llm_dedup_component_stats",
     "q_emb_isotropy",
+    "q_agg_hhi_concentration",
 ]
 
 

@@ -1063,3 +1063,77 @@ def q_ab_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ratio") - 1.96 * F.col("se")).alias("ci_lo"),
         (F.col("ratio") + 1.96 * F.col("se")).alias("ci_hi"),
     )
+
+
+@register(
+    "q_agg_hhi_concentration",
+    oracle=f"""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    seg AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS t,
+             CAST(sum(CAST(cents AS DECIMAL(38,0))
+                      * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sq
+      FROM rev GROUP BY segment
+    )
+    SELECT segment, n_customers,
+           {sql_dround("(sq / (t * t)) * 10000.0", 6)} AS hhi
+    FROM seg
+    """,
+)
+def q_agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per market segment:
+    HHI = 10000·Σᵢ shareᵢ² over each segment's customer revenue
+    shares — the antitrust/market-structure standard (<1500
+    unconcentrated, >2500 highly concentrated), completing the
+    concentration battery next to Gini (inequality) and Pareto
+    coverage (head-counts): HHI is the one that moves when a few
+    heads merge.
+
+    Plan: revenue collapses to exact integer cents per (segment,
+    customer) — the orders→customer join broadcasts the dimension —
+    then Σc and Σc² ride decimal(38,0) sums (c² reaches ~10¹⁴ per
+    customer, so int64 Σc² would overflow at 100 TB; the decimal is
+    exact at any scale) and the closing ratio is
+    (Σc² as double)/(Σc as double)² — two correctly-rounded casts of
+    exact decimals... which at >2^53 unscaled would re-open the
+    cross-engine cast wobble, EXCEPT the e6-rounded output has ~9
+    orders of magnitude of margin (HHI ∈ [0, 10⁴], wobble ~1e-9
+    relative — the gini_e6 lesson applied from the start)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rev = (
+        o.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    dec = "decimal(38,0)"
+    seg = rev.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("cents").cast(dec)).cast("double").alias("t"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec))
+        .cast("double")
+        .alias("sq"),
+    )
+    return seg.select(
+        "segment",
+        "n_customers",
+        dround(
+            (F.col("sq") / (F.col("t") * F.col("t"))) * 10000.0, 6
+        ).alias("hhi"),
+    )
