@@ -163,6 +163,8 @@ HEADLINE = [
     "q_llm_dedup_component_stats",
     "q_emb_isotropy",
     "q_agg_hhi_concentration",
+    "q_llm_heaps_law",
+    "q_agg_lorenz_points",
 ]
 
 

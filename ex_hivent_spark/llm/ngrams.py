@@ -874,3 +874,144 @@ def q_llm_logodds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("z_logodds")).desc(), "tok")
         .limit(LOGODDS_TOP)
     )
+
+
+HEAPS_BLOCK = 64  # doc-id blocks for the cumulative prefix sums
+
+
+@register(
+    "q_llm_heaps_law",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+      FROM toks GROUP BY doc_id
+    ),
+    firsts AS (
+      SELECT min(doc_id) AS first_doc FROM toks GROUP BY tok
+    ),
+    new_per_doc AS (
+      SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS v_new
+      FROM firsts GROUP BY first_doc
+    ),
+    cum AS (
+      SELECT p.doc_id,
+             CAST(sum(p.n_tok) OVER (ORDER BY p.doc_id) AS BIGINT) AS n,
+             CAST(sum(coalesce(nv.v_new, 0)) OVER (ORDER BY p.doc_id)
+                  AS BIGINT) AS v
+      FROM per_doc p LEFT JOIN new_per_doc nv ON nv.doc_id = p.doc_id
+    ),
+    xy AS (
+      SELECT {sql_dround("ln(CAST(n AS DOUBLE))", 6)} AS x,
+             {sql_dround("ln(CAST(v AS DOUBLE))", 6)} AS y
+      FROM cum
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             {sql_dsum("x", "sx")}, {sql_dsum("y", "sy")},
+             {sql_dsum(sql_dround("x * y", 6), "sxy")},
+             {sql_dsum(sql_dround("x * x", 6), "sxx")}
+      FROM xy
+    ),
+    tot AS (
+      SELECT CAST(max(n) AS BIGINT) AS total_tokens,
+             CAST(max(v) AS BIGINT) AS vocab
+      FROM cum
+    )
+    SELECT s.n_docs, t.total_tokens, t.vocab,
+           {sql_dround(
+               "(s.n_docs * s.sxy - s.sx * s.sy)"
+               " / (s.n_docs * s.sxx - s.sx * s.sx)", 6
+           )} AS heaps_beta,
+           {sql_dround(
+               "(s.sy - ((s.n_docs * s.sxy - s.sx * s.sy)"
+               " / (s.n_docs * s.sxx - s.sx * s.sx)) * s.sx) / s.n_docs",
+               6,
+           )} AS heaps_lnk
+    FROM sums s CROSS JOIN tot t
+    """,
+)
+def q_llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ K·N^β, estimated by
+    OLS of ln(cumulative vocabulary) on ln(cumulative tokens) over the
+    doc-id-ordered corpus prefix — the companion to the Zipf fit
+    (q_llm_zipf_fit): β ≈ 0.4–0.6 is natural language; β near 1 means
+    the vocabulary never saturates (ids/hashes/noise in the text —
+    tokenizer poison), near 0 means template spam. The growth-curve
+    view of what Good–Turing (q_llm_good_turing) measures pointwise.
+
+    Plan: a token's FIRST occurrence doc (one hash aggregate over the
+    (token → min doc) frame) turns cumulative-distinct counting — the
+    usually-hard part — into an ordinary cumulative SUM of per-doc
+    new-token counts; both cumulative sums ride the deterministic
+    blocked prefix machinery (operators/prefix.py, doc-id DIV 64
+    blocks — no single-partition window; the recursive fold covers
+    any doc count) and the OLS moments are one aggregate over the
+    per-doc frame. Determinism: integer counts, e6 lns, e6-rounded
+    products before the decimal moment sums (the Zipf conventions)."""
+    from ex_hivent_spark.operators.prefix import running_totals_blocked
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).localCheckpoint(eager=False)  # per-doc counts + first-occurrence
+    # frame share one explode
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    new_per_doc = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v_new"))
+    )
+    base = (
+        per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce(F.col("v_new"), F.lit(0).cast("bigint")).alias(
+                "v_new"
+            ),
+        )
+        .withColumn("blk", F.expr(f"doc_id DIV {HEAPS_BLOCK}"))
+    )
+    cum = running_totals_blocked(
+        base, ["doc_id"], ["blk"], {"n_tok": "n", "v_new": "v"}
+    ).localCheckpoint(eager=False)  # OLS moments + totals probe
+    xy = cum.select(
+        dround(F.log(F.col("n").cast("double")), 6).alias("x"),
+        dround(F.log(F.col("v").cast("double")), 6).alias("y"),
+    )
+    dec = "decimal(25,6)"
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(dround(F.col("x") * F.col("y"), 6).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(dround(F.col("x") * F.col("x"), 6).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+    )
+    tot = cum.agg(
+        F.max("n").cast("bigint").alias("total_tokens"),
+        F.max("v").cast("bigint").alias("vocab"),
+    )
+    n = F.col("n_docs")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.crossJoin(F.broadcast(tot)).select(
+        "n_docs",
+        "total_tokens",
+        "vocab",
+        dround(slope, 6).alias("heaps_beta"),
+        dround((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "heaps_lnk"
+        ),
+    )

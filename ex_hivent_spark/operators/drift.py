@@ -1137,3 +1137,100 @@ def q_agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sq") / (F.col("t") * F.col("t"))) * 10000.0, 6
         ).alias("hhi"),
     )
+
+
+@register(
+    "q_agg_lorenz_points",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS t
+      FROM rev
+    ),
+    ranked AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS rnk,
+             CAST(sum(cents) OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS cum
+      FROM rev
+    ),
+    deciles AS (SELECT unnest(range(1, 11)) AS decile)
+    SELECT CAST(d.decile AS BIGINT) AS decile,
+           r.rnk AS rank,
+           floor((CAST(r.rnk AS DOUBLE) / tot.n) * 1000000.0 + 0.5)
+             / 1000000.0 AS pop_share,
+           floor((CAST(r.cum AS DOUBLE) / tot.t) * 1000000.0 + 0.5)
+             / 1000000.0 AS revenue_share
+    FROM deciles d CROSS JOIN tot
+    JOIN ranked r ON r.rnk = (d.decile * tot.n) // 10
+    """,
+)
+def q_agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve sample points: at each population decile of
+    customers (ascending revenue), the cumulative share of total
+    revenue they hold — the CURVE the Gini coefficient
+    (q_agg_gini_concentration) summarizes to one number and the
+    Pareto head-counts read from the other end; the dashboard
+    rendering of revenue inequality.
+
+    Plan: the gini machinery on exact integer cents — per-customer
+    bigint revenue, global ascending ranks AND cumulative sums from
+    ONE blocked-prefix pass (operators/prefix.py: two sum columns in
+    the same window; no single-partition sort), then a 10-row decile
+    frame broadcast-joins the rows at ranks ⌊d·n/10⌋. Determinism:
+    all-integer ranks/cums, exact divisions, e6 shares."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+        .withColumn("one", F.lit(1).cast("bigint"))
+        .localCheckpoint(eager=False)  # totals probe + prefix pass
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").alias("t"),
+    )
+    blocked = rev.withColumn("blk", F.expr("cents DIV 10000000"))
+    ranked = running_totals_blocked(
+        blocked,
+        order_cols=["cents", "o_custkey"],
+        block_cols=["blk"],
+        sum_cols={"one": "rnk", "cents": "cum"},
+    )
+    deciles = F.broadcast(
+        tot.select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+            "n",
+            "t",
+        ).select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.expr("(decile * n) DIV 10").alias("target_rnk"),
+            "n",
+            "t",
+        )
+    )
+    return ranked.join(
+        deciles, F.col("rnk") == F.col("target_rnk")
+    ).select(
+        "decile",
+        F.col("rnk").alias("rank"),
+        dround(F.col("rnk").cast("double") / F.col("n"), 6).alias(
+            "pop_share"
+        ),
+        dround(F.col("cum").cast("double") / F.col("t"), 6).alias(
+            "revenue_share"
+        ),
+    )

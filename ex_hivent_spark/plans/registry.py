@@ -59,7 +59,7 @@ def register(name: str, oracle: Optional[str] = None):
 
 # The external driver's correctness harness checks the FIRST 50 entries
 # of queries() each round (CORRECTNESS_r01-r06 all cut off at exactly
-# 50, in dict order). With 239 registered queries, rounds therefore
+# 50, in dict order). With 241 registered queries, rounds therefore
 # ROTATE which 50 lead. Verification state after r06: CORRECTNESS_r06
 # was 50/50 green, so every registered query's LATEST driver row is
 # green; remaining debt is STALENESS only — 31 queries' newest driver
@@ -70,7 +70,7 @@ def register(name: str, oracle: Optional[str] = None):
 # exact integer q-mass — their green r6 rows describe the OLD
 # formulations), then ALL 31 r02-era rows, then the 17 alphabetically-
 # first r03-era rows. r08 should front: the 29 remaining r03-era rows
-# and the 24 ops NEW in r7 (q_llm_edit_distance_neardup,
+# and the 26 ops NEW in r7 (q_llm_edit_distance_neardup,
 # q_llm_doc_perplexity, q_agg_pareto_coverage, q_ts_ohlc_bars,
 # q_fn_url_extract, q_quality_schema_drift, q_ab_delta_method_ci,
 # q_mm_resolution_bucket, q_llm_calibration_bins, q_graph_lpa_step,
@@ -78,9 +78,10 @@ def register(name: str, oracle: Optional[str] = None):
 # q_emb_outlier_centroid, q_llm_url_dedup, q_ts_pacf,
 # q_llm_kneser_ney_bigram, q_emb_pq_distortion, q_geo_nearest_neighbor,
 # q_llm_logodds_terms, q_fn_binary_codec, q_ts_downsample_ltob,
-# q_llm_dedup_component_stats, q_emb_isotropy, q_agg_hhi_concentration
-# — zero driver evidence; 24 r7-new ops total) — 29+24 = 53: front the
-# 29 stale + 21 of the new, with the final 3 new ops (whichever ran
+# q_llm_dedup_component_stats, q_emb_isotropy, q_agg_hhi_concentration,
+# q_llm_heaps_law, q_agg_lorenz_points
+# — zero driver evidence; 26 r7-new ops total) — 29+26 = 55: front the
+# 29 stale + 21 of the new, with the final 5 new ops (whichever ran
 # last in r7's registration order) leading r09's cleanup slots;
 # that retires all pre-r04 staleness. (q_ts_theil_sen/q_ts_mann_kendall
 # gained a trailing-window bound in r7, but their sf0.01 outputs are
