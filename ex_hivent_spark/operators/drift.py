@@ -3,7 +3,10 @@ battery an ML/data platform runs between two snapshots of the same
 stream — a two-sample Kolmogorov–Smirnov test, the population
 stability index (PSI), a Theil–Sen robust trend estimate, the
 Mann–Kendall trend significance test, a two-proportion A/B z-test,
-the Gini revenue-concentration audit, and diurnal percentile bands.
+the Gini revenue-concentration audit, and diurnal percentile bands —
+plus the classical-inference battery (chi-square independence,
+Welch's t, sample-ratio-mismatch, CUPED adjustment) and the
+frequency/rank series diagnostics (periodogram probe, Spearman rho).
 (The streaming twin of PSI lives in streaming/drift.py; the Markov
 behavior-transition matrix in operators/analytics.py.)
 
@@ -1233,4 +1236,675 @@ def q_agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("cum").cast("double") / F.col("t"), 6).alias(
             "revenue_share"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Contingency / two-sample inference (chi-square, Welch, SRM, CUPED)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             CAST(count(*) AS BIGINT) AS o
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    rt AS (SELECT rf, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY rf),
+    ct AS (SELECT ls, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY ls),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    t AS (
+      SELECT rf, ls, o,
+             CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE)
+               AS e
+      FROM cells JOIN rt USING (rf) JOIN ct USING (ls) CROSS JOIN tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT rf) - 1) * (count(DISTINCT ls) - 1)
+                AS BIGINT) AS dof,
+           CAST(sum(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                         AS DECIMAL(25,6))) AS DOUBLE) AS chi2_stat
+    FROM t
+    """,
+)
+def q_agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (return flag x line status) — the workhorse "are these two
+    labels associated?" audit (segment vs churn, source vs language,
+    variant vs outcome class): chi2 = sum over cells of (O-E)^2/E with
+    E = row_total * col_total / N.
+
+    Plan: ONE hash aggregate collapses the fact stream to the |R|x|C|
+    contingency cells (bounded by label cardinalities, not data volume);
+    the marginals are two aggregates OVER THE CELLS frame (pinned via
+    localCheckpoint so the stream is scanned once) joined back by
+    broadcast, and the statistic is one final scalar aggregate.
+    Determinism: observed counts are integers, each expected count is
+    the identically-written double product/quotient of integer
+    marginals, and the per-cell terms go through the decimal sum — no
+    libm anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=False)  # marginals + totals + final: one
+        # lineitem scan, the tiny cells frame is reused
+    )
+    rt = cells.groupBy("l_returnflag").agg(F.sum("o").alias("rtot"))
+    ct = cells.groupBy("l_linestatus").agg(F.sum("o").alias("ctot"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("rtot").cast("double")
+        * F.col("ctot").cast("double")
+        / F.col("n").cast("double")
+    )
+    diff = F.col("o").cast("double") - e
+    j = (
+        cells.join(F.broadcast(rt), "l_returnflag")
+        .join(F.broadcast(ct), "l_linestatus")
+        .crossJoin(F.broadcast(tot))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            (F.countDistinct("l_returnflag") - 1)
+            * (F.countDistinct("l_linestatus") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.sum((diff * diff / e).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("chi2_stat"),
+    )
+
+
+@register(
+    "q_agg_welch_ttest",
+    oracle=f"""
+    WITH g AS (
+      SELECT l_returnflag AS rf,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS sx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+      GROUP BY l_returnflag
+    ),
+    w AS (
+      SELECT r.n AS n1, r.sx AS sx1, r.sxx AS sxx1,
+             a.n AS n2, a.sx AS sx2, a.sxx AS sxx2
+      FROM (SELECT * FROM g WHERE rf = 'R') r
+      CROSS JOIN (SELECT * FROM g WHERE rf = 'A') a
+    ),
+    v AS (
+      SELECT n1, n2, sx1 / n1 AS m1, sx2 / n2 AS m2,
+             (sxx1 - sx1 * sx1 / n1) / (n1 - 1) / n1 AS vn1,
+             (sxx2 - sx2 * sx2 / n2) / (n2 - 1) / n2 AS vn2
+      FROM w
+    )
+    SELECT n1, n2, m1 AS mean_r, m2 AS mean_a,
+           (m1 - m2) / ({sql_dround("sqrt(vn1 + vn2)", 6)}) AS t_stat,
+           {sql_dround(
+               "(vn1 + vn2) * (vn1 + vn2)"
+               " / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1))",
+               6,
+           )} AS df_welch
+    FROM v
+    """,
+)
+def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on extended price between the
+    returned ('R') and acknowledged ('A') line populations — the
+    default two-sample mean test when group variances differ (the
+    equal-variance Student test silently miscalibrates), with the
+    Welch–Satterthwaite degrees of freedom.
+
+    Plan: one conditional hash aggregate collapses the stream to two
+    (group, n, sum, sum-of-squares) moment rows; the pivot to a single
+    comparison row is a 2-row broadcast cross join — nothing after the
+    scan is data-sized. Determinism: moment sums go through the decimal
+    detour (sum-of-squares through decimal(38,6): price^2 ~ 1e10 per
+    row, so decimal(25,6) would overflow near ~1e9 rows — the widened
+    scale holds to ~1e22 absolute, past the 100 TB design point). The
+    sum-of-squares exceeds 2^53 unscaled, so its decimal-to-double cast
+    is double-rounded in DuckDB (the documented suite gotcha, same as
+    gini) — BOTH closings that consume it are therefore e6-rounded
+    (the t sqrt and df_welch), which absorbs the ≲1e-9 cast wobble with
+    ~1e3 margin; means/counts stay exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    g = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(x.cast("decimal(25,6)")).cast("double").alias("sx"),
+            F.sum((x * x).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+        .localCheckpoint(eager=False)  # both group filters: one scan
+    )
+    r = g.filter(F.col("l_returnflag") == "R").select(
+        F.col("n").alias("n1"),
+        F.col("sx").alias("sx1"),
+        F.col("sxx").alias("sxx1"),
+    )
+    a = g.filter(F.col("l_returnflag") == "A").select(
+        F.col("n").alias("n2"),
+        F.col("sx").alias("sx2"),
+        F.col("sxx").alias("sxx2"),
+    )
+    w = r.crossJoin(F.broadcast(a))
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("sx1") / n1
+    m2 = F.col("sx2") / n2
+    vn1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1) / (n1 - 1) / n1
+    vn2 = (F.col("sxx2") - F.col("sx2") * F.col("sx2") / n2) / (n2 - 1) / n2
+    return w.select(
+        "n1",
+        "n2",
+        m1.alias("mean_r"),
+        m2.alias("mean_a"),
+        ((m1 - m2) / dround(F.sqrt(vn1 + vn2), 6)).alias("t_stat"),
+        dround(
+            (vn1 + vn2)
+            * (vn1 + vn2)
+            / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1)),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+# chi-square 95th percentile at 1 degree of freedom: the SRM alarm bar
+_SRM_CRIT = 3.841458820694124
+
+
+@register(
+    "q_ab_srm_check",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    g AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(count(*) AS BIGINT) AS n
+      FROM u GROUP BY user_id % 2
+    ),
+    w AS (
+      SELECT a.n AS n0, b.n AS n1
+      FROM (SELECT * FROM g WHERE arm = 0) a
+      CROSS JOIN (SELECT * FROM g WHERE arm = 1) b
+    ),
+    s AS (
+      SELECT n0, n1, CAST(n0 + n1 AS DOUBLE) / 2.0 AS e FROM w
+    )
+    SELECT n0 AS n_arm0, n1 AS n_arm1,
+           (CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e) / e
+           + (CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e) / e
+             AS chi2_stat,
+           CAST(CASE WHEN (CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e)
+                          / e
+                          + (CAST(n1 AS DOUBLE) - e)
+                          * (CAST(n1 AS DOUBLE) - e) / e
+                          > {_SRM_CRIT} THEN 1 ELSE 0 END
+                AS INTEGER) AS srm_flag
+    FROM s
+    """,
+)
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the first gate every A/B readout
+    must pass: chi-square goodness-of-fit of the realized arm sizes
+    against the designed 50/50 split over the RANDOMIZATION UNIT
+    (distinct users, not events — event-level counts would double-count
+    heavy users). A triggered flag (chi2 > 3.84, p < 0.05) means the
+    assignment itself is broken and every downstream metric is suspect.
+
+    Plan: a distinct-user hash aggregate (scales: partial aggregation
+    on user_id, no 2-key skew — the arm label is derived AFTER the
+    distinct), one 2-row arm count, and a broadcast pivot to a single
+    row. Determinism: integer counts, identically-written double
+    arithmetic, no libm; the flag compares against a shared literal."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    g = (
+        users.groupBy((F.col("user_id") % 2).cast("bigint").alias("arm"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)  # both arm filters: one scan
+    )
+    a0 = g.filter(F.col("arm") == 0).select(F.col("n").alias("n0"))
+    a1 = g.filter(F.col("arm") == 1).select(F.col("n").alias("n1"))
+    w = a0.crossJoin(F.broadcast(a1))
+    exp = (F.col("n0") + F.col("n1")).cast("double") / F.lit(2.0)
+    d0 = F.col("n0").cast("double") - exp
+    d1 = F.col("n1").cast("double") - exp
+    chi2 = d0 * d0 / exp + d1 * d1 / exp
+    return w.select(
+        F.col("n0").alias("n_arm0"),
+        F.col("n1").alias("n_arm1"),
+        chi2.alias("chi2_stat"),
+        F.when(chi2 > _SRM_CRIT, 1).otherwise(0).cast("int").alias("srm_flag"),
+    )
+
+
+@register(
+    "q_ab_cuped_lift",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             coalesce(CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUT}'
+                                    THEN CAST(value AS DECIMAL(25,6)) END)
+                           AS DOUBLE), 0.0) AS x,
+             coalesce(CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUT}'
+                                    THEN CAST(value AS DECIMAL(25,6)) END)
+                           AS DOUBLE), 0.0) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM per_user GROUP BY user_id % 2
+    ),
+    w AS (
+      SELECT a.n AS n0, a.sx AS sx0, a.sy AS sy0,
+             b.n AS n1, b.sx AS sx1, b.sy AS sy1,
+             a.n + b.n AS n,
+             a.sx + b.sx AS sx, a.sy + b.sy AS sy,
+             a.sxy + b.sxy AS sxy, a.sxx + b.sxx AS sxx,
+             a.syy + b.syy AS syy
+      FROM (SELECT * FROM g WHERE arm = 0) a
+      CROSS JOIN (SELECT * FROM g WHERE arm = 1) b
+    ),
+    t AS (
+      SELECT n0, n1, n, sx0, sy0, sx1, sy1,
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS theta,
+             sx / n AS mx,
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+             * (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy)) AS rho2
+      FROM w
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           {sql_dround("theta", 6)} AS theta,
+           {sql_dround("sy1 / n1 - sy0 / n0", 6)} AS lift_raw,
+           {sql_dround(
+               "(sy1 / n1 - theta * (sx1 / n1 - mx))"
+               " - (sy0 / n0 - theta * (sx0 / n0 - mx))",
+               6,
+           )} AS lift_cuped,
+           {sql_dround("rho2", 6)} AS var_reduction
+    FROM t
+    """,
+)
+def q_ab_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout — the
+    industry-standard pre-experiment covariate adjustment (Deng et al.,
+    WSDM'13 formulation): per user, X = pre-period value (first half of
+    the month), Y = in-experiment value (second half), arms assigned by
+    user_id parity; theta = cov(X,Y)/var(X) pooled over all users,
+    adjusted metric Y' = Y − theta·(X − mean(X)). Reported: the raw and
+    CUPED-adjusted lifts and the variance-reduction factor rho² (the
+    fraction of metric variance the covariate removes).
+
+    Plan: one per-user conditional aggregate (hash, partial-agg
+    combines, randomization unit = user), one 2-row per-arm moment
+    aggregate, and a broadcast pivot to a single row — after the
+    per-user collapse nothing is data-sized. Determinism: per-user
+    sums and per-arm moment sums both ride the decimal detour (the
+    moment products through decimal(38,6)); the closing theta/lift
+    algebra is identically-written double arithmetic with NO libm, and
+    every reported statistic is e6-rounded to absorb the >2^53
+    decimal-cast wobble of the big moment sums (same discipline as
+    welch/gini)."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit(_CUT).cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("ts") < cut, F.col("value")).cast(
+                    "decimal(25,6)"
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("ts") >= cut, F.col("value")).cast(
+                    "decimal(25,6)"
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("y"),
+    )
+    g = (
+        per_user.groupBy(
+            (F.col("user_id") % 2).cast("bigint").alias("arm")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("x").cast("decimal(25,6)")).cast("double").alias("sx"),
+            F.sum(F.col("y").cast("decimal(25,6)")).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("syy"),
+        )
+        .localCheckpoint(eager=False)  # both arm filters: one scan
+    )
+    a0 = g.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"),
+        F.col("sx").alias("sx0"),
+        F.col("sy").alias("sy0"),
+        F.col("sxy").alias("sxy0"),
+        F.col("sxx").alias("sxx0"),
+        F.col("syy").alias("syy0"),
+    )
+    a1 = g.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"),
+        F.col("sx").alias("sx1"),
+        F.col("sy").alias("sy1"),
+        F.col("sxy").alias("sxy1"),
+        F.col("sxx").alias("sxx1"),
+        F.col("syy").alias("syy1"),
+    )
+    w = a0.crossJoin(F.broadcast(a1))
+    n = (F.col("n0") + F.col("n1")).cast("double")
+    sx = F.col("sx0") + F.col("sx1")
+    sy = F.col("sy0") + F.col("sy1")
+    sxy = F.col("sxy0") + F.col("sxy1")
+    sxx = F.col("sxx0") + F.col("sxx1")
+    syy = F.col("syy0") + F.col("syy1")
+    cov_n = n * sxy - sx * sy
+    var_xn = n * sxx - sx * sx
+    var_yn = n * syy - sy * sy
+    theta = cov_n / var_xn
+    mx = sx / n
+    m_adj0 = F.col("sy0") / F.col("n0") - theta * (
+        F.col("sx0") / F.col("n0") - mx
+    )
+    m_adj1 = F.col("sy1") / F.col("n1") - theta * (
+        F.col("sx1") / F.col("n1") - mx
+    )
+    return w.select(
+        (F.col("n0") + F.col("n1")).cast("bigint").alias("n_users"),
+        dround(theta, 6).alias("theta"),
+        dround(
+            F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0"), 6
+        ).alias("lift_raw"),
+        dround(m_adj1 - m_adj0, 6).alias("lift_cuped"),
+        dround(cov_n * cov_n / (var_xn * var_yn), 6).alias(
+            "var_reduction"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Frequency-domain and rank-based series diagnostics
+# --------------------------------------------------------------------------
+
+# Periodogram probe frequencies, in cycles per the _N_HOURS window:
+# k=4 ~ weekly, k=30 = daily, k=60 = half-day — the seasonalities an
+# ops series actually carries. floor(epoch('2024-01-01')/3600): the
+# fixed hour origin of the testdata month.
+_N_HOURS = 720
+_HARMONICS = (4, 30, 60)
+_EPOCH_H = 473352
+_TWO_PI = 6.283185307179586
+
+
+@register(
+    "q_ts_spectral_peaks",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) - {_EPOCH_H} AS t,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, floor(epoch(ts) / 3600)
+    ),
+    terms AS (
+      SELECT event_type, k, c,
+             {sql_dround(
+                 f"cos({_TWO_PI} * CAST(k * t AS DOUBLE) / {_N_HOURS}.0)", 6
+             )} AS cosr,
+             {sql_dround(
+                 f"sin({_TWO_PI} * CAST(k * t AS DOUBLE) / {_N_HOURS}.0)", 6
+             )} AS sinr
+      FROM hourly, unnest({list(_HARMONICS)}) AS u(k)
+    ),
+    f AS (
+      SELECT event_type, CAST(k AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(CAST(CAST(c AS DOUBLE) * cosr AS DECIMAL(25,6)))
+                  AS DOUBLE) AS cr,
+             CAST(sum(CAST(CAST(c AS DOUBLE) * sinr AS DECIMAL(25,6)))
+                  AS DOUBLE) AS ci
+      FROM terms GROUP BY event_type, k
+    )
+    SELECT event_type, k, CAST({_N_HOURS} AS DOUBLE) / k AS period_hours,
+           n_hours, cr * cr + ci * ci AS power
+    FROM f
+    """,
+)
+def q_ts_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power of the hourly event-count series at fixed
+    candidate frequencies (weekly / daily / half-day harmonics of the
+    month) per event type — the discrete-Fourier seasonality probe
+    behind "does this stream have a diurnal cycle?" monitoring:
+    P(k) = (Σ c_t·cos(2πkt/N))² + (Σ c_t·sin(2πkt/N))².
+
+    Plan: the stream collapses to the hourly (type, t, count) grain
+    first; a 3-literal harmonic explode and one hash aggregate per
+    (type, k) close it — work is |hours|×|harmonics|, bounded by the
+    time span, never by event volume; absent hours contribute exactly 0
+    to the sums so no densification is needed. Determinism: t is an
+    integer offset from a fixed epoch-hour literal, each cos/sin (the
+    per-term libm calls) is e6-rounded, products with integer counts
+    are exact IEEE, and the sums ride the decimal detour; the closing
+    power is identically-written double arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+            - F.lit(_EPOCH_H)
+        ).alias("t"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    terms = hourly.select(
+        "event_type",
+        "t",
+        "c",
+        F.explode(F.array(*[F.lit(k) for k in _HARMONICS])).alias("k"),
+    )
+    ang = (
+        F.lit(_TWO_PI)
+        * (F.col("k") * F.col("t")).cast("double")
+        / F.lit(float(_N_HOURS))
+    )
+    cosr = dround(F.cos(ang), 6)
+    sinr = dround(F.sin(ang), 6)
+    f = terms.groupBy(
+        "event_type", F.col("k").cast("bigint").alias("k")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum((F.col("c").cast("double") * cosr).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("cr"),
+        F.sum((F.col("c").cast("double") * sinr).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("ci"),
+    )
+    return f.select(
+        "event_type",
+        "k",
+        (F.lit(float(_N_HOURS)) / F.col("k")).alias("period_hours"),
+        "n_hours",
+        (F.col("cr") * F.col("cr") + F.col("ci") * F.col("ci")).alias(
+            "power"
+        ),
+    )
+
+
+@register(
+    "q_ts_spearman_corr",
+    oracle=f"""
+    WITH hx AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'click'
+      GROUP BY floor(epoch(ts) / 3600)
+    ),
+    hy AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY floor(epoch(ts) / 3600)
+    ),
+    j AS (
+      SELECT coalesce(hx.x, 0) AS x, coalesce(hy.y, 0) AS y
+      FROM hx FULL OUTER JOIN hy USING (h)
+    ),
+    gx AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY x
+    ),
+    gxr AS (
+      SELECT x,
+             CAST(sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) - cnt
+                  AS DOUBLE)
+             + (CAST(cnt AS DOUBLE) + 1) / 2.0 AS rx
+      FROM gx
+    ),
+    gy AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY y
+    ),
+    gyr AS (
+      SELECT y,
+             CAST(sum(cnt) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) - cnt
+                  AS DOUBLE)
+             + (CAST(cnt AS DOUBLE) + 1) / 2.0 AS ry
+      FROM gy
+    ),
+    r AS (
+      SELECT rx, ry FROM j JOIN gxr USING (x) JOIN gyr USING (y)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(CAST(rx AS DECIMAL(25,6))) AS DOUBLE) AS srx,
+             CAST(sum(CAST(ry AS DECIMAL(25,6))) AS DOUBLE) AS sry,
+             CAST(sum(CAST(rx * ry AS DECIMAL(25,6))) AS DOUBLE) AS srxy,
+             CAST(sum(CAST(rx * rx AS DECIMAL(25,6))) AS DOUBLE) AS srxx,
+             CAST(sum(CAST(ry * ry AS DECIMAL(25,6))) AS DOUBLE) AS sryy
+      FROM r
+    )
+    SELECT n_hours,
+           (CAST(n_hours AS DOUBLE) * srxy - srx * sry)
+           / (({sql_dround(
+                 "sqrt(CAST(n_hours AS DOUBLE) * srxx - srx * srx)", 6
+             )})
+              * ({sql_dround(
+                    "sqrt(CAST(n_hours AS DOUBLE) * sryy - sry * sry)", 6
+                )})) AS rho_spearman
+    FROM m
+    """,
+)
+def q_ts_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the hourly click and purchase
+    count series — the monotone-association twin of Pearson (robust to
+    outlier hours and nonlinear coupling), with exact average-rank tie
+    handling: rho = Pearson(rank(x), rank(y)).
+
+    Plan: the stream collapses to two hourly count series (time-grain
+    bounded — |hours| grows with the span, not event volume), aligned
+    by a full-outer hour join with zero fill; average ranks come from
+    cumulative counts over the per-VALUE group frames (≤|hours| rows
+    each — two bounded global windows, allowlisted like q_ts_xcorr's)
+    joined back by broadcast, and the closing Pearson is one moment
+    aggregate. Determinism: ranks are exact .5-multiples from integer
+    cumulative counts, rank products are exactly-representable
+    dyadics summed through the decimal detour, and the two closing
+    sqrts (the only libm) are e6-rounded before the final division."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    hx = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(h)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    hy = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(h)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    j = (
+        hx.join(hy, "h", "full_outer")
+        .select(
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+        .localCheckpoint(eager=False)  # rank passes + final moments:
+        # the hourly frame is computed once
+    )
+
+    def avg_ranks(col: str, rank_name: str) -> DataFrame:
+        grp = j.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return grp.select(
+            col,
+            (
+                (F.sum("cnt").over(w) - F.col("cnt")).cast("double")
+                + (F.col("cnt").cast("double") + 1) / 2.0
+            ).alias(rank_name),
+        )
+
+    r = j.join(F.broadcast(avg_ranks("x", "rx")), "x").join(
+        F.broadcast(avg_ranks("y", "ry")), "y"
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(F.col("rx").cast("decimal(25,6)")).cast("double").alias("srx"),
+        F.sum(F.col("ry").cast("decimal(25,6)")).cast("double").alias("sry"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("srxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("srxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sryy"),
+    )
+    nd = F.col("n_hours").cast("double")
+    return m.select(
+        "n_hours",
+        (
+            (nd * F.col("srxy") - F.col("srx") * F.col("sry"))
+            / (
+                dround(
+                    F.sqrt(nd * F.col("srxx") - F.col("srx") * F.col("srx")),
+                    6,
+                )
+                * dround(
+                    F.sqrt(nd * F.col("sryy") - F.col("sry") * F.col("sry")),
+                    6,
+                )
+            )
+        ).alias("rho_spearman"),
     )

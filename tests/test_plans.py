@@ -670,6 +670,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # norm pass over the 64-row per-dimension aggregate (bounded by
     # embedding dimensionality, not corpus size)
     "q_emb_pca_power_step": 1,
+    # cumulative-count rank windows over the per-VALUE group frames of
+    # the two HOURLY series (≤|hours| rows each — time-grain bounded,
+    # like q_ts_xcorr, not data-volume sized)
+    "q_ts_spearman_corr": 2,
 }
 
 
