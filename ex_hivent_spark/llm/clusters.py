@@ -612,3 +612,51 @@ def q_llm_dedup_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corpus_share"),
         )
     )
+
+
+@register(
+    "q_graph_degree_stats",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    , und AS (
+      SELECT doc_a AS node FROM pairs
+      UNION ALL SELECT doc_b FROM pairs
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM und GROUP BY node
+    )
+    SELECT degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           min(node) AS min_node,
+           max(node) AS max_node
+    FROM deg GROUP BY degree
+    """,
+)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate graph — the first
+    shape diagnostic of any dedup run: a long high-degree tail marks
+    template/boilerplate hubs (one doc near-dup to hundreds) where
+    transitive clustering over-merges, while an all-degree-1 histogram
+    means clean disjoint pairs. Per distinct degree: node count and the
+    id range.
+
+    Plan: the a<b oriented pair list (the SAME bucketed prefix-filtered
+    join as q_llm_ngram_jaccard — never all-pairs) unions into its two
+    orientations, one hash aggregate per node, one per degree —
+    hash-only shuffles on 8/16-byte keys, histogram output bounded by
+    max degree. All-integer, no rounding anywhere."""
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    pairs = q_llm_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    und = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

@@ -1484,3 +1484,75 @@ def q_llm_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos_rate.alias("pos_rate"),
         (mean_score - pos_rate).alias("calibration_gap"),
     )
+
+
+@register(
+    "q_llm_flesch_readability",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST({_TOK} AS BIGINT) AS w,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS syl
+      FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             CAST(206.835 AS DOUBLE)
+             - CAST(1.015 AS DOUBLE) * (CAST(w AS DOUBLE) / s)
+             - CAST(84.6 AS DOUBLE) * (CAST(syl AS DOUBLE) / w)
+               AS flesch
+      FROM per_doc WHERE w > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_davg("flesch", "avg_flesch")},
+           CAST(sum(CASE WHEN flesch >= 60.0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS easy_share
+    FROM scored GROUP BY source
+    """,
+)
+def q_llm_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source — the classical readability score
+    (206.835 − 1.015·words/sentence − 84.6·syllables/word) used as a
+    cheap curation signal: very low scores flag boilerplate/gibberish,
+    the 60+ band ("plain English") is a common pretraining keep filter.
+    Sentences = punctuation-ender runs (min 1), syllables = vowel-group
+    runs — the standard regex approximations, deterministic and
+    library-free.
+
+    Plan: three regexp counters per doc (codegen'd JVM expressions, one
+    scan, map-only) and one per-source hash aggregate. Determinism:
+    counts are integers, the per-doc score is identically-written
+    double arithmetic from integer ratios (no libm), and the mean rides
+    the decimal detour; the 60-point band compare is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    w = token_count(F.col("text")).cast("bigint")
+    s = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("bigint")
+    syl = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"[aeiouy]+"), F.lit(0))
+    ).cast("bigint")
+    per = d.select(
+        "source", w.alias("w"), s.alias("s"), syl.alias("syl")
+    ).filter(F.col("w") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("w").cast("double") / F.col("s"))
+        - F.lit(84.6) * (F.col("syl").cast("double") / F.col("w"))
+    )
+    scored = per.select("source", flesch.alias("flesch"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        davg("flesch", "avg_flesch"),
+        (
+            F.sum(F.when(F.col("flesch") >= 60.0, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("easy_share"),
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
-from ex_hivent_spark.functions.decimals import dsum, sql_dround, sql_dsum
+from ex_hivent_spark.functions.decimals import dround, dsum, sql_dround, sql_dsum
 from ex_hivent_spark.plans.registry import register
 
 
@@ -1631,4 +1631,102 @@ def q_ts_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+_BOLL_WIN = 7  # trailing days in the Bollinger frame
+_BOLL_K = 2.0  # band half-width in rolling sigmas
+
+
+@register(
+    "q_win_bollinger_bands",
+    oracle=f"""
+    WITH daily AS (
+      SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+    ),
+    rolled AS (
+      SELECT rf, day, rev,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(CAST(rev AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s,
+             CAST(sum(CAST(rev * rev AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               AS ss
+      FROM daily
+      WINDOW w AS (PARTITION BY rf ORDER BY day
+                   ROWS BETWEEN {_BOLL_WIN - 1} PRECEDING AND CURRENT ROW)
+    ),
+    bands AS (
+      SELECT rf, day, rev, s / n AS ma,
+             {sql_dround(
+                 "sqrt((ss - s * s / n) / (n - 1))", 6
+             )} AS sd
+      FROM rolled WHERE n = {_BOLL_WIN}
+    )
+    SELECT rf AS l_returnflag, day, rev, ma AS ma7, sd AS sd7,
+           CAST(CASE WHEN rev > ma + {_BOLL_K} * sd
+                       OR rev < ma - {_BOLL_K} * sd
+                THEN 1 ELSE 0 END AS INTEGER) AS breach
+    FROM bands
+    """,
+)
+def q_win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on daily revenue per return flag: trailing
+    7-day rolling mean ± 2 rolling sigmas, flagging the days whose
+    revenue breaches the band — the control-chart anomaly screen
+    (the batch twin of streaming monitors; same shape as SPC
+    X-bar charts). Rows only where the trailing frame is full.
+
+    Plan: the fact stream collapses to the daily (flag, day, revenue)
+    grain first (hash aggregate), so the window runs over |days|×|flags|
+    rows — time-grain bounded, partitioned by flag, never a global
+    sort; rolling moments come from count/sum/sum-of-squares over the
+    ROWS frame. Determinism: daily revenue and the rolling sum ride the
+    decimal detour; the rolling sum-of-squares exceeds 2^53 unscaled so
+    the ONE consumer of it (the rolling sigma sqrt) is e6-rounded
+    (welch/gini discipline); band compares are then exact doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(dsum("l_extendedprice", "rev"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("day")
+        .rowsBetween(-(_BOLL_WIN - 1), Window.currentRow)
+    )
+    rev = F.col("rev")
+    rolled = daily.select(
+        "l_returnflag",
+        "day",
+        "rev",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum(rev.cast("decimal(25,6)")).over(w).cast("double").alias("s"),
+        F.sum((rev * rev).cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("ss"),
+    ).filter(F.col("n") == _BOLL_WIN)
+    ma = F.col("s") / F.col("n")
+    sd = dround(
+        F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ),
+        6,
+    )
+    bands = rolled.select(
+        "l_returnflag", "day", "rev", ma.alias("ma7"), sd.alias("sd7")
+    )
+    breach = (
+        F.col("rev") > F.col("ma7") + F.lit(_BOLL_K) * F.col("sd7")
+    ) | (F.col("rev") < F.col("ma7") - F.lit(_BOLL_K) * F.col("sd7"))
+    return bands.select(
+        "l_returnflag",
+        "day",
+        "rev",
+        "ma7",
+        "sd7",
+        F.when(breach, 1).otherwise(0).cast("int").alias("breach"),
     )
