@@ -382,60 +382,38 @@ def q_quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence (the dropped-message audit every at-least-once pipeline
     runs).
 
-    Plan: block the ids into fixed-width id ranges (deterministic — no
-    sampled exchange, no checkpoint pin), then the consecutive-pair
-    lead runs PER BLOCK (each block is a contiguous id range, so
-    within-block gaps are ordinary partitioned-window work), and the
-    only cross-block information needed is each block's (min, max) —
-    a ≤10⁶-row aggregate collected and stitched driver-side into the
-    boundary gaps. The width is DERIVED, not fixed: a one-row min/max
-    pre-pass sizes it as max(8192, ceil(id_range/10⁶)), so the
-    driver-side bounds collect honors operators/prefix.py's ≲10⁶-row
-    contract at ANY id range (10¹¹ ids → width ~10⁵, still ~10⁶
-    blocks) while small inputs keep the historical 8192 grid. Output
-    is width-invariant: every consecutive id pair is either within one
-    block or spans one stitched boundary, so this is identical to the
-    global-ordered lead by construction. No single-partition window
-    over the event stream anywhere."""
-    from pyspark.sql import Window
+    Plan: the global predecessor of each id under the total event_id
+    order IS the exclusive global running max of event_id — so this is
+    one call into operators/prefix.py's blocked machinery
+    (running_max_blocked, DIV-8192 deterministic blocking): the
+    per-block exclusive-max window runs distributed (each block is a
+    contiguous id range), and the cross-block carry (each block's
+    first row needs the previous block's max) is the blocked prefix
+    fold — driver-folded while blocks ≤ 10⁶, recursing through
+    distributed DIV-8192 super-block levels beyond that
+    (prefix.py:210), so a 10¹¹-id range costs one extra distributed
+    level, never an unbounded driver collect. A row whose id exceeds
+    its predecessor by >1 delimits exactly one gap (identical pair
+    set to the global-ordered lead formulation, viewed from the right
+    endpoint); the globally-first row carries a NULL predecessor and
+    is filtered. No single-partition window over the event stream
+    anywhere."""
+    from .prefix import running_max_blocked
 
     e = load_table(spark, sf_dir, "events")
-    ids = e.select("event_id")
-    span = ids.agg(
-        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
-    ).collect()[0]  # one-row pre-pass: sizes the block grid
-    id_range = (
-        0 if span["lo"] is None else int(span["hi"]) - int(span["lo"]) + 1
+    parts = e.select("event_id").withColumn(
+        "__blk", F.expr("event_id DIV 8192")
     )
-    width = max(8192, -(-id_range // 1_000_000))
-    parts = ids.withColumn("__blk", F.expr(f"event_id DIV {width}"))
-    w = Window.partitionBy("__blk").orderBy("event_id")
-    intra = parts.select(
-        "event_id", F.lead("event_id").over(w).alias("next_id")
+    prev = running_max_blocked(
+        parts, ["event_id"], ["__blk"], "event_id", "__prev",
+        exclusive=True,
     )
-    bounds = sorted(
-        parts.groupBy("__blk")
-        .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
-        .collect(),  # ≤ ~10⁶ rows by the derived width
-        key=lambda r: r["__blk"],
-    )
-    boundary_pairs = [
-        (int(a["hi"]), int(b["lo"]))
-        for a, b in zip(bounds, bounds[1:])
-    ]
-    boundary = spark.createDataFrame(
-        boundary_pairs or [(0, 1)], "event_id long, next_id long"
-    )
-    if not boundary_pairs:
-        boundary = boundary.limit(0)
-    seq = intra.filter(F.col("next_id").isNotNull()).unionByName(boundary)
-    return (
-        seq.filter(F.col("next_id") - F.col("event_id") > 1)
-        .select(
-            (F.col("event_id") + 1).alias("gap_start"),
-            (F.col("next_id") - 1).alias("gap_end"),
-            (F.col("next_id") - F.col("event_id") - 1).alias("n_missing"),
-        )
+    return prev.filter(
+        F.col("event_id") - F.col("__prev") > 1
+    ).select(
+        (F.col("__prev") + 1).alias("gap_start"),
+        (F.col("event_id") - 1).alias("gap_end"),
+        (F.col("event_id") - F.col("__prev") - 1).alias("n_missing"),
     )
 
 

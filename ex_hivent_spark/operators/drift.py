@@ -1247,10 +1247,19 @@ def q_agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_chi2_independence",
     oracle="""
-    WITH cells AS (
+    WITH obs AS (
       SELECT l_returnflag AS rf, l_linestatus AS ls,
              CAST(count(*) AS BIGINT) AS o
       FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    spine AS (
+      SELECT r.rf, c.ls
+      FROM (SELECT DISTINCT rf FROM obs) r
+      CROSS JOIN (SELECT DISTINCT ls FROM obs) c
+    ),
+    cells AS (
+      SELECT s.rf, s.ls, CAST(coalesce(o.o, 0) AS BIGINT) AS o
+      FROM spine s LEFT JOIN obs o ON s.rf = o.rf AND s.ls = o.ls
     ),
     rt AS (SELECT rf, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY rf),
     ct AS (SELECT ls, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY ls),
@@ -1274,23 +1283,47 @@ def q_agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns (return flag x line status) — the workhorse "are these two
     labels associated?" audit (segment vs churn, source vs language,
     variant vs outcome class): chi2 = sum over cells of (O-E)^2/E with
-    E = row_total * col_total / N.
+    E = row_total * col_total / N, summed over the FULL dense |R|x|C|
+    grid — zero-count combinations (e.g. TPC-H has no (A,O)/(R,O)
+    lineitem cells) contribute their (0-E)^2/E = E term, exactly as the
+    textbook statistic requires; n_cells is therefore |R|x|C| and dof
+    (|R|-1)x(|C|-1) over the same grid.
 
-    Plan: ONE hash aggregate collapses the fact stream to the |R|x|C|
-    contingency cells (bounded by label cardinalities, not data volume);
-    the marginals are two aggregates OVER THE CELLS frame (pinned via
-    localCheckpoint so the stream is scanned once) joined back by
-    broadcast, and the statistic is one final scalar aggregate.
+    Plan: ONE hash aggregate collapses the fact stream to the observed
+    contingency cells (bounded by label cardinalities, not data
+    volume); the dense grid is a broadcast cross join of the two
+    distinct label sets left-joined back onto the observed cells with
+    a zero fill; the marginals are two aggregates OVER THE dense CELLS
+    frame (pinned via localCheckpoint so the stream is scanned once)
+    joined back by broadcast, and the statistic is one final scalar
+    aggregate.
     Determinism: observed counts are integers, each expected count is
     the identically-written double product/quotient of integer
     marginals, and the per-cell terms go through the decimal sum — no
     libm anywhere."""
     li = load_table(spark, sf_dir, "lineitem")
-    cells = (
+    obs = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
-        .localCheckpoint(eager=False)  # marginals + totals + final: one
-        # lineitem scan, the tiny cells frame is reused
+        .localCheckpoint(eager=False)  # spine + join + marginals: one
+        # lineitem scan, the tiny observed-cells frame is reused
+    )
+    spine = (
+        obs.select("l_returnflag")
+        .distinct()
+        .crossJoin(F.broadcast(obs.select("l_linestatus").distinct()))
+    )
+    cells = (
+        spine.join(
+            F.broadcast(obs), ["l_returnflag", "l_linestatus"], "left"
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.coalesce("o", F.lit(0)).cast("bigint").alias("o"),
+        )
+        .localCheckpoint(eager=False)  # dense grid reused by marginals
+        # + totals + final statistic
     )
     rt = cells.groupBy("l_returnflag").agg(F.sum("o").alias("rtot"))
     ct = cells.groupBy("l_linestatus").agg(F.sum("o").alias("ctot"))
@@ -1346,7 +1379,8 @@ def q_agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w
     )
     SELECT n1, n2, m1 AS mean_r, m2 AS mean_a,
-           (m1 - m2) / ({sql_dround("sqrt(vn1 + vn2)", 6)}) AS t_stat,
+           (m1 - m2) / ({sql_dround("sqrt(greatest(vn1 + vn2, 0))", 6)})
+             AS t_stat,
            {sql_dround(
                "(vn1 + vn2) * (vn1 + vn2)"
                " / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1))",
@@ -1409,7 +1443,10 @@ def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         m1.alias("mean_r"),
         m2.alias("mean_a"),
-        ((m1 - m2) / dround(F.sqrt(vn1 + vn2), 6)).alias("t_stat"),
+        (
+            (m1 - m2)
+            / dround(F.sqrt(F.greatest(vn1 + vn2, F.lit(0.0))), 6)
+        ).alias("t_stat"),
         dround(
             (vn1 + vn2)
             * (vn1 + vn2)
@@ -1427,10 +1464,16 @@ _SRM_CRIT = 3.841458820694124
     "q_ab_srm_check",
     oracle=f"""
     WITH u AS (SELECT DISTINCT user_id FROM events),
-    g AS (
+    g0 AS (
       SELECT CAST(user_id % 2 AS BIGINT) AS arm,
              CAST(count(*) AS BIGINT) AS n
       FROM u GROUP BY user_id % 2
+    ),
+    g AS (
+      SELECT s.arm, CAST(coalesce(g0.n, 0) AS BIGINT) AS n
+      FROM (SELECT CAST(0 AS BIGINT) AS arm UNION ALL
+            SELECT CAST(1 AS BIGINT)) s
+      LEFT JOIN g0 ON s.arm = g0.arm
     ),
     w AS (
       SELECT a.n AS n0, b.n AS n1
@@ -1463,14 +1506,22 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: a distinct-user hash aggregate (scales: partial aggregation
     on user_id, no 2-key skew — the arm label is derived AFTER the
-    distinct), one 2-row arm count, and a broadcast pivot to a single
-    row. Determinism: integer counts, identically-written double
+    distinct), a literal two-arm spine left-joined onto the arm counts
+    (an entirely-missing arm yields n=0 and a triggered flag rather
+    than an empty result), and a broadcast pivot to a single row. Determinism: integer counts, identically-written double
     arithmetic, no libm; the flag compares against a shared literal."""
     e = load_table(spark, sf_dir, "events")
     users = e.select("user_id").distinct()
+    g0 = users.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("arm")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # Literal two-arm spine: an arm with ZERO users (the most extreme
+    # possible mismatch) must surface as n=0 and a triggered flag, not
+    # silently vanish into an empty pivot frame.
+    arms = spark.range(2).select(F.col("id").cast("bigint").alias("arm"))
     g = (
-        users.groupBy((F.col("user_id") % 2).cast("bigint").alias("arm"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        arms.join(g0, "arm", "left")
+        .select("arm", F.coalesce("n", F.lit(0)).cast("bigint").alias("n"))
         .localCheckpoint(eager=False)  # both arm filters: one scan
     )
     a0 = g.filter(F.col("arm") == 0).select(F.col("n").alias("n0"))
@@ -1772,9 +1823,13 @@ def q_ts_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase'
       GROUP BY floor(epoch(ts) / 3600)
     ),
+    sp AS (
+      SELECT CAST({_EPOCH_H} + r.range AS BIGINT) AS h
+      FROM range({_N_HOURS}) r
+    ),
     j AS (
       SELECT coalesce(hx.x, 0) AS x, coalesce(hy.y, 0) AS y
-      FROM hx FULL OUTER JOIN hy USING (h)
+      FROM sp LEFT JOIN hx USING (h) LEFT JOIN hy USING (h)
     ),
     gx AS (
       SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY x
@@ -1813,10 +1868,14 @@ def q_ts_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_hours,
            (CAST(n_hours AS DOUBLE) * srxy - srx * sry)
            / (({sql_dround(
-                 "sqrt(CAST(n_hours AS DOUBLE) * srxx - srx * srx)", 6
+                 "sqrt(greatest("
+                 "CAST(n_hours AS DOUBLE) * srxx - srx * srx, 0))",
+                 6,
              )})
               * ({sql_dround(
-                    "sqrt(CAST(n_hours AS DOUBLE) * sryy - sry * sry)", 6
+                    "sqrt(greatest("
+                    "CAST(n_hours AS DOUBLE) * sryy - sry * sry, 0))",
+                    6,
                 )})) AS rho_spearman
     FROM m
     """,
@@ -1828,8 +1887,11 @@ def q_ts_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling: rho = Pearson(rank(x), rank(y)).
 
     Plan: the stream collapses to two hourly count series (time-grain
-    bounded — |hours| grows with the span, not event volume), aligned
-    by a full-outer hour join with zero fill; average ranks come from
+    bounded — |hours| grows with the span, not event volume), DENSIFIED
+    onto the fixed 720-hour month spine with zero fill — hours where
+    neither series has events enter as exact (0,0) tie pairs, so rho is
+    the statistic over the full observation window, not just the active
+    hours; average ranks come from
     cumulative counts over the per-VALUE group frames (≤|hours| rows
     each — two bounded global windows, allowlisted like q_ts_xcorr's)
     joined back by broadcast, and the closing Pearson is one moment
@@ -1849,8 +1911,12 @@ def q_ts_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(h)
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     )
+    spine = spark.range(_N_HOURS).select(
+        (F.col("id") + F.lit(_EPOCH_H)).cast("bigint").alias("h")
+    )
     j = (
-        hx.join(hy, "h", "full_outer")
+        spine.join(hx, "h", "left")
+        .join(hy, "h", "left")
         .select(
             F.coalesce("x", F.lit(0)).alias("x"),
             F.coalesce("y", F.lit(0)).alias("y"),
@@ -1898,11 +1964,23 @@ def q_ts_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (nd * F.col("srxy") - F.col("srx") * F.col("sry"))
             / (
                 dround(
-                    F.sqrt(nd * F.col("srxx") - F.col("srx") * F.col("srx")),
+                    F.sqrt(
+                        F.greatest(
+                            nd * F.col("srxx")
+                            - F.col("srx") * F.col("srx"),
+                            F.lit(0.0),
+                        )
+                    ),
                     6,
                 )
                 * dround(
-                    F.sqrt(nd * F.col("sryy") - F.col("sry") * F.col("sry")),
+                    F.sqrt(
+                        F.greatest(
+                            nd * F.col("sryy")
+                            - F.col("sry") * F.col("sry"),
+                            F.lit(0.0),
+                        )
+                    ),
                     6,
                 )
             )

@@ -1660,7 +1660,7 @@ _BOLL_K = 2.0  # band half-width in rolling sigmas
     bands AS (
       SELECT rf, day, rev, s / n AS ma,
              {sql_dround(
-                 "sqrt((ss - s * s / n) / (n - 1))", 6
+                 "sqrt(greatest((ss - s * s / n) / (n - 1), 0))", 6
              )} AS sd
       FROM rolled WHERE n = {_BOLL_WIN}
     )
@@ -1709,10 +1709,16 @@ def q_win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ss"),
     ).filter(F.col("n") == _BOLL_WIN)
     ma = F.col("s") / F.col("n")
+    # greatest(.., 0): double cancellation on a near-constant window can
+    # leave a tiny negative — Spark's sqrt would return NaN while
+    # DuckDB's raises, so clamp identically on both sides.
     sd = dround(
         F.sqrt(
-            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
-            / (F.col("n") - 1)
+            F.greatest(
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1),
+                F.lit(0.0),
+            )
         ),
         6,
     )

@@ -98,6 +98,41 @@ def test_sequence_gaps_finds_boundary_spanning_gaps(spark, tmp_path):
     assert (5001, 5399, 399) in got  # the wide hole survives stitching
 
 
+def test_sequence_gaps_through_recursive_fold(spark, monkeypatch, tmp_path):
+    """The gap query now routes its boundary stitch through the blocked
+    prefix fold — force the recursive distributed path (budget 1,
+    fanout 4) and require the identical gap list, including a hole
+    spanning a super-block boundary."""
+    import os
+
+    from ex_hivent_spark.operators import prefix
+    from ex_hivent_spark.plans.registry import all_specs
+
+    # ids span ~40 DIV-8192 blocks; drop ranges so gaps cross block
+    # AND super-block boundaries at fanout 4
+    ids = [
+        i
+        for i in range(1, 330001)
+        if i % 101 != 0 and not 98300 < i < 99200
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    os.makedirs(f"{tmp_path}/sf", exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/sf/events.parquet")
+
+    spec = all_specs()["q_quality_sequence_gaps"]
+    want = [
+        (a + 1, b - 1, b - a - 1) for a, b in zip(ids, ids[1:]) if b - a > 1
+    ]
+    monkeypatch.setattr(prefix, "_MAX_DRIVER_BLOCKS", 1)
+    monkeypatch.setattr(prefix, "_FANOUT", 4)
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in spec.spark(spark, str(tmp_path) + "/sf").collect()
+    )
+    assert got == sorted(want)
+    assert (98301, 99199, 899) in got  # the wide hole survives the fold
+
+
 def test_blocked_totals_match_global_window(spark):
     df = _df(spark, n=4000, seed=3).withColumn(
         "blk", F.expr("k DIV 100")
