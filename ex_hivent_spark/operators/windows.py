@@ -306,6 +306,13 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GRID_US = 6 * 3600 * 1_000_000  # 6-hour resample grid
+# Trailing bound on the per-user resample grid (90 days, the
+# theil_sen/_TRAIL_HOURS discipline): grid points are emitted only
+# within this window of the user's LAST observation, so one multi-year
+# sparse user cannot explode the union frame with millions of empty
+# grid rows. Fill values still look across the bound (the observation
+# side is never truncated); only the emitted grid is capped.
+_GRID_TRAIL_US = 90 * 24 * 3600 * 1_000_000
 
 
 @register(
@@ -313,7 +320,11 @@ _GRID_US = 6 * 3600 * 1_000_000  # 6-hour resample grid
     oracle=f"""
     WITH bounds AS (
       SELECT user_id,
-             (epoch_us(min(ts)) // {_GRID_US}) * {_GRID_US} AS lo_us,
+             greatest(
+               (epoch_us(min(ts)) // {_GRID_US}) * {_GRID_US},
+               ((epoch_us(max(ts)) - {_GRID_TRAIL_US}) // {_GRID_US})
+                 * {_GRID_US}
+             ) AS lo_us,
              epoch_us(max(ts)) AS hi_us
       FROM events GROUP BY user_id
     ),
@@ -344,8 +355,12 @@ _GRID_US = 6 * 3600 * 1_000_000  # 6-hour resample grid
 )
 def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling with forward fill: per user, a 6-hour
-    grid from floor(first event) to last event, each grid point carrying
-    the most recent event at-or-before it — the gap-filling primitive of
+    grid from floor(first event) to last event — bounded to the
+    trailing _GRID_TRAIL_US (90 days) of the user's last observation,
+    so a multi-year sparse user emits a capped grid, not millions of
+    empty rows — each grid point carrying the most recent event
+    at-or-before it (fills may look past the bound; only the emitted
+    grid is capped) — the gap-filling primitive of
     monitoring/feature pipelines. Composition of a sequence-explode
     (grid) with the engine's as-of join (union + single window pass, no
     pair blow-up); the oracle is DuckDB's native ASOF JOIN, so two
@@ -354,8 +369,14 @@ def q_ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     bounds = e.groupBy("user_id").agg(
-        (
-            (F.unix_micros(F.min("ts")) / _GRID_US).cast("long") * _GRID_US
+        F.greatest(
+            (F.unix_micros(F.min("ts")) / _GRID_US).cast("long")
+            * _GRID_US,
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.lit(_GRID_TRAIL_US))
+                / _GRID_US
+            ).cast("long")
+            * _GRID_US,
         ).alias("lo_us"),
         F.unix_micros(F.max("ts")).alias("hi_us"),
     )
@@ -462,7 +483,11 @@ def q_win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH bounds AS (
       SELECT user_id,
-             (epoch_us(min(ts)) // {_GRID_US}) * {_GRID_US} AS lo_us,
+             greatest(
+               (epoch_us(min(ts)) // {_GRID_US}) * {_GRID_US},
+               ((epoch_us(max(ts)) - {_GRID_TRAIL_US}) // {_GRID_US})
+                 * {_GRID_US}
+             ) AS lo_us,
              epoch_us(max(ts)) AS hi_us
       FROM events GROUP BY user_id
     ),
@@ -513,17 +538,26 @@ def q_ts_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     observations resolve to the largest event_id (engine convention)
     via one max_by aggregate.
 
-    Plan shape: grid explode + union + ONE window pass (both frames
-    share the (user_id; ts,side) sort, so Spark runs a single Window
-    operator — plan-asserted). The interpolation itself is per-row IEEE
+    Plan shape: grid explode (bounded to the trailing _GRID_TRAIL_US
+    of each user's last observation — a multi-year sparse user cannot
+    inflate the union frame; brackets still look past the bound since
+    observations are never truncated) + union + ONE window pass (both
+    frames share the (user_id; ts,side) sort, so Spark runs a single
+    Window operator — plan-asserted). The interpolation itself is per-row IEEE
     arithmetic on integer microsecond gaps: deterministic across
     engines with no rounding detour."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
     bounds = e.groupBy("user_id").agg(
-        (
-            (F.unix_micros(F.min("ts")) / _GRID_US).cast("long") * _GRID_US
+        F.greatest(
+            (F.unix_micros(F.min("ts")) / _GRID_US).cast("long")
+            * _GRID_US,
+            F.floor(
+                (F.unix_micros(F.max("ts")) - F.lit(_GRID_TRAIL_US))
+                / _GRID_US
+            ).cast("long")
+            * _GRID_US,
         ).alias("lo_us"),
         F.unix_micros(F.max("ts")).alias("hi_us"),
     )

@@ -212,6 +212,45 @@ def test_linear_interp_single_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_resample_grid_bounded_to_trailing_window(spark, tmp_path):
+    """The 6h resample/interp grid is capped to the trailing 90 days of
+    each user's last observation: a user with a multi-year sparse span
+    must emit a bounded grid (≤ ~360 points + 1), with fills still
+    reaching observations BEFORE the bound."""
+    import datetime
+    import os
+
+    from ex_hivent_spark.plans.registry import all_specs
+
+    base = datetime.datetime(2020, 1, 6)
+    late = datetime.datetime(2024, 1, 1)  # ~4 years later
+    rows = [
+        (1, "click", base, 10.0, 7),
+        (2, "click", late, 50.0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, ts timestamp, value double,"
+        " user_id long",
+    )
+    os.makedirs(f"{tmp_path}/sf", exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/sf/events.parquet")
+
+    for name in ("q_ts_resample_ffill", "q_ts_linear_interp"):
+        out = all_specs()[name].spark(spark, str(tmp_path) + "/sf").collect()
+        # 90 days / 6 h = 360 grid steps (+1 endpoint, +1 alignment)
+        assert 2 <= len(out) <= 362, (name, len(out))
+    # forward fill across the bound: the earliest emitted grid point
+    # still carries the 2020 observation
+    ff = sorted(
+        all_specs()["q_ts_resample_ffill"]
+        .spark(spark, str(tmp_path) + "/sf")
+        .collect(),
+        key=lambda r: r["grid_ts"],
+    )
+    assert ff[0]["last_value"] == 10.0 and ff[0]["last_event_id"] == 1
+
+
 def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
     """The |vocab|-row frequency table must broadcast back onto the
     token stream — the corpus side never shuffles for the join."""
