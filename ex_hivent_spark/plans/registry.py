@@ -58,95 +58,83 @@ def register(name: str, oracle: Optional[str] = None):
 
 
 # The external driver's correctness harness checks the FIRST 50 entries
-# of queries() each round (CORRECTNESS_r01-r06 all cut off at exactly
-# 50, in dict order). With 241 registered queries, rounds therefore
-# ROTATE which 50 lead. Verification state after r06: CORRECTNESS_r06
-# was 50/50 green, so every registered query's LATEST driver row is
-# green; remaining debt is STALENESS only — 31 queries' newest driver
-# row is r02-era and 46 are r03-era (all predating the catalog/decimal/
-# UTC churn of r4-r6, though all are green in the local full sweep).
-# r07 fronts the 2 r7-REWRITTEN queries whose outputs changed
-# (q_agg_gini_concentration: gini_e9→gini_e6 column; q_llm_jsd_sources:
-# exact integer q-mass — their green r6 rows describe the OLD
-# formulations), then ALL 31 r02-era rows, then the 17 alphabetically-
-# first r03-era rows. r08 should front: the 29 remaining r03-era rows
-# and the 26 ops NEW in r7 (q_llm_edit_distance_neardup,
-# q_llm_doc_perplexity, q_agg_pareto_coverage, q_ts_ohlc_bars,
-# q_fn_url_extract, q_quality_schema_drift, q_ab_delta_method_ci,
-# q_mm_resolution_bucket, q_llm_calibration_bins, q_graph_lpa_step,
-# q_llm_pmi_collocations, q_llm_matryoshka_recall,
-# q_emb_outlier_centroid, q_llm_url_dedup, q_ts_pacf,
-# q_llm_kneser_ney_bigram, q_emb_pq_distortion, q_geo_nearest_neighbor,
-# q_llm_logodds_terms, q_fn_binary_codec, q_ts_downsample_ltob,
-# q_llm_dedup_component_stats, q_emb_isotropy, q_agg_hhi_concentration,
-# q_llm_heaps_law, q_agg_lorenz_points
-# — zero driver evidence; 26 r7-new ops total) — 29+26 = 55: front the
-# 29 stale + 21 of the new, with the final 5 new ops (whichever ran
-# last in r7's registration order) leading r09's cleanup slots;
-# that retires all pre-r04 staleness. (q_ts_theil_sen/q_ts_mann_kendall
-# gained a trailing-window bound in r7, but their sf0.01 outputs are
-# bit-identical — the data spans 744 h < the 2160 h bound — so their
-# r6 rows remain valid.) scripts/driver_sim.py re-verifies ALL queries
-# locally every round regardless of this ordering.
+# of queries() each round (CORRECTNESS_r01-r07 all cut off at exactly
+# 50, in dict order), so rounds ROTATE which 50 lead. State after r07:
+# every query's LATEST driver row is green (r07 was 50/50); remaining
+# debt is evidence freshness: 35 queries have NO driver row at all
+# (26 new in r7 + 9 registered after r7's final local sweep) and 29
+# have only r03-era rows. r08 fronts, in priority order:
+#   1. the 2 queries REWRITTEN in r8 with changed output
+#      (q_agg_chi2_independence: dense |R|x|C| grid per ADVICE — the
+#      zero cells now contribute their E terms, so n_cells/chi2_stat
+#      changed; q_ts_spearman_corr: densified onto the fixed 720-hour
+#      month spine per ADVICE — n_hours/rho changed);
+#   2. the other 7 ops registered AFTER r7's final committed sweep
+#      (zero committed evidence anywhere until this round's
+#      CORRECTNESS_LOCAL refresh);
+#   3. all 29 r03-era rows (retires every pre-r04 driver record);
+#   4. the alphabetically-first 12 of the 26 r7-new ops.
+# The remaining 14 r7-new ops plus anything registered in r8 lead
+# r09's slots. Process rule adopted from the r7 verdict: NO operator
+# registers after the round's final driver_sim sweep — the sweep is
+# re-run after the last registration, before the snapshot commit.
+# scripts/driver_sim.py re-verifies ALL queries locally every round
+# regardless of this ordering.
 DRIVER_CHECK_FIRST = [
-    # REWRITTEN in r7 with changed output — their green r6 rows no
-    # longer describe the current queries (gini: column renamed
-    # gini_e9→gini_e6 per ADVICE margin fix; jsd: absent-q mass now
-    # exact integer counts + decimal(38,15) term sum), so fresh
-    # driver proof outranks any staleness slot
-    "q_agg_gini_concentration",
-    "q_llm_jsd_sources",
-    # r02-era evidence (all 31) — newest driver row predates r03
-    "q_agg_count_distinct",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_agg_mode_deterministic",
-    "q_agg_rollup",
-    "q_agg_string_concat",
-    "q_agg_time_grain_rollup",
-    "q_dedup_exact",
-    "q_join_broadcast",
-    "q_join_interval_attribution",
-    "q_join_right_outer",
-    "q_last_event",
-    "q_pivot_event_matrix",
-    "q_scd2_intervals",
-    "q_set_except",
-    "q_set_intersect",
-    "q_set_multiset_ops",
-    "q_set_union",
-    "q_sort_multi",
-    "q_tpch_q10_returned_items",
-    "q_tpch_q3_shipping_priority",
-    "q_ts_resample_ffill",
-    "q_win_distribution",
-    "q_win_first_last_nth",
-    "q_win_lag_lead",
-    "q_win_rank_topk_per_group",
-    "q_win_running_frame",
-    "q_win_sessionize",
-    "q_win_sliding_batch",
-    "q_win_tumbling_batch",
-    # r03-era evidence (alphabetically first 17 of 46; rest lead r08 —
-    # 2 slots yielded to the rewritten-query re-proofs above)
-    "q_agg_approx_percentile",
-    "q_agg_conditional",
-    "q_agg_higher_moments",
-    "q_agg_histogram",
-    "q_agg_sketch_rollup",
-    "q_agg_stats_suite",
-    "q_basket_event_lift",
-    "q_cohort_retention",
-    "q_fn_case_cast",
-    "q_fn_date",
-    "q_fn_higher_order",
-    "q_fn_json_map",
-    "q_fn_null_semantics",
-    "q_fn_regex",
-    "q_llm_bpe_merge_counts",
-    "q_llm_bpe_tokens",
-    "q_llm_char_entropy",
+    # REWRITTEN in r8 with changed output (ADVICE fixes)
+    "q_agg_chi2_independence",
+    "q_ts_spearman_corr",
+    # registered after r7's final sweep — zero committed evidence
+    "q_ab_cuped_lift",
+    "q_ab_srm_check",
+    "q_agg_welch_ttest",
+    "q_graph_degree_stats",
+    "q_llm_flesch_readability",
+    "q_ts_spectral_peaks",
+    "q_win_bollinger_bands",
+    # r03-era evidence (all 29 — retires pre-r04 staleness)
+    "q_llm_context_pack",
+    "q_llm_cosine_topk",
+    "q_llm_cross_dedup",
+    "q_llm_decontaminate",
+    "q_llm_dedup_clusters",
+    "q_llm_dedup_keep_best",
+    "q_llm_doc_chunks",
+    "q_llm_embed_norm",
+    "q_llm_embed_quantize",
+    "q_llm_embedding_neardup",
+    "q_llm_fingerprint",
+    "q_llm_graph_pagerank",
+    "q_llm_ivf_topk",
+    "q_llm_lang_id",
+    "q_llm_lsh_topk",
+    "q_llm_mixture_rates",
+    "q_llm_multimodal_join",
+    "q_llm_pii_scrub",
+    "q_llm_repetition_score",
+    "q_llm_stratified_sample",
+    "q_llm_tfidf_top_terms",
+    "q_llm_train_test_split",
+    "q_llm_weighted_sample",
+    "q_percentile_exact",
+    "q_scalar_subquery",
+    "q_udf_grouped_p90",
+    "q_udf_zscore",
+    "q_udtf_chunk_spans",
+    "q_unpivot_part_attrs",
+    # r7-new ops, alphabetically first 12 of 26 (rest lead r09)
+    "q_ab_delta_method_ci",
+    "q_agg_hhi_concentration",
+    "q_agg_lorenz_points",
+    "q_agg_pareto_coverage",
+    "q_emb_isotropy",
+    "q_emb_outlier_centroid",
+    "q_emb_pq_distortion",
+    "q_fn_binary_codec",
+    "q_fn_url_extract",
+    "q_geo_nearest_neighbor",
+    "q_graph_lpa_step",
+    "q_llm_calibration_bins",
 ]
 
 
