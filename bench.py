@@ -166,6 +166,12 @@ HEADLINE = [
     "q_llm_heaps_law",
     "q_agg_lorenz_points",
 ]
+# r8: the bench covers the FULL registered inventory — the explicit
+# list above is the round-over-round comparable prefix (order frozen),
+# and every other registered query is appended alphabetically at
+# runtime, so a new registration can never silently lack timing
+# evidence. (Pre-r8 records covered only the explicit list; the
+# selection rule was "headline" — now the rule is "everything".)
 
 
 def main() -> None:
@@ -179,6 +185,7 @@ def main() -> None:
     spark = get_session(app_name="ex-hivent-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
+    suite = HEADLINE + sorted(set(specs) - set(HEADLINE))
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
@@ -204,10 +211,10 @@ def main() -> None:
     import statistics
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    samples: dict[str, list[float]] = {n: [] for n in suite}
     errors: dict[str, str] = {}
     for _ in range(runs):
-        for name in HEADLINE:
+        for name in suite:
             if name in errors:
                 continue
             try:
@@ -233,6 +240,16 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # Streaming surface micro-bench (r8): rows/s through the 3-subscriber
+    # route() dispatch + foreachBatch latency distribution — the batch
+    # suite can't see this path. Failure must not kill the batch record.
+    try:
+        from ex_hivent_spark.streaming.bench import run_streaming_bench
+
+        out["streaming"] = run_streaming_bench(spark)
+    except Exception as ex:  # noqa: BLE001
+        out["streaming"] = {"error": str(ex).splitlines()[0][:200]}
     # Robustness against tail-only output capture: the driver records
     # only the LAST 2000 characters of stdout (BENCH_r05.json's tail
     # field), and with 100 headline queries the full one-line JSON is
@@ -257,7 +274,7 @@ def main() -> None:
         pass  # read-only checkout: the printed lines are the record
     line_out = dict(out)
     kept: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in suite:
         if name not in times:
             continue
         trial = {**line_out, "queries": {**kept, name: times[name]}}

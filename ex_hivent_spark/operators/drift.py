@@ -1986,3 +1986,197 @@ def q_ts_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rho_spearman"),
     )
+
+
+@register(
+    "q_ts_log_returns",
+    oracle=f"""
+    WITH daily AS (
+      SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+    ),
+    r AS (
+      SELECT rf,
+             {sql_dround(
+                 "ln(rev / lag(rev) OVER (PARTITION BY rf ORDER BY day))",
+                 6,
+             )} AS ret
+      FROM daily
+    ),
+    m AS (
+      SELECT rf, CAST(count(ret) AS BIGINT) AS n_rets,
+             CAST(sum(CAST(ret AS DECIMAL(25,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(ret * ret AS DECIMAL(38,12))) AS DOUBLE) AS ss
+      FROM r WHERE ret IS NOT NULL GROUP BY rf
+    )
+    SELECT rf AS l_returnflag, n_rets,
+           s / n_rets AS mean_ret,
+           {sql_dround(
+               "sqrt(greatest((ss - s * s / n_rets) / (n_rets - 1), 0))", 6
+           )} AS realized_vol
+    FROM m
+    """,
+)
+def q_ts_log_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily log returns of the revenue series per return flag and
+    their realized volatility (sample sigma of ln(rev_t/rev_{t-1})) —
+    the standard stationarity transform + dispersion readout for any
+    level series (finance realized vol, traffic burstiness in log
+    space).
+
+    Plan: one hash aggregate to the daily grain, ONE lag window
+    partitioned by flag over |days| rows, one per-flag moment
+    aggregate — time-grain bounded throughout. Determinism: daily
+    revenue rides the decimal detour; each return's ln (the libm call)
+    is e6-rounded at the source, so squares are exact 12-decimal
+    dyadic-free values summed at decimal(38,12); the closing sqrt is
+    e6-rounded and zero-clamped (bollinger discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("day")
+    r = daily.select(
+        "l_returnflag",
+        dround(F.log(F.col("rev") / F.lag("rev").over(w)), 6).alias("ret"),
+    )
+    ret = F.col("ret")
+    m = (
+        r.filter(ret.isNotNull())
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("ret").cast("bigint").alias("n_rets"),
+            F.sum(ret.cast("decimal(25,6)")).cast("double").alias("s"),
+            F.sum((ret * ret).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("ss"),
+        )
+    )
+    n = F.col("n_rets")
+    return m.select(
+        "l_returnflag",
+        "n_rets",
+        (F.col("s") / n).alias("mean_ret"),
+        dround(
+            F.sqrt(
+                F.greatest(
+                    (F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("realized_vol"),
+    )
+
+
+# Two-sided alpha=0.05 and 80%-power normal quantiles — the standard
+# experiment-sizing constants.
+_Z_ALPHA = 1.959964
+_Z_BETA = 0.841621
+
+
+@register(
+    "q_ab_power_mde",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS x
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM per_user GROUP BY user_id % 2
+    ),
+    w AS (
+      SELECT a.n AS n0, a.sx AS sx0, a.sxx AS sxx0,
+             b.n AS n1, b.sx AS sx1, b.sxx AS sxx1
+      FROM (SELECT * FROM g WHERE arm = 0) a
+      CROSS JOIN (SELECT * FROM g WHERE arm = 1) b
+    ),
+    v AS (
+      SELECT n0, n1, sx0 / n0 AS m0,
+             (sxx0 - sx0 * sx0 / n0) / (n0 - 1) AS v0,
+             (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1
+      FROM w
+    ),
+    s AS (
+      SELECT n0, n1, m0,
+             {sql_dround("sqrt(greatest(v0 / n0 + v1 / n1, 0))", 6)} AS se
+      FROM v
+    )
+    SELECT n0 AS n_arm0, n1 AS n_arm1, se,
+           {sql_dround(f"({_Z_ALPHA} + {_Z_BETA}) * se", 6)} AS mde_abs,
+           {sql_dround(f"({_Z_ALPHA} + {_Z_BETA}) * se / m0", 6)}
+             AS mde_rel
+    FROM s
+    """,
+)
+def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the running A/B setup — the
+    experiment-sizing readout every test plan starts from: with the
+    realized per-arm sample sizes and variances of the per-user metric,
+    the smallest true lift detectable at alpha=0.05 (two-sided) with
+    80% power is (z_a + z_b)·se, se = sqrt(var0/n0 + var1/n1); also
+    reported relative to the control mean.
+
+    Plan: one per-user hash aggregate (randomization unit = user), one
+    2-row per-arm moment aggregate, broadcast pivot to a single row —
+    after the per-user collapse nothing is data-sized. Determinism:
+    moment sums ride the decimal detour (x² at decimal(38,6), the
+    welch bound); the se sqrt is e6-rounded and zero-clamped, and both
+    closings that consume it are e6-rounded with shared z literals."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    x = F.col("x")
+    g = (
+        per_user.groupBy(
+            (F.col("user_id") % 2).cast("bigint").alias("arm")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(x.cast("decimal(25,6)")).cast("double").alias("sx"),
+            F.sum((x * x).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+        .localCheckpoint(eager=False)  # both arm filters: one scan
+    )
+    a = g.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"),
+        F.col("sx").alias("sx0"),
+        F.col("sxx").alias("sxx0"),
+    )
+    b = g.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"),
+        F.col("sx").alias("sx1"),
+        F.col("sxx").alias("sxx1"),
+    )
+    w = a.crossJoin(F.broadcast(b))
+    n0, n1 = F.col("n0"), F.col("n1")
+    m0 = F.col("sx0") / n0
+    v0 = (F.col("sxx0") - F.col("sx0") * F.col("sx0") / n0) / (n0 - 1)
+    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1) / (n1 - 1)
+    se = dround(F.sqrt(F.greatest(v0 / n0 + v1 / n1, F.lit(0.0))), 6)
+    zsum = F.lit(_Z_ALPHA + _Z_BETA)
+    out = w.select(
+        n0.alias("n_arm0"),
+        n1.alias("n_arm1"),
+        se.alias("se"),
+        dround(zsum * se, 6).alias("mde_abs"),
+        dround(zsum * se / m0, 6).alias("mde_rel"),
+    )
+    return out

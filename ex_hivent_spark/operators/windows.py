@@ -1128,9 +1128,7 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_ts_acf",
-    oracle=f"""
+_ACF_CTE_SQL = f"""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
              CAST(count(*) AS BIGINT) AS cnt
@@ -1166,6 +1164,13 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + " END", "num3")}
       FROM led GROUP BY event_type
     )
+"""
+
+
+@register(
+    "q_ts_acf",
+    oracle=_ACF_CTE_SQL
+    + f"""
     SELECT event_type, n_hours,
            CASE WHEN den <> 0 THEN {sql_dround("num1 / den", 6)} END AS acf_lag1,
            CASE WHEN den <> 0 THEN {sql_dround("num2 / den", 6)} END AS acf_lag2,
@@ -1769,4 +1774,227 @@ def q_win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ma7",
         "sd7",
         F.when(breach, 1).otherwise(0).cast("int").alias("breach"),
+    )
+
+
+@register(
+    "q_win_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+    ),
+    p AS (
+      SELECT rf, day, rev,
+             max(rev) OVER (PARTITION BY rf ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak
+      FROM daily
+    )
+    SELECT rf AS l_returnflag, day, rev, peak,
+           (peak - rev) / peak AS drawdown
+    FROM p
+    """,
+)
+def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown of the daily revenue series per return
+    flag: peak = running max of daily revenue, drawdown = (peak -
+    rev)/peak — the control-chart "how far below the high-water mark"
+    readout (finance drawdown curves, capacity-regression monitors; the
+    high-water-mark twin of q_win_bollinger_bands' band breach).
+
+    Plan: the fact stream collapses to the daily grain in one hash
+    aggregate, so the running max runs over |days|x|flags| rows —
+    time-grain bounded, partitioned by flag, never a global sort.
+    Determinism: daily revenue rides the decimal detour; the running
+    max picks one of those exact doubles, and the closing drawdown is
+    one identically-written IEEE subtract/divide (peak >= rev > 0 on
+    this data, no zero-division guard needed — and an empty flag simply
+    emits no rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(dsum("l_extendedprice", "rev"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = daily.select(
+        "l_returnflag", "day", "rev", F.max("rev").over(w).alias("peak")
+    )
+    return p.select(
+        "l_returnflag",
+        "day",
+        "rev",
+        "peak",
+        ((F.col("peak") - F.col("rev")) / F.col("peak")).alias("drawdown"),
+    )
+
+
+# SAX (Symbolic Aggregate approXimation) breakpoints for a 4-letter
+# alphabet: the standard N(0,1) quartile cuts.
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+@register(
+    "q_ts_sax_symbols",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(rev * rev AS DECIMAL(38,6))) AS DOUBLE) AS ss
+      FROM daily
+    ),
+    z AS (
+      SELECT day, rev,
+             {sql_dround(
+                 "(rev - s / n)"
+                 " / (" + sql_dround(
+                     "sqrt(greatest((ss - s * s / n) / (n - 1), 0))", 6
+                 ) + ")",
+                 6,
+             )} AS znorm
+      FROM daily CROSS JOIN m
+    )
+    SELECT day, rev, znorm,
+           CASE WHEN znorm < {_SAX_BREAKS[0]} THEN 'a'
+                WHEN znorm < {_SAX_BREAKS[1]} THEN 'b'
+                WHEN znorm < {_SAX_BREAKS[2]} THEN 'c'
+                ELSE 'd' END AS sax_symbol
+    FROM z
+    """,
+)
+def q_ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the daily total-revenue series: z-normalize
+    against the series mean/sigma, then map each day into a 4-letter
+    alphabet at the standard N(0,1) quartile breakpoints (Lin/Keogh
+    SAX) — the discretization behind symbolic motif/anomaly mining,
+    and the index key for wholesale time-series similarity search.
+
+    Plan: one hash aggregate to the daily grain, a one-row moment
+    aggregate broadcast back (cross join of a 1-row frame), and a
+    map-only projection — nothing after the collapse is data-sized.
+    Determinism: daily revenue and moments ride the decimal detour
+    (sum-of-squares at decimal(38,6) per the welch/bollinger bound),
+    the sigma sqrt is e6-rounded and clamped at zero, znorm is
+    e6-rounded before the breakpoint compares, and the breakpoints are
+    shared literals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        dsum("l_extendedprice", "rev")
+    )
+    rev = F.col("rev")
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(rev.cast("decimal(25,6)")).cast("double").alias("s"),
+        F.sum((rev * rev).cast("decimal(38,6)")).cast("double").alias("ss"),
+    )
+    sigma = dround(
+        F.sqrt(
+            F.greatest(
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    z = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        "rev",
+        dround((rev - F.col("s") / F.col("n")) / sigma, 6).alias("znorm"),
+    )
+    zc = F.col("znorm")
+    return z.select(
+        "day",
+        "rev",
+        "znorm",
+        F.when(zc < _SAX_BREAKS[0], "a")
+        .when(zc < _SAX_BREAKS[1], "b")
+        .when(zc < _SAX_BREAKS[2], "c")
+        .otherwise("d")
+        .alias("sax_symbol"),
+    )
+
+
+# chi-square 95th percentile at 3 degrees of freedom (lags tested)
+_LJUNG_CRIT = 7.814727903251179
+
+
+@register(
+    "q_ts_ljung_box",
+    oracle=_ACF_CTE_SQL
+    + f"""
+    , rho AS (
+      SELECT event_type, n_hours,
+             CASE WHEN den <> 0
+                  THEN {sql_dround("num1 / den", 6)} END AS r1,
+             CASE WHEN den <> 0
+                  THEN {sql_dround("num2 / den", 6)} END AS r2,
+             CASE WHEN den <> 0
+                  THEN {sql_dround("num3 / den", 6)} END AS r3
+      FROM sums
+    ),
+    q AS (
+      SELECT event_type, n_hours,
+             CAST(n_hours AS DOUBLE) * (n_hours + 2)
+             * (r1 * r1 / (n_hours - 1)
+                + r2 * r2 / (n_hours - 2)
+                + r3 * r3 / (n_hours - 3)) AS q_stat
+      FROM rho
+    )
+    SELECT event_type, n_hours, q_stat,
+           CAST(CASE WHEN q_stat > {_LJUNG_CRIT} THEN 1 ELSE 0 END
+                AS INTEGER) AS whitenoise_rejected
+    FROM q
+    """,
+)
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test on the hourly event-rate series per
+    event type (lags 1–3): Q = n(n+2)·Σ ρ_k²/(n−k) against the
+    chi-square 95th percentile at 3 dof — the "is this series white
+    noise?" gate run before fitting any ARMA/seasonal model, and the
+    natural closing statistic over q_ts_acf's correlations.
+
+    Plan: reuses q_ts_acf's machinery verbatim (one hash aggregate to
+    the hourly grain, broadcast mean, one shared-sort window pass) and
+    closes with per-type scalar arithmetic — nothing data-sized after
+    the collapse. Determinism: the ρ_k inputs are the ACF's e6-rounded
+    divisions; squares, the three exact integer-denominator divisions,
+    and the closing product are identically-written IEEE arithmetic;
+    the flag compares against a shared literal. A zero-variance series
+    (den = 0) propagates NULL ρ → NULL Q → flag 0, identically in both
+    engines."""
+    acf = q_ts_acf(spark, sf_dir)
+    n = F.col("n_hours")
+    nd = n.cast("double")
+    r1, r2, r3 = F.col("acf_lag1"), F.col("acf_lag2"), F.col("acf_lag3")
+    q_stat = (
+        nd
+        * (n + 2)
+        * (
+            r1 * r1 / (n - 1)
+            + r2 * r2 / (n - 2)
+            + r3 * r3 / (n - 3)
+        )
+    )
+    q = acf.select("event_type", "n_hours", q_stat.alias("q_stat"))
+    return q.select(
+        "event_type",
+        "n_hours",
+        "q_stat",
+        F.when(F.col("q_stat") > _LJUNG_CRIT, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("whitenoise_rejected"),
     )
