@@ -660,3 +660,176 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+@register(
+    "q_graph_jaccard_neighbors",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    , und AS (
+      SELECT doc_a AS x, doc_b AS c FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY x
+    ),
+    com AS (
+      SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS common
+      FROM pairs p
+      JOIN und u1 ON u1.x = p.doc_a
+      JOIN und u2 ON u2.x = p.doc_b AND u2.c = u1.c
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(coalesce(c.common, 0) AS BIGINT) AS common_neighbors,
+           da.d AS deg_a, db.d AS deg_b,
+           CAST(coalesce(c.common, 0) AS DOUBLE)
+           / (da.d + db.d - coalesce(c.common, 0)) AS neighbor_jaccard
+    FROM pairs p
+    JOIN deg da ON da.x = p.doc_a
+    JOIN deg db ON db.x = p.doc_b
+    LEFT JOIN com c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+    """,
+)
+def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity per EDGE of the near-dup graph —
+    the classic link-strength / community-cohesion score (an edge whose
+    endpoints share most neighbors sits inside a dense dup cluster; a
+    zero-overlap edge is a chain link that transitive clustering should
+    distrust): J = |N(a)∩N(b)| / |N(a)∪N(b)|, neighbor sets from the
+    same graph.
+
+    Plan: the a<b pair list (the bucketed prefix-filtered join — never
+    all-pairs) fans into its two orientations once; common-neighbor
+    counts come from the edge list joined twice against the adjacency
+    (the triangle-count two-hop shape, work sum-of-degree², bounded by
+    the dedup graph's degree distribution, not |docs|²); degrees join
+    back per endpoint. Determinism: all-integer counts; the closing
+    Jaccard is one exact integer-ratio division (union = deg_a + deg_b
+    − common, which includes the endpoints themselves — the standard
+    formulation over closed neighborhood-minus-self sets)."""
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    pairs = (
+        q_llm_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # edges feed orientations, the
+        # two-hop join, and the output spine: one pair computation
+    )
+    und = pairs.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("c")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("c"))
+    )
+    deg = und.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    u1 = und.select(F.col("x").alias("a1"), F.col("c").alias("c1"))
+    u2 = und.select(F.col("x").alias("a2"), F.col("c").alias("c2"))
+    com = (
+        pairs.join(u1, F.col("a1") == F.col("doc_a"))
+        .join(
+            u2,
+            (F.col("a2") == F.col("doc_b")) & (F.col("c2") == F.col("c1")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    da = deg.select(F.col("x").alias("xa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("x").alias("xb"), F.col("d").alias("deg_b"))
+    out = (
+        pairs.join(da, F.col("xa") == F.col("doc_a"))
+        .join(db, F.col("xb") == F.col("doc_b"))
+        .join(com, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("common", F.lit(0))
+            .cast("bigint")
+            .alias("common_neighbors"),
+            "deg_a",
+            "deg_b",
+            (
+                F.coalesce("common", F.lit(0)).cast("double")
+                / (
+                    F.col("deg_a")
+                    + F.col("deg_b")
+                    - F.coalesce("common", F.lit(0))
+                )
+            ).alias("neighbor_jaccard"),
+        )
+    )
+    return out
+
+
+_KCORE_K = 2  # core order: iteratively peel nodes with degree < k
+_KCORE_ROUNDS = 3  # fixed peel rounds (deterministic, both engines)
+
+
+@register(
+    "q_graph_kcore_step",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    , e0 AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    d0 AS (SELECT x, count(*) AS c FROM
+           (SELECT a AS x FROM e0 UNION ALL SELECT b FROM e0) GROUP BY x),
+    k0 AS (SELECT x FROM d0 WHERE c >= 2),
+    e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT x FROM k0)
+                                  AND b IN (SELECT x FROM k0)),
+    d1 AS (SELECT x, count(*) AS c FROM
+           (SELECT a AS x FROM e1 UNION ALL SELECT b FROM e1) GROUP BY x),
+    k1 AS (SELECT x FROM d1 WHERE c >= 2),
+    e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT x FROM k1)
+                                  AND b IN (SELECT x FROM k1)),
+    d2 AS (SELECT x, count(*) AS c FROM
+           (SELECT a AS x FROM e2 UNION ALL SELECT b FROM e2) GROUP BY x),
+    k2 AS (SELECT x FROM d2 WHERE c >= 2),
+    e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT x FROM k2)
+                                  AND b IN (SELECT x FROM k2))
+    SELECT x AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT a AS x FROM e3 UNION ALL SELECT b FROM e3)
+    GROUP BY x
+    """,
+)
+def q_graph_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core peeling of the near-dup graph, three fixed rounds: drop
+    every node with degree < 2 (and its edges), recompute, repeat —
+    after peeling, what remains is the cyclic "core" of each dup
+    cluster (chains and pendant docs peel away; cores are the
+    boilerplate/template hubs worth human review before mass
+    deletion). Output: surviving nodes with their in-core degree.
+
+    Plan: per round, ONE degree hash aggregate + two broadcast-able
+    semi-joins of the edge list against the surviving-node set —
+    hash-only shuffles on 8-byte keys; each round's edge frame is
+    pinned with a lazy localCheckpoint (the iterative-algorithm
+    discipline of lpa/pagerank) so lineage stays flat. The round count
+    is a FIXED literal (not run-to-fixpoint) so the oracle unrolls the
+    identical three levels. All-integer, no rounding anywhere."""
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    edges = (
+        q_llm_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("a").alias("x"))
+            .unionAll(edges.select(F.col("b").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= _KCORE_K).select("x")
+        edges = (
+            edges.join(
+                keep.select(F.col("x").alias("a")), "a", "left_semi"
+            )
+            .join(keep.select(F.col("x").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)  # flat lineage per round
+        )
+    return (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionAll(edges.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )

@@ -414,3 +414,66 @@ def test_ivf_trained_codebook_beats_literal_seed(spark, sf_dir, tmp_path):
     assert all(abs(r["n2"] - 1.0) < 1e-9 for r in norms)
     # Lloyd iterations strictly improve the coarse quantizer here
     assert r_tr > r_lit
+
+
+def test_kcore_peels_pendants_keeps_core(spark, tmp_path):
+    """2-core peeling: a near-dup triangle (3 mutually similar docs)
+    survives all peel rounds with in-core degree 2, while a detached
+    similar PAIR (both endpoints degree 1) is peeled in round one."""
+    core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pair = "one two three four five six seven eight nine ten eleven"
+    docs = spark.createDataFrame(
+        [
+            (10, core, "en", "s", len(core)),
+            (11, core, "en", "s", len(core)),
+            (12, core, "en", "s", len(core)),
+            (20, pair, "en", "s", len(pair)),
+            (21, pair, "en", "s", len(pair)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    from ex_hivent_spark.plans.registry import all_specs
+
+    out = {
+        r.doc_id: r.core_degree
+        for r in all_specs()["q_graph_kcore_step"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert out == {10: 2, 11: 2, 12: 2}
+
+
+def test_neighbor_jaccard_dense_vs_chain(spark, tmp_path):
+    """Neighbor Jaccard: inside a 3-clique every edge's endpoints share
+    the one remaining neighbor (J = 1/3 with closed-minus-self sets);
+    a detached pair's edge shares nothing (J = 0)."""
+    core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pair = "one two three four five six seven eight nine ten eleven"
+    docs = spark.createDataFrame(
+        [
+            (10, core, "en", "s", len(core)),
+            (11, core, "en", "s", len(core)),
+            (12, core, "en", "s", len(core)),
+            (20, pair, "en", "s", len(pair)),
+            (21, pair, "en", "s", len(pair)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    from ex_hivent_spark.plans.registry import all_specs
+
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in all_specs()["q_graph_jaccard_neighbors"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {(10, 11), (10, 12), (11, 12), (20, 21)}
+    for e in ((10, 11), (10, 12), (11, 12)):
+        assert rows[e].common_neighbors == 1
+        assert abs(rows[e].neighbor_jaccard - 1 / 3) < 1e-12
+    assert rows[(20, 21)].common_neighbors == 0
+    assert rows[(20, 21)].neighbor_jaccard == 0.0
