@@ -465,3 +465,82 @@ def q_mm_resolution_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV {PATCH_BUDGET} AS BIGINT)"
         ).alias("n_batches"),
     )
+
+
+_CHUNK_WIN = 8  # bytes per audio chunk (test-scale stand-in for the
+_CHUNK_HOP = 4  # ~30s window / 50% hop of a real ASR chunker)
+
+
+def chunk_audio(
+    media: DataFrame, win: int = _CHUNK_WIN, hop: int = _CHUNK_HOP
+) -> DataFrame:
+    """Overlapping audio chunking stub: one row per (win, hop) sliding
+    window over the decoded sample stream — the 1->N mapInPandas shape
+    ASR/diarization pipelines feed their per-chunk models with. Tail
+    windows are shorter (clamped slice), matching torchaudio-style
+    framing without padding."""
+    schema = (
+        "media_id long, chunk_idx int, start_byte int, chunk_payload binary"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, chunks = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = _decode_payload(p, "audio")
+                for j, s in enumerate(range(0, len(raw), hop)):
+                    ids.append(mid)
+                    idxs.append(j)
+                    starts.append(s)
+                    chunks.append(raw[s : s + win])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "chunk_idx": idxs,
+                    "start_byte": starts,
+                    "chunk_payload": chunks,
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(gen, schema)
+
+
+@register(
+    "q_mm_audio_chunks",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id AS media_id,
+             CAST(16 * (doc_id % 7 + 1) AS BIGINT) AS nbytes
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    c AS (
+      SELECT media_id, nbytes, unnest(range(0, nbytes, {_CHUNK_HOP})) AS s
+      FROM a
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(max(s) AS INT) AS last_start,
+           CAST(sum(least({_CHUNK_WIN}, nbytes - s)) AS BIGINT)
+               AS chunk_bytes
+    FROM c GROUP BY media_id
+    """,
+)
+def q_mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window audio chunking (win 8, hop 4 — 50% overlap)
+    + per-item chunk accounting: the windowed 1->N multimodal shape
+    behind ASR/diarization feature extraction, with overlap — the bit
+    q_mm_frame_sample's disjoint frames don't cover.
+
+    Hash-checked: the Python slice arithmetic (start grid at the hop,
+    clamped tail slices) is mirrored exactly as integer SQL over the
+    synthetic payload's known length (16 bytes per md5 repeat), so the
+    oracle verifies the chunker's byte accounting, not just row
+    counts. Plan: metadata-pruned scan (kind filter never touches
+    payload bytes of other kinds), Arrow-batched mapInPandas, one hash
+    aggregate — parallelism = input partitions at any scale."""
+    chunks = chunk_audio(synth_media(spark, sf_dir))
+    return chunks.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.max("start_byte").cast("int").alias("last_start"),
+        F.sum(F.length("chunk_payload")).cast("bigint").alias("chunk_bytes"),
+    )

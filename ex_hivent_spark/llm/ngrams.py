@@ -1015,3 +1015,94 @@ def q_llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaps_lnk"
         ),
     )
+
+
+@register(
+    "q_llm_distinct_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT source, unnest(t) AS g FROM toks
+    ),
+    uc AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS total_uni,
+             CAST(count(DISTINCT g) AS BIGINT) AS distinct_uni
+      FROM uni GROUP BY source
+    ),
+    bi AS (
+      SELECT source, t[i] || ' ' || t[i + 1] AS g
+      FROM (SELECT source, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2)
+    ),
+    bc AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS total_bi,
+             CAST(count(DISTINCT g) AS BIGINT) AS distinct_bi
+      FROM bi GROUP BY source
+    )
+    SELECT uc.source, total_uni, distinct_uni, total_bi, distinct_bi,
+           CAST(distinct_uni AS DOUBLE) / total_uni AS distinct_1,
+           CAST(distinct_bi AS DOUBLE) / total_bi AS distinct_2
+    FROM uc JOIN bc ON uc.source = bc.source
+    """,
+)
+def q_llm_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source — the generation-diversity /
+    template-collapse audit (Li et al.'s distinct-1/distinct-2): the
+    share of unigram and bigram OCCURRENCES that are distinct types. A
+    crawl slice whose distinct-2 craters is boilerplate-dominated;
+    synthetic data with low distinct-n is mode-collapsed.
+
+    Plan: bigrams are built inside the row with one transform over a
+    token index sequence (the q_llm_topk_ngrams pattern — no n-gram
+    self-join), each n-gram stream collapses through a two-level
+    (source, gram) → source hash aggregate (exact distinct without
+    count(DISTINCT) over raw rows: the first level IS the distinct),
+    and the two |sources|-row frames broadcast-join. All-integer
+    counts; closing ratios are exact integer-ratio IEEE divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.split("text", " ").alias("t"))
+    uni = toks.select("source", F.explode("t").alias("g"))
+    uc = (
+        uni.groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_uni"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_uni"),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+        ),
+    )
+    bi = toks.filter(F.size("t") >= 2).select(
+        "source", F.explode(bigrams).alias("g")
+    )
+    bc = (
+        bi.groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_bi"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_bi"),
+        )
+    )
+    return uc.join(F.broadcast(bc), "source").select(
+        "source",
+        "total_uni",
+        "distinct_uni",
+        "total_bi",
+        "distinct_bi",
+        (F.col("distinct_uni").cast("double") / F.col("total_uni")).alias(
+            "distinct_1"
+        ),
+        (F.col("distinct_bi").cast("double") / F.col("total_bi")).alias(
+            "distinct_2"
+        ),
+    )

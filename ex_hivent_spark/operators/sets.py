@@ -207,3 +207,105 @@ def q_set_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_types") == F.col("n_all"))
         .select("user_id", "n_types")
     )
+
+
+_MERGE_SPAN_DAYS = 30  # each order opens a 30-day activity window
+
+
+@register(
+    "q_set_interval_merge",
+    oracle=f"""
+    WITH iv AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + {_MERGE_SPAN_DAYS} AS e
+      FROM orders
+    ),
+    marked AS (
+      SELECT o_custkey, o_orderkey, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY o_custkey
+                                        ORDER BY s, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  OR max(e) OVER (PARTITION BY o_custkey
+                                  ORDER BY s, o_orderkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    grp AS (
+      SELECT o_custkey, s, e,
+             sum(new_island) OVER (PARTITION BY o_custkey
+                                   ORDER BY s, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+      FROM marked
+    )
+    SELECT o_custkey, CAST(island AS BIGINT) AS island_seq,
+           min(s) AS island_start, max(e) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM grp GROUP BY o_custkey, island
+    """,
+)
+def q_set_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (gaps-and-islands): each order opens a 30-day
+    activity window; overlapping/touching windows per customer merge
+    into contiguous activity ISLANDS — the canonical sessionize-over-
+    intervals operator (uptime stitching, policy-coverage merging,
+    subscription episode building). Output: one row per island with
+    its span and order count.
+
+    Plan: the classic two-window formulation — a running high-water
+    end (exclusive frame) marks island breaks, a running sum of breaks
+    numbers them, one hash aggregate closes — both windows partition
+    by customer (per-partition rows bounded by orders-per-customer,
+    never a global sort) and SHARE the (s, tiebreak) sort order.
+    Determinism: pure date/integer arithmetic; ties are broken by
+    o_orderkey; identical windows on both engines. At 100 TB this is
+    one shuffle on o_custkey plus per-group linear work."""
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), _MERGE_SPAN_DAYS).alias(
+            "e"
+        ),
+    )
+    prev_hi = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    hw = F.max("e").over(prev_hi)
+    marked = iv.select(
+        "o_custkey",
+        "o_orderkey",
+        "s",
+        "e",
+        F.when(hw.isNull() | (F.col("s") > hw), 1).otherwise(0).alias(
+            "new_island"
+        ),
+    )
+    # the island-numbering window must share marked's TOTAL order
+    # (s, o_orderkey): with (s, e) alone, same-day orders tie and a
+    # break flag landing inside the tie would number nondeterministically
+    run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = marked.select(
+        "o_custkey",
+        "s",
+        "e",
+        F.sum("new_island").over(run).alias("island"),
+    )
+    return grp.groupBy(
+        "o_custkey", F.col("island").cast("bigint").alias("island_seq")
+    ).agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
