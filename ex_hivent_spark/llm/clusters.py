@@ -833,3 +833,113 @@ def q_graph_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
     )
+
+
+@register(
+    "q_llm_rouge_pairs",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    , tc AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    tot AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY doc_id
+    ),
+    ov AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS overlap1
+      FROM pairs p
+      JOIN tc a ON a.doc_id = p.doc_a
+      JOIN tc b ON b.doc_id = p.doc_b AND b.tok = a.tok
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(coalesce(ov.overlap1, 0) AS BIGINT) AS overlap1,
+           ta.n AS n_ref, tb.n AS n_cand,
+           CAST(coalesce(ov.overlap1, 0) AS DOUBLE) / ta.n AS rouge1_recall,
+           CAST(coalesce(ov.overlap1, 0) AS DOUBLE) / tb.n
+             AS rouge1_precision,
+           CAST(2 * coalesce(ov.overlap1, 0) AS DOUBLE) / (ta.n + tb.n)
+             AS rouge1_f1
+    FROM pairs p
+    JOIN tot ta ON ta.doc_id = p.doc_a
+    JOIN tot tb ON tb.doc_id = p.doc_b
+    LEFT JOIN ov ON ov.doc_a = p.doc_a AND ov.doc_b = p.doc_b
+    """,
+)
+def q_llm_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 precision/recall/F1 for every near-duplicate pair —
+    the summarization-eval metric repurposed as a dedup QUALITY audit:
+    clipped unigram-multiset overlap (Σ min(count_a, count_b)) between
+    the two sides of each candidate pair, with the lower-id doc as
+    reference. A pair that passed 3-gram Jaccard but shows low ROUGE-1
+    is a shingle-collision artifact; high-recall/low-precision pairs
+    are containment (one doc swallows the other) rather than mirrors.
+
+    Plan: the prefix-filtered pair list (never all-pairs) equi-joins
+    the per-(doc, token) count frame twice ON TOKEN within the pair —
+    work bounded by Σ per-pair shared vocabulary, not corpus²; totals
+    join back from a per-doc frame. Determinism: all-integer clipped
+    counts; closing ratios are exact integer-ratio IEEE divisions."""
+    from ex_hivent_spark.catalog import load_table
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        q_llm_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # pair list feeds overlap + spine
+    )
+    tc = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # reused by both join sides + totals
+    )
+    tot = tc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    a = tc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("tok").alias("tok_a"),
+        F.col("c").alias("ca"),
+    )
+    b = tc.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("tok").alias("tok_b"),
+        F.col("c").alias("cb"),
+    )
+    ov = (
+        pairs.join(a, "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b_doc"))
+            & (F.col("tok_b") == F.col("tok_a")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("overlap1"))
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_ref"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_cand"))
+    o1 = F.coalesce("overlap1", F.lit(0)).cast("bigint")
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .join(ov, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            o1.alias("overlap1"),
+            "n_ref",
+            "n_cand",
+            (o1.cast("double") / F.col("n_ref")).alias("rouge1_recall"),
+            (o1.cast("double") / F.col("n_cand")).alias("rouge1_precision"),
+            (
+                (F.lit(2) * o1).cast("double")
+                / (F.col("n_ref") + F.col("n_cand"))
+            ).alias("rouge1_f1"),
+        )
+    )

@@ -1998,3 +1998,105 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("whitenoise_rejected"),
     )
+
+
+@register(
+    "q_ts_peak_detection",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS DOUBLE) / count(*) AS mu,
+             CAST(sum(CAST(cnt AS DOUBLE) * cnt) AS DOUBLE) AS ss,
+             CAST(sum(cnt) AS DOUBLE) AS s
+      FROM hourly GROUP BY event_type
+    ),
+    t AS (
+      SELECT event_type, mu,
+             {sql_dround(
+                 "mu + 2 * sqrt(greatest((ss - s * s / n) / (n - 1), 0))",
+                 6,
+             )} AS thresh
+      FROM m
+    ),
+    nb AS (
+      SELECT hourly.event_type, h, cnt, thresh,
+             lag(cnt) OVER w AS prev_cnt,
+             lead(cnt) OVER w AS next_cnt
+      FROM hourly JOIN t USING (event_type)
+      WINDOW w AS (PARTITION BY hourly.event_type ORDER BY h)
+    )
+    SELECT event_type, h AS peak_hour, cnt, prev_cnt, next_cnt, thresh
+    FROM nb
+    WHERE prev_cnt IS NOT NULL AND next_cnt IS NOT NULL
+      AND cnt > prev_cnt AND cnt > next_cnt
+      AND CAST(cnt AS DOUBLE) > thresh
+    """,
+)
+def q_ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on the hourly event-rate series per type: an
+    hour is a PEAK when it strictly exceeds both neighbors (local
+    maximum) AND clears mean + 2σ of its type's series (global
+    prominence) — the traffic-spike / incident-burst detector that
+    feeds alerting (local-max alone fires on every ripple; the sigma
+    bar suppresses them).
+
+    Plan: one hash aggregate to the hourly grain, the per-type
+    moment frame broadcast back, neighbors from ONE type-partitioned
+    window pass over the aggregated (time-grain bounded) frame.
+    Determinism: integer counts compare exactly; the only libm (the
+    sigma sqrt) is zero-clamped and the threshold e6-rounded before
+    the strict compare. Integer cnt·cnt sums stay exact well past
+    2^53 hours-per-type — no decimal detour needed on a count
+    series."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cd = F.col("cnt").cast("double")
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sum(cd * F.col("cnt")).cast("double").alias("ss"),
+        F.sum("cnt").cast("double").alias("s"),
+    )
+    thresh = dround(
+        F.col("mu")
+        + 2
+        * F.sqrt(
+            F.greatest(
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    t = m.select("event_type", thresh.alias("thresh"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    nb = hourly.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "h",
+        "cnt",
+        "thresh",
+        F.lag("cnt").over(w).alias("prev_cnt"),
+        F.lead("cnt").over(w).alias("next_cnt"),
+    )
+    return nb.filter(
+        F.col("prev_cnt").isNotNull()
+        & F.col("next_cnt").isNotNull()
+        & (F.col("cnt") > F.col("prev_cnt"))
+        & (F.col("cnt") > F.col("next_cnt"))
+        & (F.col("cnt").cast("double") > F.col("thresh"))
+    ).select(
+        "event_type",
+        F.col("h").alias("peak_hour"),
+        "cnt",
+        "prev_cnt",
+        "next_cnt",
+        "thresh",
+    )
