@@ -881,3 +881,23 @@ def test_bloom_sizing_flips_on_analyzed_table(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_interval_merge_windows_share_one_exchange(spark, sf_dir):
+    """Gaps-and-islands: the break-marking high-water window and the
+    island-numbering running sum must share ONE customer exchange and
+    one (s, orderkey) sort — a second exchange would double the
+    dominant shuffle at scale."""
+    plan = plan_of(spark, sf_dir, "q_set_interval_merge", mode="simple")
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_peak_detection_broadcasts_thresholds(spark, sf_dir):
+    """The per-type threshold frame must broadcast back onto the
+    hourly series — the series side never re-shuffles for the join."""
+    plan = plan_of(spark, sf_dir, "q_ts_peak_detection", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") == 1
