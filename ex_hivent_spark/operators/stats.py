@@ -1,0 +1,512 @@
+"""Classical k-sample / distribution-shape inference battery: one-way
+ANOVA (parametric k-group mean test), Kruskal–Wallis (its rank-based
+twin), Mann–Whitney U (the rank-based two-sample test complementing
+Welch's t in operators/drift.py), and the Jarque–Bera normality check
+— the standard "are these segments actually different / is this metric
+Gaussian enough for the parametric tests?" toolkit an experimentation
+platform runs before trusting a t-test readout.
+
+None exists as a Spark builtin. Each is expressed as hash aggregates
+plus, for the rank tests, the DETERMINISTIC blocked prefix-sum
+machinery (operators/prefix.py) over the *distinct-value* frame — the
+same no-single-partition ranking discipline as
+q_agg_gini_concentration — so every plan survives the 100 TB
+scale-up: event volume only ever enters through hash aggregates;
+windows touch frames bounded by distinct-value or group cardinality.
+
+Determinism: the drift.py discipline — integer counts, decimal-detour
+sums (wide scales sized for ~1e12-row value^4 power sums), exact
+dyadic average ranks (.5 grid from integer cumulative counts), and an
+e6 rounding on every libm (sqrt) or cancellation-prone closing so the
+DuckDB oracle hash-matches bit-exactly.
+
+Reference parity note: the reference engine (an Elixir event-transport
+client, SURVEY.md §0) has no statistics surface; these derive from the
+driver's analytics mandate and standard experimentation practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround, sql_dround
+from ex_hivent_spark.operators.prefix import running_totals_blocked
+from ex_hivent_spark.plans.registry import register
+
+# Distinct-value ranking grid: events.value lives in [0, ~500); a
+# width-10 block keeps ≤ ~50 prefix blocks at any scale (the blocked
+# fold is over DISTINCT values — one row per value — so there are no
+# order ties inside a block).
+_VAL_BLOCK = 10.0
+
+
+def _avg_ranks(distinct_counts: DataFrame) -> DataFrame:
+    """Average (midrank) per distinct ``value`` from a (value, cnt)
+    frame via the blocked prefix fold: rank = cum-count-before +
+    (cnt + 1)/2 — an exact .5-grid dyadic. No global window."""
+    blocked = distinct_counts.withColumn(
+        "blk", F.floor(F.col("value") / F.lit(_VAL_BLOCK))
+    )
+    ranked = running_totals_blocked(
+        blocked,
+        order_cols=["value"],
+        block_cols=["blk"],
+        sum_cols={"cnt": "cum"},
+    )
+    return ranked.select(
+        "value",
+        "cnt",
+        (
+            (F.col("cum") - F.col("cnt")).cast("double")
+            + (F.col("cnt").cast("double") + 1) / 2.0
+        ).alias("rnk"),
+    )
+
+
+# Oracle twin of _avg_ranks as a CTE body over (value, cnt) `vc`.
+_SQL_RANKS = """
+      SELECT value, cnt,
+             CAST(sum(cnt) OVER (ORDER BY value
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - cnt AS DOUBLE)
+             + (CAST(cnt AS DOUBLE) + 1) / 2.0 AS rnk
+      FROM vc
+"""
+
+
+@register(
+    "q_stats_anova_oneway",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+               AS sxx
+      FROM events GROUP BY event_type
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS ntot,
+             CAST(sum(CAST(sx AS DECIMAL(38,10))) AS DOUBLE) AS sxt,
+             CAST(sum(CAST(sxx AS DECIMAL(38,10))) AS DOUBLE) AS sxxt,
+             CAST(sum(CAST(sx * sx / n AS DECIMAL(38,10))) AS DOUBLE)
+               AS sb
+      FROM g
+    )
+    SELECT k, ntot AS n_total,
+           {sql_dround("sb - sxt * sxt / ntot", 6)} AS ss_between,
+           {sql_dround("sxxt - sb", 6)} AS ss_within,
+           {sql_dround(
+               "((sb - sxt * sxt / ntot) / (k - 1))"
+               " / ((sxxt - sb) / (ntot - k))",
+               6,
+           )} AS f_stat
+    FROM t
+    """,
+)
+def q_stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of equal mean ``value`` across the five
+    event types — the k-group generalization of the two-sample t
+    (drift.py's Welch): F = (SSB/(k−1)) / (SSW/(N−k)) with
+    SSB = Σ sx_g²/n_g − (Σsx)²/N and SSW = Σsxx − Σ sx_g²/n_g
+    computed from per-group raw moment sums only.
+
+    Plan: ONE hash aggregate collapses the stream to k=|event_type|
+    moment rows (map-side partial combine, no second scan); the
+    closing totals are one more aggregate over those k rows — nothing
+    after the scan is data-sized. Determinism: per-group sums take the
+    decimal detour (sum-of-squares through decimal(38,6): value² ≈
+    2.5e5/row holds to ~1e26 rows); the k-row closing sums re-enter
+    decimal(38,10) because a 5-row double sum is still
+    order-sensitive; the three closings (cancellation-prone
+    differences and the F ratio) are e6-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x.cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    d10 = "decimal(38,10)"
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("ntot"),
+        F.sum(F.col("sx").cast(d10)).cast("double").alias("sxt"),
+        F.sum(F.col("sxx").cast(d10)).cast("double").alias("sxxt"),
+        F.sum((F.col("sx") * F.col("sx") / F.col("n")).cast(d10))
+        .cast("double")
+        .alias("sb"),
+    )
+    k, ntot = F.col("k"), F.col("ntot")
+    sb, sxt, sxxt = F.col("sb"), F.col("sxt"), F.col("sxxt")
+    ssb = sb - sxt * sxt / ntot
+    ssw = sxxt - sb
+    return t.select(
+        k,
+        ntot.alias("n_total"),
+        dround(ssb, 6).alias("ss_between"),
+        dround(ssw, 6).alias("ss_within"),
+        dround((ssb / (k - 1)) / (ssw / (ntot - k)), 6).alias("f_stat"),
+    )
+
+
+@register(
+    "q_stats_kruskal_wallis",
+    oracle=f"""
+    WITH vc AS (
+      SELECT value, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY value
+    ),
+    r AS ({_SQL_RANKS}),
+    gc AS (
+      SELECT value, event_type, CAST(count(*) AS BIGINT) AS gcnt
+      FROM events GROUP BY value, event_type
+    ),
+    rg AS (
+      SELECT gc.event_type,
+             CAST(sum(gc.gcnt) AS BIGINT) AS n,
+             CAST(sum(CAST(r.rnk AS DECIMAL(25,1))
+                      * CAST(gc.gcnt AS DECIMAL(12,0))) AS DOUBLE)
+               AS rsum
+      FROM gc JOIN r ON gc.value = r.value
+      GROUP BY gc.event_type
+    ),
+    ties AS (
+      SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tcorr
+      FROM vc
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS ntot,
+             CAST(sum(CAST(rsum * rsum / n AS DECIMAL(38,6))) AS DOUBLE)
+               AS srr
+      FROM rg
+    )
+    SELECT k, ntot AS n_total,
+           {sql_dround(
+               "(12.0 / (CAST(ntot AS DOUBLE) * (ntot + 1)) * srr"
+               " - 3.0 * (ntot + 1))"
+               " / (1.0 - CAST(tcorr AS DOUBLE)"
+               "         / (CAST(ntot AS DOUBLE) * ntot * ntot - ntot))",
+               6,
+           )} AS h_stat
+    FROM t CROSS JOIN ties
+    """,
+)
+def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test of equal ``value`` distributions across
+    the five event types — the rank-based (distribution-free) twin of
+    q_stats_anova_oneway, robust to the heavy right tail a revenue
+    metric always has: H = 12/(N(N+1)) Σ R_g²/n_g − 3(N+1), divided by
+    the tie correction 1 − Σ(t³−t)/(N³−N) over distinct-value tie
+    groups, with exact average-rank (midrank) tie handling.
+
+    Plan: two hash aggregates collapse the stream to the distinct
+    (value) and (value, event_type) count frames; global midranks come
+    from the DETERMINISTIC blocked prefix fold over the distinct-value
+    frame (fixed width-10 value grid, ≤ ~50 blocks, NO
+    single-partition row_number); the per-group rank sums are one
+    shuffle join on value (both sides distinct-value-sized, far below
+    event volume) plus a k-row aggregate. Determinism: midranks are
+    exact .5-dyadics from integer cumulative counts; rank·count
+    products are computed in EXACT decimal arithmetic
+    (decimal(25,1) × decimal(12,0) — at rank·cnt ≈ 1e15⁺ a double ulp
+    exceeds the .5 grid, the gini lesson); the closing H is e6-rounded
+    (the decimal→double casts of >2⁵³ sums double-round in DuckDB)."""
+    e = load_table(spark, sf_dir, "events")
+    vc = e.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).localCheckpoint(eager=False)  # ranks + tie correction: the
+    # distinct-value frame is computed once
+    r = _avg_ranks(vc)
+    gc = e.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gcnt")
+    )
+    rg = (
+        gc.join(r.select("value", "rnk"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("gcnt").cast("bigint").alias("n"),
+            F.sum(
+                F.col("rnk").cast("decimal(25,1)")
+                * F.col("gcnt").cast("decimal(12,0)")
+            )
+            .cast("double")
+            .alias("rsum"),
+        )
+    )
+    ties = vc.agg(
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("tcorr")
+    )
+    t = rg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("ntot"),
+        F.sum(
+            (F.col("rsum") * F.col("rsum") / F.col("n")).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("srr"),
+    )
+    nd = F.col("ntot").cast("double")
+    h = 12.0 / (nd * (F.col("ntot") + 1)) * F.col("srr") - 3.0 * (
+        F.col("ntot") + 1
+    )
+    corr = 1.0 - F.col("tcorr").cast("double") / (
+        nd * F.col("ntot") * F.col("ntot") - F.col("ntot")
+    )
+    return t.crossJoin(F.broadcast(ties)).select(
+        "k",
+        F.col("ntot").alias("n_total"),
+        dround(h / corr, 6).alias("h_stat"),
+    )
+
+
+@register(
+    "q_stats_mannwhitney_u",
+    oracle=f"""
+    WITH ev AS (
+      SELECT value, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    vc AS (
+      SELECT value, CAST(count(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY value
+    ),
+    r AS ({_SQL_RANKS}),
+    gc AS (
+      SELECT value, event_type, CAST(count(*) AS BIGINT) AS gcnt
+      FROM ev GROUP BY value, event_type
+    ),
+    rg AS (
+      SELECT gc.event_type,
+             CAST(sum(gc.gcnt) AS BIGINT) AS n,
+             CAST(sum(CAST(r.rnk AS DECIMAL(25,1))
+                      * CAST(gc.gcnt AS DECIMAL(12,0))) AS DOUBLE)
+               AS rsum
+      FROM gc JOIN r ON gc.value = r.value
+      GROUP BY gc.event_type
+    ),
+    ties AS (
+      SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tcorr
+      FROM vc
+    ),
+    w AS (
+      SELECT c.n AS n1, c.rsum AS r1, p.n AS n2
+      FROM (SELECT * FROM rg WHERE event_type = 'click') c
+      CROSS JOIN (SELECT * FROM rg WHERE event_type = 'purchase') p
+    )
+    SELECT n1, n2,
+           r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 AS u_stat,
+           (r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0
+            - CAST(n1 AS DOUBLE) * n2 / 2.0)
+           / ({sql_dround(
+                 "sqrt(greatest("
+                 "CAST(n1 AS DOUBLE) * n2 / 12.0"
+                 " * ((n1 + n2 + 1)"
+                 "    - CAST(tcorr AS DOUBLE)"
+                 "      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))),"
+                 " 0))",
+                 6,
+             )}) AS z_stat
+    FROM w CROSS JOIN ties
+    """,
+)
+def q_stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between the click and
+    purchase ``value`` populations — the rank-based two-sample test
+    (no normality assumption) complementing q_agg_welch_ttest:
+    U = R₁ − n₁(n₁+1)/2 over midranks of the POOLED sample, with the
+    tie-corrected normal approximation
+    z = (U − n₁n₂/2) / sqrt(n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1)))).
+
+    Plan: identical machinery to q_stats_kruskal_wallis on the
+    two-type slice — distinct-value counts, blocked-prefix midranks,
+    one value-keyed shuffle join, a 2-row pivot via broadcast cross
+    join. Determinism: same exact-dyadic midranks and decimal
+    rank·count products; the closing sqrt (the only libm) is
+    e6-rounded and clamped at 0 (drift.py's degenerate-window
+    lesson)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    vc = e.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).localCheckpoint(eager=False)  # ranks + ties: one slice scan
+    r = _avg_ranks(vc)
+    gc = e.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gcnt")
+    )
+    rg = (
+        gc.join(r.select("value", "rnk"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("gcnt").cast("bigint").alias("n"),
+            F.sum(
+                F.col("rnk").cast("decimal(25,1)")
+                * F.col("gcnt").cast("decimal(12,0)")
+            )
+            .cast("double")
+            .alias("rsum"),
+        )
+        .localCheckpoint(eager=False)  # both pivot filters: one pass
+    )
+    ties = vc.agg(
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("tcorr")
+    )
+    c = rg.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n1"), F.col("rsum").alias("r1")
+    )
+    p = rg.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n2")
+    )
+    w = c.crossJoin(F.broadcast(p)).crossJoin(F.broadcast(ties))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u = F.col("r1") - n1d * (F.col("n1") + 1) / 2.0
+    ntot = F.col("n1") + F.col("n2")
+    sig = F.sqrt(
+        F.greatest(
+            n1d
+            * n2d
+            / 12.0
+            * (
+                (ntot + 1)
+                - F.col("tcorr").cast("double")
+                / (ntot.cast("double") * (ntot - 1))
+            ),
+            F.lit(0.0),
+        )
+    )
+    return w.select(
+        "n1",
+        "n2",
+        u.alias("u_stat"),
+        ((u - n1d * n2d / 2.0) / dround(sig, 6)).alias("z_stat"),
+    )
+
+
+@register(
+    "q_stats_jarque_bera",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+               AS s2,
+             CAST(sum(CAST(value * value * value AS DECIMAL(38,6)))
+                  AS DOUBLE) AS s3,
+             CAST(sum(CAST(value * value * value * value
+                           AS DECIMAL(38,6))) AS DOUBLE) AS s4
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM g
+    ),
+    s AS (
+      SELECT event_type, n,
+             {sql_dround(
+                 "m3 / (greatest(m2, 0)"
+                 "      * sqrt(greatest(m2, 0)))", 6)} AS skewness,
+             {sql_dround("m4 / (m2 * m2) - 3.0", 6)} AS kurtosis_ex
+      FROM m
+    )
+    SELECT event_type, n, skewness, kurtosis_ex,
+           {sql_dround(
+               "CAST(n AS DOUBLE) / 6.0"
+               " * (skewness * skewness"
+               "    + kurtosis_ex * kurtosis_ex / 4.0)",
+               6,
+           )} AS jb_stat
+    FROM s ORDER BY event_type
+    """,
+)
+def q_stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test of ``value`` per event type — the
+    moment-based "is this metric Gaussian enough for the parametric
+    tests?" gate (JB = n/6 (S² + K²/4) from sample skewness S and
+    excess kurtosis K) that an experimentation platform runs before
+    trusting a t/ANOVA readout on a heavy-tailed revenue metric.
+
+    Plan: ONE hash aggregate collapses the stream to per-group raw
+    power sums Σx..Σx⁴ (map-side combine; value ≤ ~500 so x⁴ ≤ 6.3e10
+    per row — decimal(38,6) holds to ~1e21 rows); central moments,
+    S, K, and JB are per-row arithmetic on the k-row frame. JB is
+    computed from the ROUNDED S and K (stated definition here) so the
+    statistic inherits their determinism. Determinism: power sums take
+    the decimal detour; per-row x·x·x products are written as repeated
+    multiplication (identical association both engines, no pow());
+    the S sqrt (the only libm) and the cancellation-prone K are
+    e6-rounded, m2 clamped at 0 against double cancellation on a
+    near-constant group."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x.cast("decimal(25,6)")).cast("double").alias("s1"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum((x * x * x).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s3"),
+        F.sum((x * x * x * x).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        dround(
+            m3
+            / (
+                F.greatest(m2, F.lit(0.0))
+                * F.sqrt(F.greatest(m2, F.lit(0.0)))
+            ),
+            6,
+        ).alias("skewness"),
+        dround(m4 / (m2 * m2) - 3.0, 6).alias("kurtosis_ex"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        "skewness",
+        "kurtosis_ex",
+        dround(
+            n.cast("double")
+            / 6.0
+            * (
+                F.col("skewness") * F.col("skewness")
+                + F.col("kurtosis_ex") * F.col("kurtosis_ex") / 4.0
+            ),
+            6,
+        ).alias("jb_stat"),
+    ).orderBy("event_type")
