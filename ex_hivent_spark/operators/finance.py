@@ -1,0 +1,459 @@
+"""Technical-indicator / long-memory diagnostics over the hourly bar
+series: Cutler's RSI (simple-average relative strength), the Average
+True Range volatility band, and the rescaled-range (R/S) Hurst
+exponent — the indicator layer a metrics platform computes over the
+OHLC bars that q_ts_ohlc_bars (operators/windows.py) produces, and the
+classical "does this series have long memory?" probe (Hurst ≈ 0.5 for
+a random walk, > 0.5 for trending load).
+
+Plan discipline: every series is pre-aggregated to the (event_type,
+hour) grain FIRST — windows run over time-grain-bounded frames
+partitioned by event_type, never a global sort, so the plans hold at
+any event volume (hours grow with retention, not traffic).
+
+Determinism: bar closes are unique picks by the (ts, event_id) total
+order; rolling sums ride the decimal detour INSIDE the window frame
+(a 14-term double sum is still order-sensitive across engines);
+cumulative deviations build on exact integer cumulative counts; each
+libm call (sqrt, ln) is e6-rounded on both sides.
+
+Reference parity note: the reference engine (an Elixir event-transport
+client, SURVEY.md §0) has no indicator surface; these derive from the
+driver's analytics mandate and standard technical-analysis practice
+(RSI per Cutler's SMA variant; R/S per Hurst/Mandelbrot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround, sql_dround
+from ex_hivent_spark.plans.registry import register
+
+# 2024-01-01T00:00Z in hours-since-epoch; the events table spans the
+# 720-hour month at every SF (drift.py's spine constants).
+_EPOCH_H = 473352
+# The events table spans this fixed 720-hour month at every SF.
+_N_HOURS = 720
+# Indicator lookback, in hourly bars (the textbook default period).
+_RSI_WIN = 14
+# R/S block sizes: powers of two so log2(n) is an exact small integer
+# on the regression x-axis.
+_HURST_SIZES = (8, 16, 32, 64)
+
+
+def _hourly_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, hour) bar close/high/low — last value by the
+    (ts, event_id) total order, exactly q_ts_ohlc_bars' pick."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600)
+        .cast("bigint")
+        .alias("hour_id"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wd = Window.partitionBy("event_type", "hour_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rn = base.select("*", F.row_number().over(wd).alias("rnd"))
+    return rn.groupBy("event_type", "hour_id").agg(
+        F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+    )
+
+
+_SQL_BARS = """
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+             max(CASE WHEN rnd = 1 THEN value END) AS close,
+             max(value) AS high, min(value) AS low
+      FROM (
+        SELECT event_type, ts, event_id, value,
+               row_number() OVER (
+                 PARTITION BY event_type,
+                              CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                 ORDER BY ts DESC, event_id DESC) AS rnd
+        FROM events
+      )
+      GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+"""
+
+
+@register(
+    "q_win_rsi",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    chg AS (
+      SELECT event_type, hour_id, close,
+             close - lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY hour_id) AS chg
+      FROM bars
+    ),
+    gl AS (
+      SELECT event_type, hour_id, close,
+             CAST(count(chg) OVER w AS BIGINT) AS nchg,
+             CAST(sum(CAST(greatest(chg, 0.0) AS DECIMAL(25,6)))
+                  OVER w AS DOUBLE) AS ag,
+             CAST(sum(CAST(greatest(-chg, 0.0) AS DECIMAL(25,6)))
+                  OVER w AS DOUBLE) AS al
+      FROM chg
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_RSI_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, close,
+           CASE WHEN ag + al = 0 THEN 50.0
+                ELSE 100.0 * ag / (ag + al) END AS rsi14
+    FROM gl WHERE nchg = {_RSI_WIN}
+    """,
+)
+def q_win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI-14 over the hourly close series per event type:
+    RSI = 100·ΣGain₁₄ / (ΣGain₁₄ + ΣLoss₁₄) on simple (not Wilder
+    recursive) averages — the momentum oscillator flagging overbought
+    (>70) / oversold (<30) hours, SMA-based so the statistic is a pure
+    sliding-window expression with no unbounded recursion. Rows only
+    where 14 one-hour changes fill the frame; a flat window (all
+    changes zero) reads neutral 50.
+
+    Plan: events collapse to hourly bars first (the q_ts_ohlc_bars
+    hash aggregate); the change lag and the rolling gain/loss sums run
+    over |hours| rows partitioned by type — time-grain bounded, never
+    a global window. Determinism: closes are unique total-order picks,
+    gains/losses are exact double subtractions, and the 14-term
+    rolling sums ride the decimal detour inside the frame; the closing
+    ratio is a single deterministic double division (no libm)."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    chg = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        (F.col("close") - F.lag("close").over(wl)).alias("chg"),
+    )
+    w = wl.rowsBetween(-(_RSI_WIN - 1), Window.currentRow)
+    c = F.col("chg")
+    gl = chg.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.count("chg").over(w).cast("bigint").alias("nchg"),
+        F.sum(F.greatest(c, F.lit(0.0)).cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("ag"),
+        F.sum(F.greatest(-c, F.lit(0.0)).cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("al"),
+    ).filter(F.col("nchg") == _RSI_WIN)
+    ag, al = F.col("ag"), F.col("al")
+    return gl.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.when(ag + al == 0, F.lit(50.0))
+        .otherwise(100.0 * ag / (ag + al))
+        .alias("rsi14"),
+    )
+
+
+@register(
+    "q_win_atr",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    tr AS (
+      SELECT event_type, hour_id,
+             CASE WHEN lag(close) OVER w IS NULL THEN high - low
+                  ELSE greatest(high - low,
+                                abs(high - lag(close) OVER w),
+                                abs(low - lag(close) OVER w)) END AS tr
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    ),
+    rolled AS (
+      SELECT event_type, hour_id, tr,
+             CAST(count(*) OVER f AS BIGINT) AS n,
+             CAST(sum(CAST(tr AS DECIMAL(25,6))) OVER f AS DOUBLE) AS s
+      FROM tr
+      WINDOW f AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_RSI_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, tr, s / n AS atr14
+    FROM rolled WHERE n = {_RSI_WIN}
+    """,
+)
+def q_win_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range (ATR-14) over the hourly bars per event
+    type: TR = max(high−low, |high−prevClose|, |low−prevClose|) — the
+    gap-aware volatility measure (an intra-bar range alone misses
+    overnight jumps) — smoothed by a simple 14-bar average. The first
+    bar's TR degrades to high−low (no previous close), the textbook
+    convention.
+
+    Plan: hourly-bar aggregate, then one lag and one rolling sum over
+    |hours| rows partitioned by type (time-grain bounded). Determinism:
+    TR is exact double max/abs arithmetic on unique bar picks; the
+    rolling sum rides the decimal detour; ATR is one deterministic
+    division (no libm)."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    pc = F.lag("close").over(wl)
+    tr = bars.select(
+        "event_type",
+        "hour_id",
+        F.when(pc.isNull(), F.col("high") - F.col("low"))
+        .otherwise(
+            F.greatest(
+                F.col("high") - F.col("low"),
+                F.abs(F.col("high") - pc),
+                F.abs(F.col("low") - pc),
+            )
+        )
+        .alias("tr"),
+    )
+    f = wl.rowsBetween(-(_RSI_WIN - 1), Window.currentRow)
+    rolled = tr.select(
+        "event_type",
+        "hour_id",
+        "tr",
+        F.count(F.lit(1)).over(f).cast("bigint").alias("n"),
+        F.sum(F.col("tr").cast("decimal(25,6)"))
+        .over(f)
+        .cast("double")
+        .alias("s"),
+    ).filter(F.col("n") == _RSI_WIN)
+    return rolled.select(
+        "event_type",
+        "hour_id",
+        "tr",
+        (F.col("s") / F.col("n")).alias("atr14"),
+    )
+
+
+@register(
+    "q_ts_hurst_rs",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) - {_EPOCH_H}
+               AS hoff,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    hourly AS (
+      SELECT t.event_type, g.hoff,
+             CAST(coalesce(o.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT CAST(range AS BIGINT) AS hoff
+                  FROM range({_N_HOURS})) g
+      LEFT JOIN obs o
+        ON o.event_type = t.event_type AND o.hoff = g.hoff
+    ),
+    sized AS (
+      SELECT h.event_type, h.hoff, h.x, s.n,
+             CAST(floor(h.hoff / s.n) AS BIGINT) AS blk,
+             h.hoff % s.n + 1 AS i
+      FROM hourly h
+      CROSS JOIN (SELECT unnest([{", ".join(str(n) for n in _HURST_SIZES)}])
+                    AS n) s
+    ),
+    cum AS (
+      SELECT event_type, n, blk, i, x,
+             CAST(sum(x) OVER (PARTITION BY event_type, n, blk
+                               ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cx,
+             CAST(sum(x) OVER (PARTITION BY event_type, n, blk)
+                  AS BIGINT) AS sx,
+             CAST(sum(x * x) OVER (PARTITION BY event_type, n, blk)
+                  AS BIGINT) AS sxx,
+             CAST(count(*) OVER (PARTITION BY event_type, n, blk)
+                  AS BIGINT) AS cnt
+      FROM sized
+    ),
+    dev AS (
+      SELECT event_type, n, blk,
+             CAST(cx AS DOUBLE)
+               - i * (CAST(sx AS DOUBLE) / n) AS d,
+             CAST(sx AS DOUBLE) / n AS mu,
+             CAST(sxx AS DOUBLE) / n AS msq
+      FROM cum WHERE cnt = n
+    ),
+    blocks AS (
+      SELECT event_type, n, blk,
+             max(d) - min(d) AS r,
+             {sql_dround(
+                 "sqrt(greatest(max(msq) - max(mu) * max(mu), 0))", 6
+             )} AS s
+      FROM dev GROUP BY event_type, n, blk
+    ),
+    rs AS (
+      SELECT event_type, n,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(CAST(r / s AS DECIMAL(25,6))) AS DOUBLE)
+               / count(*) AS avg_rs
+      FROM blocks WHERE s > 0 GROUP BY event_type, n
+    ),
+    pts AS (
+      SELECT event_type, n_blocks,
+             {sql_dround("ln(CAST(n AS DOUBLE))", 6)} AS lx,
+             {sql_dround("ln(avg_rs)", 6)} AS ly
+      FROM rs
+    ),
+    fit AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_blocks) AS BIGINT) AS n_blocks_total,
+             CAST(sum(CAST(lx AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(ly AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(lx * ly AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(lx * lx AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n_blocks_total,
+           {sql_dround(
+               "(k * sxy - sx * sy) / (k * sxx - sx * sx)", 6
+           )} AS hurst
+    FROM fit ORDER BY event_type
+    """,
+)
+def q_ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) Hurst exponent of the hourly event-count
+    series per type — the long-memory diagnostic (H ≈ 0.5 random walk,
+    H > 0.5 persistent/trending load, H < 0.5 mean-reverting): for
+    block sizes n ∈ {8,16,32,64} hours, each COMPLETE block's range of
+    mean-adjusted cumulative deviations R is divided by its population
+    sigma S; H is the OLS slope of ln(avg R/S) against ln(n).
+
+    Plan: the stream collapses to the hourly count grain, DENSIFIED
+    onto the fixed 720-hour month spine with zero fill (the
+    q_ts_spearman_corr spine discipline — gap hours are real zero
+    observations of the load series, and complete blocks exist at
+    every SF); the 4× size fan-out and the per-(type, n, block)
+    cumulative windows run over |hours|·4 rows — time-grain bounded,
+    every window partitioned by (type, n, block). The spine-tail
+    blocks that 720/n leaves incomplete are dropped via the per-block
+    count, zero-sigma (dead) blocks via s > 0 — both sides
+    identically. Determinism: cumulative sums are exact integers;
+    deviations are per-row double arithmetic on them; the sigma sqrt
+    and both logs (the only libm) are e6-rounded; block averages and
+    the 4-point OLS sums ride the decimal detour."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+            - F.lit(_EPOCH_H)
+        ).alias("hoff"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(_N_HOURS).select(
+                    F.col("id").cast("bigint").alias("hoff")
+                )
+            )
+        )
+    )
+    hourly = spine.join(obs, ["event_type", "hoff"], "left").select(
+        "event_type",
+        "hoff",
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+    )
+    sizes = F.array(*[F.lit(n) for n in _HURST_SIZES])
+    sized = hourly.select(
+        "*", F.explode(sizes).alias("n")
+    ).select(
+        "event_type",
+        "n",
+        F.floor(F.col("hoff") / F.col("n")).cast("bigint").alias("blk"),
+        (F.col("hoff") % F.col("n") + 1).alias("i"),
+        "x",
+    )
+    wb = Window.partitionBy("event_type", "n", "blk")
+    wc = wb.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sized.select(
+        "event_type",
+        "n",
+        "blk",
+        "i",
+        F.sum("x").over(wc).cast("bigint").alias("cx"),
+        F.sum("x").over(wb).cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(wb).cast("bigint").alias("sxx"),
+        F.count(F.lit(1)).over(wb).cast("bigint").alias("cnt"),
+    ).filter(F.col("cnt") == F.col("n"))
+    mu = F.col("sx").cast("double") / F.col("n")
+    dev = cum.select(
+        "event_type",
+        "n",
+        "blk",
+        (F.col("cx").cast("double") - F.col("i") * mu).alias("d"),
+        mu.alias("mu"),
+        (F.col("sxx").cast("double") / F.col("n")).alias("msq"),
+    )
+    blocks = dev.groupBy("event_type", "n", "blk").agg(
+        (F.max("d") - F.min("d")).alias("r"),
+        dround(
+            F.sqrt(
+                F.greatest(
+                    F.max("msq") - F.max("mu") * F.max("mu"),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("s"),
+    )
+    rs = (
+        blocks.filter(F.col("s") > 0)
+        .groupBy("event_type", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            (
+                F.sum(
+                    (F.col("r") / F.col("s")).cast("decimal(25,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_rs"),
+        )
+    )
+    pts = rs.select(
+        "event_type",
+        "n_blocks",
+        dround(F.log(F.col("n").cast("double")), 6).alias("lx"),
+        dround(F.log(F.col("avg_rs")), 6).alias("ly"),
+    )
+    d6 = "decimal(25,6)"
+    fit = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_blocks").cast("bigint").alias("n_blocks_total"),
+        F.sum(F.col("lx").cast(d6)).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast(d6)).cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast(d6))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast(d6))
+        .cast("double")
+        .alias("sxx"),
+    )
+    k = F.col("k")
+    return fit.select(
+        "event_type",
+        "n_blocks_total",
+        dround(
+            (k * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (k * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("hurst"),
+    ).orderBy("event_type")

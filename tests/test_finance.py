@@ -1,0 +1,160 @@
+"""Technical indicators (operators/finance.py): pin the SEMANTICS with
+independent plain-Python implementations over the real sf0.001 events
+table — bar construction by explicit sort, RSI/ATR by list slicing,
+Hurst R/S by direct block arithmetic."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+import pytest
+
+from ex_hivent_spark.operators.finance import (
+    _EPOCH_H,
+    _HURST_SIZES,
+    _N_HOURS,
+    _RSI_WIN,
+)
+from ex_hivent_spark.plans.registry import all_specs
+from tests.conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+def _e6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _bars() -> dict[str, list[tuple[int, float, float, float]]]:
+    """(hour_id, close, high, low) per type, hour ascending."""
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    byk: dict = defaultdict(list)
+    for r in rows:
+        h = int(r["ts"].timestamp() // 3600)
+        byk[(r["event_type"], h)].append(r)
+    out: dict = defaultdict(list)
+    for (t, h), evs in sorted(byk.items()):
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        vals = [r["value"] for r in evs]
+        out[t].append((h, evs[-1]["value"], max(vals), min(vals)))
+    return out
+
+
+def test_rsi_matches_python(spark):
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_rsi"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        closes = [c for _, c, _, _ in series]
+        chg = [None] + [
+            closes[i] - closes[i - 1] for i in range(1, len(closes))
+        ]
+        for i in range(len(series)):
+            lo = max(0, i - (_RSI_WIN - 1))
+            frame = [c for c in chg[lo : i + 1] if c is not None]
+            if len(frame) != _RSI_WIN:
+                continue
+            n_expected += 1
+            ag = math.fsum(max(c, 0.0) for c in frame)
+            al = math.fsum(max(-c, 0.0) for c in frame)
+            rsi = 50.0 if ag + al == 0 else 100.0 * ag / (ag + al)
+            row = got[(t, series[i][0])]
+            assert row["close"] == series[i][1]
+            assert row["rsi14"] == pytest.approx(rsi, abs=1e-9)
+    assert len(got) == n_expected and n_expected > 0
+
+
+def test_atr_matches_python(spark):
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_atr"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        trs = []
+        prev_close = None
+        for _, c, hi, lo in series:
+            if prev_close is None:
+                trs.append(hi - lo)
+            else:
+                trs.append(
+                    max(hi - lo, abs(hi - prev_close), abs(lo - prev_close))
+                )
+            prev_close = c
+        for i in range(len(series)):
+            lo_i = i - (_RSI_WIN - 1)
+            if lo_i < 0:
+                continue
+            n_expected += 1
+            frame = trs[lo_i : i + 1]
+            row = got[(t, series[i][0])]
+            assert row["tr"] == pytest.approx(trs[i], abs=1e-9)
+            assert row["atr14"] == pytest.approx(
+                math.fsum(frame) / _RSI_WIN, abs=1e-9
+            )
+    assert len(got) == n_expected and n_expected > 0
+
+
+def test_hurst_matches_python(spark):
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    counts: dict = defaultdict(Counter)
+    for r in rows:
+        hoff = int(r["ts"].timestamp() // 3600) - _EPOCH_H
+        counts[r["event_type"]][hoff] += 1
+    got = {
+        r["event_type"]: r
+        for r in SPECS["q_ts_hurst_rs"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(counts)
+    for t, cnt in counts.items():
+        series = [cnt.get(h, 0) for h in range(_N_HOURS)]
+        pts = []
+        nb_total = 0
+        for n in _HURST_SIZES:
+            rss = []
+            for b in range(_N_HOURS // n):
+                blk = series[b * n : (b + 1) * n]
+                if len(blk) != n:
+                    continue
+                mu = sum(blk) / n
+                cum = 0.0
+                devs = []
+                for i, x in enumerate(blk, 1):
+                    cum += x
+                    devs.append(cum - i * mu)
+                r_range = max(devs) - min(devs)
+                s = _e6(
+                    math.sqrt(
+                        max(
+                            sum(x * x for x in blk) / n - mu * mu,
+                            0.0,
+                        )
+                    )
+                )
+                if s > 0:
+                    rss.append(r_range / s)
+            if rss:
+                nb_total += len(rss)
+                pts.append(
+                    (
+                        _e6(math.log(float(n))),
+                        _e6(math.log(math.fsum(rss) / len(rss))),
+                    )
+                )
+        k = len(pts)
+        sx = math.fsum(p[0] for p in pts)
+        sy = math.fsum(p[1] for p in pts)
+        sxy = math.fsum(p[0] * p[1] for p in pts)
+        sxx = math.fsum(p[0] * p[0] for p in pts)
+        slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        assert got[t]["n_blocks_total"] == nb_total
+        assert got[t]["hurst"] == pytest.approx(slope, abs=1e-5)
+        # sanity: an event-count series should land in a plausible
+        # Hurst band, not at a degenerate endpoint
+        assert -0.5 < got[t]["hurst"] < 1.5
