@@ -1,0 +1,305 @@
+"""Behavioral segmentation operators: RFM (recency / frequency /
+monetary) quintile scoring over the order history, the quintile
+mobility matrix ("which spend tier did each user move to between the
+early and late half of the window?"), and per-user event-path trigram
+mining — the customer-analytics layer every growth/retention platform
+derives from the same event and order streams the rest of the engine
+queries.
+
+Plan discipline: every global ranking goes through the DETERMINISTIC
+blocked prefix fold (operators/prefix.py) over a per-entity aggregate
+frame — never a global ntile/row_number window — so the quintile
+assignments scale to any customer count; path mining windows are
+partitioned per user (bounded per-user activity), and every output is
+segment-cardinality sized (≤5³ RFM cells, ≤5² mobility cells, ≤|type|³
+trigrams).
+
+Determinism: metrics ride the decimal detour; ranks are exact integers
+from the prefix fold with entity-key tie-breaks; quintile arithmetic is
+exact double math below 2⁵³ (floor(5·(rank−1)/n)); no libm anywhere.
+
+Reference parity note: the reference engine (an Elixir event-transport
+client, SURVEY.md §0) has no analytics surface; these derive from the
+driver's analytics mandate and standard RFM / cohort practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.operators.prefix import running_totals_blocked
+from ex_hivent_spark.plans.registry import register
+
+# TPC-H orders end 1998-08-02; the RFM "as-of" reference day.
+_RFM_NOW = "1998-08-03"
+# Prefix-fold block widths per metric (bounded block counts at any
+# scale: recency ≤ ~2600 days, frequency ≤ ~100, monetary ≤ ~600k).
+_REC_BLOCK = 100.0
+_FRQ_BLOCK = 5.0
+_MON_BLOCK = 50000.0
+# Early/late mobility split of the 2024-01 events month.
+_CUT = "2024-01-16"
+_VAL_BLOCK = 500.0
+
+
+def _quintile(frame: DataFrame, metric: str, block: float, out: str) -> DataFrame:
+    """(o_custkey|user_id, metric) frame -> + ascending quintile 1..5
+    via the blocked prefix rank (ties broken by the entity key)."""
+    key = frame.columns[0]
+    blocked = frame.withColumn(
+        "blk", F.floor(F.col(metric) / F.lit(block))
+    ).withColumn("one", F.lit(1).cast("bigint"))
+    ranked = running_totals_blocked(
+        blocked,
+        order_cols=[metric, key],
+        block_cols=["blk"],
+        sum_cols={"one": "rnk"},
+    )
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            key,
+            metric,
+            (
+                F.floor(
+                    5.0
+                    * (F.col("rnk") - 1).cast("double")
+                    / F.col("n_tot").cast("double")
+                ).cast("int")
+                + 1
+            ).alias(out),
+        )
+    )
+
+
+# Oracle twin: ascending quintile from row_number with the same
+# (metric, key) total order. {m}=metric col, {k}=key col, {src}=CTE.
+def _sql_quintile(src: str, k: str, m: str, out: str) -> str:
+    return f"""
+      SELECT {k}, {m},
+             CAST(floor(5.0 * (row_number() OVER (ORDER BY {m}, {k}) - 1)
+                        / (SELECT count(*) FROM {src})) AS INTEGER) + 1
+               AS {out}
+      FROM {src}
+    """
+
+
+@register(
+    "q_agg_rfm_scores",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate),
+                            DATE '{_RFM_NOW}') AS BIGINT) AS recency,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS ({_sql_quintile("rfm", "o_custkey", "recency", "r_q")}),
+    f AS ({_sql_quintile("rfm", "o_custkey", "frequency", "f_q")}),
+    m AS ({_sql_quintile("rfm", "o_custkey", "monetary", "m_q")}),
+    scored AS (
+      SELECT rfm.o_custkey,
+             6 - r.r_q AS r_score, f.f_q AS f_score, m.m_q AS m_score,
+             rfm.monetary
+      FROM rfm
+      JOIN r USING (o_custkey) JOIN f USING (o_custkey)
+      JOIN m USING (o_custkey)
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(monetary AS DECIMAL(25,6))) AS DOUBLE)
+             / count(*) AS avg_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def q_agg_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of the customer base: per customer, recency
+    (days from last order to the as-of day), frequency (order count),
+    monetary (lifetime revenue), each quintile-scored 1..5 — recency
+    INVERTED (score 5 = most recent, the marketing convention) — then
+    rolled up to the ≤125 (R,F,M) segments with size and average
+    spend. The canonical "who are my champions / at-risk / hibernating
+    customers" cut.
+
+    Plan: one hash aggregate collapses orders to the per-customer RFM
+    frame; each quintile comes from the DETERMINISTIC blocked prefix
+    rank over that frame (fixed metric-grid blocks, custkey
+    tie-breaks — NO global ntile window anywhere); the three score
+    columns re-join on custkey (customer-sized shuffle joins, far
+    below fact volume) and one final hash aggregate emits the segment
+    matrix. Determinism: recency/frequency are exact integers,
+    monetary rides the decimal detour, ranks are exact prefix-fold
+    integers, and the quintile floor stays below 2⁵³."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(_RFM_NOW).cast("date"), F.max("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("recency"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("monetary"),
+    ).localCheckpoint(eager=False)  # three quintile folds + the final
+    # join fan out from this one customer-sized frame
+    r = _quintile(
+        rfm.select("o_custkey", "recency"), "recency", _REC_BLOCK, "r_q"
+    )
+    f = _quintile(
+        rfm.select("o_custkey", "frequency"),
+        "frequency",
+        _FRQ_BLOCK,
+        "f_q",
+    )
+    m = _quintile(
+        rfm.select("o_custkey", "monetary"), "monetary", _MON_BLOCK, "m_q"
+    )
+    scored = (
+        rfm.select("o_custkey", "monetary")
+        .join(r.select("o_custkey", "r_q"), "o_custkey")
+        .join(f.select("o_custkey", "f_q"), "o_custkey")
+        .join(m.select("o_custkey", "m_q"), "o_custkey")
+        .select(
+            (6 - F.col("r_q")).alias("r_score"),
+            F.col("f_q").alias("f_score"),
+            F.col("m_q").alias("m_score"),
+            "monetary",
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (
+                F.sum(F.col("monetary").cast("decimal(25,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "q_agg_quintile_mobility",
+    oracle=f"""
+    WITH early AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS v
+      FROM events WHERE ts < TIMESTAMP '{_CUT} 00:00:00'
+      GROUP BY user_id
+    ),
+    late AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS v
+      FROM events WHERE ts >= TIMESTAMP '{_CUT} 00:00:00'
+      GROUP BY user_id
+    ),
+    qe AS ({_sql_quintile("early", "user_id", "v", "q_early")}),
+    ql AS ({_sql_quintile("late", "user_id", "v", "q_late")}),
+    moves AS (
+      SELECT qe.q_early, ql.q_late
+      FROM qe JOIN ql USING (user_id)
+    )
+    SELECT q_early, q_late,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM moves GROUP BY q_early, q_late
+    ORDER BY q_early, q_late
+    """,
+)
+def q_agg_quintile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-tier mobility matrix: each user's total event value is
+    quintile-ranked within the early half (before Jan 16) and again
+    within the late half of the month; the ≤25-cell (early tier →
+    late tier) transition matrix over users active in BOTH halves is
+    the standard "are my top spenders staying on top?" churn-risk
+    readout (a heavy off-diagonal mass = tier instability).
+
+    Plan: two filtered hash aggregates collapse the stream to the two
+    per-user value frames (one scan each half); each quintile is the
+    blocked prefix rank over its user-sized frame (user_id
+    tie-breaks, NO global window); the matrix is one user-keyed
+    shuffle join plus a 25-cell hash aggregate. Determinism: value
+    sums ride the decimal detour; ranks and the quintile floor are
+    exact; counts are integers."""
+    e = load_table(spark, sf_dir, "events")
+
+    def half(pred) -> DataFrame:
+        return (
+            e.filter(pred)
+            .groupBy("user_id")
+            .agg(
+                F.sum(F.col("value").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("v")
+            )
+        )
+
+    cut = F.lit(f"{_CUT} 00:00:00").cast("timestamp")
+    qe = _quintile(
+        half(F.col("ts") < cut), "v", _VAL_BLOCK, "q_early"
+    )
+    ql = _quintile(
+        half(F.col("ts") >= cut), "v", _VAL_BLOCK, "q_late"
+    )
+    return (
+        qe.select("user_id", "q_early")
+        .join(ql.select("user_id", "q_late"), "user_id")
+        .groupBy("q_early", "q_late")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("q_early", "q_late")
+    )
+
+
+@register(
+    "q_seq_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS t1, t2, t3,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY event_type, t2, t3
+    ORDER BY n_paths DESC, t1, t2, t3
+    """,
+)
+def q_seq_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-path trigram mining: every consecutive
+    (t₁ → t₂ → t₃) triple of event types along each user's
+    (ts, event_id)-ordered stream, counted across users — the raw
+    material for Sankey/path-drop-off views and the empirical prior a
+    next-event model starts from (the 3-gram twin of
+    q_ts_markov_transitions' 2-gram matrix). Output is ≤|type|³ rows,
+    most-frequent first with a full lexicographic tie-break.
+
+    Plan: two leads over the per-USER window (bounded by one user's
+    activity, the sessionize discipline — never a global sort) feed
+    one hash aggregate onto the ≤125-row trigram frame; the final
+    sort is segment-cardinality sized. Determinism: pure integer
+    counts over an exact total order."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "t1", "t2", "t3")
+    )

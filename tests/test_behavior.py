@@ -1,0 +1,108 @@
+"""Behavioral segmentation (operators/behavior.py): pin the SEMANTICS
+with independent plain-Python implementations over the real sf0.001
+tables — quintiles via explicit sorted ranking, paths via per-user
+sorted streams."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from datetime import date, datetime
+
+import pyarrow.parquet as pq
+import pytest
+
+from ex_hivent_spark.operators.behavior import _CUT, _RFM_NOW
+from ex_hivent_spark.plans.registry import all_specs
+from tests.conftest import SF_DIR
+
+SPECS = all_specs()
+CUT = datetime.fromisoformat(_CUT)
+
+
+def _quintiles(metric: dict) -> dict:
+    """entity -> 1..5 ascending quintile by (metric, entity) order."""
+    ordered = sorted(metric, key=lambda k: (metric[k], k))
+    n = len(ordered)
+    return {
+        k: int(5.0 * i / n) + 1 for i, k in enumerate(ordered)
+    }
+
+
+def test_rfm_scores_match_python(spark):
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet").to_pylist()
+    now = date.fromisoformat(_RFM_NOW)
+    last: dict = {}
+    freq: Counter = Counter()
+    mon: dict = defaultdict(float)
+    for r in orders:
+        c = r["o_custkey"]
+        d = r["o_orderdate"]
+        d = d.date() if hasattr(d, "date") else d
+        last[c] = max(last.get(c, d), d)
+        freq[c] += 1
+        mon[c] += r["o_totalprice"]
+    rec = {c: (now - d).days for c, d in last.items()}
+    rq, fq, mq = _quintiles(rec), _quintiles(freq), _quintiles(mon)
+    seg: Counter = Counter()
+    seg_mon: dict = defaultdict(float)
+    for c in rec:
+        key = (6 - rq[c], fq[c], mq[c])
+        seg[key] += 1
+        seg_mon[key] += mon[c]
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): r
+        for r in SPECS["q_agg_rfm_scores"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(seg)
+    for k, n in seg.items():
+        assert got[k]["n_customers"] == n
+        assert got[k]["avg_monetary"] == pytest.approx(
+            seg_mon[k] / n, rel=1e-9
+        )
+    # every score axis actually spans the full 1..5 range somewhere
+    for axis in range(3):
+        assert {k[axis] for k in got} == {1, 2, 3, 4, 5}
+
+
+def test_quintile_mobility_matches_python(spark):
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    early: dict = defaultdict(float)
+    late: dict = defaultdict(float)
+    for r in rows:
+        (early if r["ts"] < CUT else late)[r["user_id"]] += r["value"]
+    qe, ql = _quintiles(early), _quintiles(late)
+    mat: Counter = Counter()
+    for u in set(qe) & set(ql):
+        mat[(qe[u], ql[u])] += 1
+    got = {
+        (r["q_early"], r["q_late"]): r["n_users"]
+        for r in SPECS["q_agg_quintile_mobility"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    assert got == dict(mat)
+    # mobility matrix covers every joint user exactly once
+    assert sum(got.values()) == len(set(qe) & set(ql))
+
+
+def test_path_trigrams_match_python(spark):
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    byu: dict = defaultdict(list)
+    for r in rows:
+        byu[r["user_id"]].append(r)
+    tri: Counter = Counter()
+    for evs in byu.values():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        types = [r["event_type"] for r in evs]
+        for i in range(len(types) - 2):
+            tri[(types[i], types[i + 1], types[i + 2])] += 1
+    got = {
+        (r["t1"], r["t2"], r["t3"]): r["n_paths"]
+        for r in SPECS["q_seq_path_trigrams"].spark(spark, SF_DIR).collect()
+    }
+    assert got == dict(tri)
+    # total trigrams = sum over users of max(len-2, 0)
+    expect_total = sum(
+        max(len(v) - 2, 0) for v in byu.values()
+    )
+    assert sum(got.values()) == expect_total
