@@ -943,3 +943,106 @@ def q_llm_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rouge1_f1"),
         )
     )
+
+
+@register(
+    "q_graph_adamic_adar",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    , und AS (
+      SELECT doc_a AS x, doc_b AS c FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY x
+    ),
+    com AS (
+      SELECT p.doc_a, p.doc_b, u1.c AS w
+      FROM pairs p
+      JOIN und u1 ON u1.x = p.doc_a
+      JOIN und u2 ON u2.x = p.doc_b AND u2.c = u1.c
+    ),
+    aa AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(CAST(1.0 / (floor(ln(CAST(dw.d AS DOUBLE))
+                                        * 1000000.0 + 0.5) / 1000000.0)
+                           AS DECIMAL(25,6))) AS DOUBLE) AS aa_score
+      FROM com c JOIN deg dw ON dw.x = c.w
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(coalesce(a.common_neighbors, 0) AS BIGINT)
+             AS common_neighbors,
+           CAST(coalesce(a.aa_score, 0.0) AS DOUBLE) AS aa_score
+    FROM pairs p
+    LEFT JOIN aa a ON a.doc_a = p.doc_a AND a.doc_b = p.doc_b
+    """,
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link strength per edge of the near-dup graph —
+    the degree-weighted refinement of q_graph_jaccard_neighbors'
+    common-neighbor count (AA = Σ_w 1/ln(deg w) over shared neighbors
+    w): a neighbor shared through a promiscuous hub says little, one
+    shared through a degree-2 node is strong evidence the edge sits
+    inside a genuine duplicate cluster. The standard link-prediction /
+    edge-confidence score.
+
+    Plan: the a<b pair list (bucketed prefix-filtered join — never
+    all-pairs) fans into its two orientations once; common neighbors
+    come from the same two-hop adjacency join as the Jaccard op but
+    RETAIN the witness id, whose degree joins in before one hash
+    aggregate per edge (work sum-of-degree², bounded by the dup
+    graph's degree distribution, not |docs|²). Determinism: a shared
+    neighbor is adjacent to both endpoints so deg(w) ≥ 2 and
+    ln(deg w) > 0 — no zero denominators; each 1/ln term e6-rounds its
+    ln (the only libm) and the per-edge sum rides the decimal detour."""
+    from ex_hivent_spark.functions.decimals import dround
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    pairs = (
+        q_llm_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)  # edges feed orientations, the
+        # two-hop join, and the output spine: one pair computation
+    )
+    und = pairs.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("c")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("c"))
+    )
+    deg = und.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    u1 = und.select(F.col("x").alias("a1"), F.col("c").alias("c1"))
+    u2 = und.select(F.col("x").alias("a2"), F.col("c").alias("c2"))
+    com = (
+        pairs.join(u1, F.col("a1") == F.col("doc_a"))
+        .join(
+            u2,
+            (F.col("a2") == F.col("doc_b")) & (F.col("c2") == F.col("c1")),
+        )
+        .select("doc_a", "doc_b", F.col("c1").alias("w"))
+    )
+    dw = deg.select(F.col("x").alias("w"), F.col("d").alias("dw"))
+    aa = (
+        com.join(dw, "w")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(
+                (
+                    F.lit(1.0)
+                    / dround(F.log(F.col("dw").cast("double")), 6)
+                ).cast("decimal(25,6)")
+            )
+            .cast("double")
+            .alias("aa_score"),
+        )
+    )
+    return pairs.join(aa, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("common_neighbors", F.lit(0))
+        .cast("bigint")
+        .alias("common_neighbors"),
+        F.coalesce("aa_score", F.lit(0.0)).cast("double").alias("aa_score"),
+    )

@@ -249,3 +249,124 @@ def q_geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates"
         ),
     )
+
+
+# Density grid: 20-unit cells over the 1000x1000 plane -> <=2500 cells.
+_DENS_CELL = 20000  # in integer grid units (20.0 * 1000)
+
+
+@register(
+    "q_geo_grid_density",
+    oracle=f"""
+    WITH pts AS (
+      SELECT (c_custkey * {_AX}) % {_MOD} AS kx,
+             (c_custkey * {_AY}) % {_MOD} AS ky
+      FROM customer
+    ),
+    cells AS (
+      SELECT CAST(floor(kx / {_DENS_CELL}) AS BIGINT) AS cx,
+             CAST(floor(ky / {_DENS_CELL}) AS BIGINT) AS cy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM cells
+    ),
+    offs AS (
+      SELECT dx, dy
+      FROM (SELECT unnest([-1, 0, 1]) AS dx)
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+    ),
+    neigh AS (
+      SELECT a.cx, a.cy, CAST(sum(b.n) AS BIGINT) AS neigh_n,
+             CAST(count(*) AS BIGINT) AS neigh_cells
+      FROM cells a
+      JOIN offs o ON TRUE
+      JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+      GROUP BY a.cx, a.cy
+    )
+    SELECT c.cx, c.cy, c.n, h.neigh_n, h.neigh_cells,
+           CAST(c.n AS DOUBLE) * t.n_cells / t.n_total AS density_ratio,
+           CAST(h.neigh_n AS DOUBLE) * t.n_cells
+             / (t.n_total * h.neigh_cells) AS neigh_density_ratio
+    FROM cells c
+    JOIN neigh h ON h.cx = c.cx AND h.cy = c.cy
+    CROSS JOIN tot t
+    WHERE CAST(c.n AS DOUBLE) * t.n_cells / t.n_total >= 1.2
+    """,
+)
+def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density hotspots: points bin into fixed 20-unit grid
+    cells; a cell is a hotspot when its density is ≥1.2× the global
+    mean cell density, reported with its 3×3-neighborhood density
+    (the Getis-Ord-style local cluster readout distinguishing an
+    isolated spike from a genuine dense region). The standard
+    store-siting / demand-heatmap aggregation.
+
+    Plan: one hash aggregate bins the points (cell count bounded by
+    the fixed 2500-cell grid, not point volume); the 3×3 neighborhood
+    is a 9-way offset self-join of the CELL frame (broadcast-sized
+    both sides); global totals are a scalar broadcast. At 100 TB only
+    the first aggregate touches data volume — everything after is
+    grid-sized. Determinism: all-integer counts; density ratios are
+    single exact double divisions of integers (no libm); the hotspot
+    threshold compares the same expression both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        (F.col("c_custkey") * _AX % _MOD).alias("kx"),
+        (F.col("c_custkey") * _AY % _MOD).alias("ky"),
+    )
+    cells = pts.groupBy(
+        F.floor(F.col("kx") / _DENS_CELL).cast("bigint").alias("cx"),
+        F.floor(F.col("ky") / _DENS_CELL).cast("bigint").alias("cy"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n")).localCheckpoint(
+        eager=False
+    )  # the cell frame feeds totals, the 9-way join, and the output
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("bigint").alias("dx"),
+        (F.floor(F.col("id") / 3) - 1).cast("bigint").alias("dy"),
+    )
+    b = cells.select(
+        F.col("cx").alias("bx"), F.col("cy").alias("by"), F.col("n").alias("bn")
+    )
+    neigh = (
+        cells.crossJoin(F.broadcast(offs))
+        .join(
+            F.broadcast(b),
+            (F.col("bx") == F.col("cx") + F.col("dx"))
+            & (F.col("by") == F.col("cy") + F.col("dy")),
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.sum("bn").cast("bigint").alias("neigh_n"),
+            F.count(F.lit(1)).cast("bigint").alias("neigh_cells"),
+        )
+    )
+    out = (
+        cells.join(neigh, ["cx", "cy"])
+        .crossJoin(F.broadcast(tot))
+    )
+    dens = (
+        F.col("n").cast("double")
+        * F.col("n_cells")
+        / F.col("n_total")
+    )
+    return out.filter(dens >= 1.2).select(
+        "cx",
+        "cy",
+        "n",
+        "neigh_n",
+        "neigh_cells",
+        dens.alias("density_ratio"),
+        (
+            F.col("neigh_n").cast("double")
+            * F.col("n_cells")
+            / (F.col("n_total") * F.col("neigh_cells"))
+        ).alias("neigh_density_ratio"),
+    )

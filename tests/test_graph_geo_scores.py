@@ -1,0 +1,104 @@
+"""Adamic-Adar edge scores (llm/clusters.py) and grid-density hotspots
+(operators/geo.py): independent plain-Python recomputation. The
+density test reads sf0.01 (at sf0.001 every customer occupies its own
+cell, all density ratios are exactly 1.0, and the hotspot filter is
+structurally empty — asserted too)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+import pytest
+
+from ex_hivent_spark.operators.geo import _AX, _AY, _DENS_CELL, _MOD
+from ex_hivent_spark.plans.registry import all_specs
+from tests.conftest import SF_DIR
+
+SPECS = all_specs()
+SF01 = "/root/testdata/sf0.01"
+
+
+def _e6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _edges(spark) -> list[tuple]:
+    rows = (
+        SPECS["q_llm_ngram_jaccard"].spark(spark, SF_DIR).collect()
+    )
+    return [(r["doc_a"], r["doc_b"]) for r in rows]
+
+
+def test_adamic_adar_matches_python(spark):
+    edges = _edges(spark)
+    adj: dict = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in SPECS["q_graph_adamic_adar"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(edges)
+    for a, b in edges:
+        common = adj[a] & adj[b]
+        aa = math.fsum(1.0 / _e6(math.log(len(adj[w]))) for w in common)
+        row = got[(a, b)]
+        assert row["common_neighbors"] == len(common)
+        assert row["aa_score"] == pytest.approx(aa, abs=1e-9)
+        # every witness has degree >= 2 by construction
+        for w in common:
+            assert len(adj[w]) >= 2
+
+
+def _cells(sf: str) -> Counter:
+    rows = pq.read_table(f"{sf}/customer.parquet").to_pylist()
+    cnt: Counter = Counter()
+    for r in rows:
+        kx = r["c_custkey"] * _AX % _MOD
+        ky = r["c_custkey"] * _AY % _MOD
+        cnt[(kx // _DENS_CELL, ky // _DENS_CELL)] += 1
+    return cnt
+
+
+def test_grid_density_empty_at_sparse_sf(spark):
+    cnt = _cells(SF_DIR)
+    assert max(cnt.values()) == 1  # the structural-sparsity premise
+    assert (
+        SPECS["q_geo_grid_density"].spark(spark, SF_DIR).count() == 0
+    )
+
+
+def test_grid_density_matches_python_at_sf001(spark):
+    cnt = _cells(SF01)
+    n_total = sum(cnt.values())
+    n_cells = len(cnt)
+    expect = {}
+    for (cx, cy), n in cnt.items():
+        dens = n * n_cells / n_total
+        if dens < 1.2:
+            continue
+        neigh_n = neigh_cells = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = cnt.get((cx + dx, cy + dy))
+                if nb is not None:
+                    neigh_n += nb
+                    neigh_cells += 1
+        expect[(cx, cy)] = (n, neigh_n, neigh_cells, dens)
+    got = {
+        (r["cx"], r["cy"]): r
+        for r in SPECS["q_geo_grid_density"].spark(spark, SF01).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n, neigh_n, neigh_cells, dens) in expect.items():
+        row = got[k]
+        assert row["n"] == n
+        assert row["neigh_n"] == neigh_n
+        assert row["neigh_cells"] == neigh_cells
+        assert row["density_ratio"] == pytest.approx(dens, rel=1e-12)
+        assert row["neigh_density_ratio"] == pytest.approx(
+            neigh_n * n_cells / (n_total * neigh_cells), rel=1e-12
+        )
