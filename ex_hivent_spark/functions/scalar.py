@@ -607,3 +607,108 @@ def q_fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unhex(F.hex(prefix)) == b).alias("hex_roundtrip"),
         F.md5(prefix).alias("prefix_md5"),
     )
+
+
+# Deterministic synthetic IPv4: a multiplicative hash of user_id over
+# the 32-bit space (the testdata has no IP column; same discipline as
+# q_fn_url_extract's synthesized URLs and geo.py's hashed points).
+_IP_MULT = 2654435761
+_IP_MOD = 4294967296  # 2^32
+
+
+@register(
+    "q_fn_ip_cidr",
+    oracle=f"""
+    WITH ips AS (
+      SELECT user_id,
+             CAST((user_id * {_IP_MULT}) % {_IP_MOD} AS BIGINT) AS ip
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    parts AS (
+      SELECT user_id, ip,
+             CAST(floor(ip / 16777216) AS BIGINT) % 256 AS o1,
+             CAST(floor(ip / 65536) AS BIGINT) % 256 AS o2,
+             CAST(floor(ip / 256) AS BIGINT) % 256 AS o3,
+             ip % 256 AS o4
+      FROM ips
+    )
+    SELECT user_id, ip,
+           o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip_str,
+           CAST(o1 * 16777216 + o2 * 65536 AS BIGINT) AS subnet16,
+           CAST(o1 * 16777216 + o2 * 65536 + o3 * 256 AS BIGINT)
+             AS subnet24,
+           (o1 = 10 OR (o1 = 172 AND o2 >= 16 AND o2 <= 31)
+            OR (o1 = 192 AND o2 = 168)) AS is_private,
+           (CAST(floor(ip / 4096) AS BIGINT)
+              = CAST(floor(167772160 / 4096) AS BIGINT)) AS in_watch_cidr
+    FROM parts
+    """,
+)
+def q_fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 parsing / CIDR arithmetic over a synthesized per-user
+    address (multiplicative hash of user_id — the testdata carries no
+    IP column, the q_fn_url_extract discipline): dotted-quad
+    rendering, /16 and /24 subnet keys, the RFC-1918 private-range
+    test, and membership in a /20 watch block (10.0.0.0/20) computed
+    by prefix-integer division — the abuse-detection / geo-enrichment
+    field toolkit.
+
+    All octet math is exact integer div/mod (no bit-function
+    divergence risk between engines: DuckDB's ``>>`` on BIGINT and
+    Spark's ``shiftright`` agree, but div/mod is the least-surprise
+    common subset and folds identically). Map-only projection over
+    the distinct-user frame; stays in whole-stage codegen."""
+    e = load_table(spark, sf_dir, "events")
+    ips = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (F.col("user_id") * _IP_MULT % _IP_MOD)
+            .cast("bigint")
+            .alias("ip"),
+        )
+    )
+    ip = F.col("ip")
+    o1 = F.floor(ip / 16777216).cast("bigint") % 256
+    o2 = F.floor(ip / 65536).cast("bigint") % 256
+    o3 = F.floor(ip / 256).cast("bigint") % 256
+    o4 = ip % 256
+    parts = ips.select(
+        "user_id",
+        "ip",
+        o1.alias("o1"),
+        o2.alias("o2"),
+        o3.alias("o3"),
+        o4.alias("o4"),
+    )
+    return parts.select(
+        "user_id",
+        "ip",
+        F.concat_ws(
+            ".",
+            F.col("o1").cast("string"),
+            F.col("o2").cast("string"),
+            F.col("o3").cast("string"),
+            F.col("o4").cast("string"),
+        ).alias("ip_str"),
+        (F.col("o1") * 16777216 + F.col("o2") * 65536)
+        .cast("bigint")
+        .alias("subnet16"),
+        (
+            F.col("o1") * 16777216
+            + F.col("o2") * 65536
+            + F.col("o3") * 256
+        )
+        .cast("bigint")
+        .alias("subnet24"),
+        (
+            (F.col("o1") == 10)
+            | ((F.col("o1") == 172) & F.col("o2").between(16, 31))
+            | ((F.col("o1") == 192) & (F.col("o2") == 168))
+        ).alias("is_private"),
+        (
+            F.floor(ip / 4096).cast("bigint")
+            == F.floor(F.lit(167772160) / 4096).cast("bigint")
+        ).alias("in_watch_cidr"),
+    )

@@ -1556,3 +1556,101 @@ def q_llm_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("easy_share"),
     )
+
+
+# MATTR window width, in tokens (the standard 50-token variant; the
+# 100-token variant just changes this constant).
+_MATTR_W = 50
+
+
+@register(
+    "q_llm_mattr_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(i AS BIGINT) AS i,
+             CAST(len(list_distinct(
+               t[i:i + {_MATTR_W} - 1])) AS BIGINT) AS d
+      FROM toks
+      CROSS JOIN unnest(range(1, greatest(len(t) - {_MATTR_W} + 1, 1) + 1))
+        AS u(i)
+    )
+    SELECT doc_id,
+           CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CAST(CAST(d AS DOUBLE)
+                         / least(CAST(n_tokens AS DOUBLE), {_MATTR_W}.0)
+                         AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+             AS mattr
+    FROM wins GROUP BY doc_id
+    """,
+)
+def q_llm_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-Average Type-Token Ratio (MATTR-50) per document — the
+    length-independent lexical-diversity score (plain TTR collapses as
+    documents grow; MATTR averages the TTR of every sliding 50-token
+    window, so a 100-token and a 10k-token document are comparable):
+    the repetition/diversity feature a pretraining curation pipeline
+    keeps next to q_llm_repetition_score and q_llm_distinct_ngrams.
+    Documents shorter than the window get their single whole-document
+    TTR (the standard degenerate case).
+
+    Plan: tokens posexplode per document; each sliding window is the
+    FORWARD 50-row frame over the per-DOCUMENT window (bounded by one
+    document's token count — the sessionize discipline, never a global
+    sort), its distinct count via array_distinct over the frame's
+    collected tokens (a ≤50-element array per row — bounded state);
+    one hash aggregate closes per document. Determinism: distinct
+    counts are exact integers; each window TTR is one exact double
+    division; the per-doc mean rides the decimal detour.
+
+    Scale note: work is O(total_tokens × W) with W=50 fixed — linear
+    in corpus size, shuffle keyed by doc_id (the posexplode keeps
+    token order via pos, no skew beyond the largest single doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    nt = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _MATTR_W - 1)
+    )
+    win = toks.select(
+        "doc_id",
+        "pos",
+        F.size(F.array_distinct(F.collect_list("tok").over(w)))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("wlen"),
+    )
+    # keep windows that are full, plus the single pos=0 window of a
+    # short document (its frame holds the whole document)
+    win = win.join(F.broadcast(nt), "doc_id").filter(
+        (F.col("wlen") == _MATTR_W) | (F.col("pos") == 0)
+    )
+    return win.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        (
+            F.sum(
+                (
+                    F.col("d").cast("double")
+                    / F.least(
+                        F.col("n_tokens").cast("double"),
+                        F.lit(float(_MATTR_W)),
+                    )
+                ).cast("decimal(25,6)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mattr"),
+    )

@@ -510,3 +510,139 @@ def q_stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jb_stat"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_stats_cramers_v",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type AS et, dayofweek(ts) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT r.et, c.dow
+      FROM (SELECT DISTINCT et FROM obs) r
+      CROSS JOIN (SELECT DISTINCT dow FROM obs) c
+    ),
+    cells AS (
+      SELECT s.et, s.dow, CAST(coalesce(o.o, 0) AS BIGINT) AS o
+      FROM spine s LEFT JOIN obs o ON s.et = o.et AND s.dow = o.dow
+    ),
+    rt AS (SELECT et, CAST(sum(o) AS BIGINT) AS rtot FROM cells GROUP BY et),
+    ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ctot FROM cells GROUP BY dow),
+    tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT et) AS BIGINT) AS nr,
+             CAST(count(DISTINCT dow) AS BIGINT) AS nc
+      FROM cells
+    ),
+    t AS (
+      SELECT o,
+             CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE)
+               AS e,
+             n, nr, nc
+      FROM cells JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN tot
+    ),
+    chi AS (
+      SELECT max(n) AS n, max(nr) AS nr, max(nc) AS nc,
+             {sql_dround(
+                 "CAST(sum(CAST((CAST(o AS DOUBLE) - e)"
+                 " * (CAST(o AS DOUBLE) - e) / e"
+                 " AS DECIMAL(25,6))) AS DOUBLE)", 6)} AS chi2_stat
+      FROM t
+    )
+    SELECT n AS n_total,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           chi2_stat,
+           {sql_dround(
+               "sqrt(chi2_stat / (CAST(n AS DOUBLE)"
+               " * least(nr - 1, nc - 1)))", 6)} AS cramers_v
+    FROM chi
+    """,
+)
+def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the association between event type
+    and day-of-week — the [0,1]-normalized companion to the chi-square
+    statistic (q_agg_chi2_independence reports significance, which at
+    1e12 rows is always "significant"; V = sqrt(chi2 / (N·min(R−1,
+    C−1))) reports whether the association MATTERS), over the dense
+    |types|×7 grid with zero cells contributing their E terms.
+
+    Plan: the chi2 dense-grid discipline — one hash aggregate to the
+    observed cells, broadcast label-spine densification, marginals
+    over the pinned cells frame, one scalar closing. Determinism:
+    integer counts, the per-cell terms through the decimal sum, chi2
+    e6-rounded, and V computed FROM the rounded chi2 with its own
+    e6-rounded sqrt (the only libm)."""
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.groupBy(
+            F.col("event_type").alias("et"),
+            F.dayofweek("ts").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=False)  # spine + marginals: one scan
+    )
+    spine = (
+        obs.select("et")
+        .distinct()
+        .crossJoin(F.broadcast(obs.select("dow").distinct()))
+    )
+    cells = spine.join(F.broadcast(obs), ["et", "dow"], "left").select(
+        "et", "dow", F.coalesce("o", F.lit(0)).cast("bigint").alias("o")
+    ).localCheckpoint(eager=False)
+    rt = cells.groupBy("et").agg(F.sum("o").cast("bigint").alias("rtot"))
+    ct = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("ctot"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("et").cast("bigint").alias("nr"),
+        F.countDistinct("dow").cast("bigint").alias("nc"),
+    )
+    t = (
+        cells.join(F.broadcast(rt), "et")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            (
+                F.col("rtot").cast("double")
+                * F.col("ctot").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+            "n",
+            "nr",
+            "nc",
+        )
+    )
+    od = F.col("o").cast("double")
+    chi = t.agg(
+        F.max("n").alias("n"),
+        F.max("nr").alias("nr"),
+        F.max("nc").alias("nc"),
+        dround(
+            F.sum(
+                ((od - F.col("e")) * (od - F.col("e")) / F.col("e")).cast(
+                    "decimal(25,6)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("chi2_stat"),
+    )
+    return chi.select(
+        F.col("n").alias("n_total"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        "chi2_stat",
+        dround(
+            F.sqrt(
+                F.col("chi2_stat")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("nr") - 1, F.col("nc") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

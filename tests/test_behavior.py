@@ -106,3 +106,27 @@ def test_path_trigrams_match_python(spark):
         max(len(v) - 2, 0) for v in byu.values()
     )
     assert sum(got.values()) == expect_total
+
+
+def test_ip_cidr_matches_python(spark):
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    users = sorted({r["user_id"] for r in rows})
+    got = {
+        r["user_id"]: r
+        for r in SPECS["q_fn_ip_cidr"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(users)
+    for u in users:
+        ip = u * 2654435761 % 2**32
+        o = [(ip >> s) & 255 for s in (24, 16, 8, 0)]
+        r = got[u]
+        assert r["ip"] == ip
+        assert r["ip_str"] == ".".join(str(x) for x in o)
+        assert r["subnet16"] == (o[0] << 24) + (o[1] << 16)
+        assert r["subnet24"] == (o[0] << 24) + (o[1] << 16) + (o[2] << 8)
+        assert r["is_private"] == (
+            o[0] == 10
+            or (o[0] == 172 and 16 <= o[1] <= 31)
+            or (o[0] == 192 and o[1] == 168)
+        )
+        assert r["in_watch_cidr"] == (ip >> 12 == 167772160 >> 12)

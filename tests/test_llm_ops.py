@@ -477,3 +477,38 @@ def test_neighbor_jaccard_dense_vs_chain(spark, tmp_path):
         assert abs(rows[e].neighbor_jaccard - 1 / 3) < 1e-12
     assert rows[(20, 21)].common_neighbors == 0
     assert rows[(20, 21)].neighbor_jaccard == 0.0
+
+
+def test_mattr_diversity_matches_python(spark, sf_dir):
+    """MATTR-50: independent plain-Python sliding-window recompute."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ex_hivent_spark.llm.text import _MATTR_W
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    got = {
+        r["doc_id"]: r
+        for r in SPECS["q_llm_mattr_diversity"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == {d["doc_id"] for d in docs}
+    for d in docs:
+        toks = d["text"].split(" ")
+        n = len(toks)
+        wins = (
+            [toks]
+            if n < _MATTR_W
+            else [
+                toks[i : i + _MATTR_W]
+                for i in range(0, n - _MATTR_W + 1)
+            ]
+        )
+        mattr = math.fsum(
+            len(set(w)) / min(n, _MATTR_W) for w in wins
+        ) / len(wins)
+        row = got[d["doc_id"]]
+        assert row["n_tokens"] == n
+        assert row["n_windows"] == len(wins)
+        assert row["mattr"] == pytest.approx(mattr, abs=1e-6)
+        assert 0.0 < row["mattr"] <= 1.0

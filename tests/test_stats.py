@@ -157,3 +157,30 @@ def test_rank_tests_consistent(spark):
     )
     assert h >= 0.0
     assert abs(z) < math.sqrt(max(h, 1.0)) + 10.0
+
+
+def test_cramers_v_matches_python(spark):
+    rows = _events()
+    obs: Counter = Counter()
+    for r in rows:
+        # DuckDB/Spark dayofweek: Sunday=1..Saturday=7
+        obs[(r["event_type"], r["ts"].isoweekday() % 7 + 1)] += 1
+    types = sorted({k[0] for k in obs})
+    dows = sorted({k[1] for k in obs})
+    n = sum(obs.values())
+    rt = {t: sum(obs.get((t, d), 0) for d in dows) for t in types}
+    ct = {d: sum(obs.get((t, d), 0) for t in types) for d in dows}
+    chi = math.fsum(
+        (obs.get((t, d), 0) - rt[t] * ct[d] / n) ** 2 / (rt[t] * ct[d] / n)
+        for t in types
+        for d in dows
+    )
+    got = SPECS["q_stats_cramers_v"].spark(spark, SF_DIR).collect()[0]
+    assert got["n_total"] == n
+    assert got["dof"] == (len(types) - 1) * (len(dows) - 1)
+    assert got["chi2_stat"] == pytest.approx(chi, abs=1e-4)
+    v = math.sqrt(
+        got["chi2_stat"] / (n * min(len(types) - 1, len(dows) - 1))
+    )
+    assert got["cramers_v"] == pytest.approx(v, abs=1e-6)
+    assert 0.0 <= got["cramers_v"] <= 1.0
