@@ -303,3 +303,202 @@ def q_seq_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
         .orderBy(F.col("n_paths").desc(), "t1", "t2", "t3")
     )
+
+
+# Kaplan-Meier duration grid blocking (durations live on the <=720
+# whole-hour grid of the events month).
+_KM_BLOCK = 100.0
+
+
+@register(
+    "q_agg_survival_km",
+    oracle="""
+    WITH life AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             max(ts) AS t_last,
+             min(CASE WHEN event_type = 'error' THEN ts END) AS t_err
+      FROM events GROUP BY user_id
+    ),
+    dur AS (
+      SELECT user_id,
+             CAST(floor(date_diff('second', t0, coalesce(t_err, t_last))
+                        / 3600.0) AS BIGINT) AS dur_h,
+             CAST(CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END
+                  AS BIGINT) AS ev
+      FROM life
+    ),
+    grid AS (
+      SELECT dur_h,
+             CAST(count(*) AS BIGINT) AS a,
+             CAST(sum(ev) AS BIGINT) AS d
+      FROM dur GROUP BY dur_h
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dur),
+    cum AS (
+      SELECT dur_h, a, d,
+             CAST(sum(a) OVER (ORDER BY dur_h
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS ca,
+             n
+      FROM grid CROSS JOIN tot
+    ),
+    risk AS (
+      SELECT dur_h, a, d, n - (ca - a) AS n_risk FROM cum
+    ),
+    terms AS (
+      SELECT dur_h, a, d, n_risk,
+             CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                  WHEN d = n_risk THEN NULL
+                  ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+                                     / n_risk) * 1000000.0 - 0.5 + 1.0)
+                            AS BIGINT) END AS lnt_u,
+             CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zero_flag
+      FROM risk
+    ),
+    surv AS (
+      SELECT dur_h, d, n_risk, a - d AS n_censored_at,
+             CAST(sum(coalesce(lnt_u, 0)) OVER (ORDER BY dur_h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS lsum_u,
+             CAST(sum(zero_flag) OVER (ORDER BY dur_h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS zf
+      FROM terms
+    )
+    SELECT dur_h, n_risk, d AS n_events, n_censored_at,
+           CASE WHEN zf > 0 THEN 0.0
+                ELSE floor(exp(CAST(lsum_u AS DOUBLE) / 1000000.0)
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS survival
+    FROM surv WHERE d > 0
+    """,
+)
+def q_agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-error per user:
+    duration = whole hours from a user's first event to their first
+    'error' (right-censored at their last observed event when no error
+    ever occurs); S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over event times with
+    the risk set nᵢ = users whose duration ≥ tᵢ (censored users count
+    while at risk — the estimator's whole point; naive "error rate
+    among finished users" is biased). The standard reliability /
+    churn-curve readout. One row per event time.
+
+    Plan: one hash aggregate collapses events to per-user lifetimes,
+    a second onto the ≤720-row whole-hour duration grid — everything
+    after is time-grain bounded (the cumulative windows run over the
+    GRID, via the blocked prefix fold, no global data-sized window).
+    Determinism: risk/event counts are exact integers; each KM factor
+    enters as a TOWARD-MINUS-INFINITY e6-rounded ln (floor(x·1e6 −
+    0.5 + 1)/1e6 ≡ ceil-adjusted — rounding the NEGATIVE ln with the
+    same dround convention both sides), carried as exact BIGINT
+    micro-nats through the prefix fold (integer cumulative sums — no
+    double summation order anywhere);
+    the closing exp (the only other libm) is e6-rounded; the d = n
+    absorbing state (survival exactly 0, where ln diverges) rides an
+    integer cumulative flag."""
+    e = load_table(spark, sf_dir, "events")
+    life = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t_last"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("t_err"),
+    )
+    dur = life.select(
+        F.floor(
+            (
+                F.unix_timestamp(F.coalesce("t_err", "t_last"))
+                - F.unix_timestamp("t0")
+            )
+            / 3600.0
+        )
+        .cast("bigint")
+        .alias("dur_h"),
+        F.when(F.col("t_err").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("ev"),
+    )
+    grid = dur.groupBy("dur_h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a"),
+        F.sum("ev").cast("bigint").alias("d"),
+    ).localCheckpoint(eager=False)  # totals + two prefix passes: the
+    # bounded grid frame is computed once
+    tot = grid.agg(F.sum("a").cast("bigint").alias("n"))
+    blocked = grid.withColumn(
+        "blk", F.floor(F.col("dur_h") / F.lit(_KM_BLOCK))
+    )
+    nr, d = F.col("n_risk"), F.col("d")
+    ranked = running_totals_blocked(
+        blocked,
+        order_cols=["dur_h"],
+        block_cols=["blk"],
+        sum_cols={"a": "ca"},
+    ).crossJoin(F.broadcast(tot)).select(
+        "dur_h",
+        "a",
+        "d",
+        "blk",
+        (F.col("n") - (F.col("ca") - F.col("a"))).alias("n_risk"),
+    )
+    # toward-minus-infinity e6 rounding of the negative ln (the dround
+    # convention floor(x*1e6+0.5) mirrored for the magnitude): both
+    # engines compute floor(ln*1e6 - 0.5 + 1)/1e6.
+    lnt = (
+        F.when(d == 0, F.lit(0).cast("bigint"))
+        .when(d == F.col("n_risk"), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.log((nr - d).cast("double") / nr) * 1000000.0
+                - 0.5
+                + 1.0
+            ).cast("bigint")
+        )
+    )
+    terms = ranked.select(
+        "dur_h",
+        "a",
+        "d",
+        "blk",
+        "n_risk",
+        lnt.alias("lnt_u"),
+        F.when(d == nr, 1).otherwise(0).alias("zero_flag"),
+    )
+    cum = running_totals_blocked(
+        terms.select(
+            "dur_h",
+            "a",
+            "d",
+            "blk",
+            "n_risk",
+            F.coalesce("lnt_u", F.lit(0).cast("bigint")).alias(
+                "lnt_u"
+            ),
+            "zero_flag",
+        ),
+        order_cols=["dur_h"],
+        block_cols=["blk"],
+        sum_cols={"lnt_u": "lsum_u", "zero_flag": "zf"},
+    )
+    return (
+        cum.filter(F.col("d") > 0)
+        .select(
+            "dur_h",
+            "n_risk",
+            F.col("d").alias("n_events"),
+            (F.col("a") - F.col("d")).alias("n_censored_at"),
+            F.when(F.col("zf") > 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    F.exp(
+                        F.col("lsum_u").cast("double") / 1000000.0
+                    )
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            )
+            .alias("survival"),
+        )
+    )

@@ -646,3 +646,157 @@ def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "q_stats_brown_forsythe",
+    oracle=f"""
+    WITH vc AS (
+      SELECT event_type AS et, value, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    cumv AS (
+      SELECT et, value, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY et ORDER BY value
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum
+      FROM vc
+    ),
+    gt AS (SELECT et, CAST(sum(cnt) AS BIGINT) AS ng FROM vc GROUP BY et),
+    med AS (
+      SELECT g.et,
+             ((SELECT min(value) FROM cumv c
+               WHERE c.et = g.et
+                 AND c.cum >= CAST(floor((g.ng + 1) / 2.0) AS BIGINT))
+              + (SELECT min(value) FROM cumv c
+                 WHERE c.et = g.et
+                   AND c.cum >= CAST(floor(g.ng / 2.0) AS BIGINT) + 1)
+             ) / 2.0 AS med
+      FROM gt g
+    ),
+    z AS (
+      SELECT e.event_type AS et, abs(e.value - m.med) AS z
+      FROM events e JOIN med m ON m.et = e.event_type
+    ),
+    g AS (
+      SELECT et,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(z AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(z * z AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM z GROUP BY et
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS ntot,
+             CAST(sum(CAST(sx AS DECIMAL(38,10))) AS DOUBLE) AS sxt,
+             CAST(sum(CAST(sxx AS DECIMAL(38,10))) AS DOUBLE) AS sxxt,
+             CAST(sum(CAST(sx * sx / n AS DECIMAL(38,10))) AS DOUBLE)
+               AS sb
+      FROM g
+    )
+    SELECT k, ntot AS n_total,
+           {sql_dround(
+               "((sb - sxt * sxt / ntot) / (k - 1))"
+               " / ((sxxt - sb) / (ntot - k))",
+               6,
+           )} AS f_stat
+    FROM t
+    """,
+)
+def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test of equal ``value`` VARIANCE across the five
+    event types — the robust Levene variant (one-way ANOVA on the
+    absolute deviations z = |x − median_g| from each group's exact
+    MEDIAN, not its mean): the gate one runs before trusting the
+    equal-variance assumptions downstream dashboards quietly make, and
+    median-centering keeps it calibrated under the heavy tails that
+    break the classical Bartlett test.
+
+    Plan: group medians come from per-(group, value) distinct counts
+    cumulated via the blocked prefix fold — the fold is GLOBAL over
+    the lexicographic (group, value-block) order, so each group's
+    preceding-groups total (a k-row broadcast self-join) subtracts
+    back out to per-group cumulative counts; the two middle picks are
+    two filtered min-aggregates; the |x − med| pass re-joins the k-row
+    median frame by broadcast and the ANOVA closing is the
+    q_stats_anova_oneway machinery. TWO scans of the stream (the
+    distinct-count aggregate, then the centered-moment aggregate) —
+    a median cannot be folded into one pass exactly. Determinism:
+    medians are exact half-sums of observed doubles; z is per-row
+    double arithmetic; moment sums ride the decimal detour; the one
+    cancellation-prone closing is e6-rounded (no libm)."""
+    e = load_table(spark, sf_dir, "events")
+    vc = e.groupBy(
+        F.col("event_type").alias("et"), "value"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).localCheckpoint(
+        eager=False
+    )  # totals + the prefix fold: one scan of the stream
+    gt = vc.groupBy("et").agg(F.sum("cnt").cast("bigint").alias("ng"))
+    a = gt.select(F.col("et").alias("et_a"), F.col("ng").alias("ng_a"))
+    off = (
+        a.join(gt.select("et", "ng"), F.col("et") < F.col("et_a"), "left")
+        .groupBy(F.col("et_a").alias("et"))
+        .agg(F.coalesce(F.sum("ng"), F.lit(0)).cast("bigint").alias("off"))
+    )
+    blocked = vc.withColumn("blk", F.floor(F.col("value") / F.lit(10.0)))
+    cum = running_totals_blocked(
+        blocked,
+        order_cols=["value"],
+        block_cols=["et", "blk"],
+        sum_cols={"cnt": "gcum"},
+    )
+    cumv = (
+        cum.join(F.broadcast(off), "et")
+        .join(F.broadcast(gt), "et")
+        .select(
+            "et",
+            "value",
+            (F.col("gcum") - F.col("off")).alias("cum"),
+            "ng",
+        )
+    )
+    lo = (
+        cumv.filter(
+            F.col("cum") >= F.floor((F.col("ng") + 1) / 2.0).cast("bigint")
+        )
+        .groupBy("et")
+        .agg(F.min("value").alias("v_lo"))
+    )
+    hi = (
+        cumv.filter(
+            F.col("cum")
+            >= F.floor(F.col("ng") / 2.0).cast("bigint") + 1
+        )
+        .groupBy("et")
+        .agg(F.min("value").alias("v_hi"))
+    )
+    med = lo.join(hi, "et").select(
+        "et", ((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med")
+    )
+    z = e.join(
+        F.broadcast(med), e["event_type"] == med["et"]
+    ).select("et", F.abs(F.col("value") - F.col("med")).alias("z"))
+    zc = F.col("z")
+    g = z.groupBy("et").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(zc.cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum((zc * zc).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    d10 = "decimal(38,10)"
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("ntot"),
+        F.sum(F.col("sx").cast(d10)).cast("double").alias("sxt"),
+        F.sum(F.col("sxx").cast(d10)).cast("double").alias("sxxt"),
+        F.sum((F.col("sx") * F.col("sx") / F.col("n")).cast(d10))
+        .cast("double")
+        .alias("sb"),
+    )
+    k, ntot = F.col("k"), F.col("ntot")
+    ssb = F.col("sb") - F.col("sxt") * F.col("sxt") / ntot
+    ssw = F.col("sxxt") - F.col("sb")
+    return t.select(
+        k,
+        ntot.alias("n_total"),
+        dround((ssb / (k - 1)) / (ssw / (ntot - k)), 6).alias("f_stat"),
+    )

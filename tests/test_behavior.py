@@ -130,3 +130,54 @@ def test_ip_cidr_matches_python(spark):
             or (o[0] == 192 and o[1] == 168)
         )
         assert r["in_watch_cidr"] == (ip >> 12 == 167772160 >> 12)
+
+
+def test_survival_km_matches_python(spark):
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    byu: dict = defaultdict(list)
+    for r in rows:
+        byu[r["user_id"]].append(r)
+    durs = []
+    for evs in byu.values():
+        t0 = min(r["ts"] for r in evs)
+        errs = [r["ts"] for r in evs if r["event_type"] == "error"]
+        if errs:
+            durs.append((int((min(errs) - t0).total_seconds() // 3600), 1))
+        else:
+            t_last = max(r["ts"] for r in evs)
+            durs.append(
+                (int((t_last - t0).total_seconds() // 3600), 0)
+            )
+    n = len(durs)
+    grid: dict = defaultdict(lambda: [0, 0])
+    for d, ev in durs:
+        grid[d][0] += 1
+        grid[d][1] += ev
+    surv = 1.0
+    expect = {}
+    seen = 0
+    for t in sorted(grid):
+        a, d = grid[t]
+        n_risk = n - seen
+        seen += a
+        if d == 0:
+            continue
+        surv *= (n_risk - d) / n_risk
+        expect[t] = (n_risk, d, a - d, surv)
+    got = {
+        r["dur_h"]: r
+        for r in SPECS["q_agg_survival_km"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    last = None
+    for t in sorted(expect):
+        n_risk, d, cens, surv = expect[t]
+        row = got[t]
+        assert row["n_risk"] == n_risk
+        assert row["n_events"] == d
+        assert row["n_censored_at"] == cens
+        assert row["survival"] == pytest.approx(surv, abs=5e-5)
+        # survival is monotone non-increasing along the curve
+        if last is not None:
+            assert row["survival"] <= last + 1e-12
+        last = row["survival"]

@@ -184,3 +184,24 @@ def test_cramers_v_matches_python(spark):
     )
     assert got["cramers_v"] == pytest.approx(v, abs=1e-6)
     assert 0.0 <= got["cramers_v"] <= 1.0
+
+
+def test_brown_forsythe_matches_python(spark):
+    g = _groups()
+    meds = {}
+    for t, v in g.items():
+        s = sorted(v)
+        n = len(s)
+        meds[t] = (s[(n - 1) // 2] + s[n // 2]) / 2.0
+    z = {t: [abs(x - meds[t]) for x in v] for t, v in g.items()}
+    k = len(z)
+    ntot = sum(len(v) for v in z.values())
+    sxt = math.fsum(x for v in z.values() for x in v)
+    sxxt = math.fsum(x * x for v in z.values() for x in v)
+    sb = math.fsum(math.fsum(v) ** 2 / len(v) for v in z.values())
+    f = ((sb - sxt * sxt / ntot) / (k - 1)) / ((sxxt - sb) / (ntot - k))
+    got = (
+        SPECS["q_stats_brown_forsythe"].spark(spark, SF_DIR).collect()[0]
+    )
+    assert (got["k"], got["n_total"]) == (k, ntot)
+    assert got["f_stat"] == pytest.approx(f, abs=1e-5)
