@@ -1654,3 +1654,87 @@ def q_llm_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mattr"),
     )
+
+
+# Burstiness audit: top terms by corpus frequency.
+_BURST_TOP = 50
+
+
+@register(
+    "q_llm_term_burstiness",
+    oracle=f"""
+    WITH td AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term, doc_id
+    ),
+    dd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    t AS (
+      SELECT term,
+             CAST(sum(c) AS BIGINT) AS tf,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c * c) AS BIGINT) AS ssq
+      FROM td GROUP BY term
+    )
+    SELECT term, tf, df,
+           CAST(tf AS DOUBLE) / n_docs AS mean_count,
+           (CAST(ssq AS DOUBLE) - CAST(tf AS DOUBLE) * tf / n_docs)
+             / (n_docs - 1) AS var_count,
+           {sql_dround(
+               "((CAST(ssq AS DOUBLE)"
+               "  - CAST(tf AS DOUBLE) * tf / n_docs)"
+               " / (n_docs - 1))"
+               " / (CAST(tf AS DOUBLE) / n_docs)", 6)} AS fano
+    FROM t CROSS JOIN dd
+    ORDER BY tf DESC, term LIMIT {_BURST_TOP}
+    """,
+)
+def q_llm_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Fano factor / index of dispersion) for the top
+    50 corpus terms: variance-to-mean ratio of the per-document
+    count ACROSS ALL documents, zeros included — Fano ≈ 1 means the
+    term scatters Poisson-like (function words), Fano ≫ 1 means it
+    bursts in few documents (topical/content words). The classic
+    content-word detector a curation pipeline uses next to IDF, and a
+    drift probe for template spam (a suddenly-bursty function word =
+    boilerplate injection).
+
+    Plan: one explode + two hash aggregates collapse the corpus to
+    per-term moments (Σc, Σc², df) — zeros never materialize because
+    the all-docs variance is computed from the total-docs scalar D:
+    var = (Σc² − (Σc)²/D)/(D−1); the top-k is a TakeOrderedAndProject
+    (distributed per-partition top-k + merge, never a global sort).
+    Determinism: all moments are exact integers; the divisions are
+    deterministic doubles; the Fano closing is e6-rounded against the
+    division-order wobble; the (tf DESC, term) cutoff is a total
+    order."""
+    d = load_table(spark, sf_dir, "documents")
+    td = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    dd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    t = td.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("tf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"),
+    )
+    tf, ssq, nd = F.col("tf"), F.col("ssq"), F.col("n_docs")
+    var = (ssq.cast("double") - tf.cast("double") * tf / nd) / (nd - 1)
+    return (
+        t.crossJoin(F.broadcast(dd))
+        .select(
+            "term",
+            "tf",
+            "df",
+            (tf.cast("double") / nd).alias("mean_count"),
+            var.alias("var_count"),
+            dround(var / (tf.cast("double") / nd), 6).alias("fano"),
+        )
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(_BURST_TOP)
+    )

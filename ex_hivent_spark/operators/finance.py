@@ -457,3 +457,84 @@ def q_ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hurst"),
     ).orderBy("event_type")
+
+
+# VWAP trailing window, in hourly bars.
+_VWAP_WIN = 24
+
+
+@register(
+    "q_win_vwap",
+    oracle=f"""
+    WITH bars AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+             CAST(count(*) AS BIGINT) AS vol,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS pv
+      FROM events GROUP BY 1, 2
+    ),
+    rolled AS (
+      SELECT event_type, hour_id, vol, pv,
+             CAST(count(*) OVER w AS BIGINT) AS nbar,
+             CAST(sum(CAST(pv AS DECIMAL(25,6))) OVER w AS DOUBLE) AS spv,
+             CAST(sum(vol) OVER w AS BIGINT) AS svol
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_VWAP_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, vol,
+           spv / svol AS vwap24,
+           pv / vol AS bar_avg
+    FROM rolled WHERE nbar = {_VWAP_WIN}
+    """,
+)
+def q_win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-bar volume-weighted average price per event type:
+    VWAP = Σ(Σvalue per bar) / Σ(count per bar) over the trailing day
+    of hourly bars — the execution-quality benchmark (is the current
+    bar's average rich or cheap against the day's flow?), emitted next
+    to the single-bar average for the spread readout. Rows only where
+    the trailing frame is full.
+
+    Plan: one hash aggregate to hourly (value-sum, count) bars, one
+    rolling window over |hours| rows partitioned by type (time-grain
+    bounded). Determinism: bar sums and the rolling value-sum ride the
+    decimal detour, volumes are exact integers, and both closings are
+    single deterministic double divisions (no libm)."""
+    e = load_table(spark, sf_dir, "events")
+    bars = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600)
+        .cast("bigint")
+        .alias("hour_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vol"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("pv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-(_VWAP_WIN - 1), Window.currentRow)
+    )
+    rolled = bars.select(
+        "event_type",
+        "hour_id",
+        "vol",
+        "pv",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nbar"),
+        F.sum(F.col("pv").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spv"),
+        F.sum("vol").over(w).cast("bigint").alias("svol"),
+    ).filter(F.col("nbar") == _VWAP_WIN)
+    return rolled.select(
+        "event_type",
+        "hour_id",
+        "vol",
+        (F.col("spv") / F.col("svol")).alias("vwap24"),
+        (F.col("pv") / F.col("vol")).alias("bar_avg"),
+    )

@@ -512,3 +512,78 @@ def test_mattr_diversity_matches_python(spark, sf_dir):
         assert row["n_windows"] == len(wins)
         assert row["mattr"] == pytest.approx(mattr, abs=1e-6)
         assert 0.0 < row["mattr"] <= 1.0
+
+
+def test_term_burstiness_matches_python(spark, sf_dir):
+    """Fano factor over all-docs counts (zeros included), top by tf."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    n_docs = len(docs)
+    per_doc: dict = defaultdict(Counter)
+    for d in docs:
+        for t in d["text"].split(" "):
+            per_doc[t][d["doc_id"]] += 1
+    stats = {}
+    for t, cnt in per_doc.items():
+        tf = sum(cnt.values())
+        ssq = sum(c * c for c in cnt.values())
+        mean = tf / n_docs
+        var = (ssq - tf * tf / n_docs) / (n_docs - 1)
+        stats[t] = (tf, len(cnt), mean, var)
+    top = sorted(stats, key=lambda t: (-stats[t][0], t))[:50]
+    got = {
+        r["term"]: r
+        for r in SPECS["q_llm_term_burstiness"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(top)
+    for t in top:
+        tf, df, mean, var = stats[t]
+        r = got[t]
+        assert (r["tf"], r["df"]) == (tf, df)
+        assert r["mean_count"] == pytest.approx(mean, rel=1e-12)
+        assert r["var_count"] == pytest.approx(var, rel=1e-9)
+        assert r["fano"] == pytest.approx(var / mean, abs=1e-6)
+        # a term appearing once in one doc is Poisson-ish, never 0
+        assert r["fano"] > 0.0
+
+
+def test_vwap_matches_python(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    bars: dict = defaultdict(lambda: [0, 0.0])
+    for r in rows:
+        h = int(r["ts"].timestamp() // 3600)
+        b = bars[(r["event_type"], h)]
+        b[0] += 1
+        b[1] += r["value"]
+    series: dict = defaultdict(list)
+    for (t, h), (vol, pv) in sorted(bars.items()):
+        series[t].append((h, vol, pv))
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_vwap"].spark(spark, sf_dir).collect()
+    }
+    n_expected = 0
+    for t, s in series.items():
+        for i in range(len(s)):
+            if i < 23:
+                continue
+            n_expected += 1
+            frame = s[i - 23 : i + 1]
+            svol = sum(v for _, v, _ in frame)
+            spv = math.fsum(p for _, _, p in frame)
+            row = got[(t, s[i][0])]
+            assert row["vol"] == s[i][1]
+            assert row["vwap24"] == pytest.approx(spv / svol, abs=1e-9)
+            assert row["bar_avg"] == pytest.approx(
+                s[i][2] / s[i][1], abs=1e-9
+            )
+    assert len(got) == n_expected and n_expected > 0
