@@ -2341,3 +2341,134 @@ def q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_pairwise_cosine"),
     )
+
+
+def _cosine_topk_oracle_sql() -> str:
+    from ex_hivent_spark.plans.registry import _REGISTRY
+
+    return _REGISTRY["q_llm_cosine_topk"].oracle
+
+
+@register(
+    "q_llm_ndcg_eval",
+    oracle=f"""
+    WITH topk AS ({_cosine_topk_oracle_sql()}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    rel AS (
+      SELECT t.query_id, t.rn,
+             CAST(CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END
+                  AS BIGINT) AS rel
+      FROM topk t
+      JOIN lab lq ON lq.vec_id = t.query_id
+      JOIN lab ln ON ln.vec_id = t.neighbor_id
+    ),
+    terms AS (
+      SELECT query_id, rn, rel,
+             floor(1.0 / (ln(CAST(rn + 1 AS DOUBLE)) / ln(2.0))
+                   * 1000000.0 + 0.5) / 1000000.0 AS disc
+      FROM rel
+    ),
+    perq AS (
+      SELECT query_id,
+             CAST(sum(rel) AS BIGINT) AS n_rel,
+             CAST(sum(CAST(rel * disc AS DECIMAL(25,6))) AS DOUBLE)
+               AS dcg,
+             CAST(sum(CAST(CASE WHEN rn <= (SELECT sum(r2.rel)
+                                            FROM rel r2
+                                            WHERE r2.query_id
+                                                  = terms.query_id)
+                            THEN disc ELSE 0 END AS DECIMAL(25,6)))
+                  AS DOUBLE) AS idcg
+      FROM terms GROUP BY query_id
+    )
+    SELECT query_id, n_rel,
+           CAST(n_rel AS DOUBLE) / {TOP_K} AS precision_at_k,
+           dcg,
+           CASE WHEN n_rel = 0 THEN 0.0
+                ELSE floor(dcg / idcg * 1000000.0 + 0.5) / 1000000.0
+           END AS ndcg
+    FROM perq
+    """,
+)
+def q_llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k retrieval quality over the brute-force cosine top-k run,
+    with same-label-as-query as the binary relevance signal (the
+    embeddings table's label column is the class ground truth, the
+    q_llm_ann_recall convention): per query, DCG = Σ relᵢ/log₂(i+1)
+    over the ranked neighbors, normalized by the ideal DCG of the same
+    relevance multiset (the first n_rel discounts) — rank-aware where
+    q_llm_ann_recall's recall and precision@k are rank-blind, so a
+    system that buries its relevant hits at rank k scores lower than
+    one that leads with them. One row per query (0 when nothing
+    relevant surfaced).
+
+    Plan: the top-k frame (fixed-size broadcast-query machinery of
+    q_llm_cosine_topk) joins the label column twice (broadcast-sized
+    dimension), then one per-query hash aggregate; everything after
+    the base scan is query-count sized. Determinism: relevance is an
+    integer; each 1/log₂(i+1) discount e6-rounds its ln ratio (the
+    only libm) identically both sides; DCG/IDCG sums ride the decimal
+    detour; the closing ratio is e6-rounded. IDCG sums the SAME
+    e6-rounded discount grid, so NDCG = 1 exactly when all relevant
+    hits lead the ranking."""
+    topk = q_llm_cosine_topk(spark, sf_dir)
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lq = em.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    ln_ = em.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    rel = (
+        topk.join(F.broadcast(lq), "query_id")
+        .join(F.broadcast(ln_), "neighbor_id")
+        .select(
+            "query_id",
+            "rn",
+            F.when(F.col("ql") == F.col("nl"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rel"),
+        )
+    )
+    disc = (
+        F.floor(
+            (F.lit(1.0) / (F.log((F.col("rn") + 1).cast("double")) / F.log(F.lit(2.0))))
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    )
+    terms = rel.select("query_id", "rn", "rel", disc.alias("disc"))
+    nrel = terms.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel")
+    )
+    perq = (
+        terms.join(F.broadcast(nrel), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.max("n_rel").alias("n_rel"),
+            F.sum((F.col("rel") * F.col("disc")).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("dcg"),
+            F.sum(
+                F.when(F.col("rn") <= F.col("n_rel"), F.col("disc"))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(25,6)")
+            )
+            .cast("double")
+            .alias("idcg"),
+        )
+    )
+    return perq.select(
+        "query_id",
+        "n_rel",
+        (F.col("n_rel").cast("double") / TOP_K).alias("precision_at_k"),
+        "dcg",
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(
+            F.floor(F.col("dcg") / F.col("idcg") * 1000000.0 + 0.5)
+            / 1000000.0
+        )
+        .alias("ndcg"),
+    )

@@ -587,3 +587,46 @@ def test_vwap_matches_python(spark, sf_dir):
                 s[i][2] / s[i][1], abs=1e-9
             )
     assert len(got) == n_expected and n_expected > 0
+
+
+def test_ndcg_eval_matches_python(spark, sf_dir):
+    """NDCG@k recomputed from the cosine-topk frame + labels."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    }
+    topk = SPECS["q_llm_cosine_topk"].spark(spark, sf_dir).collect()
+    byq: dict = {}
+    for r in topk:
+        byq.setdefault(r["query_id"], []).append(
+            (r["rn"], labels[r["neighbor_id"]])
+        )
+    got = {
+        r["query_id"]: r
+        for r in SPECS["q_llm_ndcg_eval"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(byq)
+    for qid, hits in byq.items():
+        hits.sort()
+        rels = [1 if l == labels[qid] else 0 for _, l in hits]
+        disc = [e6(1.0 / math.log2(i + 2)) for i in range(len(rels))]
+        dcg = math.fsum(r * d for r, d in zip(rels, disc))
+        n_rel = sum(rels)
+        idcg = math.fsum(disc[:n_rel])
+        ndcg = 0.0 if n_rel == 0 else e6(dcg / idcg)
+        row = got[qid]
+        assert row["n_rel"] == n_rel
+        assert row["precision_at_k"] == pytest.approx(n_rel / 5, abs=1e-12)
+        assert row["dcg"] == pytest.approx(dcg, abs=1e-9)
+        assert row["ndcg"] == pytest.approx(ndcg, abs=1e-9)
+        assert 0.0 <= row["ndcg"] <= 1.0
+        # perfect front-loading must score exactly 1
+        if rels and all(r == 1 for r in rels[:n_rel]) and n_rel > 0:
+            assert row["ndcg"] == 1.0
