@@ -502,3 +502,126 @@ def q_agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("survival"),
         )
     )
+
+
+@register(
+    "q_agg_new_vs_returning",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT CAST(ts AS DATE) AS day, user_id
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.day,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN f.first_day < a.day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM act a JOIN fs f ON f.user_id = a.user_id
+    GROUP BY a.day ORDER BY a.day
+    """,
+)
+def q_agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: a user is NEW on the day of
+    their first-ever event and RETURNING on every later active day —
+    the growth-accounting decomposition (is today's traffic
+    acquisition or retention?) every product dashboard leads with.
+
+    Plan: two hash aggregates (per-user first day; distinct active
+    (day, user) pairs) and one user-keyed shuffle join — both sides
+    user-scale, far below event volume; the output is |days| rows.
+    First-seen is computed over ALL history, so the plan's state is
+    the per-user frame, not a window. Determinism: pure integer
+    counts over exact date casts."""
+    e = load_table(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    act = (
+        e.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    return (
+        act.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(
+                F.when(F.col("first_day") < F.col("day"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_agg_dau_wau_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ),
+    wau AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+    FROM dau d
+    JOIN wau w
+      ON w.week = CAST(date_trunc('week', d.day) AS DATE)
+    ORDER BY d.day
+    """,
+)
+def q_agg_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: daily active users over the active
+    users of the day's ISO calendar week — the engagement-frequency
+    ratio ("of this week's users, what share shows up on a given
+    day?") that separates a daily habit from a weekly chore. Calendar
+    weeks (not trailing windows) keep both sides a plain hash
+    aggregate — the trailing-window variant is the
+    q_win_sliding_distinct machinery.
+
+    Plan: two count-distinct hash aggregates at different calendar
+    grains joined on the week key — |days| rows out; distinct-count
+    state is per-grain user sets handled by Spark's partial
+    aggregation, no window anywhere. Determinism: integer counts,
+    one exact double division; Spark's date_trunc('week') and
+    DuckDB's agree on ISO Monday weeks."""
+    e = load_table(spark, sf_dir, "events")
+    dau = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    wau = e.groupBy(
+        F.date_trunc("week", F.col("ts").cast("date"))
+        .cast("date")
+        .alias("week")
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    return (
+        dau.withColumn(
+            "week", F.date_trunc("week", F.col("day")).cast("date")
+        )
+        .join(F.broadcast(wau), "week")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -538,3 +538,89 @@ def q_win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("spv") / F.col("svol")).alias("vwap24"),
         (F.col("pv") / F.col("vol")).alias("bar_avg"),
     )
+
+
+@register(
+    "q_win_pivot_points",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             max(value) AS high, min(value) AS low,
+             max(CASE WHEN rnd = 1 THEN value END) AS close
+      FROM (
+        SELECT event_type, ts, value,
+               row_number() OVER (
+                 PARTITION BY event_type, CAST(ts AS DATE)
+                 ORDER BY ts DESC, event_id DESC) AS rnd
+        FROM events
+      )
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    shifted AS (
+      SELECT event_type, day,
+             lag(high) OVER w AS ph,
+             lag(low) OVER w AS pl,
+             lag(close) OVER w AS pc
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day,
+           (ph + pl + pc) / 3.0 AS pivot,
+           2.0 * ((ph + pl + pc) / 3.0) - pl AS r1,
+           2.0 * ((ph + pl + pc) / 3.0) - ph AS s1,
+           (ph + pl + pc) / 3.0 + (ph - pl) AS r2,
+           (ph + pl + pc) / 3.0 - (ph - pl) AS s2
+    FROM shifted WHERE ph IS NOT NULL
+    ORDER BY event_type, day
+    """,
+)
+def q_win_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic floor-trader pivot levels per (event type, day) from the
+    PREVIOUS day's high/low/close: P = (H+L+C)/3, first/second
+    resistance and support bands — the pre-computed intraday reference
+    grid a monitoring dashboard draws before the day starts (the
+    static twin of q_win_bollinger_bands' rolling bands).
+
+    Plan: one hash aggregate to daily bars (close picked by the
+    (ts, event_id) total order), one lag over |days| rows partitioned
+    by type. Determinism: bar extrema and the unique close pick are
+    exact; every level is per-row IEEE arithmetic written identically
+    both sides (no libm, no aggregation of doubles)."""
+    e = load_table(spark, sf_dir, "events")
+    wd = Window.partitionBy(
+        "event_type", F.col("ts").cast("date")
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    daily = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "value",
+            F.row_number().over(wd).alias("rnd"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias(
+                "close"
+            ),
+        )
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    shifted = daily.select(
+        "event_type",
+        "day",
+        F.lag("high").over(wl).alias("ph"),
+        F.lag("low").over(wl).alias("pl"),
+        F.lag("close").over(wl).alias("pc"),
+    ).filter(F.col("ph").isNotNull())
+    p = (F.col("ph") + F.col("pl") + F.col("pc")) / 3.0
+    return shifted.select(
+        "event_type",
+        "day",
+        p.alias("pivot"),
+        (2.0 * p - F.col("pl")).alias("r1"),
+        (2.0 * p - F.col("ph")).alias("s1"),
+        (p + (F.col("ph") - F.col("pl"))).alias("r2"),
+        (p - (F.col("ph") - F.col("pl"))).alias("s2"),
+    ).orderBy("event_type", "day")

