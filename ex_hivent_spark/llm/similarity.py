@@ -2472,3 +2472,117 @@ def q_llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ndcg"),
     )
+
+
+@register(
+    "q_emb_label_centroid_sim",
+    oracle="""
+    WITH dims AS (
+      SELECT label, d AS dim,
+             CAST(e[d + 1] AS DOUBLE) AS x
+      FROM (SELECT label,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+            FROM embeddings)
+      CROSS JOIN unnest(range(0, 64)) AS u(d)
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(sum(CAST(x AS DECIMAL(25,9))) AS DOUBLE) / count(*)
+               AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM dims GROUP BY label, dim
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum(CAST(a.c * b.c AS DECIMAL(25,12))) AS DOUBLE)
+               AS dot,
+             CAST(sum(CAST(a.c * a.c AS DECIMAL(25,12))) AS DOUBLE)
+               AS na,
+             CAST(sum(CAST(b.c * b.c AS DECIMAL(25,12))) AS DOUBLE)
+               AS nb,
+             CAST(max(a.n) AS BIGINT) AS n_a,
+             CAST(max(b.n) AS BIGINT) AS n_b
+      FROM cent a JOIN cent b
+        ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b, n_a, n_b,
+           dot / ((floor(sqrt(na) * 1000000.0 + 0.5) / 1000000.0)
+                  * (floor(sqrt(nb) * 1000000.0 + 0.5) / 1000000.0))
+             AS centroid_cosine
+    FROM pairs ORDER BY label_a, label_b
+    """,
+)
+def q_emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the class-separability audit ("are my labels actually
+    distinct regions of embedding space?") that catches label noise
+    and collapsed encoders before training: high inter-centroid cosine
+    = classes the retrieval/classification stack cannot separate.
+
+    Plan: one posexplode to the (label, dim) grain and a hash
+    aggregate to the |labels|×64 centroid frame — everything after is
+    label-cardinality sized (the pairwise join is dim-keyed over that
+    tiny frame). At 100 TB only the first aggregate touches the
+    corpus; it combines map-side. Determinism: per-dimension sums
+    ride decimal(25,9) (float inputs are exact in double, magnitudes
+    ≤ ~1); centroid products sum through decimal(25,12); the two norm
+    sqrts (the only libm) are e6-rounded before the closing
+    division."""
+    em = load_table(spark, sf_dir, "embeddings")
+    dims = em.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(25,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("c").alias("ca"),
+        F.col("n").alias("na_cnt"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("c").alias("cb"),
+        F.col("n").alias("nb_cnt"),
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ca") * F.col("cb")).cast("decimal(25,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("ca") * F.col("ca")).cast("decimal(25,12)"))
+            .cast("double")
+            .alias("na"),
+            F.sum((F.col("cb") * F.col("cb")).cast("decimal(25,12)"))
+            .cast("double")
+            .alias("nb"),
+            F.max("na_cnt").cast("bigint").alias("n_a"),
+            F.max("nb_cnt").cast("bigint").alias("n_b"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        (
+            F.col("dot")
+            / (
+                dround(F.sqrt(F.col("na")), 6)
+                * dround(F.sqrt(F.col("nb")), 6)
+            )
+        ).alias("centroid_cosine"),
+    ).orderBy("label_a", "label_b")

@@ -1738,3 +1738,93 @@ def q_llm_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "term")
         .limit(_BURST_TOP)
     )
+
+
+@register(
+    "q_llm_source_vocab_overlap",
+    oracle="""
+    WITH vocab AS (
+      SELECT source, term
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY source, term
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS v FROM vocab GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS common
+      FROM vocab a JOIN vocab b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, sa.v AS vocab_a, sb.v AS vocab_b, i.common,
+           CAST(i.common AS DOUBLE) / (sa.v + sb.v - i.common)
+             AS vocab_jaccard,
+           CAST(i.common AS DOUBLE) / least(sa.v, sb.v)
+             AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q_llm_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources: for every
+    source pair, the shared-type count with Jaccard and
+    min-containment — the corpus-mixture diagnostic ("is source X
+    just a subset of Y's language?") that guides dedup priorities and
+    mixture weighting next to q_llm_jsd_sources' distributional
+    divergence (types here, token masses there).
+
+    Plan: one distinct hash aggregate to the (source, term) vocabulary
+    frame (vocab-sized, ≪ token volume); the pairwise intersection is
+    a TERM-keyed self-join — work Σ_term df(term)² bounded by
+    |sources| per term (≤|sources|² pairs per term, with |sources|
+    fixed and small), never an all-pairs document product; sizes join
+    back broadcast. Determinism: all-integer counts, two exact
+    integer-ratio divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+        .localCheckpoint(eager=False)  # sizes + self-join: one pass
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    a = vocab.select(F.col("source").alias("src_a"), "term")
+    b = vocab.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("v").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("v").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("common"))
+            ).alias("vocab_jaccard"),
+            (
+                F.col("common").cast("double")
+                / F.least(F.col("vocab_a"), F.col("vocab_b"))
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )

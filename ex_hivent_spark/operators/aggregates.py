@@ -558,3 +558,86 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_agg_fulfillment_latency",
+    oracle=f"""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT)
+               AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(days) AS BIGINT) AS min_days,
+           CAST(max(days) AS BIGINT) AS max_days,
+           CAST(sum(days) AS BIGINT) AS sum_days,
+           CAST(sum(days) AS DOUBLE) / count(*) AS avg_days,
+           {sql_dround(
+               "sqrt(greatest((CAST(sum(days * days) AS DOUBLE)"
+               " - CAST(sum(days) AS DOUBLE) * sum(days) / count(*))"
+               " / (count(*) - 1), 0))", 6)} AS sd_days
+    FROM lat GROUP BY priority ORDER BY priority
+    """,
+)
+def q_agg_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment latency profile per order priority: whole days
+    from order placement to line SHIPMENT (the TPC-H order→lineitem
+    join; this testdata carries l_shipdate, not l_receiptdate), with
+    count/min/max/mean/sd — the SLA dashboard cut ("are
+    URGENT orders actually faster?") and the operational twin of
+    q_agg_pricing_summary.
+
+    Plan: the orders side carries only (orderkey, priority) into the
+    join — a shuffle join on orderkey at fact scale (the natural
+    co-partitioned key both tables would be bucketed by in a
+    warehouse), then ONE hash aggregate with map-side combine.
+    Determinism: day differences are exact integers; all moments are
+    integer sums; the sd sqrt (the only libm) is e6-rounded and
+    clamped at zero."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sdate")
+    )
+    lat = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "priority",
+        F.datediff(F.col("sdate"), F.col("odate"))
+        .cast("bigint")
+        .alias("days"),
+    )
+    d = F.col("days")
+    return (
+        lat.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.min("days").cast("bigint").alias("min_days"),
+            F.max("days").cast("bigint").alias("max_days"),
+            F.sum("days").cast("bigint").alias("sum_days"),
+            (F.sum("days").cast("double") / F.count(F.lit(1))).alias(
+                "avg_days"
+            ),
+            dround(
+                F.sqrt(
+                    F.greatest(
+                        (
+                            F.sum(d * d).cast("double")
+                            - F.sum(d).cast("double")
+                            * F.sum(d)
+                            / F.count(F.lit(1))
+                        )
+                        / (F.count(F.lit(1)) - 1),
+                        F.lit(0.0),
+                    )
+                ),
+                6,
+            ).alias("sd_days"),
+        )
+        .orderBy("priority")
+    )

@@ -625,3 +625,97 @@ def q_agg_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_ts_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_trans
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    outs AS (
+      SELECT cur, CAST(sum(n_trans) AS BIGINT) AS n_out
+      FROM pairs GROUP BY cur
+    ),
+    tot AS (SELECT CAST(sum(n_trans) AS BIGINT) AS n FROM pairs),
+    terms AS (
+      SELECT p.cur, p.n_trans, o.n_out, t.n,
+             (CAST(o.n_out AS DOUBLE) / t.n)
+               * (CAST(p.n_trans AS DOUBLE) / o.n_out)
+               * (floor(ln(CAST(p.n_trans AS DOUBLE) / o.n_out)
+                        * 1000000.0 - 0.5 + 1.0) / 1000000.0) AS h_term
+      FROM pairs p JOIN outs o ON p.cur = o.cur CROSS JOIN tot t
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_transitions,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           floor(-CAST(sum(CAST(h_term AS DECIMAL(25,9))) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS entropy_rate_nats
+    FROM terms
+    """,
+)
+def q_ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order behavior Markov chain:
+    H = −Σ_s π̂(s) Σ_t P(t|s) ln P(t|s) with the empirical source
+    distribution π̂(s) = out-transitions(s)/N — the single-number
+    "how predictable is the next user action?" summary of
+    q_ts_markov_transitions' matrix (ln|types| ≈ 1.61 nats = fully
+    random; near 0 = deterministic flows), the metric to watch for
+    bot traffic (entropy collapses) or UI regressions (entropy
+    spikes).
+
+    Plan: the same per-user lead window and (cur, nxt) hash aggregate
+    as the transition matrix; the closing is one aggregate over the
+    ≤|types|² cells. Determinism: probabilities are exact integer
+    ratios; each ln is e6-rounded toward −∞ (the KM convention for
+    negative logs); the per-cell products sum through decimal(25,9)
+    (terms are < 1e0 with e6-grid factors — scale 9 keeps the
+    3-factor product exact enough that both engines quantize
+    identically) and the final sign-flip is e6-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans")
+    ).localCheckpoint(eager=False)  # outs + total + terms: one pass
+    outs = pairs.groupBy("cur").agg(
+        F.sum("n_trans").cast("bigint").alias("n_out")
+    )
+    tot = pairs.agg(F.sum("n_trans").cast("bigint").alias("n"))
+    p_cond = F.col("n_trans").cast("double") / F.col("n_out")
+    h_term = (
+        (F.col("n_out").cast("double") / F.col("n"))
+        * p_cond
+        * (
+            F.floor(F.log(p_cond) * 1000000.0 - 0.5 + 1.0)
+            / 1000000.0
+        )
+    )
+    terms = (
+        pairs.join(F.broadcast(outs), "cur")
+        .crossJoin(F.broadcast(tot))
+        .select("n_trans", "n_out", "n", h_term.alias("h_term"))
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_transitions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            F.floor(
+                -F.sum(F.col("h_term").cast("decimal(25,9)")).cast(
+                    "double"
+                )
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("entropy_rate_nats"),
+    )

@@ -265,3 +265,102 @@ def test_pivot_points_match_python(spark):
             assert row["s1"] <= row["pivot"] + 1e-9 or True
             assert row["r1"] <= row["r2"] + 1e-9
     assert len(got) == n
+
+
+def test_entropy_rate_matches_python(spark):
+    import math
+
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    byu: dict = defaultdict(list)
+    for r in rows:
+        byu[r["user_id"]].append(r)
+    trans: Counter = Counter()
+    for evs in byu.values():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        ts = [r["event_type"] for r in evs]
+        for i in range(len(ts) - 1):
+            trans[(ts[i], ts[i + 1])] += 1
+    n = sum(trans.values())
+    outs: Counter = Counter()
+    for (c, _), k in trans.items():
+        outs[c] += k
+
+    def ln_floor_e6(x):
+        return math.floor(math.log(x) * 1e6 - 0.5 + 1.0) / 1e6
+
+    h = -math.fsum(
+        (outs[c] / n) * (k / outs[c]) * ln_floor_e6(k / outs[c])
+        for (c, _), k in trans.items()
+    )
+    got = SPECS["q_ts_entropy_rate"].spark(spark, SF_DIR).collect()[0]
+    assert got["n_transitions"] == n
+    assert got["n_cells"] == len(trans)
+    assert got["entropy_rate_nats"] == pytest.approx(h, abs=1e-5)
+    # bounded by log of the alphabet size
+    k_types = len({c for c, _ in trans})
+    assert 0.0 <= got["entropy_rate_nats"] <= math.log(k_types) + 1e-6
+
+
+def test_fulfillment_latency_matches_python(spark):
+    import math
+
+    orders = {
+        r["o_orderkey"]: (r["o_orderpriority"], r["o_orderdate"])
+        for r in pq.read_table(f"{SF_DIR}/orders.parquet").to_pylist()
+    }
+    lines = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pylist()
+    lat: dict = defaultdict(list)
+    for l in lines:
+        pr, od = orders[l["l_orderkey"]]
+        od_d = od.date() if hasattr(od, "date") else od
+        sd = l["l_shipdate"]
+        sd_d = sd.date() if hasattr(sd, "date") else sd
+        lat[pr].append((sd_d - od_d).days)
+    got = {
+        r["priority"]: r
+        for r in SPECS["q_agg_fulfillment_latency"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    assert set(got) == set(lat)
+    for pr, days in lat.items():
+        r = got[pr]
+        n = len(days)
+        assert r["n_lines"] == n
+        assert (r["min_days"], r["max_days"]) == (min(days), max(days))
+        assert r["sum_days"] == sum(days)
+        assert r["avg_days"] == pytest.approx(sum(days) / n, rel=1e-12)
+        var = (sum(d * d for d in days) - sum(days) ** 2 / n) / (n - 1)
+        assert r["sd_days"] == pytest.approx(
+            math.sqrt(max(var, 0)), abs=1e-6
+        )
+
+
+def test_source_vocab_overlap_matches_python(spark):
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    vocab: dict = defaultdict(set)
+    for d in docs:
+        vocab[d["source"]].update(d["text"].split(" "))
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in SPECS["q_llm_source_vocab_overlap"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    srcs = sorted(vocab)
+    expect_pairs = {
+        (a, b)
+        for i, a in enumerate(srcs)
+        for b in srcs[i + 1 :]
+        if vocab[a] & vocab[b]
+    }
+    assert set(got) == expect_pairs
+    for (a, b), r in got.items():
+        common = len(vocab[a] & vocab[b])
+        assert r["vocab_a"] == len(vocab[a])
+        assert r["vocab_b"] == len(vocab[b])
+        assert r["common"] == common
+        assert r["vocab_jaccard"] == common / len(vocab[a] | vocab[b])
+        assert r["containment"] == common / min(
+            len(vocab[a]), len(vocab[b])
+        )

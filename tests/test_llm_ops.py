@@ -630,3 +630,42 @@ def test_ndcg_eval_matches_python(spark, sf_dir):
         # perfect front-loading must score exactly 1
         if rels and all(r == 1 for r in rels[:n_rel]) and n_rel > 0:
             assert row["ndcg"] == 1.0
+
+
+def test_label_centroid_sim_matches_python(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rows = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    byl: dict = defaultdict(list)
+    for r in rows:
+        byl[r["label"]].append([float(v) for v in r["embedding"]])
+    cents = {
+        l: [math.fsum(v[d] for v in vs) / len(vs) for d in range(64)]
+        for l, vs in byl.items()
+    }
+    got = {
+        (r["label_a"], r["label_b"]): r
+        for r in SPECS["q_emb_label_centroid_sim"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    labels = sorted(byl)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(labels) for b in labels[i + 1 :]
+    }
+    for (a, b), r in got.items():
+        ca, cb = cents[a], cents[b]
+        dot = math.fsum(x * y for x, y in zip(ca, cb))
+        na = e6(math.sqrt(math.fsum(x * x for x in ca)))
+        nb = e6(math.sqrt(math.fsum(x * x for x in cb)))
+        assert (r["n_a"], r["n_b"]) == (len(byl[a]), len(byl[b]))
+        assert r["centroid_cosine"] == pytest.approx(
+            dot / (na * nb), abs=1e-6
+        )
+        assert -1.001 <= r["centroid_cosine"] <= 1.001
