@@ -2586,3 +2586,95 @@ def q_emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("centroid_cosine"),
     ).orderBy("label_a", "label_b")
+
+
+@register(
+    "q_emb_knn_label_accuracy",
+    oracle=f"""
+    WITH topk AS ({_cosine_topk_oracle_sql()}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    votes AS (
+      SELECT t.query_id, ln.label AS vote,
+             CAST(count(*) AS BIGINT) AS n_votes
+      FROM topk t JOIN lab ln ON ln.vec_id = t.neighbor_id
+      GROUP BY t.query_id, ln.label
+    ),
+    pred AS (
+      SELECT query_id, vote AS predicted
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY n_votes DESC, vote)
+                        AS rn
+            FROM votes)
+      WHERE rn = 1
+    ),
+    scored AS (
+      SELECT lq.label AS true_label,
+             CAST(CASE WHEN p.predicted = lq.label THEN 1 ELSE 0 END
+                  AS BIGINT) AS correct
+      FROM pred p JOIN lab lq ON lq.vec_id = p.query_id
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(correct) AS BIGINT) AS n_correct,
+           CAST(sum(correct) AS DOUBLE) / count(*) AS accuracy
+    FROM scored GROUP BY true_label ORDER BY true_label
+    """,
+)
+def q_emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification accuracy over the cosine
+    top-k run, per true label: each query's label is predicted by the
+    plurality of its k=5 neighbors' labels (ties broken toward the
+    smaller label id — a fixed total order, stated as part of the
+    metric) and scored against the ground truth — the
+    embedding-quality leaderboard number next to q_llm_ndcg_eval's
+    rank-aware view and q_llm_ann_recall's retrieval view.
+
+    Plan: the fixed-size top-k frame joins the broadcast label
+    dimension, a (query, vote) hash aggregate, then the plurality
+    pick is a row_number over ≤|labels| rows per query partition —
+    everything after the base scan is query-count sized.
+    Determinism: votes are integers; the (n_votes DESC, vote)
+    tie-break is a total order; accuracy is one exact integer-ratio
+    division."""
+    from pyspark.sql import Window
+
+    topk = q_llm_cosine_topk(spark, sf_dir)
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ln_ = em.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("vote")
+    )
+    votes = (
+        topk.join(F.broadcast(ln_), "neighbor_id")
+        .groupBy("query_id", "vote")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("vote")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("vote").alias("predicted"))
+    )
+    lq = em.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    scored = pred.join(F.broadcast(lq), "query_id").select(
+        "true_label",
+        F.when(F.col("predicted") == F.col("true_label"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("correct"),
+    )
+    return (
+        scored.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum("correct").cast("bigint").alias("n_correct"),
+            (
+                F.sum("correct").cast("double") / F.count(F.lit(1))
+            ).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )

@@ -719,3 +719,112 @@ def q_ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("entropy_rate_nats"),
     )
+
+
+@register(
+    "q_agg_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', CAST(min(ts) AS DATE)) AS DATE)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM first_seen GROUP BY cohort_week
+    ),
+    weekly AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                    CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE))
+                  AS BIGINT) AS age_weeks,
+             CAST(sum(CAST(e.value AS DECIMAL(25,6))) AS DECIMAL(25,6))
+               AS rev
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_week, age_weeks,
+             CAST(sum(rev) OVER (PARTITION BY cohort_week
+                                 ORDER BY age_weeks
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS DOUBLE) AS cum_rev
+      FROM weekly
+    )
+    SELECT c.cohort_week, c.age_weeks, s.cohort_users, c.cum_rev,
+           c.cum_rev / s.cohort_users AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, age_weeks
+    """,
+)
+def q_agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: users cohorted by first-seen ISO week; for
+    each (cohort, weeks-since-first-seen) cell, the CUMULATIVE value
+    generated so far divided by cohort size — the lifetime-value
+    triangle finance reads payback periods from (q_cohort_retention's
+    revenue twin: that one counts active users, this one accumulates
+    value).
+
+    Plan: per-user first-seen aggregate, user-keyed join back (user
+    scale), hash aggregate onto the (cohort, age) grid — |weeks|²/2
+    cells, time-grain bounded — then the cumulative sum runs over ≤
+    |weeks| rows per cohort partition. Determinism: revenue stays in
+    EXACT decimal through both the cell aggregate AND the running
+    window (decimal window sums are order-insensitive), cast to
+    double only at output; the per-user division is one deterministic
+    double op."""
+    e = load_table(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts").cast("date"))
+        .cast("date")
+        .alias("cohort_week")
+    )
+    sizes = fs.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    weekly = (
+        e.join(fs, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts").cast("date")).cast(
+                        "date"
+                    ),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("age_weeks"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("decimal(25,6)")
+            .alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = weekly.select(
+        "cohort_week",
+        "age_weeks",
+        F.sum("rev").over(w).cast("double").alias("cum_rev"),
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            "cum_rev",
+            (F.col("cum_rev") / F.col("cohort_users")).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

@@ -624,3 +624,71 @@ def q_win_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p + (F.col("ph") - F.col("pl"))).alias("r2"),
         (p - (F.col("ph") - F.col("pl"))).alias("s2"),
     ).orderBy("event_type", "day")
+
+
+# Donchian channel lookback, in hourly bars.
+_DON_WIN = 20
+
+
+@register(
+    "q_win_donchian",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    chan AS (
+      SELECT event_type, hour_id, close,
+             CAST(count(*) OVER w AS BIGINT) AS nbar,
+             max(high) OVER w AS upper_ch,
+             min(low) OVER w AS lower_ch
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_DON_WIN} PRECEDING
+                   AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_id, close, upper_ch, lower_ch,
+           (upper_ch + lower_ch) / 2.0 AS mid_ch,
+           CAST(CASE WHEN close > upper_ch THEN 1
+                     WHEN close < lower_ch THEN -1
+                     ELSE 0 END AS INTEGER) AS breakout
+    FROM chan WHERE nbar = {_DON_WIN}
+    """,
+)
+def q_win_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel breakout per event type: the 20-bar trailing
+    high/low channel EXCLUDING the current bar (frame [-20, -1] — the
+    channel a breakout is judged against must not contain the bar
+    being judged), the mid line, and a +1/−1/0 breakout signal when
+    the close escapes the channel — the classic turtle-trader
+    volatility-regime detector, useful on metric streams as a
+    distribution-free "new local extreme" alarm.
+
+    Plan: hourly-bar aggregate, one rolling extremes window over
+    |hours| rows partitioned by type (time-grain bounded).
+    Determinism: extremes of exact bar values, one exact mid-point
+    division, integer signal — no libm, no double aggregation."""
+    bars = _hourly_close(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-_DON_WIN, -1)
+    )
+    chan = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nbar"),
+        F.max("high").over(w).alias("upper_ch"),
+        F.min("low").over(w).alias("lower_ch"),
+    ).filter(F.col("nbar") == _DON_WIN)
+    return chan.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "upper_ch",
+        "lower_ch",
+        ((F.col("upper_ch") + F.col("lower_ch")) / 2.0).alias("mid_ch"),
+        F.when(F.col("close") > F.col("upper_ch"), 1)
+        .when(F.col("close") < F.col("lower_ch"), -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("breakout"),
+    )

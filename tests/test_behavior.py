@@ -364,3 +364,45 @@ def test_source_vocab_overlap_matches_python(spark):
         assert r["containment"] == common / min(
             len(vocab[a]), len(vocab[b])
         )
+
+
+def test_cohort_ltv_matches_python(spark):
+    import math
+    from datetime import timedelta
+
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+
+    def week(d):
+        return d - timedelta(days=d.isoweekday() - 1)
+
+    first: dict = {}
+    for r in rows:
+        d = r["ts"].date()
+        u = r["user_id"]
+        first[u] = min(first.get(u, d), d)
+    cohort = {u: week(d) for u, d in first.items()}
+    sizes: Counter = Counter(cohort.values())
+    cells: dict = defaultdict(float)
+    for r in rows:
+        cw = cohort[r["user_id"]]
+        age = (week(r["ts"].date()) - cw).days // 7
+        cells[(cw, age)] += r["value"]
+    got = {
+        (r["cohort_week"], r["age_weeks"]): r
+        for r in SPECS["q_agg_cohort_ltv"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(cells)
+    for cw in {k[0] for k in cells}:
+        cum = 0.0
+        for age in sorted(a for c, a in cells if c == cw):
+            cum += cells[(cw, age)]
+            row = got[(cw, age)]
+            assert row["cohort_users"] == sizes[cw]
+            assert row["cum_rev"] == pytest.approx(cum, rel=1e-9)
+            assert row["ltv_per_user"] == pytest.approx(
+                cum / sizes[cw], rel=1e-9
+            )
+            # LTV is monotone non-decreasing in age
+            prev = got.get((cw, age - 1))
+            if prev is not None:
+                assert row["cum_rev"] >= prev["cum_rev"] - 1e-9

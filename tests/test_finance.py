@@ -158,3 +158,28 @@ def test_hurst_matches_python(spark):
         # sanity: an event-count series should land in a plausible
         # Hurst band, not at a degenerate endpoint
         assert -0.5 < got[t]["hurst"] < 1.5
+
+
+def test_donchian_matches_python(spark):
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_donchian"].spark(spark, SF_DIR).collect()
+    }
+    n = 0
+    for t, series in bars.items():
+        for i in range(len(series)):
+            if i < 20:
+                continue
+            n += 1
+            frame = series[i - 20 : i]
+            upper = max(h for _, _, h, _ in frame)
+            lower = min(lo for _, _, _, lo in frame)
+            row = got[(t, series[i][0])]
+            assert row["upper_ch"] == upper
+            assert row["lower_ch"] == lower
+            assert row["mid_ch"] == (upper + lower) / 2.0
+            close = series[i][1]
+            expect = 1 if close > upper else (-1 if close < lower else 0)
+            assert row["breakout"] == expect
+    assert len(got) == n and n > 0

@@ -669,3 +669,36 @@ def test_label_centroid_sim_matches_python(spark, sf_dir):
             dot / (na * nb), abs=1e-6
         )
         assert -1.001 <= r["centroid_cosine"] <= 1.001
+
+
+def test_knn_label_accuracy_matches_python(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    }
+    topk = SPECS["q_llm_cosine_topk"].spark(spark, sf_dir).collect()
+    byq: dict = defaultdict(list)
+    for r in topk:
+        byq[r["query_id"]].append(labels[r["neighbor_id"]])
+    per_label: dict = defaultdict(lambda: [0, 0])
+    for qid, votes in byq.items():
+        cnt = Counter(votes)
+        pred = min(cnt, key=lambda v: (-cnt[v], v))
+        t = labels[qid]
+        per_label[t][0] += 1
+        per_label[t][1] += int(pred == t)
+    got = {
+        r["true_label"]: r
+        for r in SPECS["q_emb_knn_label_accuracy"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(per_label)
+    for t, (nq, nc) in per_label.items():
+        row = got[t]
+        assert (row["n_queries"], row["n_correct"]) == (nq, nc)
+        assert row["accuracy"] == nc / nq
