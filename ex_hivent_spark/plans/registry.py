@@ -74,12 +74,23 @@ def register(name: str, oracle: Optional[str] = None):
 #      CORRECTNESS_LOCAL refresh);
 #   3. all 29 r03-era rows (retires every pre-r04 driver record);
 #   4. the alphabetically-first 12 of the 26 r7-new ops.
-# The remaining 14 r7-new ops plus anything registered in r8 lead
-# r09's slots. Process rule adopted from the r7 verdict: NO operator
-# registers after the round's final driver_sim sweep — the sweep is
-# re-run after the last registration, before the snapshot commit.
-# scripts/driver_sim.py re-verifies ALL queries locally every round
-# regardless of this ordering.
+# r09 PLAN (written at r8 close): the never-driver-checked backlog is
+# the 14 r7-new ops not fronted above plus the 42 r8-new ops (registry
+# grew 250 -> 292 this round: 12 early-r8 — rouge/peaks/islands/
+# distinct-n/audio-chunks/drawdown/SAX/Ljung-Box/log-returns/power-MDE/
+# jaccard-neighbors/kcore — and 30 late-r8 — the stats battery, the
+# indicator battery, RFM/mobility/KM/LTV/growth, adamic-adar,
+# grid-density, ip-cidr, MATTR/burstiness/vocab-overlap,
+# NDCG/kNN/centroid-sim, entropy-rate, ship-latency). 56 > one 50-slot
+# round again: r09 fronts the 14 r7 stragglers + the 12 early-r8 +
+# the alphabetically-first 24 late-r8; r10 takes the remaining 6 plus
+# whatever r9 adds. ALL 292 are green in this round's committed
+# CORRECTNESS_LOCAL.json sweep (the driver-slot rotation is evidence
+# freshness, not suspicion). Process rule (r7 verdict, kept): NO
+# operator registers after the round's final driver_sim sweep — the
+# sweep re-runs after the last registration, before the snapshot
+# commit. scripts/driver_sim.py re-verifies ALL queries locally every
+# round regardless of this ordering.
 DRIVER_CHECK_FIRST = [
     # REWRITTEN in r8 with changed output (ADVICE fixes)
     "q_agg_chi2_independence",
