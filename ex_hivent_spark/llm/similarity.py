@@ -2678,3 +2678,100 @@ def q_emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+@register(
+    "q_emb_margin_audit",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id, label,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS ql, u AS qu FROM unit
+      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, q.ql, unit.label AS nl,
+             floor(list_dot_product(q.qu, unit.u) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cosine
+      FROM q JOIN unit ON unit.vec_id <> q.query_id
+    ),
+    best AS (
+      SELECT query_id,
+             max(CASE WHEN nl = ql THEN cosine END) AS best_pos,
+             max(CASE WHEN nl <> ql THEN cosine END) AS best_neg
+      FROM scored GROUP BY query_id
+    )
+    SELECT query_id, best_pos, best_neg,
+           best_pos - best_neg AS margin,
+           CAST(CASE WHEN best_neg >= best_pos THEN 1 ELSE 0 END
+                AS INTEGER) AS violation
+    FROM best
+    """,
+)
+def q_emb_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query class-margin audit: for each of the fixed query
+    vectors, the best same-label cosine vs the best other-label cosine
+    over the whole corpus, their margin, and a violation flag when an
+    impostor outranks every genuine neighbor — the triplet-loss-style
+    health check (violations are exactly the queries where 1-NN
+    classification fails), sharper than q_emb_label_centroid_sim's
+    aggregate view because it surfaces the individual failing
+    queries.
+
+    Plan: the q_llm_cosine_topk broadcast discipline — the fixed
+    query set broadcasts against one streaming corpus scan, then ONE
+    conditional-max hash aggregate per query; nothing after the scan
+    is corpus-sized. Determinism: cosines are the e6-rounded
+    sequential dot products (the similarity-module convention);
+    max/compare/subtract are exact."""
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em).join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"),
+        "vec_id",
+    )
+    queries = (
+        unit.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("ql"),
+            F.col("unit").alias("q_unit"),
+        )
+    )
+    pairs = unit.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "ql",
+        F.col("label").alias("nl"),
+        dround(dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+    )
+    best = scored.groupBy("query_id").agg(
+        F.max(
+            F.when(F.col("nl") == F.col("ql"), F.col("cosine"))
+        ).alias("best_pos"),
+        F.max(
+            F.when(F.col("nl") != F.col("ql"), F.col("cosine"))
+        ).alias("best_neg"),
+    )
+    return best.select(
+        "query_id",
+        "best_pos",
+        "best_neg",
+        (F.col("best_pos") - F.col("best_neg")).alias("margin"),
+        F.when(F.col("best_neg") >= F.col("best_pos"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("violation"),
+    )

@@ -828,3 +828,108 @@ def q_agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+# Naive-forecast backtest: seasonal lag in hours (the daily cycle).
+_BT_LAG = 24
+
+
+@register(
+    "q_ts_backtest_naive",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT a.event_type, a.hour_id, a.y, b.y AS yhat
+      FROM hourly a
+      JOIN hourly b ON b.event_type = a.event_type
+                   AND b.hour_id = a.hour_id - {_BT_LAG}
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           CAST(sum(abs(y - yhat)) AS BIGINT) AS sum_abs_err,
+           CAST(sum(abs(y - yhat)) AS DOUBLE) / count(*) AS mae,
+           floor(CAST(sum(CASE WHEN y > 0
+                         THEN CAST(CAST(abs(y - yhat) AS DOUBLE) / y
+                                   AS DECIMAL(25,12))
+                         ELSE NULL END) AS DOUBLE)
+             / sum(CASE WHEN y > 0 THEN 1 ELSE 0 END)
+             * 1000000.0 + 0.5) / 1000000.0 AS mape,
+           CAST(sum((y - yhat) * (y - yhat)) AS BIGINT) AS sum_sq_err
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_ts_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event type: predict each
+    hour's event count with the same hour yesterday (ŷ(t) = y(t−24))
+    and score MAE / MAPE / squared error over every hour where both
+    sides exist — the mandatory BASELINE row of any forecasting
+    evaluation (a model that can't beat seasonal-naive is noise), and
+    the capacity-planning sanity check for how repeatable the daily
+    cycle actually is.
+
+    Plan: one hash aggregate to the hourly grain, one self-join on
+    (type, hour−24) — both sides time-grain bounded — and one closing
+    aggregate. Determinism: errors are exact integers; MAPE's
+    per-row ratio is ONE deterministic double division quantized to
+    decimal(25,12) before the order-insensitive sum (a decimal/bigint
+    division lands on engine-specific result scales, and scale 15
+    pushes the summed unscaled value past 2^53 where DuckDB's
+    decimal→double cast double-rounds — both measured) and the
+    closing mean is e6-rounded and zero-actual hours are
+    excluded from MAPE on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600)
+        .cast("bigint")
+        .alias("hour_id"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y")).localCheckpoint(
+        eager=False
+    )  # both join sides: one scan
+    b = hourly.select(
+        F.col("event_type").alias("bt"),
+        F.col("hour_id").alias("bh"),
+        F.col("y").alias("yhat"),
+    )
+    f = hourly.join(
+        b,
+        (F.col("bt") == F.col("event_type"))
+        & (F.col("bh") == F.col("hour_id") - _BT_LAG),
+    )
+    err = F.abs(F.col("y") - F.col("yhat"))
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+            F.sum(err).cast("bigint").alias("sum_abs_err"),
+            (F.sum(err).cast("double") / F.count(F.lit(1))).alias("mae"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(
+                            F.col("y") > 0,
+                            (err.cast("double") / F.col("y")).cast(
+                                "decimal(25,12)"
+                            ),
+                        )
+                    ).cast("double")
+                    / F.sum(F.when(F.col("y") > 0, 1).otherwise(0))
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("mape"),
+            F.sum(
+                (F.col("y") - F.col("yhat"))
+                * (F.col("y") - F.col("yhat"))
+            )
+            .cast("bigint")
+            .alias("sum_sq_err"),
+        )
+        .orderBy("event_type")
+    )

@@ -406,3 +406,33 @@ def test_cohort_ltv_matches_python(spark):
             prev = got.get((cw, age - 1))
             if prev is not None:
                 assert row["cum_rev"] >= prev["cum_rev"] - 1e-9
+
+
+def test_backtest_naive_matches_python(spark):
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    hourly: Counter = Counter()
+    for r in rows:
+        hourly[(r["event_type"], int(r["ts"].timestamp() // 3600))] += 1
+    per_type: dict = defaultdict(list)
+    for (t, h), y in hourly.items():
+        yhat = hourly.get((t, h - 24))
+        if yhat is not None:
+            per_type[t].append((y, yhat))
+    got = {
+        r["event_type"]: r
+        for r in SPECS["q_ts_backtest_naive"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per_type)
+    for t, pairs in per_type.items():
+        r = got[t]
+        n = len(pairs)
+        sae = sum(abs(y - yh) for y, yh in pairs)
+        sse = sum((y - yh) ** 2 for y, yh in pairs)
+        mape_terms = [abs(y - yh) / y for y, yh in pairs if y > 0]
+        assert r["n_forecasts"] == n
+        assert r["sum_abs_err"] == sae
+        assert r["sum_sq_err"] == sse
+        assert r["mae"] == sae / n
+        assert r["mape"] == pytest.approx(
+            sum(mape_terms) / len(mape_terms), abs=2e-6
+        )

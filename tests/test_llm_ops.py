@@ -702,3 +702,42 @@ def test_knn_label_accuracy_matches_python(spark, sf_dir):
         row = got[t]
         assert (row["n_queries"], row["n_correct"]) == (nq, nc)
         assert row["accuracy"] == nc / nq
+
+
+def test_margin_audit_matches_python(spark, sf_dir):
+    import math
+
+    import pyarrow.parquet as pq
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rows = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    unit = {}
+    lab = {}
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        n = math.sqrt(math.fsum(x * x for x in v))
+        unit[r["vec_id"]] = [x / n for x in v]
+        lab[r["vec_id"]] = r["label"]
+    qids = sorted(v for v in unit if v % 50 == 0)[:100]
+    got = {
+        r["query_id"]: r
+        for r in SPECS["q_emb_margin_audit"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(qids)
+    for q in qids:
+        best_pos = best_neg = None
+        for v, u in unit.items():
+            if v == q:
+                continue
+            c = e6(math.fsum(a * b for a, b in zip(unit[q], u)))
+            if lab[v] == lab[q]:
+                best_pos = c if best_pos is None else max(best_pos, c)
+            else:
+                best_neg = c if best_neg is None else max(best_neg, c)
+        r = got[q]
+        assert r["best_pos"] == pytest.approx(best_pos, abs=1e-9)
+        assert r["best_neg"] == pytest.approx(best_neg, abs=1e-9)
+        assert r["margin"] == pytest.approx(best_pos - best_neg, abs=1e-9)
+        assert r["violation"] == int(best_neg >= best_pos)
