@@ -692,3 +692,340 @@ def q_win_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("breakout"),
     )
+
+
+# MACD lookbacks, in hourly bars (fast/slow/signal periods).
+_MACD_FAST = 8
+_MACD_SLOW = 24
+_MACD_SIG = 9
+
+
+@register(
+    "q_win_macd",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    ma AS (
+      SELECT event_type, hour_id, close,
+             CAST(count(*) OVER ws AS BIGINT) AS nslow,
+             CAST(sum(CAST(close AS DECIMAL(25,6))) OVER wf AS DOUBLE)
+                 / {_MACD_FAST} AS fast_ma,
+             CAST(sum(CAST(close AS DECIMAL(25,6))) OVER ws AS DOUBLE)
+                 / {_MACD_SLOW} AS slow_ma
+      FROM bars
+      WINDOW wf AS (PARTITION BY event_type ORDER BY hour_id
+                    ROWS BETWEEN {_MACD_FAST - 1} PRECEDING
+                    AND CURRENT ROW),
+             ws AS (PARTITION BY event_type ORDER BY hour_id
+                    ROWS BETWEEN {_MACD_SLOW - 1} PRECEDING
+                    AND CURRENT ROW)
+    ),
+    line AS (
+      SELECT event_type, hour_id, close,
+             {sql_dround("fast_ma - slow_ma", 6)} AS macd
+      FROM ma WHERE nslow = {_MACD_SLOW}
+    ),
+    sig AS (
+      SELECT event_type, hour_id, close, macd,
+             CAST(count(*) OVER w AS BIGINT) AS nsig,
+             CAST(sum(CAST(macd AS DECIMAL(25,6))) OVER w AS DOUBLE)
+                 / {_MACD_SIG} AS sig_raw
+      FROM line
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_MACD_SIG - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, close, macd,
+           {sql_dround("sig_raw", 6)} AS signal_line,
+           {sql_dround(f"macd - ({sql_dround('sig_raw', 6)})", 6)}
+               AS histogram
+    FROM sig WHERE nsig = {_MACD_SIG}
+    """,
+)
+def q_win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD oscillator per event type over the hourly close series —
+    Cutler-style SIMPLE-average variant (fast SMA-8 minus slow SMA-24,
+    signal = SMA-9 of the line, histogram = line minus signal), the
+    same SMA-for-EMA substitution q_win_rsi makes: simple averages
+    ride the decimal detour exactly, where Wilder's recursive EMA
+    would accumulate engine-ordered double error. The histogram's sign
+    flip is the classic momentum-crossover alarm on a metric stream.
+
+    Plan: hourly-bar hash aggregate, then two window passes over the
+    SAME (event_type, hour_id) sort — Catalyst plans one exchange and
+    reuses the sort; frames are constant-width rows-frames over
+    |hours| rows per type (time-grain bounded, traffic-invariant).
+    Determinism: bar closes are unique total-order picks; every
+    rolling sum is decimal-cast; divisions are by integer literals;
+    every emitted float is e6-rounded on both sides (macd is rounded
+    BEFORE the signal window, so both engines aggregate identical
+    inputs). Rows emit only where both frames are full."""
+    bars = _hourly_close(spark, sf_dir)
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-(_MACD_FAST - 1), Window.currentRow)
+    )
+    ws = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-(_MACD_SLOW - 1), Window.currentRow)
+    )
+    ma = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.count(F.lit(1)).over(ws).cast("bigint").alias("nslow"),
+        (
+            F.sum(F.col("close").cast("decimal(25,6)")).over(wf).cast("double")
+            / _MACD_FAST
+        ).alias("fast_ma"),
+        (
+            F.sum(F.col("close").cast("decimal(25,6)")).over(ws).cast("double")
+            / _MACD_SLOW
+        ).alias("slow_ma"),
+    )
+    line = ma.filter(F.col("nslow") == _MACD_SLOW).select(
+        "event_type",
+        "hour_id",
+        "close",
+        dround(F.col("fast_ma") - F.col("slow_ma"), 6).alias("macd"),
+    )
+    wsig = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-(_MACD_SIG - 1), Window.currentRow)
+    )
+    sig = line.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "macd",
+        F.count(F.lit(1)).over(wsig).cast("bigint").alias("nsig"),
+        (
+            F.sum(F.col("macd").cast("decimal(25,6)"))
+            .over(wsig)
+            .cast("double")
+            / _MACD_SIG
+        ).alias("sig_raw"),
+    ).filter(F.col("nsig") == _MACD_SIG)
+    sig_r = dround(F.col("sig_raw"), 6)
+    return sig.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "macd",
+        sig_r.alias("signal_line"),
+        dround(F.col("macd") - sig_r, 6).alias("histogram"),
+    )
+
+
+# Stochastic-oscillator lookbacks, in hourly bars (%K period, %D SMA).
+_STOCH_K = 14
+_STOCH_D = 3
+
+
+@register(
+    "q_win_stochastic",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    chan AS (
+      SELECT event_type, hour_id, close,
+             CAST(count(*) OVER w AS BIGINT) AS nbar,
+             max(high) OVER w AS hh,
+             min(low) OVER w AS ll
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_STOCH_K - 1} PRECEDING
+                   AND CURRENT ROW)
+    ),
+    pk AS (
+      SELECT event_type, hour_id, close,
+             CASE WHEN hh = ll THEN 50.0
+                  ELSE {sql_dround(
+                      "100.0 * (close - ll) / (hh - ll)", 6)}
+             END AS pct_k
+      FROM chan WHERE nbar = {_STOCH_K}
+    ),
+    pd AS (
+      SELECT event_type, hour_id, close, pct_k,
+             CAST(count(*) OVER w AS BIGINT) AS nd,
+             CAST(sum(CAST(pct_k AS DECIMAL(25,6))) OVER w AS DOUBLE)
+                 / {_STOCH_D} AS pd_raw
+      FROM pk
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_STOCH_D - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, close, pct_k,
+           {sql_dround("pd_raw", 6)} AS pct_d
+    FROM pd WHERE nd = {_STOCH_D}
+    """,
+)
+def q_win_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator per event type: %K = 100·(close − LL₁₄) /
+    (HH₁₄ − LL₁₄) over the trailing 14 hourly bars (50.0 on a flat
+    channel, the indifference convention) and %D = SMA-3 of %K — the
+    range-position momentum gauge (where in its recent range did the
+    series close?), distribution-free like q_win_donchian but graded
+    rather than binary.
+
+    Plan: hourly-bar hash aggregate, two window passes over the same
+    (event_type, hour_id) sort — one exchange, constant rows-frames,
+    |hours|-bounded per type. Determinism: channel extrema are exact
+    picks of bar values, %K is one e6-rounded IEEE expression (the
+    flat-channel case never divides), %D decimal-sums the ALREADY
+    e6-rounded %K so both engines aggregate identical inputs. Rows
+    emit only where both frames are full."""
+    bars = _hourly_close(spark, sf_dir)
+    wk = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-(_STOCH_K - 1), Window.currentRow)
+    )
+    chan = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.count(F.lit(1)).over(wk).cast("bigint").alias("nbar"),
+        F.max("high").over(wk).alias("hh"),
+        F.min("low").over(wk).alias("ll"),
+    ).filter(F.col("nbar") == _STOCH_K)
+    pk = chan.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.when(F.col("hh") == F.col("ll"), F.lit(50.0))
+        .otherwise(
+            dround(
+                100.0
+                * (F.col("close") - F.col("ll"))
+                / (F.col("hh") - F.col("ll")),
+                6,
+            )
+        )
+        .alias("pct_k"),
+    )
+    wd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-(_STOCH_D - 1), Window.currentRow)
+    )
+    pd = pk.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "pct_k",
+        F.count(F.lit(1)).over(wd).cast("bigint").alias("nd"),
+        (
+            F.sum(F.col("pct_k").cast("decimal(25,6)"))
+            .over(wd)
+            .cast("double")
+            / _STOCH_D
+        ).alias("pd_raw"),
+    ).filter(F.col("nd") == _STOCH_D)
+    return pd.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "pct_k",
+        dround(F.col("pd_raw"), 6).alias("pct_d"),
+    )
+
+
+@register(
+    "q_ts_obv",
+    oracle="""
+    WITH bars AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+             CAST(count(*) AS BIGINT) AS vol,
+             max(CASE WHEN rnd = 1 THEN value END) AS close
+      FROM (
+        SELECT event_type, ts, event_id, value,
+               row_number() OVER (
+                 PARTITION BY event_type,
+                              CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                 ORDER BY ts DESC, event_id DESC) AS rnd
+        FROM events
+      )
+      GROUP BY 1, 2
+    ),
+    flow AS (
+      SELECT event_type, hour_id, vol, close,
+             CAST(CASE
+               WHEN lag(close) OVER w IS NULL THEN 0
+               WHEN close > lag(close) OVER w THEN vol
+               WHEN close < lag(close) OVER w THEN -vol
+               ELSE 0 END AS BIGINT) AS signed_flow
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    )
+    SELECT event_type, hour_id, vol, signed_flow,
+           CAST(sum(signed_flow) OVER (
+             PARTITION BY event_type ORDER BY hour_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS obv
+    FROM flow
+    """,
+)
+def q_ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per event type over hourly bars: each bar
+    contributes +volume / −volume / 0 by the sign of its close-to-close
+    change (first bar contributes 0), cumulated into the running OBV —
+    the classic does-volume-confirm-the-trend accumulation gauge, here
+    reading 'is rising metric level carried by rising event flow?'.
+
+    Plan: hourly-bar hash aggregate (count + total-order close pick),
+    one lag + one running integer sum over the SAME (event_type,
+    hour_id) sort — one exchange; the cumulative frame is bounded by
+    the time grain (|hours| rows per type grows with retention, not
+    traffic; at multi-year retention the prefix fold in
+    operators/prefix.py is the drop-in replacement, cf.
+    q_quality_sequence_gaps). Determinism: volumes are exact integers,
+    the sign compares exact bar closes, and the running sum is pure
+    BIGINT arithmetic — no floats anywhere past the close pick."""
+    e = load_table(spark, sf_dir, "events")
+    wd = Window.partitionBy("event_type", "hour_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = e.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hour_id"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    bars = (
+        base.select("*", F.row_number().over(wd).alias("rnd"))
+        .groupBy("event_type", "hour_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vol"),
+            F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("close"),
+        )
+    )
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    prev = F.lag("close").over(wl)
+    flow = bars.select(
+        "event_type",
+        "hour_id",
+        "vol",
+        "close",
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col("close") > prev, F.col("vol"))
+        .when(F.col("close") < prev, -F.col("vol"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("signed_flow"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flow.select(
+        "event_type",
+        "hour_id",
+        "vol",
+        "signed_flow",
+        F.sum("signed_flow").over(wc).cast("bigint").alias("obv"),
+    )

@@ -183,3 +183,113 @@ def test_donchian_matches_python(spark):
             expect = 1 if close > upper else (-1 if close < lower else 0)
             assert row["breakout"] == expect
     assert len(got) == n and n > 0
+
+
+def test_macd_matches_python(spark):
+    from ex_hivent_spark.operators.finance import (
+        _MACD_FAST,
+        _MACD_SIG,
+        _MACD_SLOW,
+    )
+
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_macd"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        closes = [c for _, c, _, _ in series]
+        macd: list = []
+        for i in range(len(series)):
+            if i + 1 < _MACD_SLOW:
+                macd.append(None)
+                continue
+            fast = math.fsum(closes[i - _MACD_FAST + 1 : i + 1]) / _MACD_FAST
+            slow = math.fsum(closes[i - _MACD_SLOW + 1 : i + 1]) / _MACD_SLOW
+            macd.append(_e6(fast - slow))
+        for i in range(len(series)):
+            frame = [m for m in macd[max(0, i - (_MACD_SIG - 1)) : i + 1]
+                     if m is not None]
+            if macd[i] is None or len(frame) != _MACD_SIG:
+                continue
+            n_expected += 1
+            sig = _e6(math.fsum(frame) / _MACD_SIG)
+            row = got[(t, series[i][0])]
+            assert row["macd"] == pytest.approx(macd[i], abs=1e-9)
+            assert row["signal_line"] == pytest.approx(sig, abs=1e-9)
+            assert row["histogram"] == pytest.approx(
+                _e6(macd[i] - sig), abs=1e-9
+            )
+    assert len(got) == n_expected and n_expected > 0
+
+
+def test_stochastic_matches_python(spark):
+    from ex_hivent_spark.operators.finance import _STOCH_D, _STOCH_K
+
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_stochastic"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        pk: list = []
+        for i in range(len(series)):
+            if i + 1 < _STOCH_K:
+                pk.append(None)
+                continue
+            frame = series[i - _STOCH_K + 1 : i + 1]
+            hh = max(h for _, _, h, _ in frame)
+            ll = min(l for _, _, _, l in frame)
+            close = series[i][1]
+            pk.append(
+                50.0 if hh == ll else _e6(100.0 * (close - ll) / (hh - ll))
+            )
+        for i in range(len(series)):
+            frame = [k for k in pk[max(0, i - (_STOCH_D - 1)) : i + 1]
+                     if k is not None]
+            if pk[i] is None or len(frame) != _STOCH_D:
+                continue
+            n_expected += 1
+            row = got[(t, series[i][0])]
+            assert row["pct_k"] == pytest.approx(pk[i], abs=1e-9)
+            assert row["pct_d"] == pytest.approx(
+                _e6(math.fsum(frame) / _STOCH_D), abs=1e-9
+            )
+    assert len(got) == n_expected and n_expected > 0
+
+
+def test_obv_matches_python(spark):
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    byk: dict = defaultdict(list)
+    for r in rows:
+        h = int(r["ts"].timestamp() // 3600)
+        byk[(r["event_type"], h)].append(r)
+    series: dict = defaultdict(list)
+    for (t, h), evs in sorted(byk.items()):
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        series[t].append((h, evs[-1]["value"], len(evs)))
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_ts_obv"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, bars in series.items():
+        obv = 0
+        prev = None
+        for h, close, vol in bars:
+            if prev is None or close == prev:
+                flow = 0
+            elif close > prev:
+                flow = vol
+            else:
+                flow = -vol
+            obv += flow
+            prev = close
+            n_expected += 1
+            row = got[(t, h)]
+            assert row["vol"] == vol
+            assert row["signed_flow"] == flow
+            assert row["obv"] == obv
+    assert len(got) == n_expected and n_expected > 0
