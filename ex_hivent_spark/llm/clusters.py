@@ -1046,3 +1046,112 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("common_neighbors"),
         F.coalesce("aa_score", F.lit(0.0)).cast("double").alias("aa_score"),
     )
+
+
+@register(
+    "q_graph_clustering_coeff",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    , tri AS (
+      SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p2.doc_a = p1.doc_b
+      JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+    ),
+    tn AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tcount AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM tn GROUP BY node
+    ),
+    und AS (
+      SELECT doc_a AS node FROM pairs
+      UNION ALL SELECT doc_b FROM pairs
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM und GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE floor(2.0 * coalesce(t.n_tri, 0)
+                           / (d.degree * (d.degree - 1))
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS clustering_coeff
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    """,
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the near-dup graph:
+    c(v) = 2·T(v) / (deg(v)·(deg(v)−1)) with T(v) the triangles through
+    v — the per-node cohesion readout that separates clique members
+    (c → 1: safe to collapse the whole cluster onto one keeper) from
+    chain bridges (c → 0: transitive merging is gluing unrelated docs
+    through v). Complements q_graph_triangles' single global count and
+    q_graph_jaccard_neighbors' per-edge score with the per-NODE view.
+
+    Plan: the a<b oriented pair list (the same bucketed prefix-filtered
+    join as q_llm_ngram_jaccard — never all-pairs) feeds the standard
+    two-equi-join oriented triangle enumeration (q_graph_triangles'
+    plan); each triangle fans out to its 3 corners, one hash aggregate
+    per node, hash-joined to the degree frame — 8-byte-key shuffles
+    throughout, output bounded by |nodes in the dup graph|.
+    Determinism: all-integer until one e6-rounded IEEE division."""
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    pairs = (
+        q_llm_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    tri = p1.join(p2, F.col("p2.doc_a") == F.col("p1.doc_b")).join(
+        p3,
+        (F.col("p3.doc_a") == F.col("p1.doc_a"))
+        & (F.col("p3.doc_b") == F.col("p2.doc_b")),
+    ).select(
+        F.col("p1.doc_a").alias("a"),
+        F.col("p1.doc_b").alias("b"),
+        F.col("p2.doc_b").alias("c"),
+    )
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    tcount = tn.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tri")
+    )
+    und = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    joined = deg.join(tcount, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias(
+            "n_triangles"
+        ),
+    )
+    return joined.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                2.0
+                * F.col("n_triangles")
+                / (F.col("degree") * (F.col("degree") - 1))
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        )
+        .alias("clustering_coeff"),
+    )

@@ -2775,3 +2775,70 @@ def q_emb_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("violation"),
     )
+
+
+@register(
+    "q_llm_mrr_eval",
+    oracle=f"""
+    WITH topk AS ({_cosine_topk_oracle_sql()}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    rel AS (
+      SELECT t.query_id, t.rn,
+             CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END AS rel
+      FROM topk t
+      JOIN lab lq ON lq.vec_id = t.query_id
+      JOIN lab ln ON ln.vec_id = t.neighbor_id
+    )
+    SELECT query_id,
+           CAST(coalesce(min(CASE WHEN rel = 1 THEN rn END), 0)
+                AS BIGINT) AS first_rel_rank,
+           CASE WHEN min(CASE WHEN rel = 1 THEN rn END) IS NULL
+                THEN 0.0
+                ELSE 1.0 / min(CASE WHEN rel = 1 THEN rn END)
+           END AS reciprocal_rank,
+           CAST(max(rel) AS INTEGER) AS hit_at_k
+    FROM rel GROUP BY query_id
+    """,
+)
+def q_llm_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank inputs over the brute-force cosine top-k
+    run, same-label-as-query relevance (the q_llm_ndcg_eval / ann
+    recall convention): per query, the rank of the FIRST relevant
+    neighbor, its reciprocal (0 when nothing relevant surfaced — the
+    standard MRR@k truncation), and the hit@k flag. MRR grades the
+    single-answer retrieval experience (how far down is the first
+    good hit?) where NDCG grades the whole ranking and recall counts
+    blind — the three together are the standard embedding-eval
+    triptych.
+
+    Plan: the fixed-size top-k frame joins the label column twice
+    (broadcast dimensions), one per-query hash aggregate — everything
+    past the base scan is query-count sized. Determinism: ranks and
+    relevance are integers; 1/rank is a single IEEE division of small
+    exact integers, correctly rounded identically in both engines —
+    no libm, no float aggregation, nothing to round."""
+    topk = q_llm_cosine_topk(spark, sf_dir)
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lq = em.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    ln_ = em.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    rel = (
+        topk.join(F.broadcast(lq), "query_id")
+        .join(F.broadcast(ln_), "neighbor_id")
+        .select(
+            "query_id",
+            "rn",
+            F.when(F.col("ql") == F.col("nl"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    first = F.min(F.when(F.col("rel") == 1, F.col("rn")))
+    return rel.groupBy("query_id").agg(
+        F.coalesce(first, F.lit(0)).cast("bigint").alias("first_rel_rank"),
+        F.when(first.isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) / first)
+        .alias("reciprocal_rank"),
+        F.max("rel").cast("int").alias("hit_at_k"),
+    )

@@ -800,3 +800,92 @@ def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntot.alias("n_total"),
         dround((ssb / (k - 1)) / (ssw / (ntot - k)), 6).alias("f_stat"),
     )
+
+
+@register(
+    "q_stats_wilson_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_en
+      FROM documents GROUP BY source
+    ),
+    parts AS (
+      SELECT source, n_docs, n_en,
+             CAST(n_en AS DOUBLE) / n_docs AS p_hat,
+             (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n_docs AS z2n,
+             {sql_dround(
+                 "sqrt((CAST(n_en AS DOUBLE) / n_docs)"
+                 " * (1.0 - CAST(n_en AS DOUBLE) / n_docs) / n_docs"
+                 " + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * n_docs * n_docs))", 6)} AS rt
+      FROM base
+    )
+    SELECT source, n_docs, n_en, p_hat,
+           {sql_dround(
+               "(p_hat + z2n / 2.0 - 1.96 * rt) / (1.0 + z2n)", 6)}
+               AS wilson_lower,
+           {sql_dround(
+               "(p_hat + z2n / 2.0 + 1.96 * rt) / (1.0 + z2n)", 6)}
+               AS wilson_upper
+    FROM parts
+    """,
+)
+def q_stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval per source for the share
+    of English documents — the binomial-proportion interval that stays
+    inside [0,1] and behaves at small n or extreme p̂ where the naive
+    Wald interval collapses (the standard choice for conversion-rate
+    and quality-share readouts on segments of wildly different size).
+
+    Plan: ONE hash aggregate to (source, n, k) — segment-count-sized
+    thereafter; the interval is per-row arithmetic on the tiny result.
+    Partial aggregation makes the scan map-combining, so the plan is
+    flat in event volume. Determinism: counts are exact integers, p̂
+    is one small-integer IEEE division, the single libm sqrt is
+    e6-rounded on both sides, and each bound's closing expression is
+    e6-rounded — z enters only through the literal 1.96, which parses
+    to the identical double in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_en"),
+    )
+    nd = F.col("n_docs").cast("double")
+    p_hat = F.col("n_en").cast("double") / F.col("n_docs")
+    z2n = F.lit(1.96 * 1.96) / F.col("n_docs")
+    parts = base.select(
+        "source",
+        "n_docs",
+        "n_en",
+        p_hat.alias("p_hat"),
+        z2n.alias("z2n"),
+        dround(
+            F.sqrt(
+                (F.col("n_en").cast("double") / F.col("n_docs"))
+                * (1.0 - F.col("n_en").cast("double") / F.col("n_docs"))
+                / F.col("n_docs")
+                + F.lit(1.96 * 1.96) / (4.0 * nd * nd)
+            ),
+            6,
+        ).alias("rt"),
+    )
+    return parts.select(
+        "source",
+        "n_docs",
+        "n_en",
+        "p_hat",
+        dround(
+            (F.col("p_hat") + F.col("z2n") / 2.0 - 1.96 * F.col("rt"))
+            / (1.0 + F.col("z2n")),
+            6,
+        ).alias("wilson_lower"),
+        dround(
+            (F.col("p_hat") + F.col("z2n") / 2.0 + 1.96 * F.col("rt"))
+            / (1.0 + F.col("z2n")),
+            6,
+        ).alias("wilson_upper"),
+    )

@@ -741,3 +741,86 @@ def test_margin_audit_matches_python(spark, sf_dir):
         assert r["best_neg"] == pytest.approx(best_neg, abs=1e-9)
         assert r["margin"] == pytest.approx(best_pos - best_neg, abs=1e-9)
         assert r["violation"] == int(best_neg >= best_pos)
+
+
+def test_mrr_eval_matches_python(spark, sf_dir):
+    """MRR@k recomputed from the cosine-topk frame + labels."""
+    import pyarrow.parquet as pq
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    }
+    topk = SPECS["q_llm_cosine_topk"].spark(spark, sf_dir).collect()
+    byq: dict = {}
+    for r in topk:
+        byq.setdefault(r["query_id"], []).append(
+            (r["rn"], labels[r["neighbor_id"]])
+        )
+    got = {
+        r["query_id"]: r
+        for r in SPECS["q_llm_mrr_eval"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(byq)
+    for qid, hits in byq.items():
+        hits.sort()
+        first = next(
+            (rn for rn, l in hits if l == labels[qid]), 0
+        )
+        row = got[qid]
+        assert row["first_rel_rank"] == first
+        assert row["hit_at_k"] == (1 if first > 0 else 0)
+        if first == 0:
+            assert row["reciprocal_rank"] == 0.0
+        else:
+            assert row["reciprocal_rank"] == pytest.approx(
+                1.0 / first, abs=1e-12
+            )
+
+
+def test_clustering_coeff_matches_python(spark, sf_dir):
+    """Local clustering coefficient recomputed from the pair list via
+    adjacency sets; triangle totals cross-checked vs q_graph_triangles
+    (sum of per-node counts = 3x the global count)."""
+    import math
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["q_llm_ngram_jaccard"]
+        .spark(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {
+        r["node"]: r
+        for r in SPECS["q_graph_clustering_coeff"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(adj)
+    total_tri = 0
+    for node, nbrs in adj.items():
+        d = len(nbrs)
+        tri = sum(
+            1
+            for u in nbrs
+            for v in nbrs
+            if u < v and v in adj.get(u, set())
+        )
+        total_tri += tri
+        row = got[node]
+        assert row["degree"] == d
+        assert row["n_triangles"] == tri
+        expect = 0.0 if d < 2 else e6(2.0 * tri / (d * (d - 1)))
+        assert row["clustering_coeff"] == pytest.approx(expect, abs=1e-9)
+    n_global = SPECS["q_graph_triangles"].spark(spark, sf_dir).collect()[0][
+        "n_triangles"
+    ]
+    assert total_tri == 3 * n_global

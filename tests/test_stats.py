@@ -205,3 +205,40 @@ def test_brown_forsythe_matches_python(spark):
     )
     assert (got["k"], got["n_total"]) == (k, ntot)
     assert got["f_stat"] == pytest.approx(f, abs=1e-5)
+
+
+def test_wilson_ci_matches_python(spark, sf_dir):
+    """Wilson interval recomputed per source; brackets p_hat, stays in
+    [0,1], and is wider for smaller n at comparable p_hat."""
+    import math
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rows = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in rows:
+        agg[r["source"]][0] += 1
+        agg[r["source"]][1] += 1 if r["lang"] == "en" else 0
+    got = {
+        r["source"]: r
+        for r in SPECS["q_stats_wilson_ci"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    z = 1.96
+    for src, (n, k) in agg.items():
+        p = k / n
+        z2n = z * z / n
+        rt = e6(math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n)))
+        lo = e6((p + z2n / 2.0 - z * rt) / (1.0 + z2n))
+        hi = e6((p + z2n / 2.0 + z * rt) / (1.0 + z2n))
+        row = got[src]
+        assert row["n_docs"] == n and row["n_en"] == k
+        assert row["p_hat"] == pytest.approx(p, abs=1e-12)
+        assert row["wilson_lower"] == pytest.approx(lo, abs=1e-9)
+        assert row["wilson_upper"] == pytest.approx(hi, abs=1e-9)
+        assert 0.0 <= row["wilson_lower"] <= row["p_hat"] + 1e-9
+        assert row["p_hat"] - 1e-9 <= row["wilson_upper"] <= 1.0
