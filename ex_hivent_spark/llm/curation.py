@@ -211,3 +211,89 @@ def q_llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(doc_fert)
         ).alias("avg_doc_fertility"),
     )
+
+
+# Min-token thresholds swept by the length-filter tuning pass.
+_LEN_THRESHOLDS = (10, 20, 50, 100, 200, 500)
+
+
+@register(
+    "q_llm_length_filter_sweep",
+    oracle=f"""
+    WITH ntoks AS (
+      SELECT CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                 AS ntok
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(ntok) AS BIGINT) AS tok_total
+      FROM ntoks
+    ),
+    thr AS (
+      SELECT CAST(unnest([{", ".join(str(t) for t in _LEN_THRESHOLDS)}])
+                  AS BIGINT) AS min_tokens
+    )
+    SELECT min_tokens,
+           CAST(sum(CASE WHEN ntok >= min_tokens THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(sum(CASE WHEN ntok >= min_tokens THEN ntok ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           CAST(sum(CASE WHEN ntok >= min_tokens THEN 1 ELSE 0 END)
+                AS DOUBLE) / max(n_total) AS doc_share,
+           CAST(sum(CASE WHEN ntok >= min_tokens THEN ntok ELSE 0 END)
+                AS DOUBLE) / max(tok_total) AS token_share
+    FROM thr CROSS JOIN ntoks CROSS JOIN tot
+    GROUP BY min_tokens
+    """,
+)
+def q_llm_length_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-filter threshold sweep: for each candidate min-token
+    cutoff, the documents and tokens the corpus would KEEP — the
+    curve a curation run reads before committing to a length gate
+    (q_llm_quality_score's fixed 20..1000 gate, generalized to the
+    tuning sweep; the same shape as q_llm_dedup_threshold_sweep for
+    the dedup knob). Doc share falling much faster than token share
+    marks a short-doc-heavy corpus where the gate is cheap.
+
+    Plan: ONE map pass computes per-doc token counts (no text leaves
+    the scan), a 6-row literal threshold frame broadcast-fans each
+    count (map-side nested-loop against a literal — no shuffle), one
+    hash aggregate per threshold, and the one-row totals frame joins
+    back broadcast. Shuffle traffic: 6 rows per map partition.
+    Determinism: all-integer counts; the two shares are single IEEE
+    divisions of exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    ntoks = d.select(
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("ntok")
+    )
+    tot = ntoks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("ntok").cast("bigint").alias("tok_total"),
+    )
+    thr = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _LEN_THRESHOLDS])).alias("t")
+    ).select(F.col("t").cast("bigint").alias("min_tokens"))
+    fanned = ntoks.crossJoin(F.broadcast(thr))
+    kept = fanned.groupBy("min_tokens").agg(
+        F.sum(F.when(F.col("ntok") >= F.col("min_tokens"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_kept"),
+        F.sum(
+            F.when(F.col("ntok") >= F.col("min_tokens"), F.col("ntok"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+    return kept.crossJoin(F.broadcast(tot)).select(
+        "min_tokens",
+        "n_docs_kept",
+        "tokens_kept",
+        (F.col("n_docs_kept").cast("double") / F.col("n_total")).alias(
+            "doc_share"
+        ),
+        (F.col("tokens_kept").cast("double") / F.col("tok_total")).alias(
+            "token_share"
+        ),
+    )

@@ -1828,3 +1828,113 @@ def q_llm_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@register(
+    "q_llm_quality_length_corr",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                 AS ntok,
+             floor((CAST(len(list_filter(
+                       string_split_regex(text, '\\s+'),
+                       t -> list_contains(
+                         ['the','a','of','and','to','in','is','it'], t)))
+                     AS DOUBLE)
+                   / len(string_split_regex(text, '\\s+')))
+                   * 10000.0 + 0.5) / 10000.0 AS sw
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS sx,
+             CAST(sum(ntok * ntok) AS BIGINT) AS sxx,
+             CAST(sum(CAST(sw AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(sw * sw AS DECIMAL(25,9))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(ntok * sw AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+      FROM per_doc GROUP BY lang
+    ),
+    closing AS (
+      SELECT lang, n_docs,
+             n_docs * sxy - sx * sy AS num,
+             {sql_dround(
+                 "sqrt(greatest(CAST(n_docs * sxx - sx * sx AS DOUBLE), 0.0)"
+                 " * greatest(n_docs * syy - sy * sy, 0.0))", 6)} AS den
+      FROM agg
+    )
+    SELECT lang, n_docs,
+           CASE WHEN den = 0 THEN 0.0
+                ELSE {sql_dround("num / den", 6)} END
+               AS corr_tokens_stopword
+    FROM closing
+    """,
+)
+def q_llm_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per language between document length (token
+    count) and stopword ratio — the quality-signal collinearity probe
+    a curation run checks before stacking filters (if the stopword
+    gate mostly re-implements the length gate, the two filters are
+    not independent evidence and the combined rejection rate is
+    misread). Uses q_llm_quality_score's exact token/stopword
+    definitions.
+
+    Plan: ONE map pass computes both per-doc signals (text never
+    leaves the scan), one hash aggregate per language carrying the
+    five moment sums, and a per-row closing formula on the
+    language-count-sized result. Partial aggregation applies
+    throughout — the plan is flat in corpus size. Determinism: token
+    moments are exact integers; stopword-ratio moments ride the
+    decimal detour (e4-grid squares exact at scale 9); the closing
+    cancellation clamps at 0 inside the e6-rounded sqrt (the ADVICE
+    rule) and the final ratio is e6-rounded. Scale bound: the decimal
+    sums stay under the 2^53 unscaled bound through ~1e9 docs per
+    language; shard by (lang, doc_id bucket) first beyond that."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    ntok_i = F.size(toks)
+    per_doc = d.select(
+        "lang",
+        ntok_i.cast("bigint").alias("ntok"),
+        dround(n_stop.cast("double") / ntok_i, 4).alias("sw"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("sx"),
+        F.sum(F.col("ntok") * F.col("ntok")).cast("bigint").alias("sxx"),
+        F.sum(F.col("sw").cast("decimal(25,6)")).cast("double").alias("sy"),
+        F.sum((F.col("sw") * F.col("sw")).cast("decimal(25,9)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("ntok") * F.col("sw")).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    num = F.col("n_docs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = dround(
+        F.sqrt(
+            F.greatest(
+                (F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double"),
+                F.lit(0.0),
+            )
+            * F.greatest(
+                F.col("n_docs") * F.col("syy") - F.col("sy") * F.col("sy"),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    closing = agg.select(
+        "lang", "n_docs", num.alias("num"), den.alias("den")
+    )
+    return closing.select(
+        "lang",
+        "n_docs",
+        F.when(F.col("den") == 0, F.lit(0.0))
+        .otherwise(dround(F.col("num") / F.col("den"), 6))
+        .alias("corr_tokens_stopword"),
+    )

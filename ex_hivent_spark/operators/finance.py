@@ -1029,3 +1029,110 @@ def q_ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signed_flow",
         F.sum("signed_flow").over(wc).cast("bigint").alias("obv"),
     )
+
+
+# Ichimoku periods, in hourly bars (tenkan/kijun/senkou-B), and the
+# cloud displacement.
+_ICHI_T = 9
+_ICHI_K = 26
+_ICHI_B = 52
+_ICHI_SHIFT = 26
+
+
+@register(
+    "q_win_ichimoku",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    mids AS (
+      SELECT event_type, hour_id, close,
+             CASE WHEN CAST(count(*) OVER wt AS BIGINT) = {_ICHI_T}
+                  THEN (max(high) OVER wt + min(low) OVER wt) / 2.0
+             END AS tenkan,
+             CASE WHEN CAST(count(*) OVER wk AS BIGINT) = {_ICHI_K}
+                  THEN (max(high) OVER wk + min(low) OVER wk) / 2.0
+             END AS kijun,
+             CASE WHEN CAST(count(*) OVER wb AS BIGINT) = {_ICHI_B}
+                  THEN (max(high) OVER wb + min(low) OVER wb) / 2.0
+             END AS mid_b
+      FROM bars
+      WINDOW wt AS (PARTITION BY event_type ORDER BY hour_id
+                    ROWS BETWEEN {_ICHI_T - 1} PRECEDING AND CURRENT ROW),
+             wk AS (PARTITION BY event_type ORDER BY hour_id
+                    ROWS BETWEEN {_ICHI_K - 1} PRECEDING AND CURRENT ROW),
+             wb AS (PARTITION BY event_type ORDER BY hour_id
+                    ROWS BETWEEN {_ICHI_B - 1} PRECEDING AND CURRENT ROW)
+    ),
+    shifted AS (
+      SELECT event_type, hour_id, close, tenkan, kijun,
+             lag((tenkan + kijun) / 2.0, {_ICHI_SHIFT}) OVER w AS senkou_a,
+             lag(mid_b, {_ICHI_SHIFT}) OVER w AS senkou_b,
+             lead(close, {_ICHI_SHIFT}) OVER w AS chikou
+      FROM mids
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    )
+    SELECT event_type, hour_id, close, tenkan, kijun,
+           senkou_a, senkou_b, chikou
+    FROM shifted
+    WHERE tenkan IS NOT NULL AND kijun IS NOT NULL
+      AND senkou_a IS NOT NULL AND senkou_b IS NOT NULL
+      AND chikou IS NOT NULL
+    """,
+)
+def q_win_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku cloud per event type over hourly bars: tenkan (9-bar
+    channel midpoint), kijun (26-bar), senkou A = midpoint of the two
+    displaced 26 bars forward, senkou B = 52-bar midpoint displaced 26
+    forward, and the chikou lagging close (close displaced 26 back) —
+    the one-glance trend/support summary whose cloud (senkou A vs B
+    band) reads as dynamic support/resistance on a metric stream.
+    Rows emit only where every component is defined (all frames full,
+    both displacements in range).
+
+    Plan: hourly-bar hash aggregate, one window pass computing the
+    three channel midpoints over the SAME (event_type, hour_id) sort
+    (three frames, one sort), then one lag/lead pass — Catalyst plans
+    a single exchange; all frames are constant-width over
+    |hours|-bounded partitions. Determinism: channel midpoints are
+    exact extrema picks with one /2.0 each, displacement is row
+    motion, no sums, no libm — nothing to round."""
+    bars = _hourly_close(spark, sf_dir)
+
+    def _mid(n: int):
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("hour_id")
+            .rowsBetween(-(n - 1), Window.currentRow)
+        )
+        return F.when(
+            F.count(F.lit(1)).over(w).cast("bigint") == n,
+            (F.max("high").over(w) + F.min("low").over(w)) / 2.0,
+        )
+
+    mids = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        _mid(_ICHI_T).alias("tenkan"),
+        _mid(_ICHI_K).alias("kijun"),
+        _mid(_ICHI_B).alias("mid_b"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    shifted = mids.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "tenkan",
+        "kijun",
+        F.lag((F.col("tenkan") + F.col("kijun")) / 2.0, _ICHI_SHIFT)
+        .over(wl)
+        .alias("senkou_a"),
+        F.lag("mid_b", _ICHI_SHIFT).over(wl).alias("senkou_b"),
+        F.lead("close", _ICHI_SHIFT).over(wl).alias("chikou"),
+    )
+    return shifted.filter(
+        F.col("tenkan").isNotNull()
+        & F.col("kijun").isNotNull()
+        & F.col("senkou_a").isNotNull()
+        & F.col("senkou_b").isNotNull()
+        & F.col("chikou").isNotNull()
+    )

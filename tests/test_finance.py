@@ -293,3 +293,51 @@ def test_obv_matches_python(spark):
             assert row["signed_flow"] == flow
             assert row["obv"] == obv
     assert len(got) == n_expected and n_expected > 0
+
+
+def test_ichimoku_matches_python(spark):
+    from ex_hivent_spark.operators.finance import (
+        _ICHI_B,
+        _ICHI_K,
+        _ICHI_SHIFT,
+        _ICHI_T,
+    )
+
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_ichimoku"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        def mid(i, n):
+            if i + 1 < n:
+                return None
+            frame = series[i - n + 1 : i + 1]
+            return (max(h for _, _, h, _ in frame)
+                    + min(l for _, _, _, l in frame)) / 2.0
+
+        for i in range(len(series)):
+            tk, kj = mid(i, _ICHI_T), mid(i, _ICHI_K)
+            j = i - _ICHI_SHIFT
+            sa = (
+                None
+                if j < 0 or mid(j, _ICHI_T) is None or mid(j, _ICHI_K) is None
+                else (mid(j, _ICHI_T) + mid(j, _ICHI_K)) / 2.0
+            )
+            sb = None if j < 0 else mid(j, _ICHI_B)
+            ch = (
+                series[i + _ICHI_SHIFT][1]
+                if i + _ICHI_SHIFT < len(series)
+                else None
+            )
+            if None in (tk, kj, sa, sb, ch):
+                continue
+            n_expected += 1
+            row = got[(t, series[i][0])]
+            assert row["tenkan"] == pytest.approx(tk, abs=1e-12)
+            assert row["kijun"] == pytest.approx(kj, abs=1e-12)
+            assert row["senkou_a"] == pytest.approx(sa, abs=1e-12)
+            assert row["senkou_b"] == pytest.approx(sb, abs=1e-12)
+            assert row["chikou"] == pytest.approx(ch, abs=1e-12)
+    assert len(got) == n_expected and n_expected > 0

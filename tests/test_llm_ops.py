@@ -824,3 +824,86 @@ def test_clustering_coeff_matches_python(spark, sf_dir):
         "n_triangles"
     ]
     assert total_tri == 3 * n_global
+
+
+def test_length_filter_sweep_matches_python(spark, sf_dir):
+    """Threshold sweep recomputed from raw token counts; monotone
+    decreasing in the threshold."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    ntoks = [
+        len(re.split(r"\s+", r["text"]))
+        for r in pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    ]
+    n_total, tok_total = len(ntoks), sum(ntoks)
+    got = {
+        r["min_tokens"]: r
+        for r in SPECS["q_llm_length_filter_sweep"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert sorted(got) == [10, 20, 50, 100, 200, 500]
+    prev_docs = n_total + 1
+    for thr in sorted(got):
+        kept = [n for n in ntoks if n >= thr]
+        row = got[thr]
+        assert row["n_docs_kept"] == len(kept)
+        assert row["tokens_kept"] == sum(kept)
+        assert row["doc_share"] == pytest.approx(
+            len(kept) / n_total, abs=1e-12
+        )
+        assert row["token_share"] == pytest.approx(
+            sum(kept) / tok_total, abs=1e-12
+        )
+        assert row["n_docs_kept"] < prev_docs or row["n_docs_kept"] == prev_docs
+        prev_docs = row["n_docs_kept"]
+
+
+def test_quality_length_corr_matches_python(spark, sf_dir):
+    """Per-lang Pearson recomputed from the exact per-doc signals."""
+    import math
+    import re
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def e4(x):
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    stop = {"the", "a", "of", "and", "to", "in", "is", "it"}
+    byl: dict = defaultdict(list)
+    for r in pq.read_table(f"{sf_dir}/documents.parquet").to_pylist():
+        toks = re.split(r"\s+", r["text"])
+        sw = e4(sum(1 for t in toks if t in stop) / len(toks))
+        byl[r["lang"]].append((len(toks), sw))
+    got = {
+        r["lang"]: r
+        for r in SPECS["q_llm_quality_length_corr"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(byl)
+    for lang, pts in byl.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sy = math.fsum(y for _, y in pts)
+        syy = math.fsum(y * y for _, y in pts)
+        sxy = math.fsum(x * y for x, y in pts)
+        num = n * sxy - sx * sy
+        den = e6(
+            math.sqrt(
+                max(float(n * sxx - sx * sx), 0.0)
+                * max(n * syy - sy * sy, 0.0)
+            )
+        )
+        r = 0.0 if den == 0 else e6(num / den)
+        row = got[lang]
+        assert row["n_docs"] == n
+        assert row["corr_tokens_stopword"] == pytest.approx(r, abs=1e-6)
+        assert -1.0 - 1e-9 <= row["corr_tokens_stopword"] <= 1.0 + 1e-9
