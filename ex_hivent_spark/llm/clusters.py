@@ -1155,3 +1155,102 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("clustering_coeff"),
     )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    , und AS (
+      SELECT doc_a AS node FROM pairs
+      UNION ALL SELECT doc_b FROM pairs
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM und GROUP BY node
+    ),
+    ends AS (
+      SELECT da.degree AS x, db.degree AS y
+      FROM pairs p
+      JOIN deg da ON da.node = p.doc_a
+      JOIN deg db ON db.node = p.doc_b
+      UNION ALL
+      SELECT db.degree, da.degree
+      FROM pairs p
+      JOIN deg da ON da.node = p.doc_a
+      JOIN deg db ON db.node = p.doc_b
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM ends
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) = 0 THEN 0.0
+                ELSE floor(CAST(m * sxy - sx * sx AS DOUBLE)
+                           / CAST(m * sxx - sx * sx AS DOUBLE)
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS assortativity
+    FROM sums
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph — the Newman
+    coefficient: Pearson correlation of endpoint degrees over the
+    directed-both-ways edge list (symmetric, so Σx = Σy and
+    Σx² = Σy², and r = (MΣxy − (Σx)²) / (MΣx² − (Σx)²) with M = 2|E|).
+    Positive r means hubs link to hubs (template boilerplate forming a
+    core that transitive clustering will glue into one mega-cluster);
+    negative means hub-and-spoke (one canonical doc with many
+    one-off copies — safe keep-best shape). The one-number companion
+    to q_graph_degree_stats' histogram.
+
+    Plan: the prefix-filtered pair list (never all-pairs) gets its
+    degree frame (two hash aggregates), joins degrees back onto both
+    endpoints (8-byte-key hash joins), and reduces to ONE row of
+    integer moment sums — partial aggregation throughout, no windows.
+    Determinism: every sum is exact BIGINT; the closing ratio is one
+    e6-rounded IEEE division (cast to double only at the end)."""
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    pairs = (
+        q_llm_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    und = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    da = deg.select(
+        F.col("node").alias("doc_a"), F.col("degree").alias("dx")
+    )
+    db = deg.select(
+        F.col("node").alias("doc_b"), F.col("degree").alias("dy")
+    )
+    joined = pairs.join(da, "doc_a").join(db, "doc_b")
+    ends = joined.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionAll(joined.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
+    sums = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return sums.select(
+        (F.col("m") / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(F.floor(num / den * 1000000.0 + F.lit(0.5)) / 1000000.0)
+        .alias("assortativity"),
+    )

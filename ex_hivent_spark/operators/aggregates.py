@@ -641,3 +641,56 @@ def q_agg_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "q_agg_geometric_mean",
+    oracle=f"""
+    WITH logs AS (
+      SELECT event_type,
+             {sql_dround("ln(value)", 6)} AS lv
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(lv AS DECIMAL(25,6))) AS DOUBLE) AS slv
+      FROM logs GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           {sql_dround("slv / n_events", 6)} AS log_mean,
+           {sql_dround(
+               f"exp({sql_dround('slv / n_events', 6)})", 6)} AS geo_mean
+    FROM agg
+    """,
+)
+def q_agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of event value per type — the right average for
+    multiplicative quantities (latency ratios, growth factors) that
+    the arithmetic mean overstates under right skew; neither engine
+    has it as a builtin, so it composes as exp(mean(ln x)) — the
+    integer-log-space-product discipline (SCALE.md) in its continuous
+    form. Values are strictly positive in this table; a zero would
+    need the standard +epsilon or filter convention.
+
+    Plan: ONE map pass for the logs, one hash aggregate per type —
+    map-side partial combine, flat in event volume, no windows, no
+    joins. Determinism: each ln (libm) is e6-rounded per row on both
+    sides BEFORE aggregation, the sum rides the decimal detour, the
+    mean divides by an exact count, and the closing exp (libm) is
+    e6-rounded again."""
+    e = load_table(spark, sf_dir, "events")
+    logs = e.select(
+        "event_type", dround(F.log(F.col("value")), 6).alias("lv")
+    )
+    agg = logs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("lv").cast("decimal(25,6)")).cast("double").alias("slv"),
+    )
+    log_mean = dround(F.col("slv") / F.col("n_events"), 6)
+    return agg.select(
+        "event_type",
+        "n_events",
+        log_mean.alias("log_mean"),
+        dround(F.exp(log_mean), 6).alias("geo_mean"),
+    )

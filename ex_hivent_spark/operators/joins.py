@@ -619,3 +619,37 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+    WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register("q_join_lateral_topk", oracle=_LATERAL_TOPK_SQL)
+def q_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — per BUILDING-segment customer, the
+    top-3 orders by total price, expressed as the SQL-standard lateral
+    derived table rather than the window-rank idiom
+    (q_win_rank_topk_per_group's twin through the other door). The
+    identical SQL text runs on both engines; the ORDER BY tiebreaks on
+    o_orderkey so the pick is a unique total order.
+
+    Plan: Catalyst DECORRELATES the lateral — no per-customer
+    execution: the orders side becomes WindowGroupLimit (partial
+    map-side top-3 per custkey, then final after one hash exchange —
+    the optimal distributed top-k-per-group), the customer side
+    broadcasts, and the correlation closes as one BroadcastHashJoin.
+    The segment filter pushes to the customer scan. At 100 TB this is
+    exactly the plan you would hand-write; the lateral form simply
+    proves the engine's subquery surface. Determinism: raw column
+    values only, unique sort — nothing to round."""
+    from ex_hivent_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)

@@ -436,3 +436,61 @@ def test_backtest_naive_matches_python(spark):
         assert r["mape"] == pytest.approx(
             sum(mape_terms) / len(mape_terms), abs=2e-6
         )
+
+
+def test_lateral_topk_matches_python(spark, sf_dir):
+    """LATERAL top-3 orders per BUILDING customer recomputed by
+    explicit per-customer sort; also equals the window-rank idiom."""
+    import pyarrow.parquet as pq
+
+    custs = {
+        r["c_custkey"]
+        for r in pq.read_table(f"{sf_dir}/customer.parquet").to_pylist()
+        if r["c_mktsegment"] == "BUILDING"
+    }
+    orders: dict = {}
+    for r in pq.read_table(f"{sf_dir}/orders.parquet").to_pylist():
+        orders.setdefault(r["o_custkey"], []).append(
+            (-r["o_totalprice"], r["o_orderkey"])
+        )
+    expect = set()
+    for c in custs:
+        for negp, okey in sorted(orders.get(c, []))[:3]:
+            expect.add((c, okey, -negp))
+    got = {
+        (r["c_custkey"], r["o_orderkey"], r["o_totalprice"])
+        for r in all_specs()["q_join_lateral_topk"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_geometric_mean_matches_python(spark, sf_dir):
+    """exp(mean(e6(ln v))) per type recomputed; gmean <= arithmetic
+    mean (AM-GM)."""
+    import math
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    vals: dict = defaultdict(list)
+    for r in pq.read_table(f"{sf_dir}/events.parquet").to_pylist():
+        vals[r["event_type"]].append(r["value"])
+    got = {
+        r["event_type"]: r
+        for r in all_specs()["q_agg_geometric_mean"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(vals)
+    for t, vs in vals.items():
+        lm = e6(math.fsum(e6(math.log(v)) for v in vs) / len(vs))
+        row = got[t]
+        assert row["n_events"] == len(vs)
+        assert row["log_mean"] == pytest.approx(lm, abs=1e-9)
+        assert row["geo_mean"] == pytest.approx(e6(math.exp(lm)), abs=1e-9)
+        assert row["geo_mean"] <= math.fsum(vs) / len(vs) + 1e-6

@@ -102,3 +102,26 @@ def test_grid_density_matches_python_at_sf001(spark):
         assert row["neigh_density_ratio"] == pytest.approx(
             neigh_n * n_cells / (n_total * neigh_cells), rel=1e-12
         )
+
+
+def test_assortativity_matches_python(spark):
+    """Newman degree assortativity recomputed from the edge list."""
+    pairs = _edges(spark)
+    deg: dict = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    xs = []
+    for a, b in pairs:
+        xs.append((deg[a], deg[b]))
+        xs.append((deg[b], deg[a]))
+    m = len(xs)
+    sx = sum(x for x, _ in xs)
+    sxx = sum(x * x for x, _ in xs)
+    sxy = sum(x * y for x, y in xs)
+    den = m * sxx - sx * sx
+    expect = 0.0 if den == 0 else _e6((m * sxy - sx * sx) / den)
+    row = SPECS["q_graph_assortativity"].spark(spark, SF_DIR).collect()[0]
+    assert row["n_edges"] == len(pairs)
+    assert row["assortativity"] == pytest.approx(expect, abs=1e-9)
+    assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9
