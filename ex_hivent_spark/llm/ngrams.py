@@ -1106,3 +1106,126 @@ def q_llm_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_2"
         ),
     )
+
+
+def _entropy_sql(gram_cte: str) -> str:
+    """H = e6( e6(log2(N)) - S/N ) with S = sum(c * e6(log2(c))) —
+    the exact-integer-counts corpus entropy closing, shared by the
+    unigram and bigram arms of q_llm_entropy_ladder."""
+    return f"""
+      SELECT CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             {sql_dround(
+                 "floor(log2(CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5)"
+                 " / 1000000.0"
+                 " - CAST(sum(CAST(c * (floor(log2(CAST(c AS DOUBLE))"
+                 " * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(25,6)))"
+                 " AS DOUBLE) / sum(c)", 6)} AS h_bits
+      FROM {gram_cte}
+    """
+
+
+@register(
+    "q_llm_entropy_ladder",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT unnest(t) AS g FROM toks
+    ),
+    uc AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY g
+    ),
+    bipos AS (
+      SELECT t, unnest(range(1, len(t))) AS i FROM toks
+      WHERE len(t) >= 2
+    ),
+    bi AS (
+      SELECT t[i] || ' ' || t[i + 1] AS g FROM bipos
+    ),
+    bc AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY g
+    ),
+    h1 AS ({_entropy_sql("uc")}),
+    h2 AS ({_entropy_sql("bc")})
+    SELECT h1.n_grams AS n_unigrams,
+           h1.n_distinct AS n_distinct_unigrams,
+           h1.h_bits AS h_unigram,
+           h2.n_grams AS n_bigrams,
+           h2.n_distinct AS n_distinct_bigrams,
+           h2.h_bits AS h_bigram,
+           h2.h_bits - h1.h_bits AS h_conditional
+    FROM h1 CROSS JOIN h2
+    """,
+)
+def q_llm_entropy_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus entropy ladder: Shannon entropy (bits) of the word
+    unigram and bigram distributions plus the conditional
+    next-word entropy H(w₂|w₁) = H₂ − H₁ — the information-theoretic
+    redundancy audit (a boilerplate-heavy crawl shows low conditional
+    entropy long before dedup finds the templates; the ladder is the
+    corpus-level counterpart of q_llm_char_entropy's per-doc score and
+    the model-free floor under q_llm_doc_perplexity).
+
+    Plan: grams build inside the row (no token self-join), ONE explode
+    feeds ONE hash aggregate per order, each collapsing to a one-row
+    moment frame — two scans (the two orders), broadcast-joined at one
+    row each. H = log2(N) − Σc·log2(c)/N needs only (c) counts, so no
+    per-gram probabilities shuffle. Determinism: counts are exact
+    integers; each log2 (libm) is e6-rounded per distinct gram on
+    both sides; the weighted sum rides the decimal detour; the
+    closing is e6-rounded. Scale bound: c·log2(c) stays under the
+    2^53/1e6 decimal bound through ~1e11-token corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+
+    def entropy_of(grams: DataFrame) -> DataFrame:
+        counts = grams.groupBy("g").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        lc = dround(F.log2(F.col("c").cast("double")), 6)
+        return counts.agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            dround(
+                dround(F.log2(F.sum("c").cast("double")), 6)
+                - F.sum((F.col("c") * lc).cast("decimal(25,6)"))
+                .cast("double")
+                / F.sum("c"),
+                6,
+            ).alias("h_bits"),
+        )
+
+    uni = d.select(F.explode(t).alias("g"))
+    big = d.filter(F.size(t) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                ),
+            )
+        ).alias("g")
+    )
+    h1 = entropy_of(uni).select(
+        F.col("n_grams").alias("n_unigrams"),
+        F.col("n_distinct").alias("n_distinct_unigrams"),
+        F.col("h_bits").alias("h_unigram"),
+    )
+    h2 = entropy_of(big).select(
+        F.col("n_grams").alias("n_bigrams"),
+        F.col("n_distinct").alias("n_distinct_bigrams"),
+        F.col("h_bits").alias("h_bigram"),
+    )
+    return h1.crossJoin(F.broadcast(h2)).select(
+        "n_unigrams",
+        "n_distinct_unigrams",
+        "h_unigram",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        "h_bigram",
+        (F.col("h_bigram") - F.col("h_unigram")).alias("h_conditional"),
+    )

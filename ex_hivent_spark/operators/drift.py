@@ -2180,3 +2180,109 @@ def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(zsum * se / m0, 6).alias("mde_rel"),
     )
     return out
+
+
+@register(
+    "q_ab_bayes_posterior",
+    oracle=f"""
+    WITH lab AS (
+      SELECT CASE WHEN ts < TIMESTAMP '{_CUT}' THEN 'early'
+                  ELSE 'late' END AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+    ),
+    g AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+      FROM lab GROUP BY arm
+    ),
+    piv AS (
+      SELECT e.n AS n_early, e.k AS k_early, l.n AS n_late, l.k AS k_late
+      FROM (SELECT * FROM g WHERE arm = 'early') e
+      CROSS JOIN (SELECT * FROM g WHERE arm = 'late') l
+    ),
+    post AS (
+      SELECT *,
+             CAST(1 + k_early AS DOUBLE) / (2 + n_early) AS mean_early,
+             CAST(1 + k_late AS DOUBLE) / (2 + n_late) AS mean_late,
+             (CAST(1 + k_early AS DOUBLE) * (1 + n_early - k_early))
+               / ((CAST(2 + n_early AS DOUBLE)) * (2 + n_early)
+                  * (3 + n_early)) AS var_early,
+             (CAST(1 + k_late AS DOUBLE) * (1 + n_late - k_late))
+               / ((CAST(2 + n_late AS DOUBLE)) * (2 + n_late)
+                  * (3 + n_late)) AS var_late
+      FROM piv
+    )
+    SELECT n_early, k_early, n_late, k_late,
+           {sql_dround("mean_early", 6)} AS post_mean_early,
+           {sql_dround("mean_late", 6)} AS post_mean_late,
+           {sql_dround(
+               "(mean_late - mean_early)"
+               " / (" + sql_dround("sqrt(var_early + var_late)", 6)
+               + ")", 6)}
+               AS post_z
+    FROM post
+    """,
+)
+def q_ab_bayes_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout on purchase conversion, early vs late
+    month arms (q_ab_proportion_test's split): Beta(1,1) prior →
+    posterior Beta(1+k, 1+n−k) per arm, with closed-form posterior
+    means and variances and the normal-approximation z for
+    P(late > early) — the experimentation platform's 'probability to
+    beat control' summary, complementing the frequentist z-test and
+    CUPED lift with the posterior view (identical at these n, but the
+    Beta form stays calibrated at tiny k where the z-test breaks).
+
+    Plan: ONE conditional aggregate to two (arm, n, k) rows, a 2-row
+    cross-join pivot — nothing after the scan is data-sized.
+    Determinism: counts are integers; every posterior moment is a
+    closed-form rational of small integers (exact IEEE divisions);
+    the single sqrt is e6-rounded, as is each emitted float."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        F.when(F.col("ts") < F.lit(_CUT).cast("timestamp"), F.lit("early"))
+        .otherwise(F.lit("late"))
+        .alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    g = (
+        lab.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("conv").cast("bigint").alias("k"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    early = g.filter(F.col("arm") == "early").select(
+        F.col("n").alias("n_early"), F.col("k").alias("k_early")
+    )
+    late = g.filter(F.col("arm") == "late").select(
+        F.col("n").alias("n_late"), F.col("k").alias("k_late")
+    )
+    piv = early.crossJoin(F.broadcast(late))
+
+    def post_mean(n, k):
+        return (1 + F.col(k)).cast("double") / (2 + F.col(n))
+
+    def post_var(n, k):
+        return ((1 + F.col(k)).cast("double") * (1 + F.col(n) - F.col(k))) / (
+            (2 + F.col(n)).cast("double") * (2 + F.col(n)) * (3 + F.col(n))
+        )
+
+    m1 = post_mean("n_early", "k_early")
+    m2 = post_mean("n_late", "k_late")
+    v1 = post_var("n_early", "k_early")
+    v2 = post_var("n_late", "k_late")
+    return piv.select(
+        "n_early",
+        "k_early",
+        "n_late",
+        "k_late",
+        dround(m1, 6).alias("post_mean_early"),
+        dround(m2, 6).alias("post_mean_late"),
+        dround((m2 - m1) / dround(F.sqrt(v1 + v2), 6), 6).alias("post_z"),
+    )

@@ -1136,3 +1136,94 @@ def q_win_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("senkou_b").isNotNull()
         & F.col("chikou").isNotNull()
     )
+
+
+# Ulcer-index lookback, in hourly bars.
+_ULCER_WIN = 14
+
+
+@register(
+    "q_win_ulcer_index",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    dd AS (
+      SELECT event_type, hour_id, close,
+             CAST(count(*) OVER w AS BIGINT) AS nbar,
+             {sql_dround(
+                 "100.0 * (close - max(close) OVER w)"
+                 " / max(close) OVER w", 6)} AS drawdown_pct
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_ULCER_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    ),
+    sq AS (
+      SELECT event_type, hour_id, close, drawdown_pct,
+             CAST(count(*) OVER w AS BIGINT) AS ndd,
+             CAST(sum(CAST(drawdown_pct * drawdown_pct AS DECIMAL(25,9)))
+                  OVER w AS DOUBLE) AS ssq
+      FROM dd WHERE nbar = {_ULCER_WIN}
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_ULCER_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, close, drawdown_pct,
+           {sql_dround(f"sqrt(ssq / {_ULCER_WIN})", 6)} AS ulcer_index
+    FROM sq WHERE ndd = {_ULCER_WIN}
+    """,
+)
+def q_win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index per event type over hourly bars: the
+    root-mean-square of the trailing 14-bar percentage drawdown from
+    the rolling 14-bar high — the downside-only volatility gauge
+    (Bollinger's sigma penalizes upside wiggle equally; the ulcer
+    index hurts only while the series sits below its recent high),
+    emitted next to the instantaneous drawdown itself. Complements
+    q_win_drawdown's cumulative-peak view with the windowed one.
+
+    Plan: hourly-bar hash aggregate, two constant-frame window passes
+    over the SAME (event_type, hour_id) sort (drawdown needs to
+    materialize before its square aggregates) — one exchange,
+    |hours|-bounded partitions. Determinism: the rolling high is an
+    exact pick; drawdown is one e6-rounded IEEE expression; squares
+    of the e6-grid land on DECIMAL(25,9) for the order-insensitive
+    window sum; the closing sqrt (libm) is e6-rounded. Rows emit only
+    where both frames are full."""
+    bars = _hourly_close(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-(_ULCER_WIN - 1), Window.currentRow)
+    )
+    rmax = F.max("close").over(w)
+    dd = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nbar"),
+        dround(100.0 * (F.col("close") - rmax) / rmax, 6).alias(
+            "drawdown_pct"
+        ),
+    ).filter(F.col("nbar") == _ULCER_WIN)
+    sq = dd.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "drawdown_pct",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("ndd"),
+        F.sum(
+            (F.col("drawdown_pct") * F.col("drawdown_pct")).cast(
+                "decimal(25,9)"
+            )
+        )
+        .over(w)
+        .cast("double")
+        .alias("ssq"),
+    ).filter(F.col("ndd") == _ULCER_WIN)
+    return sq.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "drawdown_pct",
+        dround(F.sqrt(F.col("ssq") / _ULCER_WIN), 6).alias("ulcer_index"),
+    )

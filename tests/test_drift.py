@@ -214,3 +214,42 @@ def test_good_turing_counts(spark):
             assert row["r_star_1"] == 2.0 * n2 / n1
         else:
             assert row["r_star_1"] is None
+
+
+def test_bayes_posterior_matches_python(spark, sf_dir):
+    """Beta(1,1) posterior moments recomputed from raw arm counts."""
+    import math
+
+    import pyarrow.parquet as pq
+    import pytest
+    from datetime import datetime
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    cut = datetime(2024, 1, 16)
+    n = {"early": 0, "late": 0}
+    k = {"early": 0, "late": 0}
+    for r in pq.read_table(f"{sf_dir}/events.parquet").to_pylist():
+        arm = "early" if r["ts"] < cut else "late"
+        n[arm] += 1
+        k[arm] += 1 if r["event_type"] == "purchase" else 0
+
+    def mean(a):
+        return (1 + k[a]) / (2 + n[a])
+
+    def var(a):
+        return ((1 + k[a]) * (1 + n[a] - k[a])) / (
+            (2 + n[a]) * (2 + n[a]) * (3 + n[a])
+        )
+
+    row = SPECS["q_ab_bayes_posterior"].spark(spark, sf_dir).collect()[0]
+    assert row["n_early"] == n["early"] and row["k_early"] == k["early"]
+    assert row["n_late"] == n["late"] and row["k_late"] == k["late"]
+    assert row["post_mean_early"] == pytest.approx(e6(mean("early")), abs=1e-9)
+    assert row["post_mean_late"] == pytest.approx(e6(mean("late")), abs=1e-9)
+    z = e6(
+        (mean("late") - mean("early"))
+        / e6(math.sqrt(var("early") + var("late")))
+    )
+    assert row["post_z"] == pytest.approx(z, abs=1e-6)

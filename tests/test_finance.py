@@ -341,3 +341,37 @@ def test_ichimoku_matches_python(spark):
             assert row["senkou_b"] == pytest.approx(sb, abs=1e-12)
             assert row["chikou"] == pytest.approx(ch, abs=1e-12)
     assert len(got) == n_expected and n_expected > 0
+
+
+def test_ulcer_index_matches_python(spark):
+    from ex_hivent_spark.operators.finance import _ULCER_WIN
+
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_ulcer_index"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        dd: list = []
+        for i in range(len(series)):
+            if i + 1 < _ULCER_WIN:
+                dd.append(None)
+                continue
+            frame = series[i - _ULCER_WIN + 1 : i + 1]
+            rmax = max(c for _, c, _, _ in frame)
+            close = series[i][1]
+            dd.append(_e6(100.0 * (close - rmax) / rmax))
+        for i in range(len(series)):
+            frame = [d for d in dd[max(0, i - (_ULCER_WIN - 1)) : i + 1]
+                     if d is not None]
+            if dd[i] is None or len(frame) != _ULCER_WIN:
+                continue
+            n_expected += 1
+            ui = _e6(math.sqrt(
+                math.fsum(d * d for d in frame) / _ULCER_WIN))
+            row = got[(t, series[i][0])]
+            assert row["drawdown_pct"] == pytest.approx(dd[i], abs=1e-9)
+            assert row["drawdown_pct"] <= 1e-12
+            assert row["ulcer_index"] == pytest.approx(ui, abs=1e-6)
+    assert len(got) == n_expected and n_expected > 0

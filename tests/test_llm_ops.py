@@ -907,3 +907,41 @@ def test_quality_length_corr_matches_python(spark, sf_dir):
         assert row["n_docs"] == n
         assert row["corr_tokens_stopword"] == pytest.approx(r, abs=1e-6)
         assert -1.0 - 1e-9 <= row["corr_tokens_stopword"] <= 1.0 + 1e-9
+
+
+def test_entropy_ladder_matches_python(spark, sf_dir):
+    """Entropy ladder recomputed from raw token/bigram counts; the
+    information-theoretic orderings must hold."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for r in pq.read_table(f"{sf_dir}/documents.parquet").to_pylist():
+        toks = r["text"].split(" ")
+        uni.update(toks)
+        bi.update(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+
+    def h(counter):
+        n = sum(counter.values())
+        s = math.fsum(c * e6(math.log2(c)) for c in counter.values())
+        return n, len(counter), e6(e6(math.log2(n)) - s / n)
+
+    n1, d1, h1 = h(uni)
+    n2, d2, h2 = h(bi)
+    row = SPECS["q_llm_entropy_ladder"].spark(spark, sf_dir).collect()[0]
+    assert row["n_unigrams"] == n1 and row["n_distinct_unigrams"] == d1
+    assert row["n_bigrams"] == n2 and row["n_distinct_bigrams"] == d2
+    assert row["h_unigram"] == pytest.approx(h1, abs=1e-6)
+    assert row["h_bigram"] == pytest.approx(h2, abs=1e-6)
+    assert row["h_conditional"] == pytest.approx(h2 - h1, abs=1e-6)
+    # joint >= marginal; conditional <= marginal (conditioning reduces)
+    assert row["h_bigram"] >= row["h_unigram"] - 1e-9
+    assert row["h_conditional"] <= row["h_unigram"] + 1e-9
