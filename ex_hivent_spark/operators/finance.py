@@ -1227,3 +1227,110 @@ def q_win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "drawdown_pct",
         dround(F.sqrt(F.col("ssq") / _ULCER_WIN), 6).alias("ulcer_index"),
     )
+
+
+@register(
+    "q_ts_max_subarray",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    rets AS (
+      SELECT event_type, hour_id,
+             CAST({sql_dround(
+                 "ln(close / lag(close) OVER (PARTITION BY event_type"
+                 " ORDER BY hour_id))", 6)} AS DECIMAL(25,6)) AS ret
+      FROM bars
+    ),
+    psum AS (
+      SELECT event_type, hour_id, ret,
+             CAST(sum(ret) OVER (PARTITION BY event_type
+                                 ORDER BY hour_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+                  AS DECIMAL(25,6)) AS p
+      FROM rets WHERE ret IS NOT NULL
+    ),
+    pfx AS (
+      SELECT event_type, hour_id, ret, p,
+             min(p) OVER w AS minp,
+             max(p) OVER w AS maxp
+      FROM psum
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_id,
+           CAST(ret AS DOUBLE) AS log_ret,
+           -- least/greatest on decimals returns DOUBLE in DuckDB, so the
+           -- 0-floor is a CASE to stay in exact decimal arithmetic
+           CAST(p - (CASE WHEN minp IS NULL OR minp > 0
+                          THEN CAST(0 AS DECIMAL(25,6)) ELSE minp END)
+                AS DOUBLE) AS best_gain_ending_here,
+           CAST(p - (CASE WHEN maxp IS NULL OR maxp < 0
+                          THEN CAST(0 AS DECIMAL(25,6)) ELSE maxp END)
+                AS DOUBLE) AS worst_loss_ending_here
+    FROM pfx
+    """,
+)
+def q_ts_max_subarray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kadane's maximum-subarray quantities on the hourly log-return
+    series per event type: for each bar, the best cumulative gain and
+    worst cumulative loss of ANY window ENDING at that bar — via the
+    prefix-sum identity best(t) = P(t) − min(0, min_{s<t} P(s)) — the
+    distribution-free 'largest run-up / run-down so far' momentum
+    panel (its per-type max is the classic maximum drawup; the
+    symmetric min is q_win_drawdown's windowed twin from the other
+    side).
+
+    Plan: bar aggregate, then ONE sort per type serves the lag, the
+    prefix sum, and both running extrema (nested window over the same
+    (event_type, hour_id) order — Catalyst plans a single exchange);
+    frames are |hours|-bounded. Determinism: log returns (libm) are
+    e6-rounded per row, then EVERYTHING stays in DECIMAL(25,6) — the
+    prefix sums, running extrema, and both closings are exact decimal
+    arithmetic; the only double conversions are the final casts. The prefix
+    sum re-narrows to DECIMAL(25,6) (value-bounded by the hour
+    grain) so neither engine's decimal arithmetic overflows
+    precision 38 and silently promotes the closing subtraction
+    to double."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    rets = bars.select(
+        "event_type",
+        "hour_id",
+        dround(F.log(F.col("close") / F.lag("close").over(wl)), 6)
+        .cast("decimal(25,6)")
+        .alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wb = wl.rowsBetween(Window.unboundedPreceding, -1)
+    psum = rets.select(
+        "event_type",
+        "hour_id",
+        "ret",
+        F.sum("ret").over(wc).cast("decimal(25,6)").alias("p"),
+    )
+    pfx = psum.select(
+        "event_type",
+        "hour_id",
+        "ret",
+        "p",
+        F.min("p").over(wb).alias("minp"),
+        F.max("p").over(wb).alias("maxp"),
+    )
+    zero = F.lit(0).cast("decimal(25,6)")
+    floor_min = F.when(
+        F.col("minp").isNull() | (F.col("minp") > 0), zero
+    ).otherwise(F.col("minp"))
+    cap_max = F.when(
+        F.col("maxp").isNull() | (F.col("maxp") < 0), zero
+    ).otherwise(F.col("maxp"))
+    return pfx.select(
+        "event_type",
+        "hour_id",
+        F.col("ret").cast("double").alias("log_ret"),
+        (F.col("p") - floor_min).cast("double").alias(
+            "best_gain_ending_here"
+        ),
+        (F.col("p") - cap_max).cast("double").alias(
+            "worst_loss_ending_here"
+        ),
+    )

@@ -889,3 +889,107 @@ def q_stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wilson_upper"),
     )
+
+
+@register(
+    "q_stats_cochran_armitage",
+    oracle=f"""
+    WITH lab AS (
+      SELECT CAST(floor((day(ts) - 1) / 7) AS BIGINT) AS wk,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+    ),
+    g AS (
+      SELECT wk,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+      FROM lab GROUP BY wk
+    ),
+    sums AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(k) AS BIGINT) AS kk,
+             CAST(sum(wk * n) AS BIGINT) AS swn,
+             CAST(sum(wk * k) AS BIGINT) AS swk,
+             CAST(sum(wk * wk * n) AS BIGINT) AS sw2n,
+             CAST(count(*) AS BIGINT) AS n_groups
+      FROM g
+    ),
+    closing AS (
+      SELECT n_groups, nn, kk,
+             swk - (CAST(kk AS DOUBLE) / nn) * swn AS t_stat,
+             (CAST(kk AS DOUBLE) / nn)
+               * (1.0 - CAST(kk AS DOUBLE) / nn)
+               * (sw2n - CAST(swn AS DOUBLE) * swn / nn) AS v
+      FROM sums
+    )
+    SELECT n_groups, nn AS n_total, kk AS k_total,
+           CASE WHEN {sql_dround("sqrt(greatest(v, 0.0))", 6)} = 0
+                THEN 0.0
+                ELSE {sql_dround(
+                    "t_stat / (" + sql_dround(
+                        "sqrt(greatest(v, 0.0))", 6) + ")", 6)}
+           END AS z_trend
+    FROM closing
+    """,
+)
+def q_stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend test on purchase conversion across the
+    ordered week-of-month buckets (scores 0..4): z = Σwᵢ(kᵢ − nᵢp̄) /
+    √(p̄(1−p̄)(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N)) — the 'is conversion DRIFTING
+    monotonically across ordered segments?' test that a k-group
+    chi-square dilutes (chi-square spends its power on any deviation;
+    CA concentrates it on the linear trend). Complements
+    q_ts_mann_kendall's distribution-free trend on levels with the
+    proportions version.
+
+    Plan: ONE conditional hash aggregate to ≤5 (week, n, k) rows, a
+    one-row integer moment reduction, per-row closing — nothing after
+    the scan is data-sized, partial aggregation throughout.
+    Determinism: all moments are exact BIGINTs; the closing is IEEE
+    arithmetic written identically both sides, the variance clamps at
+    0 inside the e6-rounded sqrt, and the final ratio is e6-rounded
+    (0.0 on a degenerate zero-variance table)."""
+    e = load_table(spark, sf_dir, "events")
+    lab = e.select(
+        F.floor((F.dayofmonth("ts") - 1) / 7).cast("bigint").alias("wk"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    g = lab.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    sums = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("k").cast("bigint").alias("kk"),
+        F.sum(F.col("wk") * F.col("n")).cast("bigint").alias("swn"),
+        F.sum(F.col("wk") * F.col("k")).cast("bigint").alias("swk"),
+        F.sum(F.col("wk") * F.col("wk") * F.col("n"))
+        .cast("bigint")
+        .alias("sw2n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    pbar = F.col("kk").cast("double") / F.col("nn")
+    t_stat = F.col("swk") - pbar * F.col("swn")
+    v = (
+        pbar
+        * (1.0 - pbar)
+        * (F.col("sw2n") - F.col("swn").cast("double") * F.col("swn") / F.col("nn"))
+    )
+    closing = sums.select(
+        "n_groups",
+        F.col("nn").alias("n_total"),
+        F.col("kk").alias("k_total"),
+        t_stat.alias("t_stat"),
+        v.alias("v"),
+    )
+    den = dround(F.sqrt(F.greatest(F.col("v"), F.lit(0.0))), 6)
+    return closing.select(
+        "n_groups",
+        "n_total",
+        "k_total",
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(dround(F.col("t_stat") / den, 6))
+        .alias("z_trend"),
+    )

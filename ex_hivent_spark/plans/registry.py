@@ -81,12 +81,16 @@ def register(name: str, oracle: Optional[str] = None):
 # jaccard-neighbors/kcore — and 30 late-r8 — the stats battery, the
 # indicator battery, RFM/mobility/KM/LTV/growth, adamic-adar,
 # grid-density, ip-cidr, MATTR/burstiness/vocab-overlap,
-# NDCG/kNN/centroid-sim, entropy-rate, ship-latency). 56 > one 50-slot
-# round again: r09 fronts the 14 r7 stragglers + the 12 early-r8 +
-# the alphabetically-first 24 late-r8; r10 takes the remaining 6 plus
-# whatever r9 adds. ALL 292 are green in this round's committed
-# CORRECTNESS_LOCAL.json sweep (the driver-slot rotation is evidence
-# freshness, not suspicion). Process rule (r7 verdict, kept): NO
+# NDCG/kNN/centroid-sim, entropy-rate, ship-latency — plus the final
+# 17: margin-audit, seasonal-naive backtest, the MACD/stochastic/OBV/
+# Ichimoku/ulcer indicator tail, MRR, clustering-coeff/assortativity,
+# Wilson CI, length-sweep, quality-length-corr, LATERAL top-k,
+# geometric mean, Bayes posterior, entropy ladder; registry closes r8
+# at 309). 73 > one 50-slot round: r09 fronts the 14 r7 stragglers +
+# the 12 early-r8 + the alphabetically-first 24 late-r8; r10 takes
+# the remaining 23 plus whatever r9 adds. ALL 309 are green in this
+# round's committed CORRECTNESS_LOCAL.json sweep (the driver-slot
+# rotation is evidence freshness, not suspicion). Process rule (r7 verdict, kept): NO
 # operator registers after the round's final driver_sim sweep — the
 # sweep re-runs after the last registration, before the snapshot
 # commit. scripts/driver_sim.py re-verifies ALL queries locally every

@@ -375,3 +375,43 @@ def test_ulcer_index_matches_python(spark):
             assert row["drawdown_pct"] <= 1e-12
             assert row["ulcer_index"] == pytest.approx(ui, abs=1e-6)
     assert len(got) == n_expected and n_expected > 0
+
+
+def test_max_subarray_matches_python(spark):
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_ts_max_subarray"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        closes = [c for _, c, _, _ in series]
+        rets = [
+            _e6(math.log(closes[i] / closes[i - 1]))
+            for i in range(1, len(closes))
+        ]
+        # exact integer micro-units mirror the decimal arithmetic
+        micro = [round(r * 1e6) for r in rets]
+        p = 0
+        minp = None
+        maxp = None
+        for i, m in enumerate(micro):
+            p += m
+            lo = 0 if minp is None else min(minp, 0)
+            hi = 0 if maxp is None else max(maxp, 0)
+            n_expected += 1
+            row = got[(t, series[i + 1][0])]
+            assert row["log_ret"] == pytest.approx(rets[i], abs=1e-9)
+            assert row["best_gain_ending_here"] == pytest.approx(
+                (p - lo) / 1e6, abs=1e-9
+            )
+            assert row["worst_loss_ending_here"] == pytest.approx(
+                (p - hi) / 1e6, abs=1e-9
+            )
+            assert (
+                row["best_gain_ending_here"]
+                >= row["worst_loss_ending_here"] - 1e-12
+            )
+            minp = p if minp is None else min(minp, p)
+            maxp = p if maxp is None else max(maxp, p)
+    assert len(got) == n_expected and n_expected > 0

@@ -242,3 +242,34 @@ def test_wilson_ci_matches_python(spark, sf_dir):
         assert row["wilson_upper"] == pytest.approx(hi, abs=1e-9)
         assert 0.0 <= row["wilson_lower"] <= row["p_hat"] + 1e-9
         assert row["p_hat"] - 1e-9 <= row["wilson_upper"] <= 1.0
+
+
+def test_cochran_armitage_matches_python(spark, sf_dir):
+    """CA trend z recomputed from raw week-bucket counts."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    n: dict = {}
+    k: dict = {}
+    for r in pq.read_table(f"{sf_dir}/events.parquet").to_pylist():
+        w = (r["ts"].day - 1) // 7
+        n[w] = n.get(w, 0) + 1
+        k[w] = k.get(w, 0) + (1 if r["event_type"] == "purchase" else 0)
+    nn = sum(n.values())
+    kk = sum(k.values())
+    swn = sum(w * c for w, c in n.items())
+    swk = sum(w * c for w, c in k.items())
+    sw2n = sum(w * w * c for w, c in n.items())
+    pbar = kk / nn
+    t = swk - pbar * swn
+    v = pbar * (1.0 - pbar) * (sw2n - float(swn) * swn / nn)
+    den = e6(math.sqrt(max(v, 0.0)))
+    z = 0.0 if den == 0 else e6(t / den)
+    row = SPECS["q_stats_cochran_armitage"].spark(spark, sf_dir).collect()[0]
+    assert row["n_groups"] == len(n)
+    assert row["n_total"] == nn and row["k_total"] == kk
+    assert row["z_trend"] == pytest.approx(z, abs=1e-6)
