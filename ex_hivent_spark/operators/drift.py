@@ -2286,3 +2286,197 @@ def q_ab_bayes_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(m2, 6).alias("post_mean_late"),
         dround((m2 - m1) / dround(F.sqrt(v1 + v2), 6), 6).alias("post_z"),
     )
+
+
+@register(
+    "q_ts_granger_lite",
+    oracle=f"""
+    WITH spine AS (
+      SELECT CAST(unnest(range({_EPOCH_H}, {_EPOCH_H + _N_HOURS}))
+                  AS BIGINT) AS h
+    ),
+    hx AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    hy AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    series AS (
+      SELECT s.h,
+             CAST(coalesce(hx.x, 0) AS BIGINT) AS x,
+             CAST(coalesce(hy.y, 0) AS BIGINT) AS y
+      FROM spine s
+      LEFT JOIN hx ON hx.h = s.h
+      LEFT JOIN hy ON hy.h = s.h
+    ),
+    lagged AS (
+      SELECT y,
+             lag(y) OVER (ORDER BY h) AS yl,
+             lag(x) OVER (ORDER BY h) AS xl
+      FROM series
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(yl) AS BIGINT) AS syl,
+             CAST(sum(xl) AS BIGINT) AS sxl,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(yl * yl) AS BIGINT) AS sylyl,
+             CAST(sum(xl * xl) AS BIGINT) AS sxlxl,
+             CAST(sum(y * yl) AS BIGINT) AS syyl,
+             CAST(sum(y * xl) AS BIGINT) AS syxl,
+             CAST(sum(yl * xl) AS BIGINT) AS sylxl
+      FROM lagged WHERE yl IS NOT NULL
+    ),
+    corrs AS (
+      SELECT n,
+             {sql_dround(
+                 "CAST(n * syyl - sy * syl AS DOUBLE) / ("
+                 + sql_dround(
+                     "sqrt(greatest(CAST(n * syy - sy * sy AS DOUBLE), 0.0)"
+                     " * greatest(CAST(n * sylyl - syl * syl AS DOUBLE),"
+                     " 0.0))", 6)
+                 + ")", 6)} AS r_y_ylag,
+             {sql_dround(
+                 "CAST(n * syxl - sy * sxl AS DOUBLE) / ("
+                 + sql_dround(
+                     "sqrt(greatest(CAST(n * syy - sy * sy AS DOUBLE), 0.0)"
+                     " * greatest(CAST(n * sxlxl - sxl * sxl AS DOUBLE),"
+                     " 0.0))", 6)
+                 + ")", 6)} AS r_y_xlag,
+             {sql_dround(
+                 "CAST(n * sylxl - syl * sxl AS DOUBLE) / ("
+                 + sql_dround(
+                     "sqrt(greatest(CAST(n * sylyl - syl * syl AS DOUBLE),"
+                     " 0.0)"
+                     " * greatest(CAST(n * sxlxl - sxl * sxl AS DOUBLE),"
+                     " 0.0))", 6)
+                 + ")", 6)} AS r_ylag_xlag
+      FROM m
+    )
+    SELECT n AS n_hours, r_y_ylag, r_y_xlag, r_ylag_xlag,
+           {sql_dround(
+               "(r_y_xlag - r_y_ylag * r_ylag_xlag) / ("
+               + sql_dround(
+                   "sqrt(greatest((1.0 - r_y_ylag * r_y_ylag)"
+                   " * (1.0 - r_ylag_xlag * r_ylag_xlag), 0.0))", 6)
+               + ")", 6)} AS partial_r
+    FROM corrs
+    """,
+)
+def q_ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-lite lead-lag probe: does last hour's CLICK volume carry
+    information about this hour's PURCHASE volume beyond what last
+    hour's purchases already say? Computed as the lag-1 partial
+    correlation r(y_t, x_{t-1} | y_{t-1}) = (r_yx − r_yz·r_xz) /
+    √((1−r_yz²)(1−r_xz²)) over the densified 720-hour month spine —
+    the correlation-identity form of the one-lag Granger regression
+    (the partial r is the t-statistic's direction and magnitude
+    without the F machinery), alongside the three raw correlations.
+
+    Plan: two filtered hourly hash aggregates densify onto the fixed
+    month spine (broadcast-sized), one lag pass over the single
+    719-row series (bounded global window, the q_ts_xcorr class), ONE
+    integer moment aggregate, per-row closing. Event volume enters
+    only through the hourly counts. Determinism: all ten moments are
+    exact BIGINTs; each correlation clamps its cancellation-prone
+    variance product at 0 inside an e6-rounded sqrt and e6-rounds the
+    ratio; the partial-correlation closing repeats the same
+    discipline on the already-rounded correlations."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    hx = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(h)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    hy = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(h)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    spine = spark.range(_N_HOURS).select(
+        (F.col("id") + F.lit(_EPOCH_H)).cast("bigint").alias("h")
+    )
+    series = (
+        spine.join(hx, "h", "left")
+        .join(hy, "h", "left")
+        .select(
+            "h",
+            F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    wo = Window.orderBy("h")
+    lagged = series.select(
+        "y",
+        F.lag("y").over(wo).alias("yl"),
+        F.lag("x").over(wo).alias("xl"),
+    ).filter(F.col("yl").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("yl").cast("bigint").alias("syl"),
+        F.sum("xl").cast("bigint").alias("sxl"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("yl") * F.col("yl")).cast("bigint").alias("sylyl"),
+        F.sum(F.col("xl") * F.col("xl")).cast("bigint").alias("sxlxl"),
+        F.sum(F.col("y") * F.col("yl")).cast("bigint").alias("syyl"),
+        F.sum(F.col("y") * F.col("xl")).cast("bigint").alias("syxl"),
+        F.sum(F.col("yl") * F.col("xl")).cast("bigint").alias("sylxl"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast(
+            "double"
+        )
+        den = dround(
+            F.sqrt(
+                F.greatest(
+                    (F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                )
+                * F.greatest(
+                    (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        )
+        return dround(num / den, 6)
+
+    corrs = m.select(
+        F.col("n").alias("n_hours"),
+        corr("syyl", "sy", "syl", "syy", "sylyl").alias("r_y_ylag"),
+        corr("syxl", "sy", "sxl", "syy", "sxlxl").alias("r_y_xlag"),
+        corr("sylxl", "syl", "sxl", "sylyl", "sxlxl").alias("r_ylag_xlag"),
+    )
+    pden = dround(
+        F.sqrt(
+            F.greatest(
+                (1.0 - F.col("r_y_ylag") * F.col("r_y_ylag"))
+                * (1.0 - F.col("r_ylag_xlag") * F.col("r_ylag_xlag")),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    return corrs.select(
+        "n_hours",
+        "r_y_ylag",
+        "r_y_xlag",
+        "r_ylag_xlag",
+        dround(
+            (F.col("r_y_xlag") - F.col("r_y_ylag") * F.col("r_ylag_xlag"))
+            / pden,
+            6,
+        ).alias("partial_r"),
+    )

@@ -1334,3 +1334,102 @@ def q_ts_max_subarray(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_loss_ending_here"
         ),
     )
+
+
+# Aroon lookback, in hourly bars.
+_AROON_WIN = 14
+
+
+@register(
+    "q_win_aroon",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    rn AS (
+      SELECT event_type, hour_id, close, high, low,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY hour_id) AS BIGINT) AS rn
+      FROM bars
+    ),
+    ar AS (
+      SELECT event_type, hour_id, close, rn,
+             CAST(count(*) OVER w AS BIGINT) AS nbar,
+             (max({{'v': high, 'rn': rn}}) OVER w).rn AS rn_high,
+             -(min({{'v': low, 'nrn': -rn}}) OVER w).nrn AS rn_low
+      FROM rn
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_AROON_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, close,
+           CAST(rn - rn_high AS BIGINT) AS bars_since_high,
+           CAST(rn - rn_low AS BIGINT) AS bars_since_low,
+           100.0 * ({_AROON_WIN} - (rn - rn_high)) / {_AROON_WIN}
+               AS aroon_up,
+           100.0 * ({_AROON_WIN} - (rn - rn_low)) / {_AROON_WIN}
+               AS aroon_down
+    FROM ar WHERE nbar = {_AROON_WIN}
+    """,
+)
+def q_win_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon oscillator components per event type: bars since the
+    trailing 14-bar high/low and the Aroon up/down readings
+    100·(N − since)/N — the time-since-extreme trend gauge (a fresh
+    high pins aroon_up at 100; a stale one decays linearly), the
+    when-counterpart of q_win_donchian's how-far channel. Ties at the
+    extreme resolve to the MOST RECENT bar on both engines (struct
+    lexicographic max on (value, rn); the low side negates rn so the
+    min picks the larger rn).
+
+    Plan: bar aggregate, one row_number pass and one rolling
+    struct-extrema pass over the SAME (event_type, hour_id) sort —
+    single exchange, constant frames, |hours|-bounded partitions.
+    Determinism: extrema of exact bar values with integer tiebreak,
+    integer bar distances, and one small-integer IEEE division each
+    — no libm, no float aggregation."""
+    bars = _hourly_close(spark, sf_dir)
+    wo = Window.partitionBy("event_type").orderBy("hour_id")
+    rn = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "high",
+        "low",
+        F.row_number().over(wo).cast("bigint").alias("rn"),
+    )
+    w = wo.rowsBetween(-(_AROON_WIN - 1), Window.currentRow)
+    ar = rn.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "rn",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nbar"),
+        F.max(F.struct(F.col("high").alias("v"), F.col("rn").alias("rn")))
+        .over(w)["rn"]
+        .alias("rn_high"),
+        (
+            -F.min(
+                F.struct(F.col("low").alias("v"), (-F.col("rn")).alias("nrn"))
+            ).over(w)["nrn"]
+        ).alias("rn_low"),
+    ).filter(F.col("nbar") == _AROON_WIN)
+    return ar.select(
+        "event_type",
+        "hour_id",
+        "close",
+        (F.col("rn") - F.col("rn_high")).cast("bigint").alias(
+            "bars_since_high"
+        ),
+        (F.col("rn") - F.col("rn_low")).cast("bigint").alias(
+            "bars_since_low"
+        ),
+        (
+            100.0
+            * (_AROON_WIN - (F.col("rn") - F.col("rn_high")))
+            / _AROON_WIN
+        ).alias("aroon_up"),
+        (
+            100.0
+            * (_AROON_WIN - (F.col("rn") - F.col("rn_low")))
+            / _AROON_WIN
+        ).alias("aroon_down"),
+    )

@@ -253,3 +253,55 @@ def test_bayes_posterior_matches_python(spark, sf_dir):
         / e6(math.sqrt(var("early") + var("late")))
     )
     assert row["post_z"] == pytest.approx(z, abs=1e-6)
+
+
+def test_granger_lite_matches_python(spark, sf_dir):
+    """Lag-1 partial correlation recomputed from densified hourly
+    counts over the fixed month spine."""
+    import math
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    EPOCH_H, N_HOURS = 473352, 720
+    x = {h: 0 for h in range(EPOCH_H, EPOCH_H + N_HOURS)}
+    y = dict(x)
+    for r in pq.read_table(f"{sf_dir}/events.parquet").to_pylist():
+        h = int(r["ts"].timestamp() // 3600)
+        if r["event_type"] == "click":
+            x[h] += 1
+        elif r["event_type"] == "purchase":
+            y[h] += 1
+    hours = sorted(x)
+    pts = [
+        (y[hours[i]], y[hours[i - 1]], x[hours[i - 1]])
+        for i in range(1, len(hours))
+    ]
+    n = len(pts)
+
+    def corr(ai, bi):
+        sa = sum(p[ai] for p in pts)
+        sb = sum(p[bi] for p in pts)
+        saa = sum(p[ai] * p[ai] for p in pts)
+        sbb = sum(p[bi] * p[bi] for p in pts)
+        sab = sum(p[ai] * p[bi] for p in pts)
+        den = e6(math.sqrt(max(float(n * saa - sa * sa), 0.0)
+                           * max(float(n * sbb - sb * sb), 0.0)))
+        return e6(float(n * sab - sa * sb) / den)
+
+    r_yyl = corr(0, 1)
+    r_yxl = corr(0, 2)
+    r_ylxl = corr(1, 2)
+    pden = e6(math.sqrt(max((1.0 - r_yyl * r_yyl)
+                            * (1.0 - r_ylxl * r_ylxl), 0.0)))
+    partial = e6((r_yxl - r_yyl * r_ylxl) / pden)
+    row = SPECS["q_ts_granger_lite"].spark(spark, sf_dir).collect()[0]
+    assert row["n_hours"] == n
+    assert row["r_y_ylag"] == pytest.approx(r_yyl, abs=1e-9)
+    assert row["r_y_xlag"] == pytest.approx(r_yxl, abs=1e-9)
+    assert row["r_ylag_xlag"] == pytest.approx(r_ylxl, abs=1e-9)
+    assert row["partial_r"] == pytest.approx(partial, abs=1e-6)
+    assert -1.0 - 1e-9 <= row["partial_r"] <= 1.0 + 1e-9

@@ -415,3 +415,35 @@ def test_max_subarray_matches_python(spark):
             minp = p if minp is None else min(minp, p)
             maxp = p if maxp is None else max(maxp, p)
     assert len(got) == n_expected and n_expected > 0
+
+
+def test_aroon_matches_python(spark):
+    from ex_hivent_spark.operators.finance import _AROON_WIN
+
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_aroon"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        for i in range(len(series)):
+            if i + 1 < _AROON_WIN:
+                continue
+            frame = series[i - _AROON_WIN + 1 : i + 1]
+            # most-recent extreme wins ties (struct tiebreak on rn)
+            hi = max(range(len(frame)), key=lambda j: (frame[j][2], j))
+            lo = max(range(len(frame)), key=lambda j: (-frame[j][3], j))
+            since_hi = len(frame) - 1 - hi
+            since_lo = len(frame) - 1 - lo
+            n_expected += 1
+            row = got[(t, series[i][0])]
+            assert row["bars_since_high"] == since_hi
+            assert row["bars_since_low"] == since_lo
+            assert row["aroon_up"] == pytest.approx(
+                100.0 * (_AROON_WIN - since_hi) / _AROON_WIN, abs=1e-12
+            )
+            assert row["aroon_down"] == pytest.approx(
+                100.0 * (_AROON_WIN - since_lo) / _AROON_WIN, abs=1e-12
+            )
+    assert len(got) == n_expected and n_expected > 0

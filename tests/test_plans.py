@@ -713,6 +713,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # the two HOURLY series (≤|hours| rows each — time-grain bounded,
     # like q_ts_xcorr, not data-volume sized)
     "q_ts_spearman_corr": 2,
+    # one lag pass over the densified 720-hour month spine (single
+    # 719-row series — time-grain bounded, the q_ts_xcorr class)
+    "q_ts_granger_lite": 1,
 }
 
 
