@@ -1254,3 +1254,79 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(num / den * 1000000.0 + F.lit(0.5)) / 1000000.0)
         .alias("assortativity"),
     )
+
+
+@register(
+    "q_llm_cluster_source_purity",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    cl AS (
+      SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+    ),
+    counts AS (
+      SELECT cl.cluster_id, d.source, CAST(count(*) AS BIGINT) AS cnt
+      FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+      GROUP BY cl.cluster_id, d.source
+    )
+    SELECT cluster_id,
+           CAST(sum(cnt) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           (min({'nc': -cnt, 's': source})).s AS top_source,
+           CAST(-(min({'nc': -cnt, 's': source})).nc AS BIGINT) AS n_top,
+           CAST(-(min({'nc': -cnt, 's': source})).nc AS DOUBLE)
+               / sum(cnt) AS purity
+    FROM counts GROUP BY cluster_id
+    """,
+)
+def q_llm_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source purity of each near-duplicate cluster: the share of a
+    cluster's docs coming from its dominant source (ties to the
+    lexicographically first source) — the syndication detector: a
+    low-purity cluster is one article republished across sources
+    (dedup should keep one globally), a purity-1.0 cluster is
+    within-source boilerplate (a per-source template rule fixes it
+    upstream). The label-conditioned companion of
+    q_llm_dedup_component_stats' size histogram. (Pairs block on
+    lang, so LANGUAGE purity is 1.0 by construction — source is the
+    dimension the clusters can actually mix.)
+
+    Plan: the iterative min-label components (prefix-filtered pair
+    op, per-round localCheckpoint) hash-join the documents' source
+    column, then two hash aggregates — (cluster, source) counts and
+    the per-cluster struct-argmax — 8-byte-key shuffles, output
+    bounded by |clusters|. Determinism: all-integer counts, struct
+    tiebreak on the source string, one exact IEEE division."""
+    from ex_hivent_spark.catalog import load_table
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    pairs = q_llm_ngram_jaccard(spark, sf_dir)
+    cl = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = (
+        cl.join(docs, "doc_id")
+        .groupBy("cluster_id", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    top = F.min(
+        F.struct((-F.col("cnt")).alias("nc"), F.col("source").alias("s"))
+    )
+    return counts.groupBy("cluster_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        top["s"].alias("top_source"),
+        (-top["nc"]).cast("bigint").alias("n_top"),
+        ((-top["nc"]).cast("double") / F.sum("cnt")).alias("purity"),
+    )

@@ -1938,3 +1938,81 @@ def q_llm_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround(F.col("num") / F.col("den"), 6))
         .alias("corr_tokens_stopword"),
     )
+
+
+def _corr_oracle_sql() -> str:
+    from ex_hivent_spark.plans.registry import _REGISTRY
+
+    return _REGISTRY["q_llm_quality_length_corr"].oracle
+
+
+@register(
+    "q_llm_corr_fisher_ci",
+    oracle=f"""
+    WITH corr AS ({_corr_oracle_sql()}),
+    z AS (
+      SELECT lang, n_docs, corr_tokens_stopword AS r,
+             {sql_dround(
+                 "0.5 * ln((1.0 + corr_tokens_stopword)"
+                 " / (1.0 - corr_tokens_stopword))", 6)} AS fz,
+             {sql_dround("1.96 / sqrt(n_docs - 3.0)", 6)} AS hw
+      FROM corr
+      WHERE n_docs > 3 AND abs(corr_tokens_stopword) < 1.0
+    ),
+    ends AS (
+      SELECT lang, n_docs, r,
+             {sql_dround("exp(2.0 * (fz - hw))", 6)} AS tlo,
+             {sql_dround("exp(2.0 * (fz + hw))", 6)} AS thi
+      FROM z
+    )
+    SELECT lang, n_docs, r,
+           {sql_dround("(tlo - 1.0) / (tlo + 1.0)", 6)} AS ci_lower,
+           {sql_dround("(thi - 1.0) / (thi + 1.0)", 6)} AS ci_upper
+    FROM ends
+    """,
+)
+def q_llm_corr_fisher_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-z 95% confidence interval for the per-language
+    length-vs-stopword correlation (q_llm_quality_length_corr's r):
+    z = artanh(r), half-width 1.96/√(n−3), back-transformed through
+    tanh — the standard way to put honest error bars on a correlation
+    before acting on it (a segment's r of 0.3 over 40 docs and over
+    40k docs are different claims). Degenerate rows (|r| = 1 or
+    n ≤ 3, where the transform blows up) are excluded, documented.
+
+    Plan: everything of the underlying correlation (one map pass, one
+    per-lang moment aggregate), then per-row closings on the
+    language-count-sized frame — no new shuffles. Determinism: the
+    artanh ln, the interval sqrt, and each back-transform exp (the
+    libm calls) are e6-rounded on both sides; every other step is
+    exact IEEE on already-rounded inputs; both bounds e6-round last."""
+    corr = q_llm_quality_length_corr(spark, sf_dir)
+    base = corr.filter(
+        (F.col("n_docs") > 3)
+        & (F.abs(F.col("corr_tokens_stopword")) < 1.0)
+    ).select(
+        "lang", "n_docs", F.col("corr_tokens_stopword").alias("r")
+    )
+    fz = dround(
+        0.5 * F.log((1.0 + F.col("r")) / (1.0 - F.col("r"))), 6
+    )
+    hw = dround(1.96 / F.sqrt(F.col("n_docs") - 3.0), 6)
+    z = base.select("lang", "n_docs", "r", fz.alias("fz"), hw.alias("hw"))
+    ends = z.select(
+        "lang",
+        "n_docs",
+        "r",
+        dround(F.exp(2.0 * (F.col("fz") - F.col("hw"))), 6).alias("tlo"),
+        dround(F.exp(2.0 * (F.col("fz") + F.col("hw"))), 6).alias("thi"),
+    )
+    return ends.select(
+        "lang",
+        "n_docs",
+        "r",
+        dround((F.col("tlo") - 1.0) / (F.col("tlo") + 1.0), 6).alias(
+            "ci_lower"
+        ),
+        dround((F.col("thi") - 1.0) / (F.col("thi") + 1.0), 6).alias(
+            "ci_upper"
+        ),
+    )

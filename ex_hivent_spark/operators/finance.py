@@ -1433,3 +1433,102 @@ def q_win_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
             / _AROON_WIN
         ).alias("aroon_down"),
     )
+
+
+# Chandelier-exit lookback, in hourly bars, and the ATR multiple.
+_CHAND_WIN = 22
+_CHAND_MULT = 3.0
+
+
+@register(
+    "q_win_chandelier_exit",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    tr AS (
+      SELECT event_type, hour_id, close, high, low,
+             CASE WHEN lag(close) OVER w IS NULL THEN high - low
+                  ELSE greatest(high - low,
+                                abs(high - lag(close) OVER w),
+                                abs(low - lag(close) OVER w)) END AS tr
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    ),
+    rolled AS (
+      SELECT event_type, hour_id, close,
+             CAST(count(*) OVER f AS BIGINT) AS n,
+             max(high) OVER f AS hh,
+             min(low) OVER f AS ll,
+             CAST(sum(CAST(tr AS DECIMAL(25,6))) OVER f AS DOUBLE)
+                 / {_CHAND_WIN} AS atr
+      FROM tr
+      WINDOW f AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_CHAND_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, close,
+           {sql_dround(f"hh - {_CHAND_MULT} * atr", 6)} AS long_stop,
+           {sql_dround(f"ll + {_CHAND_MULT} * atr", 6)} AS short_stop,
+           CAST(CASE WHEN close
+                       > {sql_dround(f"hh - {_CHAND_MULT} * atr", 6)}
+                     THEN 1 ELSE 0 END AS INTEGER) AS above_long_stop
+    FROM rolled WHERE n = {_CHAND_WIN}
+    """,
+)
+def q_win_chandelier_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chandelier exit per event type: the volatility-trailing stop
+    hung from the 22-bar extreme — long stop = HH₂₂ − 3·ATR₂₂, short
+    stop = LL₂₂ + 3·ATR₂₂ — plus the close-above-long-stop regime
+    flag. The adaptive companion to q_win_donchian's fixed channel:
+    the stop backs off exactly as far as recent TRUE range (gap-aware,
+    q_win_atr's TR) says noise reaches, the classic trend-following
+    exit discipline applied to a metric stream as a self-scaling
+    'trend intact?' alarm.
+
+    Plan: bar aggregate, one lag pass for TR and one rolling pass for
+    the extrema + ATR sum over the SAME (event_type, hour_id) sort —
+    one exchange, constant frames, |hours|-bounded. Determinism: TR
+    is per-row IEEE on exact bar values, its rolling sum rides the
+    decimal detour, ATR divides by the integer period, and each stop
+    is one e6-rounded closing (the flag compares against the SAME
+    rounded stop both sides)."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    prev = F.lag("close").over(wl)
+    tr_col = F.when(
+        prev.isNull(), F.col("high") - F.col("low")
+    ).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev),
+            F.abs(F.col("low") - prev),
+        )
+    )
+    tr = bars.select(
+        "event_type", "hour_id", "close", "high", "low", tr_col.alias("tr")
+    )
+    f = wl.rowsBetween(-(_CHAND_WIN - 1), Window.currentRow)
+    rolled = tr.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.count(F.lit(1)).over(f).cast("bigint").alias("n"),
+        F.max("high").over(f).alias("hh"),
+        F.min("low").over(f).alias("ll"),
+        (
+            F.sum(F.col("tr").cast("decimal(25,6)")).over(f).cast("double")
+            / _CHAND_WIN
+        ).alias("atr"),
+    ).filter(F.col("n") == _CHAND_WIN)
+    long_stop = dround(F.col("hh") - _CHAND_MULT * F.col("atr"), 6)
+    short_stop = dround(F.col("ll") + _CHAND_MULT * F.col("atr"), 6)
+    return rolled.select(
+        "event_type",
+        "hour_id",
+        "close",
+        long_stop.alias("long_stop"),
+        short_stop.alias("short_stop"),
+        F.when(F.col("close") > long_stop, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("above_long_stop"),
+    )

