@@ -484,3 +484,97 @@ def test_chandelier_exit_matches_python(spark):
             )
             assert row["short_stop"] >= row["long_stop"] - 1e-9 or True
     assert len(got) == n_expected and n_expected > 0
+
+
+def _write_events(spark, tmp_path, rows):
+    import os
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, ts timestamp, value double,"
+        " user_id long",
+    )
+    os.makedirs(f"{tmp_path}/sf", exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/sf/events.parquet")
+    return str(tmp_path) + "/sf"
+
+
+def test_aroon_tie_picks_most_recent_extreme(spark, tmp_path):
+    """Two equal highs inside the frame: bars_since_high must count
+    from the LATER one (the struct-tiebreak contract)."""
+    import datetime
+
+    from ex_hivent_spark.operators.finance import _AROON_WIN
+
+    base = datetime.datetime(2023, 1, 1)
+    # one event per hour; value 9.0 at hours 2 and 7, else 1.0; flat 0.5 low
+    vals = {2: 9.0, 7: 9.0}
+    rows = [
+        (i, "click", base + datetime.timedelta(hours=i),
+         vals.get(i, 1.0), 0)
+        for i in range(_AROON_WIN + 6)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["hour_id"]: r
+        for r in SPECS["q_win_aroon"].spark(spark, sf).collect()
+    }
+    assert got, "full frames expected"
+    first_hour = min(got)
+    # at the first full frame (bars 0..13) both 9.0s (bars 2 and 7) are
+    # in frame: distance counts from bar 7
+    assert got[first_hour]["bars_since_high"] == _AROON_WIN - 1 - 7
+
+
+def test_max_subarray_monotone_series(spark, tmp_path):
+    """Doubling closes: every prefix is positive, so the best gain
+    ending at bar t is the FULL prefix (the 0 floor beats the running
+    min) and the worst loss ending at t is exactly one step
+    (p − max-prefix-before, both on the exact decimal grid)."""
+    import datetime
+    import math
+
+    base = datetime.datetime(2023, 1, 1)
+    rows = [
+        (i, "click", base + datetime.timedelta(hours=i),
+         float(2 ** i) if i < 20 else 4.0, 0)
+        for i in range(12)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = sorted(
+        SPECS["q_ts_max_subarray"].spark(spark, sf).collect(),
+        key=lambda r: r["hour_id"],
+    )
+    assert len(got) == 11  # first bar has no return
+    e6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    step = e6(math.log(2.0))
+    for k, row in enumerate(got, start=1):
+        # doubling every hour: prefix = k steps; min-before >= 0 so
+        # the floor is 0 and best = whole prefix
+        assert row["best_gain_ending_here"] == pytest.approx(
+            k * step, abs=1e-6
+        )
+        # running max before = (k-1) steps, so worst ending here = one step
+        assert row["worst_loss_ending_here"] == pytest.approx(
+            step, abs=1e-6
+        )
+
+
+def test_obv_flat_series_stays_zero(spark, tmp_path):
+    """Identical closes every hour: every signed flow is 0 and OBV
+    never moves, regardless of per-hour volume."""
+    import datetime
+
+    base = datetime.datetime(2023, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(10):
+        for j in range(1 + i % 3):  # varying volume
+            rows.append(
+                (eid, "click", base + datetime.timedelta(hours=i), 5.0, j)
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = SPECS["q_ts_obv"].spark(spark, sf).collect()
+    assert len(got) == 10
+    assert all(r["signed_flow"] == 0 and r["obv"] == 0 for r in got)
