@@ -578,3 +578,54 @@ def test_obv_flat_series_stays_zero(spark, tmp_path):
     got = SPECS["q_ts_obv"].spark(spark, sf).collect()
     assert len(got) == 10
     assert all(r["signed_flow"] == 0 and r["obv"] == 0 for r in got)
+
+
+def test_stochastic_flat_channel_is_50(spark, tmp_path):
+    """Constant series: hh == ll in every frame, so %K takes the 50.0
+    indifference branch and %D (its SMA) is exactly 50.0 too."""
+    import datetime
+
+    base = datetime.datetime(2023, 1, 1)
+    rows = [
+        (i, "click", base + datetime.timedelta(hours=i), 7.5, 0)
+        for i in range(20)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = SPECS["q_win_stochastic"].spark(spark, sf).collect()
+    assert got
+    assert all(r["pct_k"] == 50.0 and r["pct_d"] == 50.0 for r in got)
+
+
+def test_ichimoku_displacement_is_row_based(spark, tmp_path):
+    """A 5-hour gap in the bar series: displacement counts ROWS of the
+    bar frame (lag/lead over existing bars), not wall-clock hours —
+    the documented semantics for gappy series."""
+    import datetime
+
+    from ex_hivent_spark.operators.finance import (
+        _ICHI_B,
+        _ICHI_SHIFT,
+    )
+
+    base = datetime.datetime(2023, 1, 1)
+    hours = [h for h in range(_ICHI_B + 3 * _ICHI_SHIFT + 20)
+             if h % 13 != 12]
+    rows = [
+        (i, "click", base + datetime.timedelta(hours=h), float(h % 9), 0)
+        for i, h in enumerate(hours)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = sorted(
+        SPECS["q_win_ichimoku"].spark(spark, sf).collect(),
+        key=lambda r: r["hour_id"],
+    )
+    assert got
+    # chikou at the first emitted row equals the close _ICHI_SHIFT ROWS
+    # later in the bar sequence (which is more than _ICHI_SHIFT hours
+    # later in wall-clock, because of the gaps)
+    bar_close = {h: float(h % 9) for h in hours}
+    hour_ids = sorted(bar_close)
+    base_h = int(base.timestamp() // 3600)
+    for r in got[:5]:
+        idx = hour_ids.index(r["hour_id"] - base_h)
+        assert r["chikou"] == bar_close[hour_ids[idx + _ICHI_SHIFT]]
