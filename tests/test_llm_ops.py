@@ -1021,3 +1021,41 @@ def test_corr_fisher_ci_matches_python(spark, sf_dir):
         assert row["ci_upper"] == pytest.approx(hi, abs=1e-6)
         assert row["ci_lower"] - 1e-9 <= r <= row["ci_upper"] + 1e-9
         assert -1.0 <= row["ci_lower"] <= row["ci_upper"] <= 1.0
+
+
+def test_cluster_source_purity_synthetic_cluster(spark, tmp_path):
+    """A hand-built corpus: three copies of one article (sources A, A,
+    B — same lang, so the pair op blocks them together) plus three
+    unrelated docs. Exactly one cluster, purity 2/3, top source A."""
+    import os
+
+    article = " ".join(f"w{i}" for i in range(40))
+    others = [
+        " ".join(f"x{i}{j} y{i}{j} z{i}{j}" for j in range(30))
+        for i in range(3)
+    ]
+    rows = [
+        (0, article, "en", "srcA", len(article)),
+        (1, article, "en", "srcA", len(article)),
+        (2, article, "en", "srcB", len(article)),
+        (3, others[0], "en", "srcA", len(others[0])),
+        (4, others[1], "en", "srcB", len(others[1])),
+        (5, others[2], "en", "srcC", len(others[2])),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    os.makedirs(f"{tmp_path}/sf", exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/sf/documents.parquet")
+    got = (
+        SPECS["q_llm_cluster_source_purity"]
+        .spark(spark, str(tmp_path) + "/sf")
+        .collect()
+    )
+    assert len(got) == 1
+    row = got[0]
+    assert row["cluster_id"] == 0
+    assert row["n_docs"] == 3 and row["n_sources"] == 2
+    assert row["top_source"] == "srcA" and row["n_top"] == 2
+    assert row["purity"] == pytest.approx(2.0 / 3.0, abs=1e-12)
