@@ -621,7 +621,9 @@ _IP_MOD = 4294967296  # 2^32
     oracle=f"""
     WITH ips AS (
       SELECT user_id,
-             CAST((user_id * {_IP_MULT}) % {_IP_MOD} AS BIGINT) AS ip
+             CAST((((user_id % 65536) * {_IP_MULT}) % {_IP_MOD}
+                   + (((user_id // 65536) % 65536) * {_IP_MULT}) % 65536
+                     * 65536) % {_IP_MOD} AS BIGINT) AS ip
       FROM (SELECT DISTINCT user_id FROM events)
     ),
     parts AS (
@@ -656,15 +658,30 @@ def q_fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
     All octet math is exact integer div/mod (no bit-function
     divergence risk between engines: DuckDB's ``>>`` on BIGINT and
     Spark's ``shiftright`` agree, but div/mod is the least-surprise
-    common subset and folds identically). Map-only projection over
-    the distinct-user frame; stays in whole-stage codegen."""
+    common subset and folds identically). The hash itself is the
+    16-bit-split form of user_id·K mod 2^32 — every intermediate
+    ≤ ~1.8e14, exact int64 for ANY user_id (the naive product wraps
+    Spark's int64 at user_id > ~3.47e9 while DuckDB raises). Map-only
+    projection over the distinct-user frame; stays in whole-stage
+    codegen."""
     e = load_table(spark, sf_dir, "events")
+    # 16-bit split of the multiplicative hash: user_id·K mod 2^32
+    # computed as (lo·K mod 2^32 + (hi·K mod 2^16)·2^16) mod 2^32 with
+    # lo/hi the low/high 16 bits of user_id mod 2^32. Every
+    # intermediate stays below 1.8e14, so the hash is exact int64 for
+    # ANY user_id — the naive user_id·K wraps Spark's int64 silently
+    # (DuckDB raises) once user_id > ~3.47e9.
+    lo = F.col("user_id") % 65536
+    hi = F.expr("user_id div 65536") % 65536
     ips = (
         e.select("user_id")
         .distinct()
         .select(
             "user_id",
-            (F.col("user_id") * _IP_MULT % _IP_MOD)
+            (
+                (lo * _IP_MULT % _IP_MOD + hi * _IP_MULT % 65536 * 65536)
+                % _IP_MOD
+            )
             .cast("bigint")
             .alias("ip"),
         )

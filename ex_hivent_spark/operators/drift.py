@@ -2335,26 +2335,31 @@ def q_ab_bayes_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrs AS (
       SELECT n,
              {sql_dround(
-                 "CAST(n * syyl - sy * syl AS DOUBLE) / ("
+                 "(CAST(n AS DOUBLE) * syyl"
+                 " - CAST(sy AS DOUBLE) * syl) / ("
                  + sql_dround(
-                     "sqrt(greatest(CAST(n * syy - sy * sy AS DOUBLE), 0.0)"
-                     " * greatest(CAST(n * sylyl - syl * syl AS DOUBLE),"
-                     " 0.0))", 6)
+                     "sqrt(greatest(CAST(n AS DOUBLE) * syy"
+                     " - CAST(sy AS DOUBLE) * sy, 0.0)"
+                     " * greatest(CAST(n AS DOUBLE) * sylyl"
+                     " - CAST(syl AS DOUBLE) * syl, 0.0))", 6)
                  + ")", 6)} AS r_y_ylag,
              {sql_dround(
-                 "CAST(n * syxl - sy * sxl AS DOUBLE) / ("
+                 "(CAST(n AS DOUBLE) * syxl"
+                 " - CAST(sy AS DOUBLE) * sxl) / ("
                  + sql_dround(
-                     "sqrt(greatest(CAST(n * syy - sy * sy AS DOUBLE), 0.0)"
-                     " * greatest(CAST(n * sxlxl - sxl * sxl AS DOUBLE),"
-                     " 0.0))", 6)
+                     "sqrt(greatest(CAST(n AS DOUBLE) * syy"
+                     " - CAST(sy AS DOUBLE) * sy, 0.0)"
+                     " * greatest(CAST(n AS DOUBLE) * sxlxl"
+                     " - CAST(sxl AS DOUBLE) * sxl, 0.0))", 6)
                  + ")", 6)} AS r_y_xlag,
              {sql_dround(
-                 "CAST(n * sylxl - syl * sxl AS DOUBLE) / ("
+                 "(CAST(n AS DOUBLE) * sylxl"
+                 " - CAST(syl AS DOUBLE) * sxl) / ("
                  + sql_dround(
-                     "sqrt(greatest(CAST(n * sylyl - syl * syl AS DOUBLE),"
-                     " 0.0)"
-                     " * greatest(CAST(n * sxlxl - sxl * sxl AS DOUBLE),"
-                     " 0.0))", 6)
+                     "sqrt(greatest(CAST(n AS DOUBLE) * sylyl"
+                     " - CAST(syl AS DOUBLE) * syl, 0.0)"
+                     " * greatest(CAST(n AS DOUBLE) * sxlxl"
+                     " - CAST(sxl AS DOUBLE) * sxl, 0.0))", 6)
                  + ")", 6)} AS r_ylag_xlag
       FROM m
     )
@@ -2383,10 +2388,15 @@ def q_ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     719-row series (bounded global window, the q_ts_xcorr class), ONE
     integer moment aggregate, per-row closing. Event volume enters
     only through the hourly counts. Determinism: all ten moments are
-    exact BIGINTs; each correlation clamps its cancellation-prone
-    variance product at 0 inside an e6-rounded sqrt and e6-rounds the
-    ratio; the partial-correlation closing repeats the same
-    discipline on the already-rounded correlations."""
+    exact BIGINTs; the closing n·s / s·s products are computed in
+    DOUBLE (each moment cast before the multiply — int64 products
+    would wrap at sy ≳ 3e9: Spark wraps silently, DuckDB raises;
+    double products are exact below 2^53 and identical IEEE
+    expressions on both engines beyond); each correlation clamps its
+    cancellation-prone variance product at 0 inside an e6-rounded
+    sqrt and e6-rounds the ratio; the partial-correlation closing
+    repeats the same discipline on the already-rounded
+    correlations."""
     e = load_table(spark, sf_dir, "events")
     h = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
     hx = (
@@ -2431,23 +2441,20 @@ def q_ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def corr(sab, sa, sb, saa, sbb):
-        num = (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast(
-            "double"
-        )
+        # Closing products in DOUBLE (each moment cast BEFORE the
+        # multiply): sums stay exact BIGINT, but n*s and s*s products
+        # would wrap int64 once sy ≳ 3e9 (Spark wraps silently, DuckDB
+        # raises — cross-engine divergence at extreme volume). Double
+        # products are exact while moments stay below 2^53 and both
+        # engines evaluate the identical IEEE expression beyond that.
+        def d(c):
+            return F.col(c).cast("double")
+
+        num = d("n") * d(sab) - d(sa) * d(sb)
         den = dround(
             F.sqrt(
-                F.greatest(
-                    (F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast(
-                        "double"
-                    ),
-                    F.lit(0.0),
-                )
-                * F.greatest(
-                    (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast(
-                        "double"
-                    ),
-                    F.lit(0.0),
-                )
+                F.greatest(d("n") * d(saa) - d(sa) * d(sa), F.lit(0.0))
+                * F.greatest(d("n") * d(sbb) - d(sb) * d(sb), F.lit(0.0))
             ),
             6,
         )

