@@ -1534,3 +1534,472 @@ def q_win_chandelier_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("above_long_stop"),
     )
+
+
+# Williams %R lookback, in hourly bars (textbook default period).
+_WPR_WIN = 14
+
+
+@register(
+    "q_win_williams_r",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    rolled AS (
+      SELECT event_type, hour_id, close,
+             CAST(count(*) OVER w AS BIGINT) AS nbar,
+             max(high) OVER w AS hh14,
+             min(low) OVER w AS ll14
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_WPR_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, close, hh14, ll14,
+           CASE WHEN hh14 = ll14 THEN -50.0
+                ELSE {sql_dround(
+                    "-100.0 * (hh14 - close) / (hh14 - ll14)", 6)}
+           END AS williams_r
+    FROM rolled WHERE nbar = {_WPR_WIN}
+    """,
+)
+def q_win_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R-14 per event type: −100·(HH₁₄ − close)/(HH₁₄ − LL₁₄)
+    over the trailing 14 hourly bars — the fast stochastic's inverted
+    twin reading 0 at a fresh frame high and −100 at a fresh low
+    (overbought above −20, oversold below −80). A flat frame
+    (HH = LL) reads the −50 midline, the q_win_stochastic convention
+    mirrored.
+
+    Plan: hourly-bar aggregate, then ONE rolling extrema window over
+    |hours| rows partitioned by type (time-grain bounded — the frame
+    never grows with event volume). Determinism: extrema of exact
+    unique bar picks, one subtraction ratio e6-rounded on both
+    engines; no libm, no float aggregation."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    w = wl.rowsBetween(-(_WPR_WIN - 1), Window.currentRow)
+    rolled = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nbar"),
+        F.max("high").over(w).alias("hh14"),
+        F.min("low").over(w).alias("ll14"),
+    ).filter(F.col("nbar") == _WPR_WIN)
+    hh, ll = F.col("hh14"), F.col("ll14")
+    return rolled.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "hh14",
+        "ll14",
+        F.when(hh == ll, F.lit(-50.0))
+        .otherwise(dround(-100.0 * (hh - F.col("close")) / (hh - ll), 6))
+        .alias("williams_r"),
+    )
+
+
+# CCI lookback, in hourly bars (textbook default period), and the
+# Lambert scaling constant.
+_CCI_WIN = 20
+
+
+@register(
+    "q_win_cci",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    tp AS (
+      SELECT event_type, hour_id,
+             {sql_dround("(high + low + close) / 3.0", 6)} AS tp,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY hour_id) AS BIGINT) AS rn
+      FROM bars
+    ),
+    sma AS (
+      SELECT event_type, hour_id, tp, rn,
+             CAST(count(*) OVER w AS BIGINT) AS nbar,
+             {sql_dround(
+                 f"CAST(sum(CAST(tp AS DECIMAL(25,6))) OVER w AS DOUBLE)"
+                 f" / {_CCI_WIN}", 6)} AS sma
+      FROM tp
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_CCI_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    ),
+    keys AS (
+      SELECT event_type, hour_id, tp, rn, sma,
+             unnest(generate_series(rn - {_CCI_WIN - 1}, rn)) AS rnj
+      FROM sma WHERE nbar = {_CCI_WIN}
+    ),
+    md AS (
+      SELECT k.event_type, k.hour_id, k.tp, k.sma,
+             {sql_dround(
+                 f"CAST(sum(CAST("
+                 + sql_dround("abs(j.tp - k.sma)", 6)
+                 + f" AS DECIMAL(25,6))) AS DOUBLE) / {_CCI_WIN}", 6)}
+               AS mean_dev
+      FROM keys k
+      JOIN tp j ON j.event_type = k.event_type AND j.rn = k.rnj
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT event_type, hour_id, tp, sma, mean_dev,
+           CASE WHEN mean_dev = 0 THEN 0.0
+                ELSE {sql_dround(
+                    "(tp - sma) / (CAST(0.015 AS DOUBLE) * mean_dev)", 6)}
+           END AS cci20
+    FROM md
+    """,
+)
+def q_win_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity Channel Index (CCI-20) per event type over the hourly
+    typical price tp = (high+low+close)/3: CCI = (tp − SMA₂₀(tp)) /
+    (0.015·MD₂₀) where MD₂₀ is the mean absolute deviation of the
+    frame's typical prices around the frame's OWN mean — Lambert's
+    original definition (the deviation re-reads all 20 bars against
+    the current frame's SMA, so it is NOT a plain rolling sum of a
+    per-row quantity). A flat frame (MD = 0) reads 0.
+
+    Plan: bar aggregate, one rolling SMA window, then the frame
+    re-read as an EXPLODE(sequence) + hash equi-join on (type, bar#) —
+    a constant 20× fan-out at the hour grain, never a nested-loop
+    range join, so the plan holds at any retention (rows grow with
+    hours, not traffic) and shuffles on small integer keys.
+    Determinism: tp and every deviation are e6-rounded per row, frame
+    sums ride the decimal detour, the two closings are e6-rounded;
+    no libm."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    tp = bars.select(
+        "event_type",
+        "hour_id",
+        dround((F.col("high") + F.col("low") + F.col("close")) / 3.0, 6)
+        .alias("tp"),
+        F.row_number().over(wl).cast("bigint").alias("rn"),
+    )
+    w = wl.rowsBetween(-(_CCI_WIN - 1), Window.currentRow)
+    sma = tp.select(
+        "event_type",
+        "hour_id",
+        "tp",
+        "rn",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nbar"),
+        dround(
+            F.sum(F.col("tp").cast("decimal(25,6)")).over(w).cast("double")
+            / _CCI_WIN,
+            6,
+        ).alias("sma"),
+    ).filter(F.col("nbar") == _CCI_WIN)
+    keys = sma.select(
+        "event_type",
+        "hour_id",
+        "tp",
+        "sma",
+        F.explode(
+            F.sequence(F.col("rn") - (_CCI_WIN - 1), F.col("rn"))
+        ).alias("rnj"),
+    )
+    j = tp.select("event_type", F.col("rn").alias("rnj"),
+                  F.col("tp").alias("tpj"))
+    md = (
+        keys.join(j, ["event_type", "rnj"])
+        .groupBy("event_type", "hour_id", "tp", "sma")
+        .agg(
+            dround(
+                F.sum(
+                    dround(F.abs(F.col("tpj") - F.col("sma")), 6).cast(
+                        "decimal(25,6)"
+                    )
+                ).cast("double")
+                / _CCI_WIN,
+                6,
+            ).alias("mean_dev")
+        )
+    )
+    return md.select(
+        "event_type",
+        "hour_id",
+        "tp",
+        "sma",
+        "mean_dev",
+        F.when(F.col("mean_dev") == 0, F.lit(0.0))
+        .otherwise(
+            dround(
+                (F.col("tp") - F.col("sma"))
+                / (F.lit(0.015) * F.col("mean_dev")),
+                6,
+            )
+        )
+        .alias("cci20"),
+    )
+
+
+# Money Flow Index lookback, in hourly bars (textbook default).
+_MFI_WIN = 14
+
+# Volume-carrying bar CTE: _SQL_BARS plus the per-bar event count.
+_SQL_VBARS = """
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+             max(CASE WHEN rnd = 1 THEN value END) AS close,
+             max(value) AS high, min(value) AS low,
+             CAST(count(*) AS BIGINT) AS vol
+      FROM (
+        SELECT event_type, ts, event_id, value,
+               row_number() OVER (
+                 PARTITION BY event_type,
+                              CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                 ORDER BY ts DESC, event_id DESC) AS rnd
+        FROM events
+      )
+      GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+"""
+
+
+def _hourly_vbars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_hourly_close plus per-bar volume (event count)."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600)
+        .cast("bigint")
+        .alias("hour_id"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wd = Window.partitionBy("event_type", "hour_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rn = base.select("*", F.row_number().over(wd).alias("rnd"))
+    return rn.groupBy("event_type", "hour_id").agg(
+        F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count(F.lit(1)).cast("bigint").alias("vol"),
+    )
+
+
+@register(
+    "q_win_mfi",
+    oracle=f"""
+    WITH bars AS ({_SQL_VBARS}),
+    tp AS (
+      SELECT event_type, hour_id,
+             {sql_dround("(high + low + close) / 3.0", 6)} AS tp, vol
+      FROM bars
+    ),
+    dirs AS (
+      SELECT event_type, hour_id, tp, vol,
+             lag(tp) OVER (PARTITION BY event_type
+                           ORDER BY hour_id) AS ptp
+      FROM tp
+    ),
+    flows AS (
+      SELECT event_type, hour_id,
+             CASE WHEN tp > ptp
+                  THEN {sql_dround("tp * vol", 6)} ELSE 0.0 END AS pos_f,
+             CASE WHEN tp < ptp
+                  THEN {sql_dround("tp * vol", 6)} ELSE 0.0 END AS neg_f
+      FROM dirs WHERE ptp IS NOT NULL
+    ),
+    rolled AS (
+      SELECT event_type, hour_id,
+             CAST(count(*) OVER w AS BIGINT) AS nbar,
+             CAST(sum(CAST(pos_f AS DECIMAL(25,6))) OVER w AS DOUBLE)
+               AS pos_mf,
+             CAST(sum(CAST(neg_f AS DECIMAL(25,6))) OVER w AS DOUBLE)
+               AS neg_mf
+      FROM flows
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_MFI_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, pos_mf, neg_mf,
+           CASE WHEN pos_mf + neg_mf = 0 THEN 50.0
+                ELSE {sql_dround(
+                    "100.0 * pos_mf / (pos_mf + neg_mf)", 6)}
+           END AS mfi14
+    FROM rolled WHERE nbar = {_MFI_WIN}
+    """,
+)
+def q_win_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money Flow Index (MFI-14) per event type: the volume-weighted
+    RSI. Each bar's raw money flow tp·vol (typical price × event
+    count) counts as POSITIVE if tp rose vs the previous bar, NEGATIVE
+    if it fell, and is dropped on a tie (the textbook convention);
+    MFI = 100·ΣposMF / (ΣposMF + ΣnegMF) over the trailing 14 bars —
+    the does-volume-back-the-price-move gauge next to q_win_rsi's
+    price-only reading. An all-tied frame (both sums 0) reads the 50
+    midline, q_win_rsi's convention.
+
+    Plan: ONE volume-carrying bar aggregate, one lag + one rolling sum
+    window over |hours| rows partitioned by type — time-grain bounded,
+    volume enters only as the per-bar count. Determinism: tp and the
+    per-bar flow are e6-rounded doubles, frame sums ride the decimal
+    detour, tie direction compares e6-grid values; one e6-rounded
+    closing ratio, no libm."""
+    bars = _hourly_vbars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    tp = bars.select(
+        "event_type",
+        "hour_id",
+        dround((F.col("high") + F.col("low") + F.col("close")) / 3.0, 6)
+        .alias("tp"),
+        "vol",
+    )
+    dirs = tp.select(
+        "event_type",
+        "hour_id",
+        "tp",
+        "vol",
+        F.lag("tp").over(wl).alias("ptp"),
+    ).filter(F.col("ptp").isNotNull())
+    flow = dround(F.col("tp") * F.col("vol"), 6)
+    flows = dirs.select(
+        "event_type",
+        "hour_id",
+        F.when(F.col("tp") > F.col("ptp"), flow)
+        .otherwise(F.lit(0.0))
+        .alias("pos_f"),
+        F.when(F.col("tp") < F.col("ptp"), flow)
+        .otherwise(F.lit(0.0))
+        .alias("neg_f"),
+    )
+    w = wl.rowsBetween(-(_MFI_WIN - 1), Window.currentRow)
+    rolled = flows.select(
+        "event_type",
+        "hour_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nbar"),
+        F.sum(F.col("pos_f").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("pos_mf"),
+        F.sum(F.col("neg_f").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("neg_mf"),
+    ).filter(F.col("nbar") == _MFI_WIN)
+    pos, neg = F.col("pos_mf"), F.col("neg_mf")
+    return rolled.select(
+        "event_type",
+        "hour_id",
+        "pos_mf",
+        "neg_mf",
+        F.when(pos + neg == 0, F.lit(50.0))
+        .otherwise(dround(100.0 * pos / (pos + neg), 6))
+        .alias("mfi14"),
+    )
+
+
+# Keltner-channel lookback, in hourly bars, and the ATR band multiple.
+_KELT_WIN = 20
+_KELT_MULT = 2.0
+
+
+@register(
+    "q_win_keltner",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    tr AS (
+      SELECT event_type, hour_id, close,
+             {sql_dround("(high + low + close) / 3.0", 6)} AS tp,
+             CASE WHEN lag(close) OVER w IS NULL THEN high - low
+                  ELSE greatest(high - low,
+                                abs(high - lag(close) OVER w),
+                                abs(low - lag(close) OVER w)) END AS tr
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    ),
+    rolled AS (
+      SELECT event_type, hour_id, close,
+             CAST(count(*) OVER f AS BIGINT) AS nbar,
+             {sql_dround(
+                 f"CAST(sum(CAST(tp AS DECIMAL(25,6))) OVER f AS DOUBLE)"
+                 f" / {_KELT_WIN}", 6)} AS center,
+             {sql_dround(
+                 f"CAST(sum(CAST(tr AS DECIMAL(25,6))) OVER f AS DOUBLE)"
+                 f" / {_KELT_WIN}", 6)} AS atr20
+      FROM tr
+      WINDOW f AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_KELT_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, close, center, atr20,
+           {sql_dround(f"center + {_KELT_MULT} * atr20", 6)} AS upper_band,
+           {sql_dround(f"center - {_KELT_MULT} * atr20", 6)} AS lower_band,
+           CASE WHEN close > {sql_dround(
+                    f"center + {_KELT_MULT} * atr20", 6)} THEN 1
+                WHEN close < {sql_dround(
+                    f"center - {_KELT_MULT} * atr20", 6)} THEN -1
+                ELSE 0 END AS breakout
+    FROM rolled WHERE nbar = {_KELT_WIN}
+    """,
+)
+def q_win_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channel (SMA variant) per event type: centerline =
+    SMA₂₀ of the typical price, bands at ±2·ATR₂₀ (the gap-aware true
+    range, q_win_atr's TR) — the volatility envelope whose breakout
+    flag (+1 above the upper band, −1 below the lower) marks
+    trend-initiation hours; the ATR-width twin of
+    q_win_bollinger_bands' stdev envelope.
+
+    Plan: bar aggregate, then ONE sort per type serves the lag, both
+    rolling sums, and the closing projection (nested windows over the
+    same (event_type, hour_id) order — single exchange); frames are
+    |hours|-bounded. Determinism: tp e6-rounded per row, TR exact
+    double max/abs on unique bar picks, both frame sums ride the
+    decimal detour, center/ATR/bands e6-rounded; the breakout flag
+    compares close against the same e6-grid bands the output carries;
+    no libm."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    pc = F.lag("close").over(wl)
+    tr = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        dround((F.col("high") + F.col("low") + F.col("close")) / 3.0, 6)
+        .alias("tp"),
+        F.when(pc.isNull(), F.col("high") - F.col("low"))
+        .otherwise(
+            F.greatest(
+                F.col("high") - F.col("low"),
+                F.abs(F.col("high") - pc),
+                F.abs(F.col("low") - pc),
+            )
+        )
+        .alias("tr"),
+    )
+    f = wl.rowsBetween(-(_KELT_WIN - 1), Window.currentRow)
+    rolled = tr.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.count(F.lit(1)).over(f).cast("bigint").alias("nbar"),
+        dround(
+            F.sum(F.col("tp").cast("decimal(25,6)")).over(f).cast("double")
+            / _KELT_WIN,
+            6,
+        ).alias("center"),
+        dround(
+            F.sum(F.col("tr").cast("decimal(25,6)")).over(f).cast("double")
+            / _KELT_WIN,
+            6,
+        ).alias("atr20"),
+    ).filter(F.col("nbar") == _KELT_WIN)
+    upper = dround(F.col("center") + _KELT_MULT * F.col("atr20"), 6)
+    lower = dround(F.col("center") - _KELT_MULT * F.col("atr20"), 6)
+    return rolled.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "center",
+        "atr20",
+        upper.alias("upper_band"),
+        lower.alias("lower_band"),
+        F.when(F.col("close") > upper, 1)
+        .when(F.col("close") < lower, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("breakout"),
+    )

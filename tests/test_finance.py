@@ -630,3 +630,160 @@ def test_ichimoku_displacement_is_row_based(spark, tmp_path):
     for r in got[:5]:
         idx = hour_ids.index(r["hour_id"] - base_h)
         assert r["chikou"] == bar_close[hour_ids[idx + _ICHI_SHIFT]]
+
+
+def test_williams_r_matches_python(spark):
+    from ex_hivent_spark.operators.finance import _WPR_WIN
+
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_williams_r"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        for i in range(len(series)):
+            if i + 1 < _WPR_WIN:
+                continue
+            frame = series[i - _WPR_WIN + 1 : i + 1]
+            hh = max(h for _, _, h, _ in frame)
+            ll = min(l for _, _, _, l in frame)
+            close = series[i][1]
+            n_expected += 1
+            row = got[(t, series[i][0])]
+            assert row["hh14"] == hh and row["ll14"] == ll
+            if hh == ll:
+                assert row["williams_r"] == -50.0
+            else:
+                assert row["williams_r"] == pytest.approx(
+                    _e6(-100.0 * (hh - close) / (hh - ll)), abs=1e-6
+                )
+    assert len(got) == n_expected and n_expected > 0
+
+
+def test_cci_matches_python(spark):
+    from ex_hivent_spark.operators.finance import _CCI_WIN
+
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_cci"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        tps = [_e6((h + l + c) / 3.0) for _, c, h, l in series]
+        for i in range(len(series)):
+            if i + 1 < _CCI_WIN:
+                continue
+            frame = tps[i - _CCI_WIN + 1 : i + 1]
+            sma = _e6(math.fsum(frame) / _CCI_WIN)
+            md = _e6(
+                math.fsum(_e6(abs(tp - sma)) for tp in frame) / _CCI_WIN
+            )
+            n_expected += 1
+            row = got[(t, series[i][0])]
+            assert row["sma"] == pytest.approx(sma, abs=1e-6)
+            assert row["mean_dev"] == pytest.approx(md, abs=1e-6)
+            if md == 0:
+                assert row["cci20"] == 0.0
+            else:
+                assert row["cci20"] == pytest.approx(
+                    _e6((tps[i] - sma) / (0.015 * md)), abs=1e-5
+                )
+    assert len(got) == n_expected and n_expected > 0
+
+
+def _vbars() -> dict:
+    """(hour_id, close, high, low, vol) per type, hour ascending."""
+    rows = pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    byk: dict = defaultdict(list)
+    for r in rows:
+        h = int(r["ts"].timestamp() // 3600)
+        byk[(r["event_type"], h)].append(r)
+    out: dict = defaultdict(list)
+    for (t, h), evs in sorted(byk.items()):
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        vals = [r["value"] for r in evs]
+        out[t].append(
+            (h, evs[-1]["value"], max(vals), min(vals), len(evs))
+        )
+    return out
+
+
+def test_mfi_matches_python(spark):
+    from ex_hivent_spark.operators.finance import _MFI_WIN
+
+    bars = _vbars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_mfi"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        tps = [_e6((h + l + c) / 3.0) for _, c, h, l, _ in series]
+        flows = []  # (hour, pos, neg) from the second bar on
+        for i in range(1, len(series)):
+            f = _e6(tps[i] * series[i][4])
+            pos = f if tps[i] > tps[i - 1] else 0.0
+            neg = f if tps[i] < tps[i - 1] else 0.0
+            flows.append((series[i][0], pos, neg))
+        for i in range(len(flows)):
+            if i + 1 < _MFI_WIN:
+                continue
+            frame = flows[i - _MFI_WIN + 1 : i + 1]
+            pos_mf = math.fsum(p for _, p, _ in frame)
+            neg_mf = math.fsum(n for _, _, n in frame)
+            n_expected += 1
+            row = got[(t, flows[i][0])]
+            assert row["pos_mf"] == pytest.approx(pos_mf, abs=1e-6)
+            assert row["neg_mf"] == pytest.approx(neg_mf, abs=1e-6)
+            if pos_mf + neg_mf == 0:
+                assert row["mfi14"] == 50.0
+            else:
+                assert row["mfi14"] == pytest.approx(
+                    _e6(100.0 * pos_mf / (pos_mf + neg_mf)), abs=1e-5
+                )
+    assert len(got) == n_expected and n_expected > 0
+
+
+def test_keltner_matches_python(spark):
+    from ex_hivent_spark.operators.finance import _KELT_MULT, _KELT_WIN
+
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_keltner"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        tps = [_e6((h + l + c) / 3.0) for _, c, h, l in series]
+        trs = []
+        for i, (h, close, hi, lo) in enumerate(series):
+            if i == 0:
+                trs.append(hi - lo)
+            else:
+                pc = series[i - 1][1]
+                trs.append(max(hi - lo, abs(hi - pc), abs(lo - pc)))
+        for i in range(len(series)):
+            if i + 1 < _KELT_WIN:
+                continue
+            center = _e6(
+                math.fsum(tps[i - _KELT_WIN + 1 : i + 1]) / _KELT_WIN
+            )
+            atr = _e6(
+                math.fsum(trs[i - _KELT_WIN + 1 : i + 1]) / _KELT_WIN
+            )
+            up = _e6(center + _KELT_MULT * atr)
+            lo_b = _e6(center - _KELT_MULT * atr)
+            close = series[i][1]
+            n_expected += 1
+            row = got[(t, series[i][0])]
+            assert row["center"] == pytest.approx(center, abs=1e-6)
+            assert row["atr20"] == pytest.approx(atr, abs=1e-6)
+            assert row["upper_band"] == pytest.approx(up, abs=1e-6)
+            assert row["lower_band"] == pytest.approx(lo_b, abs=1e-6)
+            want = 1 if close > row["upper_band"] else (
+                -1 if close < row["lower_band"] else 0
+            )
+            assert row["breakout"] == want
+    assert len(got) == n_expected and n_expected > 0
