@@ -1,0 +1,647 @@
+"""Time-series diagnostics battery over the densified hourly spine:
+unit-root (ADF-lite), random-walk variance-ratio, Wald–Wolfowitz runs,
+AR(1) mean-reversion half-life, and the turning-point randomness test
+— the "is this metric drifting / trending / mean-reverting / random?"
+panel a monitoring platform runs over its hourly counters before
+alerting on them.
+
+Plan discipline (the q_ts_granger_lite class, drift.py): event volume
+enters ONLY through per-hour count aggregates; every lag/lead pass
+runs over the fixed 720-row month spine (bounded global window — the
+frame is |hours|, which grows with retention, never with traffic), and
+each test closes from a handful of exact BIGINT moments.
+
+Determinism: counts and their products are exact BIGINTs; closing
+products cast each moment to DOUBLE BEFORE multiplying (the granger
+overflow discipline — int64 n·s / s·s products wrap at s ≳ 3e9 on
+Spark while DuckDB raises; double products are exact below 2^53 and
+identical IEEE expressions beyond); every libm call (sqrt, ln) is
+e6-rounded on both engines, as is each final ratio.
+
+Reference parity note: the reference engine (an Elixir event-transport
+client, SURVEY.md §0) has no diagnostics surface; these derive from
+the driver's analytics mandate and the classical time-series
+literature (Dickey–Fuller 1979; Lo–MacKinlay 1988 variance ratio;
+Wald–Wolfowitz 1940 runs test; turning-point test per Kendall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround, sql_dround
+from ex_hivent_spark.plans.registry import register
+
+# 2024-01-01T00:00Z in hours-since-epoch; the events table spans the
+# 720-hour month at every SF (drift.py's spine constants).
+_EPOCH_H = 473352
+_N_HOURS = 720
+# Variance-ratio horizon, in hours.
+_VR_Q = 4
+
+# Densified hourly PURCHASE-count series on the month spine (SQL CTE
+# body; the Spark twin is _purchase_spine below).
+_SQL_PURCHASE_SPINE = f"""
+      SELECT s.h, CAST(coalesce(o.y, 0) AS BIGINT) AS y
+      FROM (SELECT CAST(unnest(range({_EPOCH_H}, {_EPOCH_H + _N_HOURS}))
+                   AS BIGINT) AS h) s
+      LEFT JOIN (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+      ) o ON o.h = s.h
+"""
+
+
+# Densified hourly TOTAL-event-count series (all types) on the month
+# spine: the runs test wants a series whose median splits the hours
+# (the sparse purchase series has median 0 at small SF — every
+# non-median hour sits above it and the statistic degenerates).
+_SQL_TOTAL_SPINE = f"""
+      SELECT s.h, CAST(coalesce(o.y, 0) AS BIGINT) AS y
+      FROM (SELECT CAST(unnest(range({_EPOCH_H}, {_EPOCH_H + _N_HOURS}))
+                   AS BIGINT) AS h) s
+      LEFT JOIN (
+        SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+      ) o ON o.h = s.h
+"""
+
+
+def _total_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly total event counts densified onto the fixed month spine."""
+    e = load_table(spark, sf_dir, "events")
+    hy = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    spine = spark.range(_N_HOURS).select(
+        (F.col("id") + F.lit(_EPOCH_H)).cast("bigint").alias("h")
+    )
+    return spine.join(hy, "h", "left").select(
+        "h", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+
+
+def _purchase_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly purchase counts densified onto the fixed month spine."""
+    e = load_table(spark, sf_dir, "events")
+    hy = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("bigint")
+            .alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    spine = spark.range(_N_HOURS).select(
+        (F.col("id") + F.lit(_EPOCH_H)).cast("bigint").alias("h")
+    )
+    return spine.join(hy, "h", "left").select(
+        "h", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+
+
+def _dcol(c: str) -> F.Column:  # type: ignore[name-defined]
+    return F.col(c).cast("double")
+
+
+@register(
+    "q_ts_adf_lite",
+    oracle=f"""
+    WITH series AS ({_SQL_PURCHASE_SPINE}),
+    lagged AS (
+      SELECT y - lag(y) OVER (ORDER BY h) AS dy,
+             lag(y) OVER (ORDER BY h) AS yl
+      FROM series
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(yl) AS BIGINT) AS sx,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(yl * yl) AS BIGINT) AS sxx,
+             CAST(sum(yl * dy) AS BIGINT) AS sxy,
+             CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM lagged WHERE yl IS NOT NULL
+    ),
+    c AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS dxx,
+             CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS dxy,
+             CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS dyy
+      FROM m
+    ),
+    b AS (
+      SELECT n, dxx, dyy,
+             CASE WHEN dxx = 0 THEN NULL ELSE dxy / dxx END AS beta,
+             CASE WHEN dxx = 0 THEN NULL ELSE dxy END AS dxy
+      FROM c
+    )
+    SELECT n AS n_obs,
+           {sql_dround("beta", 6)} AS beta,
+           {sql_dround("1.0 + beta", 6)} AS rho,
+           CASE WHEN beta IS NULL OR dxx = 0 THEN NULL ELSE
+             {sql_dround(
+                 "beta / ("
+                 + sql_dround(
+                     "sqrt(greatest((dyy - beta * dxy) / (n - 2) / dxx,"
+                     " 0.0))", 6)
+                 + ")", 6)}
+           END AS df_stat
+    FROM b
+    """,
+)
+def q_ts_adf_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root probe (lag-0 ADF with intercept) on the
+    hourly purchase-count series: regress Δy_t on y_{t−1} and report
+    β̂, the implied AR root ρ = 1 + β̂, and the DF t-statistic
+    β̂/se(β̂) — strongly negative rejects the unit root (the series
+    mean-reverts; a counter stuck near ρ = 1 drifts). The n−2
+    denominator is the two-parameter (intercept + slope) OLS residual
+    variance.
+
+    Plan: one filtered hourly hash aggregate densified onto the
+    720-row month spine, one lag pass over that bounded global window
+    (the q_ts_xcorr class), ONE integer moment aggregate, scalar
+    closing. Determinism: the six moments are exact BIGINTs of
+    integer counts; centered products cast moments to double FIRST
+    (the granger overflow discipline); the one sqrt is e6-rounded, as
+    are β̂, ρ, and the t-ratio; degenerate variance (dxx = 0) yields
+    NULLs on both engines."""
+    wo = Window.orderBy("h")
+    series = _purchase_spine(spark, sf_dir)
+    lagged = series.select(
+        (F.col("y") - F.lag("y").over(wo)).alias("dy"),
+        F.lag("y").over(wo).alias("yl"),
+    ).filter(F.col("yl").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yl").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("yl") * F.col("yl")).cast("bigint").alias("sxx"),
+        F.sum(F.col("yl") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    c = m.select(
+        "n",
+        (_dcol("n") * _dcol("sxx") - _dcol("sx") * _dcol("sx")).alias(
+            "dxx"
+        ),
+        (_dcol("n") * _dcol("sxy") - _dcol("sx") * _dcol("sy")).alias(
+            "dxy"
+        ),
+        (_dcol("n") * _dcol("syy") - _dcol("sy") * _dcol("sy")).alias(
+            "dyy"
+        ),
+    )
+    b = c.select(
+        "n",
+        "dxx",
+        "dyy",
+        F.when(F.col("dxx") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("dxy") / F.col("dxx"))
+        .alias("beta"),
+        F.when(F.col("dxx") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("dxy"))
+        .alias("dxy"),
+    )
+    beta = F.col("beta")
+    se_den = dround(
+        F.sqrt(
+            F.greatest(
+                (F.col("dyy") - beta * F.col("dxy"))
+                / (F.col("n") - 2)
+                / F.col("dxx"),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    return b.select(
+        F.col("n").alias("n_obs"),
+        dround(beta, 6).alias("beta"),
+        dround(1.0 + beta, 6).alias("rho"),
+        F.when(
+            beta.isNull() | (F.col("dxx") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(dround(beta / se_den, 6))
+        .alias("df_stat"),
+    )
+
+
+@register(
+    "q_ts_variance_ratio",
+    oracle=f"""
+    WITH series AS ({_SQL_PURCHASE_SPINE}),
+    diffs AS (
+      SELECT y - lag(y, 1) OVER (ORDER BY h) AS d1,
+             y - lag(y, {_VR_Q}) OVER (ORDER BY h) AS dq
+      FROM series
+    ),
+    m1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(d1) AS BIGINT) AS s1,
+             CAST(sum(d1 * d1) AS BIGINT) AS s11
+      FROM diffs WHERE d1 IS NOT NULL
+    ),
+    mq AS (
+      SELECT CAST(count(*) AS BIGINT) AS nq,
+             CAST(sum(dq) AS BIGINT) AS sq,
+             CAST(sum(dq * dq) AS BIGINT) AS sqq
+      FROM diffs WHERE dq IS NOT NULL
+    ),
+    v AS (
+      SELECT n1, nq,
+             (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / n1
+               AS var1,
+             (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / nq) / nq
+               AS varq
+      FROM m1, mq
+    )
+    SELECT n1 AS n_diff1, nq AS n_diffq,
+           {sql_dround("var1", 6)} AS var1,
+           {sql_dround("varq", 6)} AS varq,
+           CASE WHEN var1 = 0 THEN NULL ELSE
+             {sql_dround(f"varq / ({_VR_Q} * var1)", 6)}
+           END AS vr
+    FROM v
+    """,
+)
+def q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance ratio VR(q=4) on the hourly
+    purchase-count series: the variance of 4-hour changes over 4× the
+    variance of 1-hour changes — 1 for a random walk, < 1 for
+    mean-reversion (hourly shocks cancel within the window), > 1 for
+    trending/persistent load. Both variances are biased (÷n)
+    maximum-likelihood estimates over all overlapping differences,
+    the standard VR construction.
+
+    Plan: the densified spine, ONE lag pass producing both difference
+    columns in the same bounded global window sort, two tiny moment
+    aggregates, scalar closing. Determinism: differences and their
+    squares are exact BIGINTs; closings cast moments to double before
+    the products (granger discipline), e6-round both variances and
+    the ratio, and NULL out the degenerate flat-series case on both
+    engines."""
+    wo = Window.orderBy("h")
+    series = _purchase_spine(spark, sf_dir)
+    diffs = series.select(
+        (F.col("y") - F.lag("y", 1).over(wo)).alias("d1"),
+        (F.col("y") - F.lag("y", _VR_Q).over(wo)).alias("dq"),
+    ).localCheckpoint(eager=False)
+    m1 = diffs.filter(F.col("d1").isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.sum("d1").cast("bigint").alias("s1"),
+        F.sum(F.col("d1") * F.col("d1")).cast("bigint").alias("s11"),
+    )
+    mq = diffs.filter(F.col("dq").isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nq"),
+        F.sum("dq").cast("bigint").alias("sq"),
+        F.sum(F.col("dq") * F.col("dq")).cast("bigint").alias("sqq"),
+    )
+    v = m1.crossJoin(mq).select(
+        "n1",
+        "nq",
+        (
+            (_dcol("s11") - _dcol("s1") * _dcol("s1") / F.col("n1"))
+            / F.col("n1")
+        ).alias("var1"),
+        (
+            (_dcol("sqq") - _dcol("sq") * _dcol("sq") / F.col("nq"))
+            / F.col("nq")
+        ).alias("varq"),
+    )
+    return v.select(
+        F.col("n1").alias("n_diff1"),
+        F.col("nq").alias("n_diffq"),
+        dround(F.col("var1"), 6).alias("var1"),
+        dround(F.col("varq"), 6).alias("varq"),
+        F.when(F.col("var1") == 0, F.lit(None).cast("double"))
+        .otherwise(dround(F.col("varq") / (_VR_Q * F.col("var1")), 6))
+        .alias("vr"),
+    )
+
+
+@register(
+    "q_ts_runs_test",
+    oracle=f"""
+    WITH series AS ({_SQL_TOTAL_SPINE}),
+    vc AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM series GROUP BY y
+    ),
+    cumv AS (
+      SELECT y, CAST(sum(cnt) OVER (ORDER BY y
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS cum
+      FROM vc
+    ),
+    med AS (
+      SELECT ((SELECT min(y) FROM cumv
+               WHERE cum >= CAST(floor(({_N_HOURS} + 1) / 2.0) AS BIGINT))
+              + (SELECT min(y) FROM cumv
+                 WHERE cum >= CAST(floor({_N_HOURS} / 2.0) AS BIGINT) + 1)
+             ) / 2.0 AS med
+    ),
+    signs AS (
+      SELECT h, med, CASE WHEN y > med THEN 1 ELSE -1 END AS s
+      FROM series, med WHERE y <> med
+    ),
+    runs AS (
+      SELECT med, s, lag(s) OVER (ORDER BY h) AS ps FROM signs
+    ),
+    agg AS (
+      SELECT max(med) AS median_y,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps
+                               THEN 1 ELSE 0 END) AS BIGINT) AS r
+      FROM runs
+    )
+    SELECT median_y,
+           n1 AS n_above, n2 AS n_below, r AS n_runs,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+             {sql_dround(
+                 "(r - (1.0 + 2.0 * n1 * n2 / (n1 + n2))) / ("
+                 + sql_dround(
+                     "sqrt(greatest("
+                     "2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)"
+                     " / ((CAST(n1 + n2 AS DOUBLE)) *"
+                     " (n1 + n2) * (n1 + n2 - 1)), 0.0))", 6)
+                 + ")", 6)}
+           END AS z_stat
+    FROM agg
+    """,
+)
+def q_ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the hourly TOTAL
+    event-count series (all types — the sparse single-type series has
+    median 0 at small volume and the test degenerates one-sided):
+    hours are marked above/below the series
+    MEDIAN (exact two-middle-pick median of the 720 spine values;
+    ties AT the median drop, the textbook convention), runs of equal
+    sign are counted, and the run count is z-scored against its
+    null mean 1 + 2n₁n₂/n — too FEW runs means clustering/trending
+    load, too many means oscillation.
+
+    Plan: the densified spine, a per-value count aggregate (the
+    value dimension is tiny — counts are small integers) cumulated
+    for the two median picks, one sign + lag pass over the bounded
+    720-row global window, one scalar closing. Determinism: median is
+    an exact half-sum of integers, run/sign counts are exact BIGINTs,
+    and the one sqrt and the z-ratio are e6-rounded; a one-sided
+    series (n₁ or n₂ = 0) yields NULL on both engines."""
+    series = _total_spine(spark, sf_dir).localCheckpoint(eager=False)
+    vc = series.groupBy("y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wv = Window.orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumv = vc.select("y", F.sum("cnt").over(wv).cast("bigint").alias("cum"))
+    lo = (
+        cumv.filter(F.col("cum") >= (_N_HOURS + 1) // 2)
+        .agg(F.min("y").alias("v_lo"))
+    )
+    hi = (
+        cumv.filter(F.col("cum") >= _N_HOURS // 2 + 1)
+        .agg(F.min("y").alias("v_hi"))
+    )
+    med = lo.crossJoin(hi).select(
+        ((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med")
+    )
+    signs = (
+        series.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("med"))
+        .select(
+            "h",
+            "med",
+            F.when(F.col("y") > F.col("med"), 1).otherwise(-1).alias("s"),
+        )
+    )
+    wo = Window.orderBy("h")
+    runs = signs.select(
+        "med", "s", F.lag("s").over(wo).alias("ps")
+    )
+    agg = runs.agg(
+        F.max("med").alias("med"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("ps").isNotNull()
+                    & (F.col("s") != F.col("ps")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    n1, n2, r = _dcol("n1"), _dcol("n2"), F.col("r")
+    n = n1 + n2
+    sigma = dround(
+        F.sqrt(
+            F.greatest(
+                2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                / (n * n * (n - 1)),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    return agg.select(
+        F.col("med").alias("median_y"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        r.alias("n_runs"),
+        F.when(
+            (F.col("n1") == 0) | (F.col("n2") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(dround((r - (1.0 + 2.0 * n1 * n2 / n)) / sigma, 6))
+        .alias("z_stat"),
+    )
+
+
+@register(
+    "q_ts_ar1_half_life",
+    oracle=f"""
+    WITH series AS ({_SQL_PURCHASE_SPINE}),
+    lagged AS (
+      SELECT y, lag(y) OVER (ORDER BY h) AS yl FROM series
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(yl) AS BIGINT) AS sl,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(yl * yl) AS BIGINT) AS sll,
+             CAST(sum(y * yl) AS BIGINT) AS syl
+      FROM lagged WHERE yl IS NOT NULL
+    ),
+    c AS (
+      SELECT n,
+             {sql_dround(
+                 "(CAST(n AS DOUBLE) * syl - CAST(sy AS DOUBLE) * sl) / ("
+                 + sql_dround(
+                     "sqrt(greatest(CAST(n AS DOUBLE) * syy"
+                     " - CAST(sy AS DOUBLE) * sy, 0.0)"
+                     " * greatest(CAST(n AS DOUBLE) * sll"
+                     " - CAST(sl AS DOUBLE) * sl, 0.0))", 6)
+                 + ")", 6)} AS rho
+      FROM m
+    )
+    SELECT n AS n_obs, rho,
+           CASE WHEN rho > 0 AND rho < 1 THEN
+             {sql_dround(
+                 "-" + sql_dround("ln(2.0)", 6) + " / ("
+                 + sql_dround("ln(rho)", 6) + ")", 6)}
+           ELSE NULL END AS half_life_hours
+    FROM c
+    """,
+)
+def q_ts_ar1_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) mean-reversion half-life of the hourly purchase-count
+    series: ρ = lag-1 autocorrelation, half-life = −ln2/ln ρ hours —
+    how long a demand shock takes to decay halfway back to the mean
+    (the capacity-planning companion to q_ts_adf_lite's unit-root
+    verdict). Outside 0 < ρ < 1 (anti-persistent or non-reverting)
+    the half-life is undefined and reads NULL.
+
+    Plan: spine densify, one lag pass (bounded 720-row global
+    window), one integer moment aggregate, scalar closing.
+    Determinism: BIGINT moments, double-cast closing products
+    (granger discipline), every libm call (sqrt, both ln) e6-rounded,
+    e6-rounded ratios, NULL guard identical on both engines."""
+    wo = Window.orderBy("h")
+    series = _purchase_spine(spark, sf_dir)
+    lagged = series.select(
+        "y", F.lag("y").over(wo).alias("yl")
+    ).filter(F.col("yl").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("yl").cast("bigint").alias("sl"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("yl") * F.col("yl")).cast("bigint").alias("sll"),
+        F.sum(F.col("y") * F.col("yl")).cast("bigint").alias("syl"),
+    )
+    den = dround(
+        F.sqrt(
+            F.greatest(
+                _dcol("n") * _dcol("syy") - _dcol("sy") * _dcol("sy"),
+                F.lit(0.0),
+            )
+            * F.greatest(
+                _dcol("n") * _dcol("sll") - _dcol("sl") * _dcol("sl"),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    c = m.select(
+        "n",
+        dround(
+            (_dcol("n") * _dcol("syl") - _dcol("sy") * _dcol("sl")) / den,
+            6,
+        ).alias("rho"),
+    )
+    rho = F.col("rho")
+    return c.select(
+        F.col("n").alias("n_obs"),
+        rho,
+        F.when(
+            (rho > 0) & (rho < 1),
+            dround(-dround(F.log(F.lit(2.0)), 6) / dround(F.log(rho), 6), 6),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("half_life_hours"),
+    )
+
+
+@register(
+    "q_ts_turning_points",
+    oracle=f"""
+    WITH series AS ({_SQL_PURCHASE_SPINE}),
+    tri AS (
+      SELECT y,
+             lag(y) OVER (ORDER BY h) AS yp,
+             lead(y) OVER (ORDER BY h) AS yn
+      FROM series
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN yp < y AND y > yn THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_peaks,
+             CAST(sum(CASE WHEN yp > y AND y < yn THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_troughs
+      FROM tri WHERE yp IS NOT NULL AND yn IS NOT NULL
+    )
+    SELECT CAST({_N_HOURS} AS BIGINT) AS n_hours, n_peaks, n_troughs,
+           n_peaks + n_troughs AS n_turning,
+           {sql_dround(
+               f"(n_peaks + n_troughs - 2.0 * ({_N_HOURS} - 2) / 3.0) / ("
+               + sql_dround(
+                   f"sqrt((16.0 * {_N_HOURS} - 29.0) / 90.0)", 6)
+               + ")", 6)} AS z_stat
+    FROM agg
+    """,
+)
+def q_ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point randomness test on the hourly purchase-count
+    series: count strict local maxima (yₜ₋₁ < yₜ > yₜ₊₁) and minima
+    over the 720-hour spine and z-score the total against the i.i.d.
+    null (mean 2(n−2)/3, variance (16n−29)/90, Kendall) — too few
+    turning points means momentum/trend, too many means alternation;
+    ties produce neither (strict inequalities), so flat stretches
+    damp the count on both engines identically.
+
+    Plan: spine densify, ONE lag+lead pass over the bounded 720-row
+    global window (single sort serves both), one scalar aggregate.
+    Determinism: strict integer comparisons, BIGINT counts, one
+    e6-rounded sqrt of a constant and one e6-rounded ratio."""
+    wo = Window.orderBy("h")
+    series = _purchase_spine(spark, sf_dir)
+    tri = series.select(
+        "y",
+        F.lag("y").over(wo).alias("yp"),
+        F.lead("y").over(wo).alias("yn"),
+    ).filter(F.col("yp").isNotNull() & F.col("yn").isNotNull())
+    agg = tri.agg(
+        F.sum(
+            F.when(
+                (F.col("yp") < F.col("y")) & (F.col("y") > F.col("yn")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_peaks"),
+        F.sum(
+            F.when(
+                (F.col("yp") > F.col("y")) & (F.col("y") < F.col("yn")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_troughs"),
+    )
+    t = F.col("n_peaks") + F.col("n_troughs")
+    sigma = dround(F.sqrt(F.lit((16.0 * _N_HOURS - 29.0) / 90.0)), 6)
+    return agg.select(
+        F.lit(_N_HOURS).cast("bigint").alias("n_hours"),
+        "n_peaks",
+        "n_troughs",
+        t.alias("n_turning"),
+        dround((t - 2.0 * (_N_HOURS - 2) / 3.0) / sigma, 6).alias(
+            "z_stat"
+        ),
+    )
