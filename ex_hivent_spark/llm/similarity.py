@@ -2842,3 +2842,225 @@ def q_llm_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reciprocal_rank"),
         F.max("rel").cast("int").alias("hit_at_k"),
     )
+
+
+@register(
+    "q_llm_map_eval",
+    oracle=f"""
+    WITH topk AS ({_cosine_topk_oracle_sql()}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    rel AS (
+      SELECT t.query_id, t.rn,
+             CAST(CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END
+                  AS BIGINT) AS rel
+      FROM topk t
+      JOIN lab lq ON lq.vec_id = t.query_id
+      JOIN lab ln ON ln.vec_id = t.neighbor_id
+    ),
+    cum AS (
+      SELECT query_id, rn, rel,
+             CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rn
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS ch
+      FROM rel
+    ),
+    terms AS (
+      SELECT query_id, rel,
+             CASE WHEN rel = 1
+                  THEN {sql_dround("CAST(ch AS DOUBLE) / rn", 6)}
+                  ELSE 0.0 END AS pterm
+      FROM cum
+    )
+    SELECT query_id,
+           CAST(sum(rel) AS BIGINT) AS n_rel,
+           CASE WHEN sum(rel) = 0 THEN 0.0
+                ELSE {sql_dround(
+                    "CAST(sum(CAST(pterm AS DECIMAL(25,6))) AS DOUBLE)"
+                    " / sum(rel)", 6)}
+           END AS avg_precision
+    FROM terms GROUP BY query_id
+    """,
+)
+def q_llm_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision@k per query over the brute-force cosine top-k
+    run, same-label-as-query relevance (the q_llm_ndcg_eval / mrr
+    convention): AP = (Σᵢ relᵢ·P@i) / n_rel with P@i the precision at
+    each relevant hit's rank — the area-under-PR-curve reading whose
+    mean over queries is MAP, rewarding rankings that FRONT-load their
+    relevant hits harder than NDCG's log discount does. Queries with
+    nothing relevant in the top-k read 0, the standard truncation.
+
+    Plan: the fixed-size top-k frame joins the broadcast label column
+    twice, one k-bounded cumulative window per query, one per-query
+    hash aggregate — everything past the base scan is query-count
+    sized. Determinism: hit counts are integers, each P@i is one
+    small-integer IEEE division e6-rounded, the per-query sum of ≤ k
+    terms rides the decimal detour, the closing ratio is e6-rounded;
+    no libm."""
+    from pyspark.sql import Window
+
+    topk = q_llm_cosine_topk(spark, sf_dir)
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lq = em.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    ln_ = em.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    rel = (
+        topk.join(F.broadcast(lq), "query_id")
+        .join(F.broadcast(ln_), "neighbor_id")
+        .select(
+            "query_id",
+            "rn",
+            F.when(F.col("ql") == F.col("nl"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rel"),
+        )
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rel.select(
+        "query_id",
+        "rn",
+        "rel",
+        F.sum("rel").over(w).cast("bigint").alias("ch"),
+    )
+    terms = cum.select(
+        "query_id",
+        "rel",
+        F.when(
+            F.col("rel") == 1,
+            dround(F.col("ch").cast("double") / F.col("rn"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pterm"),
+    )
+    return terms.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.when(F.sum("rel") == 0, F.lit(0.0))
+        .otherwise(
+            dround(
+                F.sum(F.col("pterm").cast("decimal(25,6)")).cast("double")
+                / F.sum("rel"),
+                6,
+            )
+        )
+        .alias("avg_precision"),
+    )
+
+
+# Precision/recall cut grid for q_llm_pr_at_k (≤ TOP_K).
+_PR_KS = (1, 3, 5)
+
+
+@register(
+    "q_llm_pr_at_k",
+    oracle=f"""
+    WITH topk AS ({_cosine_topk_oracle_sql()}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cs AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS class_n
+      FROM embeddings GROUP BY label
+    ),
+    rel AS (
+      SELECT t.query_id, t.rn, lq.label AS ql,
+             CAST(CASE WHEN ln.label = lq.label THEN 1 ELSE 0 END
+                  AS BIGINT) AS rel
+      FROM topk t
+      JOIN lab lq ON lq.vec_id = t.query_id
+      JOIN lab ln ON ln.vec_id = t.neighbor_id
+    ),
+    cuts AS (
+      SELECT r.query_id, k.k, r.ql,
+             CAST(sum(CASE WHEN r.rn <= k.k THEN r.rel ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM rel r
+      CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in _PR_KS)}])
+                    AS k) k
+      GROUP BY r.query_id, k.k, r.ql
+    )
+    SELECT c.query_id, CAST(c.k AS BIGINT) AS k, c.n_hits,
+           {sql_dround("CAST(c.n_hits AS DOUBLE) / c.k", 6)}
+             AS precision_at_k,
+           CASE WHEN cs.class_n <= 1 THEN NULL
+                ELSE {sql_dround(
+                    "CAST(c.n_hits AS DOUBLE) / (cs.class_n - 1)", 6)}
+           END AS recall_at_k
+    FROM cuts c JOIN cs ON cs.label = c.ql
+    """,
+)
+def q_llm_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@k and recall@k per query at the k ∈ {1, 3, 5} cut
+    grid over the brute-force cosine top-k run, same-label-as-query
+    relevance: precision = hits≤k / k, recall = hits≤k / (class size
+    − 1) (own-class corpus members excluding the query itself — the
+    q_llm_ann_recall ground-truth base). The cut grid reads the
+    precision/recall trade-off curve that single-k evals flatten;
+    a singleton class (no possible relevant neighbor) reads NULL
+    recall rather than an engine-specific 0/0.
+
+    Plan: the fixed-size top-k frame joins the broadcast label column
+    twice, a constant 3× cut explode, one per-(query, k) hash
+    aggregate, and a broadcast class-size join — everything past the
+    base scan is query-count sized. Determinism: hit counts are exact
+    integers; the two closing divisions are e6-rounded small-integer
+    IEEE ratios; no libm, no float aggregation."""
+    topk = q_llm_cosine_topk(spark, sf_dir)
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lq = em.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    ln_ = em.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    cs = em.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_n")
+    )
+    rel = (
+        topk.join(F.broadcast(lq), "query_id")
+        .join(F.broadcast(ln_), "neighbor_id")
+        .select(
+            "query_id",
+            "rn",
+            "ql",
+            F.when(F.col("ql") == F.col("nl"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rel"),
+        )
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in _PR_KS])
+    ).alias("k")
+    cuts = (
+        rel.select("query_id", "rn", "ql", "rel", ks)
+        .groupBy("query_id", "k", "ql")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("k"), F.col("rel")).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+    )
+    out = cuts.join(
+        F.broadcast(cs), cuts["ql"] == cs["label"]
+    )
+    return out.select(
+        "query_id",
+        F.col("k").cast("bigint").alias("k"),
+        "n_hits",
+        dround(F.col("n_hits").cast("double") / F.col("k"), 6).alias(
+            "precision_at_k"
+        ),
+        F.when(F.col("class_n") <= 1, F.lit(None).cast("double"))
+        .otherwise(
+            dround(
+                F.col("n_hits").cast("double") / (F.col("class_n") - 1), 6
+            )
+        )
+        .alias("recall_at_k"),
+    )

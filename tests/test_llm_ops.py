@@ -1059,3 +1059,92 @@ def test_cluster_source_purity_synthetic_cluster(spark, tmp_path):
     assert row["n_docs"] == 3 and row["n_sources"] == 2
     assert row["top_source"] == "srcA" and row["n_top"] == 2
     assert row["purity"] == pytest.approx(2.0 / 3.0, abs=1e-12)
+
+
+def test_map_eval_matches_python(spark, sf_dir):
+    """AP@k recomputed from the cosine-topk frame + labels."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    }
+    topk = SPECS["q_llm_cosine_topk"].spark(spark, sf_dir).collect()
+    byq: dict = {}
+    for r in topk:
+        byq.setdefault(r["query_id"], []).append(
+            (r["rn"], labels[r["neighbor_id"]])
+        )
+    got = {
+        r["query_id"]: r
+        for r in SPECS["q_llm_map_eval"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(byq)
+    for qid, hits in byq.items():
+        hits.sort()
+        rels = [1 if l == labels[qid] else 0 for _, l in hits]
+        ch = 0
+        terms = []
+        for i, r in enumerate(rels, start=1):
+            ch += r
+            if r == 1:
+                terms.append(e6(ch / i))
+        n_rel = sum(rels)
+        ap = 0.0 if n_rel == 0 else e6(math.fsum(terms) / n_rel)
+        row = got[qid]
+        assert row["n_rel"] == n_rel
+        assert row["avg_precision"] == pytest.approx(ap, abs=1e-9)
+        # front-loaded perfect ranking reads exactly 1
+        if n_rel > 0 and all(r == 1 for r in rels[:n_rel]):
+            assert row["avg_precision"] == 1.0
+
+
+def test_pr_at_k_matches_python(spark, sf_dir):
+    """Precision/recall cut grid recomputed from topk + class sizes."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    def e6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    labels = {r["vec_id"]: r["label"] for r in emb}
+    class_n = Counter(r["label"] for r in emb)
+    topk = SPECS["q_llm_cosine_topk"].spark(spark, sf_dir).collect()
+    byq: dict = {}
+    for r in topk:
+        byq.setdefault(r["query_id"], []).append(
+            (r["rn"], labels[r["neighbor_id"]])
+        )
+    got = {
+        (r["query_id"], r["k"]): r
+        for r in SPECS["q_llm_pr_at_k"].spark(spark, sf_dir).collect()
+    }
+    assert len(got) == 3 * len(byq)
+    for qid, hits in byq.items():
+        hits.sort()
+        rels = [1 if l == labels[qid] else 0 for _, l in hits]
+        base = class_n[labels[qid]] - 1
+        for k in (1, 3, 5):
+            nh = sum(rels[:k])
+            row = got[(qid, k)]
+            assert row["n_hits"] == nh
+            assert row["precision_at_k"] == pytest.approx(
+                e6(nh / k), abs=1e-9
+            )
+            if base <= 0:
+                assert row["recall_at_k"] is None
+            else:
+                assert row["recall_at_k"] == pytest.approx(
+                    e6(nh / base), abs=1e-9
+                )
+            # precision at a smaller cut can only tighten, never see
+            # more hits than the cut allows
+            assert 0.0 <= row["precision_at_k"] <= 1.0
