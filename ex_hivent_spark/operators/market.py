@@ -1,0 +1,536 @@
+"""Commerce-graph / market-basket analytics over the TPC-H order
+stream: one HITS iteration on the customer→part bipartite graph,
+the supplier co-purchase projection, within-order part-pair lift,
+ABC inventory classification, and repeat-purchase gap statistics —
+the merchandising panel (what anchors baskets, which suppliers are
+substitutes, where the revenue head ends, how often customers come
+back).
+
+Plan discipline: every pair expansion is blocked by a NATURAL key
+whose group size is catalog-bounded (parts per order ≤ the basket
+size, suppliers per part ≤ the sourcing fan-out), never an all-pairs
+join; global rankings (ABC) ride the blocked prefix fold
+(operators/prefix.py) instead of a single-partition sort; top-k
+outputs order by exact integers or e6-grid doubles with full key
+tie-breaks.
+
+Determinism: supports/degrees/day-gaps are exact integers; revenue is
+exact integer cents (floor(x·100 + 0.5) per line); percentile picks
+use integer-inequality thresholds (10·cum ≥ 9·n, no float ceil); the
+few closing ratios are e6-rounded; no libm anywhere in the module.
+
+Reference parity note: the reference engine (an Elixir event-transport
+client, SURVEY.md §0) has no commerce surface; these derive from the
+driver's analytics mandate (HITS per Kleinberg 1999; lift per the
+association-rules literature; ABC per classical inventory control).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround, sql_dround
+from ex_hivent_spark.operators.prefix import running_totals_blocked
+from ex_hivent_spark.plans.registry import register
+
+# Distinct customer→part purchase edges — SQL CTE body.
+_SQL_CP_EDGES = """
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+"""
+
+_HITS_TOP = 20
+_COSUP_TOP = 30
+_BASKET_TOP = 40
+_BASKET_MIN_SUPP = 2
+
+
+def _cp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+
+
+@register(
+    "q_graph_hits_step",
+    oracle=f"""
+    WITH edges AS ({_SQL_CP_EDGES}),
+    auth1 AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS a1 FROM edges GROUP BY p
+    ),
+    hub1 AS (
+      SELECT e.c, CAST(sum(a.a1) AS BIGINT) AS h1
+      FROM edges e JOIN auth1 a ON a.p = e.p GROUP BY e.c
+    ),
+    auth2 AS (
+      SELECT e.p, CAST(sum(h.h1) AS BIGINT) AS a2
+      FROM edges e JOIN hub1 h ON h.c = e.c GROUP BY e.p
+    ),
+    nrm AS (
+      SELECT {sql_dround(
+          "sqrt(CAST(sum(CAST(CAST(a2 AS DOUBLE) * a2"
+          " AS DECIMAL(38,6))) AS DOUBLE))", 6)} AS nn
+      FROM auth2
+    )
+    SELECT t2.p AS partkey, a1.a1 AS in_degree, t2.a2 AS auth_score,
+           {sql_dround("CAST(t2.a2 AS DOUBLE) / nrm.nn", 6)} AS auth_norm
+    FROM auth2 t2 JOIN auth1 a1 ON a1.p = t2.p CROSS JOIN nrm
+    ORDER BY t2.a2 DESC, t2.p LIMIT {_HITS_TOP}
+    """,
+)
+def q_graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full HITS iteration (Kleinberg) on the customer→part
+    bipartite purchase graph from uniform initialization: authority¹ =
+    in-degree, hub¹(c) = Σ authority¹ over c's parts, authority²(p) =
+    Σ hub¹ over p's buyers — the top-20 "anchor products",
+    ranked by endorsement from broad-basket customers rather than raw
+    popularity (a part bought only by single-item customers scores
+    below one bought by catalog-spanning ones at equal degree).
+
+    Plan: three hash-aggregate half-steps over the distinct edge list
+    (edges shuffle by part, then customer, then part — the bipartite
+    message-passing pattern that scales to any edge count); the L2
+    norm is one scalar aggregate; top-k is an orderBy+limit
+    (TakeOrdered, no global sort materialization). Determinism:
+    scores stay exact BIGINTs through both half-steps; each square is
+    one IEEE double product (exact below 2^53, identical expressions
+    beyond — the int64 product would wrap on Spark while DuckDB
+    raises) summed through decimal(38,6); the one sqrt and the
+    normalized ratio are e6-rounded; ties rank by part key."""
+    edges = _cp_edges(spark, sf_dir).localCheckpoint(eager=False)
+    auth1 = edges.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a1")
+    )
+    hub1 = (
+        edges.join(auth1, "p")
+        .groupBy("c")
+        .agg(F.sum("a1").cast("bigint").alias("h1"))
+    )
+    auth2 = (
+        edges.join(hub1, "c")
+        .groupBy("p")
+        .agg(F.sum("h1").cast("bigint").alias("a2"))
+    )
+    nrm = auth2.agg(
+        dround(
+            F.sqrt(
+                F.sum(
+                    (F.col("a2").cast("double") * F.col("a2")).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double")
+            ),
+            6,
+        ).alias("nn")
+    )
+    return (
+        auth2.join(auth1, "p")
+        .crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("p").alias("partkey"),
+            F.col("a1").alias("in_degree"),
+            F.col("a2").alias("auth_score"),
+            dround(F.col("a2").cast("double") / F.col("nn"), 6).alias(
+                "auth_norm"
+            ),
+        )
+        .orderBy(F.col("auth_score").desc(), "partkey")
+        .limit(_HITS_TOP)
+    )
+
+
+@register(
+    "q_graph_copurchase_suppliers",
+    oracle=f"""
+    WITH sp AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    deg AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS d FROM sp GROUP BY s
+    ),
+    pairs AS (
+      SELECT a.s AS s_a, b.s AS s_b,
+             CAST(count(*) AS BIGINT) AS common_parts
+      FROM sp a JOIN sp b ON b.p = a.p AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT p.s_a, p.s_b, p.common_parts,
+           da.d AS deg_a, db.d AS deg_b,
+           {sql_dround(
+               "CAST(p.common_parts AS DOUBLE)"
+               " / (da.d + db.d - p.common_parts)", 6)} AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.s = p.s_a
+    JOIN deg db ON db.s = p.s_b
+    ORDER BY p.common_parts DESC, p.s_a, p.s_b LIMIT {_COSUP_TOP}
+    """,
+)
+def q_graph_copurchase_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier co-sourcing projection of the bipartite supplier–part
+    graph: for each supplier pair, how many parts both ship and the
+    Jaccard overlap of their catalogs — the substitutability /
+    consolidation map (high overlap = interchangeable sources, the
+    pairs a procurement platform plays against each other). Top
+    30 edges by shared-part count.
+
+    Plan: the projection joins the distinct (supplier, part) list to
+    itself ON THE PART KEY — group size is the per-part sourcing
+    fan-out (catalog-bounded, TPC-H ships 4), so the pair expansion
+    is linear in |sp|, never |suppliers|²; degrees broadcast back.
+    Determinism: counts are exact integers, one e6-rounded closing
+    ratio, full-key tie-broken top-k."""
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sp.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = sp.select(F.col("s").alias("s_a"), "p")
+    b = sp.select(F.col("s").alias("s_b"), "p")
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_parts"))
+    )
+    da = deg.select(F.col("s").alias("s_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("s").alias("s_b"), F.col("d").alias("deg_b"))
+    return (
+        pairs.join(F.broadcast(da), "s_a")
+        .join(F.broadcast(db), "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            "common_parts",
+            "deg_a",
+            "deg_b",
+            dround(
+                F.col("common_parts").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_parts")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("common_parts").desc(), "s_a", "s_b")
+        .limit(_COSUP_TOP)
+    )
+
+
+@register(
+    "q_basket_part_pairs",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    supp AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS s FROM op GROUP BY p
+    ),
+    n AS (
+      SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op
+    ),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING count(*) >= {_BASKET_MIN_SUPP}
+    )
+    SELECT pr.part_a, pr.part_b, pr.n_both,
+           sa.s AS n_orders_a, sb.s AS n_orders_b,
+           {sql_dround(
+               "CAST(n.n_orders AS DOUBLE) * pr.n_both"
+               " / (CAST(sa.s AS DOUBLE) * sb.s)", 6)} AS lift
+    FROM pairs pr
+    JOIN supp sa ON sa.p = pr.part_a
+    JOIN supp sb ON sb.p = pr.part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, pr.part_a, pr.part_b LIMIT {_BASKET_TOP}
+    """,
+)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket part-pair lift: for part pairs co-occurring in at
+    least 2 orders, lift = N·supp(ab)/(supp(a)·
+    supp(b)) — how much more often the pair ships together than
+    independence predicts (the association-rule screen behind
+    "frequently bought together"). Top 40 pairs by lift.
+
+    Plan: pair expansion joins the distinct (order, part) list to
+    itself ON THE ORDER KEY — group size is the basket's line count
+    (≤ 7 in TPC-H), so the blow-up is ≤ C(7,2) per order and linear
+    overall; the min-support HAVING prunes the pair frame before the
+    broadcast support joins. Determinism: supports are exact
+    integers; lift is one e6-rounded double ratio; the top-k orders
+    on the e6 grid with full part-key tie-break."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    supp = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    n = op.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    a = op.select("o", F.col("p").alias("part_a"))
+    b = op.select("o", F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= _BASKET_MIN_SUPP)
+    )
+    sa = supp.select(
+        F.col("p").alias("part_a"), F.col("s").alias("n_orders_a")
+    )
+    sb = supp.select(
+        F.col("p").alias("part_b"), F.col("s").alias("n_orders_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_orders_a",
+            "n_orders_b",
+            dround(
+                F.col("n_orders").cast("double")
+                * F.col("n_both")
+                / (
+                    F.col("n_orders_a").cast("double")
+                    * F.col("n_orders_b")
+                ),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(_BASKET_TOP)
+    )
+
+
+@register(
+    "q_agg_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS p,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+    ranked AS (
+      SELECT p, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, p
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum
+      FROM rev
+    ),
+    classed AS (
+      SELECT p, cents,
+             CASE WHEN cum * 10 <= t * 7 THEN 'A'
+                  WHEN cum * 10 <= t * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           floor(CAST(sum(cents) AS DOUBLE) / (SELECT t FROM tot)
+                 * 1000000.0 + 0.5) / 1000000.0 AS rev_share
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def q_agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue: parts are
+    ranked by exact integer-cent revenue (descending, part-key
+    tie-break) and classed A while the running share stays ≤ 70 % of
+    total, B to 90 %, C after — the classical where-does-the-head-end
+    split (class A is the sliver of SKUs carrying the business).
+    Emits per-class part counts, revenue, and share.
+
+    Plan: per-part revenue is one hash aggregate on exact cents; the
+    global descending running sum rides the blocked prefix fold
+    (operators/prefix.py — negated-cents blocks keep the order
+    monotone; NO single-partition sort anywhere), and the class split
+    compares 10·cum against 7·t / 9·t in pure integers (no float
+    boundary can disagree between engines). Determinism: integers
+    end-to-end; the one share ratio is e6-rounded."""
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        l.select(
+            F.col("l_partkey").alias("p"),
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("p")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+        .withColumn("neg", (-F.col("cents")).cast("bigint"))
+        .localCheckpoint(eager=False)  # totals probe + prefix pass
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
+    blocked = rev.withColumn("blk", F.expr("neg DIV 10000000"))
+    ranked = running_totals_blocked(
+        blocked,
+        order_cols=["neg", "p"],
+        block_cols=["blk"],
+        sum_cols={"cents": "cum"},
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.when(F.col("cum") * 10 <= F.col("t") * 7, F.lit("A"))
+        .when(F.col("cum") * 10 <= F.col("t") * 9, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "t",
+    )
+    return (
+        classed.groupBy("abc_class", "t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "revenue_cents",
+            dround(
+                F.col("revenue_cents").cast("double") / F.col("t"), 6
+            ).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "q_agg_order_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       CAST(lag(o_orderdate) OVER w AS DATE),
+                       CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    ),
+    g AS (SELECT CAST(gap AS BIGINT) AS gap FROM gaps
+          WHERE gap IS NOT NULL),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap) AS BIGINT) AS s,
+             CAST(max(gap) AS BIGINT) AS mx
+      FROM g
+    ),
+    vc AS (
+      SELECT gap, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gap
+    ),
+    cum AS (
+      SELECT gap, CAST(sum(cnt) OVER (ORDER BY gap
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS cum
+      FROM vc
+    ),
+    multi AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_customers_multi
+      FROM (SELECT o_custkey FROM orders
+            GROUP BY o_custkey HAVING count(*) >= 2)
+    )
+    SELECT m.n_customers_multi, t.n AS n_gaps,
+           floor(CAST(t.s AS DOUBLE) / t.n * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_gap_days,
+           (SELECT min(gap) FROM cum, t WHERE cum * 2 >= t.n)
+             AS p50_gap_days,
+           (SELECT min(gap) FROM cum, t WHERE cum * 10 >= t.n * 9)
+             AS p90_gap_days,
+           t.mx AS max_gap_days
+    FROM t, multi m
+    """,
+)
+def q_agg_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: day gaps between each customer's
+    consecutive orders (ordered by date then order key), summarized as
+    count / mean / exact p50 / exact p90 / max plus the repeat-buyer
+    headcount — the replenishment-cycle readout that calibrates churn
+    windows and win-back timing.
+
+    Plan: gaps come from one lag window partitioned by customer
+    (per-customer order counts bound the frames); the exact
+    percentiles ride the value-count trick — day-gaps form a tiny
+    integer dimension, cumulated once, picked by the integer
+    inequality 10·cum ≥ 9·n (inverse-CDF lower quantile; no float
+    ceil to disagree on). Determinism: integer day arithmetic
+    end-to-end; the one mean is e6-rounded."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate")).over(w).cast("date"),
+        )
+        .cast("bigint")
+        .alias("gap")
+    ).filter(F.col("gap").isNotNull()).localCheckpoint(eager=False)
+    t = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s"),
+        F.max("gap").cast("bigint").alias("mx"),
+    )
+    vc = gaps.groupBy("gap").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = Window.orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vc.select(
+        "gap", F.sum("cnt").over(wc).cast("bigint").alias("cum")
+    ).localCheckpoint(eager=False)
+    multi = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers_multi"))
+    )
+    tb = F.broadcast(t)
+    p50 = (
+        cum.crossJoin(tb)
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .agg(F.min("gap").alias("p50_gap_days"))
+    )
+    p90 = (
+        cum.crossJoin(tb)
+        .filter(F.col("cum") * 10 >= F.col("n") * 9)
+        .agg(F.min("gap").alias("p90_gap_days"))
+    )
+    return (
+        multi.crossJoin(tb)
+        .crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p90))
+        .select(
+            "n_customers_multi",
+            F.col("n").alias("n_gaps"),
+            dround(F.col("s").cast("double") / F.col("n"), 6).alias(
+                "mean_gap_days"
+            ),
+            "p50_gap_days",
+            "p90_gap_days",
+            F.col("mx").alias("max_gap_days"),
+        )
+    )
