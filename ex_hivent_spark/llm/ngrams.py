@@ -1229,3 +1229,85 @@ def q_llm_entropy_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h_bigram",
         (F.col("h_bigram") - F.col("h_unigram")).alias("h_conditional"),
     )
+
+
+@register(
+    "q_llm_lexical_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS f
+      FROM toks GROUP BY source, tok
+    ),
+    m AS (
+      SELECT source,
+             CAST(sum(f) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(f * f) AS BIGINT) AS s2
+      FROM tf GROUP BY source
+    )
+    SELECT source, n AS n_tokens, v AS n_types,
+           {sql_dround("CAST(v AS DOUBLE) / n", 6)} AS ttr,
+           {sql_dround(
+               "10000.0 * (CAST(s2 AS DOUBLE) - n)"
+               " / (CAST(n AS DOUBLE) * n)", 6)} AS yule_k,
+           CASE WHEN n <= 1 THEN NULL ELSE
+             {sql_dround(
+                 "(CAST(s2 AS DOUBLE) - n)"
+                 " / (CAST(n AS DOUBLE) * (n - 1))", 6)}
+           END AS simpson_d
+    FROM m ORDER BY source
+    """,
+)
+def q_llm_lexical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: type-token ratio, Yule's
+    characteristic K = 10⁴·(Σf² − N)/N², and Simpson's repeat-rate
+    D = Σf(f−1)/(N(N−1)) over the token frequency spectrum — the
+    vocabulary-concentration fingerprint (K and D rise when a source
+    leans on few words: boilerplate, templated spam, scraped nav
+    chrome) that complements q_llm_zipf_fit's slope and
+    q_llm_mattr_diversity's per-document reading with a per-SOURCE
+    corpus-level one.
+
+    Plan: one token explode + two nested hash aggregates ((source,
+    token) term frequencies, then per-source moments) — map-side
+    combine does the heavy lifting and only (source, token, count)
+    triples shuffle. Determinism: frequencies and both moments are
+    exact BIGINTs; closings cast each moment to double BEFORE the
+    products (the granger overflow discipline — N² wraps int64 at
+    N ≳ 3e9 tokens); three e6-rounded ratios; the single-token
+    degenerate source reads NULL Simpson on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    m = tf.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("s2"),
+    )
+    n, v, s2 = (
+        F.col("n").cast("double"),
+        F.col("v").cast("double"),
+        F.col("s2").cast("double"),
+    )
+    return m.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        dround(v / F.col("n"), 6).alias("ttr"),
+        dround(10000.0 * (s2 - F.col("n")) / (n * F.col("n")), 6).alias(
+            "yule_k"
+        ),
+        F.when(F.col("n") <= 1, F.lit(None).cast("double"))
+        .otherwise(
+            dround((s2 - F.col("n")) / (n * (F.col("n") - 1)), 6)
+        )
+        .alias("simpson_d"),
+    ).orderBy("source")
