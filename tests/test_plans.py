@@ -716,6 +716,19 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # one lag pass over the densified 720-hour month spine (single
     # 719-row series — time-grain bounded, the q_ts_xcorr class)
     "q_ts_granger_lite": 1,
+    # r9 tsdiag battery: all four operate on the SAME densified
+    # 720-row month spine (tsdiag.py:_total_spine/_purchase_spine —
+    # spark.range(720) left-joined with an hourly pre-agg), so every
+    # non-partitioned window here is the q_ts_granger_lite class:
+    # |hours| rows, time-grain bounded, never data-volume sized.
+    # lag(y) for the Dickey-Fuller regression frame
+    "q_ts_adf_lite": 1,
+    # lag(y) for the AR(1) slope fit
+    "q_ts_ar1_half_life": 1,
+    # sign(lag) run-boundary pass + two rank passes for the median split
+    "q_ts_runs_test": 3,
+    # lag/lead pair for local-extremum detection
+    "q_ts_turning_points": 1,
 }
 
 

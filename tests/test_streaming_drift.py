@@ -47,6 +47,36 @@ def _vals_df(spark, vals):
     return spark.createDataFrame([(float(v),) for v in vals], "value double")
 
 
+def _retry_transport_flake(fn):
+    """Retry ONLY on py4j/JVM transport errors (socket resets under
+    full-suite load — r9 saw test_monitor_scores_batches_and_flags_drift
+    fail with a py4j connection error at suite scale yet pass isolated).
+    Each attempt gets a fresh workspace subdir so checkpoints/sinks from
+    a half-dead attempt can't poison the retry. Assertion failures and
+    analysis errors propagate immediately — this never masks a real bug."""
+    import functools
+
+    from py4j.protocol import Py4JError, Py4JNetworkError
+
+    @functools.wraps(fn)
+    def wrapper(spark, tmp_path):
+        last = None
+        for attempt in range(3):
+            work = tmp_path / f"attempt{attempt}"
+            work.mkdir(exist_ok=True)
+            try:
+                return fn(spark, work)
+            except (Py4JNetworkError, ConnectionError) as exc:
+                last = exc
+            except Py4JError as exc:  # transport wrap, not a JVM raise
+                if "Py4JJavaError" in type(exc).__name__:
+                    raise
+                last = exc
+        raise last
+
+    return wrapper
+
+
 BASE = [float(v % 500) for v in range(0, 5000, 7)]
 
 
@@ -99,6 +129,7 @@ def _start(spark, src, bpath, out, cp, threshold=0.25):
     )
 
 
+@_retry_transport_flake
 def test_monitor_scores_batches_and_flags_drift(spark, tmp_path):
     src = str(tmp_path / "src")
     bpath = str(tmp_path / "baseline")
@@ -127,6 +158,7 @@ def test_monitor_scores_batches_and_flags_drift(spark, tmp_path):
     assert loud["psi"] == _psi_py(shifted, BASE)
 
 
+@_retry_transport_flake
 def test_monitor_replay_idempotent_and_rebaseline(spark, tmp_path):
     src = str(tmp_path / "src")
     bpath = str(tmp_path / "baseline")
