@@ -2003,3 +2003,323 @@ def q_win_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("breakout"),
     )
+
+
+# Directional-movement / Elder-Ray / Vortex lookbacks, in hourly bars.
+_ADX_WIN = 14
+_ER_WIN = 13
+_VTX_WIN = 14
+
+# Shared lag CTE for the directional ops: previous bar's high/low/close
+# per event type, first bar dropped (no prior bar to move against).
+_SQL_LAGGED_BARS = f"""
+      SELECT * FROM (
+        SELECT event_type, hour_id, close, high, low,
+               lag(high)  OVER w AS ph,
+               lag(low)   OVER w AS pl,
+               lag(close) OVER w AS pc
+        FROM bars
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+      ) WHERE ph IS NOT NULL
+"""
+
+
+@register(
+    "q_win_adx",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    lagd AS ({_SQL_LAGGED_BARS}),
+    dm AS (
+      SELECT event_type, hour_id,
+             CASE WHEN high - ph > pl - low AND high - ph > 0
+                  THEN high - ph ELSE 0.0 END AS dmp,
+             CASE WHEN pl - low > high - ph AND pl - low > 0
+                  THEN pl - low ELSE 0.0 END AS dmm,
+             greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+      FROM lagd
+    ),
+    rolled AS (
+      SELECT event_type, hour_id,
+             CAST(count(*) OVER f AS BIGINT) AS n,
+             CAST(sum(CAST(dmp AS DECIMAL(25,6))) OVER f AS DOUBLE) AS sp,
+             CAST(sum(CAST(dmm AS DECIMAL(25,6))) OVER f AS DOUBLE) AS sm,
+             CAST(sum(CAST(tr  AS DECIMAL(25,6))) OVER f AS DOUBLE) AS st
+      FROM dm
+      WINDOW f AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_ADX_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    ),
+    di AS (
+      SELECT event_type, hour_id,
+             {sql_dround("CASE WHEN st = 0 THEN 0.0"
+                         " ELSE 100.0 * sp / st END", 6)} AS di_plus,
+             {sql_dround("CASE WHEN st = 0 THEN 0.0"
+                         " ELSE 100.0 * sm / st END", 6)} AS di_minus
+      FROM rolled WHERE n = {_ADX_WIN}
+    ),
+    dx AS (
+      SELECT event_type, hour_id, di_plus, di_minus,
+             {sql_dround("CASE WHEN di_plus + di_minus = 0 THEN 0.0"
+                         " ELSE 100.0 * abs(di_plus - di_minus)"
+                         " / (di_plus + di_minus) END", 6)} AS dx
+      FROM di
+    ),
+    sm2 AS (
+      SELECT event_type, hour_id, di_plus, di_minus, dx,
+             CAST(count(*) OVER f AS BIGINT) AS nx,
+             CAST(sum(CAST(dx AS DECIMAL(25,6))) OVER f AS DOUBLE) AS sx
+      FROM dx
+      WINDOW f AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_ADX_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, di_plus, di_minus, dx,
+           {sql_dround(f"sx / {_ADX_WIN}", 6)} AS adx14
+    FROM sm2 WHERE nx = {_ADX_WIN}
+    """,
+)
+def q_win_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Directional Index (ADX-14, Cutler-style SMA variant)
+    per event type over the hourly bars: +DM/−DM pick the dominant
+    bar-to-bar directional move, ±DI normalize their 14-bar sums by
+    the 14-bar true-range sum, DX measures their imbalance, and ADX
+    smooths DX by a second simple 14-bar average — the trend-STRENGTH
+    gauge (direction-agnostic: ADX > 25 reads "trending", whichever
+    way) that complements the q_win_rsi/q_win_macd direction signals;
+    Wilder's recursive smoothing is substituted by SMA exactly as in
+    q_win_rsi, keeping the statistic a pure sliding-window expression.
+
+    Plan: hourly-bar hash aggregate, one lag pass and two rolling-sum
+    passes all over the SAME (event_type, hour_id) sort — |hours| rows
+    per type, time-grain bounded, traffic-invariant. Determinism: DM
+    and TR are exact double comparisons/differences of unique bar
+    picks; every rolling sum rides the decimal detour; DI and DX are
+    e6-rounded BEFORE feeding the next window so both engines
+    aggregate identical inputs; zero-TR and flat (DI+ + DI− = 0)
+    frames read 0 by convention instead of dividing by zero."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    lagd = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "high",
+        "low",
+        F.lag("high").over(wl).alias("ph"),
+        F.lag("low").over(wl).alias("pl"),
+        F.lag("close").over(wl).alias("pc"),
+    ).filter(F.col("ph").isNotNull())
+    up = F.col("high") - F.col("ph")
+    dn = F.col("pl") - F.col("low")
+    dm = lagd.select(
+        "event_type",
+        "hour_id",
+        F.when((up > dn) & (up > 0), up).otherwise(F.lit(0.0)).alias("dmp"),
+        F.when((dn > up) & (dn > 0), dn).otherwise(F.lit(0.0)).alias("dmm"),
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - F.col("pc")),
+            F.abs(F.col("low") - F.col("pc")),
+        ).alias("tr"),
+    )
+    f = wl.rowsBetween(-(_ADX_WIN - 1), Window.currentRow)
+    rolled = dm.select(
+        "event_type",
+        "hour_id",
+        F.count(F.lit(1)).over(f).cast("bigint").alias("n"),
+        F.sum(F.col("dmp").cast("decimal(25,6)")).over(f).cast("double").alias("sp"),
+        F.sum(F.col("dmm").cast("decimal(25,6)")).over(f).cast("double").alias("sm"),
+        F.sum(F.col("tr").cast("decimal(25,6)")).over(f).cast("double").alias("st"),
+    ).filter(F.col("n") == _ADX_WIN)
+    st = F.col("st")
+    di = rolled.select(
+        "event_type",
+        "hour_id",
+        dround(
+            F.when(st == 0, F.lit(0.0)).otherwise(100.0 * F.col("sp") / st), 6
+        ).alias("di_plus"),
+        dround(
+            F.when(st == 0, F.lit(0.0)).otherwise(100.0 * F.col("sm") / st), 6
+        ).alias("di_minus"),
+    )
+    dsumdi = F.col("di_plus") + F.col("di_minus")
+    dx = di.select(
+        "event_type",
+        "hour_id",
+        "di_plus",
+        "di_minus",
+        dround(
+            F.when(dsumdi == 0, F.lit(0.0)).otherwise(
+                100.0 * F.abs(F.col("di_plus") - F.col("di_minus")) / dsumdi
+            ),
+            6,
+        ).alias("dx"),
+    )
+    sm2 = dx.select(
+        "event_type",
+        "hour_id",
+        "di_plus",
+        "di_minus",
+        "dx",
+        F.count(F.lit(1)).over(f).cast("bigint").alias("nx"),
+        F.sum(F.col("dx").cast("decimal(25,6)")).over(f).cast("double").alias("sx"),
+    ).filter(F.col("nx") == _ADX_WIN)
+    return sm2.select(
+        "event_type",
+        "hour_id",
+        "di_plus",
+        "di_minus",
+        "dx",
+        dround(F.col("sx") / _ADX_WIN, 6).alias("adx14"),
+    )
+
+
+@register(
+    "q_win_elder_ray",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    ma AS (
+      SELECT event_type, hour_id, close, high, low,
+             CAST(count(*) OVER f AS BIGINT) AS n,
+             CAST(sum(CAST(close AS DECIMAL(25,6))) OVER f AS DOUBLE)
+                 / {_ER_WIN} AS sma13
+      FROM bars
+      WINDOW f AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_ER_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, close, sma13,
+           high - sma13 AS bull_power,
+           low - sma13 AS bear_power
+    FROM ma WHERE n = {_ER_WIN}
+    """,
+)
+def q_win_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder-Ray bull/bear power per event type: the hourly bar's high
+    (resp. low) minus the 13-bar simple moving average of the close —
+    how far the strongest buyers (sellers) pushed the bar beyond the
+    local consensus value. Positive bear power with a rising average
+    is Elder's classic strength confirmation; on a metric stream the
+    pair reads as signed headroom of each hour's extremes over the
+    local trend. EMA-13 is substituted by SMA-13 (the q_win_rsi/
+    q_win_macd convention) so the baseline is a pure sliding window.
+
+    Plan: hourly-bar hash aggregate, one full-frame rolling mean over
+    |hours| rows partitioned by type (time-grain bounded). Determinism:
+    the rolling sum rides the decimal detour, the mean is one division
+    by an integer literal, and both powers are single exact double
+    subtractions — no libm, no rounding needed."""
+    bars = _hourly_close(spark, sf_dir)
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-(_ER_WIN - 1), Window.currentRow)
+    )
+    ma = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "high",
+        "low",
+        F.count(F.lit(1)).over(f).cast("bigint").alias("n"),
+        (
+            F.sum(F.col("close").cast("decimal(25,6)")).over(f).cast("double")
+            / _ER_WIN
+        ).alias("sma13"),
+    ).filter(F.col("n") == _ER_WIN)
+    return ma.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "sma13",
+        (F.col("high") - F.col("sma13")).alias("bull_power"),
+        (F.col("low") - F.col("sma13")).alias("bear_power"),
+    )
+
+
+@register(
+    "q_win_vortex",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    lagd AS ({_SQL_LAGGED_BARS}),
+    vm AS (
+      SELECT event_type, hour_id,
+             abs(high - pl) AS vmp,
+             abs(low - ph) AS vmm,
+             greatest(high - low, abs(high - pc), abs(low - pc)) AS tr
+      FROM lagd
+    ),
+    rolled AS (
+      SELECT event_type, hour_id,
+             CAST(count(*) OVER f AS BIGINT) AS n,
+             CAST(sum(CAST(vmp AS DECIMAL(25,6))) OVER f AS DOUBLE) AS svp,
+             CAST(sum(CAST(vmm AS DECIMAL(25,6))) OVER f AS DOUBLE) AS svm,
+             CAST(sum(CAST(tr  AS DECIMAL(25,6))) OVER f AS DOUBLE) AS st
+      FROM vm
+      WINDOW f AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_VTX_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id,
+           CASE WHEN st = 0 THEN 0.0 ELSE svp / st END AS vi_plus,
+           CASE WHEN st = 0 THEN 0.0 ELSE svm / st END AS vi_minus,
+           (CASE WHEN st = 0 THEN 0.0 ELSE svp / st END)
+             - (CASE WHEN st = 0 THEN 0.0 ELSE svm / st END) AS vi_diff
+    FROM rolled WHERE n = {_VTX_WIN}
+    """,
+)
+def q_win_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vortex indicator (VI+/VI−, 14 bars) per event type: upward
+    vortex movement |high − prevLow| and downward |low − prevHigh|,
+    each summed over 14 bars and normalized by the 14-bar true-range
+    sum. A VI+/VI− crossover is the trend-reversal signal; vi_diff's
+    sign gives the current regime at a glance. Fully window-shaped
+    (sums of exact per-bar terms), no recursion to substitute.
+
+    Plan: hourly-bar hash aggregate, one lag pass and one rolling-sum
+    pass over the same (event_type, hour_id) sort — |hours| rows per
+    type, time-grain bounded. Determinism: VM and TR are exact double
+    abs/max arithmetic on unique bar picks; rolling sums ride the
+    decimal detour; the VI ratios are single deterministic double
+    divisions with the zero-TR frame reading 0 by convention."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    lagd = bars.select(
+        "event_type",
+        "hour_id",
+        "high",
+        "low",
+        F.lag("high").over(wl).alias("ph"),
+        F.lag("low").over(wl).alias("pl"),
+        F.lag("close").over(wl).alias("pc"),
+    ).filter(F.col("ph").isNotNull())
+    vm = lagd.select(
+        "event_type",
+        "hour_id",
+        F.abs(F.col("high") - F.col("pl")).alias("vmp"),
+        F.abs(F.col("low") - F.col("ph")).alias("vmm"),
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - F.col("pc")),
+            F.abs(F.col("low") - F.col("pc")),
+        ).alias("tr"),
+    )
+    f = wl.rowsBetween(-(_VTX_WIN - 1), Window.currentRow)
+    rolled = vm.select(
+        "event_type",
+        "hour_id",
+        F.count(F.lit(1)).over(f).cast("bigint").alias("n"),
+        F.sum(F.col("vmp").cast("decimal(25,6)")).over(f).cast("double").alias("svp"),
+        F.sum(F.col("vmm").cast("decimal(25,6)")).over(f).cast("double").alias("svm"),
+        F.sum(F.col("tr").cast("decimal(25,6)")).over(f).cast("double").alias("st"),
+    ).filter(F.col("n") == _VTX_WIN)
+    st = F.col("st")
+    vip = F.when(st == 0, F.lit(0.0)).otherwise(F.col("svp") / st)
+    vim = F.when(st == 0, F.lit(0.0)).otherwise(F.col("svm") / st)
+    return rolled.select(
+        "event_type",
+        "hour_id",
+        vip.alias("vi_plus"),
+        vim.alias("vi_minus"),
+        (vip - vim).alias("vi_diff"),
+    )

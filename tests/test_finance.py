@@ -787,3 +787,114 @@ def test_keltner_matches_python(spark):
             )
             assert row["breakout"] == want
     assert len(got) == n_expected and n_expected > 0
+
+
+def test_adx_matches_python(spark):
+    from ex_hivent_spark.operators.finance import _ADX_WIN
+
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_adx"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        dmp, dmm, trs, hours = [], [], [], []
+        for i in range(1, len(series)):
+            h, c, hi, lo = series[i]
+            _, pc, ph, pl = series[i - 1]
+            up, dn = hi - ph, pl - lo
+            dmp.append(up if up > dn and up > 0 else 0.0)
+            dmm.append(dn if dn > up and dn > 0 else 0.0)
+            trs.append(max(hi - lo, abs(hi - pc), abs(lo - pc)))
+            hours.append(h)
+        dx_series: list[tuple[int, float, float, float]] = []
+        for j in range(len(hours)):
+            if j + 1 < _ADX_WIN:
+                continue
+            sp = math.fsum(dmp[j - _ADX_WIN + 1 : j + 1])
+            sm = math.fsum(dmm[j - _ADX_WIN + 1 : j + 1])
+            st = math.fsum(trs[j - _ADX_WIN + 1 : j + 1])
+            dip = _e6(0.0 if st == 0 else 100.0 * sp / st)
+            dim = _e6(0.0 if st == 0 else 100.0 * sm / st)
+            dx = _e6(
+                0.0
+                if dip + dim == 0
+                else 100.0 * abs(dip - dim) / (dip + dim)
+            )
+            dx_series.append((hours[j], dip, dim, dx))
+        for k in range(len(dx_series)):
+            if k + 1 < _ADX_WIN:
+                continue
+            h, dip, dim, dx = dx_series[k]
+            adx = _e6(
+                math.fsum(
+                    d for _, _, _, d in dx_series[k - _ADX_WIN + 1 : k + 1]
+                )
+                / _ADX_WIN
+            )
+            n_expected += 1
+            row = got[(t, h)]
+            assert row["di_plus"] == pytest.approx(dip, abs=1e-6)
+            assert row["di_minus"] == pytest.approx(dim, abs=1e-6)
+            assert row["dx"] == pytest.approx(dx, abs=1e-6)
+            assert row["adx14"] == pytest.approx(adx, abs=1e-6)
+    assert len(got) == n_expected and n_expected > 0
+
+
+def test_elder_ray_matches_python(spark):
+    from ex_hivent_spark.operators.finance import _ER_WIN
+
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_elder_ray"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        closes = [c for _, c, _, _ in series]
+        for i in range(len(series)):
+            if i + 1 < _ER_WIN:
+                continue
+            sma = math.fsum(closes[i - _ER_WIN + 1 : i + 1]) / _ER_WIN
+            h, c, hi, lo = series[i]
+            n_expected += 1
+            row = got[(t, h)]
+            assert row["sma13"] == pytest.approx(sma, abs=1e-6)
+            assert row["bull_power"] == pytest.approx(hi - sma, abs=1e-6)
+            assert row["bear_power"] == pytest.approx(lo - sma, abs=1e-6)
+    assert len(got) == n_expected and n_expected > 0
+
+
+def test_vortex_matches_python(spark):
+    from ex_hivent_spark.operators.finance import _VTX_WIN
+
+    bars = _bars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_vortex"].spark(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for t, series in bars.items():
+        vmp, vmm, trs, hours = [], [], [], []
+        for i in range(1, len(series)):
+            h, c, hi, lo = series[i]
+            _, pc, ph, pl = series[i - 1]
+            vmp.append(abs(hi - pl))
+            vmm.append(abs(lo - ph))
+            trs.append(max(hi - lo, abs(hi - pc), abs(lo - pc)))
+            hours.append(h)
+        for j in range(len(hours)):
+            if j + 1 < _VTX_WIN:
+                continue
+            svp = math.fsum(vmp[j - _VTX_WIN + 1 : j + 1])
+            svm = math.fsum(vmm[j - _VTX_WIN + 1 : j + 1])
+            st = math.fsum(trs[j - _VTX_WIN + 1 : j + 1])
+            vip = 0.0 if st == 0 else svp / st
+            vim = 0.0 if st == 0 else svm / st
+            n_expected += 1
+            row = got[(t, hours[j])]
+            assert row["vi_plus"] == pytest.approx(vip, abs=1e-6)
+            assert row["vi_minus"] == pytest.approx(vim, abs=1e-6)
+            assert row["vi_diff"] == pytest.approx(vip - vim, abs=1e-6)
+    assert len(got) == n_expected and n_expected > 0
