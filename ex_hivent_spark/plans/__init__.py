@@ -23,6 +23,7 @@ def load_all() -> None:
     import ex_hivent_spark.operators.drift  # noqa: F401
     import ex_hivent_spark.operators.stats  # noqa: F401
     import ex_hivent_spark.operators.tsdiag  # noqa: F401
+    import ex_hivent_spark.operators.tsfeat  # noqa: F401
     import ex_hivent_spark.operators.market  # noqa: F401
     import ex_hivent_spark.operators.finance  # noqa: F401
     import ex_hivent_spark.operators.behavior  # noqa: F401

@@ -729,6 +729,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "q_ts_runs_test": 3,
     # lag/lead pair for local-extremum detection
     "q_ts_turning_points": 1,
+    # r10 tsfeat: partial-sum cumsum over the same bounded 720-row
+    # month spine (tsfeat.py q_ts_kpss_lite — the KPSS S_t series)
+    "q_ts_kpss_lite": 1,
 }
 
 
