@@ -80,11 +80,17 @@ _DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 
 def clear_table_cache(spark: SparkSession | None = None) -> None:
-    """Drop memoized table reads (one session's, or all)."""
+    """Drop memoized table reads (one session's, or all), plus the
+    dedup-label frames memoized on top of them."""
     if spark is None:
         _DF_CACHE.clear()
     else:
         _DF_CACHE.pop(spark, None)
+    # Lazy import: clusters imports the registry which imports widely;
+    # catalog must stay import-light for the driver's first touch.
+    from ex_hivent_spark.llm.clusters import clear_labels_cache
+
+    clear_labels_cache(spark)
 
 
 def ensure_session_confs(spark: SparkSession) -> SparkSession:

@@ -42,6 +42,19 @@ _LABELS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def clear_labels_cache(spark: SparkSession | None = None) -> None:
+    """Drop memoized dedup-component labels (one session's, or all).
+
+    The cached frames strongly reference their session, so weak-key
+    eviction alone never fires; this releases the pinned
+    localCheckpoint blocks explicitly (catalog.clear_table_cache calls
+    through here)."""
+    if spark is None:
+        _LABELS_CACHE.clear()
+    else:
+        _LABELS_CACHE.pop(spark, None)
+
+
 def _dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) min-label components of the 3-gram-Jaccard
     pair graph, computed once per session+sf_dir."""

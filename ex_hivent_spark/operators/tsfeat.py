@@ -186,7 +186,14 @@ def q_ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, and the single closing division by 4^k is one exact
     IEEE operation — no libm, no rounding needed anywhere."""
     series = _total_spine(spark, sf_dir).localCheckpoint(eager=False)
-    t = F.col("h") - _EPOCH_H
+    return haar_energies(series, _EPOCH_H)
+
+
+def haar_energies(series: DataFrame, origin_h: int) -> DataFrame:
+    """Per-level Haar detail energy of an (h, y) hourly series whose
+    spine starts at ``origin_h`` (exposed so tests can feed synthetic
+    series: a constant series must read zero energy at every level)."""
+    t = F.col("h") - origin_h
     out = None
     for k in _HAAR_LEVELS:
         b = 2**k

@@ -56,7 +56,7 @@ def _retry_transport_flake(fn):
     analysis errors propagate immediately — this never masks a real bug."""
     import functools
 
-    from py4j.protocol import Py4JError, Py4JNetworkError
+    from py4j.protocol import Py4JError, Py4JJavaError, Py4JNetworkError
 
     @functools.wraps(fn)
     def wrapper(spark, tmp_path):
@@ -66,12 +66,10 @@ def _retry_transport_flake(fn):
             work.mkdir(exist_ok=True)
             try:
                 return fn(spark, work)
-            except (Py4JNetworkError, ConnectionError) as exc:
-                last = exc
-            except Py4JError as exc:  # transport wrap, not a JVM raise
-                if "Py4JJavaError" in type(exc).__name__:
-                    raise
-                last = exc
+            except Py4JJavaError:  # real JVM raise — never retry
+                raise
+            except (Py4JNetworkError, ConnectionError, Py4JError) as exc:
+                last = exc  # transport wrap, not a JVM raise
         raise last
 
     return wrapper

@@ -84,9 +84,18 @@ def test_wavelet_haar_matches_python(spark):
         assert row["energy"] == pytest.approx(energy, rel=1e-12)
 
 
-def test_wavelet_energy_flat_series_is_zero(spark, tmp_path):
-    # A constant series has zero detail energy at every scale; the
-    # real series must NOT (otherwise the op degenerates).
+def test_wavelet_energy_flat_series_is_zero(spark):
+    # A constant series has zero detail energy at every scale (left
+    # and right half-block sums cancel exactly), and the real series
+    # must NOT read zero everywhere (otherwise the op degenerates).
+    from ex_hivent_spark.operators.tsfeat import haar_energies
+
+    flat = spark.createDataFrame(
+        [(h, 7) for h in range(_N_HOURS)], "h bigint, y bigint"
+    )
+    for row in haar_energies(flat, 0).collect():
+        assert row["energy"] == 0.0
+
     rows = SPECS["q_ts_wavelet_haar"].spark(spark, SF_DIR).collect()
     assert any(r["energy"] > 0 for r in rows)
 
