@@ -1,0 +1,627 @@
+"""Second classical-inference battery: Kendall's tau-b (rank
+association between two daily metrics), McNemar's paired-proportion
+test (did the same users change behavior between month halves?), the
+chi-square goodness-of-fit test (is traffic uniform over the weekly
+cycle?), the Friedman test (do event types rank consistently across
+daily blocks?), and Bartlett's test (are group variances equal enough
+for pooled-variance parametrics?) — completing operators/stats.py's
+toolkit with the paired/blocked/association tests an experimentation
+platform runs alongside the k-sample batteries.
+
+None exists as a Spark builtin. Plans follow the stats.py discipline:
+event volume enters ONLY through hash aggregates at the (type, day) or
+(type, user) grain; everything downstream touches frames bounded by
+group cardinality (types × days, a retention-bounded pre-agg exactly
+like q_ts_theil_sen's) — never by traffic. The Kendall pair expansion
+is |days|² per type and the Friedman ranking window is |types| per
+day, both documented retention-grain bounds.
+
+Determinism: integer counts and decimal-detour sums throughout; exact
+.5-grid midranks from integer rank/count arithmetic; every libm (ln,
+sqrt) and every cancellation-prone closing e6-rounded on both sides;
+zero denominators take explicit NULL branches identically.
+
+Reference parity note: the reference engine (an Elixir event-transport
+client, SURVEY.md §0) has no statistics surface; these derive from the
+driver's analytics mandate and standard experimentation practice
+(tau-b per Kendall, McNemar 1947, Friedman 1937, Bartlett 1937).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround, sql_dround
+from ex_hivent_spark.plans.registry import register
+
+# The events table spans one fixed 720-hour month at every SF
+# (drift.py's spine constants); its midpoint splits the McNemar pair.
+_EPOCH_H = 473352
+_MID_TS = (_EPOCH_H + 360) * 3600
+
+# Oracle twin of the per-(type, day) metric pre-agg used by the
+# Kendall and GOF tests: day id, event count, distinct users.
+_SQL_DAILY = """
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS y
+      FROM events
+      GROUP BY 1, 2
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, d, x=n_events, y=n_distinct_users) per day."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.count_distinct("user_id").cast("bigint").alias("y"),
+    )
+
+
+@register(
+    "q_stats_kendall_tau",
+    oracle=f"""
+    WITH daily AS ({_SQL_DAILY}),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(conc) AS BIGINT) AS n_conc,
+             CAST(sum(disc) AS BIGINT) AS n_disc,
+             CAST(sum(tx) AS BIGINT) AS n_tie_x,
+             CAST(sum(ty) AS BIGINT) AS n_tie_y
+      FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, n_conc, n_disc, n_tie_x, n_tie_y,
+           CASE WHEN (n_conc + n_disc + n_tie_y) = 0
+                  OR (n_conc + n_disc + n_tie_x) = 0 THEN NULL
+                ELSE {sql_dround(
+                    "(n_conc - n_disc) / sqrt("
+                    "CAST((n_conc + n_disc + n_tie_y) AS DOUBLE)"
+                    " * (n_conc + n_disc + n_tie_x))", 6)}
+           END AS tau_b
+    FROM agg
+    """,
+)
+def q_stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b per event type between the two daily health
+    metrics — event volume (x) and distinct-user reach (y): over all
+    day pairs, (concordant − discordant) / sqrt(pairs-untied-in-x ×
+    pairs-untied-in-y). tau near +1 says volume and reach move
+    together (organic growth); near 0 says volume moves without reach
+    (a few users generating load). The tie-corrected b variant is the
+    right one on count data where equal days happen.
+
+    Plan: ONE hash aggregate to the (type, day) grain — the only pass
+    over event volume — then a |days|² per-type pair self-join (435
+    pairs per type on the 30-day month; retention-grain bounded, the
+    q_ts_theil_sen discipline) and a per-type hash aggregate.
+    Determinism: concordance/tie counts are exact integers; the only
+    float math is the single closing sqrt ratio, e6-rounded; a fully
+    tied axis yields NULL identically on both sides."""
+    daily = _daily(spark, sf_dir)
+    a, b = daily.alias("a"), daily.alias("b")
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(((ax < bx) & (ay < by)) | ((ax > bx) & (ay > by)), 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when(((ax < bx) & (ay > by)) | ((ax > bx) & (ay < by)), 1)
+        .otherwise(0)
+        .alias("disc"),
+        F.when((ax == bx) & (ay != by), 1).otherwise(0).alias("tx"),
+        F.when((ay == by) & (ax != bx), 1).otherwise(0).alias("ty"),
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.sum("conc").cast("bigint").alias("n_conc"),
+        F.sum("disc").cast("bigint").alias("n_disc"),
+        F.sum("tx").cast("bigint").alias("n_tie_x"),
+        F.sum("ty").cast("bigint").alias("n_tie_y"),
+    )
+    den_x = F.col("n_conc") + F.col("n_disc") + F.col("n_tie_y")
+    den_y = F.col("n_conc") + F.col("n_disc") + F.col("n_tie_x")
+    return agg.select(
+        "event_type",
+        "n_conc",
+        "n_disc",
+        "n_tie_x",
+        "n_tie_y",
+        F.when((den_x == 0) | (den_y == 0), F.lit(None).cast("double"))
+        .otherwise(
+            dround(
+                (F.col("n_conc") - F.col("n_disc"))
+                / F.sqrt(den_x.cast("double") * den_y),
+                6,
+            )
+        )
+        .alias("tau_b"),
+    )
+
+
+@register(
+    "q_stats_mcnemar",
+    oracle=f"""
+    WITH flags AS (
+      SELECT event_type, user_id,
+             max(CASE WHEN epoch(ts) < {_MID_TS} THEN 1 ELSE 0 END) AS h1,
+             max(CASE WHEN epoch(ts) >= {_MID_TS} THEN 1 ELSE 0 END) AS h2
+      FROM events GROUP BY event_type, user_id
+    ),
+    cells AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_first_only,
+             CAST(sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_second_only
+      FROM flags GROUP BY event_type
+    ),
+    u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events)
+    SELECT event_type, n_both, n_first_only, n_second_only,
+           n_users - n_both - n_first_only - n_second_only AS n_neither,
+           CASE WHEN n_first_only + n_second_only = 0 THEN NULL
+                ELSE {sql_dround(
+                    "CAST((n_first_only - n_second_only)"
+                    " * (n_first_only - n_second_only) AS DOUBLE)"
+                    " / (n_first_only + n_second_only)", 6)}
+           END AS mcnemar_stat,
+           CASE WHEN n_first_only + n_second_only = 0 THEN NULL
+                ELSE {sql_dround(
+                    "CAST(greatest(abs(n_first_only - n_second_only)"
+                    " - 1, 0) * greatest(abs(n_first_only"
+                    " - n_second_only) - 1, 0) AS DOUBLE)"
+                    " / (n_first_only + n_second_only)", 6)}
+           END AS mcnemar_cc
+    FROM cells CROSS JOIN u
+    """,
+)
+def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test per event type on the paired month halves: each
+    user is (did type in H1, did type in H2); the discordant cells —
+    first-half-only (b) vs second-half-only (c) — carry all the
+    information about marginal change, stat = (b−c)²/(b+c), plus the
+    continuity-corrected (|b−c|−1)²/(b+c) variant. The four-cell
+    breakdown (both / b / c / neither, against the all-events user
+    universe) is emitted for the contingency readout.
+
+    Plan: one (type, user) hash aggregate over event volume, one
+    per-type hash aggregate of the flags, and a one-row broadcast
+    cross join for the user-universe scalar. Determinism: pure integer
+    cell counts; the two closing ratios are single IEEE divisions of
+    integers, e6-rounded; b+c = 0 yields NULL identically."""
+    e = load_table(spark, sf_dir, "events")
+    flags = e.groupBy("event_type", "user_id").agg(
+        F.max(
+            F.when(F.unix_timestamp("ts") < _MID_TS, 1).otherwise(0)
+        ).alias("h1"),
+        F.max(
+            F.when(F.unix_timestamp("ts") >= _MID_TS, 1).otherwise(0)
+        ).alias("h2"),
+    )
+    cells = flags.groupBy("event_type").agg(
+        F.sum(F.when((F.col("h1") == 1) & (F.col("h2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum(F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first_only"),
+        F.sum(F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_second_only"),
+    )
+    universe = e.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users")
+    )
+    joined = cells.crossJoin(F.broadcast(universe))
+    b, c = F.col("n_first_only"), F.col("n_second_only")
+    diff2 = ((b - c) * (b - c)).cast("double")
+    cc = F.greatest(F.abs(b - c) - 1, F.lit(0))
+    cc2 = (cc * cc).cast("double")
+    return joined.select(
+        "event_type",
+        "n_both",
+        "n_first_only",
+        "n_second_only",
+        (
+            F.col("n_users")
+            - F.col("n_both")
+            - F.col("n_first_only")
+            - F.col("n_second_only")
+        ).alias("n_neither"),
+        F.when(b + c == 0, F.lit(None).cast("double"))
+        .otherwise(dround(diff2 / (b + c), 6))
+        .alias("mcnemar_stat"),
+        F.when(b + c == 0, F.lit(None).cast("double"))
+        .otherwise(dround(cc2 / (b + c), 6))
+        .alias("mcnemar_cc"),
+    )
+
+
+@register(
+    "q_stats_chisq_gof",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, g.dow
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT CAST(unnest(range(7)) AS BIGINT) AS dow) g
+    ),
+    dense AS (
+      SELECT grid.event_type, grid.dow, COALESCE(obs.o, 0) AS o
+      FROM grid LEFT JOIN obs
+        ON grid.event_type = obs.event_type AND grid.dow = obs.dow
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS n
+      FROM dense GROUP BY event_type
+    ),
+    terms AS (
+      SELECT dense.event_type, dense.o, tot.n,
+             {sql_dround(
+                 "(dense.o - tot.n / 7.0) * (dense.o - tot.n / 7.0)"
+                 " / (tot.n / 7.0)", 6)} AS term
+      FROM dense JOIN tot ON dense.event_type = tot.event_type
+      WHERE tot.n > 0
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+           CAST(6 AS INT) AS df,
+           {sql_dround(
+               "CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE)", 6)}
+             AS chi2
+    FROM terms GROUP BY event_type
+    """,
+)
+def q_stats_chisq_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit per event type against a uniform
+    weekly cycle: the month's events bucketed by epoch-day mod 7 (a
+    pure arithmetic weekday class — no calendar lookup, identical in
+    both engines), expected n/7 per cell, chi² = Σ(O−E)²/E over all 7
+    cells INCLUDING empty ones (the densified grid matters: a missing
+    cell contributes E, not zero). Large chi² on df=6 flags a weekly
+    rhythm the uniform model can't explain.
+
+    Plan: one hash aggregate over event volume, a |types|×7 broadcast
+    grid to densify, and a per-type closing aggregate — the grid and
+    everything after it is group-cardinality bounded. Determinism:
+    observed counts are exact integers, each cell term is one IEEE
+    chain e6-rounded, and the 7-term sum rides the decimal detour."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") % 7
+        ).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(
+            spark.range(7).select(F.col("id").cast("bigint").alias("dow"))
+        )
+    )
+    dense = grid.join(obs, ["event_type", "dow"], "left").select(
+        "event_type", "dow", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("n")
+    )
+    ecol = F.col("n") / 7.0
+    terms = (
+        dense.join(tot, "event_type")
+        .filter(F.col("n") > 0)
+        .select(
+            "event_type",
+            "n",
+            dround(
+                (F.col("o") - ecol) * (F.col("o") - ecol) / ecol, 6
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.lit(6).cast("int").alias("df"),
+        dround(
+            F.sum(F.col("term").cast("decimal(25,6)")).cast("double"), 6
+        ).alias("chi2"),
+    )
+
+
+# Friedman daily metric: per-(day, type) decimal sum of value.
+_SQL_FRIEDMAN_DAILY = """
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+             event_type,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS m
+      FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_stats_friedman",
+    oracle=f"""
+    WITH daily AS ({_SQL_FRIEDMAN_DAILY}),
+    nd AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_days FROM daily),
+    kept AS (
+      SELECT event_type FROM daily CROSS JOIN nd
+      GROUP BY event_type, n_days
+      HAVING count(*) = max(n_days)
+    ),
+    cells AS (
+      SELECT daily.d, daily.event_type, daily.m
+      FROM daily JOIN kept ON daily.event_type = kept.event_type
+    ),
+    ranked AS (
+      SELECT d, event_type,
+             CAST(rank() OVER (PARTITION BY d ORDER BY m) AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY d, m) AS DOUBLE) - 1)
+                 / 2.0 AS r,
+             CAST(count(*) OVER (PARTITION BY d, m) AS BIGINT) AS t
+      FROM cells
+    ),
+    rsums AS (
+      SELECT event_type, sum(r) AS rj
+      FROM ranked GROUP BY event_type
+    ),
+    ties AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+      FROM (SELECT d, m, CAST(count(*) AS BIGINT) AS t
+            FROM cells GROUP BY d, m)
+    ),
+    dims AS (
+      SELECT CAST(count(DISTINCT d) AS BIGINT) AS n,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS k
+      FROM cells
+    )
+    SELECT n AS n_days, k,
+           {sql_dround(
+               "12.0 / (n * k * (k + 1)) * sum(rj * rj)"
+               " - 3.0 * n * (k + 1)", 6)} AS q_stat,
+           {sql_dround(
+               "1.0 - CAST(tie_sum AS DOUBLE) / (n * (k*k*k - k))",
+               6)} AS tie_factor,
+           CASE WHEN tie_sum = n * (k*k*k - k) THEN NULL
+                ELSE {sql_dround(
+                    "(12.0 / (n * k * (k + 1)) * sum(rj * rj)"
+                    " - 3.0 * n * (k + 1))"
+                    " / (1.0 - CAST(tie_sum AS DOUBLE)"
+                    " / (n * (k*k*k - k)))", 6)}
+           END AS q_adj
+    FROM rsums CROSS JOIN ties CROSS JOIN dims
+    GROUP BY n, k, tie_sum
+    """,
+)
+def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's rank test: do event types keep the same daily-value
+    ordering across the month's 30 daily blocks? Within each day the
+    kept types (those present EVERY day — complete blocks, the test's
+    requirement) get midranks of their daily value sums; Q =
+    12/(nk(k+1))·ΣR_j² − 3n(k+1) on df k−1, with the standard tie
+    correction factor 1 − Σ(t³−t)/(n(k³−k)) and the adjusted Q/C
+    (NULL when every block is fully tied). A small Q says the types'
+    relative magnitudes are stable; a large Q says some type
+    systematically outranks others.
+
+    Plan: one (day, type) hash aggregate over event volume; the
+    ranking window is partitioned BY DAY over ≤ |types| rows (group-
+    cardinality bounded); everything downstream is tiny aggregates.
+    Determinism: the ranked metric is a decimal-detour sum (identical
+    doubles on both engines, so tie groups agree exactly); midranks
+    are exact .5-grid rationals from integer rank/count arithmetic
+    whose sums stay far below 2^53 (order-insensitive); the closings
+    are IEEE chains from integers, e6-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
+        "event_type",
+    ).agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("m"))
+    n_days_f = daily.agg(
+        F.count_distinct("d").cast("bigint").alias("n_days")
+    )
+    kept = (
+        daily.crossJoin(F.broadcast(n_days_f))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("n_days").alias("nd"),
+        )
+        .filter(F.col("c") == F.col("nd"))
+        .select("event_type")
+    )
+    cells = daily.join(F.broadcast(kept), "event_type").select(
+        "d", "event_type", "m"
+    )
+    wr = Window.partitionBy("d").orderBy("m")
+    wt = Window.partitionBy("d", "m")
+    ranked = cells.select(
+        "d",
+        "event_type",
+        (
+            F.rank().over(wr).cast("double")
+            + (F.count(F.lit(1)).over(wt).cast("double") - 1) / 2.0
+        ).alias("r"),
+    )
+    rsums = ranked.groupBy("event_type").agg(F.sum("r").alias("rj"))
+    ties = (
+        cells.groupBy("d", "m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            )
+            .cast("bigint")
+            .alias("tie_sum")
+        )
+    )
+    dims = cells.agg(
+        F.count_distinct("d").cast("bigint").alias("n"),
+        F.count_distinct("event_type").cast("bigint").alias("k"),
+    )
+    joined = rsums.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(dims))
+    n, k, tie_sum = F.col("n"), F.col("k"), F.col("tie_sum")
+    qexpr = 12.0 / (n * k * (k + 1)) * F.sum(
+        F.col("rj") * F.col("rj")
+    ) - 3.0 * n * (k + 1)
+    tie_den = n * (k * k * k - k)
+    cexpr = 1.0 - tie_sum.cast("double") / tie_den
+    return joined.groupBy("n", "k", "tie_sum").agg(
+        dround(qexpr, 6).alias("q_stat"),
+        dround(cexpr, 6).alias("tie_factor"),
+        F.when(tie_sum == tie_den, F.lit(None).cast("double"))
+        .otherwise(dround(qexpr / cexpr, 6))
+        .alias("q_adj"),
+    ).select(
+        F.col("n").alias("n_days"), "k", "q_stat", "tie_factor", "q_adj"
+    )
+
+
+# Bartlett oracle sub-expressions (composed to mirror the Spark side
+# exactly: e6 round the pooled variance, its ln, and 1/(N-k) before
+# they enter the closing chain).
+_B_POOLED = sql_dround("ssq_tot / (ntot - k)", 6)
+_B_LNP = sql_dround(f"ln({_B_POOLED})", 6)
+_B_INV_NK = sql_dround("1.0 / (ntot - k)", 6)
+
+
+@register(
+    "q_stats_bartlett",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+               AS sxx
+      FROM events GROUP BY event_type
+    ),
+    v AS (
+      SELECT event_type, n,
+             {sql_dround("(sxx - sx * sx / n) / (n - 1)", 6)} AS s2,
+             {sql_dround("sxx - sx * sx / n", 6)} AS ssq
+      FROM g WHERE n >= 2
+    ),
+    vpos AS (SELECT * FROM v WHERE s2 > 0),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS ntot,
+             CAST(sum(CAST(ssq AS DECIMAL(25,6))) AS DOUBLE) AS ssq_tot,
+             CAST(sum(CAST((n - 1) * ({sql_dround("ln(s2)", 6)})
+                  AS DECIMAL(25,6))) AS DOUBLE) AS wlns,
+             CAST(sum(CAST({sql_dround("1.0 / (n - 1)", 6)}
+                  AS DECIMAL(25,6))) AS DOUBLE) AS inv_sum
+      FROM vpos
+    )
+    SELECT k, ntot AS n_total,
+           {_B_POOLED} AS pooled_var,
+           CASE WHEN k < 2 THEN NULL
+                ELSE {sql_dround(
+                    f"((ntot - k) * ({_B_LNP}) - wlns)"
+                    f" / (1.0 + (inv_sum - ({_B_INV_NK}))"
+                    f" / (3.0 * (k - 1)))", 6)}
+           END AS bartlett_stat
+    FROM t
+    """,
+)
+def q_stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's homogeneity-of-variance test across event types on
+    value: T = [(N−k)·ln(Sp²) − Σ(nᵢ−1)·ln(Sᵢ²)] / C with C = 1 +
+    (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)) — the likelihood-ratio gate that
+    says whether a pooled-variance readout (ANOVA's assumption,
+    q_stats_anova_oneway) is honest, sharper than Brown–Forsythe when
+    the data is near-normal. Groups need n ≥ 2 and a positive sample
+    variance (a constant group has no log-variance) — excluded
+    identically on both sides.
+
+    Plan: a single per-type hash aggregate over event volume (count +
+    two decimal power sums), then one k-row closing aggregate.
+    Determinism: Sᵢ² comes off decimal sums via one IEEE chain and is
+    e6-rounded; each ln is e6-rounded before its integer-weighted
+    decimal re-aggregation (both engines sum identical terms); the
+    closing ratio is e6-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    nn = F.col("n")
+    v = g.filter(nn >= 2).select(
+        "event_type",
+        "n",
+        dround(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / nn) / (nn - 1), 6
+        ).alias("s2"),
+        dround(F.col("sxx") - F.col("sx") * F.col("sx") / nn, 6).alias(
+            "ssq"
+        ),
+    )
+    vpos = v.filter(F.col("s2") > 0)
+    t = vpos.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("ntot"),
+        F.sum(F.col("ssq").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("ssq_tot"),
+        F.sum(
+            ((F.col("n") - 1) * dround(F.log(F.col("s2")), 6)).cast(
+                "decimal(25,6)"
+            )
+        )
+        .cast("double")
+        .alias("wlns"),
+        F.sum(
+            dround(1.0 / (F.col("n") - 1).cast("double"), 6).cast(
+                "decimal(25,6)"
+            )
+        )
+        .cast("double")
+        .alias("inv_sum"),
+    )
+    k, ntot = F.col("k"), F.col("ntot")
+    pooled = dround(F.col("ssq_tot") / (ntot - k), 6)
+    lnp = dround(F.log(pooled), 6)
+    inv_nk = dround(1.0 / (ntot - k).cast("double"), 6)
+    return t.select(
+        "k",
+        ntot.alias("n_total"),
+        pooled.alias("pooled_var"),
+        F.when(k < 2, F.lit(None).cast("double"))
+        .otherwise(
+            dround(
+                ((ntot - k) * lnp - F.col("wlns"))
+                / (1.0 + (F.col("inv_sum") - inv_nk) / (3.0 * (k - 1))),
+                6,
+            )
+        )
+        .alias("bartlett_stat"),
+    )

@@ -22,6 +22,7 @@ def load_all() -> None:
     import ex_hivent_spark.operators.geo  # noqa: F401
     import ex_hivent_spark.operators.drift  # noqa: F401
     import ex_hivent_spark.operators.stats  # noqa: F401
+    import ex_hivent_spark.operators.inference  # noqa: F401
     import ex_hivent_spark.operators.tsdiag  # noqa: F401
     import ex_hivent_spark.operators.tsfeat  # noqa: F401
     import ex_hivent_spark.operators.market  # noqa: F401
