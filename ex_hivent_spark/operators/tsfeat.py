@@ -1,10 +1,12 @@
 """Time-series feature extraction over the densified hourly spine:
 KPSS level-stationarity, Haar wavelet energy by scale, seasonal/trend
-strength (STL-lite), and the paired sign test — the stationarity /
-scale-decomposition / seasonality-strength panel that complements the
-tsdiag battery (ADF, runs, variance-ratio, AR(1), turning points).
+strength (STL-lite), the paired sign test, and the z-normalized
+matrix profile (all-pairs subsequence similarity) — the stationarity /
+scale-decomposition / seasonality-strength / motif-discovery panel
+that complements the tsdiag battery (ADF, runs, variance-ratio,
+AR(1), turning points).
 
-All four operate on the q_ts_granger_lite spine class: events
+All operate on the q_ts_granger_lite spine class: events
 pre-aggregate to hourly counts FIRST, densified onto the fixed 720-hour
 month via a range spine — every downstream frame is |hours| rows,
 time-grain bounded and traffic-invariant, so the plans hold at any
@@ -486,4 +488,234 @@ def q_stats_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_pos") + F.col("n_neg") == 0, F.lit(None).cast("double"))
         .otherwise(dround((F.col("n_pos") - m / 2.0) / sigma, 6))
         .alias("z_stat"),
+    )
+
+
+# Matrix-profile subsequence length (one diurnal cycle) and the
+# exclusion zone (no self-overlapping "trivial" matches).
+_MP_M = 24
+# Window start offsets 0..696 on the 720-hour spine.
+_MP_STARTS = _N_HOURS - _MP_M + 1
+
+_SQL_MP_CORE = f"""
+    s0 AS (SELECT h - {_EPOCH_H} AS t, y FROM series),
+    wstat AS (
+      SELECT t,
+             CAST(count(*) OVER wl AS BIGINT) AS nw,
+             CAST(sum(y) OVER wl AS BIGINT) AS s,
+             CAST(sum(y * y) OVER wl AS BIGINT) AS q
+      FROM s0
+      WINDOW wl AS (ORDER BY t ROWS BETWEEN CURRENT ROW
+                    AND {_MP_M - 1} FOLLOWING)
+    ),
+    ws AS (
+      SELECT t, s, {_MP_M} * q - s * s AS den
+      FROM wstat WHERE nw = {_MP_M}
+    ),
+    lags AS (SELECT CAST(unnest(range({_MP_M}, {_MP_STARTS})) AS BIGINT)
+             AS d),
+    prod AS (
+      SELECT l.d, a.t, a.y * b.y AS z
+      FROM lags l, s0 a, s0 b
+      WHERE b.t = a.t + l.d
+    ),
+    rolled AS (
+      SELECT d, t,
+             CAST(count(*) OVER wp AS BIGINT) AS np,
+             CAST(sum(z) OVER wp AS BIGINT) AS p
+      FROM prod
+      WINDOW wp AS (PARTITION BY d ORDER BY t
+                    ROWS BETWEEN CURRENT ROW
+                    AND {_MP_M - 1} FOLLOWING)
+    ),
+    pairs AS (
+      SELECT r.t AS i, r.t + r.d AS j,
+             CAST({_MP_M} * r.p - wi.s * wj.s AS DOUBLE) AS num,
+             CAST(wi.den AS DOUBLE) AS di,
+             CAST(wj.den AS DOUBLE) AS dj
+      FROM (SELECT d, t, p FROM rolled WHERE np = {_MP_M}) r
+      JOIN ws wi ON wi.t = r.t
+      JOIN ws wj ON wj.t = r.t + r.d
+      WHERE wi.den > 0 AND wj.den > 0
+    ),
+    directed AS (
+      SELECT i AS src, j AS dst, num,
+             di AS den_src, dj AS den_dst FROM pairs
+      UNION ALL
+      SELECT j, i, num, dj, di FROM pairs
+    ),
+    keyed AS (
+      SELECT src, dst, num, den_src, den_dst,
+             CASE WHEN num >= 0 THEN num * num / den_dst
+                  ELSE -(num * num) / den_dst END AS g
+      FROM directed
+    ),
+    best AS (
+      SELECT src, dst, num, den_src, den_dst,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY g DESC, dst ASC) AS rn
+      FROM keyed
+    )
+"""
+
+
+@register(
+    "q_ts_matrix_profile",
+    oracle=f"""
+    WITH series AS ({_SQL_TOTAL_SPINE}),
+    {_SQL_MP_CORE}
+    SELECT src + {_EPOCH_H} AS h,
+           dst + {_EPOCH_H} AS match_h,
+           {sql_dround("num / sqrt(den_src * den_dst)", 6)} AS r,
+           {sql_dround(
+               f"sqrt(greatest(2.0 * {_MP_M} * (1.0 - ("
+               + sql_dround("num / sqrt(den_src * den_dst)", 6)
+               + ")), 0.0))", 6)} AS nn_dist
+    FROM best WHERE rn = 1
+    """,
+)
+def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile (STOMP-style, z-normalized) of the hourly TOTAL
+    event-count series with subsequence length 24 (one diurnal cycle):
+    for every window start h, the nearest OTHER window (exclusion zone
+    |Δ| ≥ 24, so a motif can't trivially match its own overlap), its
+    Pearson correlation r, and the z-normalized Euclidean distance
+    sqrt(2m(1−r)). Low-distance rows are recurring motifs (a day that
+    repeats); high-distance rows are discords — the month's most
+    anomalous day-shaped window, the Yeh et al. 2016 all-pairs
+    similarity view that q_ts_anomaly's pointwise z-score can't see.
+
+    Plan: the O(|windows|²) pair space is generated as (lag, start)
+    products of the FIXED 720-hour month spine (the q_ts_theil_sen
+    bounded-pre-agg discipline — event volume only enters through the
+    hourly hash aggregate; at longer retention the profile would be
+    computed per bounded period). Cross terms come from ONE broadcast
+    self-join of the 720-row series onto the lag grid and a rolling
+    24-sum PARTITIONED BY LAG (≤720 rows per partition); window
+    moments ride one bounded 720-row pass; the argmax per start is a
+    row_number over ≤2·|windows| rows per partition.
+
+    Determinism: all sums (S, Q, cross products P) are exact BIGINTs;
+    the match selection key sign(num)·num²/den_dst is a monotone image
+    of r built from exact integers with two IEEE ops — both engines
+    pick identical matches with a dst-ascending tie-break — and the
+    two libm closings (the r ratio's sqrt, then the distance sqrt on
+    the e6-rounded r) are e6-rounded on both sides. Flat windows
+    (den = 0, possible at tiny SF during zero-traffic stretches) have
+    undefined z-norm and are excluded from both roles identically."""
+    series = _total_spine(spark, sf_dir)
+    s0 = series.select(
+        (F.col("h") - _EPOCH_H).cast("bigint").alias("t"), "y"
+    ).localCheckpoint(eager=False)
+    wl = Window.orderBy("t").rowsBetween(0, _MP_M - 1)
+    wstat = s0.select(
+        "t",
+        F.count(F.lit(1)).over(wl).cast("bigint").alias("nw"),
+        F.sum("y").over(wl).cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(wl).cast("bigint").alias("q"),
+    )
+    ws = wstat.filter(F.col("nw") == _MP_M).select(
+        "t",
+        "s",
+        (_MP_M * F.col("q") - F.col("s") * F.col("s")).alias("den"),
+    )
+    lags = spark.range(_MP_M, _MP_STARTS).select(
+        F.col("id").cast("bigint").alias("d")
+    )
+    a = s0.select(F.col("t"), F.col("y").alias("ya"))
+    b = s0.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    prod = (
+        lags.crossJoin(a)
+        .join(F.broadcast(b), F.col("tb") == F.col("t") + F.col("d"))
+        .select("d", "t", (F.col("ya") * F.col("yb")).alias("z"))
+    )
+    wp = (
+        Window.partitionBy("d")
+        .orderBy("t")
+        .rowsBetween(0, _MP_M - 1)
+    )
+    rolled = prod.select(
+        "d",
+        "t",
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("np"),
+        F.sum("z").over(wp).cast("bigint").alias("p"),
+    ).filter(F.col("np") == _MP_M)
+    wi = ws.select(
+        F.col("t").alias("i"),
+        F.col("s").alias("si"),
+        F.col("den").alias("di"),
+    )
+    wj = ws.select(
+        F.col("t").alias("j"),
+        F.col("s").alias("sj"),
+        F.col("den").alias("dj"),
+    )
+    pairs = (
+        rolled.select(
+            F.col("t").alias("i"),
+            (F.col("t") + F.col("d")).alias("j"),
+            "p",
+        )
+        .join(F.broadcast(wi), "i")
+        .join(F.broadcast(wj), "j")
+        .filter((F.col("di") > 0) & (F.col("dj") > 0))
+        .select(
+            "i",
+            "j",
+            (_MP_M * F.col("p") - F.col("si") * F.col("sj"))
+            .cast("double")
+            .alias("num"),
+            F.col("di").cast("double").alias("di"),
+            F.col("dj").cast("double").alias("dj"),
+        )
+        # The union below reads the pair frame in BOTH directions; the
+        # lazy checkpoint computes the whole (lag, start) pipeline once
+        # instead of once per union branch (~225k rows pinned).
+        .localCheckpoint(eager=False)
+    )
+    directed = pairs.select(
+        F.col("i").alias("src"),
+        F.col("j").alias("dst"),
+        "num",
+        F.col("di").alias("den_src"),
+        F.col("dj").alias("den_dst"),
+    ).unionByName(
+        pairs.select(
+            F.col("j").alias("src"),
+            F.col("i").alias("dst"),
+            "num",
+            F.col("dj").alias("den_src"),
+            F.col("di").alias("den_dst"),
+        )
+    )
+    keyed = directed.select(
+        "*",
+        F.when(
+            F.col("num") >= 0,
+            F.col("num") * F.col("num") / F.col("den_dst"),
+        )
+        .otherwise(-(F.col("num") * F.col("num")) / F.col("den_dst"))
+        .alias("g"),
+    )
+    wrn = Window.partitionBy("src").orderBy(
+        F.col("g").desc(), F.col("dst").asc()
+    )
+    best = keyed.select(
+        "*", F.row_number().over(wrn).alias("rn")
+    ).filter(F.col("rn") == 1)
+    r6 = dround(
+        F.col("num") / F.sqrt(F.col("den_src") * F.col("den_dst")), 6
+    )
+    return best.select(
+        (F.col("src") + _EPOCH_H).cast("bigint").alias("h"),
+        (F.col("dst") + _EPOCH_H).cast("bigint").alias("match_h"),
+        r6.alias("r"),
+        dround(
+            F.sqrt(
+                F.greatest(
+                    2.0 * _MP_M * (1.0 - r6), F.lit(0.0)
+                )
+            ),
+            6,
+        ).alias("nn_dist"),
     )

@@ -732,6 +732,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # r10 tsfeat: partial-sum cumsum over the same bounded 720-row
     # month spine (tsfeat.py q_ts_kpss_lite — the KPSS S_t series)
     "q_ts_kpss_lite": 1,
+    # r11: window-moment pass (S, Q per 24-hour subsequence) over the
+    # same bounded 720-row month spine; all other matrix-profile
+    # windows are partitioned (by lag, by window start)
+    "q_ts_matrix_profile": 1,
 }
 
 

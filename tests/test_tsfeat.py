@@ -160,3 +160,62 @@ def test_sign_test_matches_python(spark):
     assert row["n_neg"] == n_neg
     assert row["n_tie"] == n_tie
     assert row["z_stat"] == pytest.approx(z, abs=1e-6)
+
+
+def test_matrix_profile_matches_numpy(spark):
+    import numpy as np
+
+    from ex_hivent_spark.operators.tsfeat import _MP_M, _MP_STARTS
+
+    y = np.array(_total_series(), dtype=np.int64)
+    n_w = _MP_STARTS
+    m = _MP_M
+    csum = np.concatenate([[0], np.cumsum(y)])
+    csq = np.concatenate([[0], np.cumsum(y * y)])
+    S = csum[m:] - csum[:-m]
+    Q = csq[m:] - csq[:-m]
+    den = m * Q - S * S
+    # exact integer cross sums per (i, j = i + d)
+    best_key = np.full(n_w, -np.inf)
+    best_j = np.full(n_w, -1, dtype=np.int64)
+    best_num = np.zeros(n_w)
+    for d in range(m, n_w):
+        z = y[:-d] * y[d:]
+        zc = np.concatenate([[0], np.cumsum(z)])
+        P = zc[m:] - zc[:-m]  # i = 0 .. len(z)-m
+        n_i = len(P)
+        i_idx = np.arange(n_i)
+        j_idx = i_idx + d
+        valid = (den[i_idx] > 0) & (den[j_idx] > 0)
+        num = (m * P - S[i_idx] * S[j_idx]).astype(np.float64)
+        for i, j, nu, ok in zip(i_idx, j_idx, num, valid):
+            if not ok:
+                continue
+            for src, dst in ((i, j), (j, i)):
+                g = nu * nu / den[dst] if nu >= 0 else -(nu * nu) / den[dst]
+                if g > best_key[src] or (
+                    g == best_key[src] and dst < best_j[src]
+                ):
+                    best_key[src], best_j[src] = g, dst
+                    best_num[src] = nu
+    got = {
+        r["h"]: r
+        for r in SPECS["q_ts_matrix_profile"].spark(spark, SF_DIR).collect()
+    }
+    n_checked = 0
+    for i in range(n_w):
+        if best_j[i] < 0:
+            assert _EPOCH_H + i not in got
+            continue
+        row = got[_EPOCH_H + i]
+        assert row["match_h"] == _EPOCH_H + best_j[i]
+        r_want = _e6(
+            best_num[i] / math.sqrt(float(den[i]) * float(den[best_j[i]]))
+        )
+        assert row["r"] == pytest.approx(r_want, abs=2e-6)
+        assert row["nn_dist"] == pytest.approx(
+            _e6(math.sqrt(max(2.0 * m * (1.0 - r_want), 0.0))), abs=2e-5
+        )
+        assert -1.0 - 1e-9 <= row["r"] <= 1.0 + 1e-9
+        n_checked += 1
+    assert n_checked == len(got) > 0
