@@ -1,0 +1,174 @@
+"""Lexicon- and position-level curation signals over the documents
+corpus: blocklist hit rates (the lexicon-filter stage every training
+pipeline runs before expensive classifiers — spam/unsafe-term lists)
+and positional token novelty (are documents front-loaded — do new
+terms stop appearing after the first deciles? — the cheap structure
+probe behind "boilerplate tail" detection).
+
+Plan discipline: both are one pass over documents with per-row array
+ops (whitespace split, the llm/text.py convention) feeding hash
+aggregates; the novelty first-occurrence flag uses a window bounded by
+a single document's repetitions of one term — never corpus-sized.
+
+Reference parity note: the reference engine (an Elixir event-transport
+client, SURVEY.md §0) has no text surface; these derive from the
+driver's training-data mandate (lexicon filtering per the C4/Gopher
+blocklist stage; positional novelty per boilerplate-structure audits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround, sql_dround
+from ex_hivent_spark.plans.registry import register
+
+# The audit lexicon (terms from the corpus vocabulary so rates are
+# non-trivial at every SF; a production list is just a longer literal
+# or a broadcast-joined side table).
+_BLOCKLIST = ("slow", "dup", "big")
+
+_SQL_BL = "', '".join(_BLOCKLIST)
+
+
+@register(
+    "q_llm_blocklist_rate",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN ('{_SQL_BL}'))) AS BIGINT)
+               AS n_hit
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_hit) AS BIGINT) AS n_hits,
+           {sql_dround(
+               "1000.0 * sum(n_hit) / sum(n_tok)", 6)} AS hits_per_1k,
+           {sql_dround(
+               "CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END)"
+               " AS DOUBLE) / count(*)", 6)} AS flag_share
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_llm_blocklist_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist audit per source: documents containing at least one
+    lexicon term, total lexicon hits, hits per 1k tokens, and the
+    flagged-document share — the readout that decides whether a source
+    gets dropped wholesale or document-filtered (the C4-style
+    bad-words stage, run as a cheap array predicate long before any
+    model-based quality classifier).
+
+    Plan: one documents scan; the hit count is a per-row higher-order
+    array filter (JVM-side, no explode — the token list never leaves
+    the row) feeding a per-source hash aggregate. A longer production
+    lexicon would broadcast-join a side table instead of the inline
+    literal; the shape is unchanged. Determinism: pure integer token
+    and hit counts; the two closing ratios are single IEEE divisions,
+    e6-rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*_BLOCKLIST))
+    ).cast("bigint")
+    per_doc = d.select(
+        "source",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        hits.alias("n_hit"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_hit").cast("bigint").alias("n_hits"),
+        dround(1000.0 * F.sum("n_hit") / F.sum("n_tok"), 6).alias(
+            "hits_per_1k"
+        ),
+        dround(
+            F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("flag_share"),
+    )
+
+
+@register(
+    "q_llm_position_bias",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             unnest(string_split(text, ' ')) AS term,
+             CAST(unnest(range(len(string_split(text, ' '))))
+                  AS BIGINT) AS pos
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, term, pos, n,
+             CASE WHEN row_number() OVER (PARTITION BY doc_id, term
+                                          ORDER BY pos) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM toks
+    )
+    SELECT CAST(pos * 10 // n AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(is_first) AS BIGINT) AS n_first,
+           floor((CAST(sum(is_first) AS DOUBLE) / count(*)) * 1000000.0
+                 + 0.5) / 1000000.0 AS novelty_rate
+    FROM flagged
+    GROUP BY CAST(pos * 10 // n AS INT)
+    """,
+)
+def q_llm_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional token novelty over the corpus: tokens bucketed into
+    position deciles within their document, and per decile the share
+    that is the FIRST occurrence of its term in that document. A
+    healthy prose-like profile decays smoothly (new vocabulary keeps
+    arriving); a cliff after decile 0 flags template/boilerplate
+    bodies whose tail repeats the head — structure the bag-of-words
+    quality scores (q_llm_text_stats, q_llm_mattr_diversity) cannot
+    see because they ignore position.
+
+    Plan: one documents scan posexploded to (doc, term, pos); the
+    first-occurrence flag is a row_number over the (doc_id, term)
+    partition — bounded by one document's repetitions of one term —
+    and the decile rollup is a 10-row hash aggregate. Determinism:
+    the decile is exact integer arithmetic (pos·10 div n), counts are
+    integers, the closing share is one IEEE division e6-rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n"),
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    ).select(
+        "doc_id", "n", "term", F.col("pos").cast("bigint").alias("pos")
+    )
+    w = Window.partitionBy("doc_id", "term").orderBy("pos")
+    flagged = toks.select(
+        "doc_id",
+        "term",
+        "pos",
+        "n",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias(
+            "is_first"
+        ),
+    )
+    decile = ((F.col("pos") * 10) / F.col("n")).cast("bigint").cast("int")
+    return flagged.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("is_first").cast("bigint").alias("n_first"),
+        dround(
+            F.sum("is_first").cast("double") / F.count(F.lit(1)), 6
+        ).alias("novelty_rate"),
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround, sql_dround
 from ex_hivent_spark.operators.prefix import running_totals_blocked
 from ex_hivent_spark.plans.registry import register
 
@@ -932,4 +933,120 @@ def q_ts_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_sq_err"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q_seq_next_event_accuracy",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    train AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+      FROM seq
+      WHERE nxt IS NOT NULL AND ts < CAST('{_CUT} 00:00:00' AS TIMESTAMP)
+      GROUP BY cur, nxt
+    ),
+    pred AS (
+      SELECT cur, nxt AS predicted, cnt AS n_train_top,
+             row_number() OVER (PARTITION BY cur
+                                ORDER BY cnt DESC, nxt ASC) AS rn
+      FROM train
+    ),
+    trn_tot AS (
+      SELECT cur, CAST(sum(cnt) AS BIGINT) AS n_train FROM train
+      GROUP BY cur
+    ),
+    eval AS (
+      SELECT cur, nxt FROM seq
+      WHERE nxt IS NOT NULL
+        AND ts >= CAST('{_CUT} 00:00:00' AS TIMESTAMP)
+    )
+    SELECT e.cur AS event_type, p.predicted, t.n_train,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN e.nxt = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           {sql_dround(
+               "CAST(sum(CASE WHEN e.nxt = p.predicted THEN 1 ELSE 0"
+               " END) AS DOUBLE) / count(*)", 6)} AS accuracy
+    FROM eval e
+    JOIN (SELECT cur, predicted FROM pred WHERE rn = 1) p
+      ON e.cur = p.cur
+    JOIN trn_tot t ON e.cur = t.cur
+    GROUP BY e.cur, p.predicted, t.n_train
+    """,
+)
+def q_seq_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical next-event-prediction eval: train a majority-vote
+    transition model on the month's FIRST half (per current type, the
+    most frequent next type along each user's (ts, event_id)-ordered
+    stream, ties broken lexicographically) and score its top-1
+    accuracy on the second half — the honest train/test readout of
+    how predictable the event stream is, one level above
+    q_ts_markov_transitions' raw matrix (which describes, but never
+    scores, the model). A transition whose current event predates the
+    cut trains even when its successor lands after it (the boundary
+    transition belongs to its origin).
+
+    Plan: one lead over the per-USER window (bounded by one user's
+    activity, the q_seq_path_trigrams discipline), a ≤|types|² hash
+    aggregate for the model, a row_number over the ≤|types| rows per
+    current type, and a broadcast join of the tiny model onto the
+    eval half. Current types never seen in training are dropped (no
+    model exists — an inner join on both sides). Determinism: integer
+    counts, a deterministic (count DESC, type ASC) argmax, one
+    e6-rounded closing ratio."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "ts",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cut = F.lit(f"{_CUT} 00:00:00").cast("timestamp")
+    train = (
+        seq.filter(F.col("ts") < cut)
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wp = Window.partitionBy("cur").orderBy(
+        F.col("cnt").desc(), F.col("nxt").asc()
+    )
+    pred = (
+        train.select(
+            "cur",
+            F.col("nxt").alias("predicted"),
+            F.row_number().over(wp).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cur", "predicted")
+    )
+    trn_tot = train.groupBy("cur").agg(
+        F.sum("cnt").cast("bigint").alias("n_train")
+    )
+    ev = seq.filter(F.col("ts") >= cut).select("cur", "nxt")
+    correct = F.sum(
+        F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        ev.join(F.broadcast(pred), "cur")
+        .join(F.broadcast(trn_tot), "cur")
+        .groupBy(
+            F.col("cur").alias("event_type"), "predicted", "n_train"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            correct.alias("n_correct"),
+            dround(
+                F.sum(
+                    F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
     )

@@ -625,3 +625,136 @@ def q_stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("bartlett_stat"),
     )
+
+
+# SPRT hypotheses for the hourly purchase-share walk (the corpus-wide
+# purchase share sits near 0.20 by construction) and Wald error rates.
+_SPRT_P0 = 0.18
+_SPRT_P1 = 0.22
+_SPRT_ALPHA = 0.05
+_SPRT_BETA = 0.05
+# Per-event log-likelihood increments and Wald boundaries, computed
+# ONCE in Python so both engines consume bit-identical double
+# literals (repr round-trips exactly).
+import math as _math  # noqa: E402
+
+_SPRT_L1 = _math.log(_SPRT_P1 / _SPRT_P0)
+_SPRT_L0 = _math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+_SPRT_A = _math.log((1.0 - _SPRT_BETA) / _SPRT_ALPHA)
+_SPRT_B = _math.log(_SPRT_BETA / (1.0 - _SPRT_ALPHA))
+# SQL spellings: a bare float literal is typed DECIMAL by both SQL
+# dialects — every literal must be cast to DOUBLE or the oracle's
+# arithmetic silently lands in decimal.
+_SQL_L1 = f"CAST({_SPRT_L1!r} AS DOUBLE)"
+_SQL_L0 = f"CAST({_SPRT_L0!r} AS DOUBLE)"
+_SQL_A = f"CAST({_SPRT_A!r} AS DOUBLE)"
+_SQL_B = f"CAST({_SPRT_B!r} AS DOUBLE)"
+
+
+@register(
+    "q_ab_sprt_boundary",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    walk AS (
+      SELECT h,
+             CAST(sum(CAST({sql_dround(
+                 f"c * {_SQL_L1} + (n - c) * {_SQL_L0}", 6)}
+                 AS DECIMAL(25,6)) ) OVER (
+               ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS DOUBLE) AS llr
+      FROM hourly
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hours,
+           {sql_dround("max_by(llr, h)", 6)} AS final_llr,
+           least(min(CASE WHEN llr >= {_SQL_A} THEN h END),
+                 min(CASE WHEN llr <= {_SQL_B} THEN h END))
+             AS first_cross_h,
+           CASE
+             WHEN min(CASE WHEN llr >= {_SQL_A} THEN h END) IS NULL
+              AND min(CASE WHEN llr <= {_SQL_B} THEN h END) IS NULL
+               THEN 'continue'
+             WHEN min(CASE WHEN llr <= {_SQL_B} THEN h END) IS NULL
+               OR COALESCE(min(CASE WHEN llr >= {_SQL_A} THEN h END),
+                           9223372036854775807)
+                  < min(CASE WHEN llr <= {_SQL_B} THEN h END)
+               THEN 'accept_h1'
+             ELSE 'accept_h0'
+           END AS decision
+    FROM walk
+    """,
+)
+def q_ab_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test on the hourly purchase
+    share: the cumulative log-likelihood ratio of H1 (p = 0.22)
+    against H0 (p = 0.18) walks hour by hour — each hour adds
+    c·ln(p1/p0) + (n−c)·ln((1−p1)/(1−p0)) — and the test stops the
+    FIRST time the walk exits the Wald band [ln(β/(1−α)),
+    ln((1−β)/α)] (α = β = 0.05 → ±ln 19). Emits the first crossing
+    hour and the decision — the always-valid sequential monitor an
+    experimentation platform runs instead of peeking at a fixed-N
+    test (q_ab_proportion_test) every hour.
+
+    Plan: one hourly hash aggregate over event volume, then a
+    cumulative sum over the ≤|hours| walk (time-grain bounded, the
+    q_ts_kpss_lite class) and a single closing aggregate.
+    Determinism: the per-event increments and both boundaries are
+    Python-computed double literals consumed identically by both
+    engines; each hour's increment is integer-weighted literal
+    arithmetic e6-rounded before the decimal-detour cumsum; crossing
+    hours are integer mins; final_llr is picked by max_by on the
+    unique hour key."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    wc = Window.orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    inc = dround(
+        F.col("c") * _SPRT_L1 + (F.col("n") - F.col("c")) * _SPRT_L0, 6
+    )
+    walk = hourly.select(
+        "h",
+        F.sum(inc.cast("decimal(25,6)"))
+        .over(wc)
+        .cast("double")
+        .alias("llr"),
+    )
+    up = F.min(F.when(F.col("llr") >= _SPRT_A, F.col("h")))
+    dn = F.min(F.when(F.col("llr") <= _SPRT_B, F.col("h")))
+    agg = walk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        dround(F.max_by("llr", "h"), 6).alias("final_llr"),
+        up.alias("up_h"),
+        dn.alias("dn_h"),
+    )
+    return agg.select(
+        "n_hours",
+        "final_llr",
+        F.least("up_h", "dn_h").alias("first_cross_h"),
+        F.when(
+            F.col("up_h").isNull() & F.col("dn_h").isNull(),
+            F.lit("continue"),
+        )
+        .when(
+            F.col("dn_h").isNull()
+            | (
+                F.coalesce(F.col("up_h"), F.lit(9223372036854775807))
+                < F.col("dn_h")
+            ),
+            F.lit("accept_h1"),
+        )
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+    )

@@ -534,3 +534,129 @@ def q_agg_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mx").alias("max_gap_days"),
         )
     )
+
+
+# Mix/rate decomposition periods (well-populated TPC-H order years).
+_DECOMP_Y1 = 1995
+_DECOMP_Y2 = 1996
+
+
+@register(
+    "q_agg_mix_rate_decomp",
+    oracle=f"""
+    WITH g1 AS (
+      SELECT o_orderpriority AS segment,
+             CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS rev1
+      FROM orders WHERE year(o_orderdate) = {_DECOMP_Y1}
+      GROUP BY 1
+    ),
+    g2 AS (
+      SELECT o_orderpriority AS segment,
+             CAST(count(*) AS BIGINT) AS n2,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS rev2
+      FROM orders WHERE year(o_orderdate) = {_DECOMP_Y2}
+      GROUP BY 1
+    ),
+    merged AS (
+      SELECT COALESCE(g1.segment, g2.segment) AS segment,
+             COALESCE(n1, 0) AS n1, COALESCE(rev1, 0.0) AS rev1,
+             COALESCE(n2, 0) AS n2, COALESCE(rev2, 0.0) AS rev2
+      FROM g1 FULL OUTER JOIN g2 ON g1.segment = g2.segment
+    ),
+    rates AS (
+      SELECT segment, n1, n2, rev1, rev2,
+             CASE WHEN n1 = 0 THEN 0.0
+                  ELSE {sql_dround("rev1 / n1", 6)} END AS r1,
+             CASE WHEN n2 = 0 THEN 0.0
+                  ELSE {sql_dround("rev2 / n2", 6)} END AS r2
+      FROM merged
+    )
+    SELECT segment, n1, n2, r1, r2,
+           {sql_dround("rev2 - rev1", 6)} AS delta_rev,
+           {sql_dround("(n2 - n1) * (r1 + r2) / 2.0", 6)}
+             AS volume_effect,
+           {sql_dround("(n1 + n2) / 2.0 * (r2 - r1)", 6)}
+             AS rate_effect,
+           {sql_dround(
+               f"({sql_dround('rev2 - rev1', 6)})"
+               f" - ({sql_dround('(n2 - n1) * (r1 + r2) / 2.0', 6)})"
+               f" - ({sql_dround('(n1 + n2) / 2.0 * (r2 - r1)', 6)})",
+               6)} AS recon_residual
+    FROM rates
+    """,
+)
+def q_agg_mix_rate_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bennet (symmetric) mix/rate decomposition of the year-over-year
+    revenue change per order-priority segment: Δrev splits into a
+    VOLUME effect Δn·r̄ (more orders at the average rate) and a RATE
+    effect n̄·Δr (same orders at a higher average value) — the
+    metric-tree root-cause readout ("did Q2 revenue move because we
+    sold more or because orders got bigger, and in which segment?").
+    recon_residual exposes the e6-rounding slack of the identity
+    Δ(n·r) = Δn·r̄ + n̄·Δr so a consumer can assert the decomposition
+    closes.
+
+    Plan: two year-filtered hash aggregates of orders (filters push to
+    the scan) full-outer-joined on the ≤5-row segment frame — segment
+    cardinality bounded after the first aggregate. Determinism:
+    revenue rides the decimal detour; rates and both effects are IEEE
+    chains of integers and e6-rounded values, each closing e6-rounded;
+    a segment absent from a year enters with n=0, rev=0, r=0 on both
+    sides."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_agg(yr: int, nn: str, rr: str) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == yr)
+            .groupBy(F.col("o_orderpriority").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(nn),
+                F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                .cast("double")
+                .alias(rr),
+            )
+        )
+
+    g1 = year_agg(_DECOMP_Y1, "n1", "rev1")
+    g2 = year_agg(_DECOMP_Y2, "n2", "rev2")
+    both = (
+        g1.join(g2, "segment", "full_outer")
+        .select(
+            "segment",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("rev1", F.lit(0.0)).alias("rev1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+            F.coalesce("rev2", F.lit(0.0)).alias("rev2"),
+        )
+    )
+    r1 = F.when(F.col("n1") == 0, F.lit(0.0)).otherwise(
+        dround(F.col("rev1") / F.col("n1"), 6)
+    )
+    r2 = F.when(F.col("n2") == 0, F.lit(0.0)).otherwise(
+        dround(F.col("rev2") / F.col("n2"), 6)
+    )
+    rates = both.select(
+        "segment", "n1", "n2", "rev1", "rev2",
+        r1.alias("r1"), r2.alias("r2"),
+    )
+    delta = dround(F.col("rev2") - F.col("rev1"), 6)
+    vol = dround(
+        (F.col("n2") - F.col("n1")) * (F.col("r1") + F.col("r2")) / 2.0, 6
+    )
+    rate = dround(
+        (F.col("n1") + F.col("n2")) / 2.0 * (F.col("r2") - F.col("r1")), 6
+    )
+    return rates.select(
+        "segment",
+        "n1",
+        "n2",
+        "r1",
+        "r2",
+        delta.alias("delta_rev"),
+        vol.alias("volume_effect"),
+        rate.alias("rate_effect"),
+        dround(delta - vol - rate, 6).alias("recon_residual"),
+    )

@@ -619,3 +619,110 @@ def q_win_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
             10000.0 * (F.col("m3") - F.col("pm3")) / F.col("pm3"), 6
         ).alias("trix_bp"),
     )
+
+
+# Coppock curve lookbacks: ROC periods and the WMA length.
+_COP_ROC_A = 14
+_COP_ROC_B = 11
+_COP_WMA = 10
+# Triangular weight total: 10+9+...+1.
+_COP_WSUM = _COP_WMA * (_COP_WMA + 1) // 2
+
+# Left-associative weighted-sum spelling shared by both engines: the
+# per-row chain 10*x + 9*lag1 + ... + 1*lag9 is fixed-order IEEE
+# arithmetic, so no aggregation (and no decimal detour) is needed.
+_COP_SQL_WSUM = " + ".join(
+    f"{_COP_WMA - k} * l{k}" if k else f"{_COP_WMA} * roc_sum"
+    for k in range(_COP_WMA)
+)
+
+
+@register(
+    "q_win_coppock",
+    oracle=f"""
+    WITH bars AS ({_SQL_VBARS}),
+    roc AS (
+      SELECT event_type, hour_id,
+             lag(close, {_COP_ROC_A}) OVER w AS ca,
+             lag(close, {_COP_ROC_B}) OVER w AS cb,
+             close
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    ),
+    rs AS (
+      SELECT event_type, hour_id,
+             {sql_dround(
+                 "100.0 * (close / ca - 1.0)"
+                 " + 100.0 * (close / cb - 1.0)", 6)} AS roc_sum
+      FROM roc WHERE ca IS NOT NULL AND ca > 0
+                 AND cb IS NOT NULL AND cb > 0
+    ),
+    lagged AS (
+      SELECT event_type, hour_id, roc_sum,
+             {", ".join(
+                 f"lag(roc_sum, {k}) OVER w AS l{k}"
+                 for k in range(1, _COP_WMA))}
+      FROM rs
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    )
+    SELECT event_type, hour_id, roc_sum,
+           {sql_dround(f"({_COP_SQL_WSUM}) / {_COP_WSUM}.0", 6)}
+             AS coppock
+    FROM lagged WHERE l{_COP_WMA - 1} IS NOT NULL
+    """,
+)
+def q_win_coppock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coppock curve per event type: the 10-bar LINEARLY-weighted
+    moving average (weights 10..1, newest heaviest) of ROC-14 + ROC-11
+    of the close — the long-horizon momentum gauge whose upturn from
+    negative territory is the classic buy signal, here a recovery
+    detector on a metric stream. Bars whose 14- or 11-back close is
+    missing or zero (undefined ratio) are dropped identically on both
+    sides; the WMA runs over the SURVIVING rate-of-change series.
+
+    Plan: one volume-carrying bar aggregate, then lag windows over the
+    same per-type hour sort (one exchange; the triangular weighting is
+    9 lags, constant per row — no frame aggregation at all).
+    Determinism: the ROC sum is one IEEE chain e6-rounded; the
+    weighted sum is a FIXED-ORDER left-associative chain of
+    integer-weighted e6 values (identical in both engines, no
+    summation-order freedom), closed by one division and e6-rounded."""
+    bars = _hourly_vbars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    roc = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.lag("close", _COP_ROC_A).over(wl).alias("ca"),
+        F.lag("close", _COP_ROC_B).over(wl).alias("cb"),
+    )
+    rs = roc.filter(
+        F.col("ca").isNotNull()
+        & (F.col("ca") > 0)
+        & F.col("cb").isNotNull()
+        & (F.col("cb") > 0)
+    ).select(
+        "event_type",
+        "hour_id",
+        dround(
+            100.0 * (F.col("close") / F.col("ca") - 1.0)
+            + 100.0 * (F.col("close") / F.col("cb") - 1.0),
+            6,
+        ).alias("roc_sum"),
+    )
+    lag_cols = [
+        F.lag("roc_sum", k).over(wl).alias(f"l{k}")
+        for k in range(1, _COP_WMA)
+    ]
+    lagged = rs.select("event_type", "hour_id", "roc_sum", *lag_cols)
+    wsum = F.lit(float(_COP_WMA)) * F.col("roc_sum")
+    for k in range(1, _COP_WMA):
+        wsum = wsum + F.lit(float(_COP_WMA - k)) * F.col(f"l{k}")
+    return lagged.filter(
+        F.col(f"l{_COP_WMA - 1}").isNotNull()
+    ).select(
+        "event_type",
+        "hour_id",
+        "roc_sum",
+        dround(wsum / float(_COP_WSUM), 6).alias("coppock"),
+    )

@@ -42,5 +42,6 @@ def load_all() -> None:
     import ex_hivent_spark.llm.corpus  # noqa: F401
     import ex_hivent_spark.llm.ngrams  # noqa: F401
     import ex_hivent_spark.llm.clusterqc  # noqa: F401
+    import ex_hivent_spark.llm.lexsignals  # noqa: F401
 
     _LOADED = True

@@ -494,3 +494,55 @@ def test_geometric_mean_matches_python(spark, sf_dir):
         assert row["log_mean"] == pytest.approx(lm, abs=1e-9)
         assert row["geo_mean"] == pytest.approx(e6(math.exp(lm)), abs=1e-9)
         assert row["geo_mean"] <= math.fsum(vs) / len(vs) + 1e-6
+
+
+def test_next_event_accuracy_matches_python(spark):
+    import datetime as _dt
+    import math
+    from collections import Counter as _Counter
+    from collections import defaultdict as _dd
+
+    import pyarrow.parquet as _pq
+
+    from ex_hivent_spark.operators.behavior import _CUT
+
+    rows = _pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    cut = _dt.datetime.fromisoformat(f"{_CUT} 00:00:00")
+    by_user: dict = _dd(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    train: dict = _dd(_Counter)
+    ev: list = []
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b in zip(evs, evs[1:]):
+            if a["ts"] < cut:
+                train[a["event_type"]][b["event_type"]] += 1
+            else:
+                ev.append((a["event_type"], b["event_type"]))
+    pred = {
+        cur: min(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for cur, cnts in train.items()
+    }
+    got = {
+        r["event_type"]: r
+        for r in SPECS["q_seq_next_event_accuracy"]
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    agg: dict = _dd(lambda: [0, 0])
+    for cur, nxt in ev:
+        if cur not in pred:
+            continue
+        agg[cur][0] += 1
+        if nxt == pred[cur]:
+            agg[cur][1] += 1
+    assert set(got) == set(agg)
+    for cur, (n_eval, n_corr) in agg.items():
+        row = got[cur]
+        assert row["predicted"] == pred[cur]
+        assert row["n_train"] == sum(train[cur].values())
+        assert (row["n_eval"], row["n_correct"]) == (n_eval, n_corr)
+        assert row["accuracy"] == pytest.approx(
+            math.floor(n_corr / n_eval * 1e6 + 0.5) / 1e6, abs=2e-6
+        )

@@ -201,3 +201,44 @@ def test_bartlett_matches_python(spark):
     assert (row["k"], row["n_total"]) == (k, ntot)
     assert row["pooled_var"] == pytest.approx(pooled, abs=2e-6)
     assert row["bartlett_stat"] == pytest.approx(_e6(tnum / c), abs=1e-4)
+
+
+def test_sprt_boundary_matches_python(spark):
+    from ex_hivent_spark.operators.inference import (
+        _SPRT_A,
+        _SPRT_B,
+        _SPRT_L0,
+        _SPRT_L1,
+    )
+
+    rows = _events()
+    hourly: dict = defaultdict(lambda: [0, 0])
+    for r in rows:
+        h = int(r["ts"].timestamp() // 3600)
+        hourly[h][0] += 1
+        if r["event_type"] == "purchase":
+            hourly[h][1] += 1
+    cum = 0.0
+    up_h = dn_h = None
+    final = None
+    for h in sorted(hourly):
+        n, c = hourly[h]
+        cum += _e6(c * _SPRT_L1 + (n - c) * _SPRT_L0)
+        if up_h is None and cum >= _SPRT_A:
+            up_h = h
+        if dn_h is None and cum <= _SPRT_B:
+            dn_h = h
+        final = cum
+    row = SPECS["q_ab_sprt_boundary"].spark(spark, SF_DIR).collect()[0]
+    assert row["n_hours"] == len(hourly)
+    assert row["final_llr"] == pytest.approx(_e6(final), abs=2e-6)
+    first = min(x for x in (up_h, dn_h) if x is not None) if (
+        up_h is not None or dn_h is not None
+    ) else None
+    assert row["first_cross_h"] == first
+    if first is None:
+        assert row["decision"] == "continue"
+    elif up_h is not None and (dn_h is None or up_h < dn_h):
+        assert row["decision"] == "accept_h1"
+    else:
+        assert row["decision"] == "accept_h0"

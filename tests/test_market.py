@@ -197,3 +197,42 @@ def test_order_gap_stats_matches_python(spark):
     assert row["p90_gap_days"] == pick(9, 10)
     assert row["max_gap_days"] == gaps[-1]
     assert row["p50_gap_days"] <= row["p90_gap_days"] <= row["max_gap_days"]
+
+
+def test_mix_rate_decomp_matches_python(spark):
+    import pyarrow.parquet as _pq
+    from collections import defaultdict as _dd
+
+    from ex_hivent_spark.operators.market import _DECOMP_Y1, _DECOMP_Y2
+
+    rows = _pq.read_table(f"{SF_DIR}/orders.parquet").to_pylist()
+    agg: dict = _dd(lambda: [0, 0.0, 0, 0.0])
+    for r in rows:
+        y = r["o_orderdate"].year
+        seg = r["o_orderpriority"]
+        if y == _DECOMP_Y1:
+            agg[seg][0] += 1
+            agg[seg][1] += r["o_totalprice"]
+        elif y == _DECOMP_Y2:
+            agg[seg][2] += 1
+            agg[seg][3] += r["o_totalprice"]
+    got = {
+        r["segment"]: r
+        for r in SPECS["q_agg_mix_rate_decomp"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(agg)
+    for seg, (n1, rev1, n2, rev2) in agg.items():
+        row = got[seg]
+        r1 = _e6(rev1 / n1) if n1 else 0.0
+        r2 = _e6(rev2 / n2) if n2 else 0.0
+        delta = _e6(rev2 - rev1)
+        vol = _e6((n2 - n1) * (r1 + r2) / 2.0)
+        rate = _e6((n1 + n2) / 2.0 * (r2 - r1))
+        assert (row["n1"], row["n2"]) == (n1, n2)
+        assert row["r1"] == pytest.approx(r1, abs=2e-6)
+        assert row["r2"] == pytest.approx(r2, abs=2e-6)
+        assert row["delta_rev"] == pytest.approx(delta, abs=2e-5)
+        assert row["volume_effect"] == pytest.approx(vol, abs=2e-4)
+        assert row["rate_effect"] == pytest.approx(rate, abs=2e-4)
+        # the Bennet identity closes up to rounding slack
+        assert abs(row["recon_residual"]) < 0.01

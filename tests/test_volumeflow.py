@@ -227,3 +227,47 @@ def test_trix_matches_python(spark):
             )
             n += 1
     assert n == len(got) and n > 0
+
+
+def test_coppock_matches_python(spark):
+    from ex_hivent_spark.operators.volumeflow import (
+        _COP_ROC_A,
+        _COP_ROC_B,
+        _COP_WMA,
+        _COP_WSUM,
+    )
+
+    bars = _vbars()
+    got = {
+        (r["event_type"], r["hour_id"]): r
+        for r in SPECS["q_win_coppock"].spark(spark, SF_DIR).collect()
+    }
+    n = 0
+    for t, series in bars.items():
+        closes = [c for _, c, *_ in series]
+        rocs: list = []
+        hours: list = []
+        for i in range(len(series)):
+            if i < _COP_ROC_A:
+                continue
+            ca, cb = closes[i - _COP_ROC_A], closes[i - _COP_ROC_B]
+            if ca <= 0 or cb <= 0:
+                continue
+            rocs.append(
+                _e6(
+                    100.0 * (closes[i] / ca - 1.0)
+                    + 100.0 * (closes[i] / cb - 1.0)
+                )
+            )
+            hours.append(series[i][0])
+        for i in range(_COP_WMA - 1, len(rocs)):
+            wsum = 0.0
+            for k in range(_COP_WMA):
+                wsum += (_COP_WMA - k) * rocs[i - k]
+            row = got[(t, hours[i])]
+            assert row["roc_sum"] == pytest.approx(rocs[i], abs=2e-6)
+            assert row["coppock"] == pytest.approx(
+                _e6(wsum / _COP_WSUM), abs=2e-5
+            )
+            n += 1
+    assert n == len(got) and n > 0
