@@ -30,20 +30,31 @@ MAX_ROUNDS = 20
 
 # Memoized (doc_id, cluster_id) labels of the exact-ngram-Jaccard dup
 # graph, keyed weakly by session (the catalog._DF_CACHE pattern).
-# Three queries consume the SAME fixpoint (q_llm_dedup_clusters,
-# q_llm_dedup_component_stats, q_llm_cluster_source_purity) and the
-# propagation's eager localCheckpoints make each recomputation ~4-5 s
-# of real cluster work; computing it once per (session, sf_dir) keeps
-# every query standalone for the driver (first caller pays) while the
-# bench/driver session reuses the checkpointed frame. The labels frame
-# is |clustered docs| rows — driver-memory trivial to pin.
+# Four queries consume the SAME fixpoint (q_llm_dedup_clusters,
+# q_llm_dedup_keep_best, q_llm_dedup_component_stats,
+# q_llm_cluster_source_purity) and the propagation's eager
+# localCheckpoints make each recomputation ~4-5 s of real cluster
+# work; computing it once per (session, sf_dir) keeps every query
+# standalone for the driver (first caller pays) while the bench/driver
+# session reuses the checkpointed frame. The labels frame is
+# |clustered docs| rows — driver-memory trivial to pin.
 _LABELS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
 
 
+# Memoized 3-gram-Jaccard near-dup pair frame, same keying: ELEVEN
+# graph/dedup queries consume the identical edge set (each ~2.5 s of
+# shingle/minhash work at sf0.1), and the pair list is |near-dup
+# pairs| rows — driver-memory trivial to pin.
+_PAIRS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def clear_labels_cache(spark: SparkSession | None = None) -> None:
-    """Drop memoized dedup-component labels (one session's, or all).
+    """Drop memoized dedup-component labels and near-dup pair frames
+    (one session's, or all).
 
     The cached frames strongly reference their session, so weak-key
     eviction alone never fires; this releases the pinned
@@ -51,8 +62,26 @@ def clear_labels_cache(spark: SparkSession | None = None) -> None:
     through here)."""
     if spark is None:
         _LABELS_CACHE.clear()
+        _PAIRS_CACHE.clear()
     else:
         _LABELS_CACHE.pop(spark, None)
+        _PAIRS_CACHE.pop(spark, None)
+
+
+def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact 3-gram-Jaccard near-dup pair list (q_llm_ngram_jaccard),
+    computed once per (session, sf_dir) and lazily checkpointed —
+    every query stays standalone for the driver (first caller pays)
+    while bench/driver sessions reuse the materialized edge set."""
+    per_session = _PAIRS_CACHE.setdefault(spark, {})
+    cached = per_session.get(sf_dir)
+    if cached is not None:
+        return cached
+    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
+
+    pairs = q_llm_ngram_jaccard(spark, sf_dir).localCheckpoint(eager=False)
+    per_session[sf_dir] = pairs
+    return pairs
 
 
 def _dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,9 +91,7 @@ def _dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = per_session.get(sf_dir)
     if cached is not None:
         return cached
-    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
-
-    pairs = q_llm_ngram_jaccard(spark, sf_dir)
+    pairs = _dup_pairs(spark, sf_dir)
     labels = connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
@@ -290,9 +317,7 @@ def q_llm_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     score. Iterative (fixed 10 rounds) yet HASH-CHECKED: the e12
     fixed-point formulation makes every round bit-deterministic, and
     the oracle unrolls the same 10 rounds as chained SQL CTEs."""
-    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
-
-    pairs = q_llm_ngram_jaccard(spark, sf_dir)
+    pairs = _dup_pairs(spark, sf_dir)
     pr = pagerank(pairs)
     return pr.select(
         F.col("node").alias("doc_id"),
@@ -337,14 +362,12 @@ def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality signal — per cluster, keep the longest document (n_chars,
     doc_id tie-break) and count the drops. This is the row a production
     dedup job actually writes; keeper selection is one max(struct)
-    argmax per cluster, no sort."""
+    argmax per cluster, no sort. The component labels come from the
+    per-(session, sf_dir) memoized fixpoint (_dedup_labels) shared
+    with the other three label consumers — first caller pays."""
     from ex_hivent_spark.catalog import load_table
-    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
 
-    pairs = q_llm_ngram_jaccard(spark, sf_dir)
-    clusters = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "cluster_id"
-    )
+    clusters = _dedup_labels(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return (
         clusters.join(docs, "doc_id")
@@ -381,10 +404,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the a<b pair list: each triangle {a<b<c} is counted exactly once via
     the two-hop join (a,b)+(b,c) closed by (a,c) — two equi-joins, no
     squaring, the standard distributed triangle-count plan."""
-    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
-
     pairs = (
-        q_llm_ngram_jaccard(spark, sf_dir)
+        _dup_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
@@ -542,9 +563,7 @@ def q_graph_lpa_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate, and the argmax is a min-over-struct — no window,
     no sort. Per round: two shuffles (votes, argmax)."""
     from ex_hivent_spark.catalog import load_table
-    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
-
-    pairs = q_llm_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.select(
         F.col("doc_a").alias("node"), F.col("doc_b").alias("nb")
     ).unionByName(
@@ -686,9 +705,7 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientations, one hash aggregate per node, one per degree —
     hash-only shuffles on 8/16-byte keys, histogram output bounded by
     max degree. All-integer, no rounding anywhere."""
-    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
-
-    pairs = q_llm_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     und = pairs.select(F.col("doc_a").alias("node")).unionAll(
         pairs.select(F.col("doc_b").alias("node"))
     )
@@ -748,10 +765,8 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is one exact integer-ratio division (union = deg_a + deg_b
     − common, which includes the endpoints themselves — the standard
     formulation over closed neighborhood-minus-self sets)."""
-    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
-
     pairs = (
-        q_llm_ngram_jaccard(spark, sf_dir)
+        _dup_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)  # edges feed orientations, the
         # two-hop join, and the output spine: one pair computation
@@ -844,10 +859,8 @@ def q_graph_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline of lpa/pagerank) so lineage stays flat. The round count
     is a FIXED literal (not run-to-fixpoint) so the oracle unrolls the
     identical three levels. All-integer, no rounding anywhere."""
-    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
-
     edges = (
-        q_llm_ngram_jaccard(spark, sf_dir)
+        _dup_pairs(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .localCheckpoint(eager=False)
     )
@@ -925,11 +938,9 @@ def q_llm_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back from a per-doc frame. Determinism: all-integer clipped
     counts; closing ratios are exact integer-ratio IEEE divisions."""
     from ex_hivent_spark.catalog import load_table
-    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
-
     d = load_table(spark, sf_dir, "documents")
     pairs = (
-        q_llm_ngram_jaccard(spark, sf_dir)
+        _dup_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)  # pair list feeds overlap + spine
     )
@@ -1038,10 +1049,8 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(deg w) > 0 — no zero denominators; each 1/ln term e6-rounds its
     ln (the only libm) and the per-edge sum rides the decimal detour."""
     from ex_hivent_spark.functions.decimals import dround
-    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
-
     pairs = (
-        q_llm_ngram_jaccard(spark, sf_dir)
+        _dup_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)  # edges feed orientations, the
         # two-hop join, and the output spine: one pair computation
@@ -1140,10 +1149,8 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     per node, hash-joined to the degree frame — 8-byte-key shuffles
     throughout, output bounded by |nodes in the dup graph|.
     Determinism: all-integer until one e6-rounded IEEE division."""
-    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
-
     pairs = (
-        q_llm_ngram_jaccard(spark, sf_dir)
+        _dup_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
@@ -1253,10 +1260,8 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer moment sums — partial aggregation throughout, no windows.
     Determinism: every sum is exact BIGINT; the closing ratio is one
     e6-rounded IEEE division (cast to double only at the end)."""
-    from ex_hivent_spark.llm.dedup import q_llm_ngram_jaccard
-
     pairs = (
-        q_llm_ngram_jaccard(spark, sf_dir)
+        _dup_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
