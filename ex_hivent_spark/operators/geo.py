@@ -370,3 +370,222 @@ def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_total") * F.col("neigh_cells"))
         ).alias("neigh_density_ratio"),
     )
+
+
+# Audit polygons on the synthesized 1000x1000 customer plane: integer
+# vertices, one deliberately NON-convex ring so the even-odd rule is
+# genuinely exercised. Closing edge implied.
+_POLYGONS = {
+    1: ((100, 100), (400, 150), (250, 450)),
+    2: ((500, 500), (900, 520), (880, 900), (690, 640)),
+    3: ((50, 600), (300, 620), (350, 850), (200, 950), (80, 800)),
+}
+
+
+def _poly_edges() -> list[tuple[int, float, float, float, float]]:
+    """(polygon_id, x1, y1, x2, y2) edge list, ring-closed."""
+    rows = []
+    for pid, verts in _POLYGONS.items():
+        for i, (x1, y1) in enumerate(verts):
+            x2, y2 = verts[(i + 1) % len(verts)]
+            rows.append((pid, float(x1), float(y1), float(x2), float(y2)))
+    return rows
+
+
+def _poly_bboxes() -> list[tuple[int, float, float, float, float, int]]:
+    """(polygon_id, xmin, ymin, xmax, ymax, n_edges)."""
+    rows = []
+    for pid, verts in _POLYGONS.items():
+        xs = [v[0] for v in verts]
+        ys = [v[1] for v in verts]
+        rows.append(
+            (
+                pid,
+                float(min(xs)),
+                float(min(ys)),
+                float(max(xs)),
+                float(max(ys)),
+                len(verts),
+            )
+        )
+    return rows
+
+
+_SQL_EDGES_PIP = " UNION ALL ".join(
+    f"SELECT {pid} AS polygon_id, CAST({x1} AS DOUBLE) AS x1,"
+    f" CAST({y1} AS DOUBLE) AS y1, CAST({x2} AS DOUBLE) AS x2,"
+    f" CAST({y2} AS DOUBLE) AS y2"
+    for pid, x1, y1, x2, y2 in _poly_edges()
+)
+_SQL_BBOX_PIP = " UNION ALL ".join(
+    f"SELECT {pid} AS polygon_id, CAST({xmin} AS DOUBLE) AS xmin,"
+    f" CAST({ymin} AS DOUBLE) AS ymin, CAST({xmax} AS DOUBLE) AS xmax,"
+    f" CAST({ymax} AS DOUBLE) AS ymax, CAST({ne} AS INT) AS n_edges"
+    for pid, xmin, ymin, xmax, ymax, ne in _poly_bboxes()
+)
+
+
+@register(
+    "q_geo_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             ((c_custkey * {_AX}) % {_MOD}) / 1000.0 AS x,
+             ((c_custkey * {_AY}) % {_MOD}) / 1000.0 AS y
+      FROM customer
+    ),
+    bbox AS ({_SQL_BBOX_PIP}),
+    edges AS ({_SQL_EDGES_PIP}),
+    cand AS (
+      SELECT p.id, p.x, p.y, b.polygon_id
+      FROM pts p JOIN bbox b
+        ON p.x >= b.xmin AND p.x <= b.xmax
+       AND p.y >= b.ymin AND p.y <= b.ymax
+    ),
+    crossings AS (
+      SELECT c.id, c.polygon_id,
+             CAST(sum(CASE WHEN (e.y1 > c.y) <> (e.y2 > c.y)
+                            AND c.x < (e.x2 - e.x1) * (c.y - e.y1)
+                                      / (e.y2 - e.y1) + e.x1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+      FROM cand c JOIN edges e ON e.polygon_id = c.polygon_id
+      GROUP BY c.id, c.polygon_id
+    )
+    SELECT b.polygon_id, b.n_edges,
+           CAST(count(cr.id) AS BIGINT) AS n_bbox_candidates,
+           CAST(sum(CASE WHEN cr.n_cross % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inside
+    FROM bbox b LEFT JOIN crossings cr ON cr.polygon_id = b.polygon_id
+    GROUP BY b.polygon_id, b.n_edges
+    """,
+)
+def q_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment counts by even-odd ray casting:
+    every synthesized customer point tested against three audit
+    polygons (one non-convex) — the geofencing / catchment-area
+    operator class next to the radius join. A horizontal ray from the
+    point crosses edge (x1,y1)-(x2,y2) iff the edge spans the point's
+    y and the intersection lies right of the point; odd crossings =
+    inside.
+
+    Plan: the polygon set is a HANDFUL of literal rows — the bounding
+    boxes broadcast-join onto the point scan first (the cheap lossless
+    prefilter: containment implies bbox containment, so the per-edge
+    work touches only bbox candidates), then the ≤|edges|-per-polygon
+    expansion and two hash aggregates. Point volume enters through one
+    scan; everything after the bbox join is candidate-sized.
+    Determinism: coordinates are exact 0.001-grid doubles from integer
+    hashes, the crossing test is one IEEE chain on identical inputs in
+    both engines (boundary-exact points resolve identically by the
+    shared strict-inequality convention), crossing counts are
+    integers, parity is exact."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * _AX) % _MOD) / 1000.0).alias("x"),
+        (((F.col("c_custkey") * _AY) % _MOD) / 1000.0).alias("y"),
+    )
+    spark_bbox = spark.createDataFrame(
+        _poly_bboxes(),
+        "polygon_id int, xmin double, ymin double, xmax double,"
+        " ymax double, n_edges int",
+    )
+    spark_edges = spark.createDataFrame(
+        _poly_edges(),
+        "polygon_id int, x1 double, y1 double, x2 double, y2 double",
+    )
+    cand = pts.join(
+        F.broadcast(spark_bbox),
+        (F.col("x") >= F.col("xmin"))
+        & (F.col("x") <= F.col("xmax"))
+        & (F.col("y") >= F.col("ymin"))
+        & (F.col("y") <= F.col("ymax")),
+    ).select("id", "x", "y", "polygon_id")
+    crossing = (
+        F.col("y1") > F.col("y")
+    ) != (F.col("y2") > F.col("y"))
+    right_of = F.col("x") < (
+        (F.col("x2") - F.col("x1"))
+        * (F.col("y") - F.col("y1"))
+        / (F.col("y2") - F.col("y1"))
+        + F.col("x1")
+    )
+    crossings = (
+        cand.join(F.broadcast(spark_edges), "polygon_id")
+        .groupBy("id", "polygon_id")
+        .agg(
+            F.sum(F.when(crossing & right_of, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cross")
+        )
+    )
+    return (
+        spark_bbox.select("polygon_id", "n_edges")
+        .join(crossings, "polygon_id", "left")
+        .groupBy("polygon_id", "n_edges")
+        .agg(
+            F.count("id").cast("bigint").alias("n_bbox_candidates"),
+            F.sum(F.when(F.col("n_cross") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inside"),
+        )
+    )
+
+
+@register(
+    "q_join_skyline",
+    oracle="""
+    WITH per_size AS (
+      SELECT p_size, min(p_retailprice) AS minp
+      FROM part GROUP BY p_size
+    ),
+    thresh AS (
+      SELECT s.p_size, s.minp,
+             min(o.minp) AS min_larger
+      FROM per_size s LEFT JOIN per_size o ON o.p_size > s.p_size
+      GROUP BY s.p_size, s.minp
+    )
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p JOIN thresh t ON p.p_size = t.p_size
+    WHERE p.p_retailprice = t.minp
+      AND (t.min_larger IS NULL OR p.p_retailprice < t.min_larger)
+    """,
+)
+def q_join_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of the part catalog: parts not
+    dominated on (maximize p_size, minimize p_retailprice) — a part
+    survives iff no other part is at least as large AND at most as
+    expensive with one strict — the classic "best tradeoff candidates"
+    operator (cheapest part at every size level that beats everything
+    larger). Ties on both axes co-survive.
+
+    Plan: dominance NEVER becomes an all-pairs product — p_size has
+    attribute-bounded cardinality (1..50 in TPC-H), so one hash
+    aggregate collapses parts to the per-size minimum price, a
+    |sizes|² self-join (≤2500 rows) derives each size's
+    strictly-larger threshold, and the tiny threshold frame
+    broadcast-joins back onto the part scan. This is the standard
+    distributed skyline shape: block by one axis, reduce, sweep the
+    bounded block frame. Determinism: min-price picks and comparisons
+    on exact doubles; no float aggregation at all."""
+    p = load_table(spark, sf_dir, "part")
+    per_size = p.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("minp")
+    )
+    s, o = per_size.alias("s"), per_size.alias("o")
+    thresh = (
+        s.join(o, F.col("o.p_size") > F.col("s.p_size"), "left")
+        .groupBy(F.col("s.p_size").alias("p_size"), F.col("s.minp").alias("minp"))
+        .agg(F.min(F.col("o.minp")).alias("min_larger"))
+    )
+    return (
+        p.join(F.broadcast(thresh), "p_size")
+        .filter(
+            (F.col("p_retailprice") == F.col("minp"))
+            & (
+                F.col("min_larger").isNull()
+                | (F.col("p_retailprice") < F.col("min_larger"))
+            )
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )

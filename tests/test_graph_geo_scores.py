@@ -125,3 +125,66 @@ def test_assortativity_matches_python(spark):
     assert row["n_edges"] == len(pairs)
     assert row["assortativity"] == pytest.approx(expect, abs=1e-9)
     assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9
+
+
+def test_point_in_polygon_matches_python(spark):
+    from ex_hivent_spark.operators.geo import _POLYGONS
+
+    keys = [
+        r["c_custkey"]
+        for r in pq.read_table(f"{SF_DIR}/customer.parquet").to_pylist()
+    ]
+    want: dict = {}
+    for pid, verts in _POLYGONS.items():
+        xs = [v[0] for v in verts]
+        ys = [v[1] for v in verts]
+        n_bbox = n_in = 0
+        for k in keys:
+            x = ((k * _AX) % _MOD) / 1000.0
+            y = ((k * _AY) % _MOD) / 1000.0
+            if not (min(xs) <= x <= max(xs) and min(ys) <= y <= max(ys)):
+                continue
+            n_bbox += 1
+            inside = False
+            for i, (x1, y1) in enumerate(verts):
+                x2, y2 = verts[(i + 1) % len(verts)]
+                if (y1 > y) != (y2 > y) and x < (x2 - x1) * (y - y1) / (
+                    y2 - y1
+                ) + x1:
+                    inside = not inside
+            n_in += 1 if inside else 0
+        want[pid] = (len(verts), n_bbox, n_in)
+    got = {
+        r["polygon_id"]: r
+        for r in SPECS["q_geo_point_in_polygon"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for pid, (n_edges, n_bbox, n_in) in want.items():
+        row = got[pid]
+        assert row["n_edges"] == n_edges
+        assert row["n_bbox_candidates"] == n_bbox
+        assert row["n_inside"] == n_in
+        assert row["n_inside"] <= row["n_bbox_candidates"]
+
+
+def test_skyline_matches_python_bruteforce(spark):
+    parts = pq.read_table(f"{SF01}/part.parquet").to_pylist()
+    pts = [(p["p_partkey"], p["p_size"], p["p_retailprice"]) for p in parts]
+    sky = set()
+    for k, s, pr in pts:
+        dominated = any(
+            (s2 >= s and pr2 <= pr and (s2 > s or pr2 < pr))
+            for _, s2, pr2 in pts
+        )
+        if not dominated:
+            sky.add((k, s, pr))
+    got = {
+        (r["p_partkey"], r["p_size"], r["p_retailprice"])
+        for r in SPECS["q_join_skyline"].spark(spark, SF01).collect()
+    }
+    assert got == sky and len(sky) > 0
+    # frontier property: along increasing size, surviving prices must
+    # strictly increase (a larger size at an equal-or-lower price would
+    # dominate every smaller survivor)
+    prices = [p for _, _, p in sorted(got, key=lambda t: t[1])]
+    assert all(b > a for a, b in zip(prices, prices[1:]))
