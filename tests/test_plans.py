@@ -736,6 +736,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # same bounded 720-row month spine; all other matrix-profile
     # windows are partitioned (by lag, by window start)
     "q_ts_matrix_profile": 1,
+    # r11: the SPRT log-likelihood walk cumsum over the ≤|hours| hourly
+    # pre-agg (time-grain bounded, the q_ts_kpss_lite class)
+    "q_ab_sprt_boundary": 1,
 }
 
 
