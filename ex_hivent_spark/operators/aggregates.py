@@ -648,16 +648,18 @@ def q_agg_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH logs AS (
       SELECT event_type,
-             {sql_dround("ln(value)", 6)} AS lv
+             CASE WHEN value > 0
+                  THEN {sql_dround("ln(value)", 6)} END AS lv
       FROM events
     ),
     agg AS (
       SELECT event_type,
-             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(lv) AS BIGINT) AS n_events,
+             CAST(count(*) - count(lv) AS BIGINT) AS n_nonpos,
              CAST(sum(CAST(lv AS DECIMAL(25,6))) AS DOUBLE) AS slv
       FROM logs GROUP BY event_type
     )
-    SELECT event_type, n_events,
+    SELECT event_type, n_events, n_nonpos,
            {sql_dround("slv / n_events", 6)} AS log_mean,
            {sql_dround(
                f"exp({sql_dround('slv / n_events', 6)})", 6)} AS geo_mean
@@ -670,8 +672,12 @@ def q_agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     the arithmetic mean overstates under right skew; neither engine
     has it as a builtin, so it composes as exp(mean(ln x)) — the
     integer-log-space-product discipline (SCALE.md) in its continuous
-    form. Values are strictly positive in this table; a zero would
-    need the standard +epsilon or filter convention.
+    form. Non-positive values have no logarithm and take the standard
+    FILTER convention — excluded from the mean, counted in n_nonpos so
+    the exclusion is auditable. (The r11 full-registry anchor caught
+    exactly this: value = 0 rows first appear at sf0.1, where the
+    previous unguarded ln(0) made the engines diverge — DuckDB errors,
+    Spark yields NULL — invisible at the sf0.01 driver gate.)
 
     Plan: ONE map pass for the logs, one hash aggregate per type —
     map-side partial combine, flat in event volume, no windows, no
@@ -681,16 +687,21 @@ def q_agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     e6-rounded again."""
     e = load_table(spark, sf_dir, "events")
     logs = e.select(
-        "event_type", dround(F.log(F.col("value")), 6).alias("lv")
+        "event_type",
+        F.when(
+            F.col("value") > 0, dround(F.log(F.col("value")), 6)
+        ).alias("lv"),
     )
     agg = logs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("lv").cast("bigint").alias("n_events"),
+        (F.count(F.lit(1)) - F.count("lv")).cast("bigint").alias("n_nonpos"),
         F.sum(F.col("lv").cast("decimal(25,6)")).cast("double").alias("slv"),
     )
     log_mean = dround(F.col("slv") / F.col("n_events"), 6)
     return agg.select(
         "event_type",
         "n_events",
+        "n_nonpos",
         log_mean.alias("log_mean"),
         dround(F.exp(log_mean), 6).alias("geo_mean"),
     )
