@@ -488,12 +488,15 @@ def test_geometric_mean_matches_python(spark, sf_dir):
     }
     assert set(got) == set(vals)
     for t, vs in vals.items():
-        lm = e6(math.fsum(e6(math.log(v)) for v in vs) / len(vs))
+        pos = [v for v in vs if v > 0]  # filter convention (r11): only
+        # positive values carry a logarithm; the rest are audited
+        lm = e6(math.fsum(e6(math.log(v)) for v in pos) / len(pos))
         row = got[t]
-        assert row["n_events"] == len(vs)
+        assert row["n_events"] == len(pos)
+        assert row["n_nonpos"] == len(vs) - len(pos)
         assert row["log_mean"] == pytest.approx(lm, abs=1e-9)
         assert row["geo_mean"] == pytest.approx(e6(math.exp(lm)), abs=1e-9)
-        assert row["geo_mean"] <= math.fsum(vs) / len(vs) + 1e-6
+        assert row["geo_mean"] <= math.fsum(pos) / len(pos) + 1e-6
 
 
 def test_next_event_accuracy_matches_python(spark):
