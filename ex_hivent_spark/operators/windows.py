@@ -1686,20 +1686,33 @@ _BOLL_K = 2.0  # band half-width in rolling sigmas
                AS rev
       FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
     ),
+    base AS (
+      SELECT rf,
+             greatest(CAST(floor(sum(CAST(floor(rev + 0.5) AS BIGINT))
+                                 / count(*)) AS BIGINT), 1) AS k
+      FROM daily GROUP BY rf
+    ),
+    rel AS (
+      SELECT d.rf, d.day, d.rev, b.k,
+             {sql_dround("(d.rev - b.k) / b.k", 6)} AS dv
+      FROM daily d JOIN base b ON d.rf = b.rf
+    ),
     rolled AS (
-      SELECT rf, day, rev,
+      SELECT rf, day, rev, k,
              CAST(count(*) OVER w AS BIGINT) AS n,
              CAST(sum(CAST(rev AS DECIMAL(25,6))) OVER w AS DOUBLE) AS s,
-             CAST(sum(CAST(rev * rev AS DECIMAL(38,6))) OVER w AS DOUBLE)
-               AS ss
-      FROM daily
+             CAST(sum(CAST(dv AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sd_sum,
+             CAST(sum(CAST({sql_dround("dv * dv", 12)}
+                  AS DECIMAL(25,12))) OVER w AS DOUBLE) AS sq_sum
+      FROM rel
       WINDOW w AS (PARTITION BY rf ORDER BY day
                    ROWS BETWEEN {_BOLL_WIN - 1} PRECEDING AND CURRENT ROW)
     ),
     bands AS (
       SELECT rf, day, rev, s / n AS ma,
              {sql_dround(
-                 "sqrt(greatest((ss - s * s / n) / (n - 1), 0))", 6
+                 "k * sqrt(greatest((sq_sum - sd_sum * sd_sum / n)"
+                 " / (n - 1), 0))", 6
              )} AS sd
       FROM rolled WHERE n = {_BOLL_WIN}
     )
@@ -1721,40 +1734,74 @@ def q_win_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain first (hash aggregate), so the window runs over |days|×|flags|
     rows — time-grain bounded, partitioned by flag, never a global
     sort; rolling moments come from count/sum/sum-of-squares over the
-    ROWS frame. Determinism: daily revenue and the rolling sum ride the
-    decimal detour; the rolling sum-of-squares exceeds 2^53 unscaled so
-    the ONE consumer of it (the rolling sigma sqrt) is e6-rounded
-    (welch/gini discipline); band compares are then exact doubles."""
+    ROWS frame. Determinism: the rolling sigma is computed on e6
+    RELATIVE deviations from a per-flag integer base level (exact
+    integer arithmetic) — variance is shift-invariant and the relative
+    deviations are O(1) at ANY data scale, so their e12 squared sums
+    stay far inside the 2^53 unscaled-decimal exactness bound. (The
+    r11 sf0.1 hash sweep caught the previous absolute sum-of-squares
+    exceeding that bound: DuckDB's decimal→double cast double-rounded
+    the last digit of sd7 — invisible at sf0.01 magnitudes.) The band
+    compares are then exact doubles."""
     li = load_table(spark, sf_dir, "lineitem")
     daily = li.groupBy(
         F.col("l_returnflag"),
         F.col("l_shipdate").cast("date").alias("day"),
     ).agg(dsum("l_extendedprice", "rev"))
+    base = daily.groupBy("l_returnflag").agg(
+        F.greatest(
+            F.floor(
+                F.sum(F.floor(F.col("rev") + 0.5).cast("bigint"))
+                / F.count(F.lit(1))
+            ).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("k")
+    )
+    rel = daily.join(F.broadcast(base), "l_returnflag").select(
+        "l_returnflag",
+        "day",
+        "rev",
+        "k",
+        dround((F.col("rev") - F.col("k")) / F.col("k"), 6).alias("dv"),
+    )
     w = (
         Window.partitionBy("l_returnflag")
         .orderBy("day")
         .rowsBetween(-(_BOLL_WIN - 1), Window.currentRow)
     )
-    rev = F.col("rev")
-    rolled = daily.select(
+    rolled = rel.select(
         "l_returnflag",
         "day",
         "rev",
+        "k",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
-        F.sum(rev.cast("decimal(25,6)")).over(w).cast("double").alias("s"),
-        F.sum((rev * rev).cast("decimal(38,6)"))
+        F.sum(F.col("rev").cast("decimal(25,6)"))
         .over(w)
         .cast("double")
-        .alias("ss"),
+        .alias("s"),
+        F.sum(F.col("dv").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sd_sum"),
+        F.sum(
+            dround(F.col("dv") * F.col("dv"), 12).cast("decimal(25,12)")
+        )
+        .over(w)
+        .cast("double")
+        .alias("sq_sum"),
     ).filter(F.col("n") == _BOLL_WIN)
     ma = F.col("s") / F.col("n")
     # greatest(.., 0): double cancellation on a near-constant window can
     # leave a tiny negative — Spark's sqrt would return NaN while
     # DuckDB's raises, so clamp identically on both sides.
     sd = dround(
-        F.sqrt(
+        F.col("k")
+        * F.sqrt(
             F.greatest(
-                (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                (
+                    F.col("sq_sum")
+                    - F.col("sd_sum") * F.col("sd_sum") / F.col("n")
+                )
                 / (F.col("n") - 1),
                 F.lit(0.0),
             )
