@@ -172,3 +172,131 @@ def q_llm_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_first").cast("double") / F.count(F.lit(1)), 6
         ).alias("novelty_rate"),
     )
+
+
+# RRF probe terms (the q_llm_bm25_topk query set) and the standard
+# fusion constant.
+_RRF_TERMS = ("join", "stream", "filter")
+_RRF_K = 60
+_RRF_TOP = 10
+# Prefix-fold block widths: probe-term hits and distinct-token counts
+# are small integers, so value-grid blocks stay tiny at any scale.
+_RRF_BLOCK = 5.0
+
+_RRF_SQL_TERMS = "', '".join(_RRF_TERMS)
+
+
+@register(
+    "q_llm_rrf_fusion",
+    oracle=f"""
+    WITH cand AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN ('{_RRF_SQL_TERMS}')))
+                  AS BIGINT) AS hits,
+             CAST(len(list_distinct(string_split(text, ' ')))
+                  AS BIGINT) AS n_vocab
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '),
+                            t -> t IN ('{_RRF_SQL_TERMS}'))) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, hits, n_vocab,
+             row_number() OVER (ORDER BY hits DESC, doc_id) AS r_rel,
+             row_number() OVER (ORDER BY n_vocab DESC, doc_id) AS r_rich
+      FROM cand
+    ),
+    fused AS (
+      SELECT doc_id, hits, n_vocab,
+             CAST(r_rel AS BIGINT) AS r_rel,
+             CAST(r_rich AS BIGINT) AS r_rich,
+             {sql_dround(
+                 f"1.0 / ({_RRF_K} + r_rel) + 1.0 / ({_RRF_K} + r_rich)",
+                 6)} AS rrf
+      FROM ranked
+    )
+    SELECT doc_id, hits, n_vocab, r_rel, r_rich, rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {_RRF_TOP}
+    """,
+)
+def q_llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two document rankings — the standard
+    way to combine retrieval signals without score calibration: each
+    candidate (a doc containing ≥1 probe term) is ranked by probe-term
+    relevance (hit count) and by lexical richness (distinct vocabulary)
+    and fused as Σ 1/(60 + rank); the top-10 by fused score is the
+    "relevant AND substantive" training-data selection a RAG/data-
+    curation pipeline makes from BM25 + quality signals (the two
+    metrics here are deliberately integer-exact so the op pins the
+    FUSION machinery, not float calibration).
+
+    Plan: one documents scan computes both per-row metrics as
+    higher-order array ops (no explode); each global rank comes from
+    the DETERMINISTIC blocked prefix fold (operators/prefix.py — the
+    q_agg_rfm_scores discipline: value-grid blocks + doc_id
+    tie-breaks, NO global row_number window); the fused top-10 is a
+    TakeOrdered. Determinism: integer metrics and ranks; the fused
+    score is two IEEE divisions of integers, e6-rounded."""
+    from ex_hivent_spark.operators.prefix import running_totals_blocked
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_RRF_TERMS))).cast(
+        "bigint"
+    )
+    cand = (
+        d.select(
+            "doc_id",
+            hits.alias("hits"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_vocab"),
+        )
+        .filter(F.col("hits") > 0)
+        .localCheckpoint(eager=False)  # two rank folds + the final join
+        # fan out from this one candidate frame
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+
+    def rank_desc(metric: str, out: str) -> DataFrame:
+        """Descending dense-free unique rank via the ascending blocked
+        prefix fold: rank_desc = n_cand + 1 - rank_asc, where the
+        ascending order is (metric, -doc_id) so that descending ties
+        break doc_id-ascending."""
+        blocked = cand.select(
+            "doc_id",
+            metric,
+            (-F.col("doc_id")).alias("neg_id"),
+            F.floor(F.col(metric) / F.lit(_RRF_BLOCK)).alias("blk"),
+            F.lit(1).cast("bigint").alias("one"),
+        )
+        ranked = running_totals_blocked(
+            blocked,
+            order_cols=[metric, "neg_id"],
+            block_cols=["blk"],
+            sum_cols={"one": "rnk"},
+        )
+        return ranked.crossJoin(F.broadcast(n_cand)).select(
+            "doc_id",
+            (F.col("n_cand") + 1 - F.col("rnk")).cast("bigint").alias(out),
+        )
+
+    r_rel = rank_desc("hits", "r_rel")
+    r_rich = rank_desc("n_vocab", "r_rich")
+    fused = (
+        cand.join(r_rel, "doc_id")
+        .join(r_rich, "doc_id")
+        .select(
+            "doc_id",
+            "hits",
+            "n_vocab",
+            "r_rel",
+            "r_rich",
+            dround(
+                1.0 / (_RRF_K + F.col("r_rel"))
+                + 1.0 / (_RRF_K + F.col("r_rich")),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOP)

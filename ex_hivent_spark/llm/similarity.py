@@ -3064,3 +3064,115 @@ def q_llm_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("recall_at_k"),
     )
+
+
+# Johnson-Lindenstrauss audit: project to k dimensions with the same
+# deterministic md5 hyperplanes as sign-LSH; entries are uniform on
+# [-1, 1) (variance 1/3), so the unbiased squared-distance estimator
+# scales by 3/k = 0.1875 exactly.
+_JL_K = 16
+_JL_SCALE = 3.0 / _JL_K
+_JL_SAMPLE_MOD = 50
+_JL_SAMPLE_N = 20
+
+
+def _jl_oracle_sql() -> str:
+    planes = _plane_matrix(_JL_K)
+    proj_cols = ",\n             ".join(
+        f"list_dot_product(dv, {_plane_sql(planes[j])}) AS p{j}"
+        for j in range(_JL_K)
+    )
+    sq_chain = " + ".join(f"p{j} * p{j}" for j in range(_JL_K))
+    scale = "CAST(0.1875 AS DOUBLE)"
+    return f"""
+    WITH samp AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id % {_JL_SAMPLE_MOD} = 0
+      ORDER BY vec_id LIMIT {_JL_SAMPLE_N}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_transform(range(1, {EMBED_DIM + 1}),
+                            i -> a.e[i] - b.e[i]) AS dv
+      FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+    ),
+    proj AS (
+      SELECT vec_a, vec_b,
+             list_sum(list_transform(dv, x -> x * x)) AS d2,
+             {proj_cols}
+      FROM pairs
+    )
+    SELECT vec_a, vec_b,
+           floor(d2 * 1000000.0 + 0.5) / 1000000.0 AS d2_orig,
+           floor({scale} * ({sq_chain}) * 1000000.0 + 0.5) / 1000000.0
+             AS d2_proj,
+           CASE WHEN d2 = 0 THEN NULL
+                ELSE floor({scale} * ({sq_chain}) / d2 * 1000000.0 + 0.5)
+                     / 1000000.0 END AS ratio
+    FROM proj
+    """
+
+
+@register("q_emb_jl_distortion", oracle=_jl_oracle_sql())
+def q_emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection distortion audit: squared
+    pairwise distances of a bounded deterministic vector sample,
+    before and after projecting 64 → 16 dimensions through the
+    engine's md5 hyperplanes (the sign-LSH planes, here used as the
+    dense random map; uniform [−1,1) entries ⇒ the unbiased estimator
+    scales by 3/k). ratio near 1 per pair is the JL guarantee holding
+    — the audit that justifies running the CHEAP 16-d distance in a
+    first-pass ANN/dedup filter and the full 64-d math only on
+    survivors (the q_llm_pq_distortion companion for dense maps).
+
+    Plan: the sample is 20 vectors (one broadcast), pairs are 190
+    rows; each pair does one 64-element difference fold, sixteen
+    literal-plane dot products, and per-row IEEE closings — nothing
+    touches the full corpus beyond the sampled scan (id-filter pushes
+    to the scan). At production scale the same literal-matrix
+    projection runs over the whole table as a map-only pass.
+    Determinism: the projection matrix is ordinary double literals
+    identical in both engines; every fold (zip-diff, squared sums,
+    dot products) uses the established sequential order; the three
+    outputs are e6-rounded; coincident vectors (d2 = 0) yield NULL
+    ratio identically."""
+    em = load_table(spark, sf_dir, "embeddings")
+    samp = (
+        em.filter(F.col("vec_id") % _JL_SAMPLE_MOD == 0)
+        .orderBy("vec_id")
+        .limit(_JL_SAMPLE_N)
+        .select("vec_id", "embedding")
+    )
+    a = samp.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = samp.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        F.zip_with(
+            "ea", "eb", lambda x, y: x.cast("double") - y.cast("double")
+        ).alias("dv"),
+    )
+    d2 = F.aggregate(
+        F.transform("dv", lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    proj_sq = None
+    for row in _plane_matrix(_JL_K):
+        pj = dot(F.col("dv"), F.lit(row))
+        term = pj * pj
+        proj_sq = term if proj_sq is None else proj_sq + term
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        dround(d2, 6).alias("d2_orig"),
+        dround(_JL_SCALE * proj_sq, 6).alias("d2_proj"),
+        F.when(d2 == 0, F.lit(None).cast("double"))
+        .otherwise(dround(_JL_SCALE * proj_sq / d2, 6))
+        .alias("ratio"),
+    )
+    return scored

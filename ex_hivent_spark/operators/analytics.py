@@ -2026,3 +2026,72 @@ def q_quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndv_ratio"),
     )
+
+
+# Candidate-key audit targets: (table, label, column list).
+_UNIQ_TARGETS = (
+    ("events", "event_id", ("event_id",)),
+    ("events", "user_id", ("user_id",)),
+    ("events", "user_id,event_type", ("user_id", "event_type")),
+    ("events", "user_id,ts", ("user_id", "ts")),
+    ("orders", "o_orderkey", ("o_orderkey",)),
+    ("orders", "o_custkey,o_orderdate", ("o_custkey", "o_orderdate")),
+)
+
+
+def _uniq_sql(table: str, label: str, cols: tuple) -> str:
+    tup = ", ".join(cols)
+    return f"""
+      SELECT '{table}' AS table_name, '{label}' AS key_cols,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT ({tup})) AS BIGINT) AS n_distinct,
+             floor((CAST(count(DISTINCT ({tup})) AS DOUBLE) / count(*))
+                   * 1000000.0 + 0.5) / 1000000.0 AS uniqueness,
+             count(DISTINCT ({tup})) = count(*) AS is_key
+      FROM {table}
+    """
+
+
+@register(
+    "q_quality_uniqueness_audit",
+    oracle=" UNION ALL ".join(
+        _uniq_sql(t, lbl, cols) for t, lbl, cols in _UNIQ_TARGETS
+    ),
+)
+def q_quality_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery audit: exact distinct ratio for a panel
+    of column combinations over the fact tables — which columns (or
+    combos) actually identify a row. uniqueness = 1.0 certifies a key
+    (dedup/merge/upsert operators key on these); a near-1 ratio flags
+    "almost keys" whose duplicates deserve a look (the
+    q_quality_profile companion every schema-inference/maintenance
+    layer runs before choosing merge keys or bucketing columns).
+
+    Plan: one exact count-distinct hash aggregate per target (six
+    two-phase aggregates unioned — each shuffles |distinct| not
+    |rows|); no joins, no windows. At 100 TB the panel runs one pass
+    per table with grouping-set-style sharing left to the optimizer.
+    Determinism: pure integer counts; the ratio is one IEEE division,
+    e6-rounded; composite distinctness uses the same struct equality
+    in both engines (ts values are exact micros)."""
+    out = None
+    for table, label, cols in _UNIQ_TARGETS:
+        t = load_table(spark, sf_dir, table)
+        nd = F.count_distinct(*[F.col(c) for c in cols]).cast("bigint")
+        row = t.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(label).alias("key_cols"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            nd.alias("n_distinct"),
+            dround(
+                F.count_distinct(*[F.col(c) for c in cols]).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("uniqueness"),
+            (
+                F.count_distinct(*[F.col(c) for c in cols])
+                == F.count(F.lit(1))
+            ).alias("is_key"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
