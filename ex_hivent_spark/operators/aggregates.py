@@ -705,3 +705,147 @@ def q_agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         log_mean.alias("log_mean"),
         dround(F.exp(log_mean), 6).alias("geo_mean"),
     )
+
+
+# Count-Min sketch geometry for the frequency-estimate audit: D md5
+# hash rows x W counters, probing the top-N hottest keys.
+_CMS_D = 4
+_CMS_W = 64
+_CMS_TOP = 10
+
+
+def _cms_cell_sql(d: int, key: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({d} AS VARCHAR) || ':'"
+        f" || CAST({key} AS VARCHAR)), 1, 12))::BIGINT % {_CMS_W}"
+    )
+
+
+@register(
+    "q_agg_cms_audit",
+    oracle=f"""
+    WITH exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM exact),
+    cells AS (
+      SELECT d.d,
+             CASE d.d
+               {" ".join(
+                   f"WHEN {d} THEN {_cms_cell_sql(d, 'exact.user_id')}"
+                   for d in range(_CMS_D))}
+             END AS cell,
+             CAST(sum(exact.c) AS BIGINT) AS cnt
+      FROM exact, (SELECT CAST(unnest(range({_CMS_D})) AS BIGINT) AS d) d
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT user_id, c FROM exact
+      ORDER BY c DESC, user_id LIMIT {_CMS_TOP}
+    ),
+    est AS (
+      SELECT p.user_id, p.c,
+             min(cells.cnt) AS est
+      FROM probes p, (SELECT CAST(unnest(range({_CMS_D})) AS BIGINT)
+                      AS d) dd
+      JOIN cells ON cells.d = dd.d
+      WHERE cells.cell = CASE dd.d
+               {" ".join(
+                   f"WHEN {d} THEN {_cms_cell_sql(d, 'p.user_id')}"
+                   for d in range(_CMS_D))}
+             END
+      GROUP BY p.user_id, p.c
+    )
+    SELECT e.user_id, e.c AS exact_count, e.est AS cms_estimate,
+           e.est - e.c AS overcount,
+           e.est >= e.c AS never_undercounts,
+           CAST(e.est - e.c AS DOUBLE)
+             <= 2.0 * (SELECT n FROM tot) / {_CMS_W} AS within_2eps
+    FROM est e
+    """,
+)
+def q_agg_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency-estimate audit: a 4×64 CMS over
+    per-user event counts (md5 row hashes — deterministic, so the
+    sketch is identical on any cluster or retry), probed at the ten
+    hottest users against their exact counts. The two contracts a CMS
+    ships with are asserted as COLUMNS: estimates never undercount
+    (min over rows of an over-approximating cell), and the overcount
+    stays within the 2N/W slack (twice the expected collision mass —
+    the audit threshold; the ε=e/W textbook bound holds w.h.p.). This
+    is the q_agg_sketch_rollup companion for FREQUENCY sketches:
+    heavy-hitter serving layers store exactly these counters.
+
+    Plan: event volume collapses to the per-user exact frame once;
+    the sketch builds FROM that aggregate (a |users|×4 expansion into
+    at most 256 counter cells — never a 4× pass over raw events); the
+    probe set is a TakeOrdered top-10 broadcast back onto the tiny
+    cell table. Determinism: integer counts, md5 cell arithmetic
+    identical in both engines, min-of-integers estimates."""
+    e = load_table(spark, sf_dir, "events")
+    exact = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)  # sketch build + probe ranking +
+    # the total all fan out from this one user-grain frame
+    tot = exact.agg(F.sum("c").cast("bigint").alias("n"))
+
+    def cell(d: int, key) -> "F.Column":
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(str(d)),
+                            F.lit(":"),
+                            key.cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    rows = None
+    for d in range(_CMS_D):
+        r = exact.select(
+            F.lit(d).cast("bigint").alias("d"),
+            cell(d, F.col("user_id")).alias("cell"),
+            "c",
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    cells = rows.groupBy("d", "cell").agg(
+        F.sum("c").cast("bigint").alias("cnt")
+    )
+    probes = exact.orderBy(F.col("c").desc(), "user_id").limit(_CMS_TOP)
+    probe_cells = None
+    for d in range(_CMS_D):
+        pc = probes.select(
+            "user_id",
+            "c",
+            F.lit(d).cast("bigint").alias("d"),
+            cell(d, F.col("user_id")).alias("cell"),
+        )
+        probe_cells = (
+            pc if probe_cells is None else probe_cells.unionByName(pc)
+        )
+    est = (
+        probe_cells.join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("user_id", "c")
+        .agg(F.min("cnt").cast("bigint").alias("est"))
+    )
+    return est.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        F.col("c").alias("exact_count"),
+        F.col("est").alias("cms_estimate"),
+        (F.col("est") - F.col("c")).alias("overcount"),
+        (F.col("est") >= F.col("c")).alias("never_undercounts"),
+        (
+            (F.col("est") - F.col("c")).cast("double")
+            <= 2.0 * F.col("n") / _CMS_W
+        ).alias("within_2eps"),
+    )

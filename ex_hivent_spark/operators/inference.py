@@ -758,3 +758,151 @@ def q_ab_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("accept_h0"))
         .alias("decision"),
     )
+
+
+# Permutation-test parameters: replicate count and the md5 parity
+# assignment (deterministic — rows land in the same pseudo-arm on any
+# cluster, partitioning, or retry; the engine's no-rand() rule).
+_PERM_B = 200
+
+
+@register(
+    "q_ab_permutation_test",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS m
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT
+        CAST(sum(CASE WHEN user_id % 2 = 0
+                      THEN CAST(m AS DECIMAL(25,6)) END) AS DOUBLE)
+          / sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        - CAST(sum(CASE WHEN user_id % 2 = 1
+                        THEN CAST(m AS DECIMAL(25,6)) END) AS DOUBLE)
+          / sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS d_obs,
+        CAST(count(*) AS BIGINT) AS n_users
+      FROM u
+    ),
+    reps AS (
+      SELECT u.user_id, u.m, r.rep,
+             ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':'
+                                 || CAST(r.rep AS VARCHAR)), 32, 1)
+             )::BIGINT % 2 AS arm
+      FROM u, (SELECT CAST(unnest(range({_PERM_B})) AS BIGINT) AS rep) r
+    ),
+    rdiff AS (
+      SELECT rep,
+             CAST(sum(CASE WHEN arm = 0
+                           THEN CAST(m AS DECIMAL(25,6)) END) AS DOUBLE)
+               / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+             - CAST(sum(CASE WHEN arm = 1
+                             THEN CAST(m AS DECIMAL(25,6)) END) AS DOUBLE)
+               / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS d
+      FROM reps GROUP BY rep
+    )
+    SELECT o.n_users, CAST({_PERM_B} AS BIGINT) AS n_reps,
+           {sql_dround("o.d_obs", 6)} AS obs_diff,
+           CAST(sum(CASE WHEN abs(r.d) >= abs(o.d_obs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           {sql_dround(
+               f"(1.0 + sum(CASE WHEN abs(r.d) >= abs(o.d_obs)"
+               f" THEN 1 ELSE 0 END)) / (1.0 + {_PERM_B})", 6)}
+             AS p_value
+    FROM rdiff r CROSS JOIN obs o
+    GROUP BY o.n_users, o.d_obs
+    """,
+)
+def q_ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test on the observed A/B split (user_id parity, the
+    q_ab_proportion_test convention): the per-user value-sum mean
+    difference between arms, re-scored under 200 DETERMINISTIC
+    pseudo-random re-assignments (arm(u, rep) = md5 parity — the
+    engine's no-rand() rule, so every replicate is identical on any
+    cluster or retry), with the standard add-one p-value
+    (1 + #{|d_rep| ≥ |d_obs|}) / (B + 1). The distribution-free
+    companion to q_agg_welch_ttest: no normality or equal-variance
+    assumption, just exchangeability.
+
+    Plan: event volume collapses to the per-USER metric frame ONCE;
+    the 200-replicate grid expands the user frame (never raw events) —
+    |users|×B rows through one hash aggregate keyed on rep. At 100 TB
+    the replicate fan-out is tunable and the expansion stays
+    aggregate-sized. Determinism: per-user sums ride the decimal
+    detour, replicate assignment is md5 parity on identical strings,
+    per-rep means are decimal-sum/count, and the comparison against
+    |d_obs| uses bit-identical doubles; the closing p is e6-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("m")
+    )
+
+    def arm_mean(frame: DataFrame, arm_col, grp: list) -> DataFrame:
+        md = F.sum(
+            F.when(arm_col == 0, F.col("m").cast("decimal(25,6)"))
+        ).cast("double") / F.sum(F.when(arm_col == 0, 1).otherwise(0)) - F.sum(
+            F.when(arm_col == 1, F.col("m").cast("decimal(25,6)"))
+        ).cast("double") / F.sum(F.when(arm_col == 1, 1).otherwise(0))
+        aggs = [md.alias("d")]
+        if not grp:
+            aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            return frame.agg(*aggs)
+        return frame.groupBy(*grp).agg(*aggs)
+
+    obs = arm_mean(u, F.col("user_id") % 2, []).select(
+        F.col("d").alias("d_obs"), "n_users"
+    )
+    reps_grid = spark.range(_PERM_B).select(
+        F.col("id").cast("bigint").alias("rep")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(":"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                32,
+                1,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    reps = u.crossJoin(F.broadcast(reps_grid)).select(
+        "user_id", "m", "rep", arm.alias("arm")
+    )
+    rdiff = arm_mean(reps, F.col("arm"), ["rep"])
+    joined = rdiff.crossJoin(F.broadcast(obs))
+    extreme = F.sum(
+        F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+    ).cast("bigint")
+    return joined.groupBy("n_users", "d_obs").agg(
+        F.lit(_PERM_B).cast("bigint").alias("n_reps"),
+        extreme.alias("n_extreme"),
+        dround(
+            (
+                1.0
+                + F.sum(
+                    F.when(
+                        F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1
+                    ).otherwise(0)
+                )
+            )
+            / (1.0 + _PERM_B),
+            6,
+        ).alias("p_value"),
+    ).select(
+        "n_users",
+        "n_reps",
+        dround(F.col("d_obs"), 6).alias("obs_diff"),
+        "n_extreme",
+        "p_value",
+    )

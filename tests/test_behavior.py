@@ -549,3 +549,45 @@ def test_next_event_accuracy_matches_python(spark):
         assert row["accuracy"] == pytest.approx(
             math.floor(n_corr / n_eval * 1e6 + 0.5) / 1e6, abs=2e-6
         )
+
+
+def test_cms_audit_matches_python(spark):
+    import hashlib
+    from collections import Counter as _Counter
+
+    import pyarrow.parquet as _pq
+
+    from ex_hivent_spark.operators.aggregates import (
+        _CMS_D,
+        _CMS_TOP,
+        _CMS_W,
+    )
+
+    rows = _pq.read_table(f"{SF_DIR}/events.parquet").to_pylist()
+    exact = _Counter(r["user_id"] for r in rows)
+    n_total = sum(exact.values())
+
+    def cell(d, u):
+        return (
+            int(hashlib.md5(f"{d}:{u}".encode()).hexdigest()[:12], 16)
+            % _CMS_W
+        )
+
+    cms = [[0] * _CMS_W for _ in range(_CMS_D)]
+    for u, c in exact.items():
+        for d in range(_CMS_D):
+            cms[d][cell(d, u)] += c
+    probes = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:_CMS_TOP]
+    got = {
+        r["user_id"]: r
+        for r in SPECS["q_agg_cms_audit"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == {u for u, _ in probes}
+    for u, c in probes:
+        est = min(cms[d][cell(d, u)] for d in range(_CMS_D))
+        row = got[u]
+        assert row["exact_count"] == c
+        assert row["cms_estimate"] == est
+        assert row["overcount"] == est - c
+        assert row["never_undercounts"] is True
+        assert row["within_2eps"] == (est - c <= 2.0 * n_total / _CMS_W)

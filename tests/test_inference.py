@@ -242,3 +242,40 @@ def test_sprt_boundary_matches_python(spark):
         assert row["decision"] == "accept_h1"
     else:
         assert row["decision"] == "accept_h0"
+
+
+def test_permutation_test_matches_python(spark):
+    import hashlib
+
+    from ex_hivent_spark.operators.inference import _PERM_B
+
+    rows = _events()
+    per_user: dict = defaultdict(float)
+    for r in rows:
+        per_user[r["user_id"]] += r["value"]
+
+    def diff(assign):
+        a = [m for u, m in per_user.items() if assign(u) == 0]
+        b = [m for u, m in per_user.items() if assign(u) == 1]
+        return math.fsum(a) / len(a) - math.fsum(b) / len(b)
+
+    d_obs = diff(lambda u: u % 2)
+    n_ext = 0
+    for rep in range(_PERM_B):
+        d = diff(
+            lambda u: int(
+                hashlib.md5(f"{u}:{rep}".encode()).hexdigest()[31], 16
+            )
+            % 2
+        )
+        if abs(d) >= abs(d_obs):
+            n_ext += 1
+    row = SPECS["q_ab_permutation_test"].spark(spark, SF_DIR).collect()[0]
+    assert row["n_users"] == len(per_user)
+    assert row["n_reps"] == _PERM_B
+    assert row["obs_diff"] == pytest.approx(_e6(d_obs), abs=2e-6)
+    assert row["n_extreme"] == n_ext
+    assert row["p_value"] == pytest.approx(
+        _e6((1.0 + n_ext) / (1.0 + _PERM_B)), abs=2e-6
+    )
+    assert 0.0 < row["p_value"] <= 1.0
