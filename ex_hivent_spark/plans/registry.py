@@ -70,10 +70,11 @@ def register(name: str, oracle: Optional[str] = None):
 #      blocklist/position-bias curation signals, point-in-polygon,
 #      skyline) — every one oracle-verified at sf0.001 + sf0.01 in
 #      the r11 session and covered by the r11 local sweep;
-#   2. freshness refill: the alphabetically-first 20 of the 42 ops
+#   2. freshness refill: the alphabetically-first 18 of the 42 ops
 #      whose latest driver row is r4 (the oldest rows in the ledger).
-# r12 PLAN: front whatever r12 registers, then the 22 remaining
-# r4-latest ops (q_llm_simhash_groups, q_llm_unigram_logprob,
+# r12 PLAN: front whatever r12 registers, then the 24 remaining
+# r4-latest ops (q_llm_reservoir_sample, q_llm_semdedup,
+# q_llm_simhash_groups, q_llm_unigram_logprob,
 # q_quality_fk_orphans, q_quality_profile, the r4 TPC-H tail
 # q_tpch_q11/13/14/15/16/17/18/19/20/21/22/q2/q4/q6/q8,
 # q_ts_linear_interp, q_win_rolling_median, q_win_time_range_frame),
@@ -83,7 +84,9 @@ def register(name: str, oracle: Optional[str] = None):
 # scripts/driver_sim.py re-verifies ALL queries locally every round
 # regardless of this ordering.
 DRIVER_CHECK_FIRST = [
-    # --- the 30 never-driver-checked ops (7 r10-new, 23 r11-new)
+    # --- the 32 never-driver-checked ops (7 r10-new, 25 r11-new)
+    "q_ab_permutation_test",
+    "q_agg_cms_audit",
     "q_llm_rrf_fusion",
     "q_quality_uniqueness_audit",
     "q_emb_jl_distortion",
@@ -133,8 +136,6 @@ DRIVER_CHECK_FIRST = [
     "q_llm_passage_dedup",
     "q_llm_pq_encode",
     "q_llm_quality_classifier",
-    "q_llm_reservoir_sample",
-    "q_llm_semdedup",
 ]
 
 
