@@ -739,6 +739,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # r11: the SPRT log-likelihood walk cumsum over the ≤|hours| hourly
     # pre-agg (time-grain bounded, the q_ts_kpss_lite class)
     "q_ab_sprt_boundary": 1,
+    # r11 risk battery: lag over the pooled all-flag DAILY revenue
+    # series (|days| rows — time-grain bounded, the q_ts_granger_lite
+    # class; the per-flag return lag next to it is partitioned)
+    "q_agg_beta_capm": 1,
 }
 
 
