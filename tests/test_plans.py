@@ -743,6 +743,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # series (|days| rows — time-grain bounded, the q_ts_granger_lite
     # class; the per-flag return lag next to it is partitioned)
     "q_agg_beta_capm": 1,
+    # r11 resampling: rank + count over the B=200 bootstrap-replicate
+    # frame (bounded by the literal replicate count, the
+    # q_agg_heavy_hitters class — never data-volume sized)
+    "q_ab_bootstrap_ci": 2,
 }
 
 
