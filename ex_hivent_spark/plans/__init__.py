@@ -29,6 +29,8 @@ def load_all() -> None:
     import ex_hivent_spark.operators.finance  # noqa: F401
     import ex_hivent_spark.operators.risk  # noqa: F401
     import ex_hivent_spark.operators.resample  # noqa: F401
+    import ex_hivent_spark.operators.nonparam  # noqa: F401
+    import ex_hivent_spark.operators.assoc  # noqa: F401
     import ex_hivent_spark.operators.volumeflow  # noqa: F401
     import ex_hivent_spark.operators.behavior  # noqa: F401
     import ex_hivent_spark.functions.scalar  # noqa: F401
