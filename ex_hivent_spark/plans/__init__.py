@@ -31,6 +31,7 @@ def load_all() -> None:
     import ex_hivent_spark.operators.resample  # noqa: F401
     import ex_hivent_spark.operators.nonparam  # noqa: F401
     import ex_hivent_spark.operators.assoc  # noqa: F401
+    import ex_hivent_spark.operators.quality  # noqa: F401
     import ex_hivent_spark.operators.volumeflow  # noqa: F401
     import ex_hivent_spark.operators.behavior  # noqa: F401
     import ex_hivent_spark.functions.scalar  # noqa: F401
@@ -47,5 +48,6 @@ def load_all() -> None:
     import ex_hivent_spark.llm.ngrams  # noqa: F401
     import ex_hivent_spark.llm.clusterqc  # noqa: F401
     import ex_hivent_spark.llm.lexsignals  # noqa: F401
+    import ex_hivent_spark.llm.embaudit  # noqa: F401
 
     _LOADED = True
