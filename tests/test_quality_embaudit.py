@@ -98,14 +98,23 @@ def test_enum_conformance_exercises_both_outcomes(spark):
 
 
 def test_centroid_shift_matches_python(spark):
+    # Mirror the engine's decimal(25,6) detour exactly: every addend
+    # is HALF_UP-rounded to 6 decimals before the (exact) summation.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+
     rows = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pylist()
     sums: dict = defaultdict(lambda: None)
     counts: dict = defaultdict(int)
     for r in rows:
         key = (r["label"], r["vec_id"] % 2)
-        v = [float(x) for x in r["embedding"]]
+        v = [
+            Decimal(float(x)).quantize(q6, ROUND_HALF_UP)
+            for x in r["embedding"]
+        ]
         if sums[key] is None:
-            sums[key] = [0.0] * len(v)
+            sums[key] = [Decimal(0)] * len(v)
         sums[key] = [a + b for a, b in zip(sums[key], v)]
         counts[key] += 1
     got = {
@@ -115,8 +124,8 @@ def test_centroid_shift_matches_python(spark):
     labels = {lb for lb, _ in sums}
     assert set(got) == labels
     for lb in labels:
-        ce = [_e6(s / counts[(lb, 0)]) for s in sums[(lb, 0)]]
-        co = [_e6(s / counts[(lb, 1)]) for s in sums[(lb, 1)]]
+        ce = [_e6(float(s) / counts[(lb, 0)]) for s in sums[(lb, 0)]]
+        co = [_e6(float(s) / counts[(lb, 1)]) for s in sums[(lb, 1)]]
         ss = math.fsum((a - b) ** 2 for a, b in zip(ce, co))
         dot = math.fsum(a * b for a, b in zip(ce, co))
         ne2 = math.fsum(a * a for a in ce)
