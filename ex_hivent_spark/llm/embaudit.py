@@ -151,3 +151,179 @@ def q_emb_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot") / F.sqrt(F.col("ne2") * F.col("no2")), 6
         ).alias("centroid_cos"),
     )
+
+
+# Hamming-recall audit parameters: probe count, neighbor depth, and
+# the fixed embedding dimensionality split into two 32-bit sign masks
+# (a single 64-bit mask would collide with the bigint sign bit).
+_HAM_Q = 64
+_HAM_K = 10
+_DIM = 64
+
+
+def _sql_mask(lo: int, hi: int) -> str:
+    """Literal sum-of-powers sign mask over dims [lo, hi) (1-based
+    array access on the DuckDB side)."""
+    terms = " + ".join(
+        f"(CASE WHEN embedding[{j + 1}] >= 0 THEN CAST({1 << (j - lo)}"
+        f" AS BIGINT) ELSE 0 END)"
+        for j in range(lo, hi)
+    )
+    return f"({terms})"
+
+
+def _mask(lo: int, hi: int):
+    col = None
+    for j in range(lo, hi):
+        term = F.when(
+            F.col("embedding").getItem(j) >= 0,
+            F.lit(1 << (j - lo)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        col = term if col is None else col + term
+    return col
+
+
+@register(
+    "q_emb_hamming_recall",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             {_sql_mask(0, 32)} AS mlo, {_sql_mask(32, 64)} AS mhi
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id, mlo, mhi,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    q AS (
+      SELECT vec_id AS query_id, u AS qu, mlo AS qlo, mhi AS qhi
+      FROM unit WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {_HAM_Q}
+    ),
+    scored AS (
+      SELECT q.query_id, unit.vec_id AS neighbor_id,
+             floor(list_dot_product(q.qu, unit.u) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cosine,
+             CAST(bit_count(xor(q.qlo, unit.mlo))
+                  + bit_count(xor(q.qhi, unit.mhi)) AS BIGINT) AS hamming
+      FROM q JOIN unit ON unit.vec_id <> q.query_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_HAM_K}
+    ),
+    ham AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming ASC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_HAM_K}
+    )
+    SELECT e.query_id,
+           CAST(coalesce(sum(CASE WHEN h.neighbor_id IS NOT NULL
+                                  THEN 1 END), 0) AS BIGINT) AS n_overlap,
+           {sql_dround(
+               "coalesce(sum(CASE WHEN h.neighbor_id IS NOT NULL"
+               f" THEN 1 END), 0) / CAST({_HAM_K} AS DOUBLE)", 6,
+           )} AS recall
+    FROM exact e LEFT JOIN ham h
+      ON e.query_id = h.query_id AND e.neighbor_id = h.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q_emb_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binarization quality audit: per probe, the recall@10 of
+    sign-bit Hamming search against the exact cosine top-10 — the
+    go/no-go measurement for shipping 64×-compressed binary embeddings
+    into the retrieval tier (the binary-quantization companion to
+    q_emb_pq_distortion's codebook audit and q_llm_ann_recall's IVF
+    probe).
+
+    Plan: sign masks are two map-only 32-term literal folds per vector
+    (no shuffle — a 64-bit mask would collide with the bigint sign
+    bit, so the distance is bit_count(xor) over two 32-bit halves);
+    the probe side is a TakeOrdered-capped broadcast (the
+    q_llm_cosine_topk discipline), one dot+xor pass scores the corpus
+    stream against it, and two bounded per-probe rank windows pick
+    both top-10 lists. At 100 TB the scale path replaces the exact
+    arm with LSH/IVF and keeps the Hamming arm unchanged — binary
+    masks shuffle 8 bytes/vector, never the vectors. Determinism:
+    cosines are e6-rounded sequential-fold dots, Hamming distances
+    are exact integers, both ranks tie-break on neighbor_id, and
+    recall is an exact count over a 10-row frame."""
+    from ex_hivent_spark.llm.similarity import dot, l2_norm
+
+    em = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    unit = em.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / norm
+        ).alias("u"),
+        _mask(0, 32).alias("mlo"),
+        _mask(32, _DIM).alias("mhi"),
+    )
+    q = (
+        unit.filter(F.col("vec_id") % 50 == 0)
+        .orderBy("vec_id")
+        .limit(_HAM_Q)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("u").alias("qu"),
+            F.col("mlo").alias("qlo"),
+            F.col("mhi").alias("qhi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = unit.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dround(dot(F.col("qu"), F.col("u")), 6).alias("cosine"),
+        (
+            F.bit_count(F.col("qlo").bitwiseXOR(F.col("mlo")))
+            + F.bit_count(F.col("qhi").bitwiseXOR(F.col("mhi")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    ).localCheckpoint(eager=False)  # both rank arms: one scoring pass
+    wex = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    wham = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("rn", F.row_number().over(wex))
+        .filter(F.col("rn") <= _HAM_K)
+        .select("query_id", "neighbor_id")
+    )
+    ham = (
+        scored.withColumn("rn", F.row_number().over(wham))
+        .filter(F.col("rn") <= _HAM_K)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("h_neighbor_id"),
+            F.lit(1).alias("hit"),
+        )
+    )
+    j = exact.join(
+        ham,
+        (exact["query_id"] == ham["query_id"])
+        & (exact["neighbor_id"] == ham["h_neighbor_id"]),
+        "left",
+    ).select(exact["query_id"], "hit")
+    return j.groupBy("query_id").agg(
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        dround(
+            F.coalesce(F.sum("hit"), F.lit(0)) / float(_HAM_K), 6
+        ).alias("recall"),
+    )

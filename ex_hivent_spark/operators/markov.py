@@ -1,0 +1,165 @@
+"""Markov-chain convergence analytics on the user-behavior transition
+matrix: the stationary distribution reached by a FIXED number of
+power-iteration steps from the uniform start, compared against the
+empirical state occupancy — "where does user behavior settle if the
+observed dynamics keep running", the long-run companion to
+q_ts_markov_transitions' one-step matrix (and the same
+fixed-round-count iteration discipline as q_llm_graph_pagerank).
+
+Plan discipline: event volume collapses ONCE to the ≤ |types|²
+transition-count frame (one per-user lead window — distributed,
+one row per user partition); every power-iteration step is a
+broadcast join of a |types|-row vector against that bounded matrix.
+Eight steps = eight tiny stages, data-volume invariant.
+
+Determinism: P(next|cur) entries are single exact IEEE divisions of
+integer counts; each step's products are e12-rounded before their
+decimal(38,12) sums and the updated vector is e6-rounded — both
+engines walk the identical rounded trajectory, so the fixed point of
+the FINITE iteration is bit-identical (the PageRank convention).
+
+Reference parity note: the reference engine (an Elixir
+event-transport client, SURVEY.md §0) has no analytics surface; this
+derives from the driver's analytics mandate and standard Markov-chain
+practice (power iteration toward the Perron vector).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround, sql_dround
+from ex_hivent_spark.plans.registry import register
+
+# Fixed power-iteration round count (the q_llm_graph_pagerank
+# convention: a literal round budget, never a data-dependent
+# convergence test).
+_POWER_STEPS = 8
+
+
+def _sql_stationary() -> str:
+    """Chained-CTE oracle: s0 = uniform, s_{t+1} = e6(s_t · P)."""
+    steps = []
+    for t in range(_POWER_STEPS):
+        steps.append(
+            f"""s{t + 1} AS (
+      SELECT p.nxt AS state,
+             {sql_dround(
+                 "CAST(sum(CAST("
+                 + sql_dround("s.pi * p.p_cond", 12)
+                 + " AS DECIMAL(38,12))) AS DOUBLE)", 6,
+             )} AS pi
+      FROM s{t} s JOIN p ON s.state = p.cur
+      GROUP BY p.nxt
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_trans
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    outs AS (
+      SELECT cur, CAST(sum(n_trans) AS BIGINT) AS n_out
+      FROM pairs GROUP BY cur
+    ),
+    p AS (
+      SELECT p.cur, p.nxt,
+             CAST(p.n_trans AS DOUBLE) / o.n_out AS p_cond
+      FROM pairs p JOIN outs o ON p.cur = o.cur
+    ),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM outs),
+    s0 AS (
+      SELECT cur AS state, 1.0 / k AS pi FROM outs CROSS JOIN k
+    ),
+    {chain},
+    emp AS (
+      SELECT o.cur AS state,
+             CAST(o.n_out AS DOUBLE) / t.n AS pi_emp
+      FROM outs o CROSS JOIN
+           (SELECT CAST(sum(n_out) AS BIGINT) AS n FROM outs) t
+    )
+    SELECT s.state, {sql_dround("s.pi", 6)} AS pi_stat,
+           {sql_dround("e.pi_emp", 6)} AS pi_emp,
+           {sql_dround("abs(s.pi - e.pi_emp)", 6)} AS gap
+    FROM s{_POWER_STEPS} s JOIN emp e ON s.state = e.state
+    """
+
+
+@register("q_seq_markov_stationary", oracle=_sql_stationary())
+def q_seq_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary behavior distribution: 8 power-iteration steps of
+    pi ← pi·P from the uniform start over the user-sequence transition
+    matrix P(next|cur), reported next to the empirical state occupancy
+    (each state's share of outgoing transitions) and their absolute
+    gap. For an ergodic behavior chain the two nearly coincide; a
+    large gap flags states whose observed occupancy is transient
+    (entry/exit states) rather than recurrent.
+
+    Plan: one per-user lead window + hash aggregate collapses the
+    stream to the ≤ |types|² matrix; each of the 8 fixed steps is a
+    broadcast vector⋈matrix join over ≤ |types| rows — iteration cost
+    is data-volume invariant (the q_llm_graph_pagerank discipline).
+    Determinism: matrix entries are exact count divisions; per-step
+    products are e12-rounded before decimal(38,12) sums and the
+    vector re-rounds at e6, so both engines walk the identical
+    trajectory; closings are e6-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+        .localCheckpoint(eager=False)  # matrix + marginals: one pass
+    )
+    outs = pairs.groupBy("cur").agg(
+        F.sum("n_trans").cast("bigint").alias("n_out")
+    ).localCheckpoint(eager=False)  # shared by p, k, s0, emp
+    p = pairs.join(F.broadcast(outs), "cur").select(
+        "cur",
+        "nxt",
+        (F.col("n_trans").cast("double") / F.col("n_out")).alias("p_cond"),
+    ).localCheckpoint(eager=False)  # reused by all 8 steps
+    k = outs.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    pi = outs.crossJoin(F.broadcast(k)).select(
+        F.col("cur").alias("state"), (1.0 / F.col("k")).alias("pi")
+    )
+    for _ in range(_POWER_STEPS):
+        pi = (
+            pi.join(F.broadcast(p), pi["state"] == p["cur"])
+            .groupBy(F.col("nxt").alias("state"))
+            .agg(
+                dround(
+                    F.sum(
+                        dround(F.col("pi") * F.col("p_cond"), 12).cast(
+                            "decimal(38,12)"
+                        )
+                    ).cast("double"),
+                    6,
+                ).alias("pi")
+            )
+        )
+    tot = outs.agg(F.sum("n_out").cast("bigint").alias("n"))
+    emp = outs.crossJoin(F.broadcast(tot)).select(
+        F.col("cur").alias("state"),
+        (F.col("n_out").cast("double") / F.col("n")).alias("pi_emp"),
+    )
+    j = pi.join(emp, "state")
+    return j.select(
+        "state",
+        dround(F.col("pi"), 6).alias("pi_stat"),
+        dround(F.col("pi_emp"), 6).alias("pi_emp"),
+        dround(F.abs(F.col("pi") - F.col("pi_emp")), 6).alias("gap"),
+    )
