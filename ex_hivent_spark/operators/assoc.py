@@ -376,3 +376,129 @@ def q_stats_concordance_gamma(
         dround((nc - ndd) / (nc + ndd), 6).alias("gamma"),
         dround((nc - ndd) / (nc + ndd + ty), 6).alias("somers_dyx"),
     )
+
+
+# Daily-metric correlation matrix: the four lineitem rate metrics and
+# the literal normalizers that keep every daily mean O(1) (correlation
+# is scale-invariant, so the normalizers are free — and they keep the
+# decimal-detour magnitudes inside the 2^53 exactness bound at ANY
+# data volume, the SCALE.md second-moment lesson).
+_CORR_METRICS = (
+    ("avg_qty", "l_quantity", 50.0),
+    ("avg_price", "l_extendedprice", 100000.0),
+    ("avg_discount", "l_discount", 1.0),
+    ("avg_tax", "l_tax", 1.0),
+)
+
+
+def _sql_corr_matrix() -> str:
+    day_cols = ", ".join(
+        f"""floor(CAST(sum(CAST({src} AS DECIMAL(25,6))) AS DOUBLE)
+               / count(*) / {scale} * 1000000.0 + 0.5) / 1000000.0
+               AS {name}"""
+        for name, src, scale in _CORR_METRICS
+    )
+    mom_cols = ["CAST(count(*) AS BIGINT) AS n_days"]
+    names = [m[0] for m in _CORR_METRICS]
+    for i, a in enumerate(names):
+        mom_cols.append(
+            f"CAST(sum(CAST({a} AS DECIMAL(25,6))) AS DOUBLE) AS s_{a}"
+        )
+        for b in names[i:]:
+            mom_cols.append(
+                f"CAST(sum(CAST({a} * {b} AS DECIMAL(38,12))) AS DOUBLE)"
+                f" AS s_{a}_{b}"
+            )
+    pair_rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            r = (
+                f"(s_{a}_{b} - s_{a} * s_{b} / n_days)"
+                f" / sqrt(greatest((s_{a}_{a} - s_{a} * s_{a} / n_days)"
+                f" * (s_{b}_{b} - s_{b} * s_{b} / n_days), 0))"
+            )
+            pair_rows.append(
+                f"""SELECT '{a}' AS metric_x, '{b}' AS metric_y, n_days,
+                    {sql_dround(r, 6)} AS pearson_r FROM mom"""
+            )
+    union = " UNION ALL ".join(pair_rows)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day, {day_cols}
+      FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+    ),
+    mom AS (SELECT {", ".join(mom_cols)} FROM daily)
+    {union}
+    """
+
+
+@register("q_agg_daily_corr_matrix", oracle=_sql_corr_matrix())
+def q_agg_daily_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (all 6 pairs) of the four daily
+    lineitem rate metrics — mean quantity, mean extended price, mean
+    discount, mean tax — the "which levers move together day over
+    day" readout behind pricing/promo dashboards. Metrics are divided
+    by literal normalizers first: correlation is scale-invariant, so
+    this is free, and it pins every daily mean at O(1) so the
+    second-moment decimal sums stay inside the 2^53 exactness bound
+    at ANY data volume (the SCALE.md Bollinger lesson).
+
+    Plan: one hash aggregate to the daily grain, ONE moments
+    aggregate over |days| rows computing all 4 sums + 10 cross/square
+    sums in a single pass, then 6 literal-labeled one-row selects
+    unioned — no joins, no windows. Determinism: daily means are
+    decimal-sum/count e6-rounded, so cross products are exact
+    1e-12-grid values summed at decimal(38,12); each closing r is
+    e6-rounded with the variance product zero-clamped under the
+    sqrt."""
+    li = load_table(spark, sf_dir, "lineitem")
+    day_aggs = [
+        dround(
+            F.sum(F.col(src).cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+            / scale,
+            6,
+        ).alias(name)
+        for name, src, scale in _CORR_METRICS
+    ]
+    daily = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("day")
+    ).agg(*day_aggs)
+    names = [m[0] for m in _CORR_METRICS]
+    mom_aggs = [F.count(F.lit(1)).cast("bigint").alias("n_days")]
+    for i, a in enumerate(names):
+        mom_aggs.append(
+            F.sum(F.col(a).cast("decimal(25,6)"))
+            .cast("double")
+            .alias(f"s_{a}")
+        )
+        for b in names[i:]:
+            mom_aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast("decimal(38,12)"))
+                .cast("double")
+                .alias(f"s_{a}_{b}")
+            )
+    mom = daily.agg(*mom_aggs).localCheckpoint(
+        eager=False
+    )  # all 6 pair rows: one moments pass
+    outs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            n = F.col("n_days")
+            cov = F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / n
+            va = F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / n
+            vb = F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}") / n
+            outs.append(
+                mom.select(
+                    F.lit(a).alias("metric_x"),
+                    F.lit(b).alias("metric_y"),
+                    "n_days",
+                    dround(
+                        cov / F.sqrt(F.greatest(va * vb, F.lit(0.0))), 6
+                    ).alias("pearson_r"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1,0 +1,347 @@
+"""Momentum-indicator tail over the hourly bars: the Ultimate
+Oscillator (Williams' three-horizon buying-pressure blend — momentum
+confirmed across 7/14/28-bar windows at once), the Know Sure Thing
+(Pring's weighted sum of four smoothed rates of change — the
+long-swing momentum gauge), and the Detrended Price Oscillator
+(price minus its displaced moving average — the cycle extractor that
+removes the trend component). Together with volumeflow.py's
+AO/PPO/TRIX they complete the classic momentum family.
+
+All smoothing is SIMPLE averaging over constant-width rows-frames
+(the q_win_rsi convention — SMA rides the decimal detour exactly
+where EMA recursion would accumulate engine-ordered double error),
+and the DPO displacement is the standard n/2+1 ROW shift (row-based,
+the q_win_ichimoku displacement convention).
+
+Plan discipline (finance.py's): ONE bar aggregate per query, then
+constant-width windows partitioned by event_type over |hours| rows —
+time-grain bounded, traffic-invariant. Chained windows share one
+(event_type, hour_id) sort.
+
+Determinism: bar picks are exact; every ratio/ln-free computed double
+is e6-rounded before any decimal re-aggregation; divisions are
+per-row IEEE ops; zero-range denominators take documented branches.
+
+Reference parity note: the reference engine (an Elixir
+event-transport client, SURVEY.md §0) has no indicator surface; these
+derive from the driver's analytics mandate and standard
+technical-analysis practice (Williams' Ultimate Oscillator, Pring's
+KST, the standard DPO construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.functions.decimals import dround, sql_dround
+from ex_hivent_spark.operators.finance import _SQL_BARS, _hourly_close
+from ex_hivent_spark.plans.registry import register
+
+# Ultimate Oscillator horizons and weights (Williams' 7/14/28 + 4/2/1).
+_UO_WINS = (7, 14, 28)
+_UO_WEIGHTS = (4.0, 2.0, 1.0)
+# KST ROC horizons, their SMA smoothers, and weights (Pring's daily
+# parameterization).
+_KST_ROCS = (10, 15, 20, 30)
+_KST_SMAS = (10, 10, 10, 15)
+_KST_WEIGHTS = (1.0, 2.0, 3.0, 4.0)
+# DPO lookback and its standard displacement (n/2 + 1 rows back).
+_DPO_WIN = 20
+_DPO_SHIFT = _DPO_WIN // 2 + 1
+
+
+def _w(lo: int) -> Window:
+    return (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(lo, Window.currentRow)
+    )
+
+
+@register(
+    "q_win_ultimate_osc",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    tr AS (
+      SELECT event_type, hour_id,
+             lag(close) OVER w AS pc, high, low, close
+      FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    ),
+    bp AS (
+      SELECT event_type, hour_id,
+             {sql_dround("close - least(low, pc)", 6)} AS bp,
+             {sql_dround(
+                 "greatest(high, pc) - least(low, pc)", 6)} AS rng
+      FROM tr WHERE pc IS NOT NULL
+    ),
+    rolled AS (
+      SELECT event_type, hour_id,
+             CAST(count(*) OVER w28 AS BIGINT) AS nbar,
+             {" , ".join(
+                 f'''CAST(sum(CAST(bp AS DECIMAL(25,6))) OVER w{n}
+                       AS DOUBLE) AS bp{n},
+                     CAST(sum(CAST(rng AS DECIMAL(25,6))) OVER w{n}
+                       AS DOUBLE) AS rng{n}'''
+                 for n in _UO_WINS
+             )}
+      FROM bp
+      WINDOW {" , ".join(
+          f'''w{n} AS (PARTITION BY event_type ORDER BY hour_id
+                      ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)'''
+          for n in _UO_WINS
+      )}
+    )
+    SELECT event_type, hour_id,
+           {sql_dround(
+               "100.0 * ("
+               "4.0 * (CASE WHEN rng7 = 0 THEN 0.0 ELSE bp7 / rng7 END)"
+               " + 2.0 * (CASE WHEN rng14 = 0 THEN 0.0"
+               "          ELSE bp14 / rng14 END)"
+               " + 1.0 * (CASE WHEN rng28 = 0 THEN 0.0"
+               "          ELSE bp28 / rng28 END)) / 7.0", 6,
+           )} AS uo
+    FROM rolled WHERE nbar = {_UO_WINS[-1]}
+    """,
+)
+def q_win_ultimate_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams' Ultimate Oscillator per event type: buying pressure
+    BP = close − min(low, prev close) and true range
+    TR = max(high, prev close) − min(low, prev close), summed over the
+    trailing 7/14/28 bars, blended 4:2:1 and scaled to [0, 100] —
+    the three-horizon momentum confirmation that filters the
+    single-window whipsaws RSI is prone to. A zero true-range sum
+    (flat channel) contributes 0 on both sides (documented branch).
+
+    Plan: one bar aggregate, one lag + three constant-width
+    rolling-sum windows per type sharing ONE (event_type, hour_id)
+    sort — time-grain bounded. Determinism: BP/TR are e6-rounded
+    exact-pick arithmetic; the six rolling sums ride the decimal
+    detour; the closing blend is e6-rounded with literal weights."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    tr = bars.select(
+        "event_type",
+        "hour_id",
+        F.lag("close").over(wl).alias("pc"),
+        "high",
+        "low",
+        "close",
+    ).filter(F.col("pc").isNotNull())
+    bp = tr.select(
+        "event_type",
+        "hour_id",
+        dround(
+            F.col("close") - F.least(F.col("low"), F.col("pc")), 6
+        ).alias("bp"),
+        dround(
+            F.greatest(F.col("high"), F.col("pc"))
+            - F.least(F.col("low"), F.col("pc")),
+            6,
+        ).alias("rng"),
+    )
+    cols = [F.col("event_type"), F.col("hour_id")]
+    cols.append(
+        F.count(F.lit(1))
+        .over(_w(-(_UO_WINS[-1] - 1)))
+        .cast("bigint")
+        .alias("nbar")
+    )
+    for n in _UO_WINS:
+        w = _w(-(n - 1))
+        cols.append(
+            F.sum(F.col("bp").cast("decimal(25,6)"))
+            .over(w)
+            .cast("double")
+            .alias(f"bp{n}")
+        )
+        cols.append(
+            F.sum(F.col("rng").cast("decimal(25,6)"))
+            .over(w)
+            .cast("double")
+            .alias(f"rng{n}")
+        )
+    rolled = bp.select(*cols).filter(F.col("nbar") == _UO_WINS[-1])
+
+    def ratio(n: int):
+        return F.when(F.col(f"rng{n}") == 0, F.lit(0.0)).otherwise(
+            F.col(f"bp{n}") / F.col(f"rng{n}")
+        )
+
+    blend = (
+        _UO_WEIGHTS[0] * ratio(7)
+        + _UO_WEIGHTS[1] * ratio(14)
+        + _UO_WEIGHTS[2] * ratio(28)
+    ) / sum(_UO_WEIGHTS)
+    return rolled.select(
+        "event_type",
+        "hour_id",
+        dround(100.0 * blend, 6).alias("uo"),
+    )
+
+
+@register(
+    "q_win_kst",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    roc AS (
+      SELECT event_type, hour_id,
+             {" , ".join(
+                 f"CASE WHEN lag(close, {r}) OVER w = 0 THEN NULL ELSE "
+                 + sql_dround(
+                     f"100.0 * (close / lag(close, {r}) OVER w - 1.0)", 6
+                 )
+                 + f" END AS roc{r}"
+                 for r in _KST_ROCS
+             )}
+      FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    ),
+    sm AS (
+      SELECT event_type, hour_id,
+             {" , ".join(
+                 f'''CAST(count(roc{r}) OVER s{m} AS BIGINT) AS n{r},
+                     CAST(sum(CAST(roc{r} AS DECIMAL(25,6))) OVER s{m}
+                       AS DOUBLE) / {m} AS sma{r}'''
+                 for r, m in zip(_KST_ROCS, _KST_SMAS)
+             )}
+      FROM roc
+      WINDOW {" , ".join(
+          f'''s{m} AS (PARTITION BY event_type ORDER BY hour_id
+                      ROWS BETWEEN {m - 1} PRECEDING AND CURRENT ROW)'''
+          for m in sorted(set(_KST_SMAS))
+      )}
+    )
+    SELECT event_type, hour_id,
+           {sql_dround(
+               " + ".join(
+                   f"{wt} * sma{r}"
+                   for r, wt in zip(_KST_ROCS, _KST_WEIGHTS)
+               ), 6,
+           )} AS kst
+    FROM sm
+    WHERE {" AND ".join(
+        f"n{r} = {m}" for r, m in zip(_KST_ROCS, _KST_SMAS)
+    )}
+    """,
+)
+def q_win_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pring's Know Sure Thing per event type: four percentage rates
+    of change (10/15/20/30 bars back), each SMA-smoothed
+    (10/10/10/15), combined 1:2:3:4 — the long-swing momentum
+    summation whose zero-line crossings time cycle turns. Emitted
+    only where every smoother window is full (the q_win_macd
+    full-window convention).
+
+    Plan: one bar aggregate, four lag picks + four constant-width
+    SMA windows per type, ALL sharing one (event_type, hour_id)
+    sort → one exchange. Determinism: each ROC is an e6-rounded
+    exact-pick ratio; a zero reference close (value = 0 bars exist
+    from sf0.1 up) NULLs that ROC on both sides, and the full-window
+    count filter then drops the affected rows identically; SMA sums
+    ride the decimal detour; the weighted closing is e6-rounded with
+    literal weights."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    roc_cols = [F.col("event_type"), F.col("hour_id")]
+    for r in _KST_ROCS:
+        lagc = F.lag("close", r).over(wl)
+        roc_cols.append(
+            F.when(lagc == 0, F.lit(None).cast("double"))
+            .otherwise(dround(100.0 * (F.col("close") / lagc - 1.0), 6))
+            .alias(f"roc{r}")
+        )
+    roc = bars.select(*roc_cols)
+    sm_cols = [F.col("event_type"), F.col("hour_id")]
+    for r, m in zip(_KST_ROCS, _KST_SMAS):
+        w = _w(-(m - 1))
+        sm_cols.append(
+            F.count(F.col(f"roc{r}")).over(w).cast("bigint").alias(f"n{r}")
+        )
+        sm_cols.append(
+            (
+                F.sum(F.col(f"roc{r}").cast("decimal(25,6)"))
+                .over(w)
+                .cast("double")
+                / m
+            ).alias(f"sma{r}")
+        )
+    sm = roc.select(*sm_cols)
+    cond = None
+    for r, m in zip(_KST_ROCS, _KST_SMAS):
+        c = F.col(f"n{r}") == m
+        cond = c if cond is None else (cond & c)
+    blend = None
+    for r, wt in zip(_KST_ROCS, _KST_WEIGHTS):
+        t = wt * F.col(f"sma{r}")
+        blend = t if blend is None else (blend + t)
+    return sm.filter(cond).select(
+        "event_type", "hour_id", dround(blend, 6).alias("kst")
+    )
+
+
+@register(
+    "q_win_dpo",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    sma AS (
+      SELECT event_type, hour_id, close,
+             CAST(count(*) OVER s AS BIGINT) AS nbar,
+             CAST(sum(CAST(close AS DECIMAL(25,6))) OVER s AS DOUBLE)
+               / {_DPO_WIN} AS sma20
+      FROM bars
+      WINDOW s AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_DPO_WIN - 1} PRECEDING AND CURRENT ROW)
+    ),
+    disp AS (
+      SELECT event_type, hour_id, close, nbar,
+             lag(sma20, {_DPO_SHIFT}) OVER w AS sma_disp,
+             lag(nbar, {_DPO_SHIFT}) OVER w AS nbar_disp
+      FROM sma WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    )
+    SELECT event_type, hour_id,
+           {sql_dround("sma_disp", 6)} AS sma_disp,
+           {sql_dround("close - sma_disp", 6)} AS dpo
+    FROM disp WHERE nbar_disp = {_DPO_WIN}
+    """,
+)
+def q_win_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended Price Oscillator per event type: the close minus the
+    20-bar SMA displaced 11 rows back (n/2 + 1 — the standard
+    construction that centers the average on the cycle it removes),
+    isolating the sub-20-bar cycle component from the trend. Emitted
+    only where the displaced window was full.
+
+    Plan: one bar aggregate, one constant-width SMA window + one lag
+    pick per type sharing one (event_type, hour_id) sort. ROW-based
+    displacement (the q_win_ichimoku convention — deterministic on
+    the bar sequence, no calendar arithmetic). Determinism: the SMA
+    rides the decimal detour; the displaced pick is exact; the
+    closing difference is e6-rounded."""
+    bars = _hourly_close(spark, sf_dir)
+    s = _w(-(_DPO_WIN - 1))
+    sma = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.count(F.lit(1)).over(s).cast("bigint").alias("nbar"),
+        (
+            F.sum(F.col("close").cast("decimal(25,6)"))
+            .over(s)
+            .cast("double")
+            / _DPO_WIN
+        ).alias("sma20"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    disp = sma.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.lag("sma20", _DPO_SHIFT).over(wl).alias("sma_disp"),
+        F.lag("nbar", _DPO_SHIFT).over(wl).alias("nbar_disp"),
+    ).filter(F.col("nbar_disp") == _DPO_WIN)
+    return disp.select(
+        "event_type",
+        "hour_id",
+        dround(F.col("sma_disp"), 6).alias("sma_disp"),
+        dround(F.col("close") - F.col("sma_disp"), 6).alias("dpo"),
+    )

@@ -399,3 +399,107 @@ def q_stats_cvm_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w2_stat")
     )
+
+
+_SQL_LNU = sql_dround(f"ln((j + 0.5) / {float(_N_HOURS)})", 6)
+_SQL_LN1U = sql_dround(f"ln(1.0 - (j + 0.5) / {float(_N_HOURS)})", 6)
+
+
+@register(
+    "q_stats_ad_uniform",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) - {_EPOCH_H} AS j,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, j, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY j
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - c AS BIGINT) AS cb,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT event_type, n,
+             {sql_dround(
+                 "((2.0 * c * cb + CAST(c AS DOUBLE) * c)"
+                 "  / (CAST(n AS DOUBLE) * n))"
+                 " * (" + _SQL_LNU + ")"
+                 " + ((2.0 * n * CAST(c AS DOUBLE)"
+                 "     - 2.0 * c * cb - CAST(c AS DOUBLE) * c)"
+                 "    / (CAST(n AS DOUBLE) * n))"
+                 " * (" + _SQL_LN1U + ")",
+                 12,
+             )} AS t
+      FROM cum
+    )
+    SELECT event_type, n AS n_events,
+           {sql_dround(
+               "-CAST(n AS DOUBLE)"
+               " - CAST(n AS DOUBLE)"
+               "   * CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE)", 6,
+           )} AS a2_stat
+    FROM terms GROUP BY event_type, n
+    """,
+)
+def q_stats_ad_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson–Darling uniformity statistic for each event type's
+    arrival distribution over the fixed 720-hour month:
+    A² = −n − (1/n)Σᵢ(2i−1)(ln uᵢ + ln(1−u_{n+1−i})) with the grouped
+    midpoint convention u = (j+0.5)/720 — the tail-weighted EDF
+    companion to q_stats_cvm_uniform (the 1/(F(1−F)) weight makes A²
+    the sensitive detector for burst onsets at the month's EDGES,
+    where CvM and KS go blind).
+
+    Plan: the q_stats_cvm_uniform machinery — one hash aggregate to
+    the per-(type, hour) cells, one cumulative window per type over
+    ≤720 spine rows, and the rank sums folded into per-cell CLOSED
+    FORMS (Σ(2i−1) over a cell = 2cC + c²; the reflected sum =
+    2nc − 2cC − c²). Determinism: both lns are e6-rounded (midpoint
+    u ∈ (0,1) strictly, so they are total); each cell term is
+    normalized by n² FIRST (keeping it O(1) — the decimal magnitude
+    bound survives any n), e12-rounded, summed at decimal(38,12);
+    the −n − n·S closing is exact double arithmetic, e6-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+            - _EPOCH_H
+        ).alias("j"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        "j",
+        "c",
+        (F.sum("c").over(wcum) - F.col("c")).cast("bigint").alias("cb"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    c = F.col("c").cast("double")
+    cb = F.col("cb").cast("double")
+    n = F.col("n").cast("double")
+    u = (F.col("j") + 0.5) / float(_N_HOURS)
+    lnu = dround(F.log(u), 6)
+    ln1u = dround(F.log(1.0 - u), 6)
+    t = (
+        ((2.0 * c * cb + c * c) / (n * n)) * lnu
+        + ((2.0 * n * c - 2.0 * c * cb - c * c) / (n * n)) * ln1u
+    )
+    terms = cum.select("event_type", "n", dround(t, 12).alias("t"))
+    return terms.groupBy("event_type", F.col("n").alias("n_events")).agg(
+        dround(
+            -F.col("n_events").cast("double")
+            - F.col("n_events").cast("double")
+            * F.sum(F.col("t").cast("decimal(38,12)")).cast("double"),
+            6,
+        ).alias("a2_stat")
+    )

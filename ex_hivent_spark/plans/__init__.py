@@ -33,6 +33,7 @@ def load_all() -> None:
     import ex_hivent_spark.operators.assoc  # noqa: F401
     import ex_hivent_spark.operators.quality  # noqa: F401
     import ex_hivent_spark.operators.markov  # noqa: F401
+    import ex_hivent_spark.operators.momentum  # noqa: F401
     import ex_hivent_spark.operators.volumeflow  # noqa: F401
     import ex_hivent_spark.operators.behavior  # noqa: F401
     import ex_hivent_spark.functions.scalar  # noqa: F401
