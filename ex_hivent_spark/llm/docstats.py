@@ -1,0 +1,157 @@
+"""Per-source document-length inequality: the Gini coefficient of
+``n_chars`` within each source — the "is this source a mix of stubs
+and monsters or homogeneous documents" readout that complements
+q_llm_corpus_audit's moments and q_llm_length_filter_sweep's
+thresholds (a high-Gini source needs per-band sampling before
+training, or its short tail dominates the document count while its
+long tail dominates the token count).
+
+Plan discipline: documents collapse to per-(source, n_chars)
+DISTINCT-value counts in one hash aggregate; the rank structure comes
+from the DETERMINISTIC blocked prefix fold (operators/prefix.py) over
+that bounded frame with the q_stats_brown_forsythe
+preceding-group-offset subtraction — no data-volume window, no
+global sort.
+
+Determinism: lengths and counts are exact integers, so the grouped
+rank·value sum 2·S = Σ c·(2C+c+1)·v is EXACT integer arithmetic
+widened to decimal(38,0) (count² ·length can pass 2^63 at extreme
+scale); only the two closing divisions are doubles, e6-rounded.
+
+Reference parity note: the reference engine (an Elixir
+event-transport client, SURVEY.md §0) has no corpus surface; this
+derives from the driver's analytics mandate and standard
+corpus-curation practice (length-distribution audits à la Gopher /
+CCNet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround, sql_dround
+from ex_hivent_spark.operators.prefix import running_totals_blocked
+from ex_hivent_spark.plans.registry import register
+
+# Length-ranking grid: n_chars lives in the hundreds — width-100
+# blocks keep the prefix fold at a handful of blocks per source.
+_LEN_BLOCK = 100
+
+
+@register(
+    "q_llm_length_gini",
+    oracle=f"""
+    WITH vc AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (
+      SELECT source, v, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - cnt AS BIGINT) AS cb
+      FROM vc
+    ),
+    g AS (
+      SELECT source,
+             CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(cnt AS DECIMAL(38,0))
+                      * CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sx,
+             CAST(sum(CAST(cnt AS DECIMAL(38,0))
+                      * CAST(2 * cb + cnt + 1 AS DECIMAL(38,0))
+                      * CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS s2rx
+      FROM cum GROUP BY source
+    )
+    SELECT source, n_docs,
+           {sql_dround("CAST(sx AS DOUBLE) / n_docs", 6)} AS mean_chars,
+           {sql_dround(
+               "CAST(s2rx AS DOUBLE)"
+               " / (CAST(n_docs AS DOUBLE) * CAST(sx AS DOUBLE))"
+               " - (CAST(n_docs AS DOUBLE) + 1) / n_docs", 6,
+           )} AS gini
+    FROM g
+    """,
+)
+def q_llm_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source, from the
+    grouped midrank identity G = 2·Σᵢ rᵢxᵢ/(n·Σx) − (n+1)/n with
+    2·Σ rᵢxᵢ = Σ_values c·(2C+c+1)·v over the distinct-length frame
+    (C = cumulative count of shorter docs) — 0 for perfectly uniform
+    lengths, →1 when a few giants carry all the characters.
+
+    Plan: one hash aggregate to per-(source, length) distinct counts,
+    the blocked prefix fold for per-source cumulatives (the
+    q_stats_brown_forsythe offset machinery — length blocks are
+    width-100, a handful per source at any scale), one per-source
+    closing aggregate. Determinism: the rank·value sum is EXACT
+    integer arithmetic in decimal(38,0) (no rounding anywhere before
+    the closings); the two closing divisions are e6-rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    vc = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    blocked = vc.withColumn(
+        "blk", F.floor(F.col("v") / F.lit(_LEN_BLOCK))
+    )
+    cum = running_totals_blocked(
+        blocked,
+        order_cols=["v"],
+        block_cols=["source", "blk"],
+        sum_cols={"cnt": "gcum"},
+    )
+    # The fold is global over the (source, blk) lexicographic order;
+    # subtract each source's preceding-sources total to get the
+    # per-source cumulative (the q_stats_brown_forsythe machinery).
+    st = vc.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("ns")
+    )
+    a = st.select(
+        F.col("source").alias("src_a"), F.col("ns").alias("ns_a")
+    )
+    off = (
+        a.join(
+            st.select("source", "ns"),
+            F.col("source") < F.col("src_a"),
+            "left",
+        )
+        .groupBy(F.col("src_a").alias("source"))
+        .agg(F.coalesce(F.sum("ns"), F.lit(0)).cast("bigint").alias("off"))
+    )
+    cum = cum.join(F.broadcast(off), "source").select(
+        "source",
+        "v",
+        "cnt",
+        (F.col("gcum") - F.col("off") - F.col("cnt"))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    d38 = "decimal(38,0)"
+    g = cum.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.sum(F.col("cnt").cast(d38) * F.col("v").cast(d38))
+        .cast(d38)
+        .alias("sx"),
+        F.sum(
+            F.col("cnt").cast(d38)
+            * (2 * F.col("cb") + F.col("cnt") + 1).cast(d38)
+            * F.col("v").cast(d38)
+        )
+        .cast(d38)
+        .alias("s2rx"),
+    )
+    n = F.col("n_docs")
+    return g.select(
+        "source",
+        "n_docs",
+        dround(F.col("sx").cast("double") / n, 6).alias("mean_chars"),
+        dround(
+            F.col("s2rx").cast("double")
+            / (n.cast("double") * F.col("sx").cast("double"))
+            - (n.cast("double") + 1) / n,
+            6,
+        ).alias("gini"),
+    )

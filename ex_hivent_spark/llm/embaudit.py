@@ -327,3 +327,129 @@ def q_emb_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("hit"), F.lit(0)) / float(_HAM_K), 6
         ).alias("recall"),
     )
+
+
+# Hubness audit parameters: probe cap and neighbor depth.
+_HUB_Q = 256
+_HUB_K = 10
+
+
+@register(
+    "q_emb_hubness_audit",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    q AS (
+      SELECT vec_id AS query_id, u AS qu FROM unit
+      WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT {_HUB_Q}
+    ),
+    scored AS (
+      SELECT q.query_id, unit.vec_id AS neighbor_id,
+             floor(list_dot_product(q.qu, unit.u) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cosine
+      FROM q JOIN unit ON unit.vec_id <> q.query_id
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_HUB_K}
+    ),
+    kocc AS (
+      SELECT neighbor_id, CAST(count(*) AS BIGINT) AS occ
+      FROM topk GROUP BY neighbor_id
+    ),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM q)
+    SELECT occ AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           {sql_dround(
+               f"CAST(count(*) * occ AS DOUBLE)"
+               f" / (CAST(n_probes AS DOUBLE) * {_HUB_K})", 6,
+           )} AS slot_share
+    FROM kocc CROSS JOIN nq
+    GROUP BY occ, n_probes
+    """,
+)
+def q_emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space: the k-occurrence
+    histogram — for the ≤256-probe sample, how many distinct vectors
+    appear in exactly c of the probes' cosine top-10 lists, and what
+    share of all top-10 slots that occurrence class absorbs. A heavy
+    right tail (a few "hub" vectors soaking up a large slot share) is
+    the classic high-dimensional pathology that silently degrades
+    kNN-based dedup/retrieval — the diagnostic one runs before
+    trusting q_llm_semdedup / q_emb_knn_label_accuracy readouts.
+
+    Plan: the q_llm_cosine_topk discipline — a TakeOrdered-capped
+    broadcast probe side, one dot-product pass over the corpus
+    stream, a per-probe bounded rank window — then the k-occurrence
+    hash aggregate collapses the |probes|·k picks to an occurrence
+    histogram of ≤ k·|probes| rows (in practice ≤ ~10). At 100 TB the
+    probe cap keeps the scoring pass one narrow map stage.
+    Determinism: e6-rounded sequential-fold cosines, neighbor_id
+    tie-breaks, exact integer occurrence counts, e6-rounded shares."""
+    from pyspark.sql import Window
+
+    from ex_hivent_spark.llm.similarity import dot, l2_norm
+
+    em = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    unit = em.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / norm
+        ).alias("u"),
+    )
+    q = (
+        unit.filter(F.col("vec_id") % 5 == 0)
+        .orderBy("vec_id")
+        .limit(_HUB_Q)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+        )
+    )
+    scored = unit.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dround(dot(F.col("qu"), F.col("u")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HUB_K)
+        .select("query_id", "neighbor_id")
+    )
+    kocc = topk.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occ")
+    )
+    nq = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"))
+    return (
+        kocc.crossJoin(F.broadcast(nq))
+        .groupBy(F.col("occ").alias("n_occurrences"), "n_probes")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .select(
+            "n_occurrences",
+            "n_vectors",
+            dround(
+                (F.col("n_vectors") * F.col("n_occurrences")).cast(
+                    "double"
+                )
+                / (F.col("n_probes").cast("double") * _HUB_K),
+                6,
+            ).alias("slot_share"),
+        )
+    )

@@ -1,0 +1,152 @@
+"""Conversion-latency distribution: how long after their FIRST signup
+do users make their FIRST subsequent purchase — the time-to-convert
+readout (count, mean, exact median) behind activation dashboards and
+the q_funnel_signup_purchase completion counts.
+
+Plan discipline: the stream collapses to per-user first-signup /
+first-qualifying-purchase timestamps in hash aggregates (one
+user-keyed shuffle join between them — user-grain, never raw-event
+pairs); the exact median runs on the DISTINCT-delay frame via the
+blocked prefix fold (operators/prefix.py) — day-width blocks, ≤ ~31
+at any scale — never a global sort.
+
+Determinism: timestamps compare and subtract as exact microsecond
+integers; the mean rides the decimal detour; the median is the
+q_stats_brown_forsythe two-middle-pick half-sum; second conversions
+are e6-rounded only at the final unit change.
+
+Reference parity note: the reference engine (an Elixir
+event-transport client, SURVEY.md §0) has no analytics surface; this
+derives from the driver's analytics mandate and standard
+product-analytics practice (activation latency curves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround, sql_dround
+from ex_hivent_spark.operators.prefix import running_totals_blocked
+from ex_hivent_spark.plans.registry import register
+
+# Median-ranking grid: delays live inside the fixed month — day-width
+# blocks keep the prefix fold at ≤ ~31 blocks at any scale.
+_DELAY_BLOCK_US = 86_400_000_000
+
+
+@register(
+    "q_seq_conversion_latency",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id,
+             CAST(min(epoch_us(e.ts)) - any_value(s.t0) AS BIGINT) AS d_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.t0
+      GROUP BY e.user_id
+    ),
+    vc AS (
+      SELECT d_us, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY d_us
+    ),
+    cum AS (
+      SELECT d_us, cnt,
+             CAST(sum(cnt) OVER (ORDER BY d_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum
+      FROM vc
+    ),
+    nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc),
+    med AS (
+      SELECT ((SELECT min(d_us) FROM cum c CROSS JOIN nt
+               WHERE c.cum >= CAST(floor((nt.n + 1) / 2.0) AS BIGINT))
+              + (SELECT min(d_us) FROM cum c CROSS JOIN nt
+                 WHERE c.cum >= CAST(floor(nt.n / 2.0) AS BIGINT) + 1)
+             ) / 2.0 AS med_us
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             CAST(sum(CAST(d_us AS DECIMAL(25,0))) AS DOUBLE) AS sum_us
+      FROM p
+    )
+    SELECT n_converted,
+           {sql_dround("sum_us / n_converted / 1000000.0", 6)}
+             AS mean_delay_s,
+           {sql_dround("med_us / 1000000.0", 6)} AS median_delay_s
+    FROM m CROSS JOIN med
+    """,
+)
+def q_seq_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency: for every user, the exact
+    microsecond gap between their first signup and their first
+    STRICTLY LATER purchase; reported as the converted-user count,
+    the mean delay and the exact median delay (lower/upper
+    middle-pick half-sum), in seconds.
+
+    Plan: two conditional hash aggregates to user grain, one
+    user-keyed join (aggregate-sized sides), then the exact median
+    via distinct-delay counts + the blocked prefix fold (day-width
+    blocks — ≤ ~31 at any scale) and two filtered min-picks — the
+    q_stats_brown_forsythe median machinery, never a global sort.
+    Determinism: delays are exact integer microseconds end-to-end
+    (epoch_us both sides — no second truncation); the mean's decimal
+    sum is scale-0; the only roundings are the two closing
+    unit-change divisions at e6."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.unix_micros("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            (F.min(F.unix_micros("ts")) - F.first("t0"))
+            .cast("bigint")
+            .alias("d_us")
+        )
+    )
+    p = p.localCheckpoint(eager=False)  # moments + median: one pass
+    vc = p.groupBy("d_us").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    blocked = vc.withColumn(
+        "blk", F.floor(F.col("d_us") / F.lit(_DELAY_BLOCK_US))
+    )
+    cum = running_totals_blocked(
+        blocked,
+        order_cols=["d_us"],
+        block_cols=["blk"],
+        sum_cols={"cnt": "cum"},
+    )
+    nt = vc.agg(F.sum("cnt").cast("bigint").alias("n"))
+    c = cum.crossJoin(F.broadcast(nt))
+    lo = c.filter(
+        F.col("cum") >= F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+    ).agg(F.min("d_us").alias("v_lo"))
+    hi = c.filter(
+        F.col("cum") >= F.floor(F.col("n") / 2.0).cast("bigint") + 1
+    ).agg(F.min("d_us").alias("v_hi"))
+    med = lo.crossJoin(F.broadcast(hi)).select(
+        ((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med_us")
+    )
+    m = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.sum(F.col("d_us").cast("decimal(25,0)"))
+        .cast("double")
+        .alias("sum_us"),
+    )
+    return m.crossJoin(F.broadcast(med)).select(
+        "n_converted",
+        dround(
+            F.col("sum_us") / F.col("n_converted") / 1000000.0, 6
+        ).alias("mean_delay_s"),
+        dround(F.col("med_us") / 1000000.0, 6).alias("median_delay_s"),
+    )

@@ -345,3 +345,93 @@ def q_win_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("sma_disp"), 6).alias("sma_disp"),
         dround(F.col("close") - F.col("sma_disp"), 6).alias("dpo"),
     )
+
+
+# Fisher transform parameters: channel lookback and the clamp that
+# keeps the transform finite on channel-edge bars.
+_FISH_WIN = 10
+_FISH_CLAMP = 0.999
+
+
+@register(
+    "q_win_fisher_transform",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    ch AS (
+      SELECT event_type, hour_id, close,
+             CAST(count(*) OVER w AS BIGINT) AS nbar,
+             max(high) OVER w AS hh, min(low) OVER w AS ll
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_FISH_WIN - 1} PRECEDING AND CURRENT ROW)
+    ),
+    x AS (
+      SELECT event_type, hour_id,
+             CASE WHEN hh = ll THEN 0.0 ELSE
+               greatest(-{_FISH_CLAMP}, least({_FISH_CLAMP},
+                 {sql_dround(
+                     "2.0 * (close - ll) / (hh - ll) - 1.0", 6)}))
+             END AS x
+      FROM ch WHERE nbar = {_FISH_WIN}
+    )
+    SELECT event_type, hour_id, x,
+           {sql_dround("0.5 * ln((1.0 + x) / (1.0 - x))", 6)} AS fisher
+    FROM x
+    """,
+)
+def q_win_fisher_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher transform of the close's position inside its 10-bar
+    high/low channel per event type: x = 2·(C−LL)/(HH−LL) − 1 clamped
+    to ±0.999, fisher = ½·ln((1+x)/(1−x)) — Ehlers' construction that
+    maps the bounded channel position onto an approximately Gaussian
+    variable, making extreme readings (|fisher| ≳ 2) genuine tail
+    signals rather than artifacts of the bounded range. This is the
+    UNSMOOTHED single-pass variant (the recursive EMA smoothing of
+    the charting version would accumulate engine-ordered double
+    error — the q_win_rsi Cutler-convention rationale, documented
+    deviation).
+
+    Plan: one bar aggregate, one constant-width channel window per
+    type on the shared (event_type, hour_id) sort. Determinism: the
+    channel position is e6-rounded then clamped with literal bounds
+    (flat channels take the 0 branch), so the ln argument is exact
+    and bounded away from 0; the closing ln is e6-rounded."""
+    bars = _hourly_close(spark, sf_dir)
+    w = _w(-(_FISH_WIN - 1))
+    ch = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nbar"),
+        F.max("high").over(w).alias("hh"),
+        F.min("low").over(w).alias("ll"),
+    ).filter(F.col("nbar") == _FISH_WIN)
+    x = ch.select(
+        "event_type",
+        "hour_id",
+        F.when(F.col("hh") == F.col("ll"), F.lit(0.0))
+        .otherwise(
+            F.greatest(
+                F.lit(-_FISH_CLAMP),
+                F.least(
+                    F.lit(_FISH_CLAMP),
+                    dround(
+                        2.0
+                        * (F.col("close") - F.col("ll"))
+                        / (F.col("hh") - F.col("ll"))
+                        - 1.0,
+                        6,
+                    ),
+                ),
+            )
+        )
+        .alias("x"),
+    )
+    return x.select(
+        "event_type",
+        "hour_id",
+        "x",
+        dround(
+            0.5 * F.log((1.0 + F.col("x")) / (1.0 - F.col("x"))), 6
+        ).alias("fisher"),
+    )

@@ -51,5 +51,7 @@ def load_all() -> None:
     import ex_hivent_spark.llm.clusterqc  # noqa: F401
     import ex_hivent_spark.llm.lexsignals  # noqa: F401
     import ex_hivent_spark.llm.embaudit  # noqa: F401
+    import ex_hivent_spark.llm.docstats  # noqa: F401
+    import ex_hivent_spark.operators.convert  # noqa: F401
 
     _LOADED = True
