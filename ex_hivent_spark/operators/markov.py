@@ -163,3 +163,82 @@ def q_seq_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("pi_emp"), 6).alias("pi_emp"),
         dround(F.abs(F.col("pi") - F.col("pi_emp")), 6).alias("gap"),
     )
+
+
+@register(
+    "q_graph_reciprocity",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL AND nxt <> cur GROUP BY cur, nxt
+    ),
+    m AS (
+      SELECT a.cur, a.nxt, a.c,
+             CAST(coalesce(b.c, 0) AS BIGINT) AS c_rev
+      FROM pairs a LEFT JOIN pairs b
+        ON a.cur = b.nxt AND a.nxt = b.cur
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_directed,
+           CAST(sum(least(c, c_rev)) AS BIGINT) AS n_reciprocated,
+           floor(CAST(sum(least(c, c_rev)) AS DOUBLE) / sum(c)
+                 * 1000000.0 + 0.5) / 1000000.0 AS reciprocity
+    FROM m
+    """,
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reciprocity of the behavior transition digraph
+    (self-loops excluded): Σ min(c_ij, c_ji) / Σ c_ij over the
+    off-diagonal transition counts — 1 when every A→B flow is matched
+    by an equal B→A backflow, →0 for one-way funnels. The
+    flow-symmetry companion to q_seq_markov_stationary: low
+    reciprocity with a skewed stationary vector is the signature of a
+    directed funnel rather than a browsing loop.
+
+    Plan: the q_ts_markov_transitions lead window + hash aggregate
+    collapses the stream to ≤ |types|² counts; the reverse-edge
+    lookup is one broadcast self-join of that bounded frame; the
+    closing is a one-row integer aggregate. Determinism: pure integer
+    min/sum arithmetic with a single e6-rounded closing ratio."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(
+            F.col("nxt").isNotNull() & (F.col("nxt") != F.col("cur"))
+        )
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # both join sides: one pass
+    )
+    rev = pairs.select(
+        F.col("cur").alias("r_nxt"),
+        F.col("nxt").alias("r_cur"),
+        F.col("c").alias("c_rev"),
+    )
+    m = pairs.join(
+        F.broadcast(rev),
+        (F.col("cur") == F.col("r_cur")) & (F.col("nxt") == F.col("r_nxt")),
+        "left",
+    ).select(
+        "c", F.coalesce(F.col("c_rev"), F.lit(0)).cast("bigint").alias("c_rev")
+    )
+    return m.agg(
+        F.sum("c").cast("bigint").alias("n_directed"),
+        F.sum(F.least(F.col("c"), F.col("c_rev")))
+        .cast("bigint")
+        .alias("n_reciprocated"),
+        dround(
+            F.sum(F.least(F.col("c"), F.col("c_rev"))).cast("double")
+            / F.sum("c"),
+            6,
+        ).alias("reciprocity"),
+    )

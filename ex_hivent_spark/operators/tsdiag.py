@@ -645,3 +645,192 @@ def q_ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_stat"
         ),
     )
+
+
+# AR(1) backtest split: fit on the month's first half, score on the
+# second. Relative-deviation transform base (SCALE.md second-moment
+# lesson): deviations are taken against the integer-floored H1 mean.
+_BT_SPLIT = _EPOCH_H + _N_HOURS // 2
+
+
+@register(
+    "q_ts_ar1_backtest",
+    oracle=f"""
+    WITH spine AS ({_SQL_TOTAL_SPINE}),
+    base AS (
+      SELECT CAST(floor(CAST(sum(CASE WHEN h < {_BT_SPLIT} THEN y END)
+                              AS DOUBLE)
+                        / sum(CASE WHEN h < {_BT_SPLIT} THEN 1 END))
+                  AS BIGINT) AS b
+      FROM spine
+    ),
+    d AS (
+      SELECT h, {sql_dround(
+          "(CAST(y AS DOUBLE) - b) / b", 6)} AS d
+      FROM spine CROSS JOIN base
+    ),
+    mu AS (
+      SELECT CAST(sum(CASE WHEN h < {_BT_SPLIT}
+                           THEN CAST(d AS DECIMAL(25,6)) END) AS DOUBLE)
+               / sum(CASE WHEN h < {_BT_SPLIT} THEN 1 END) AS mu
+      FROM d
+    ),
+    lagd AS (
+      SELECT h, d, lag(d) OVER (ORDER BY h) AS pd
+      FROM d
+    ),
+    fit AS (
+      SELECT {sql_dround(
+          "CAST(sum(CASE WHEN h < " + str(_BT_SPLIT) + " THEN CAST("
+          + sql_dround("(d - mu) * (pd - mu)", 12)
+          + " AS DECIMAL(38,12)) END) AS DOUBLE)"
+          " / CAST(sum(CASE WHEN h < " + str(_BT_SPLIT) + " THEN CAST("
+          + sql_dround("(pd - mu) * (pd - mu)", 12)
+          + " AS DECIMAL(38,12)) END) AS DOUBLE)", 6,
+      )} AS phi
+      FROM lagd CROSS JOIN mu WHERE pd IS NOT NULL
+    ),
+    err AS (
+      SELECT l.h,
+             {sql_dround("l.d - (mu.mu + fit.phi * (l.pd - mu.mu))", 6)}
+               AS e_ar1,
+             {sql_dround("l.d - l.pd", 6)} AS e_naive
+      FROM lagd l CROSS JOIN mu CROSS JOIN fit
+      WHERE l.h >= {_BT_SPLIT}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_test,
+           (SELECT phi FROM fit) AS phi,
+           {sql_dround(
+               "CAST(sum(CAST(abs(e_ar1) AS DECIMAL(25,6))) AS DOUBLE)"
+               " / count(*)", 6)} AS mae_ar1,
+           {sql_dround(
+               "sqrt(CAST(sum(CAST(e_ar1 * e_ar1 AS DECIMAL(38,12)))"
+               " AS DOUBLE) / count(*))", 6)} AS rmse_ar1,
+           {sql_dround(
+               "CAST(sum(CAST(abs(e_naive) AS DECIMAL(25,6))) AS DOUBLE)"
+               " / count(*)", 6)} AS mae_naive,
+           {sql_dround(
+               "1.0 - (CAST(sum(CAST(abs(e_ar1) AS DECIMAL(25,6)))"
+               " AS DOUBLE) / count(*))"
+               " / (CAST(sum(CAST(abs(e_naive) AS DECIMAL(25,6)))"
+               " AS DOUBLE) / count(*))", 6)} AS skill
+    FROM err
+    """,
+)
+def q_ts_ar1_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward AR(1) forecast backtest on the hourly total-event
+    series: fit phi on the month's FIRST half (OLS slope of the
+    mean-centered lag regression), one-step-forecast every
+    second-half hour as μ + φ·(x_{t−1} − μ), and score MAE/RMSE
+    against the naive x_{t−1} persistence baseline —
+    skill = 1 − MAE_ar1/MAE_naive > 0 says the mean-reverting
+    structure is real and exploitable (the honest-out-of-sample
+    upgrade of q_ts_backtest_naive, fit and test never overlapping).
+
+    Plan: the q_ts_kpss_lite spine discipline — one hash aggregate
+    densified onto the fixed 720-row month spine, ONE non-partitioned
+    lag over the bounded spine (allowlisted class), two scalar
+    broadcast closings. Determinism: the series is transformed to
+    e6-rounded RELATIVE deviations from the integer-floored H1 mean
+    (shift/scale-invariant for phi, and it pins every second moment
+    O(1) at ANY traffic volume — the SCALE.md Bollinger lesson);
+    cross/square products are e12-rounded into decimal(38,12) sums;
+    phi, the per-hour errors, and all closings are e6-rounded."""
+    spine = _total_spine(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # base + deviations: one pass
+    in_h1 = F.col("h") < _BT_SPLIT
+    base = spine.agg(
+        F.floor(
+            F.sum(F.when(in_h1, F.col("y"))).cast("double")
+            / F.sum(F.when(in_h1, 1))
+        )
+        .cast("bigint")
+        .alias("b")
+    )
+    d = spine.crossJoin(F.broadcast(base)).select(
+        "h",
+        dround(
+            (F.col("y").cast("double") - F.col("b")) / F.col("b"), 6
+        ).alias("d"),
+    )
+    mu = d.agg(
+        (
+            F.sum(F.when(in_h1, F.col("d").cast("decimal(25,6)"))).cast(
+                "double"
+            )
+            / F.sum(F.when(in_h1, 1))
+        ).alias("mu")
+    )
+    lagd = d.select(
+        "h", "d", F.lag("d").over(Window.orderBy("h")).alias("pd")
+    ).localCheckpoint(eager=False)  # fit + scoring: one window pass
+    fit = (
+        lagd.filter(F.col("pd").isNotNull() & in_h1)
+        .crossJoin(F.broadcast(mu))
+        .agg(
+            dround(
+                F.sum(
+                    dround(
+                        (F.col("d") - F.col("mu"))
+                        * (F.col("pd") - F.col("mu")),
+                        12,
+                    ).cast("decimal(38,12)")
+                ).cast("double")
+                / F.sum(
+                    dround(
+                        (F.col("pd") - F.col("mu"))
+                        * (F.col("pd") - F.col("mu")),
+                        12,
+                    ).cast("decimal(38,12)")
+                ).cast("double"),
+                6,
+            ).alias("phi")
+        )
+    )
+    err = (
+        lagd.filter(F.col("h") >= _BT_SPLIT)
+        .crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(fit))
+        .select(
+            dround(
+                F.col("d")
+                - (
+                    F.col("mu")
+                    + F.col("phi") * (F.col("pd") - F.col("mu"))
+                ),
+                6,
+            ).alias("e_ar1"),
+            dround(F.col("d") - F.col("pd"), 6).alias("e_naive"),
+            "phi",
+        )
+    )
+    mae_ar1 = (
+        F.sum(F.abs(F.col("e_ar1")).cast("decimal(25,6)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    mae_naive = (
+        F.sum(F.abs(F.col("e_naive")).cast("decimal(25,6)")).cast(
+            "double"
+        )
+        / F.count(F.lit(1))
+    )
+    return err.groupBy("phi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        dround(mae_ar1, 6).alias("mae_ar1"),
+        dround(
+            F.sqrt(
+                F.sum(
+                    (F.col("e_ar1") * F.col("e_ar1")).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("rmse_ar1"),
+        dround(mae_naive, 6).alias("mae_naive"),
+        dround(1.0 - mae_ar1 / mae_naive, 6).alias("skill"),
+    ).select(
+        "n_test", "phi", "mae_ar1", "rmse_ar1", "mae_naive", "skill"
+    )

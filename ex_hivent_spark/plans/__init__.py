@@ -52,6 +52,7 @@ def load_all() -> None:
     import ex_hivent_spark.llm.lexsignals  # noqa: F401
     import ex_hivent_spark.llm.embaudit  # noqa: F401
     import ex_hivent_spark.llm.docstats  # noqa: F401
+    import ex_hivent_spark.llm.coverage  # noqa: F401
     import ex_hivent_spark.operators.convert  # noqa: F401
 
     _LOADED = True

@@ -747,6 +747,12 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # frame (bounded by the literal replicate count, the
     # q_agg_heavy_hitters class — never data-volume sized)
     "q_ab_bootstrap_ci": 2,
+    # r11: lag over the densified 720-row month spine (the
+    # q_ts_kpss_lite class — time-grain bounded)
+    "q_ts_ar1_backtest": 1,
+    # r11: rank over the TakeOrdered ≤1000-row vocabulary head (the
+    # q_agg_heavy_hitters post-limit class)
+    "q_llm_vocab_coverage": 1,
 }
 
 
