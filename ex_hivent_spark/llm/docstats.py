@@ -155,3 +155,96 @@ def q_llm_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_llm_char_class_profile",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS n_all,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                  AS BIGINT) AS n_alpha,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  AS BIGINT) AS n_digit,
+             CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+                  AS BIGINT) AS n_space
+      FROM documents
+    ),
+    g AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_all) AS BIGINT) AS n_chars,
+             CAST(sum(n_alpha) AS BIGINT) AS n_alpha,
+             CAST(sum(n_digit) AS BIGINT) AS n_digit,
+             CAST(sum(n_space) AS BIGINT) AS n_space
+      FROM per_doc GROUP BY lang
+    )
+    SELECT lang, n_docs, n_chars,
+           {sql_dround("CAST(n_alpha AS DOUBLE) / n_chars", 6)}
+             AS alpha_ratio,
+           {sql_dround("CAST(n_digit AS DOUBLE) / n_chars", 6)}
+             AS digit_ratio,
+           {sql_dround("CAST(n_space AS DOUBLE) / n_chars", 6)}
+             AS space_ratio,
+           {sql_dround(
+               "1.0 - (CAST(n_alpha AS DOUBLE) + n_digit + n_space)"
+               " / n_chars", 6)} AS other_ratio
+    FROM g
+    """,
+)
+def q_llm_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level character-class profile per language: the ASCII
+    letter / digit / space / other shares of all characters — the
+    first-order "is this slice prose, tables, or markup" signature
+    (CJK text shows near-zero alpha_ratio with high other_ratio;
+    number-heavy boilerplate shows a digit spike). The corpus-level
+    companion to q_llm_quality_score's per-document ratios, grouped
+    where the mixture decisions are made.
+
+    Plan: class counts are per-row regexp strips (map-only, no
+    explode — length(regexp_replace(…, '', 'g')) counts a class in
+    one pass), one hash aggregate per language. Determinism: pure
+    integer counts, literal ASCII classes identical in both regex
+    engines, e6-rounded closing shares; n_chars ≥ 1 for every
+    document, so the divisions are total."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_all"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.length(F.regexp_replace("text", "[^0-9]", ""))
+        .cast("bigint")
+        .alias("n_digit"),
+        F.length(F.regexp_replace("text", "[^ ]", ""))
+        .cast("bigint")
+        .alias("n_space"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_all").cast("bigint").alias("n_chars"),
+        F.sum("n_alpha").cast("bigint").alias("n_alpha"),
+        F.sum("n_digit").cast("bigint").alias("n_digit"),
+        F.sum("n_space").cast("bigint").alias("n_space"),
+    )
+    nc = F.col("n_chars").cast("double")
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        dround(F.col("n_alpha") / nc, 6).alias("alpha_ratio"),
+        dround(F.col("n_digit") / nc, 6).alias("digit_ratio"),
+        dround(F.col("n_space") / nc, 6).alias("space_ratio"),
+        dround(
+            1.0
+            - (
+                F.col("n_alpha").cast("double")
+                + F.col("n_digit")
+                + F.col("n_space")
+            )
+            / nc,
+            6,
+        ).alias("other_ratio"),
+    )
