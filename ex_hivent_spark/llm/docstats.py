@@ -248,3 +248,99 @@ def q_llm_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("other_ratio"),
     )
+
+
+# Token-histogram bucket boundaries: exact integer power-of-2 ladder
+# (never floor(log2(..)) — libm at exact powers is a cross-engine
+# coin flip). 2^12 tokens caps the synthetic corpus at every SF.
+_TOK_BUCKETS = 12
+
+
+def _sql_tok_bucket(expr: str) -> str:
+    branches = "".join(
+        f" WHEN {expr} < {1 << (b + 1)} THEN {b}"
+        for b in range(_TOK_BUCKETS)
+    )
+    return f"CASE{branches} ELSE {_TOK_BUCKETS} END"
+
+
+@register(
+    "q_llm_token_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT source,
+             CAST({_sql_tok_bucket("n_tok")} AS BIGINT) AS bucket,
+             n_tok
+      FROM t
+    ),
+    st AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM t
+      GROUP BY source
+    )
+    SELECT b.source, b.bucket,
+           CAST(power(2.0, b.bucket) AS BIGINT) AS bucket_min_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_tok) AS BIGINT) AS n_tokens,
+           floor(CAST(count(*) AS DOUBLE) / any_value(st.n_src)
+                 * 1000000.0 + 0.5) / 1000000.0 AS doc_share
+    FROM b JOIN st ON b.source = st.source
+    GROUP BY b.source, b.bucket
+    """,
+)
+def q_llm_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-count histogram in power-of-2 length buckets
+    (bucket b holds docs with 2^b ≤ tokens < 2^(b+1); whitespace
+    tokens, empties dropped — the q_llm_topk_ngrams convention): doc
+    count, token mass and doc share per (source, bucket) — the
+    curation view that shows WHERE each source's token mass lives
+    (packing/chunking policy reads straight off it, and a bimodal
+    histogram flags a mixed-template source).
+
+    Plan: token counts are per-row map-only array ops (no explode);
+    one hash aggregate to the ≤ |sources|·13 bucket grid plus one
+    per-source total broadcast back. Determinism: bucket assignment
+    is an exact INTEGER comparison ladder (never floor(log2()) —
+    libm at exact powers of two is a cross-engine coin flip);
+    counts are integers; the share is one e6-rounded division."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split("text", " "), lambda x: x != "")
+    ).cast("bigint")
+    t = d.select("source", n_tok.alias("n_tok")).localCheckpoint(
+        eager=False
+    )  # histogram + totals: one tokenize pass
+    bucket = F.when(F.col("n_tok") < 2, 0)
+    for b in range(1, _TOK_BUCKETS):
+        bucket = bucket.when(F.col("n_tok") < (1 << (b + 1)), b)
+    bucket = bucket.otherwise(_TOK_BUCKETS).cast("bigint")
+    b = t.select("source", bucket.alias("bucket"), "n_tok")
+    st = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src")
+    )
+    g = (
+        b.join(F.broadcast(st), "source")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.first("n_src").alias("n_src"),
+        )
+    )
+    return g.select(
+        "source",
+        "bucket",
+        F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias(
+            "bucket_min_tokens"
+        ),
+        "n_docs",
+        "n_tokens",
+        dround(
+            F.col("n_docs").cast("double") / F.col("n_src"), 6
+        ).alias("doc_share"),
+    )

@@ -502,3 +502,134 @@ def q_agg_daily_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# Price-elasticity ln-price centering literal (p_retailprice spans
+# 900-1000, ln ≈ 6.8-6.9 — the shift is slope-invariant and keeps
+# every second-moment term O(0.1) so the decimal sums never approach
+# the 2^53 exactness bound).
+_ELAST_LNP_BASE = 7.0
+
+
+@register(
+    "q_agg_price_elasticity",
+    oracle=f"""
+    WITH pg AS (
+      SELECT l.l_partkey,
+             {sql_dround("ln(p.p_retailprice)", 6)}
+               - {_ELAST_LNP_BASE} AS x,
+             {sql_dround(
+                 "ln(CAST(sum(CAST(l.l_quantity AS DECIMAL(25,6)))"
+                 " AS DOUBLE))", 6)} AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY l.l_partkey, p.p_retailprice
+    ),
+    by_ AS (
+      SELECT CAST(floor(
+               CAST(sum(CAST(y AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+             AS BIGINT) AS yb
+      FROM pg
+    ),
+    c AS (
+      SELECT x, {sql_dround("y - yb", 6)} AS yc
+      FROM pg CROSS JOIN by_
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(yc AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST({sql_dround("x * yc", 8)}
+                           AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST({sql_dround("x * x", 8)}
+                           AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST({sql_dround("yc * yc", 8)}
+                           AS DECIMAL(38,8))) AS DOUBLE) AS syy
+      FROM c
+    )
+    SELECT n_parts,
+           {sql_dround(
+               "(sxy - sx * sy / n_parts) / (sxx - sx * sx / n_parts)",
+               6)} AS elasticity,
+           {sql_dround(
+               "(sxy - sx * sy / n_parts) * (sxy - sx * sy / n_parts)"
+               " / greatest((sxx - sx * sx / n_parts)"
+               " * (syy - sy * sy / n_parts), 1e-300)", 6)} AS r2
+    FROM m
+    """,
+)
+def q_agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand across parts: the OLS slope
+    of ln(total quantity sold) on ln(retail price) over the part
+    grain, with R² — the classic cross-sectional elasticity readout
+    (slope ≈ −1.5 says a 1% price premium costs 1.5% volume; R² says
+    how much of the quantity spread price explains at all).
+
+    Plan: lineitem collapses to the part grain through ONE join +
+    hash aggregate (the part side carries the price); one integer
+    y-base aggregate broadcast back (the SCALE.md relative-deviation
+    pattern — ln-price is centered by a LITERAL, ln-quantity by the
+    integer-floored mean, both slope-invariant and pinning every
+    moment term O(1) at any volume); one moments pass closes the
+    regression. Determinism: both lns e6-rounded; cross/square terms
+    e8-rounded into decimal(38,8) sums (magnitude budget:
+    |parts|·O(1) stays under the 2^53 unscaled bound); closing
+    slope/R² e6-rounded, the R² denominator clamped away from 0."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pg = (
+        li.join(
+            p.select("p_partkey", "p_retailprice"),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .groupBy("l_partkey", "p_retailprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("qty")
+        )
+        .select(
+            (dround(F.log("p_retailprice"), 6) - _ELAST_LNP_BASE).alias(
+                "x"
+            ),
+            dround(F.log(F.col("qty")), 6).alias("y"),
+        )
+        .localCheckpoint(eager=False)  # base + moments: one pass
+    )
+    by_ = pg.agg(
+        F.floor(
+            F.sum(F.col("y").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("yb")
+    )
+    c = pg.crossJoin(F.broadcast(by_)).select(
+        "x", dround(F.col("y") - F.col("yb"), 6).alias("yc")
+    )
+    m = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.col("x").cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum(F.col("yc").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(dround(F.col("x") * F.col("yc"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(dround(F.col("x") * F.col("x"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(dround(F.col("yc") * F.col("yc"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n_parts")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return m.select(
+        "n_parts",
+        dround(cov / vx, 6).alias("elasticity"),
+        dround(
+            cov * cov / F.greatest(vx * vy, F.lit(1e-300)), 6
+        ).alias("r2"),
+    )

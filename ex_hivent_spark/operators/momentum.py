@@ -31,11 +31,18 @@ KST, the standard DPO construction).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.functions.decimals import dround, sql_dround
-from ex_hivent_spark.operators.finance import _SQL_BARS, _hourly_close
+from ex_hivent_spark.operators.finance import (
+    _SQL_BARS,
+    _SQL_VBARS,
+    _hourly_close,
+)
+from ex_hivent_spark.operators.risk import _SQL_OBARS
 from ex_hivent_spark.plans.registry import register
 
 # Ultimate Oscillator horizons and weights (Williams' 7/14/28 + 4/2/1).
@@ -434,4 +441,253 @@ def q_win_fisher_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(
             0.5 * F.log((1.0 + F.col("x")) / (1.0 - F.col("x"))), 6
         ).alias("fisher"),
+    )
+
+
+# Choppiness lookback and the exact double literal for ln(2) (log2
+# arrives as ln-ratio with a spelled constant).
+_CHOP_WIN = 14
+_LN2 = 0.6931471805599453
+
+
+@register(
+    "q_win_choppiness",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    tr AS (
+      SELECT event_type, hour_id,
+             {sql_dround(
+                 "greatest(high, lag(close) OVER w)"
+                 " - least(low, lag(close) OVER w)", 6)} AS tr,
+             high, low
+      FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    ),
+    rolled AS (
+      SELECT event_type, hour_id,
+             CAST(count(tr) OVER r AS BIGINT) AS nbar,
+             CAST(sum(CAST(tr AS DECIMAL(25,6))) OVER r AS DOUBLE)
+               AS tr_sum,
+             max(high) OVER r AS hh, min(low) OVER r AS ll
+      FROM tr
+      WINDOW r AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_CHOP_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id,
+           CASE WHEN hh = ll OR tr_sum <= 0 THEN NULL ELSE
+             {sql_dround(
+                 f"100.0 * (ln(tr_sum / (hh - ll)) / {_LN2})"
+                 f" / (ln({float(_CHOP_WIN)}) / {_LN2})", 6)}
+           END AS chop14
+    FROM rolled WHERE nbar = {_CHOP_WIN}
+    """,
+)
+def q_win_choppiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choppiness Index per event type over 14 hourly bars:
+    100·log₂(ΣTR / (HH−LL)) / log₂(14) — near 100 when the series
+    churns sideways (true-range path ≫ net range), near 0 when it
+    trends (path ≈ range). Dreiss' regime filter: the signal that
+    tells the momentum family (KST/AO/UO) when NOT to trust itself.
+    Flat channels (HH = LL — possible on constant-value hours) take
+    the NULL branch on both sides. The series-first bar's TR is its
+    plain high−low (greatest/least skip the NULL lag identically in
+    both engines — and that IS the textbook first-bar True Range),
+    so emission starts at the 14th bar.
+
+    Plan: one bar aggregate, one lag + one constant-width window per
+    type on the shared (event_type, hour_id) sort. Determinism: true
+    ranges are e6-rounded exact picks summed via the decimal detour;
+    log₂ is ln/ln2 with a spelled literal; the closing is e6-rounded."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    pc = F.lag("close").over(wl)
+    tr = bars.select(
+        "event_type",
+        "hour_id",
+        dround(
+            F.greatest(F.col("high"), pc) - F.least(F.col("low"), pc), 6
+        ).alias("tr"),
+        "high",
+        "low",
+    )
+    r = _w(-(_CHOP_WIN - 1))
+    rolled = tr.select(
+        "event_type",
+        "hour_id",
+        F.count("tr").over(r).cast("bigint").alias("nbar"),
+        F.sum(F.col("tr").cast("decimal(25,6)"))
+        .over(r)
+        .cast("double")
+        .alias("tr_sum"),
+        F.max("high").over(r).alias("hh"),
+        F.min("low").over(r).alias("ll"),
+    ).filter(F.col("nbar") == _CHOP_WIN)
+    return rolled.select(
+        "event_type",
+        "hour_id",
+        F.when(
+            (F.col("hh") == F.col("ll")) | (F.col("tr_sum") <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            dround(
+                100.0
+                * (
+                    F.log(F.col("tr_sum") / (F.col("hh") - F.col("ll")))
+                    / _LN2
+                )
+                / (math.log(float(_CHOP_WIN)) / _LN2),
+                6,
+            )
+        )
+        .alias("chop14"),
+    )
+
+
+@register(
+    "q_win_ad_line",
+    oracle=f"""
+    WITH bars AS ({_SQL_VBARS}),
+    mf AS (
+      SELECT event_type, hour_id,
+             CASE WHEN high = low THEN 0.0
+                  ELSE {sql_dround(
+                      "((close - low) - (high - close)) / (high - low)"
+                      " * vol", 6)}
+             END AS mfv
+      FROM bars
+    )
+    SELECT event_type, hour_id,
+           CAST(sum(CAST(mfv AS DECIMAL(25,6))) OVER (
+                  PARTITION BY event_type ORDER BY hour_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS ad_line
+    FROM mf
+    """,
+)
+def q_win_ad_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin Accumulation/Distribution line per event type: the
+    running sum of each bar's money-flow volume
+    ((C−L)−(H−C))/(H−L)·V — the cumulative companion to q_win_cmf's
+    windowed ratio; price/A-D divergence is the classic distribution
+    warning. Zero-range bars contribute exactly 0.
+
+    Plan: one volume-carrying bar aggregate, ONE unbounded-preceding
+    running sum PARTITIONED by type over |hours| rows (time-grain
+    bounded — the q_win_running_frame class). Determinism: the
+    money-flow term is e6-rounded before the decimal running sum, so
+    every prefix is an exact decimal cast back to double."""
+    from ex_hivent_spark.operators.finance import _hourly_vbars
+
+    bars = _hourly_vbars(spark, sf_dir)
+    mf = bars.select(
+        "event_type",
+        "hour_id",
+        F.when(F.col("high") == F.col("low"), F.lit(0.0))
+        .otherwise(
+            dround(
+                (
+                    (F.col("close") - F.col("low"))
+                    - (F.col("high") - F.col("close"))
+                )
+                / (F.col("high") - F.col("low"))
+                * F.col("vol"),
+                6,
+            )
+        )
+        .alias("mfv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return mf.select(
+        "event_type",
+        "hour_id",
+        F.sum(F.col("mfv").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("ad_line"),
+    )
+
+
+# Relative Vigor Index lookback (SMA variant — the engine's
+# no-EMA-recursion convention).
+_RVI_WIN = 4
+
+
+@register(
+    "q_win_rvi",
+    oracle=f"""
+    WITH bars AS ({_SQL_OBARS}),
+    t AS (
+      SELECT event_type, hour_id,
+             {sql_dround("close - open", 6)} AS co,
+             {sql_dround("high - low", 6)} AS hl
+      FROM bars
+    ),
+    rolled AS (
+      SELECT event_type, hour_id,
+             CAST(count(*) OVER r AS BIGINT) AS nbar,
+             CAST(sum(CAST(co AS DECIMAL(25,6))) OVER r AS DOUBLE)
+               AS co_sum,
+             CAST(sum(CAST(hl AS DECIMAL(25,6))) OVER r AS DOUBLE)
+               AS hl_sum
+      FROM t
+      WINDOW r AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_RVI_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, co_sum, hl_sum,
+           CASE WHEN hl_sum <= 0 THEN NULL ELSE
+             {sql_dround("co_sum / hl_sum", 6)}
+           END AS rvi4
+    FROM rolled WHERE nbar = {_RVI_WIN}
+    """,
+)
+def q_win_rvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Vigor Index (SMA-4 variant) per event type: the ratio
+    of the 4-bar close-minus-open sum to the 4-bar high-minus-low
+    sum — "how much of the available range did the bulls actually
+    capture". Positive and rising says closes keep beating opens
+    (vigor); the sign-flip is Ehlers' entry trigger. The standard
+    symmetric-weighted smoothing is replaced by the plain 4-bar SMA
+    (the engine's q_win_rsi no-recursion convention, documented
+    deviation). An all-flat window (ΣHL = 0) takes the NULL branch.
+
+    Plan: ONE open-carrying bar aggregate (the q_win_garman_klass
+    two-pick helper — both row_numbers share one sort), one
+    constant-width window per type. Determinism: per-bar terms are
+    e6-rounded exact picks; both rolling sums ride the decimal
+    detour; the closing ratio is e6-rounded."""
+    from ex_hivent_spark.operators.risk import _hourly_obars
+
+    bars = _hourly_obars(spark, sf_dir)
+    t = bars.select(
+        "event_type",
+        "hour_id",
+        dround(F.col("close") - F.col("open"), 6).alias("co"),
+        dround(F.col("high") - F.col("low"), 6).alias("hl"),
+    )
+    r = _w(-(_RVI_WIN - 1))
+    rolled = t.select(
+        "event_type",
+        "hour_id",
+        F.count(F.lit(1)).over(r).cast("bigint").alias("nbar"),
+        F.sum(F.col("co").cast("decimal(25,6)"))
+        .over(r)
+        .cast("double")
+        .alias("co_sum"),
+        F.sum(F.col("hl").cast("decimal(25,6)"))
+        .over(r)
+        .cast("double")
+        .alias("hl_sum"),
+    ).filter(F.col("nbar") == _RVI_WIN)
+    return rolled.select(
+        "event_type",
+        "hour_id",
+        "co_sum",
+        "hl_sum",
+        F.when(F.col("hl_sum") <= 0, F.lit(None).cast("double"))
+        .otherwise(dround(F.col("co_sum") / F.col("hl_sum"), 6))
+        .alias("rvi4"),
     )
