@@ -61,30 +61,35 @@ def register(name: str, oracle: Optional[str] = None):
 # of queries() each round (CORRECTNESS_r01-r10 all cut off at exactly
 # 50, in dict order), so rounds ROTATE which 50 lead. State after r10:
 # the r10 check was 50/50 green (the 30 late-r8 ops + the 20 r9 ops),
-# clearing the old never-checked backlog exactly as planned. r11
-# fronts, in priority order:
-#   1. the 27 ops never in any driver slot: the 7 r10-new (tsfeat
-#      battery, sign test, ADX/Elder-Ray/Vortex) and the 20 r11-new
-#      (volume-flow indicator tail + Coppock, the inference battery +
-#      SPRT, matrix profile, mix/rate decomposition, next-event eval,
-#      blocklist/position-bias curation signals, point-in-polygon,
-#      skyline) — every one oracle-verified at sf0.001 + sf0.01 in
-#      the r11 session and covered by the r11 local sweep;
-#   2. freshness refill: the alphabetically-first 18 of the 42 ops
-#      whose latest driver row is r4 (the oldest rows in the ledger).
-# r12 PLAN: front whatever r12 registers, then the 24 remaining
-# r4-latest ops (q_llm_reservoir_sample, q_llm_semdedup,
-# q_llm_simhash_groups, q_llm_unigram_logprob,
-# q_quality_fk_orphans, q_quality_profile, the r4 TPC-H tail
-# q_tpch_q11/13/14/15/16/17/18/19/20/21/22/q2/q4/q6/q8,
-# q_ts_linear_interp, q_win_rolling_median, q_win_time_range_frame),
-# then the r5 cohort. Process rule (r7 verdict, kept): NO operator
-# registers after the round's final driver_sim sweep — the sweep
-# re-runs after the last registration, before the snapshot commit.
-# scripts/driver_sim.py re-verifies ALL queries locally every round
-# regardless of this ordering.
+# clearing the old never-checked backlog exactly as planned. The r11
+# never-driver-checked set now holds 69 ops: the 7 r10-new, the 25
+# early-r11 (volume-flow tail + Coppock, inference battery + SPRT,
+# matrix profile, mix/rate decomposition, next-event eval,
+# blocklist/position-bias, point-in-polygon, skyline, permutation/CMS,
+# RRF/uniqueness/JL), and the 37 late-r11 (risk battery, resampling,
+# nonparametric + association batteries, quality audits, embedding
+# audits, Markov pair, momentum tail, doc-stats, coverage, funnel,
+# elasticity). All 69 are oracle-verified at sf0.001 + sf0.01 + sf0.1
+# in-session and covered by the committed local sweep. The 50 slots:
+#   1. the 7 r10-new + 25 early-r11 (kept from the committed r11
+#      rotation — the oldest promises);
+#   2. the alphabetically-first 18 of the 37 late-r11 ops.
+# r12 PLAN: front the remaining 19 late-r11 ops
+# (q_seq_markov_stationary,
+# q_seq_window_funnel, q_stats_ad_uniform, q_stats_cohen_kappa,
+# q_stats_concordance_gamma, q_stats_cvm_uniform, q_stats_levene,
+# q_stats_theil_u, q_stats_wilcoxon_signed_rank, q_ts_ar1_backtest,
+# q_win_ad_line, q_win_choppiness, q_win_dpo, q_win_fisher_transform,
+# q_win_garman_klass, q_win_kst, q_win_parkinson_vol,
+# q_win_rvi, q_win_ultimate_osc — minus however many r12 itself
+# registers first), then resume the r4-latest freshness refill
+# (q_agg_bitmap_rollup A-Z onward). Process rule (r7 verdict, kept):
+# NO operator registers after the round's final driver_sim sweep —
+# the sweep re-runs after the last registration, before the snapshot
+# commit. scripts/driver_sim.py re-verifies ALL queries locally every
+# round regardless of this ordering.
 DRIVER_CHECK_FIRST = [
-    # --- the 32 never-driver-checked ops (7 r10-new, 25 r11-new)
+    # --- the 32 never-driver-checked ops (7 r10-new, 25 early-r11)
     "q_ab_permutation_test",
     "q_agg_cms_audit",
     "q_llm_rrf_fusion",
@@ -117,25 +122,25 @@ DRIVER_CHECK_FIRST = [
     "q_seq_next_event_accuracy",
     "q_llm_blocklist_rate",
     "q_llm_position_bias",
-    # --- freshness refill: oldest (r4) driver rows, A-Z
-    "q_agg_bitmap_rollup",
-    "q_agg_pricing_summary",
-    "q_agg_winsorize",
-    "q_fn_fuzzy_match",
-    "q_fn_variant_json",
-    "q_funnel_signup_purchase",
-    "q_graph_triangles",
-    "q_join_asof",
-    "q_join_asof_nearest",
-    "q_join_asof_tolerance",
-    "q_join_range_theta",
-    "q_layout_zorder",
-    "q_llm_ivfpq_search",
-    "q_llm_kmeans_step",
-    "q_llm_minhash_neardup",
-    "q_llm_passage_dedup",
-    "q_llm_pq_encode",
-    "q_llm_quality_classifier",
+    # --- late-r11 never-checked ops, A-Z (first 18 of 37)
+    "q_ab_bootstrap_ci",
+    "q_agg_beta_capm",
+    "q_agg_daily_corr_matrix",
+    "q_agg_jackknife_variance",
+    "q_agg_price_elasticity",
+    "q_agg_sharpe_sortino",
+    "q_agg_var_es",
+    "q_emb_centroid_shift",
+    "q_emb_hamming_recall",
+    "q_emb_hubness_audit",
+    "q_graph_reciprocity",
+    "q_llm_char_class_profile",
+    "q_llm_length_gini",
+    "q_llm_token_histogram",
+    "q_llm_vocab_coverage",
+    "q_quality_enum_conformance",
+    "q_quality_freshness_lag",
+    "q_seq_conversion_latency",
 ]
 
 
