@@ -47,6 +47,11 @@ def main() -> int:
         i = args.index("--cap")
         cap = float(args[i + 1])
         del args[i : i + 2]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     import duckdb
@@ -74,6 +79,8 @@ def main() -> int:
 
     rows: dict[str, dict] = {}
     for name in sorted(specs):
+        if only is not None and name not in only:
+            continue
         spec = specs[name]
         rec: dict = {}
         rows[name] = rec
