@@ -344,3 +344,51 @@ def q_llm_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.col("n_src"), 6
         ).alias("doc_share"),
     )
+
+
+@register(
+    "q_llm_source_dup_rate",
+    oracle="""
+    WITH h AS (
+      SELECT source, md5(text) AS hsh FROM documents
+    ),
+    g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT hsh) AS BIGINT) AS n_distinct
+      FROM h GROUP BY source
+    )
+    SELECT source, n_docs, n_distinct,
+           n_docs - n_distinct AS n_dup_docs,
+           floor((1.0 - CAST(n_distinct AS DOUBLE) / n_docs)
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+    FROM g
+    """,
+)
+def q_llm_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source: md5(text) distinct counts
+    against doc counts — the per-source accountability view of
+    q_llm_exact_dedup's corpus-wide pass (a single high-dup-rate
+    source usually means one crawler looping, and should be fixed at
+    the source rather than absorbed by dedup downstream).
+
+    Plan: map-only md5, one hash aggregate per source with an exact
+    distinct (the shuffle carries hashes, never text — at 100 TB this
+    is the standard hash-only dedup-audit shuffle shape).
+    Determinism: md5 on identical bytes, integer counts, one
+    e6-rounded closing rate."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("source", F.md5("text").alias("hsh"))
+    g = h.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("hsh").cast("bigint").alias("n_distinct"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        (F.col("n_docs") - F.col("n_distinct")).alias("n_dup_docs"),
+        dround(
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    )

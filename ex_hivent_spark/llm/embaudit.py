@@ -453,3 +453,121 @@ def q_emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slot_share"),
         )
     )
+
+
+@register(
+    "q_emb_intrinsic_dim",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    q AS (
+      SELECT vec_id AS query_id, u AS qu FROM unit
+      WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT {_HUB_Q}
+    ),
+    scored AS (
+      SELECT q.query_id, unit.vec_id AS neighbor_id,
+             floor(list_dot_product(q.qu, unit.u) * 1000000.0 + 0.5)
+                 / 1000000.0 AS cosine
+      FROM q JOIN unit ON unit.vec_id <> q.query_id
+    ),
+    nn2 AS (
+      SELECT query_id,
+             max(CASE WHEN rn = 1 THEN cosine END) AS c1,
+             max(CASE WHEN rn = 2 THEN cosine END) AS c2
+      FROM (
+        SELECT query_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 2 GROUP BY query_id
+    ),
+    mu AS (
+      SELECT query_id,
+             {sql_dround("0.5 * ln((1.0 - c2) / (1.0 - c1))", 6)} AS lnmu
+      FROM nn2 WHERE c1 < 1.0 AND c2 < c1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes_used,
+           {sql_dround(
+               "count(*) / CAST(sum(CAST(lnmu AS DECIMAL(25,6)))"
+               " AS DOUBLE)", 6)} AS id_mle
+    FROM mu
+    """,
+)
+def q_emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN maximum-likelihood intrinsic dimension of the embedding
+    manifold (Facco et al.'s TwoNN): per probe, µ = d₂/d₁ of the two
+    nearest chordal distances (d = sqrt(2−2cos) on unit vectors, so
+    ln µ = ½·ln((1−c₂)/(1−c₁))), and ID = n / Σ ln µ — ID ≪ ambient
+    64 says the vectors live on a much lower-dimensional manifold
+    (retrieval/dedup indexes can be far smaller than the ambient
+    dimension suggests). Probes whose nearest neighbor is an exact
+    duplicate (c₁ = 1) or tied (c₂ = c₁) are dropped on both sides —
+    ln µ is undefined there (documented branch).
+
+    Plan: the q_emb_hubness_audit probe machinery — TakeOrdered
+    broadcast probes, one dot pass, a bounded per-probe rank window
+    keeping only ranks 1-2 — then a one-row MLE closing. Determinism:
+    e6 cosines with neighbor_id tie-breaks, e6-rounded ln µ summed
+    via the decimal detour, e6-rounded closing."""
+    from pyspark.sql import Window
+
+    from ex_hivent_spark.llm.similarity import dot, l2_norm
+
+    em = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    unit = em.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / norm
+        ).alias("u"),
+    )
+    q = (
+        unit.filter(F.col("vec_id") % 5 == 0)
+        .orderBy("vec_id")
+        .limit(_HUB_Q)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+        )
+    )
+    scored = unit.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dround(dot(F.col("qu"), F.col("u")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    nn2 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cosine"))).alias("c1"),
+            F.max(F.when(F.col("rn") == 2, F.col("cosine"))).alias("c2"),
+        )
+    )
+    mu = nn2.filter(
+        (F.col("c1") < 1.0) & (F.col("c2") < F.col("c1"))
+    ).select(
+        dround(
+            0.5 * F.log((1.0 - F.col("c2")) / (1.0 - F.col("c1"))), 6
+        ).alias("lnmu")
+    )
+    return mu.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes_used"),
+        dround(
+            F.count(F.lit(1))
+            / F.sum(F.col("lnmu").cast("decimal(25,6)")).cast("double"),
+            6,
+        ).alias("id_mle"),
+    )

@@ -150,3 +150,74 @@ def q_seq_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_delay_s"),
         dround(F.col("med_us") / 1000000.0, 6).alias("median_delay_s"),
     )
+
+
+@register(
+    "q_agg_repeat_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, min(epoch_us(o_orderdate)) AS t1,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    seconds AS (
+      SELECT o.o_custkey,
+             CAST(min(epoch_us(o.o_orderdate)) - any_value(f.t1)
+                  AS BIGINT) AS gap_us
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      WHERE epoch_us(o.o_orderdate) > f.t1
+      GROUP BY o.o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN f.n_orders >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeaters,
+           floor(CAST(sum(CASE WHEN f.n_orders >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+             / 1000000.0 AS repeat_rate,
+           floor(CAST(sum(CAST(s.gap_us AS DECIMAL(25,0))) AS DOUBLE)
+                 / count(s.gap_us) / 86400000000.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_days_to_second
+    FROM firsts f LEFT JOIN seconds s ON f.o_custkey = s.o_custkey
+    """,
+)
+def q_agg_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase profile: customer count, customers with a
+    second order, the repeat rate, and the mean days from first order
+    to the first STRICTLY LATER order (same-day repeat orders —
+    identical o_orderdate — do not count as "later": the exact
+    strictly-greater microsecond comparison, documented). The
+    retention-economics headline next to q_agg_cohort_ltv.
+
+    Plan: one customer-grain aggregate, one customer-keyed join for
+    the second-order pick, one closing aggregate — aggregate-sized
+    shuffles only. Determinism: exact microsecond comparisons, integer
+    counts, a scale-0 decimal gap sum, two e6-rounded closings."""
+    o = load_table(spark, sf_dir, "orders")
+    us = F.unix_micros("o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(us).alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    seconds = (
+        o.join(firsts.select("o_custkey", "t1"), "o_custkey")
+        .filter(us > F.col("t1"))
+        .groupBy("o_custkey")
+        .agg((F.min(us) - F.first("t1")).cast("bigint").alias("gap_us"))
+    )
+    j = firsts.join(seconds, "o_custkey", "left")
+    rep = F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        rep.alias("n_repeaters"),
+        dround(rep.cast("double") / F.count(F.lit(1)), 6).alias(
+            "repeat_rate"
+        ),
+        dround(
+            F.sum(F.col("gap_us").cast("decimal(25,0)")).cast("double")
+            / F.count("gap_us")
+            / 86400000000.0,
+            6,
+        ).alias("mean_days_to_second"),
+    )

@@ -503,3 +503,310 @@ def q_stats_ad_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("a2_stat")
     )
+
+
+@register(
+    "q_stats_moods_median",
+    oracle="""
+    WITH vc AS (
+      SELECT value, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY value
+    ),
+    cum AS (
+      SELECT value, cnt,
+             CAST(sum(cnt) OVER (ORDER BY value
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum
+      FROM vc
+    ),
+    nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc),
+    med AS (
+      SELECT ((SELECT min(value) FROM cum c CROSS JOIN nt
+               WHERE c.cum >= CAST(floor((nt.n + 1) / 2.0) AS BIGINT))
+              + (SELECT min(value) FROM cum c CROSS JOIN nt
+                 WHERE c.cum >= CAST(floor(nt.n / 2.0) AS BIGINT) + 1)
+             ) / 2.0 AS med
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN value > med THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_above,
+             CAST(sum(CASE WHEN value <= med THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_below
+      FROM events CROSS JOIN med GROUP BY event_type
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_above) AS BIGINT) AS ta,
+             CAST(sum(n_below) AS BIGINT) AS tb
+      FROM g
+    )
+    SELECT t.k, t.ta + t.tb AS n_total,
+           (SELECT med FROM med) AS grand_median,
+           floor(sum(
+             (n_above - CAST(n_above + n_below AS DOUBLE) * t.ta
+                        / (t.ta + t.tb))
+             * (n_above - CAST(n_above + n_below AS DOUBLE) * t.ta
+                          / (t.ta + t.tb))
+             / (CAST(n_above + n_below AS DOUBLE) * t.ta / (t.ta + t.tb))
+             + (n_below - CAST(n_above + n_below AS DOUBLE) * t.tb
+                          / (t.ta + t.tb))
+               * (n_below - CAST(n_above + n_below AS DOUBLE) * t.tb
+                            / (t.ta + t.tb))
+               / (CAST(n_above + n_below AS DOUBLE) * t.tb
+                  / (t.ta + t.tb))
+           ) * 1000000.0 + 0.5) / 1000000.0 AS chi2
+    FROM g CROSS JOIN t GROUP BY t.k, t.ta, t.tb
+    """,
+)
+def q_stats_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five event types: the 2×k
+    above/below contingency against the GRAND exact median (values
+    equal to the median count as "below" — documented convention) and
+    its chi-square statistic (df = k−1) — the maximally-robust k-group
+    location test (only signs of deviations matter), the coarse
+    companion to q_stats_kruskal_wallis' rank version.
+
+    Plan: the grand median comes from distinct-value counts + the
+    blocked prefix fold and two filtered min-picks (the
+    q_stats_brown_forsythe machinery, one shared pooled frame); one
+    broadcast of the median closes the 2×k table in a single
+    conditional aggregate. Determinism: the median is an exact
+    half-sum of observed doubles; cell counts are integers; the chi2
+    closing is pure double arithmetic from integer counts,
+    e6-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    vc = e.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).localCheckpoint(eager=False)  # fold + total: one pass
+    blocked = vc.withColumn(
+        "blk", F.floor(F.col("value") / F.lit(_D_BLOCK))
+    )
+    cum = running_totals_blocked(
+        blocked,
+        order_cols=["value"],
+        block_cols=["blk"],
+        sum_cols={"cnt": "cum"},
+    )
+    nt = vc.agg(F.sum("cnt").cast("bigint").alias("n"))
+    c = cum.crossJoin(F.broadcast(nt))
+    lo = c.filter(
+        F.col("cum") >= F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+    ).agg(F.min("value").alias("v_lo"))
+    hi = c.filter(
+        F.col("cum") >= F.floor(F.col("n") / 2.0).cast("bigint") + 1
+    ).agg(F.min("value").alias("v_hi"))
+    med = lo.crossJoin(F.broadcast(hi)).select(
+        ((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med")
+    )
+    g = (
+        e.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") > F.col("med"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+            F.sum(F.when(F.col("value") <= F.col("med"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+        )
+        .localCheckpoint(eager=False)  # totals + chi2: one pass
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_above").cast("bigint").alias("ta"),
+        F.sum("n_below").cast("bigint").alias("tb"),
+    )
+    j = g.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(med))
+    ng = (F.col("n_above") + F.col("n_below")).cast("double")
+    tt = (F.col("ta") + F.col("tb")).cast("double")
+    ea = ng * F.col("ta") / tt
+    eb = ng * F.col("tb") / tt
+    cell = (F.col("n_above") - ea) * (F.col("n_above") - ea) / ea + (
+        F.col("n_below") - eb
+    ) * (F.col("n_below") - eb) / eb
+    return j.groupBy("k", "ta", "tb", "med").agg(
+        dround(F.sum(cell), 6).alias("chi2")
+    ).select(
+        "k",
+        (F.col("ta") + F.col("tb")).cast("bigint").alias("n_total"),
+        F.col("med").alias("grand_median"),
+        "chi2",
+    )
+
+
+@register(
+    "q_stats_grubbs_outlier",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type AS et,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+               / count(*) AS mean_g,
+             CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+               AS sxx,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_type AS et, e.value,
+             abs(e.value - m.mean_g) AS dev
+      FROM events e JOIN m ON m.et = e.event_type
+    ),
+    mx AS (SELECT et, max(dev) AS maxdev FROM d GROUP BY et),
+    pick AS (
+      SELECT d.et, min(d.value) AS outlier_value
+      FROM d JOIN mx ON d.et = mx.et AND d.dev = mx.maxdev
+      GROUP BY d.et
+    )
+    SELECT m.et AS event_type, m.n, {sql_dround("m.mean_g", 6)} AS mean_g,
+           {sql_dround(
+               "sqrt(greatest((m.sxx - m.sx * m.sx / m.n) / (m.n - 1),"
+               " 0))", 6)} AS sd_g,
+           p.outlier_value,
+           {sql_dround(
+               "mx.maxdev / sqrt(greatest((m.sxx - m.sx * m.sx / m.n)"
+               " / (m.n - 1), 0))", 6)} AS g_stat
+    FROM m JOIN mx ON m.et = mx.et JOIN pick p ON m.et = p.et
+    """,
+)
+def q_stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' outlier statistic per event type: G = max|x − mean|/s
+    (sample sd) plus the offending value (the SMALLEST value achieving
+    the max deviation — deterministic tie-break) — the single-outlier
+    screen run before the parametric batteries, complementing
+    q_agg_mad_outliers' robust version (G is the test with an actual
+    null distribution; MAD is the flagging heuristic).
+
+    Plan: one moment aggregate per type (broadcast back), one
+    deviation pass with a per-type max, one equality-pick aggregate —
+    three hash aggregates, no windows. Determinism: means/sds ride
+    the decimal detour; deviations are per-row doubles compared
+    exactly (identical bits both engines); sd and G closings are
+    e6-rounded and zero-clamped."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    ).localCheckpoint(eager=False)  # deviation pass + closing: one scan
+    mm = m.select(
+        "et", "n", "sx", "sxx", (F.col("sx") / F.col("n")).alias("mean_g")
+    )
+    d = e.join(
+        F.broadcast(mm.select("et", "mean_g")),
+        e["event_type"] == F.col("et"),
+    ).select("et", "value", F.abs(F.col("value") - F.col("mean_g")).alias("dev"))
+    d = d.localCheckpoint(eager=False)  # max + pick: one pass
+    mx = d.groupBy("et").agg(F.max("dev").alias("maxdev"))
+    pick = (
+        d.join(F.broadcast(mx), "et")
+        .filter(F.col("dev") == F.col("maxdev"))
+        .groupBy("et")
+        .agg(F.min("value").alias("outlier_value"))
+    )
+    j = mm.join(F.broadcast(mx), "et").join(F.broadcast(pick), "et")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1),
+            F.lit(0.0),
+        )
+    )
+    return j.select(
+        F.col("et").alias("event_type"),
+        "n",
+        dround(F.col("mean_g"), 6).alias("mean_g"),
+        dround(sd, 6).alias("sd_g"),
+        "outlier_value",
+        dround(F.col("maxdev") / sd, 6).alias("g_stat"),
+    )
+
+
+@register(
+    "q_stats_dixon_q",
+    oracle="""
+    WITH ext AS (
+      SELECT event_type AS et, min(value) AS mn, max(value) AS mx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    nd AS (
+      SELECT e.event_type AS et,
+             CAST(sum(CASE WHEN e.value = x.mn THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_min,
+             CAST(sum(CASE WHEN e.value = x.mx THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_max,
+             min(CASE WHEN e.value > x.mn THEN e.value END) AS min_gt,
+             max(CASE WHEN e.value < x.mx THEN e.value END) AS max_lt
+      FROM events e JOIN ext x ON e.event_type = x.et
+      GROUP BY e.event_type
+    )
+    SELECT x.et AS event_type, x.n, x.mn AS x_min, x.mx AS x_max,
+           floor((CASE WHEN nd.n_min >= 2 THEN x.mn ELSE nd.min_gt END
+                  - x.mn) / (x.mx - x.mn) * 1000000.0 + 0.5)
+             / 1000000.0 AS q_low,
+           floor((x.mx
+                  - CASE WHEN nd.n_max >= 2 THEN x.mx ELSE nd.max_lt END)
+                 / (x.mx - x.mn) * 1000000.0 + 0.5)
+             / 1000000.0 AS q_high
+    FROM ext x JOIN nd ON x.et = nd.et
+    """,
+)
+def q_stats_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dixon's Q ratios per event type: Q_low = (x₂ − x₁)/(xₙ − x₁)
+    and Q_high = (xₙ − xₙ₋₁)/(xₙ − x₁) from the order statistics
+    (duplicated extremes make the gap 0 — the correct order-statistic
+    semantics) — the small-sample endpoint-outlier screen next to
+    Grubbs' center-based one: a large Q says the extreme is detached
+    from the rest of the range.
+
+    Plan: one extremes aggregate per type (broadcast back), one
+    conditional aggregate for second-order statistics — two hash
+    aggregates, no windows, no sort. Determinism: all picks are exact
+    min/max of observed doubles; the two closing ratios are
+    e6-rounded (the range is > 0 for every type at every SF)."""
+    e = load_table(spark, sf_dir, "events")
+    ext = e.groupBy(F.col("event_type").alias("et")).agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    nd = (
+        e.join(F.broadcast(ext), e["event_type"] == F.col("et"))
+        .groupBy("et")
+        .agg(
+            F.sum(F.when(F.col("value") == F.col("mn"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_min"),
+            F.sum(F.when(F.col("value") == F.col("mx"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_max"),
+            F.min(
+                F.when(F.col("value") > F.col("mn"), F.col("value"))
+            ).alias("min_gt"),
+            F.max(
+                F.when(F.col("value") < F.col("mx"), F.col("value"))
+            ).alias("max_lt"),
+        )
+    )
+    j = ext.join(nd, "et")
+    x2 = F.when(F.col("n_min") >= 2, F.col("mn")).otherwise(
+        F.col("min_gt")
+    )
+    xn1 = F.when(F.col("n_max") >= 2, F.col("mx")).otherwise(
+        F.col("max_lt")
+    )
+    rng = F.col("mx") - F.col("mn")
+    return j.select(
+        F.col("et").alias("event_type"),
+        "n",
+        F.col("mn").alias("x_min"),
+        F.col("mx").alias("x_max"),
+        dround((x2 - F.col("mn")) / rng, 6).alias("q_low"),
+        dround((F.col("mx") - xn1) / rng, 6).alias("q_high"),
+    )

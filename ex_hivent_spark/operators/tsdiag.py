@@ -834,3 +834,118 @@ def q_ts_ar1_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n_test", "phi", "mae_ar1", "rmse_ar1", "mae_naive", "skill"
     )
+
+
+@register(
+    "q_ts_diff_stationarity",
+    oracle=f"""
+    WITH spine AS ({_SQL_TOTAL_SPINE}),
+    base AS (
+      SELECT CAST(floor(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT)
+               AS b
+      FROM spine
+    ),
+    d AS (
+      SELECT h, {sql_dround("(CAST(y AS DOUBLE) - b) / b", 6)} AS d
+      FROM spine CROSS JOIN base
+    ),
+    lagd AS (
+      SELECT h, d,
+             {sql_dround("d - lag(d) OVER (ORDER BY h)", 6)} AS d1
+      FROM d
+    ),
+    lag2 AS (
+      SELECT h, d, d1,
+             {sql_dround("d1 - lag(d1) OVER (ORDER BY h)", 6)} AS d2
+      FROM lagd
+    ),
+    m AS (
+      SELECT
+        CAST(count(d) AS BIGINT) AS n0,
+        CAST(sum(CAST(d AS DECIMAL(25,6))) AS DOUBLE) AS s0,
+        CAST(sum(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS ss0,
+        CAST(count(d1) AS BIGINT) AS n1,
+        CAST(sum(CAST(d1 AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+        CAST(sum(CAST(d1 * d1 AS DECIMAL(38,12))) AS DOUBLE) AS ss1,
+        CAST(count(d2) AS BIGINT) AS n2,
+        CAST(sum(CAST(d2 AS DECIMAL(25,6))) AS DOUBLE) AS s2,
+        CAST(sum(CAST(d2 * d2 AS DECIMAL(38,12))) AS DOUBLE) AS ss2
+      FROM lag2
+    )
+    SELECT
+      {sql_dround("(ss0 - s0 * s0 / n0) / (n0 - 1)", 6)} AS var_level,
+      {sql_dround("(ss1 - s1 * s1 / n1) / (n1 - 1)", 6)} AS var_diff1,
+      {sql_dround("(ss2 - s2 * s2 / n2) / (n2 - 1)", 6)} AS var_diff2,
+      {sql_dround(
+          "((ss1 - s1 * s1 / n1) / (n1 - 1))"
+          " / ((ss0 - s0 * s0 / n0) / (n0 - 1))", 6)} AS ratio1,
+      {sql_dround(
+          "((ss2 - s2 * s2 / n2) / (n2 - 1))"
+          " / ((ss1 - s1 * s1 / n1) / (n1 - 1))", 6)} AS ratio2
+    FROM m
+    """,
+)
+def q_ts_diff_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differencing-order diagnostic on the hourly total-event series:
+    sample variances of the level, the first difference, and the
+    second difference (all as relative deviations from the integer
+    month-mean base), plus the two variance ratios — the standard
+    "how many differences until stationarity" readout (ratio1 ≪ 1:
+    difference once; ratio2 > 1: you over-differenced and introduced
+    the MA(1) signature). The pragmatic companion to q_ts_adf_lite /
+    q_ts_kpss_lite's formal tests.
+
+    Plan: the 720-row month spine, TWO chained non-partitioned lags
+    over it (allowlisted bounded class), one moments aggregate.
+    Determinism: the relative-deviation transform (integer-floored
+    base — the SCALE.md magnitude lesson), each difference e6-rounded
+    at the source so squares sit on the 1e-12 grid in decimal(38,12)
+    sums, e6-rounded closings."""
+    spine = _total_spine(spark, sf_dir)
+    base = spine.agg(
+        F.floor(F.sum("y").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("b")
+    )
+    d = spine.crossJoin(F.broadcast(base)).select(
+        "h",
+        dround(
+            (F.col("y").cast("double") - F.col("b")) / F.col("b"), 6
+        ).alias("d"),
+    )
+    w = Window.orderBy("h")
+    lagd = d.select(
+        "h", "d", dround(F.col("d") - F.lag("d").over(w), 6).alias("d1")
+    )
+    lag2 = lagd.select(
+        "h",
+        "d",
+        "d1",
+        dround(F.col("d1") - F.lag("d1").over(w), 6).alias("d2"),
+    )
+
+    def mom(c: str, i: int):
+        col = F.col(c)
+        return [
+            F.count(col).cast("bigint").alias(f"n{i}"),
+            F.sum(col.cast("decimal(25,6)")).cast("double").alias(f"s{i}"),
+            F.sum((col * col).cast("decimal(38,12)"))
+            .cast("double")
+            .alias(f"ss{i}"),
+        ]
+
+    m = lag2.agg(*(mom("d", 0) + mom("d1", 1) + mom("d2", 2)))
+
+    def var(i: int):
+        n = F.col(f"n{i}")
+        return (
+            F.col(f"ss{i}") - F.col(f"s{i}") * F.col(f"s{i}") / n
+        ) / (n - 1)
+
+    return m.select(
+        dround(var(0), 6).alias("var_level"),
+        dround(var(1), 6).alias("var_diff1"),
+        dround(var(2), 6).alias("var_diff2"),
+        dround(var(1) / var(0), 6).alias("ratio1"),
+        dround(var(2) / var(1), 6).alias("ratio2"),
+    )
