@@ -571,3 +571,101 @@ def q_emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("id_mle"),
     )
+
+
+# Pairwise-cosine histogram bin width over [-1, 1): 10 bins of 0.2.
+_PAIR_BINS = 10
+
+
+@register(
+    "q_emb_pair_cosine_hist",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    q AS (
+      SELECT vec_id AS query_id, u AS qu FROM unit
+      WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT {_HUB_Q}
+    ),
+    scored AS (
+      SELECT least(CAST(floor((floor(list_dot_product(q.qu, unit.u)
+                                     * 1000000.0 + 0.5) / 1000000.0
+                               + 1.0) * 5.0) AS BIGINT),
+                   {_PAIR_BINS - 1}) AS bin
+      FROM q JOIN unit ON unit.vec_id <> q.query_id
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_total FROM scored)
+    SELECT bin,
+           floor((bin / 5.0 - 1.0) * 1000000.0 + 0.5) / 1000000.0
+             AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(CAST(count(*) AS DOUBLE) / n_pairs_total
+                 * 1000000.0 + 0.5) / 1000000.0 AS share
+    FROM scored CROSS JOIN nt GROUP BY bin, n_pairs_total
+    """,
+)
+def q_emb_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram (10 bins of width 0.2 over [−1, 1])
+    between the ≤256-probe sample and the whole corpus — the
+    concentration-of-measure audit: a healthy high-dimensional corpus
+    piles its mass near 0; mass in the rightmost bins means
+    near-duplicates or a collapsed encoder (and calibrates every
+    cosine threshold used by the semdedup/neardup family).
+
+    Plan: the probe machinery — TakeOrdered broadcast probes, one dot
+    pass — collapsing straight into a ≤10-row histogram aggregate (no
+    rank window at all). Determinism: e6-rounded sequential-fold
+    cosines, exact integer bin arithmetic (the +1 shift and ×5 are
+    exact on the e6 grid; cosine = 1.0 clamps into the top bin),
+    e6-rounded shares."""
+    from ex_hivent_spark.llm.similarity import dot, l2_norm
+
+    em = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    unit = em.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / norm
+        ).alias("u"),
+    )
+    q = (
+        unit.filter(F.col("vec_id") % 5 == 0)
+        .orderBy("vec_id")
+        .limit(_HUB_Q)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+        )
+    )
+    cos = dround(dot(F.col("qu"), F.col("u")), 6)
+    scored = unit.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        F.least(
+            F.floor((cos + 1.0) * 5.0).cast("bigint"),
+            F.lit(_PAIR_BINS - 1),
+        ).alias("bin")
+    )
+    nt = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_total")
+    )
+    return (
+        scored.crossJoin(F.broadcast(nt))
+        .groupBy("bin", "n_pairs_total")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "bin",
+            dround(F.col("bin") / 5.0 - 1.0, 6).alias("bin_lo"),
+            "n_pairs",
+            dround(
+                F.col("n_pairs").cast("double") / F.col("n_pairs_total"),
+                6,
+            ).alias("share"),
+        )
+    )

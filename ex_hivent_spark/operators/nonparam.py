@@ -810,3 +810,101 @@ def q_stats_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround((x2 - F.col("mn")) / rng, 6).alias("q_low"),
         dround((F.col("mx") - xn1) / rng, 6).alias("q_high"),
     )
+
+
+@register(
+    "q_stats_cochran_q",
+    oracle="""
+    WITH x AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    r AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS ri
+      FROM x GROUP BY user_id
+    ),
+    cj AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS c
+      FROM x GROUP BY event_type
+    ),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cj),
+    rs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(ri) AS BIGINT) AS sr,
+             CAST(sum(ri * ri) AS BIGINT) AS sr2
+      FROM r
+    ),
+    cs AS (
+      SELECT CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS sc2
+      FROM cj
+    )
+    SELECT k.k, rs.n_users,
+           CASE WHEN k.k * rs.sr - rs.sr2 = 0 THEN NULL ELSE
+             floor((k.k - 1.0)
+                   * (k.k * CAST(cs.sc2 AS DOUBLE)
+                      - CAST(cs.sc AS DOUBLE) * cs.sc)
+                   / (k.k * CAST(rs.sr AS DOUBLE)
+                      - CAST(rs.sr2 AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0
+           END AS q_stat
+    FROM k CROSS JOIN rs CROSS JOIN cs
+    """,
+)
+def q_stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over the users × event-types participation matrix
+    (x_uj = 1 iff user u performed type j at least once):
+    Q = (k−1)·(k·ΣCⱼ² − (ΣCⱼ)²) / (k·ΣRᵢ − ΣRᵢ²) — the k-treatment
+    binary repeated-measures test ("do the five behaviors have equal
+    adoption across the SAME users?"), the k-ary extension of
+    q_stats_mcnemar. df = k−1; users who did everything (Rᵢ = k)
+    contribute no discrimination — and when EVERY user did (possible
+    at tiny SF: 15 users all hit all 5 types at sf0.001) the
+    denominator is 0 and the statistic takes the NULL branch on both
+    sides (documented degenerate case).
+
+    Plan: one DISTINCT (user, type) aggregate (the only touch of raw
+    volume — the shuffle carries ≤ |users|·k pairs), then row/column
+    marginal aggregates and a one-row integer closing. Determinism:
+    pure integer sums end-to-end; the single closing division is
+    e6-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select("user_id", "event_type").distinct().localCheckpoint(
+        eager=False
+    )  # row + column marginals: one distinct pass
+    r = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ri")
+    )
+    cj = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    k = cj.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    rs = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("ri").cast("bigint").alias("sr"),
+        F.sum(F.col("ri") * F.col("ri")).cast("bigint").alias("sr2"),
+    )
+    cs = cj.agg(
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    j = k.crossJoin(F.broadcast(rs)).crossJoin(F.broadcast(cs))
+    kk = F.col("k").cast("double")
+    return j.select(
+        "k",
+        "n_users",
+        F.when(
+            F.col("k") * F.col("sr") - F.col("sr2") == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            dround(
+                (kk - 1.0)
+                * (kk * F.col("sc2").cast("double")
+                   - F.col("sc").cast("double") * F.col("sc"))
+                / (kk * F.col("sr").cast("double")
+                   - F.col("sr2").cast("double")),
+                6,
+            )
+        )
+        .alias("q_stat"),
+    )

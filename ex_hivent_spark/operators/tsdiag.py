@@ -949,3 +949,64 @@ def q_ts_diff_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(var(1) / var(0), 6).alias("ratio1"),
         dround(var(2) / var(1), 6).alias("ratio2"),
     )
+
+
+@register(
+    "q_ts_seasonal_index",
+    oracle=f"""
+    WITH spine AS ({_SQL_TOTAL_SPINE}),
+    hod AS (
+      SELECT CAST((h % 24) AS BIGINT) AS hour_of_day,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(y) AS BIGINT) AS y_sum
+      FROM spine GROUP BY h % 24
+    ),
+    tot AS (
+      SELECT CAST(sum(y_sum) AS DOUBLE) / sum(n_hours) AS grand_mean
+      FROM hod
+    )
+    SELECT hour_of_day, n_hours,
+           {sql_dround("CAST(y_sum AS DOUBLE) / n_hours", 6)} AS hod_mean,
+           {sql_dround(
+               "(CAST(y_sum AS DOUBLE) / n_hours) / grand_mean", 6,
+           )} AS seasonal_index
+    FROM hod CROSS JOIN tot
+    """,
+)
+def q_ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal index of the daily cycle:
+    each hour-of-day's mean total-event count (over the month's 30
+    occurrences, empty hours counted as 0 via the densified spine)
+    divided by the grand hourly mean — index 1.3 reads "this hour
+    runs 30% hot". The ratio-to-moving-average decomposition's
+    seasonal factor at the fixed daily period, the index-form
+    companion to q_ts_diurnal_percentiles' distributional view and
+    q_ts_seasonal_decompose's additive split.
+
+    Plan: the 720-row spine collapses to the 24-row hour-of-day frame
+    in one aggregate; the grand mean is its one-row closing broadcast
+    back. Determinism: integer count sums; two e6-rounded divisions
+    (epoch hour 0 is midnight UTC, so h % 24 IS the hour of day —
+    exact integer arithmetic)."""
+    spine = _total_spine(spark, sf_dir)
+    hod = spine.groupBy((F.col("h") % 24).alias("hour_of_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("y").cast("bigint").alias("y_sum"),
+    )
+    tot = hod.agg(
+        (F.sum("y_sum").cast("double") / F.sum("n_hours")).alias(
+            "grand_mean"
+        )
+    )
+    return hod.crossJoin(F.broadcast(tot)).select(
+        F.col("hour_of_day").cast("bigint").alias("hour_of_day"),
+        "n_hours",
+        dround(
+            F.col("y_sum").cast("double") / F.col("n_hours"), 6
+        ).alias("hod_mean"),
+        dround(
+            (F.col("y_sum").cast("double") / F.col("n_hours"))
+            / F.col("grand_mean"),
+            6,
+        ).alias("seasonal_index"),
+    )
