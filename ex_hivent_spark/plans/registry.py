@@ -62,23 +62,30 @@ def register(name: str, oracle: Optional[str] = None):
 # 50, in dict order), so rounds ROTATE which 50 lead. State after r10:
 # the r10 check was 50/50 green (the 30 late-r8 ops + the 20 r9 ops),
 # clearing the old never-checked backlog exactly as planned. The r11
-# never-driver-checked set now holds 69 ops: the 7 r10-new, the 25
+# never-driver-checked set now holds 79 ops: the 7 r10-new, the 25
 # early-r11 (volume-flow tail + Coppock, inference battery + SPRT,
 # matrix profile, mix/rate decomposition, next-event eval,
 # blocklist/position-bias, point-in-polygon, skyline, permutation/CMS,
-# RRF/uniqueness/JL), and the 37 late-r11 (risk battery, resampling,
-# nonparametric + association batteries, quality audits, embedding
-# audits, Markov pair, momentum tail, doc-stats, coverage, funnel,
-# elasticity). All 69 are oracle-verified at sf0.001 + sf0.01 + sf0.1
-# in-session and covered by the committed local sweep. The 50 slots:
+# RRF/uniqueness/JL), and the 47 late-r11 (risk battery, resampling,
+# nonparametric + association + outlier batteries, quality audits,
+# embedding audits, Markov pair, momentum tail, doc-stats, coverage,
+# funnel, elasticity, differencing/seasonal diagnostics, repeat
+# purchase, intrinsic dimension, pair-cosine histogram, source dup
+# rate, Cochran's Q). All 79 are oracle-verified at sf0.001 + sf0.01
+# + sf0.1 in-session and covered by the committed local sweep. The
+# 50 slots:
 #   1. the 7 r10-new + 25 early-r11 (kept from the committed r11
 #      rotation — the oldest promises);
-#   2. the alphabetically-first 18 of the 37 late-r11 ops.
-# r12 PLAN: front the remaining 19 late-r11 ops
-# (q_seq_markov_stationary,
-# q_seq_window_funnel, q_stats_ad_uniform, q_stats_cohen_kappa,
-# q_stats_concordance_gamma, q_stats_cvm_uniform, q_stats_levene,
-# q_stats_theil_u, q_stats_wilcoxon_signed_rank, q_ts_ar1_backtest,
+#   2. 18 late-r11 ops (A-Z among the 37 registered when the
+#      rotation was fixed).
+# r12 PLAN: front the remaining 29 late-r11 ops
+# (q_agg_repeat_purchase, q_emb_intrinsic_dim, q_emb_pair_cosine_hist,
+# q_llm_source_dup_rate, q_seq_markov_stationary,
+# q_seq_window_funnel, q_stats_ad_uniform, q_stats_cochran_q,
+# q_stats_cohen_kappa, q_stats_concordance_gamma, q_stats_cvm_uniform,
+# q_stats_dixon_q, q_stats_grubbs_outlier, q_stats_levene,
+# q_stats_moods_median, q_stats_theil_u, q_stats_wilcoxon_signed_rank,
+# q_ts_ar1_backtest, q_ts_diff_stationarity, q_ts_seasonal_index,
 # q_win_ad_line, q_win_choppiness, q_win_dpo, q_win_fisher_transform,
 # q_win_garman_klass, q_win_kst, q_win_parkinson_vol,
 # q_win_rvi, q_win_ultimate_osc — minus however many r12 itself
@@ -122,7 +129,9 @@ DRIVER_CHECK_FIRST = [
     "q_seq_next_event_accuracy",
     "q_llm_blocklist_rate",
     "q_llm_position_bias",
-    # --- late-r11 never-checked ops, A-Z (first 18 of 37)
+    # --- 18 of the 47 late-r11 never-checked ops (A-Z among the 37
+    #     registered when this rotation was fixed; the 10 registered
+    #     after it join the r12 plan above)
     "q_ab_bootstrap_ci",
     "q_agg_beta_capm",
     "q_agg_daily_corr_matrix",
