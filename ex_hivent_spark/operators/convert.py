@@ -221,3 +221,111 @@ def q_agg_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_days_to_second"),
     )
+
+
+@register(
+    "q_seq_user_lifespan",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+               AS span_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    vc AS (
+      SELECT span_us, CAST(count(*) AS BIGINT) AS cnt
+      FROM u GROUP BY span_us
+    ),
+    cum AS (
+      SELECT span_us, cnt,
+             CAST(sum(cnt) OVER (ORDER BY span_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum
+      FROM vc
+    ),
+    nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc),
+    med AS (
+      SELECT ((SELECT min(span_us) FROM cum c CROSS JOIN nt
+               WHERE c.cum >= CAST(floor((nt.n + 1) / 2.0) AS BIGINT))
+              + (SELECT min(span_us) FROM cum c CROSS JOIN nt
+                 WHERE c.cum >= CAST(floor(nt.n / 2.0) AS BIGINT) + 1)
+             ) / 2.0 AS med_us
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CAST(span_us AS DECIMAL(25,0))) AS DOUBLE)
+               AS sum_us,
+             CAST(sum(CASE WHEN span_us = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_single_moment
+      FROM u
+    )
+    SELECT n_users, n_single_moment,
+           {sql_dround("sum_us / n_users / 86400000000.0", 6)}
+             AS mean_lifespan_days,
+           {sql_dround("med_us / 86400000000.0", 6)}
+             AS median_lifespan_days
+    FROM m CROSS JOIN med
+    """,
+)
+def q_seq_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed user lifespan distribution: per user, the exact
+    microsecond span between first and last event, summarized as the
+    user count, the single-moment-user count (span 0 — one event or
+    all at one timestamp), and the mean + exact median lifespan in
+    days. The engagement-duration companion to q_agg_dau_wau's
+    activity rates — a shrinking median lifespan is churn before DAU
+    feels it.
+
+    Plan: one user-grain min/max aggregate; the exact median via
+    distinct-span counts + the blocked prefix fold (day-width blocks)
+    and two filtered min-picks — the q_seq_conversion_latency
+    machinery. Determinism: exact integer microsecond spans, scale-0
+    decimal sums, e6-rounded closing unit changes."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    u = e.groupBy("user_id").agg(
+        (F.max(us) - F.min(us)).cast("bigint").alias("span_us")
+    ).localCheckpoint(eager=False)  # moments + median: one pass
+    vc = u.groupBy("span_us").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    blocked = vc.withColumn(
+        "blk", F.floor(F.col("span_us") / F.lit(_DELAY_BLOCK_US))
+    )
+    cum = running_totals_blocked(
+        blocked,
+        order_cols=["span_us"],
+        block_cols=["blk"],
+        sum_cols={"cnt": "cum"},
+    )
+    nt = vc.agg(F.sum("cnt").cast("bigint").alias("n"))
+    c = cum.crossJoin(F.broadcast(nt))
+    lo = c.filter(
+        F.col("cum") >= F.floor((F.col("n") + 1) / 2.0).cast("bigint")
+    ).agg(F.min("span_us").alias("v_lo"))
+    hi = c.filter(
+        F.col("cum") >= F.floor(F.col("n") / 2.0).cast("bigint") + 1
+    ).agg(F.min("span_us").alias("v_hi"))
+    med = lo.crossJoin(F.broadcast(hi)).select(
+        ((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med_us")
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("span_us").cast("decimal(25,0)"))
+        .cast("double")
+        .alias("sum_us"),
+        F.sum(F.when(F.col("span_us") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_single_moment"),
+    )
+    return m.crossJoin(F.broadcast(med)).select(
+        "n_users",
+        "n_single_moment",
+        dround(
+            F.col("sum_us") / F.col("n_users") / 86400000000.0, 6
+        ).alias("mean_lifespan_days"),
+        dround(F.col("med_us") / 86400000000.0, 6).alias(
+            "median_lifespan_days"
+        ),
+    )

@@ -660,3 +660,221 @@ def q_agg_mix_rate_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("rate_effect"),
         dround(delta - vol - rate, 6).alias("recon_residual"),
     )
+
+
+# Rich-club degree-threshold grid (literal powers of two).
+_RC_KS = (1, 2, 4, 8, 16, 32, 64)
+
+
+@register(
+    "q_graph_rich_club",
+    oracle=f"""
+    WITH sp AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.s AS s_a, b.s AS s_b
+      FROM sp a JOIN sp b ON b.p = a.p AND a.s < b.s
+    ),
+    deg AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT s_a AS s FROM edges UNION ALL SELECT s_b AS s FROM edges
+      ) GROUP BY s
+    ),
+    ecnt AS (
+      SELECT {", ".join(
+          f'''CAST(sum(CASE WHEN da.d > {k} AND db.d > {k}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS e{k}'''
+          for k in _RC_KS
+      )}
+      FROM edges e
+      JOIN deg da ON da.s = e.s_a JOIN deg db ON db.s = e.s_b
+    ),
+    ncnt AS (
+      SELECT {", ".join(
+          f'''CAST(sum(CASE WHEN d > {k} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n{k}'''
+          for k in _RC_KS
+      )}
+      FROM deg
+    )
+    {" UNION ALL ".join(
+        f'''SELECT CAST({k} AS BIGINT) AS k_threshold, n{k} AS n_nodes,
+               e{k} AS n_edges,
+               floor(2.0 * e{k} / (CAST(n{k} AS DOUBLE) * (n{k} - 1))
+                     * 1000000.0 + 0.5) / 1000000.0 AS phi
+        FROM ecnt CROSS JOIN ncnt WHERE n{k} >= 2'''
+        for k in _RC_KS
+    )}
+    """,
+)
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient curve of the supplier co-sourcing graph:
+    for each literal degree threshold k, the density
+    φ(k) = 2·E_{{>k}} / (N_{{>k}}·(N_{{>k}}−1)) among suppliers with
+    more than k co-sourcing partners — a rising φ(k) says the
+    best-connected suppliers preferentially source the same parts as
+    EACH OTHER (consolidation risk at the top of the supply network).
+    Thresholds with fewer than two qualifying nodes are dropped on
+    both sides.
+
+    Plan: edges come from the q_graph_copurchase_suppliers linear
+    part-key expansion (never |suppliers|²); degrees are one endpoint
+    aggregate; ALL thresholds are conditional sums in ONE pass over
+    the edge frame with the ≤|suppliers|-row degree frame broadcast,
+    closing into ≤7 rows. Determinism: exact integer counts, one
+    e6-rounded density per row."""
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = sp.select(F.col("s").alias("s_a"), "p")
+    b = sp.select(F.col("s").alias("s_b"), "p")
+    edges = (
+        a.join(b, "p")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .select("s_a", "s_b")
+        .distinct()
+        .localCheckpoint(eager=False)  # degrees + threshold pass: one build
+    )
+    deg = (
+        edges.select(F.col("s_a").alias("s"))
+        .unionAll(edges.select(F.col("s_b").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("s").alias("s_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("s").alias("s_b"), F.col("d").alias("db"))
+    je = edges.join(F.broadcast(da), "s_a").join(F.broadcast(db), "s_b")
+    ecnt = je.agg(
+        *[
+            F.sum(
+                F.when((F.col("da") > k) & (F.col("db") > k), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"e{k}")
+            for k in _RC_KS
+        ]
+    )
+    ncnt = deg.agg(
+        *[
+            F.sum(F.when(F.col("d") > k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{k}")
+            for k in _RC_KS
+        ]
+    )
+    one = ecnt.crossJoin(F.broadcast(ncnt))
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("bigint").alias("k_threshold"),
+                    F.col(f"n{k}").alias("n_nodes"),
+                    F.col(f"e{k}").alias("n_edges"),
+                )
+                for k in _RC_KS
+            ]
+        )
+    ).alias("rc")
+    return (
+        one.select(rows)
+        .select(
+            F.col("rc.k_threshold").alias("k_threshold"),
+            F.col("rc.n_nodes").alias("n_nodes"),
+            F.col("rc.n_edges").alias("n_edges"),
+        )
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            "k_threshold",
+            "n_nodes",
+            "n_edges",
+            dround(
+                2.0
+                * F.col("n_edges")
+                / (F.col("n_nodes").cast("double") * (F.col("n_nodes") - 1)),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
+@register(
+    "q_agg_price_realization",
+    oracle=f"""
+    WITH unit AS (
+      SELECT l.l_partkey, p.p_brand, p.p_retailprice,
+             {sql_dround(
+                 "l.l_extendedprice / l.l_quantity"
+                 " * (1.0 - l.l_discount)", 6)} AS realized_unit
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    g AS (
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(25,6))) AS DOUBLE)
+               / count(*) AS list_mean,
+             CAST(sum(CAST(realized_unit AS DECIMAL(25,6))) AS DOUBLE)
+               / count(*) AS realized_mean
+      FROM unit GROUP BY p_brand
+    )
+    SELECT p_brand, n_lines,
+           {sql_dround("list_mean", 6)} AS list_mean,
+           {sql_dround("realized_mean", 6)} AS realized_mean,
+           {sql_dround("realized_mean / list_mean", 6)} AS realization
+    FROM g
+    """,
+)
+def q_agg_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price realization per brand: the mean post-discount realized
+    unit price (extendedprice/quantity · (1−discount)) against the
+    mean list price, and their ratio — the pocket-price waterfall
+    headline (realization ≪ 1 flags brands whose list price is
+    fiction; pairs with q_agg_price_elasticity to separate deliberate
+    discounting from leakage).
+
+    Plan: one part-key join (part side broadcastable), one hash
+    aggregate to the ≤|brands| frame. Determinism: the per-line
+    realized unit price is an e6-rounded per-row IEEE expression
+    (quantity ≥ 1 always — the division is total); both means ride
+    the decimal detour; closings are e6-rounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    unit = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_retailprice")),
+        li["l_partkey"] == p["p_partkey"],
+    ).select(
+        "p_brand",
+        "p_retailprice",
+        dround(
+            F.col("l_extendedprice")
+            / F.col("l_quantity")
+            * (1.0 - F.col("l_discount")),
+            6,
+        ).alias("realized_unit"),
+    )
+    g = unit.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(25,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("list_mean"),
+        (
+            F.sum(F.col("realized_unit").cast("decimal(25,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("realized_mean"),
+    )
+    return g.select(
+        "p_brand",
+        "n_lines",
+        dround(F.col("list_mean"), 6).alias("list_mean"),
+        dround(F.col("realized_mean"), 6).alias("realized_mean"),
+        dround(F.col("realized_mean") / F.col("list_mean"), 6).alias(
+            "realization"
+        ),
+    )

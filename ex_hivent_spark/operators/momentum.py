@@ -691,3 +691,85 @@ def q_win_rvi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround(F.col("co_sum") / F.col("hl_sum"), 6))
         .alias("rvi4"),
     )
+
+
+# Kaufman efficiency-ratio lookback.
+_ER_WIN = 10
+
+
+@register(
+    "q_win_efficiency_ratio",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    chg AS (
+      SELECT event_type, hour_id, close,
+             {sql_dround(
+                 "abs(close - lag(close) OVER w)", 6)} AS step,
+             lag(close, {_ER_WIN}) OVER w AS ref
+      FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    ),
+    rolled AS (
+      SELECT event_type, hour_id, close, ref,
+             CAST(count(step) OVER r AS BIGINT) AS nstep,
+             CAST(sum(CAST(step AS DECIMAL(25,6))) OVER r AS DOUBLE)
+               AS path
+      FROM chg
+      WINDOW r AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_ER_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id,
+           {sql_dround("abs(close - ref)", 6)} AS net_move,
+           {sql_dround("path", 6)} AS path_len,
+           CASE WHEN path = 0 THEN NULL ELSE
+             {sql_dround("abs(close - ref) / path", 6)}
+           END AS er10
+    FROM rolled WHERE nstep = {_ER_WIN} AND ref IS NOT NULL
+    """,
+)
+def q_win_efficiency_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman Efficiency Ratio per event type over 10 hourly bars:
+    |close_t − close_{{t−10}}| / Σ|Δclose| — 1 when price moved in a
+    straight line, →0 when it churned — the signal-to-noise gauge
+    that drives KAMA's adaptive smoothing (published here as the raw
+    ratio: the engine's no-EMA-recursion convention). A zero path
+    (ten identical closes) takes the NULL branch on both sides.
+
+    Plan: one bar aggregate, one lag pair + one constant-width
+    rolling-sum window per type on the shared (event_type, hour_id)
+    sort. Determinism: per-bar steps are e6-rounded exact picks
+    summed via the decimal detour; the net move is an exact-pick
+    difference; the closing ratio is e6-rounded."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    chg = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        dround(F.abs(F.col("close") - F.lag("close").over(wl)), 6).alias(
+            "step"
+        ),
+        F.lag("close", _ER_WIN).over(wl).alias("ref"),
+    )
+    r = _w(-(_ER_WIN - 1))
+    rolled = chg.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "ref",
+        F.count("step").over(r).cast("bigint").alias("nstep"),
+        F.sum(F.col("step").cast("decimal(25,6)"))
+        .over(r)
+        .cast("double")
+        .alias("path"),
+    ).filter((F.col("nstep") == _ER_WIN) & F.col("ref").isNotNull())
+    return rolled.select(
+        "event_type",
+        "hour_id",
+        dround(F.abs(F.col("close") - F.col("ref")), 6).alias("net_move"),
+        dround(F.col("path"), 6).alias("path_len"),
+        F.when(F.col("path") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            dround(F.abs(F.col("close") - F.col("ref")) / F.col("path"), 6)
+        )
+        .alias("er10"),
+    )

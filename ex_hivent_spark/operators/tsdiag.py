@@ -1010,3 +1010,119 @@ def q_ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+# 2024-01-01 (epoch day 19723) was a MONDAY: day_index % 7 of 5 or 6
+# lands on Saturday/Sunday.
+_EPOCH_DAY = 19723
+
+
+@register(
+    "q_ts_weekend_effect",
+    oracle=f"""
+    WITH spine AS ({_SQL_TOTAL_SPINE}),
+    d AS (
+      SELECT CAST(floor(h / 24) - {_EPOCH_DAY} AS BIGINT) % 7 AS dow,
+             y
+      FROM spine
+    ),
+    g AS (
+      SELECT CASE WHEN dow IN (5, 6) THEN 1 ELSE 0 END AS is_weekend,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS ss
+      FROM d GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN is_weekend = 0 THEN n END) AS n_wd,
+        max(CASE WHEN is_weekend = 0 THEN s END) AS s_wd,
+        max(CASE WHEN is_weekend = 0 THEN ss END) AS ss_wd,
+        max(CASE WHEN is_weekend = 1 THEN n END) AS n_we,
+        max(CASE WHEN is_weekend = 1 THEN s END) AS s_we,
+        max(CASE WHEN is_weekend = 1 THEN ss END) AS ss_we
+      FROM g
+    )
+    SELECT n_wd AS n_weekday_hours, n_we AS n_weekend_hours,
+           {sql_dround("CAST(s_wd AS DOUBLE) / n_wd", 6)} AS weekday_mean,
+           {sql_dround("CAST(s_we AS DOUBLE) / n_we", 6)} AS weekend_mean,
+           {sql_dround(
+               "CAST(s_we AS DOUBLE) / n_we"
+               " - CAST(s_wd AS DOUBLE) / n_wd", 6)} AS diff,
+           {sql_dround(
+               "(CAST(s_we AS DOUBLE) / n_we"
+               " - CAST(s_wd AS DOUBLE) / n_wd)"
+               " / sqrt(greatest("
+               "   (CAST(ss_we AS DOUBLE) - CAST(s_we AS DOUBLE) * s_we"
+               "      / n_we) / (n_we - 1) / n_we"
+               " + (CAST(ss_wd AS DOUBLE) - CAST(s_wd AS DOUBLE) * s_wd"
+               "      / n_wd) / (n_wd - 1) / n_wd, 1e-300))", 6,
+           )} AS welch_z
+    FROM w
+    """,
+)
+def q_ts_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend effect on hourly traffic: mean total-event count per
+    weekend hour vs per weekday hour over the fixed month (2024-01-01
+    is a Monday — day-of-week is exact integer arithmetic on the day
+    index, no calendar library), their difference, and the Welch z
+    for the difference — the calendar-seasonality readout next to
+    q_ts_seasonal_index's daily cycle.
+
+    Plan: the 720-row spine collapses to a 2-group moment aggregate;
+    one 1-row pivot closes it. Determinism: hourly counts are exact
+    integers (y² sums stay integer — bounded by 720·max_count²,
+    safely inside bigint at any plausible hourly rate; the decimal
+    detour is unnecessary because the sums are EXACT integer
+    arithmetic), e6-rounded closings with the variance clamped away
+    from zero."""
+    spine = _total_spine(spark, sf_dir)
+    d = spine.select(
+        (
+            (F.floor(F.col("h") / 24) - _EPOCH_DAY).cast("bigint") % 7
+        ).alias("dow"),
+        "y",
+    )
+    g = d.groupBy(
+        F.when(F.col("dow").isin(5, 6), 1).otherwise(0).alias("is_weekend")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+    )
+    w = g.agg(
+        *[
+            F.max(
+                F.when(F.col("is_weekend") == flag, F.col(c))
+            ).alias(f"{c}_{suf}")
+            for flag, suf in ((0, "wd"), (1, "we"))
+            for c in ("n", "s", "ss")
+        ]
+    )
+    mwd = F.col("s_wd").cast("double") / F.col("n_wd")
+    mwe = F.col("s_we").cast("double") / F.col("n_we")
+    vwd = (
+        F.col("ss_wd").cast("double")
+        - F.col("s_wd").cast("double") * F.col("s_wd") / F.col("n_wd")
+    ) / (F.col("n_wd") - 1)
+    vwe = (
+        F.col("ss_we").cast("double")
+        - F.col("s_we").cast("double") * F.col("s_we") / F.col("n_we")
+    ) / (F.col("n_we") - 1)
+    return w.select(
+        F.col("n_wd").alias("n_weekday_hours"),
+        F.col("n_we").alias("n_weekend_hours"),
+        dround(mwd, 6).alias("weekday_mean"),
+        dround(mwe, 6).alias("weekend_mean"),
+        dround(mwe - mwd, 6).alias("diff"),
+        dround(
+            (mwe - mwd)
+            / F.sqrt(
+                F.greatest(
+                    vwe / F.col("n_we") + vwd / F.col("n_wd"),
+                    F.lit(1e-300),
+                )
+            ),
+            6,
+        ).alias("welch_z"),
+    )
