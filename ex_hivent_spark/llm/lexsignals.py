@@ -300,3 +300,84 @@ def q_llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOP)
+
+
+@register(
+    "q_llm_yule_k",
+    oracle=f"""
+    WITH tf AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY source, tok
+    ),
+    g AS (
+      SELECT source,
+             CAST(sum(m) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(m * m) AS BIGINT) AS smm
+      FROM tf GROUP BY source
+    )
+    SELECT source, n AS n_tokens, v AS vocab,
+           {sql_dround(
+               "10000.0 * (CAST(smm AS DOUBLE) - n)"
+               " / (CAST(n AS DOUBLE) * n)", 6)} AS yule_k,
+           {sql_dround("CAST(v AS DOUBLE) / sqrt(CAST(n AS DOUBLE))",
+                       6)} AS guiraud_r,
+           CASE WHEN n <= 1 THEN NULL ELSE
+             {sql_dround(
+                 "(" + sql_dround("ln(CAST(v AS DOUBLE))", 6)
+                 + ") / ("
+                 + sql_dround("ln(CAST(n AS DOUBLE))", 6) + ")", 6)}
+           END AS herdan_c
+    FROM g
+    """,
+)
+def q_llm_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness battery per source: Yule's K = 10⁴·(Σm²−N)/N²
+    over the term-frequency spectrum (repeat-rate of tokens — high K
+    means a few terms dominate, the boilerplate/template signal),
+    Guiraud's R = V/√N and Herdan's C = ln V / ln N (size-adjusted
+    vocabulary growth — LOW R/C flags sources whose vocabulary stopped
+    growing, the classic synthetic/spun-text tell). The trio is the
+    lexical-richness cut a corpus audit runs next to q_llm_mattr_diversity
+    (windowed TTR) — these close from the frequency SPECTRUM, so they
+    are one aggregate, not a sliding scan.
+
+    Plan: whitespace tokenize → (source, token) hash aggregate (the
+    corpus-sized shuffle, combiner-friendly) → per-source moment
+    aggregate (≤|sources| rows). Determinism: N, V, Σm² are exact
+    BIGINTs (Σm² stays < 2⁵³ until a single source×token count nears
+    3e7 repeats of one term — document-bounded far below that); K's
+    closing is an IEEE chain of those integers e6-rounded; sqrt is
+    IEEE-correctly-rounded (identical both engines) and the two ln
+    calls are e6-rounded before their ratio (the libm discipline);
+    single-token degenerate sources read NULL C on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    g = tf.groupBy("source").agg(
+        F.sum("m").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("smm"),
+    )
+    n_d = F.col("n").cast("double")
+    v_d = F.col("v").cast("double")
+    ln_v = dround(F.log(v_d), 6)
+    ln_n = dround(F.log(n_d), 6)
+    return g.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        dround(
+            10000.0 * (F.col("smm").cast("double") - F.col("n")) / (n_d * F.col("n")),
+            6,
+        ).alias("yule_k"),
+        dround(v_d / F.sqrt(n_d), 6).alias("guiraud_r"),
+        F.when(F.col("n") <= 1, F.lit(None).cast("double"))
+        .otherwise(dround(ln_v / ln_n, 6))
+        .alias("herdan_c"),
+    )

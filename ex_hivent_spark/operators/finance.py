@@ -2323,3 +2323,124 @@ def q_win_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
         vim.alias("vi_minus"),
         (vip - vim).alias("vi_diff"),
     )
+
+
+# Hull MA geometry: HMA(9) = WMA(3) of [2·WMA(4) − WMA(9)] — the
+# period, its half, and its square root (Hull 2005's standard triple).
+_HMA_N = 9
+_HMA_HALF = 4
+_HMA_ROOT = 3
+
+
+def _sql_wma(cols: list[str], denom: float) -> str:
+    """Linear-weight MA numerator over lag columns (most recent
+    first), in the exact left-assoc order the Spark twin builds."""
+    k = len(cols)
+    terms = " + ".join(
+        f"{float(k - i):.1f} * {c}" for i, c in enumerate(cols)
+    )
+    return f"({terms}) / {denom:.1f}"
+
+
+def _col_wma(cols: list, denom: float):
+    k = len(cols)
+    num = None
+    for i, c in enumerate(cols):
+        term = float(k - i) * c
+        num = term if num is None else num + term
+    return num / denom
+
+
+_HMA_X = ["close"] + [f"x{i}" for i in range(1, _HMA_N)]
+
+
+@register(
+    "q_win_hull_ma",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    lagged AS (
+      SELECT event_type, hour_id, close,
+             row_number() OVER w AS rn,
+             {", ".join(
+                 f"lag(close, {i}) OVER w AS x{i}"
+                 for i in range(1, _HMA_N))}
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    ),
+    wmas AS (
+      SELECT event_type, hour_id, close, rn,
+             2.0 * ({_sql_wma(_HMA_X[:_HMA_HALF], 10.0)})
+               - ({_sql_wma(_HMA_X, 45.0)}) AS hraw
+      FROM lagged
+    ),
+    hl AS (
+      SELECT event_type, hour_id, close, rn, hraw,
+             lag(hraw, 1) OVER w AS h1,
+             lag(hraw, 2) OVER w AS h2
+      FROM wmas
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    )
+    SELECT event_type, hour_id, close,
+           {sql_dround(_sql_wma(["hraw", "h1", "h2"], 6.0), 6)} AS hma9
+    FROM hl WHERE rn >= {_HMA_N + _HMA_ROOT - 1}
+    """,
+)
+def q_win_hull_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hull moving average HMA(9) over the hourly close series per
+    event type: WMA(3) of the de-lagged series 2·WMA(4) − WMA(9) —
+    the trend-following average that cuts SMA lag by extrapolating the
+    half-period WMA, while the final short WMA smooths the overshoot
+    (Hull 2005). The responsive-yet-smooth baseline a signals desk
+    plots under q_win_macd/q_win_rsi. Rows only where the full
+    9+2-bar lookback exists (bar-INDEX lags on the per-type bar
+    sequence, the q_win_rsi convention).
+
+    Plan: events collapse to hourly bars first (the q_ts_ohlc_bars
+    hash aggregate); two lag passes partitioned by event type over
+    |hours| rows each (time-grain bounded) — all three WMAs are
+    FIXED-weight lag combinations, so no weighted-frame aggregate or
+    UDF is ever needed. Determinism: every WMA is a per-row IEEE
+    chain over ≤9 lag terms built in identical left-assoc order on
+    both engines (no aggregation → no decimal detour needed); only
+    the final HMA is e6-rounded; completeness gates on the exact
+    row_number, so both engines emit exactly the same rows."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    lagged = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        F.row_number().over(wl).alias("rn"),
+        *[
+            F.lag("close", i).over(wl).alias(f"x{i}")
+            for i in range(1, _HMA_N)
+        ],
+    )
+    xcols = [F.col(c) for c in _HMA_X]
+    wmas = lagged.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "rn",
+        (
+            2.0 * _col_wma(xcols[:_HMA_HALF], 10.0)
+            - _col_wma(xcols, 45.0)
+        ).alias("hraw"),
+    )
+    hl = wmas.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "rn",
+        "hraw",
+        F.lag("hraw", 1).over(wl).alias("h1"),
+        F.lag("hraw", 2).over(wl).alias("h2"),
+    )
+    return hl.filter(F.col("rn") >= _HMA_N + _HMA_ROOT - 1).select(
+        "event_type",
+        "hour_id",
+        "close",
+        dround(
+            _col_wma([F.col("hraw"), F.col("h1"), F.col("h2")], 6.0), 6
+        ).alias("hma9"),
+    )

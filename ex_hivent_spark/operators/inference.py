@@ -906,3 +906,153 @@ def q_ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_extreme",
         "p_value",
     )
+
+
+@register(
+    "q_stats_page_trend",
+    oracle=f"""
+    WITH daily AS ({_SQL_FRIEDMAN_DAILY}),
+    nd AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_days FROM daily),
+    kept AS (
+      SELECT event_type FROM daily CROSS JOIN nd
+      GROUP BY event_type, n_days
+      HAVING count(*) = max(n_days)
+    ),
+    cells AS (
+      SELECT daily.d, daily.event_type, daily.m
+      FROM daily JOIN kept ON daily.event_type = kept.event_type
+    ),
+    ranked AS (
+      SELECT d, event_type,
+             CAST(rank() OVER (PARTITION BY d ORDER BY m) AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY d, m) AS DOUBLE) - 1)
+                 / 2.0 AS r
+      FROM cells
+    ),
+    rsums AS (
+      SELECT event_type,
+             CAST(row_number() OVER (ORDER BY event_type) AS BIGINT)
+               AS j,
+             CAST(sum(CAST(r AS DECIMAL(25,6))) AS DOUBLE) AS rj
+      FROM ranked GROUP BY event_type
+    ),
+    dims AS (
+      SELECT CAST(count(DISTINCT d) AS BIGINT) AS n,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS k
+      FROM cells
+    ),
+    stat AS (
+      SELECT n, k,
+             CAST(sum(CAST(j * rj AS DECIMAL(25,6))) AS DOUBLE) AS l,
+             CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 4.0 AS e_l,
+             CAST(n AS DOUBLE) * k * k * (k + 1) * (k * k - 1)
+               / 144.0 AS var_l
+      FROM rsums CROSS JOIN dims
+      GROUP BY n, k
+    )
+    SELECT n AS n_days, k, {sql_dround("l", 6)} AS l_stat,
+           {sql_dround("e_l", 6)} AS e_l,
+           {sql_dround("var_l", 6)} AS var_l,
+           CASE WHEN var_l <= 0 THEN NULL
+                ELSE {sql_dround(
+                    "(l - e_l) / ("
+                    + sql_dround("sqrt(var_l)", 6) + ")", 6)}
+           END AS z
+    FROM stat
+    """,
+)
+def q_stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test for an ordered alternative across the daily
+    blocks: with the kept event types ordered alphabetically as the
+    hypothesized monotone ordering, L = Σ_j j·R_j on the within-day
+    midranks (R_j = rank sum of the j-th type) against E[L] =
+    nk(k+1)²/4 and Var[L] = nk²(k+1)(k²−1)/144; z = (L−E)/√Var. Where
+    Friedman only answers "do the types differ in daily magnitude?",
+    Page answers "do they differ IN THE STATED ORDER?" — the trend-
+    aware upgrade a ramp-up experiment wants (treatment intensities
+    have a natural order).
+
+    Plan: one (day, type) hash aggregate; ranking windows partitioned
+    BY DAY over ≤|types| rows (group-cardinality bounded, the friedman
+    class); the j-index window runs over the ≤|types|-row rank-sum
+    frame (bounded aggregate output, allowlisted). Determinism: the
+    ranked metric is a decimal-detour sum so tie groups agree exactly;
+    midranks are exact .5-grid rationals, and both L and the rank sums
+    ride the decimal detour (order-insensitive); E, Var close from
+    BIGINT dims in identical IEEE order; √Var is e6-rounded before the
+    e6-rounded z; a degenerate single-type panel reads NULL z."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
+        "event_type",
+    ).agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("m")
+    )
+    n_days_f = daily.agg(
+        F.count_distinct("d").cast("bigint").alias("n_days")
+    )
+    kept = (
+        daily.crossJoin(F.broadcast(n_days_f))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("n_days").alias("nd"))
+        .filter(F.col("c") == F.col("nd"))
+        .select("event_type")
+    )
+    cells = daily.join(F.broadcast(kept), "event_type").select(
+        "d", "event_type", "m"
+    )
+    wr = Window.partitionBy("d").orderBy("m")
+    wt = Window.partitionBy("d", "m")
+    ranked = cells.select(
+        "d",
+        "event_type",
+        (
+            F.rank().over(wr).cast("double")
+            + (F.count(F.lit(1)).over(wt).cast("double") - 1) / 2.0
+        ).alias("r"),
+    )
+    wj = Window.orderBy("event_type")
+    rsums = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum(F.col("r").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("rj")
+        )
+        .select(
+            "event_type",
+            F.row_number().over(wj).cast("bigint").alias("j"),
+            "rj",
+        )
+    )
+    dims = cells.agg(
+        F.count_distinct("d").cast("bigint").alias("n"),
+        F.count_distinct("event_type").cast("bigint").alias("k"),
+    )
+    n, k = F.col("n"), F.col("k")
+    stat = (
+        rsums.crossJoin(F.broadcast(dims))
+        .groupBy("n", "k")
+        .agg(
+            F.sum((F.col("j") * F.col("rj")).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("l"),
+            F.max(
+                n.cast("double") * k * (k + 1) * (k + 1) / 4.0
+            ).alias("e_l"),
+            F.max(
+                n.cast("double") * k * k * (k + 1) * (k * k - 1) / 144.0
+            ).alias("var_l"),
+        )
+    )
+    lc, el, vl = F.col("l"), F.col("e_l"), F.col("var_l")
+    return stat.select(
+        F.col("n").alias("n_days"),
+        "k",
+        dround(lc, 6).alias("l_stat"),
+        dround(el, 6).alias("e_l"),
+        dround(vl, 6).alias("var_l"),
+        F.when(vl <= 0, F.lit(None).cast("double"))
+        .otherwise(dround((lc - el) / dround(F.sqrt(vl), 6), 6))
+        .alias("z"),
+    )

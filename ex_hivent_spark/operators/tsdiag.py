@@ -1126,3 +1126,139 @@ def q_ts_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_z"),
     )
+
+
+@register(
+    "q_ts_durbin_watson",
+    oracle=f"""
+    WITH series AS ({_SQL_PURCHASE_SPINE}),
+    lagged AS (
+      SELECT h - {_EPOCH_H} AS t, y,
+             y - lag(y) OVER (ORDER BY h) AS d
+      FROM series
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(t * t) AS BIGINT) AS stt,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(t * y) AS BIGINT) AS sty,
+             CAST(sum(d) AS BIGINT) AS sd,
+             CAST(sum(d * d) AS BIGINT) AS sdd
+      FROM lagged
+    ),
+    fit AS (
+      SELECT n, sy, syy, sty, st, stt, sd, sdd,
+             {sql_dround(
+                 "(CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)"
+                 " / (CAST(n AS DOUBLE) * stt"
+                 " - CAST(st AS DOUBLE) * st)", 6)} AS b
+      FROM m
+    ),
+    ab AS (
+      SELECT n, sy, syy, sty, st, stt, sd, sdd, b,
+             {sql_dround("(CAST(sy AS DOUBLE) - b * st) / n", 6)} AS a
+      FROM fit
+    ),
+    nd AS (
+      SELECT n, b, a,
+             CAST(sdd AS DOUBLE) - 2.0 * b * CAST(sd AS DOUBLE)
+               + (n - 1) * b * b AS num,
+             CAST(syy AS DOUBLE) - 2.0 * a * CAST(sy AS DOUBLE)
+               - 2.0 * b * CAST(sty AS DOUBLE) + n * a * a
+               + 2.0 * a * b * CAST(st AS DOUBLE)
+               + b * b * CAST(stt AS DOUBLE) AS den
+      FROM ab
+    )
+    SELECT n AS n_obs, b AS beta, a AS alpha,
+           CASE WHEN den <= 0 THEN NULL
+                ELSE {sql_dround("num / den", 6)} END AS dw,
+           CASE WHEN den <= 0 THEN NULL
+                ELSE {sql_dround("1.0 - num / den / 2.0", 6)}
+           END AS rho_implied
+    FROM nd
+    """,
+)
+def q_ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson autocorrelation test on the residuals of the
+    hourly purchase-count trend fit: OLS of y_t on t over the 720-hour
+    month spine, then DW = Σ(e_t−e_{t−1})² / Σe_t² — ≈2 means the
+    detrended counts are serially independent, →0 flags positive
+    autocorrelation (the "trend line fits but errors cluster" failure
+    every naive forecast monitor needs to catch), →4 negative. Also
+    reports the implied lag-1 residual correlation ρ ≈ 1 − DW/2.
+
+    Plan: one filtered hourly hash aggregate densified onto the
+    720-row month spine, one lag pass over that bounded global window
+    (the q_ts_adf_lite class), ONE integer moment aggregate — then the
+    entire test closes IN CLOSED FORM from eight exact BIGINT moments:
+    e_t − e_{t−1} = Δy_t − β̂ and Σe² expands in (n, Σt, Σt², Σy, Σy²,
+    Σty, Σd, Σd²), so no per-row residual is ever materialized (the
+    closed-form rank-sum discipline). Determinism: moments are exact
+    BIGINTs; β̂ and α̂ are e6-rounded scalars; both quadratic closings
+    cast each moment to DOUBLE before multiplying (the granger
+    overflow discipline) in identical IEEE order; a degenerate
+    (perfect-fit) denominator reads NULL on both engines."""
+    wo = Window.orderBy("h")
+    series = _purchase_spine(spark, sf_dir)
+    lagged = series.select(
+        (F.col("h") - _EPOCH_H).alias("t"),
+        "y",
+        (F.col("y") - F.lag("y").over(wo)).alias("d"),
+    )
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+    )
+    fit = m.select(
+        "*",
+        dround(
+            (_dcol("n") * F.col("sty") - _dcol("st") * F.col("sy"))
+            / (_dcol("n") * F.col("stt") - _dcol("st") * F.col("st")),
+            6,
+        ).alias("b"),
+    )
+    ab = fit.select(
+        "*",
+        dround(
+            (_dcol("sy") - F.col("b") * F.col("st")) / F.col("n"), 6
+        ).alias("a"),
+    )
+    b, a = F.col("b"), F.col("a")
+    nd = ab.select(
+        "n",
+        "b",
+        "a",
+        (
+            _dcol("sdd")
+            - 2.0 * b * _dcol("sd")
+            + (F.col("n") - 1) * b * b
+        ).alias("num"),
+        (
+            _dcol("syy")
+            - 2.0 * a * _dcol("sy")
+            - 2.0 * b * _dcol("sty")
+            + F.col("n") * a * a
+            + 2.0 * a * b * _dcol("st")
+            + b * b * _dcol("stt")
+        ).alias("den"),
+    )
+    num, den = F.col("num"), F.col("den")
+    return nd.select(
+        F.col("n").alias("n_obs"),
+        F.col("b").alias("beta"),
+        F.col("a").alias("alpha"),
+        F.when(den <= 0, F.lit(None).cast("double"))
+        .otherwise(dround(num / den, 6))
+        .alias("dw"),
+        F.when(den <= 0, F.lit(None).cast("double"))
+        .otherwise(dround(1.0 - num / den / 2.0, 6))
+        .alias("rho_implied"),
+    )

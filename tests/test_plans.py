@@ -756,6 +756,13 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # r11: two chained lags (first + second difference) over the
     # densified 720-row month spine (the q_ts_kpss_lite class)
     "q_ts_diff_stationarity": 2,
+    # r11: lag(y) over the densified 720-row month spine for the
+    # closed-form DW moments (the q_ts_adf_lite class)
+    "q_ts_durbin_watson": 1,
+    # r11: the j-index row_number over the ≤|event-types|-row rank-sum
+    # aggregate (group-cardinality bounded, the q_agg_heavy_hitters
+    # post-aggregate class)
+    "q_stats_page_trend": 1,
 }
 
 
