@@ -669,3 +669,153 @@ def q_emb_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+_SQL_NORM_L2_E6 = (
+    "floor(sqrt(list_sum(list_transform(embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000000.0 + 0.5)"
+    " / 1000000.0"
+)
+_SQL_NORM_L1_E6 = (
+    "floor(list_sum(list_transform(embedding,"
+    " x -> abs(CAST(x AS DOUBLE)))) * 1000000.0 + 0.5)"
+    " / 1000000.0"
+)
+
+
+@register(
+    "q_emb_norm_length_corr",
+    oracle=f"""
+    WITH j AS (
+      SELECT {_SQL_NORM_L2_E6} AS x2,
+             {_SQL_NORM_L1_E6} AS x1,
+             CAST(d.n_chars AS BIGINT) AS y
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x2 AS DECIMAL(25,6))) AS DOUBLE) AS sx2,
+             CAST(sum(CAST(x2 * x2 AS DECIMAL(25,6))) AS DOUBLE) AS sxx2,
+             CAST(sum(CAST(x2 * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy2,
+             CAST(sum(CAST(x1 AS DECIMAL(25,6))) AS DOUBLE) AS sx1,
+             CAST(sum(CAST(x1 * x1 AS DECIMAL(25,6))) AS DOUBLE) AS sxx1,
+             CAST(sum(CAST(x1 * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy1,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM j
+    ),
+    c AS (
+      SELECT n, sx2, sx1, sy,
+             CAST(n AS DOUBLE) * sxy2 - sx2 * CAST(sy AS DOUBLE) AS cxy2,
+             CAST(n AS DOUBLE) * sxx2 - sx2 * sx2 AS cxx2,
+             CAST(n AS DOUBLE) * sxy1 - sx1 * CAST(sy AS DOUBLE) AS cxy1,
+             CAST(n AS DOUBLE) * sxx1 - sx1 * sx1 AS cxx1,
+             CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS cyy
+      FROM m
+    )
+    SELECT n AS n_vecs,
+           {sql_dround("sx2 / n", 6)} AS mean_l2,
+           {sql_dround("sx1 / n", 6)} AS mean_l1,
+           {sql_dround("CAST(sy AS DOUBLE) / n", 6)} AS mean_chars,
+           CASE WHEN cxx2 <= 0 OR cyy <= 0 THEN NULL
+                ELSE {sql_dround(
+                    "cxy2 / (" + sql_dround("sqrt(cxx2)", 6) + ") / ("
+                    + sql_dround("sqrt(cyy)", 6) + ")", 6)}
+           END AS corr_l2,
+           CASE WHEN cxx1 <= 0 OR cyy <= 0 THEN NULL
+                ELSE {sql_dround(
+                    "cxy1 / (" + sql_dround("sqrt(cxx1)", 6) + ") / ("
+                    + sql_dround("sqrt(cyy)", 6) + ")", 6)}
+           END AS corr_l1
+    FROM c
+    """,
+)
+def q_emb_norm_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm vs document-length audit: join each vector to its
+    document (doc_id = vec_id) and Pearson-correlate BOTH the L2 norm
+    and the L1 norm with n_chars — the "is my encoder length-biased?"
+    check. On an unnormalized encoder, corr_l2 > 0 flags norm growth
+    with input length (cosine-vs-dot choices then matter). On a
+    UNIT-normalized corpus — this testdata — every L2 norm is exactly
+    1.0, so corr_l2 reads the documented degenerate NULL and mean_l2
+    reads 1.0: the audit's confirmation that normalization held. The
+    L1 norm still varies on the unit sphere (it measures how SPREAD
+    each vector is across dimensions, √ participation), so corr_l1
+    answers whether longer documents produce more distributed — less
+    peaked — embeddings.
+
+    Plan: one id-equi join (both norms reduce per-row BEFORE the
+    shuffle, so the 64-float payload never moves), one scalar moment
+    aggregate. Determinism: norms are sequential-fold sums (+
+    IEEE-exact sqrt for L2) e6-rounded per vector — the
+    q_llm_embed_norm convention; char counts are exact BIGINTs; the
+    double moments ride the decimal detour; centered closings cast to
+    DOUBLE before multiplying in identical IEEE order; every √ is
+    e6-rounded before its e6-rounded ratio; zero-variance sides read
+    NULL on both engines."""
+    from ex_hivent_spark.llm.similarity import l2_norm
+
+    l1 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.abs(x.cast("double")),
+    )
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        dround(l2_norm(F.col("embedding")), 6).alias("x2"),
+        dround(l1, 6).alias("x1"),
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("y")
+    )
+    j = em.join(d, em["vec_id"] == d["doc_id"]).select("x2", "x1", "y")
+    x2, x1, y = F.col("x2"), F.col("x1"), F.col("y")
+    dec = "decimal(25,6)"
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x2.cast(dec)).cast("double").alias("sx2"),
+        F.sum((x2 * x2).cast(dec)).cast("double").alias("sxx2"),
+        F.sum((x2 * y).cast(dec)).cast("double").alias("sxy2"),
+        F.sum(x1.cast(dec)).cast("double").alias("sx1"),
+        F.sum((x1 * x1).cast(dec)).cast("double").alias("sxx1"),
+        F.sum((x1 * y).cast(dec)).cast("double").alias("sxy1"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(y * y).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    syd = F.col("sy").cast("double")
+    c = m.select(
+        "n",
+        "sx2",
+        "sx1",
+        "sy",
+        (nd * F.col("sxy2") - F.col("sx2") * syd).alias("cxy2"),
+        (nd * F.col("sxx2") - F.col("sx2") * F.col("sx2")).alias("cxx2"),
+        (nd * F.col("sxy1") - F.col("sx1") * syd).alias("cxy1"),
+        (nd * F.col("sxx1") - F.col("sx1") * F.col("sx1")).alias("cxx1"),
+        (nd * F.col("syy") - syd * F.col("sy")).alias("cyy"),
+    )
+
+    def corr(cxy, cxx):
+        return F.when(
+            (F.col(cxx) <= 0) | (F.col("cyy") <= 0),
+            F.lit(None).cast("double"),
+        ).otherwise(
+            dround(
+                F.col(cxy)
+                / dround(F.sqrt(F.col(cxx)), 6)
+                / dround(F.sqrt(F.col("cyy")), 6),
+                6,
+            )
+        )
+
+    return c.select(
+        F.col("n").alias("n_vecs"),
+        dround(F.col("sx2") / F.col("n"), 6).alias("mean_l2"),
+        dround(F.col("sx1") / F.col("n"), 6).alias("mean_l1"),
+        dround(F.col("sy").cast("double") / F.col("n"), 6).alias(
+            "mean_chars"
+        ),
+        corr("cxy2", "cxx2").alias("corr_l2"),
+        corr("cxy1", "cxx1").alias("corr_l1"),
+    )

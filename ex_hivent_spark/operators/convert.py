@@ -23,7 +23,7 @@ product-analytics practice (activation latency curves).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
@@ -327,5 +327,77 @@ def q_seq_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_lifespan_days"),
         dround(F.col("med_us") / 86400000000.0, 6).alias(
             "median_lifespan_days"
+        ),
+    )
+
+
+@register(
+    "q_seq_dwell_matrix",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             lag(event_type) OVER w AS prev_type,
+             lag(epoch_us(ts)) OVER w AS prev_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n_trans,
+             CAST(sum(us - prev_us) AS BIGINT) AS sum_us,
+             CAST(max(us - prev_us) AS BIGINT) AS max_us
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_trans,
+           {sql_dround(
+               "CAST(sum_us AS DOUBLE) / n_trans / 1e6", 6)}
+             AS mean_dwell_sec,
+           {sql_dround("CAST(max_us AS DOUBLE) / 1e6", 6)}
+             AS max_dwell_sec
+    FROM g
+    """,
+)
+def q_seq_dwell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time transition matrix: for every consecutive event pair
+    within a user's (ts, event_id)-ordered stream, the count, mean and
+    max seconds spent between the previous event type and the next —
+    the "how long do users sit on a view before clicking?" panel that
+    turns q_ts_markov_transitions' WHERE-to probabilities into
+    HOW-LONG dynamics (a slow view→purchase cell is a checkout-
+    friction flag; a near-zero click→click cell is bot cadence).
+
+    Plan: one lag pass partitioned BY USER (user-grain bounded — the
+    sessionize class, scales with the key count), then one hash
+    aggregate to the ≤|types|² matrix. Determinism: dwell gaps are
+    exact BIGINT microsecond differences summed as BIGINTs (exact at
+    any scale — no decimal detour needed for integers); the closing
+    mean and max cast the integer to DOUBLE once (correctly rounded
+    identically past 2⁵³ on both engines) and e6-round after the
+    deterministic /1e6 rescale."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    ).filter(F.col("prev_type").isNotNull())
+    g = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans"),
+        F.sum(F.col("us") - F.col("prev_us")).cast("bigint").alias("sum_us"),
+        F.max(F.col("us") - F.col("prev_us")).cast("bigint").alias("max_us"),
+    )
+    return g.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        dround(
+            F.col("sum_us").cast("double") / F.col("n_trans") / 1e6, 6
+        ).alias("mean_dwell_sec"),
+        dround(F.col("max_us").cast("double") / 1e6, 6).alias(
+            "max_dwell_sec"
         ),
     )

@@ -878,3 +878,79 @@ def q_agg_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "realization"
         ),
     )
+
+
+@register(
+    "q_agg_order_size_profile",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(floor(
+                 l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+               AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    buckets AS (
+      SELECT n_lines,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS c
+      FROM per_order GROUP BY n_lines
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM buckets)
+    SELECT n_lines, n_orders,
+           floor(CAST(c AS DOUBLE) / 100.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS revenue,
+           floor(CAST(c AS DOUBLE) / CAST(t AS DOUBLE) * 1000000.0
+                 + 0.5) / 1000000.0 AS revenue_share,
+           floor(CAST(c AS DOUBLE) / 100.0 / n_orders * 1000000.0
+                 + 0.5) / 1000000.0 AS avg_order_value
+    FROM buckets CROSS JOIN tot
+    """,
+)
+def q_agg_order_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size profile: bucket orders by their line count and report
+    how many orders, how much discounted revenue, what share of total
+    revenue, and the average order value each basket size carries —
+    the "do big baskets pay the bills?" merchandising readout that
+    q_agg_pareto_coverage answers by customer and this answers by
+    BASKET SHAPE (TPC-H orders carry 1–7 lines; a real catalog's tail
+    is longer but the profile stays ≤ max-basket rows).
+
+    Plan: one per-order hash aggregate over lineitem (map-side
+    combine), one ≤max-basket-size aggregate, and the scalar total
+    joins back broadcast — no window and no second lineitem pass.
+    Determinism: revenue is exact integer cents per line
+    (floor(x·100+0.5) of the deterministic IEEE product) summed as
+    BIGINTs end-to-end; every closing converts cents to DOUBLE once
+    (exact below 2⁵³ — ~9e13 dollars — and correctly-rounded
+    identically beyond) and e6-rounds after the division chain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1.0 - F.col("l_discount"))
+                * 100.0
+                + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    buckets = per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("c"),
+    )
+    tot = buckets.agg(F.sum("c").cast("bigint").alias("t"))
+    cd = F.col("c").cast("double")
+    return buckets.crossJoin(F.broadcast(tot)).select(
+        "n_lines",
+        "n_orders",
+        dround(cd / 100.0, 6).alias("revenue"),
+        dround(cd / F.col("t").cast("double"), 6).alias("revenue_share"),
+        dround(cd / 100.0 / F.col("n_orders"), 6).alias(
+            "avg_order_value"
+        ),
+    )

@@ -908,3 +908,159 @@ def q_stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("q_stat"),
     )
+
+
+# Ansari-Bradley sample pair: the two highest-traffic interaction
+# types, compared on hourly value-sum dispersion.
+_AB_G1 = "click"
+_AB_G2 = "view"
+
+_SQL_AB_HOURLY = f"""
+      SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS m
+      FROM events WHERE event_type IN ('{_AB_G1}', '{_AB_G2}')
+      GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_stats_ansari_bradley",
+    oracle=f"""
+    WITH hv AS ({_SQL_AB_HOURLY}),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hv),
+    rk AS (
+      SELECT event_type,
+             CAST(rank() OVER (ORDER BY m) AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY m) AS DOUBLE) - 1)
+                 / 2.0 AS r
+      FROM hv
+    ),
+    sc AS (
+      SELECT event_type,
+             least(r, CAST(n AS DOUBLE) + 1.0 - r) AS a
+      FROM rk CROSS JOIN nn
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN event_type = '{_AB_G1}' THEN 1 ELSE 0
+                      END) AS BIGINT) AS m1,
+             CAST(sum(CASE WHEN event_type = '{_AB_G2}' THEN 1 ELSE 0
+                      END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN event_type = '{_AB_G1}'
+                      THEN CAST(a AS DECIMAL(25,6)) END)
+                  AS DOUBLE) AS w,
+             CAST(sum(CAST(a AS DECIMAL(25,6))) AS DOUBLE) AS sa,
+             CAST(sum(CAST(a * a AS DECIMAL(25,6))) AS DOUBLE) AS saa
+      FROM sc
+    ),
+    cl AS (
+      SELECT m1, n2, w,
+             CAST(m1 AS DOUBLE) * sa / (m1 + n2) AS e_w,
+             CAST(m1 AS DOUBLE) * n2
+               * ((m1 + n2) * saa - sa * sa)
+               / (CAST(m1 + n2 AS DOUBLE) * (m1 + n2) * (m1 + n2 - 1))
+               AS var_w
+      FROM agg
+    )
+    SELECT m1 AS n_g1, n2 AS n_g2,
+           {sql_dround("w", 6)} AS w_stat,
+           {sql_dround("e_w", 6)} AS e_w,
+           {sql_dround("var_w", 6)} AS var_w,
+           CASE WHEN var_w <= 0 THEN NULL
+                ELSE {sql_dround(
+                    "(w - e_w) / (" + sql_dround("sqrt(var_w)", 6)
+                    + ")", 6)}
+           END AS z
+    FROM cl
+    """,
+)
+def q_stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari–Bradley dispersion test: do 'click' and 'view' hourly
+    value sums have the same SPREAD around a common median? Scores run
+    from both ends of the pooled midrank order (a = min(r, N+1−r) —
+    center-heavy observations score high), W = Σa over the click
+    group; z closes from the tie-robust score-sum moments E[W] =
+    m·Σa/N, Var[W] = mn(NΣa² − (Σa)²)/(N²(N−1)). The scale
+    counterpart of q_stats_mannwhitney_u's location test — equal
+    medians but different z here means one surface's hourly engagement
+    is far more volatile.
+
+    Plan: one filtered (type, hour) hash aggregate (corpus-sized scan
+    collapses to ≤2·|hours| rows); the pooled midrank window runs over
+    that time-grain-bounded frame (allowlisted, the q_ts_xcorr class;
+    the tie-count window is value-partitioned); one scalar aggregate
+    closes. Determinism: the ranked metric is a decimal-detour sum so
+    pooled tie groups agree exactly; midranks and scores are exact
+    .5-grid rationals summed through the decimal detour (Σa² stays
+    ≤ N³ ≈ 3e9 at the hourly grain — inside the 2^53 unscaled bound);
+    moment closings cast to DOUBLE before multiplying in identical
+    IEEE order; √Var is e6-rounded before the e6-rounded z."""
+    e = load_table(spark, sf_dir, "events")
+    hv = (
+        e.filter(F.col("event_type").isin(_AB_G1, _AB_G2))
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("m")
+        )
+    )
+    nn = hv.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wr = Window.orderBy("m")
+    wt = Window.partitionBy("m")
+    rk = hv.select(
+        "event_type",
+        (
+            F.rank().over(wr).cast("double")
+            + (F.count(F.lit(1)).over(wt).cast("double") - 1) / 2.0
+        ).alias("r"),
+    )
+    sc = rk.crossJoin(F.broadcast(nn)).select(
+        "event_type",
+        F.least(
+            F.col("r"), F.col("n").cast("double") + 1.0 - F.col("r")
+        ).alias("a"),
+    )
+    a = F.col("a")
+    dec = "decimal(25,6)"
+    agg = sc.agg(
+        F.sum(F.when(F.col("event_type") == _AB_G1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("m1"),
+        F.sum(F.when(F.col("event_type") == _AB_G2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("event_type") == _AB_G1, a.cast(dec)))
+        .cast("double")
+        .alias("w"),
+        F.sum(a.cast(dec)).cast("double").alias("sa"),
+        F.sum((a * a).cast(dec)).cast("double").alias("saa"),
+    )
+    m1, n2 = F.col("m1"), F.col("n2")
+    cl = agg.select(
+        "m1",
+        "n2",
+        "w",
+        (m1.cast("double") * F.col("sa") / (m1 + n2)).alias("e_w"),
+        (
+            m1.cast("double")
+            * n2
+            * ((m1 + n2) * F.col("saa") - F.col("sa") * F.col("sa"))
+            / ((m1 + n2).cast("double") * (m1 + n2) * (m1 + n2 - 1))
+        ).alias("var_w"),
+    )
+    w, ew, vw = F.col("w"), F.col("e_w"), F.col("var_w")
+    return cl.select(
+        m1.alias("n_g1"),
+        n2.alias("n_g2"),
+        dround(w, 6).alias("w_stat"),
+        dround(ew, 6).alias("e_w"),
+        dround(vw, 6).alias("var_w"),
+        F.when(vw <= 0, F.lit(None).cast("double"))
+        .otherwise(dround((w - ew) / dround(F.sqrt(vw), 6), 6))
+        .alias("z"),
+    )

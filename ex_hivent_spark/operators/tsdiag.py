@@ -1262,3 +1262,87 @@ def q_ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround(1.0 - num / den / 2.0, 6))
         .alias("rho_implied"),
     )
+
+
+_CS_HALF = _N_HOURS // 2
+
+
+@register(
+    "q_ts_cox_stuart",
+    oracle=f"""
+    WITH series AS ({_SQL_TOTAL_SPINE}),
+    pairs AS (
+      SELECT (h - {_EPOCH_H}) % {_CS_HALF} AS pid,
+             max(CASE WHEN h - {_EPOCH_H} < {_CS_HALF} THEN y END) AS y1,
+             max(CASE WHEN h - {_EPOCH_H} >= {_CS_HALF} THEN y END) AS y2
+      FROM series GROUP BY 1
+    ),
+    cnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN y2 > y1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN y2 < y1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_neg,
+             CAST(sum(CASE WHEN y2 = y1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tie
+      FROM pairs
+    )
+    SELECT n_pairs, n_pos, n_neg, n_tie,
+           CASE WHEN n_pos + n_neg = 0 THEN NULL
+                ELSE {sql_dround(
+                    "(CAST(n_pos AS DOUBLE)"
+                    " - CAST(n_pos + n_neg AS DOUBLE) / 2.0) / ("
+                    + sql_dround(
+                        "sqrt(CAST(n_pos + n_neg AS DOUBLE) / 4.0)", 6)
+                    + ")", 6)}
+           END AS z
+    FROM cnt
+    """,
+)
+def q_ts_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox–Stuart trend test on the hourly total-event series: pair
+    hour i of the month's first half with hour i+360 of the second,
+    count strict rises vs falls (ties dropped), and close the sign
+    test z = (S⁺ − n/2)/√(n/4) — a distribution-free "is traffic
+    drifting?" probe that needs no trend shape assumption (monotone
+    in ANY form moves z; compare q_ts_mann_kendall's all-pairs
+    statistic, which this approximates at 1/360th the pair count).
+
+    Plan: one hourly hash aggregate densified onto the 720-row month
+    spine, then the half-vs-half pairing is ONE more hash aggregate
+    keyed by pair index (pid = hour mod 360, a conditional min/max
+    fold) — no self-join and no window at all, so nothing here grows
+    past |hours| rows or funnels a single partition. Determinism:
+    counts are exact BIGINTs end-to-end; the sign-test closing is an
+    IEEE chain of two integers with the √ e6-rounded before the
+    e6-rounded z; an all-tie month reads NULL on both engines."""
+    series = _total_spine(spark, sf_dir)
+    t = F.col("h") - _EPOCH_H
+    pairs = series.groupBy((t % _CS_HALF).alias("pid")).agg(
+        F.max(F.when(t < _CS_HALF, F.col("y"))).alias("y1"),
+        F.max(F.when(t >= _CS_HALF, F.col("y"))).alias("y2"),
+    )
+    y1, y2 = F.col("y1"), F.col("y2")
+    cnt = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(y2 > y1, 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(y2 < y1, 1).otherwise(0)).cast("bigint").alias("n_neg"),
+        F.sum(F.when(y2 == y1, 1).otherwise(0)).cast("bigint").alias("n_tie"),
+    )
+    npos, nneg = F.col("n_pos"), F.col("n_neg")
+    eff = npos + nneg
+    return cnt.select(
+        "n_pairs",
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        F.when(eff == 0, F.lit(None).cast("double"))
+        .otherwise(
+            dround(
+                (npos.cast("double") - eff.cast("double") / 2.0)
+                / dround(F.sqrt(eff.cast("double") / 4.0), 6),
+                6,
+            )
+        )
+        .alias("z"),
+    )

@@ -763,6 +763,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # aggregate (group-cardinality bounded, the q_agg_heavy_hitters
     # post-aggregate class)
     "q_stats_page_trend": 1,
+    # r11: the pooled midrank over the ≤2·|hours| two-type hourly
+    # aggregate (time-grain bounded, the q_ts_xcorr class; the
+    # tie-count window next to it is value-partitioned)
+    "q_stats_ansari_bradley": 1,
 }
 
 
