@@ -2444,3 +2444,94 @@ def q_win_hull_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
             _col_wma([F.col("hraw"), F.col("h1"), F.col("h2")], 6.0), 6
         ).alias("hma9"),
     )
+
+
+@register(
+    "q_win_fractal_points",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    ctx AS (
+      SELECT event_type, hour_id, high, low,
+             lag(high, 1) OVER w AS hb1, lag(high, 2) OVER w AS hb2,
+             lead(high, 1) OVER w AS hf1, lead(high, 2) OVER w AS hf2,
+             lag(low, 1) OVER w AS lb1, lag(low, 2) OVER w AS lb2,
+             lead(low, 1) OVER w AS lf1, lead(low, 2) OVER w AS lf2
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    ),
+    f AS (
+      SELECT event_type, hour_id, high, low,
+             CASE WHEN high > hb1 AND high > hb2
+                   AND high > hf1 AND high > hf2
+                  THEN 1 ELSE 0 END AS is_fractal_high,
+             CASE WHEN low < lb1 AND low < lb2
+                   AND low < lf1 AND low < lf2
+                  THEN 1 ELSE 0 END AS is_fractal_low
+      FROM ctx
+    )
+    SELECT event_type, hour_id, high, low,
+           CAST(is_fractal_high AS INTEGER) AS is_fractal_high,
+           CAST(is_fractal_low AS INTEGER) AS is_fractal_low
+    FROM f WHERE is_fractal_high = 1 OR is_fractal_low = 1
+    """,
+)
+def q_win_fractal_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams fractal points over the hourly bars per event type: a
+    bar is a fractal HIGH when its high STRICTLY exceeds the highs of
+    the two bars on each side (mirror for fractal lows) — the local
+    swing-point extraction behind support/resistance levels and the
+    entry anchors of breakout systems (Williams 1998). Strict
+    comparison means plateaus never mark (documented; a window at a
+    series edge with missing neighbors can't mark either — NULL
+    comparisons read false on both engines).
+
+    Plan: events collapse to hourly bars first (the q_ts_ohlc_bars
+    hash aggregate); one window pass partitioned by event type emits
+    all eight neighbor columns together (Spark fuses same-spec
+    lag/lead into ONE Window node — |hours| rows, time-grain
+    bounded); the fractal predicate is a per-row comparison, and only
+    marked rows survive. Determinism: highs/lows are exact parquet
+    doubles compared for strict inequality — no arithmetic at all, so
+    both engines emit exactly the same rows."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    h, lo = F.col("high"), F.col("low")
+    ctx = bars.select(
+        "event_type",
+        "hour_id",
+        "high",
+        "low",
+        F.lag("high", 1).over(wl).alias("hb1"),
+        F.lag("high", 2).over(wl).alias("hb2"),
+        F.lead("high", 1).over(wl).alias("hf1"),
+        F.lead("high", 2).over(wl).alias("hf2"),
+        F.lag("low", 1).over(wl).alias("lb1"),
+        F.lag("low", 2).over(wl).alias("lb2"),
+        F.lead("low", 1).over(wl).alias("lf1"),
+        F.lead("low", 2).over(wl).alias("lf2"),
+    )
+    is_fh = F.when(
+        (h > F.col("hb1"))
+        & (h > F.col("hb2"))
+        & (h > F.col("hf1"))
+        & (h > F.col("hf2")),
+        1,
+    ).otherwise(0)
+    is_fl = F.when(
+        (lo < F.col("lb1"))
+        & (lo < F.col("lb2"))
+        & (lo < F.col("lf1"))
+        & (lo < F.col("lf2")),
+        1,
+    ).otherwise(0)
+    f = ctx.select(
+        "event_type",
+        "hour_id",
+        "high",
+        "low",
+        is_fh.cast("int").alias("is_fractal_high"),
+        is_fl.cast("int").alias("is_fractal_low"),
+    )
+    return f.filter(
+        (F.col("is_fractal_high") == 1) | (F.col("is_fractal_low") == 1)
+    )

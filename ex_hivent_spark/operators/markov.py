@@ -242,3 +242,83 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reciprocity"),
     )
+
+
+@register(
+    "q_stats_bowker_symmetry",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL AND nxt <> cur
+      GROUP BY cur, nxt
+    ),
+    und AS (
+      SELECT least(cur, nxt) AS a, greatest(cur, nxt) AS b,
+             CAST(sum(CASE WHEN cur < nxt THEN n ELSE 0 END)
+                  AS BIGINT) AS n_fwd,
+             CAST(sum(CASE WHEN cur > nxt THEN n ELSE 0 END)
+                  AS BIGINT) AS n_bwd
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT a, b, n_fwd, n_bwd,
+           {sql_dround(
+               "CAST(n_fwd - n_bwd AS DOUBLE) * (n_fwd - n_bwd)"
+               " / (n_fwd + n_bwd)", 6)} AS chi2_term
+    FROM und
+    """,
+)
+def q_stats_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker's symmetry decomposition on the user-sequence transition
+    matrix: for every unordered type pair {a,b}, the a→b vs b→a
+    transition counts and the McNemar-style χ² term
+    (n_ab−n_ba)²/(n_ab+n_ba) — summed over pairs this is Bowker's
+    statistic on df = #pairs, and PER PAIR it pinpoints exactly which
+    flows are one-way (view→purchase ≫ purchase→view is healthy;
+    asymmetric error→signup is an incident signature). The hypothesis-
+    test companion to q_graph_reciprocity's single ratio.
+
+    Plan: one lead pass partitioned BY USER (the q_seq_dwell_matrix
+    class), one hash aggregate to ≤|types|² cells, one fold to
+    ≤|types|²/2 unordered pairs — the conditional-sum trick (least/
+    greatest keys) replaces a matrix self-join entirely. Determinism:
+    counts are exact BIGINTs; each χ² term casts the difference to
+    DOUBLE once and e6-rounds after one multiply and one divide (the
+    denominator is positive by construction — a pair only exists when
+    at least one direction was observed)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("cur")))
+    pairs = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    und = pairs.groupBy(
+        F.least("cur", "nxt").alias("a"),
+        F.greatest("cur", "nxt").alias("b"),
+    ).agg(
+        F.sum(F.when(F.col("cur") < F.col("nxt"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_fwd"),
+        F.sum(F.when(F.col("cur") > F.col("nxt"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_bwd"),
+    )
+    diff = F.col("n_fwd") - F.col("n_bwd")
+    return und.select(
+        "a",
+        "b",
+        "n_fwd",
+        "n_bwd",
+        dround(
+            diff.cast("double") * diff / (F.col("n_fwd") + F.col("n_bwd")),
+            6,
+        ).alias("chi2_term"),
+    )

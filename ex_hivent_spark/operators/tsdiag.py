@@ -1346,3 +1346,224 @@ def q_ts_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z"),
     )
+
+
+@register(
+    "q_ts_bartels_rank",
+    oracle=f"""
+    WITH series AS ({_SQL_TOTAL_SPINE}),
+    rk AS (
+      SELECT h,
+             CAST(rank() OVER (ORDER BY y) AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY y) AS DOUBLE) - 1)
+                 / 2.0 AS r
+      FROM series
+    ),
+    dif AS (
+      SELECT r,
+             r - lead(r) OVER (ORDER BY h) AS dr,
+             r - (CAST({_N_HOURS} AS DOUBLE) + 1.0) / 2.0 AS cr
+      FROM rk
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(dr * dr AS DECIMAL(25,6))) AS DOUBLE) AS num,
+             CAST(sum(CAST(cr * cr AS DECIMAL(25,6))) AS DOUBLE) AS den
+      FROM dif
+    ),
+    s AS (
+      SELECT n, num, den,
+             CASE WHEN den <= 0 THEN NULL
+                  ELSE {sql_dround("num / den", 6)} END AS rvn,
+             4.0 * (CAST(n AS DOUBLE) - 2.0)
+               * (5.0 * CAST(n AS DOUBLE) * n
+                  - 2.0 * CAST(n AS DOUBLE) - 9.0)
+               / (5.0 * CAST(n AS DOUBLE) * (n + 1) * (n - 1)
+                  * (n - 1)) AS v
+      FROM m
+    )
+    SELECT n AS n_obs, rvn,
+           {sql_dround("v", 6)} AS var_rvn,
+           CASE WHEN rvn IS NULL OR v <= 0 THEN NULL
+                ELSE {sql_dround(
+                    "(rvn - 2.0) / (" + sql_dround("sqrt(v)", 6)
+                    + ")", 6)}
+           END AS z
+    FROM s
+    """,
+)
+def q_ts_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartels' rank von Neumann randomness test on the hourly total-
+    event series: RVN = Σ(r_t − r_{t+1})² / Σ(r_t − r̄)² over the
+    pooled midranks — the nonparametric twin of q_ts_durbin_watson
+    (outlier-immune: a single 100× traffic spike moves DW wildly but
+    shifts ranks by one slot). RVN ≈ 2 is random; < 2 flags positive
+    serial dependence (sticky traffic levels), > 2 alternation; z
+    closes against Bartels' exact variance
+    4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²).
+
+    Plan: one hourly hash aggregate densified onto the 720-row month
+    spine; the midrank and the successor-lead windows run over that
+    bounded global frame (allowlisted, the q_ts_adf_lite class; the
+    tie-count window is value-partitioned). Determinism: midranks are
+    exact .5-grid rationals, so the squared diffs and deviations are
+    exact .25-grid values summed through the decimal detour (≤ n³ ≈
+    3.7e8 — far inside the 2⁵³ unscaled bound); r̄ = (n+1)/2 exactly
+    under midranks; the variance closes from n in one IEEE chain; √
+    is e6-rounded before the e6-rounded z; an all-tied (constant)
+    series reads NULL on both engines."""
+    series = _total_spine(spark, sf_dir)
+    wr = Window.orderBy("y")
+    wt = Window.partitionBy("y")
+    wh = Window.orderBy("h")
+    rk = series.select(
+        "h",
+        (
+            F.rank().over(wr).cast("double")
+            + (F.count(F.lit(1)).over(wt).cast("double") - 1) / 2.0
+        ).alias("r"),
+    )
+    dif = rk.select(
+        (F.col("r") - F.lead("r").over(wh)).alias("dr"),
+        (F.col("r") - (float(_N_HOURS) + 1.0) / 2.0).alias("cr"),
+    )
+    dec = "decimal(25,6)"
+    m = dif.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("dr") * F.col("dr")).cast(dec))
+        .cast("double")
+        .alias("num"),
+        F.sum((F.col("cr") * F.col("cr")).cast(dec))
+        .cast("double")
+        .alias("den"),
+    )
+    n = F.col("n")
+    s = m.select(
+        "n",
+        F.when(F.col("den") <= 0, F.lit(None).cast("double"))
+        .otherwise(dround(F.col("num") / F.col("den"), 6))
+        .alias("rvn"),
+        (
+            4.0
+            * (n - 2)
+            * (5.0 * n * n - 2.0 * n - 9.0)
+            / (5.0 * n * (n + 1) * (n - 1) * (n - 1))
+        ).alias("v"),
+    )
+    rvn, v = F.col("rvn"), F.col("v")
+    return s.select(
+        n.alias("n_obs"),
+        "rvn",
+        dround(v, 6).alias("var_rvn"),
+        F.when(rvn.isNull() | (v <= 0), F.lit(None).cast("double"))
+        .otherwise(dround((rvn - 2.0) / dround(F.sqrt(v), 6), 6))
+        .alias("z"),
+    )
+
+
+@register(
+    "q_ts_runs_updown",
+    oracle=f"""
+    WITH series AS ({_SQL_TOTAL_SPINE}),
+    d AS (
+      SELECT h, y - lag(y) OVER (ORDER BY h) AS d FROM series
+    ),
+    nz AS (
+      SELECT h, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+      FROM d WHERE d IS NOT NULL AND d <> 0
+    ),
+    ch AS (
+      SELECT s, lag(s) OVER (ORDER BY h) AS ps FROM nz
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN ps IS NOT NULL AND s <> ps
+                      THEN 1 ELSE 0 END) AS BIGINT) AS chg,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_up
+      FROM ch
+    ),
+    s AS (
+      SELECT m, n_up, m - n_up AS n_down,
+             CASE WHEN m = 0 THEN 0 ELSE chg + 1 END AS r,
+             (2.0 * CAST(m AS DOUBLE) + 1.0) / 3.0 AS e_r,
+             (16.0 * CAST(m AS DOUBLE) - 13.0) / 90.0 AS v_r
+      FROM m
+    )
+    SELECT m AS n_moves, n_up, n_down, r AS n_runs,
+           {sql_dround("e_r", 6)} AS e_runs,
+           CASE WHEN m < 2 OR v_r <= 0 THEN NULL
+                ELSE {sql_dround(
+                    "(CAST(r AS DOUBLE) - e_r) / ("
+                    + sql_dround("sqrt(v_r)", 6) + ")", 6)}
+           END AS z
+    FROM s
+    """,
+)
+def q_ts_runs_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-sign runs test on the hourly total-event series:
+    count maximal runs of consecutive rises/falls (zero diffs dropped
+    — the documented tie convention; m = surviving moves) against the
+    random-walk moments E[R] = (2m+1)/3, Var[R] = (16m−13)/90 — too
+    FEW runs means momentum (rises follow rises), too many means
+    oscillation. Complements q_ts_runs_test (above/below-median runs,
+    level persistence) by testing DIRECTION persistence instead.
+
+    Plan: one hourly hash aggregate onto the 720-row month spine, two
+    lag passes over that bounded global frame (allowlisted, the
+    q_ts_adf_lite class), one scalar aggregate. Determinism: signs,
+    run-boundary counts and m are exact BIGINTs end-to-end; the
+    closing moments are IEEE chains of m; √ is e6-rounded before the
+    e6-rounded z; a too-short move sequence (m < 2) reads NULL z on
+    both engines."""
+    series = _total_spine(spark, sf_dir)
+    wh = Window.orderBy("h")
+    d = series.select(
+        "h", (F.col("y") - F.lag("y").over(wh)).alias("d")
+    ).filter(F.col("d").isNotNull() & (F.col("d") != 0))
+    nz = d.select(
+        "h", F.when(F.col("d") > 0, 1).otherwise(-1).alias("s")
+    )
+    ch = nz.select("s", F.lag("s").over(wh).alias("ps"))
+    m = ch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(
+            F.when(
+                F.col("ps").isNotNull() & (F.col("s") != F.col("ps")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("chg"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+    )
+    mm = F.col("m")
+    s = m.select(
+        "m",
+        "n_up",
+        (mm - F.col("n_up")).alias("n_down"),
+        F.when(mm == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("chg") + 1)
+        .alias("r"),
+        ((2.0 * mm + 1.0) / 3.0).alias("e_r"),
+        ((16.0 * mm - 13.0) / 90.0).alias("v_r"),
+    )
+    return s.select(
+        mm.alias("n_moves"),
+        "n_up",
+        "n_down",
+        F.col("r").alias("n_runs"),
+        dround(F.col("e_r"), 6).alias("e_runs"),
+        F.when(
+            (mm < 2) | (F.col("v_r") <= 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            dround(
+                (F.col("r").cast("double") - F.col("e_r"))
+                / dround(F.sqrt(F.col("v_r")), 6),
+                6,
+            )
+        )
+        .alias("z"),
+    )

@@ -767,6 +767,12 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # aggregate (time-grain bounded, the q_ts_xcorr class; the
     # tie-count window next to it is value-partitioned)
     "q_stats_ansari_bradley": 1,
+    # r11: midrank + successor-lead over the densified 720-row month
+    # spine (the q_ts_adf_lite class; the tie-count window is
+    # value-partitioned)
+    "q_ts_bartels_rank": 2,
+    # r11: diff lag + run-boundary lag over the same bounded spine
+    "q_ts_runs_updown": 2,
 }
 
 
