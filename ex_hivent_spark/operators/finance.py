@@ -2535,3 +2535,112 @@ def q_win_fractal_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.filter(
         (F.col("is_fractal_high") == 1) | (F.col("is_fractal_low") == 1)
     )
+
+
+# Crossover pair: the classic fast/slow simple-MA periods, in hourly
+# bars.
+_XO_FAST = 5
+_XO_SLOW = 20
+
+
+@register(
+    "q_win_sma_crossover",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    ma AS (
+      SELECT event_type, hour_id,
+             CAST(count(*) OVER wf AS BIGINT) AS nf,
+             CAST(count(*) OVER ws AS BIGINT) AS ns,
+             CAST(sum(CAST(close AS DECIMAL(25,6))) OVER wf AS DOUBLE)
+               / {_XO_FAST} AS fast,
+             CAST(sum(CAST(close AS DECIMAL(25,6))) OVER ws AS DOUBLE)
+               / {_XO_SLOW} AS slow
+      FROM bars
+      WINDOW wf AS (PARTITION BY event_type ORDER BY hour_id
+                    ROWS BETWEEN {_XO_FAST - 1} PRECEDING
+                    AND CURRENT ROW),
+             ws AS (PARTITION BY event_type ORDER BY hour_id
+                    ROWS BETWEEN {_XO_SLOW - 1} PRECEDING
+                    AND CURRENT ROW)
+    ),
+    sgn AS (
+      SELECT event_type, hour_id,
+             CASE WHEN fast > slow THEN 1
+                  WHEN fast < slow THEN -1 ELSE 0 END AS s
+      FROM ma WHERE nf = {_XO_FAST} AND ns = {_XO_SLOW}
+    ),
+    x AS (
+      SELECT event_type, hour_id, s,
+             lag(s) OVER (PARTITION BY event_type
+                          ORDER BY hour_id) AS ps
+      FROM sgn
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN ps < 0 AND s > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_golden,
+           CAST(sum(CASE WHEN ps > 0 AND s < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_death,
+           max(CASE WHEN ps < 0 AND s > 0 THEN hour_id END)
+             AS last_golden_hour,
+           max(CASE WHEN ps > 0 AND s < 0 THEN hour_id END)
+             AS last_death_hour
+    FROM x GROUP BY event_type
+    """,
+)
+def q_win_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden/death cross census per event type: SMA(5) vs SMA(20)
+    over the hourly closes, counting strict sign flips of the spread
+    (golden = fast crosses from below to above, death the reverse;
+    a bar where the MAs are EXACTLY equal carries sign 0 and, being
+    measure-zero for real closes, neither counts nor resets a cross —
+    documented), plus the most recent hour of each. The trend-regime
+    summary a signals desk reads before q_win_macd's per-bar detail.
+
+    Plan: bars from the q_ts_ohlc_bars hash aggregate; both rolling
+    means share one type-partitioned window pass (frames differ, spec
+    matches — |hours| rows, time-grain bounded); one lag pass; one
+    ≤|types| aggregate. Determinism: the rolling sums ride the decimal
+    detour inside their frames (full-frame rows only); the sign is an
+    exact three-way comparison of identical doubles; counts and hour
+    picks are exact integers — no rounding anywhere."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    wf = wl.rowsBetween(-(_XO_FAST - 1), Window.currentRow)
+    ws = wl.rowsBetween(-(_XO_SLOW - 1), Window.currentRow)
+    dec = "decimal(25,6)"
+    ma = bars.select(
+        "event_type",
+        "hour_id",
+        F.count(F.lit(1)).over(wf).cast("bigint").alias("nf"),
+        F.count(F.lit(1)).over(ws).cast("bigint").alias("ns"),
+        (
+            F.sum(F.col("close").cast(dec)).over(wf).cast("double")
+            / _XO_FAST
+        ).alias("fast"),
+        (
+            F.sum(F.col("close").cast(dec)).over(ws).cast("double")
+            / _XO_SLOW
+        ).alias("slow"),
+    ).filter((F.col("nf") == _XO_FAST) & (F.col("ns") == _XO_SLOW))
+    sgn = ma.select(
+        "event_type",
+        "hour_id",
+        F.when(F.col("fast") > F.col("slow"), 1)
+        .when(F.col("fast") < F.col("slow"), -1)
+        .otherwise(0)
+        .alias("s"),
+    )
+    x = sgn.select(
+        "event_type",
+        "hour_id",
+        "s",
+        F.lag("s").over(wl).alias("ps"),
+    )
+    golden = (F.col("ps") < 0) & (F.col("s") > 0)
+    death = (F.col("ps") > 0) & (F.col("s") < 0)
+    return x.groupBy("event_type").agg(
+        F.sum(F.when(golden, 1).otherwise(0)).cast("bigint").alias("n_golden"),
+        F.sum(F.when(death, 1).otherwise(0)).cast("bigint").alias("n_death"),
+        F.max(F.when(golden, F.col("hour_id"))).alias("last_golden_hour"),
+        F.max(F.when(death, F.col("hour_id"))).alias("last_death_hour"),
+    )

@@ -589,3 +589,119 @@ def q_join_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_size", "p_retailprice")
     )
+
+
+# DBSCAN density threshold: a point is CORE when its eps-ball (eps =
+# _RADIUS) holds >= _MINPTS points INCLUDING itself (the textbook 2D
+# default minPts = 4).
+_MINPTS = 4
+
+
+@register(
+    "q_geo_dbscan_core",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * {_AX}) % {_MOD} AS kx,
+             (c_custkey * {_AY}) % {_MOD} AS ky
+      FROM customer
+    ),
+    nbr AS (
+      SELECT a.id,
+             CAST(count(b.id) AS BIGINT) AS nbrs
+      FROM pts a LEFT JOIN pts b
+        ON a.id <> b.id
+       AND (a.kx / 1000.0 - b.kx / 1000.0)
+           * (a.kx / 1000.0 - b.kx / 1000.0)
+           + (a.ky / 1000.0 - b.ky / 1000.0)
+             * (a.ky / 1000.0 - b.ky / 1000.0)
+           <= {_RADIUS} * {_RADIUS}
+      GROUP BY a.id
+    )
+    SELECT nbrs AS n_neighbors,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(CASE WHEN nbrs + 1 >= {_MINPTS} THEN 1 ELSE 0 END
+                AS INTEGER) AS is_core
+    FROM nbr GROUP BY nbrs
+    """,
+)
+def q_geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point census on the synthesized customer plane: the
+    histogram of eps-neighbor counts (eps = the q_geo_radius_join
+    radius) with each bin marked core/non-core under minPts = 4
+    (ball population INCLUDING the point itself — the textbook
+    convention). This is the density-classification half of DBSCAN —
+    the expensive step at scale; the cluster-expansion half is
+    connected components over core-core edges (the
+    q_llm_dedup_clusters machinery).
+
+    Plan: the lossless 3×3 cell-blocked self-join (cell width == eps,
+    the q_geo_radius_join class — candidates per point stay O(density·
+    eps²), never all-pairs), counting BOTH directions of each pair by
+    keying on the A side; zero-neighbor points survive via the
+    left join back to the point set; the histogram is a ≤max-degree
+    aggregate. The ORACLE uses the quadratic all-pairs plan — the
+    blocked plan must agree exactly. Determinism: coordinates are
+    exact k/1000.0 IEEE grid doubles shared by both engines; the
+    distance predicate is two products + one sum on identical doubles;
+    every output is an exact integer — no rounding anywhere."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * _AX) % _MOD).alias("kx"),
+        ((F.col("c_custkey") * _AY) % _MOD).alias("ky"),
+    )
+    pts = c.select(
+        "id",
+        "kx",
+        "ky",
+        F.floor(F.col("kx") / _CELL).cast("long").alias("cx"),
+        F.floor(F.col("ky") / _CELL).cast("long").alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("kx").alias("kx_a"),
+        F.col("ky").alias("ky_a"),
+        F.explode(offsets).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "id_a",
+        "kx_a",
+        "ky_a",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("kx").alias("kx_b"),
+        F.col("ky").alias("ky_b"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    dx = F.col("kx_a") / 1000.0 - F.col("kx_b") / 1000.0
+    dy = F.col("ky_a") / 1000.0 - F.col("ky_b") / 1000.0
+    deg = (
+        a.join(b, ["jx", "jy"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(dx * dx + dy * dy <= F.lit(_RADIUS * _RADIUS))
+        .groupBy("id_a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nbrs"))
+    )
+    cnt = pts.select("id").join(
+        deg, pts["id"] == deg["id_a"], "left"
+    ).select(F.coalesce(F.col("nbrs"), F.lit(0)).cast("bigint").alias("nbrs"))
+    return cnt.groupBy(F.col("nbrs").alias("n_neighbors")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.max(
+            F.when(F.col("nbrs") + 1 >= _MINPTS, 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("is_core"),
+    )

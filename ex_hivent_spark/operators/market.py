@@ -954,3 +954,109 @@ def q_agg_order_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_order_value"
         ),
     )
+
+
+_SQL_CENTS = (
+    "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "q_agg_nation_trade_balance",
+    oracle=f"""
+    WITH exp AS (
+      SELECT n.n_name AS nation,
+             CAST(sum({_SQL_CENTS}) AS BIGINT) AS exp_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    imp AS (
+      SELECT n.n_name AS nation,
+             CAST(sum({_SQL_CENTS}) AS BIGINT) AS imp_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT coalesce(e.nation, i.nation) AS nation,
+           CAST(coalesce(e.exp_cents, 0) AS BIGINT) AS exp_cents,
+           CAST(coalesce(i.imp_cents, 0) AS BIGINT) AS imp_cents,
+           CAST(coalesce(e.exp_cents, 0) - coalesce(i.imp_cents, 0)
+                AS BIGINT) AS net_cents,
+           {sql_dround(
+               "CAST(coalesce(e.exp_cents, 0)"
+               " - coalesce(i.imp_cents, 0) AS DOUBLE)"
+               " / (coalesce(e.exp_cents, 0)"
+               " + coalesce(i.imp_cents, 0))", 6)} AS balance_ratio
+    FROM exp e FULL OUTER JOIN imp i ON e.nation = i.nation
+    """,
+)
+def q_agg_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation trade balance on the order flow: each nation's revenue
+    as a SUPPLIER of shipped lines (exports) vs as the ordering
+    CUSTOMER's nation (imports), the net, and the normalized balance
+    (net / gross ∈ [−1, 1]) — the two-role star join that answers
+    "which geographies produce vs consume?", the regional twin of
+    TPC-H Q7's nation-pair volume.
+
+    Plan: TWO passes over lineitem, each a star join with every dim
+    broadcastable (supplier/nation on one side; the orders join
+    shuffles on the order key, then customer/nation broadcast), each
+    collapsing to ≤|nations| rows before the full-outer alignment of
+    the two role totals (aggregate-sized sides). Determinism: revenue
+    is exact integer cents per line (floor(x·100+0.5)) summed as
+    BIGINTs; the closing ratio casts the integer net to DOUBLE once
+    over the integer gross, e6-rounded (gross > 0 whenever a nation
+    row exists)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+        + 0.5
+    ).cast("bigint")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    exp = (
+        li.select("l_suppkey", cents.alias("cents"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("cents").cast("bigint").alias("exp_cents"))
+    )
+    imp = (
+        li.select("l_orderkey", cents.alias("cents"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("cents").cast("bigint").alias("imp_cents"))
+    )
+    j = exp.withColumnRenamed("nation", "e_nation").join(
+        imp.withColumnRenamed("nation", "i_nation"),
+        F.col("e_nation") == F.col("i_nation"),
+        "full_outer",
+    )
+    ec = F.coalesce(F.col("exp_cents"), F.lit(0)).cast("bigint")
+    ic = F.coalesce(F.col("imp_cents"), F.lit(0)).cast("bigint")
+    return j.select(
+        F.coalesce(F.col("e_nation"), F.col("i_nation")).alias("nation"),
+        ec.alias("exp_cents"),
+        ic.alias("imp_cents"),
+        (ec - ic).cast("bigint").alias("net_cents"),
+        dround((ec - ic).cast("double") / (ec + ic), 6).alias(
+            "balance_ratio"
+        ),
+    )

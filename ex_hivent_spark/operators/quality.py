@@ -300,3 +300,73 @@ def q_quality_order_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ri").cast("double") / 1e6 / F.count("ri"), 6
         ).alias("mean_rel_diff"),
     ).withColumnRenamed("pri", "o_orderpriority")
+
+
+@register(
+    "q_quality_ship_lag_audit",
+    oracle=f"""
+    WITH j AS (
+      SELECT o.o_orderpriority AS pri,
+             CAST(floor(CAST(epoch_us(l.l_shipdate)
+                             - epoch_us(o.o_orderdate) AS DOUBLE)
+                        / 86400000000.0) AS BIGINT) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ship_before_order,
+           CAST(min(lag_days) AS BIGINT) AS min_lag_days,
+           CAST(max(lag_days) AS BIGINT) AS max_lag_days,
+           {sql_dround(
+               "CAST(sum(lag_days) AS DOUBLE) / count(*)",
+               6)} AS mean_lag_days
+    FROM j GROUP BY pri
+    """,
+)
+def q_quality_ship_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field temporal-integrity audit: the whole-day lag between
+    each line's ship date and its order's order date, per order
+    priority — lines shipped BEFORE their order exists
+    (n_ship_before_order > 0) are the header/detail clock-skew defect
+    this audit exists to catch, and the min/mean/max lag profile per
+    priority is the SLA readout (urgent priorities should show smaller
+    mean lags; on this synthetic data they don't — a finding, not a
+    bug). Complements q_quality_order_recon (amount integrity) with
+    TIME integrity on the same join.
+
+    Plan: one order-keyed shuffle join (the TPC-H fact-to-header
+    shape), one ≤|priorities| hash aggregate. Determinism: the lag is
+    an exact integer-microsecond difference floored to whole days
+    (cast to DOUBLE first — exact below 2⁵³ ≈ 285 years of micros);
+    counts, min and max are exact BIGINTs; the mean casts the integer
+    day sum to DOUBLE once, e6-rounded."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.unix_micros("l_shipdate").alias("ship_us")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.unix_micros("o_orderdate").alias("order_us"),
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "pri",
+        F.floor(
+            (F.col("ship_us") - F.col("order_us")).cast("double")
+            / 86400000000.0
+        )
+        .cast("bigint")
+        .alias("lag_days"),
+    )
+    lag = F.col("lag_days")
+    return j.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(lag < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ship_before_order"),
+        F.min(lag).cast("bigint").alias("min_lag_days"),
+        F.max(lag).cast("bigint").alias("max_lag_days"),
+        dround(F.sum(lag).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_lag_days"
+        ),
+    ).withColumnRenamed("pri", "o_orderpriority")

@@ -2147,3 +2147,105 @@ def q_ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_cnt",
         "thresh",
     )
+
+
+# Session gap threshold, microseconds (the q_win_sessionize 30-minute
+# convention — the two must agree on static data).
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "q_seq_session_stats",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > {_SESS_GAP_US}
+                       OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+      SELECT user_id, us,
+             sum(brk) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(us) - min(us) AS BIGINT) AS dur_us
+      FROM sid GROUP BY user_id, sid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounce,
+           {sql_dround(
+               "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+               " AS DOUBLE) / count(*)", 6)} AS bounce_rate,
+           {sql_dround(
+               "CAST(sum(n_events) AS DOUBLE) / count(*)",
+               6)} AS mean_events,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           {sql_dround(
+               "CAST(sum(dur_us) AS DOUBLE) / count(*) / 1e6",
+               6)} AS mean_duration_sec
+    FROM sess
+    """,
+)
+def q_seq_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality panel over 30-minute-gap sessions (the
+    q_win_sessionize segmentation, re-derived so the two stay in
+    lockstep on static data): session count, single-event bounce count
+    and rate, mean/max events per session, and mean session duration —
+    the engagement headline row (bounce rate up + depth down is the
+    classic relevance regression).
+
+    Plan: one lag pass + one running-sum pass partitioned BY USER
+    (user-grain bounded), one (user, session) hash aggregate, one
+    scalar fold. Determinism: gap breaks compare exact BIGINT
+    microseconds; session ids are integer prefix sums; durations are
+    exact BIGINT differences summed as integers (no decimal detour
+    needed); closing rates cast the integer sums to DOUBLE once and
+    e6-round after the division chain."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev = F.lag(us).over(w)
+    seq = e.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(
+            prev.isNull() | ((us - prev) > _SESS_GAP_US), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy(
+        "us", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sid = seq.select(
+        "user_id", "us", F.sum("brk").over(wrun).alias("sid")
+    )
+    sess = sid.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("dur_us"),
+    )
+    n = F.count(F.lit(1))
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sess.agg(
+        n.cast("bigint").alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounce"),
+        dround(bounce.cast("double") / n, 6).alias("bounce_rate"),
+        dround(F.sum("n_events").cast("double") / n, 6).alias(
+            "mean_events"
+        ),
+        F.max("n_events").cast("bigint").alias("max_events"),
+        dround(F.sum("dur_us").cast("double") / n / 1e6, 6).alias(
+            "mean_duration_sec"
+        ),
+    )
