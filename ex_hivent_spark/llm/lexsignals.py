@@ -381,3 +381,79 @@ def q_llm_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround(ln_v / ln_n, 6))
         .alias("herdan_c"),
     )
+
+
+@register(
+    "q_llm_vocab_gini",
+    oracle=f"""
+    WITH tf AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY source, tok
+    ),
+    rk AS (
+      SELECT source, m,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY m, tok) AS BIGINT) AS i
+      FROM tf
+    ),
+    g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(m) AS BIGINT) AS t,
+             CAST(sum(i * m) AS BIGINT) AS s
+      FROM rk GROUP BY source
+    )
+    SELECT source, v AS vocab, t AS n_tokens,
+           {sql_dround(
+               "(2.0 * CAST(s AS DOUBLE)"
+               " - (CAST(v AS DOUBLE) + 1.0) * t)"
+               " / (CAST(v AS DOUBLE) * t)", 6)} AS gini
+    FROM g
+    """,
+)
+def q_llm_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-usage Gini coefficient per source: with the V
+    distinct tokens sorted by ascending frequency (token-spelling
+    tiebreak — a total order, so the rank sum is well-defined), G =
+    (2·Σi·mᵢ − (V+1)·N) / (V·N) — 0 means every token is used equally,
+    →1 means a handful of terms carry the corpus. The inequality
+    summary of the q_llm_zipf_fit power law and the vocabulary twin of
+    q_llm_length_gini (which measures document-LENGTH inequality).
+
+    Plan: whitespace tokenize → (source, token) hash aggregate (the
+    corpus-sized shuffle), rank window partitioned BY SOURCE (one task
+    per source holds its vocabulary — bounded by vocabulary size, not
+    corpus size; a >10⁷-term vocabulary would move to the blocked
+    prefix fold), one per-source moment aggregate. Determinism: ranks
+    are exact integers from an unambiguous total order; Σi·mᵢ is an
+    exact BIGINT (per-row product ≤ V·max-count ≪ 2⁶³); the single
+    closing casts the integer moments to DOUBLE first (the granger
+    discipline) and e6-rounds."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    wr = Window.partitionBy("source").orderBy("m", "tok")
+    rk = tf.select(
+        "source", "m", F.row_number().over(wr).cast("bigint").alias("i")
+    )
+    g = rk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("m").cast("bigint").alias("t"),
+        F.sum(F.col("i") * F.col("m")).cast("bigint").alias("s"),
+    )
+    vd = F.col("v").cast("double")
+    return g.select(
+        "source",
+        F.col("v").alias("vocab"),
+        F.col("t").alias("n_tokens"),
+        dround(
+            (2.0 * F.col("s").cast("double") - (vd + 1.0) * F.col("t"))
+            / (vd * F.col("t")),
+            6,
+        ).alias("gini"),
+    )

@@ -2644,3 +2644,203 @@ def q_win_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(golden, F.col("hour_id"))).alias("last_golden_hour"),
         F.max(F.when(death, F.col("hour_id"))).alias("last_death_hour"),
     )
+
+
+# Volume-profile price bucket width (value units; the events value
+# column spans ~[0, 500], so ~20 buckets per type).
+_VP_BUCKET = 25.0
+
+
+@register(
+    "q_win_volume_profile",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(value / {_VP_BUCKET}) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    t0 AS (
+      SELECT event_type, bucket, n_events,
+             CAST(sum(n_events) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS total,
+             CAST(max(n_events) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS mx
+      FROM b
+    ),
+    t AS (
+      SELECT event_type, bucket, n_events, total,
+             CAST(min(CASE WHEN n_events = mx THEN bucket END)
+                  OVER (PARTITION BY event_type) AS BIGINT) AS poc
+      FROM t0
+    )
+    SELECT event_type, bucket, n_events,
+           {sql_dround(
+               "CAST(n_events AS DOUBLE) / total", 6)} AS share,
+           CAST(CASE WHEN bucket = poc THEN 1 ELSE 0 END
+                AS INTEGER) AS is_poc
+    FROM t
+    """,
+)
+def q_win_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume profile per event type: activity bucketed by VALUE level
+    (width-25 price bins), each bin's share of the type's volume, and
+    the point of control (POC — the most-populated bin, lowest bucket
+    on ties) marked. The volume-at-price view a trading desk reads
+    sideways against q_ts_ohlc_bars' time series — and, generically,
+    the per-group modal-bin histogram with in-row share/mode marking.
+
+    Plan: one (type, bucket) hash aggregate (corpus collapses before
+    any window), then the total / max / POC annotations ride windows
+    partitioned BY TYPE over the ≤|types|·|buckets| frame (bounded by
+    the literal bucket grid, never data-sized). Determinism: buckets
+    are exact floor(value/width) integers on identical doubles; counts
+    are BIGINTs; the POC tie-break is the exact integer min over
+    max-count bins; the share is one IEEE division e6-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type",
+        F.floor(F.col("value") / _VP_BUCKET).cast("bigint").alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    wt = Window.partitionBy("event_type")
+    t0 = b.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.sum("n_events").over(wt).cast("bigint").alias("total"),
+        F.max("n_events").over(wt).cast("bigint").alias("mx"),
+    )
+    t = t0.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        "total",
+        F.min(
+            F.when(F.col("n_events") == F.col("mx"), F.col("bucket"))
+        )
+        .over(wt)
+        .cast("bigint")
+        .alias("poc"),
+    )
+    return t.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        dround(F.col("n_events").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        F.when(F.col("bucket") == F.col("poc"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_poc"),
+    )
+
+
+# TD Setup lookback and completion length (DeMark's sequential count).
+_TD_LAG = 4
+_TD_LEN = 9
+
+
+@register(
+    "q_win_td_setup",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    flg AS (
+      SELECT event_type, hour_id, close,
+             row_number() OVER w AS rn,
+             CASE WHEN close < lag(close, {_TD_LAG}) OVER w
+                  THEN 1 ELSE 0 END AS fb,
+             CASE WHEN close > lag(close, {_TD_LAG}) OVER w
+                  THEN 1 ELSE 0 END AS fs
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+    ),
+    run AS (
+      SELECT event_type, rn, fb, fs,
+             CAST(rn - coalesce(max(CASE WHEN fb = 0 THEN rn END)
+                   OVER (PARTITION BY event_type ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW), 0) AS BIGINT) AS buy_streak,
+             CAST(rn - coalesce(max(CASE WHEN fs = 0 THEN rn END)
+                   OVER (PARTITION BY event_type ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW), 0) AS BIGINT) AS sell_streak
+      FROM flg
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN buy_streak > 0
+                     AND buy_streak % {_TD_LEN} = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_buy_setups,
+           CAST(sum(CASE WHEN sell_streak > 0
+                     AND sell_streak % {_TD_LEN} = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sell_setups,
+           CAST(max(buy_streak) AS BIGINT) AS max_buy_streak,
+           CAST(max(sell_streak) AS BIGINT) AS max_sell_streak
+    FROM run GROUP BY event_type
+    """,
+)
+def q_win_td_setup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TD Sequential setup census per event type (DeMark): a BUY setup
+    completes on every 9th CONSECUTIVE bar closing strictly below the
+    close 4 bars earlier (sell mirror: above) — an 18-bar run counts
+    two completions, exactly DeMark's restart rule. Early bars with no
+    4-back close compare against NULL, read false, and break streaks
+    (documented). Reported per type with the longest run of each side
+    — the exhaustion-count summary next to q_win_sma_crossover's
+    regime flips.
+
+    Plan: bars from the q_ts_ohlc_bars hash aggregate; the streak is
+    the classic "rows since last failure" rewrite — a running MAX of
+    the last failing row number, NOT a recursive state — so everything
+    is two window passes partitioned by type over |hours| rows.
+    Determinism: flags are strict comparisons of identical doubles;
+    streaks, completions and maxima are exact integer arithmetic — no
+    rounding anywhere."""
+    bars = _hourly_close(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    prior = F.lag("close", _TD_LAG).over(wl)
+    flg = bars.select(
+        "event_type",
+        F.row_number().over(wl).alias("rn"),
+        F.when(F.col("close") < prior, 1).otherwise(0).alias("fb"),
+        F.when(F.col("close") > prior, 1).otherwise(0).alias("fs"),
+    )
+    wrun = Window.partitionBy("event_type").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = flg.select(
+        "event_type",
+        (
+            F.col("rn")
+            - F.coalesce(
+                F.max(
+                    F.when(F.col("fb") == 0, F.col("rn"))
+                ).over(wrun),
+                F.lit(0),
+            )
+        )
+        .cast("bigint")
+        .alias("buy_streak"),
+        (
+            F.col("rn")
+            - F.coalesce(
+                F.max(
+                    F.when(F.col("fs") == 0, F.col("rn"))
+                ).over(wrun),
+                F.lit(0),
+            )
+        )
+        .cast("bigint")
+        .alias("sell_streak"),
+    )
+    bs, ss = F.col("buy_streak"), F.col("sell_streak")
+    return run.groupBy("event_type").agg(
+        F.sum(F.when((bs > 0) & (bs % _TD_LEN == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_buy_setups"),
+        F.sum(F.when((ss > 0) & (ss % _TD_LEN == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sell_setups"),
+        F.max(bs).cast("bigint").alias("max_buy_streak"),
+        F.max(ss).cast("bigint").alias("max_sell_streak"),
+    )

@@ -1567,3 +1567,88 @@ def q_ts_runs_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z"),
     )
+
+
+@register(
+    "q_ts_fano_factor",
+    oracle=f"""
+    WITH hy AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM hy GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, sy, syy,
+             CAST(sy AS DOUBLE) / {_N_HOURS} AS mean,
+             ({_N_HOURS}.0 * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * sy)
+               / ({_N_HOURS}.0 * ({_N_HOURS} - 1)) AS var
+      FROM m
+    )
+    SELECT event_type, sy AS n_events,
+           {sql_dround("mean", 6)} AS mean_per_hour,
+           {sql_dround("var", 6)} AS var_per_hour,
+           CASE WHEN sy = 0 THEN NULL
+                ELSE {sql_dround("var / mean", 6)} END AS fano,
+           CASE WHEN sy = 0 THEN NULL
+                ELSE {sql_dround("var / (mean * mean)", 6)}
+           END AS cv2
+    FROM c
+    """,
+)
+def q_ts_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness panel per event type over the month's 720 hourly
+    bins (zero hours included — they contribute nothing to the raw
+    moments, so no densification join is needed; the bin count is the
+    fixed literal): the Fano factor Var/Mean (1 for a Poisson arrival
+    process, ≫1 bursty, <1 more regular than random) and the squared
+    coefficient of variation Var/Mean². The arrivals-side twin of
+    q_llm_term_burstiness, and the first statistic capacity planning
+    asks for ("can we autoscale on the hourly mean or do bursts blow
+    through it?").
+
+    Plan: one (type, hour) hash aggregate, one ≤|types| moment
+    aggregate — no window, no spine join (the zero-hour trick).
+    Determinism: the two moments are exact BIGINTs; the sample
+    variance over all 720 bins closes as an IEEE chain casting each
+    moment to DOUBLE first (granger discipline); closings e6-round;
+    an empty type reads NULL ratios."""
+    e = load_table(spark, sf_dir, "events")
+    hy = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    m = hy.groupBy("event_type").agg(
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    syd = F.col("sy").cast("double")
+    c = m.select(
+        "event_type",
+        "sy",
+        (syd / _N_HOURS).alias("mean"),
+        (
+            (float(_N_HOURS) * F.col("syy").cast("double") - syd * F.col("sy"))
+            / (float(_N_HOURS) * (_N_HOURS - 1))
+        ).alias("var"),
+    )
+    mean, var = F.col("mean"), F.col("var")
+    return c.select(
+        "event_type",
+        F.col("sy").alias("n_events"),
+        dround(mean, 6).alias("mean_per_hour"),
+        dround(var, 6).alias("var_per_hour"),
+        F.when(F.col("sy") == 0, F.lit(None).cast("double"))
+        .otherwise(dround(var / mean, 6))
+        .alias("fano"),
+        F.when(F.col("sy") == 0, F.lit(None).cast("double"))
+        .otherwise(dround(var / (mean * mean), 6))
+        .alias("cv2"),
+    )
