@@ -457,3 +457,64 @@ def q_llm_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_llm_hapax_profile",
+    oracle=f"""
+    WITH tf AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(m) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS v1,
+           CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS v2,
+           {sql_dround(
+               "CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)"
+               " AS DOUBLE) / count(*)", 6)} AS hapax_vocab_share,
+           {sql_dround(
+               "CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END)"
+               " AS DOUBLE) / sum(m)", 6)} AS hapax_token_share
+    FROM tf GROUP BY source
+    """,
+)
+def q_llm_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax/dis-legomena profile per source: the count of once-seen
+    (V₁) and twice-seen (V₂) vocabulary terms and the hapax shares of
+    vocabulary and of token mass — the head of the frequency spectrum
+    behind q_llm_good_turing's mass estimates and the growth side of
+    the q_llm_yule_k repeat-rate (a crawl whose V₁/V collapses has
+    stopped discovering language; one whose V₁/N explodes is likely
+    OCR noise or ID spam).
+
+    Plan: whitespace tokenize → (source, token) hash aggregate (the
+    corpus-sized shuffle, combiner-friendly) → one spectrum fold to
+    ≤|sources| rows. Determinism: every count is an exact BIGINT; the
+    two closing shares cast one integer to DOUBLE and e6-round."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    v1 = F.sum(F.when(F.col("m") == 1, 1).otherwise(0))
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("m").cast("bigint").alias("n_tokens"),
+        v1.cast("bigint").alias("v1"),
+        F.sum(F.when(F.col("m") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v2"),
+        dround(v1.cast("double") / F.count(F.lit(1)), 6).alias(
+            "hapax_vocab_share"
+        ),
+        dround(v1.cast("double") / F.sum("m"), 6).alias(
+            "hapax_token_share"
+        ),
+    )

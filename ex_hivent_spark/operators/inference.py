@@ -1056,3 +1056,97 @@ def q_stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround((lc - el) / dround(F.sqrt(vl), 6), 6))
         .alias("z"),
     )
+
+
+# Homogeneity split point: first 15 days vs the rest of the month.
+_H2_SPLIT_DAY = 19723 + 15  # _EPOCH_DAY + 15 (tsdiag.py convention)
+
+
+@register(
+    "q_stats_chi2_homogeneity",
+    oracle=f"""
+    WITH o AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN floor(epoch(ts) / 86400)
+                                < {_H2_SPLIT_DAY}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+             CAST(sum(CASE WHEN floor(epoch(ts) / 86400)
+                                >= {_H2_SPLIT_DAY}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+      FROM events GROUP BY event_type
+    ),
+    t AS (
+      SELECT CAST(sum(n_first) AS BIGINT) AS c1,
+             CAST(sum(n_second) AS BIGINT) AS c2
+      FROM o
+    ),
+    e AS (
+      SELECT o.event_type, o.n_first, o.n_second, t.c1, t.c2,
+             CAST(o.n_first + o.n_second AS DOUBLE) * t.c1
+               / (t.c1 + t.c2) AS e1,
+             CAST(o.n_first + o.n_second AS DOUBLE) * t.c2
+               / (t.c1 + t.c2) AS e2
+      FROM o CROSS JOIN t
+    )
+    SELECT event_type, n_first, n_second,
+           {sql_dround("e1", 6)} AS exp_first,
+           {sql_dround("e2", 6)} AS exp_second,
+           {sql_dround(
+               "(n_first - e1) * (n_first - e1) / e1"
+               " + (n_second - e2) * (n_second - e2) / e2",
+               6)} AS chi2_term
+    FROM e
+    """,
+)
+def q_stats_chi2_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² homogeneity decomposition of the event-type mix across the
+    month's two halves (days 1–15 vs 16–31): per type, the observed
+    half counts, the margin-derived expected counts, and the type's
+    two-cell χ² contribution — summed over types this is the k×2
+    homogeneity statistic on df = k−1, and PER TYPE it names which
+    behavior actually shifted (the categorical sibling of
+    q_ts_psi_drift's binned-numeric drift score).
+
+    Plan: one conditional hash aggregate to ≤|types| rows (the
+    corpus-sized pass), margins broadcast back, per-row closing.
+    Determinism: all counts are exact BIGINTs from integer day
+    arithmetic; expectations cast the integer products to DOUBLE in
+    identical order (granger discipline); contributions are IEEE
+    chains e6-rounded (margins are positive whenever a type row
+    exists)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400)
+    o = e.groupBy("event_type").agg(
+        F.sum(F.when(day < _H2_SPLIT_DAY, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first"),
+        F.sum(F.when(day >= _H2_SPLIT_DAY, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_second"),
+    )
+    t = o.agg(
+        F.sum("n_first").cast("bigint").alias("c1"),
+        F.sum("n_second").cast("bigint").alias("c2"),
+    )
+    j = o.crossJoin(F.broadcast(t))
+    row_tot = (F.col("n_first") + F.col("n_second")).cast("double")
+    gt = F.col("c1") + F.col("c2")
+    ecols = j.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        (row_tot * F.col("c1") / gt).alias("e1"),
+        (row_tot * F.col("c2") / gt).alias("e2"),
+    )
+    d1 = F.col("n_first") - F.col("e1")
+    d2 = F.col("n_second") - F.col("e2")
+    return ecols.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        dround(F.col("e1"), 6).alias("exp_first"),
+        dround(F.col("e2"), 6).alias("exp_second"),
+        dround(
+            d1 * d1 / F.col("e1") + d2 * d2 / F.col("e2"), 6
+        ).alias("chi2_term"),
+    )

@@ -1064,3 +1064,208 @@ def q_stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround((w - ew) / dround(F.sqrt(vw), 6), 6))
         .alias("z"),
     )
+
+
+# Yuen trim fraction, as an integer reciprocal (g = n div 10 per side).
+_YUEN_TRIM_DIV = 10
+
+
+@register(
+    "q_stats_yuen_trimmed",
+    oracle=f"""
+    WITH hv AS ({_SQL_AB_HOURLY}),
+    rk AS (
+      SELECT event_type, m,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY m, h) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS n
+      FROM hv
+    ),
+    bounds AS (
+      SELECT event_type, n, n // {_YUEN_TRIM_DIV} AS g,
+             max(CASE WHEN rn = n // {_YUEN_TRIM_DIV} + 1
+                 THEN m END) AS lo,
+             max(CASE WHEN rn = n - n // {_YUEN_TRIM_DIV}
+                 THEN m END) AS hi
+      FROM rk GROUP BY event_type, n
+    ),
+    w AS (
+      SELECT rk.event_type, rk.n, b.g,
+             CASE WHEN rk.rn > b.g AND rk.rn <= rk.n - b.g
+                  THEN CAST(rk.m AS DECIMAL(25,6)) END AS tm,
+             CASE WHEN rk.m < b.lo THEN b.lo
+                  WHEN rk.m > b.hi THEN b.hi
+                  ELSE rk.m END AS wv
+      FROM rk JOIN bounds b ON rk.event_type = b.event_type
+    ),
+    agg AS (
+      SELECT event_type, n, g, n - 2 * g AS h_eff,
+             CAST(sum(tm) AS DOUBLE) / (n - 2 * g) AS tmean,
+             CAST(sum(CAST(wv AS DECIMAL(25,6))) AS DOUBLE) AS sw,
+             CAST(sum(CAST(wv * wv AS DECIMAL(25,6)))
+                  AS DOUBLE) AS sww
+      FROM w GROUP BY event_type, n, g
+    ),
+    d AS (
+      SELECT event_type, n, g, h_eff, tmean,
+             (sww - sw * sw / n) / (n - 1) AS wvar
+      FROM agg
+    ),
+    two AS (
+      SELECT max(CASE WHEN event_type = '{_AB_G1}' THEN n END) AS n1,
+             max(CASE WHEN event_type = '{_AB_G1}' THEN g END) AS g1,
+             max(CASE WHEN event_type = '{_AB_G1}' THEN h_eff END) AS h1,
+             max(CASE WHEN event_type = '{_AB_G1}' THEN tmean END) AS tm1,
+             max(CASE WHEN event_type = '{_AB_G1}' THEN wvar END) AS wv1,
+             max(CASE WHEN event_type = '{_AB_G2}' THEN n END) AS n2,
+             max(CASE WHEN event_type = '{_AB_G2}' THEN h_eff END) AS h2,
+             max(CASE WHEN event_type = '{_AB_G2}' THEN tmean END) AS tm2,
+             max(CASE WHEN event_type = '{_AB_G2}' THEN wvar END) AS wv2
+      FROM d
+    )
+    SELECT n1, n2, h1 AS h_eff1, h2 AS h_eff2,
+           {sql_dround("tm1", 6)} AS tmean_g1,
+           {sql_dround("tm2", 6)} AS tmean_g2,
+           {sql_dround("tm1 - tm2", 6)} AS diff,
+           CASE WHEN h1 <= 1 OR h2 <= 1 THEN NULL
+                ELSE {sql_dround(
+                    "(tm1 - tm2) / ("
+                    + sql_dround(
+                        "sqrt(wv1 * (n1 - 1) / (h1 * (h1 - 1.0))"
+                        " + wv2 * (n2 - 1) / (h2 * (h2 - 1.0)))", 6)
+                    + ")", 6)}
+           END AS yuen_t
+    FROM two
+    """,
+)
+def q_stats_yuen_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's trimmed-mean test between the 'click' and 'view' hourly
+    value-sum samples: 10%-per-side trimmed means compared through the
+    winsorized variances — t = (x̄ₜ₁−x̄ₜ₂)/√(d₁+d₂) with dᵢ =
+    s²wᵢ(nᵢ−1)/(hᵢ(hᵢ−1)) — the outlier-robust replacement for
+    q_agg_welch_ttest when a few blowout hours would otherwise own the
+    mean (Yuen 1974). Trim counts are exact integer n div 10; the
+    trimmed/winsorized sets come from an unambiguous (value, hour)
+    total order.
+
+    Plan: one filtered (type, hour) hash aggregate; ranking windows
+    partitioned BY TYPE over the ≤|hours| frame (time-grain bounded —
+    never data-volume sized); the two order-statistic bounds come from
+    one conditional aggregate joined back (aggregate-sized); one
+    scalar pivot closes. Determinism: the ranked metric is a decimal-
+    detour sum (tie order fixed by the hour tiebreak); trimmed sums
+    and winsorized moments ride the decimal detour (squared hourly
+    sums stay ≪ the 2⁵³ unscaled bound at this grain — the hourly
+    value-sum magnitudes; re-grain before squaring if levels grow
+    ~100×); closings are IEEE chains with √ e6-rounded before the
+    e6-rounded t; degenerate trims (h ≤ 1) read NULL."""
+    e = load_table(spark, sf_dir, "events")
+    hv = (
+        e.filter(F.col("event_type").isin(_AB_G1, _AB_G2))
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("m")
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("m", "h")
+    wn = Window.partitionBy("event_type")
+    rk = hv.select(
+        "event_type",
+        "m",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    g = (F.col("n") / _YUEN_TRIM_DIV).cast("bigint")
+    bounds = rk.groupBy("event_type", "n").agg(
+        F.max(F.when(F.col("rn") == g + 1, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - g, F.col("m"))).alias(
+            "hi"
+        ),
+    ).select(
+        F.col("event_type").alias("bt"),
+        F.col("n").alias("bn"),
+        g.alias("g"),
+        "lo",
+        "hi",
+    )
+    dec = "decimal(25,6)"
+    w = rk.join(
+        F.broadcast(bounds), rk["event_type"] == bounds["bt"]
+    ).select(
+        "event_type",
+        "n",
+        "g",
+        F.when(
+            (F.col("rn") > F.col("g"))
+            & (F.col("rn") <= F.col("n") - F.col("g")),
+            F.col("m").cast(dec),
+        ).alias("tm"),
+        F.when(F.col("m") < F.col("lo"), F.col("lo"))
+        .when(F.col("m") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("m"))
+        .alias("wv"),
+    )
+    agg = w.groupBy("event_type", "n", "g").agg(
+        (
+            F.sum("tm").cast("double")
+            / (F.col("n") - 2 * F.col("g"))
+        ).alias("tmean"),
+        F.sum(F.col("wv").cast(dec)).cast("double").alias("sw"),
+        F.sum((F.col("wv") * F.col("wv")).cast(dec))
+        .cast("double")
+        .alias("sww"),
+    )
+    d = agg.select(
+        "event_type",
+        "n",
+        "g",
+        (F.col("n") - 2 * F.col("g")).alias("h_eff"),
+        "tmean",
+        (
+            (F.col("sww") - F.col("sw") * F.col("sw") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("wvar"),
+    )
+
+    def pick(col, t):
+        return F.max(F.when(F.col("event_type") == t, F.col(col)))
+
+    two = d.agg(
+        pick("n", _AB_G1).alias("n1"),
+        pick("h_eff", _AB_G1).alias("h1"),
+        pick("tmean", _AB_G1).alias("tm1"),
+        pick("wvar", _AB_G1).alias("wv1"),
+        pick("n", _AB_G2).alias("n2"),
+        pick("h_eff", _AB_G2).alias("h2"),
+        pick("tmean", _AB_G2).alias("tm2"),
+        pick("wvar", _AB_G2).alias("wv2"),
+    )
+    tm1, tm2 = F.col("tm1"), F.col("tm2")
+    h1, h2 = F.col("h1"), F.col("h2")
+    se = dround(
+        F.sqrt(
+            F.col("wv1") * (F.col("n1") - 1) / (h1 * (h1 - 1.0))
+            + F.col("wv2") * (F.col("n2") - 1) / (h2 * (h2 - 1.0))
+        ),
+        6,
+    )
+    return two.select(
+        "n1",
+        "n2",
+        h1.alias("h_eff1"),
+        h2.alias("h_eff2"),
+        dround(tm1, 6).alias("tmean_g1"),
+        dround(tm2, 6).alias("tmean_g2"),
+        dround(tm1 - tm2, 6).alias("diff"),
+        F.when((h1 <= 1) | (h2 <= 1), F.lit(None).cast("double"))
+        .otherwise(dround((tm1 - tm2) / se, 6))
+        .alias("yuen_t"),
+    )

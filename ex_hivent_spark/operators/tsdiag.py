@@ -1652,3 +1652,135 @@ def q_ts_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround(var / (mean * mean), 6))
         .alias("cv2"),
     )
+
+
+# Rolling-correlation pair and frame width (hourly bars, one day).
+_RC_G1 = "click"
+_RC_G2 = "view"
+_RC_WIN = 24
+
+
+@register(
+    "q_ts_rolling_corr",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(sum(CASE WHEN event_type = '{_RC_G1}'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = '{_RC_G2}'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('{_RC_G1}', '{_RC_G2}')
+      GROUP BY 1
+    ),
+    spine AS (
+      SELECT s.h, CAST(coalesce(x.x, 0) AS BIGINT) AS x,
+             CAST(coalesce(x.y, 0) AS BIGINT) AS y
+      FROM (SELECT CAST(unnest(range({_EPOCH_H},
+                                     {_EPOCH_H + _N_HOURS}))
+                   AS BIGINT) AS h) s
+      LEFT JOIN x ON x.h = s.h
+    ),
+    roll AS (
+      SELECT h,
+             CAST(count(*) OVER w AS BIGINT) AS cnt,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+      FROM spine
+      WINDOW w AS (ORDER BY h ROWS BETWEEN {_RC_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    ),
+    c AS (
+      SELECT h,
+             {_RC_WIN}.0 * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * sy AS cxy,
+             {_RC_WIN}.0 * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * sx AS cxx,
+             {_RC_WIN}.0 * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * sy AS cyy
+      FROM roll WHERE cnt = {_RC_WIN}
+    )
+    SELECT h AS hour_id,
+           CASE WHEN cxx <= 0 OR cyy <= 0 THEN NULL
+                ELSE {sql_dround(
+                    "cxy / (" + sql_dround("sqrt(cxx)", 6) + ") / ("
+                    + sql_dround("sqrt(cyy)", 6) + ")", 6)}
+           END AS corr24
+    FROM c
+    """,
+)
+def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling one-day Pearson correlation between the click and view
+    hourly count series on the densified month spine — the coupling
+    monitor behind "did the funnel decouple?" alerts (clicks and views
+    normally co-move; a correlation collapse while both stay
+    individually healthy is exactly the regression q_ts_xcorr's single
+    whole-month estimate can't localize in time). Full 24-hour frames
+    only; a flat window on either side reads NULL.
+
+    Plan: ONE conditional hash aggregate builds both series (a single
+    events pass), densified onto the 720-row month spine; all six
+    rolling moments share one bounded global window pass (allowlisted,
+    the q_ts_adf_lite class); the closing is per-row arithmetic.
+    Determinism: counts and their frame sums are exact BIGINTs
+    (products ≤ counts² · 24 ≪ 2⁵³); centered closings cast each
+    moment to DOUBLE before multiplying (granger discipline); both √
+    terms e6-round before the e6-rounded r."""
+    e = load_table(spark, sf_dir, "events")
+    hx = (
+        e.filter(F.col("event_type").isin(_RC_G1, _RC_G2))
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("bigint")
+            .alias("h")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == _RC_G1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == _RC_G2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    spine = (
+        spark.range(_N_HOURS)
+        .select((F.col("id") + F.lit(_EPOCH_H)).cast("bigint").alias("h"))
+        .join(hx, "h", "left")
+        .select(
+            "h",
+            F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    w = Window.orderBy("h").rowsBetween(-(_RC_WIN - 1), Window.currentRow)
+    x, y = F.col("x"), F.col("y")
+    roll = spine.select(
+        "h",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cnt"),
+        F.sum(x).over(w).cast("bigint").alias("sx"),
+        F.sum(y).over(w).cast("bigint").alias("sy"),
+        F.sum(x * x).over(w).cast("bigint").alias("sxx"),
+        F.sum(y * y).over(w).cast("bigint").alias("syy"),
+        F.sum(x * y).over(w).cast("bigint").alias("sxy"),
+    ).filter(F.col("cnt") == _RC_WIN)
+    win = float(_RC_WIN)
+    c = roll.select(
+        "h",
+        (win * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")).alias("cxy"),
+        (win * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")).alias("cxx"),
+        (win * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")).alias("cyy"),
+    )
+    cxy, cxx, cyy = F.col("cxy"), F.col("cxx"), F.col("cyy")
+    return c.select(
+        F.col("h").alias("hour_id"),
+        F.when((cxx <= 0) | (cyy <= 0), F.lit(None).cast("double"))
+        .otherwise(
+            dround(
+                cxy / dround(F.sqrt(cxx), 6) / dround(F.sqrt(cyy), 6), 6
+            )
+        )
+        .alias("corr24"),
+    )

@@ -773,6 +773,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "q_ts_bartels_rank": 2,
     # r11: diff lag + run-boundary lag over the same bounded spine
     "q_ts_runs_updown": 2,
+    # r11: the six shared rolling moments over the densified 720-row
+    # month spine (one fused Window node, the q_ts_adf_lite class)
+    "q_ts_rolling_corr": 1,
 }
 
 
