@@ -2844,3 +2844,95 @@ def q_win_td_setup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(bs).cast("bigint").alias("max_buy_streak"),
         F.max(ss).cast("bigint").alias("max_sell_streak"),
     )
+
+
+# Opening-range width, in hours of the trading day.
+_OR_HOURS = 2
+
+
+@register(
+    "q_win_opening_range",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    db AS (
+      SELECT event_type, hour_id, close, high, low,
+             hour_id // 24 AS day_id,
+             hour_id % 24 AS hod
+      FROM bars
+    ),
+    orng AS (
+      SELECT event_type, day_id,
+             max(CASE WHEN hod < {_OR_HOURS} THEN high END) AS or_high,
+             min(CASE WHEN hod < {_OR_HOURS} THEN low END) AS or_low
+      FROM db GROUP BY event_type, day_id
+    )
+    SELECT db.event_type, db.day_id,
+           orng.or_high, orng.or_low,
+           CAST(sum(CASE WHEN db.hod >= {_OR_HOURS}
+                    AND db.close > orng.or_high
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           CAST(sum(CASE WHEN db.hod >= {_OR_HOURS}
+                    AND db.close < orng.or_low
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+    FROM db JOIN orng
+      ON db.event_type = orng.event_type AND db.day_id = orng.day_id
+    WHERE orng.or_high IS NOT NULL
+    GROUP BY db.event_type, db.day_id, orng.or_high, orng.or_low
+    """,
+)
+def q_win_opening_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opening-range breakout census per (event type, day): the first
+    two hours' high/low band, then how many later hourly closes broke
+    above and below it — the ORB day-structure readout (many closes
+    above = trend day up; closes on both sides = chop). Days whose
+    opening window has no bars are dropped (documented — no band to
+    break).
+
+    Plan: bars from the q_ts_ohlc_bars hash aggregate; the opening
+    band is a conditional MIN/MAX aggregate per (type, day) — integer
+    hour-of-day arithmetic, no window at all — joined back to the
+    day's bars (both sides ≤|types|·|days| after the bar collapse);
+    one counting aggregate closes. Determinism: day and hour-of-day
+    are exact integer div/mod; band bounds and closes compare as
+    identical strict-inequality doubles; counts are BIGINTs — no
+    rounding anywhere."""
+    bars = _hourly_close(spark, sf_dir)
+    db = bars.select(
+        "event_type",
+        "close",
+        "high",
+        "low",
+        (F.col("hour_id") / 24).cast("bigint").alias("day_id"),
+        (F.col("hour_id") % 24).alias("hod"),
+    )
+    orng = db.groupBy("event_type", "day_id").agg(
+        F.max(F.when(F.col("hod") < _OR_HOURS, F.col("high"))).alias(
+            "or_high"
+        ),
+        F.min(F.when(F.col("hod") < _OR_HOURS, F.col("low"))).alias(
+            "or_low"
+        ),
+    ).filter(F.col("or_high").isNotNull())
+    j = db.join(
+        orng.select(
+            F.col("event_type").alias("ot"),
+            F.col("day_id").alias("od"),
+            "or_high",
+            "or_low",
+        ),
+        (F.col("event_type") == F.col("ot"))
+        & (F.col("day_id") == F.col("od")),
+    )
+    later = F.col("hod") >= _OR_HOURS
+    return j.groupBy("event_type", "day_id", "or_high", "or_low").agg(
+        F.sum(
+            F.when(later & (F.col("close") > F.col("or_high")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_above"),
+        F.sum(
+            F.when(later & (F.col("close") < F.col("or_low")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_below"),
+    )

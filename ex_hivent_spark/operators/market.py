@@ -1060,3 +1060,107 @@ def q_agg_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_ratio"
         ),
     )
+
+
+@register(
+    "q_agg_nation_brand_lift",
+    oracle=f"""
+    WITH cell AS (
+      SELECT n.n_name AS nation, p.p_brand AS brand,
+             CAST(sum({_SQL_CENTS}) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY n.n_name, p.p_brand
+    ),
+    nm AS (
+      SELECT nation, CAST(sum(cents) AS BIGINT) AS n_cents
+      FROM cell GROUP BY nation
+    ),
+    bm AS (
+      SELECT brand, CAST(sum(cents) AS BIGINT) AS b_cents
+      FROM cell GROUP BY brand
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM cell)
+    SELECT cell.nation, cell.brand, cell.cents,
+           {sql_dround(
+               "CAST(cell.cents AS DOUBLE) * t"
+               " / (CAST(n_cents AS DOUBLE) * b_cents)", 6)} AS lift
+    FROM cell
+    JOIN nm ON cell.nation = nm.nation
+    JOIN bm ON cell.brand = bm.brand
+    CROSS JOIN tot
+    """,
+)
+def q_agg_nation_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation×brand revenue affinity lift: observed cell revenue over
+    the independence expectation — lift(n,b) = rev(n,b)·T /
+    (rev(n)·rev(b)) — the cross-dimensional "who over-indexes on
+    what?" matrix behind assortment localization (lift ≫ 1: that
+    nation's customers disproportionately buy that brand). The
+    two-dimensional sibling of q_basket_event_lift's within-basket
+    pair lift.
+
+    Plan: ONE lineitem pass through the star (orders shuffle-join on
+    the order key; customer/nation/part all broadcast) collapsing to
+    the ≤|nations|·|brands| cell grid; both margins and the total are
+    aggregates OF THE CELL GRID (aggregate-sized — the corpus is never
+    re-scanned) joined back broadcastable. Determinism: revenue is
+    exact integer cents per line summed as BIGINTs; the lift casts
+    each integer to DOUBLE in identical order (granger discipline) and
+    e6-rounds; margins are positive wherever a cell exists."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+        + 0.5
+    ).cast("bigint")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cell = (
+        li.select("l_orderkey", "l_partkey", cents.alias("cents"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    cell = cell.localCheckpoint(eager=False)
+    nm = cell.groupBy(F.col("nation").alias("mn")).agg(
+        F.sum("cents").cast("bigint").alias("n_cents")
+    )
+    bm = cell.groupBy(F.col("brand").alias("mb")).agg(
+        F.sum("cents").cast("bigint").alias("b_cents")
+    )
+    tot = cell.agg(F.sum("cents").cast("bigint").alias("t"))
+    j = (
+        cell.join(F.broadcast(nm), F.col("nation") == F.col("mn"))
+        .join(F.broadcast(bm), F.col("brand") == F.col("mb"))
+        .crossJoin(F.broadcast(tot))
+    )
+    return j.select(
+        "nation",
+        "brand",
+        "cents",
+        dround(
+            F.col("cents").cast("double")
+            * F.col("t")
+            / (F.col("n_cents").cast("double") * F.col("b_cents")),
+            6,
+        ).alias("lift"),
+    )

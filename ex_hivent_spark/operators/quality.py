@@ -25,7 +25,7 @@ monitors à la the dbt-style source checks).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
@@ -370,3 +370,79 @@ def q_quality_ship_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_lag_days"
         ),
     ).withColumnRenamed("pri", "o_orderpriority")
+
+
+@register(
+    "q_quality_id_ts_monotonicity",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             lag(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_id
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             CAST(count(prev_id) AS BIGINT) AS n_steps,
+             CAST(sum(CASE WHEN event_id < prev_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_inv
+      FROM seq GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_steps) AS BIGINT) AS n_steps,
+           CAST(sum(n_inv) AS BIGINT) AS n_inversions,
+           CAST(sum(CASE WHEN n_inv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_users_affected,
+           floor(CASE WHEN sum(n_steps) = 0 THEN 0.0
+                 ELSE CAST(sum(n_inv) AS DOUBLE) / sum(n_steps)
+                 END * 1000000.0 + 0.5) / 1000000.0 AS inversion_rate
+    FROM g
+    """,
+)
+def q_quality_id_ts_monotonicity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence-integrity audit: within each user's (ts, event_id)
+    time order, how often does the event_id DECREASE step-over-step —
+    adjacent inversions between the id order and the time order (the
+    documented adjacent-pair convention: O(n) and localized, not the
+    all-pairs Kendall distance). A nonzero rate means ids are not
+    assigned in event-time order — the assumption every "order by id
+    as a cheap time proxy" consumer silently makes; this audit is what
+    lets them make it safely.
+
+    Plan: one lag pass partitioned BY USER (user-grain bounded), one
+    per-user aggregate, one scalar fold. Determinism: integer id
+    comparisons and counts end-to-end; the single closing rate is one
+    IEEE division e6-rounded with an explicit zero-step branch."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+    )
+    g = seq.groupBy("user_id").agg(
+        F.count("prev_id").cast("bigint").alias("n_steps"),
+        F.sum(
+            F.when(F.col("event_id") < F.col("prev_id"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_inv"),
+    )
+    steps = F.sum("n_steps")
+    inv = F.sum("n_inv")
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        steps.cast("bigint").alias("n_steps"),
+        inv.cast("bigint").alias("n_inversions"),
+        F.sum(F.when(F.col("n_inv") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_users_affected"),
+        dround(
+            F.when(steps == 0, F.lit(0.0)).otherwise(
+                inv.cast("double") / steps
+            ),
+            6,
+        ).alias("inversion_rate"),
+    )
