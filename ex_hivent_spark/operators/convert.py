@@ -401,3 +401,131 @@ def q_seq_dwell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_dwell_sec"
         ),
     )
+
+
+@register(
+    "q_seq_revisit_gaps",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             d - lag(d) OVER (PARTITION BY user_id ORDER BY d) AS gap
+      FROM ud
+    ),
+    hist AS (
+      SELECT gap AS gap_days, CAST(count(*) AS BIGINT) AS n_gaps
+      FROM gaps WHERE gap IS NOT NULL GROUP BY gap
+    ),
+    tot AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS t FROM hist)
+    SELECT gap_days, n_gaps,
+           floor(CAST(n_gaps AS DOUBLE) / t * 1000000.0 + 0.5)
+             / 1000000.0 AS share
+    FROM hist CROSS JOIN tot
+    """,
+)
+def q_seq_revisit_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-visit gap histogram: for every user, the whole-day gaps
+    between consecutive ACTIVE days (distinct (user, day) pairs — five
+    events on one day are one visit), rolled up to a gap-length
+    distribution with shares. The return-cadence readout between
+    q_agg_dau_wau_stickiness (a single ratio) and q_cohort_retention
+    (day-zero anchored): a healthy daily habit piles mass on gap 1; a
+    weekly product peaks at 7; a fattening tail is churn in progress.
+
+    Plan: one distinct-(user, day) aggregate over the corpus, one lag
+    pass partitioned BY USER over the ≤|users|·|days| visit frame
+    (user-grain bounded), one ≤|days| histogram aggregate with the
+    scalar total broadcast back. Determinism: day ids and gaps are
+    exact integer arithmetic; the closing share is one IEEE division
+    e6-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    gaps = ud.select(
+        (F.col("d") - F.lag("d").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    hist = gaps.groupBy(F.col("gap").alias("gap_days")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps")
+    )
+    tot = hist.agg(F.sum("n_gaps").cast("bigint").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "gap_days",
+        "n_gaps",
+        dround(F.col("n_gaps").cast("double") / F.col("t"), 6).alias(
+            "share"
+        ),
+    )
+
+
+@register(
+    "q_seq_ping_pong_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS t2,
+             lag(event_type) OVER w AS t1,
+             lead(event_type) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT t1, t2,
+             CAST(count(*) AS BIGINT) AS n_triples,
+             CAST(sum(CASE WHEN t3 = t1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pingpong
+      FROM seq
+      WHERE t1 IS NOT NULL AND t3 IS NOT NULL AND t1 <> t2
+      GROUP BY t1, t2
+    )
+    SELECT t1 AS from_type, t2 AS via_type, n_triples, n_pingpong,
+           floor(CAST(n_pingpong AS DOUBLE) / n_triples * 1000000.0
+                 + 0.5) / 1000000.0 AS pingpong_rate
+    FROM tri
+    """,
+)
+def q_seq_ping_pong_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ping-pong rate per transition: of all A→B→? triples in user
+    streams (A ≠ B — a genuine departure), what share bounces straight
+    back to A? High view→click→view is scan-and-return browsing; high
+    anything→error→same is retry-looping — the bounce diagnosis that
+    q_seq_path_trigrams' raw trigram counts contain but don't
+    normalize. Conditioning is per (from, via) pair, so a rare
+    transition's bounce habit isn't drowned by a common one's volume.
+
+    Plan: one fused lag+lead window pass partitioned BY USER
+    (user-grain bounded, one Window node — same spec), one hash
+    aggregate to the ≤|types|² pair frame. Determinism: counts are
+    exact BIGINTs; the closing rate is one IEEE division e6-rounded
+    (the triple count is positive by construction)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("t2"),
+        F.lag("event_type").over(w).alias("t1"),
+        F.lead("event_type").over(w).alias("t3"),
+    ).filter(
+        F.col("t1").isNotNull()
+        & F.col("t3").isNotNull()
+        & (F.col("t1") != F.col("t2"))
+    )
+    tri = seq.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triples"),
+        F.sum(F.when(F.col("t3") == F.col("t1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pingpong"),
+    )
+    return tri.select(
+        F.col("t1").alias("from_type"),
+        F.col("t2").alias("via_type"),
+        "n_triples",
+        "n_pingpong",
+        dround(
+            F.col("n_pingpong").cast("double") / F.col("n_triples"), 6
+        ).alias("pingpong_rate"),
+    )

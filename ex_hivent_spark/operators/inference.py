@@ -1150,3 +1150,110 @@ def q_stats_chi2_homogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
             d1 * d1 / F.col("e1") + d2 * d2 / F.col("e2"), 6
         ).alias("chi2_term"),
     )
+
+
+@register(
+    "q_stats_jonckheere",
+    oracle=f"""
+    WITH daily AS ({_SQL_FRIEDMAN_DAILY}),
+    u AS (
+      SELECT CAST(sum(CAST(CASE WHEN a.m < b.m THEN 1.0
+                           WHEN a.m = b.m THEN 0.5
+                           ELSE 0.0 END AS DECIMAL(25,6)))
+                  AS DOUBLE) AS j
+      FROM daily a JOIN daily b ON a.event_type < b.event_type
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM daily GROUP BY event_type
+    ),
+    dims AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(n * n) AS BIGINT) AS sn2,
+             CAST(sum(n * n * (2 * n + 3)) AS BIGINT) AS sv
+      FROM sizes
+    ),
+    c AS (
+      SELECT j, nn,
+             (CAST(nn AS DOUBLE) * nn - sn2) / 4.0 AS e_j,
+             (CAST(nn AS DOUBLE) * nn * (2.0 * nn + 3.0) - sv)
+               / 72.0 AS var_j
+      FROM u CROSS JOIN dims
+    )
+    SELECT nn AS n_obs, {sql_dround("j", 6)} AS j_stat,
+           {sql_dround("e_j", 6)} AS e_j,
+           {sql_dround("var_j", 6)} AS var_j,
+           CASE WHEN var_j <= 0 THEN NULL
+                ELSE {sql_dround(
+                    "(j - e_j) / (" + sql_dround("sqrt(var_j)", 6)
+                    + ")", 6)}
+           END AS z
+    FROM c
+    """,
+)
+def q_stats_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheère–Terpstra ordered-alternative trend test across the
+    event types' daily value sums (types ordered alphabetically as the
+    hypothesized ordering, the q_stats_page_trend convention): J sums
+    the Mann–Whitney exceedance counts over all ordered group pairs
+    (ties count ½), against E[J] = (N²−Σnᵢ²)/4 and the no-tie
+    Var[J] = (N²(2N+3) − Σnᵢ²(2nᵢ+3))/72. Where Page tests trend in
+    WITHIN-DAY ranks (blocked), J tests it in the POOLED samples —
+    sensitive to level differences Page's block ranks normalize away.
+
+    Plan: one (day, type) hash aggregate (the only pass over volume),
+    then an ordered-group-pair join over the ≤k·|days| daily frame
+    (retention-grain bounded, the q_stats_kendall_tau class) and a
+    scalar close. Determinism: the daily metric is a decimal-detour
+    sum so cross-engine comparisons agree exactly; the ½-grid U rides
+    the decimal detour; moment closings cast BIGINTs to DOUBLE in
+    identical IEEE order; √ is e6-rounded before the e6-rounded z; a
+    degenerate variance reads NULL."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
+        "event_type",
+    ).agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("m")
+    )
+    daily = daily.localCheckpoint(eager=False)
+    a, b = daily.alias("a"), daily.alias("b")
+    cmp = (
+        F.when(F.col("a.m") < F.col("b.m"), 1.0)
+        .when(F.col("a.m") == F.col("b.m"), 0.5)
+        .otherwise(0.0)
+    )
+    u = a.join(
+        b, F.col("a.event_type") < F.col("b.event_type")
+    ).agg(
+        F.sum(cmp.cast("decimal(25,6)")).cast("double").alias("j")
+    )
+    sizes = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    n = F.col("n")
+    dims = sizes.agg(
+        F.sum(n).cast("bigint").alias("nn"),
+        F.sum(n * n).cast("bigint").alias("sn2"),
+        F.sum(n * n * (2 * n + 3)).cast("bigint").alias("sv"),
+    )
+    nn = F.col("nn")
+    c = u.crossJoin(F.broadcast(dims)).select(
+        "j",
+        "nn",
+        ((nn.cast("double") * nn - F.col("sn2")) / 4.0).alias("e_j"),
+        (
+            (nn.cast("double") * nn * (2.0 * nn + 3.0) - F.col("sv"))
+            / 72.0
+        ).alias("var_j"),
+    )
+    j, ej, vj = F.col("j"), F.col("e_j"), F.col("var_j")
+    return c.select(
+        nn.alias("n_obs"),
+        dround(j, 6).alias("j_stat"),
+        dround(ej, 6).alias("e_j"),
+        dround(vj, 6).alias("var_j"),
+        F.when(vj <= 0, F.lit(None).cast("double"))
+        .otherwise(dround((j - ej) / dround(F.sqrt(vj), 6), 6))
+        .alias("z"),
+    )
