@@ -2936,3 +2936,151 @@ def q_win_opening_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_below"),
     )
+
+
+# Candle-pattern thresholds (fractions of the bar range / body).
+_DOJI_FRAC = 0.1
+_SHADOW_MULT = 2.0
+
+_SQL_OHLC = """
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+             max(CASE WHEN rna = 1 THEN value END) AS open,
+             max(CASE WHEN rnd = 1 THEN value END) AS close,
+             max(value) AS high, min(value) AS low
+      FROM (
+        SELECT event_type, ts, event_id, value,
+               row_number() OVER (
+                 PARTITION BY event_type,
+                              CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                 ORDER BY ts, event_id) AS rna,
+               row_number() OVER (
+                 PARTITION BY event_type,
+                              CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                 ORDER BY ts DESC, event_id DESC) AS rnd
+        FROM events
+      )
+      GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+"""
+
+
+@register(
+    "q_win_candle_census",
+    oracle=f"""
+    WITH bars AS ({_SQL_OHLC}),
+    c AS (
+      SELECT event_type,
+             high - low AS rng,
+             abs(close - open) AS body,
+             least(open, close) - low AS lower_sh,
+             high - greatest(open, close) AS upper_sh,
+             close, open
+      FROM bars
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_bars,
+           CAST(sum(CASE WHEN close > open THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bull,
+           CAST(sum(CASE WHEN close < open THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bear,
+           CAST(sum(CASE WHEN rng > 0.0
+                    AND body <= {_DOJI_FRAC} * rng
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_doji,
+           CAST(sum(CASE WHEN lower_sh >= {_SHADOW_MULT} * body
+                    AND upper_sh <= body AND body > 0.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hammer,
+           CAST(sum(CASE WHEN upper_sh >= {_SHADOW_MULT} * body
+                    AND lower_sh <= body AND body > 0.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_shooting
+    FROM c GROUP BY event_type
+    """,
+)
+def q_win_candle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick-pattern census per event type over full hourly OHLC
+    bars (open = first value, close = last, by the (ts, event_id)
+    total order): bull/bear bar counts plus three classic shapes —
+    doji (body ≤ 10% of range, range > 0), hammer (lower shadow ≥ 2×
+    a nonzero body, upper ≤ body) and shooting star (the mirror). The
+    shape-vocabulary summary a pattern screener runs before any
+    sequence rules; thresholds are the documented literals, strict
+    comparisons, no lookback.
+
+    Plan: one window pass computes BOTH edge picks (the two
+    row_numbers share the (type, hour) partition — one exchange),
+    then one (type, hour) hash aggregate to bars and one ≤|types|
+    census fold. Determinism: opens/closes are unique total-order
+    picks; every pattern predicate is IEEE comparisons and one
+    multiply on identical doubles (least/greatest on plain DOUBLEs is
+    safe — the decimal caveat doesn't apply); all outputs exact
+    BIGINTs — no rounding anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600)
+        .cast("bigint")
+        .alias("hour_id"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wp = Window.partitionBy("event_type", "hour_id")
+    wa = wp.orderBy("ts", "event_id")
+    wd = wp.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    rn = base.select(
+        "*",
+        F.row_number().over(wa).alias("rna"),
+        F.row_number().over(wd).alias("rnd"),
+    )
+    bars = rn.groupBy("event_type", "hour_id").agg(
+        F.max(F.when(F.col("rna") == 1, F.col("value"))).alias("open"),
+        F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+    )
+    o, cl, hi, lo = (
+        F.col("open"),
+        F.col("close"),
+        F.col("high"),
+        F.col("low"),
+    )
+    c = bars.select(
+        "event_type",
+        (hi - lo).alias("rng"),
+        F.abs(cl - o).alias("body"),
+        (F.least(o, cl) - lo).alias("lower_sh"),
+        (hi - F.greatest(o, cl)).alias("upper_sh"),
+        "close",
+        "open",
+    )
+    body, rng = F.col("body"), F.col("rng")
+    lsh, ush = F.col("lower_sh"), F.col("upper_sh")
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.sum(F.when(cl > o, 1).otherwise(0)).cast("bigint").alias("n_bull"),
+        F.sum(F.when(cl < o, 1).otherwise(0)).cast("bigint").alias("n_bear"),
+        F.sum(
+            F.when((rng > 0.0) & (body <= _DOJI_FRAC * rng), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_doji"),
+        F.sum(
+            F.when(
+                (lsh >= _SHADOW_MULT * body)
+                & (ush <= body)
+                & (body > 0.0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hammer"),
+        F.sum(
+            F.when(
+                (ush >= _SHADOW_MULT * body)
+                & (lsh <= body)
+                & (body > 0.0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_shooting"),
+    )

@@ -446,3 +446,92 @@ def q_quality_id_ts_monotonicity(
             6,
         ).alias("inversion_rate"),
     )
+
+
+@register(
+    "q_quality_dim_coverage",
+    oracle=f"""
+    SELECT 'part' AS entity,
+           (SELECT CAST(count(*) AS BIGINT) FROM part) AS n_total,
+           (SELECT CAST(count(*) AS BIGINT) FROM part p
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_partkey = p.p_partkey))
+             AS n_unreferenced,
+           {sql_dround(
+               "CAST((SELECT count(*) FROM part p"
+               " WHERE NOT EXISTS (SELECT 1 FROM lineitem l"
+               " WHERE l.l_partkey = p.p_partkey)) AS DOUBLE)"
+               " / (SELECT count(*) FROM part)", 6)} AS unref_rate
+    UNION ALL
+    SELECT 'supplier',
+           (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+           (SELECT CAST(count(*) AS BIGINT) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_suppkey = s.s_suppkey)),
+           {sql_dround(
+               "CAST((SELECT count(*) FROM supplier s"
+               " WHERE NOT EXISTS (SELECT 1 FROM lineitem l"
+               " WHERE l.l_suppkey = s.s_suppkey)) AS DOUBLE)"
+               " / (SELECT count(*) FROM supplier)", 6)}
+    UNION ALL
+    SELECT 'customer',
+           (SELECT CAST(count(*) AS BIGINT) FROM customer),
+           (SELECT CAST(count(*) AS BIGINT) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)),
+           {sql_dround(
+               "CAST((SELECT count(*) FROM customer c"
+               " WHERE NOT EXISTS (SELECT 1 FROM orders o"
+               " WHERE o.o_custkey = c.c_custkey)) AS DOUBLE)"
+               " / (SELECT count(*) FROM customer)", 6)}
+    """,
+)
+def q_quality_dim_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-coverage audit — the REVERSE of q_quality_fk_orphans:
+    not "do facts point at missing dims?" but "which dim rows does no
+    fact ever reference?" — parts never ordered, suppliers never
+    shipping, customers who never placed an order, each with its
+    unreferenced rate. Dead dimension mass inflates broadcast tables
+    and skews coverage denominators; a sudden rate jump usually means
+    an ingest stopped joining.
+
+    Plan: three LEFT-ANTI joins (each dim against the distinct
+    foreign-key projection of its fact — the fact side prunes to ONE
+    column before the join), each collapsing to a single counting row,
+    unioned. At scale each anti join shuffles only (dim keys ∪
+    distinct fact keys). Determinism: pure integer counts; the three
+    closing rates are single IEEE divisions e6-rounded."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+
+    def audit(dim, key, fact, fkey, label):
+        tot = dim.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        unref = dim.join(
+            fact.select(F.col(fkey).alias(key)), key, "left_anti"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_unreferenced"))
+        return unref.crossJoin(F.broadcast(tot)).select(
+            F.lit(label).alias("entity"),
+            "n_total",
+            "n_unreferenced",
+            dround(
+                F.col("n_unreferenced").cast("double") / F.col("n_total"),
+                6,
+            ).alias("unref_rate"),
+        )
+
+    return (
+        audit(part, "p_partkey", li.select("l_partkey"), "l_partkey", "part")
+        .unionAll(
+            audit(
+                sup,
+                "s_suppkey",
+                li.select("l_suppkey"),
+                "l_suppkey",
+                "supplier",
+            )
+        )
+        .unionAll(audit(cust, "c_custkey", o, "o_custkey", "customer"))
+    )

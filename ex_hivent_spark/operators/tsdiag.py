@@ -1784,3 +1784,86 @@ def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("corr24"),
     )
+
+
+@register(
+    "q_ts_diurnal_entropy",
+    oracle=f"""
+    WITH hod AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hh,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(y) AS BIGINT) AS n
+      FROM hod GROUP BY event_type
+    ),
+    terms AS (
+      SELECT hod.event_type, tot.n,
+             {sql_dround(
+                 "-(CAST(y AS DOUBLE) / n)"
+                 " * ln(CAST(y AS DOUBLE) / n)", 6)} AS term
+      FROM hod JOIN tot ON hod.event_type = tot.event_type
+    ),
+    ent AS (
+      SELECT event_type, max(n) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_active_hours,
+             CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE) AS h
+      FROM terms GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_active_hours,
+           {sql_dround("h", 6)} AS entropy,
+           {sql_dround(
+               "h / (" + sql_dround("ln(24.0)", 6) + ")",
+               6)} AS uniformity
+    FROM ent
+    """,
+)
+def q_ts_diurnal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal concentration per event type: Shannon entropy of the
+    hour-of-day distribution (empty hours contribute zero mass, the
+    0·ln0 = 0 convention) and the uniformity index H/ln 24 — 1.0 is a
+    flat 24/7 profile, →0 a single rush hour. The single-number
+    summary of q_ts_diurnal_percentiles' full profile, and the
+    seasonality-strength gauge autoscaling policy actually keys on.
+
+    Plan: one (type, hour-of-day) hash aggregate (≤24·|types| rows),
+    per-type totals joined back (aggregate-sized), one entropy fold.
+    Determinism: counts are exact BIGINTs; each −p·ln p term uses the
+    identical IEEE share and is e6-rounded before the decimal-detour
+    sum (the libm discipline); ln 24 is e6-rounded before the
+    e6-rounded uniformity ratio."""
+    e = load_table(spark, sf_dir, "events")
+    hod = e.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600).cast("bigint") % 24).alias(
+            "hh"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    tot = hod.groupBy(F.col("event_type").alias("tt")).agg(
+        F.sum("y").cast("bigint").alias("n")
+    )
+    p = F.col("y").cast("double") / F.col("n")
+    terms = hod.join(
+        F.broadcast(tot), F.col("event_type") == F.col("tt")
+    ).select(
+        "event_type",
+        "n",
+        dround(-p * F.log(p), 6).alias("term"),
+    )
+    ent = terms.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_hours"),
+        F.sum(F.col("term").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("h"),
+    )
+    ln24 = dround(F.log(F.lit(24.0)), 6)
+    return ent.select(
+        "event_type",
+        "n_events",
+        "n_active_hours",
+        dround(F.col("h"), 6).alias("entropy"),
+        dround(F.col("h") / ln24, 6).alias("uniformity"),
+    )
