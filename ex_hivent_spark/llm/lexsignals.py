@@ -518,3 +518,74 @@ def q_llm_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hapax_token_share"
         ),
     )
+
+
+@register(
+    "q_llm_token_len_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, len(tok) AS tok_len
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    g AS (
+      SELECT source, CAST(tok_len AS BIGINT) AS tok_len,
+             CAST(count(*) AS BIGINT) AS n_toks
+      FROM toks GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(sum(n_toks) AS BIGINT) AS n,
+             CAST(sum(tok_len * n_toks) AS BIGINT) AS s
+      FROM g GROUP BY source
+    )
+    SELECT g.source, g.tok_len, g.n_toks,
+           {sql_dround(
+               "CAST(g.n_toks AS DOUBLE) / tot.n", 6)} AS share,
+           {sql_dround(
+               "CAST(tot.s AS DOUBLE) / tot.n", 6)} AS mean_len
+    FROM g JOIN tot ON g.source = tot.source
+    """,
+)
+def q_llm_token_len_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length profile per source: the word-length histogram
+    (count + share per character length, mean length carried on every
+    row for one-pass reading) — the cheapest morphology fingerprint
+    there is: OCR noise fattens length 1-2, URL/ID contamination grows
+    a >20 tail, and a mean-length drift between crawls flags a
+    tokenizer or boilerplate change before any model-based score
+    moves. Complements q_llm_char_class_profile (which classes
+    CHARACTERS; this measures WORD shapes).
+
+    Plan: whitespace tokenize → (source, length) hash aggregate (the
+    corpus-sized shuffle collapses to ≤|sources|·max-len rows), per-
+    source totals joined back broadcastable. Determinism: lengths and
+    counts are exact BIGINTs (Σ len·count < 2⁵³ until ~10¹⁵ chars per
+    source); the two closings are single IEEE divisions e6-rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            "source",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .select("source", F.length("tok").cast("bigint").alias("tok_len"))
+        .groupBy("source", "tok_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_toks"))
+    )
+    tot = g.groupBy(F.col("source").alias("ts")).agg(
+        F.sum("n_toks").cast("bigint").alias("n"),
+        F.sum(F.col("tok_len") * F.col("n_toks"))
+        .cast("bigint")
+        .alias("s"),
+    )
+    j = g.join(F.broadcast(tot), F.col("source") == F.col("ts"))
+    return j.select(
+        "source",
+        "tok_len",
+        "n_toks",
+        dround(F.col("n_toks").cast("double") / F.col("n"), 6).alias(
+            "share"
+        ),
+        dround(F.col("s").cast("double") / F.col("n"), 6).alias(
+            "mean_len"
+        ),
+    )

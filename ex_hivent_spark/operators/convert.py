@@ -529,3 +529,77 @@ def q_seq_ping_pong_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pingpong").cast("double") / F.col("n_triples"), 6
         ).alias("pingpong_rate"),
     )
+
+
+@register(
+    "q_seq_habit_strength",
+    oracle="""
+    WITH uh AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hh,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(max(y) AS BIGINT) AS modal,
+             CAST(sum(y) AS BIGINT) AS n
+      FROM uh GROUP BY user_id
+    ),
+    b AS (
+      SELECT CAST(floor(CAST(modal AS DOUBLE) / n * 10.0) AS BIGINT)
+               AS decile,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n) AS BIGINT) AS n_events
+      FROM u GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS t FROM b)
+    SELECT decile, n_users, n_events,
+           floor(CAST(n_users AS DOUBLE) / t * 1000000.0 + 0.5)
+             / 1000000.0 AS user_share
+    FROM b CROSS JOIN tot
+    """,
+)
+def q_seq_habit_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Habit-strength histogram: per user, the share of their events
+    falling in their single busiest hour-of-day (the modal-hour
+    share), bucketed into deciles — decile 10 (share = 1.0) is a
+    one-hour-a-day habit, decile 0-1 is around-the-clock usage. The
+    per-USER concentration twin of q_ts_diurnal_entropy's per-type
+    uniformity: a fleet-level entropy can stay flat while individual
+    users polarize, which is exactly what this distribution catches.
+
+    Plan: one (user, hour-of-day) hash aggregate (≤24 rows per user),
+    one per-user max/sum fold, one ≤11-row decile histogram with the
+    scalar total broadcast back — user-grain bounded throughout, no
+    windows. Determinism: counts are exact BIGINTs; the decile is
+    floor(modal/n·10) on one IEEE division (modal = n gives decile 10,
+    its own documented bucket); the closing share is e6-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    uh = e.groupBy(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / 3600).cast("bigint") % 24).alias(
+            "hh"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    u = uh.groupBy("user_id").agg(
+        F.max("y").cast("bigint").alias("modal"),
+        F.sum("y").cast("bigint").alias("n"),
+    )
+    b = u.groupBy(
+        F.floor(F.col("modal").cast("double") / F.col("n") * 10.0)
+        .cast("bigint")
+        .alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    tot = b.agg(F.sum("n_users").cast("bigint").alias("t"))
+    return b.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        "n_events",
+        dround(F.col("n_users").cast("double") / F.col("t"), 6).alias(
+            "user_share"
+        ),
+    )

@@ -1269,3 +1269,155 @@ def q_stats_yuen_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround((tm1 - tm2) / se, 6))
         .alias("yuen_t"),
     )
+
+
+@register(
+    "q_stats_fligner_policello",
+    oracle=f"""
+    WITH hv AS ({_SQL_AB_HOURLY}),
+    rk AS (
+      SELECT event_type,
+             CAST(rank() OVER (ORDER BY m) AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY m) AS DOUBLE) - 1)
+                 / 2.0 AS r_pool,
+             CAST(rank() OVER (PARTITION BY event_type ORDER BY m)
+                  AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY event_type, m)
+                       AS DOUBLE) - 1) / 2.0 AS r_own
+      FROM hv
+    ),
+    pl AS (
+      SELECT event_type, r_pool - r_own AS p FROM rk
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(p AS DECIMAL(25,6))) AS DOUBLE) AS sp,
+             CAST(sum(CAST(p * p AS DECIMAL(25,6))) AS DOUBLE) AS spp
+      FROM pl GROUP BY event_type
+    ),
+    two AS (
+      SELECT max(CASE WHEN event_type = '{_AB_G1}' THEN n END) AS n1,
+             max(CASE WHEN event_type = '{_AB_G1}' THEN sp END) AS sp1,
+             max(CASE WHEN event_type = '{_AB_G1}' THEN spp END) AS v1,
+             max(CASE WHEN event_type = '{_AB_G2}' THEN n END) AS n2,
+             max(CASE WHEN event_type = '{_AB_G2}' THEN sp END) AS sp2,
+             max(CASE WHEN event_type = '{_AB_G2}' THEN spp END) AS v2
+      FROM g
+    ),
+    c AS (
+      SELECT n1, n2, sp1, sp2,
+             v1 - sp1 * sp1 / n1 AS ss1,
+             v2 - sp2 * sp2 / n2 AS ss2,
+             sp1 / n1 * (sp2 / n2) AS pq
+      FROM two
+    )
+    SELECT n1 AS n_g1, n2 AS n_g2,
+           {sql_dround("sp1 / n1", 6)} AS mean_placement_g1,
+           {sql_dround("sp2 / n2", 6)} AS mean_placement_g2,
+           CASE WHEN ss1 + ss2 + pq <= 0 THEN NULL
+                ELSE {sql_dround(
+                    "(sp2 - sp1) / (2.0 * ("
+                    + sql_dround("sqrt(ss1 + ss2 + pq)", 6)
+                    + "))", 6)}
+           END AS u_stat
+    FROM c
+    """,
+)
+def q_stats_fligner_policello(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fligner–Policello robust rank-order test between the 'click'
+    and 'view' hourly value-sum samples: placements P_i = #(other
+    group < x_i) (+½ ties) compared through û = (ΣP₂ − ΣP₁) /
+    (2√(SS₁ + SS₂ + P̄₁P̄₂)) — the Behrens–Fisher-safe alternative to
+    q_stats_mannwhitney_u that does NOT assume equal variances (only
+    symmetry), the exact gap Welch fills for t-tests. Placements come
+    from the identity P_i = midrank_pooled(x_i) − midrank_own(x_i), so
+    NO cross-group comparison join ever runs.
+
+    Plan: one filtered (type, hour) hash aggregate; the pooled midrank
+    window runs over the ≤2·|hours| time-grain-bounded frame
+    (allowlisted, the q_stats_ansari_bradley class) and the own-group
+    windows are partitioned; one per-group moment aggregate + scalar
+    pivot close. Determinism: the ranked metric is a decimal-detour
+    sum so pooled tie groups agree exactly; placements are exact
+    .5-grid rationals whose moments ride the decimal detour (Σp² ≤
+    n³ ≈ 3e9 at the hourly grain — inside the 2⁵³ bound); closings
+    cast in identical IEEE order with √ e6-rounded before the
+    e6-rounded û; a degenerate spread reads NULL."""
+    e = load_table(spark, sf_dir, "events")
+    hv = (
+        e.filter(F.col("event_type").isin(_AB_G1, _AB_G2))
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("m")
+        )
+    )
+    wp = Window.orderBy("m")
+    wpt = Window.partitionBy("m")
+    wo = Window.partitionBy("event_type").orderBy("m")
+    wot = Window.partitionBy("event_type", "m")
+    r_pool = (
+        F.rank().over(wp).cast("double")
+        + (F.count(F.lit(1)).over(wpt).cast("double") - 1) / 2.0
+    )
+    r_own = (
+        F.rank().over(wo).cast("double")
+        + (F.count(F.lit(1)).over(wot).cast("double") - 1) / 2.0
+    )
+    pl = hv.select(
+        "event_type", (r_pool - r_own).alias("p")
+    )
+    dec = "decimal(25,6)"
+    g = pl.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("p").cast(dec)).cast("double").alias("sp"),
+        F.sum((F.col("p") * F.col("p")).cast(dec))
+        .cast("double")
+        .alias("spp"),
+    )
+
+    def pick(col, t):
+        return F.max(F.when(F.col("event_type") == t, F.col(col)))
+
+    two = g.agg(
+        pick("n", _AB_G1).alias("n1"),
+        pick("sp", _AB_G1).alias("sp1"),
+        pick("spp", _AB_G1).alias("v1"),
+        pick("n", _AB_G2).alias("n2"),
+        pick("sp", _AB_G2).alias("sp2"),
+        pick("spp", _AB_G2).alias("v2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    sp1, sp2 = F.col("sp1"), F.col("sp2")
+    c = two.select(
+        "n1",
+        "n2",
+        "sp1",
+        "sp2",
+        (F.col("v1") - sp1 * sp1 / n1).alias("ss1"),
+        (F.col("v2") - sp2 * sp2 / n2).alias("ss2"),
+        (sp1 / n1 * (sp2 / n2)).alias("pq"),
+    )
+    den = F.col("ss1") + F.col("ss2") + F.col("pq")
+    return c.select(
+        n1.alias("n_g1"),
+        n2.alias("n_g2"),
+        dround(sp1 / n1, 6).alias("mean_placement_g1"),
+        dround(sp2 / n2, 6).alias("mean_placement_g2"),
+        F.when(den <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            dround(
+                (sp2 - sp1) / (2.0 * dround(F.sqrt(den), 6)), 6
+            )
+        )
+        .alias("u_stat"),
+    )

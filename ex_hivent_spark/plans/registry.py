@@ -62,11 +62,11 @@ def register(name: str, oracle: Optional[str] = None):
 # 50, in dict order), so rounds ROTATE which 50 lead. State after r10:
 # the r10 check was 50/50 green (the 30 late-r8 ops + the 20 r9 ops),
 # clearing the old never-checked backlog exactly as planned. The r11
-# never-driver-checked set now holds 120 ops: the 7 r10-new, the 25
+# never-driver-checked set now holds 123 ops: the 7 r10-new, the 25
 # early-r11 (volume-flow tail + Coppock, inference battery + SPRT,
 # matrix profile, mix/rate decomposition, next-event eval,
 # blocklist/position-bias, point-in-polygon, skyline, permutation/CMS,
-# RRF/uniqueness/JL), and the 88 late-r11 (risk battery, resampling,
+# RRF/uniqueness/JL), and the 91 late-r11 (risk battery, resampling,
 # nonparametric + association + outlier batteries, quality audits,
 # embedding audits, Markov pair, momentum tail, doc-stats, coverage,
 # funnel, elasticity, differencing/seasonal diagnostics, repeat
@@ -81,7 +81,8 @@ def register(name: str, oracle: Optional[str] = None):
 # profile, TD setup, Yuen trimmed, rolling corr, chi2 homogeneity,
 # hapax profile, nation-brand lift, id/ts monotonicity, opening
 # range, Jonckheere, revisit gaps, ping-pong rate, candle census,
-# dim coverage, diurnal entropy). All 120 are
+# dim coverage, diurnal entropy, Fligner-Policello, habit strength,
+# token-length profile). All 123 are
 # oracle-verified at sf0.001 + sf0.01
 # + sf0.1 in-session and covered by the committed local sweep. The
 # 50 slots:
@@ -89,7 +90,7 @@ def register(name: str, oracle: Optional[str] = None):
 #      rotation — the oldest promises);
 #   2. 18 late-r11 ops (A-Z among the 37 registered when the
 #      rotation was fixed).
-# r12 PLAN: front the remaining 70 late-r11 ops —
+# r12 PLAN: front the remaining 73 late-r11 ops —
 # q_agg_price_realization, q_graph_rich_club, q_seq_user_lifespan,
 # q_ts_weekend_effect, q_win_efficiency_ratio, q_llm_yule_k,
 # q_quality_order_recon, q_ts_durbin_watson, q_stats_page_trend,
@@ -105,7 +106,9 @@ def register(name: str, oracle: Optional[str] = None):
 # q_agg_nation_brand_lift, q_quality_id_ts_monotonicity,
 # q_win_opening_range, q_stats_jonckheere, q_seq_revisit_gaps,
 # q_seq_ping_pong_rate, q_win_candle_census,
-# q_quality_dim_coverage, q_ts_diurnal_entropy, plus the 29 below
+# q_quality_dim_coverage, q_ts_diurnal_entropy,
+# q_stats_fligner_policello, q_seq_habit_strength,
+# q_llm_token_len_profile, plus the 29 below
 # (q_agg_repeat_purchase, q_emb_intrinsic_dim, q_emb_pair_cosine_hist,
 # q_llm_source_dup_rate, q_seq_markov_stationary,
 # q_seq_window_funnel, q_stats_ad_uniform, q_stats_cochran_q,

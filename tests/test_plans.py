@@ -776,6 +776,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # r11: the six shared rolling moments over the densified 720-row
     # month spine (one fused Window node, the q_ts_adf_lite class)
     "q_ts_rolling_corr": 1,
+    # r11: the pooled midrank over the ≤2·|hours| two-type hourly
+    # aggregate (the q_stats_ansari_bradley class; the own-group and
+    # tie-count windows are partitioned)
+    "q_stats_fligner_policello": 1,
 }
 
 
