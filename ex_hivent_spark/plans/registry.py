@@ -125,61 +125,71 @@ def register(name: str, oracle: Optional[str] = None):
 # the sweep re-runs after the last registration, before the snapshot
 # commit. scripts/driver_sim.py re-verifies ALL queries locally every
 # round regardless of this ordering.
+# r12 ROTATION (executes the written r12 plan above verbatim): the 50
+# oldest never-driver-checked late-r11 ops lead. The remaining 23
+# (q_stats_ad_uniform, q_stats_cochran_q, q_stats_cohen_kappa,
+# q_stats_concordance_gamma, q_stats_cvm_uniform, q_stats_dixon_q,
+# q_stats_grubbs_outlier, q_stats_levene, q_stats_moods_median,
+# q_stats_theil_u, q_stats_wilcoxon_signed_rank, q_ts_ar1_backtest,
+# q_ts_diff_stationarity, q_ts_seasonal_index, q_win_ad_line,
+# q_win_choppiness, q_win_dpo, q_win_fisher_transform,
+# q_win_garman_klass, q_win_kst, q_win_parkinson_vol, q_win_rvi,
+# q_win_ultimate_osc) plus anything r12 registers form the r13 front;
+# after that the backlog is empty and the r4-latest freshness refill
+# resumes (q_agg_bitmap_rollup A-Z onward).
 DRIVER_CHECK_FIRST = [
-    # --- the 32 never-driver-checked ops (7 r10-new, 25 early-r11)
-    "q_ab_permutation_test",
-    "q_agg_cms_audit",
-    "q_llm_rrf_fusion",
-    "q_quality_uniqueness_audit",
-    "q_emb_jl_distortion",
-    "q_geo_point_in_polygon",
-    "q_join_skyline",
-    "q_stats_kendall_tau",
-    "q_stats_mcnemar",
-    "q_stats_chisq_gof",
-    "q_stats_friedman",
-    "q_stats_bartlett",
-    "q_ab_sprt_boundary",
-    "q_ts_kpss_lite",
-    "q_ts_wavelet_haar",
-    "q_ts_stl_strength",
-    "q_stats_sign_test",
-    "q_ts_matrix_profile",
-    "q_agg_mix_rate_decomp",
-    "q_win_adx",
-    "q_win_elder_ray",
-    "q_win_vortex",
-    "q_win_cmf",
-    "q_win_force_index",
-    "q_win_emv",
-    "q_win_awesome_osc",
-    "q_win_ppo",
-    "q_win_trix",
-    "q_win_coppock",
-    "q_seq_next_event_accuracy",
-    "q_llm_blocklist_rate",
-    "q_llm_position_bias",
-    # --- 18 of the 52 late-r11 never-checked ops (A-Z among the 37
-    #     registered when this rotation was fixed; the 15 registered
-    #     after it join the r12 plan above)
-    "q_ab_bootstrap_ci",
-    "q_agg_beta_capm",
-    "q_agg_daily_corr_matrix",
-    "q_agg_jackknife_variance",
-    "q_agg_price_elasticity",
-    "q_agg_sharpe_sortino",
-    "q_agg_var_es",
-    "q_emb_centroid_shift",
-    "q_emb_hamming_recall",
-    "q_emb_hubness_audit",
-    "q_graph_reciprocity",
-    "q_llm_char_class_profile",
-    "q_llm_length_gini",
-    "q_llm_token_histogram",
-    "q_llm_vocab_coverage",
-    "q_quality_enum_conformance",
-    "q_quality_freshness_lag",
-    "q_seq_conversion_latency",
+    # --- 44 late-r11 never-checked ops, in written-plan order
+    "q_agg_price_realization",
+    "q_graph_rich_club",
+    "q_seq_user_lifespan",
+    "q_ts_weekend_effect",
+    "q_win_efficiency_ratio",
+    "q_llm_yule_k",
+    "q_quality_order_recon",
+    "q_ts_durbin_watson",
+    "q_stats_page_trend",
+    "q_win_hull_ma",
+    "q_stats_ansari_bradley",
+    "q_ts_cox_stuart",
+    "q_seq_dwell_matrix",
+    "q_emb_norm_length_corr",
+    "q_agg_order_size_profile",
+    "q_ts_bartels_rank",
+    "q_ts_runs_updown",
+    "q_win_fractal_points",
+    "q_stats_bowker_symmetry",
+    "q_seq_session_stats",
+    "q_geo_dbscan_core",
+    "q_win_sma_crossover",
+    "q_quality_ship_lag_audit",
+    "q_agg_nation_trade_balance",
+    "q_llm_vocab_gini",
+    "q_ts_fano_factor",
+    "q_win_volume_profile",
+    "q_win_td_setup",
+    "q_stats_yuen_trimmed",
+    "q_ts_rolling_corr",
+    "q_stats_chi2_homogeneity",
+    "q_llm_hapax_profile",
+    "q_agg_nation_brand_lift",
+    "q_quality_id_ts_monotonicity",
+    "q_win_opening_range",
+    "q_stats_jonckheere",
+    "q_seq_revisit_gaps",
+    "q_seq_ping_pong_rate",
+    "q_win_candle_census",
+    "q_quality_dim_coverage",
+    "q_ts_diurnal_entropy",
+    "q_stats_fligner_policello",
+    "q_seq_habit_strength",
+    "q_llm_token_len_profile",
+    # --- first 6 of the trailing 29 (A-Z), filling the 50 slots
+    "q_agg_repeat_purchase",
+    "q_emb_intrinsic_dim",
+    "q_emb_pair_cosine_hist",
+    "q_llm_source_dup_rate",
+    "q_seq_markov_stationary",
+    "q_seq_window_funnel",
 ]
 
 
