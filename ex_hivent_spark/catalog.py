@@ -89,8 +89,10 @@ def clear_table_cache(spark: SparkSession | None = None) -> None:
     # Lazy import: clusters imports the registry which imports widely;
     # catalog must stay import-light for the driver's first touch.
     from ex_hivent_spark.llm.clusters import clear_labels_cache
+    from ex_hivent_spark.session_memo import clear_session_memos
 
     clear_labels_cache(spark)
+    clear_session_memos(spark)
 
 
 def ensure_session_confs(spark: SparkSession) -> SparkSession:

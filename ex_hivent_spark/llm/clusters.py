@@ -29,8 +29,12 @@ from ex_hivent_spark.plans.registry import register
 MAX_ROUNDS = 20
 
 # Memoized (doc_id, cluster_id) labels of the exact-ngram-Jaccard dup
-# graph, keyed weakly by session (the catalog._DF_CACHE pattern).
-# Four queries consume the SAME fixpoint (q_llm_dedup_clusters,
+# graph, keyed by session in a WeakKeyDictionary. NOTE: the weak keying
+# alone never evicts — the cached DataFrames strongly reference their
+# session, so entries live until clear_labels_cache() releases them
+# explicitly (catalog.clear_table_cache calls through; same contract as
+# session_memo.py). Four queries consume the SAME fixpoint
+# (q_llm_dedup_clusters,
 # q_llm_dedup_keep_best, q_llm_dedup_component_stats,
 # q_llm_cluster_source_purity) and the propagation's eager
 # localCheckpoints make each recomputation ~4-5 s of real cluster

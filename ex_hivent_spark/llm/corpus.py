@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ex_hivent_spark.catalog import load_table
-from ex_hivent_spark.llm.decontam import BENCH_MOD, NGRAM_N, word_ngrams
+from ex_hivent_spark.llm.decontam import BENCH_MOD, NGRAM_N, word_gram_frame
 from ex_hivent_spark.plans.registry import register
 
 MIN_WORDS = 20
@@ -49,10 +49,10 @@ def tagged_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Contaminated docs: share >= 1 NGRAM_N-token gram with the
     # held-out slice (doc_id % BENCH_MOD == 0). Broadcast the bench
-    # gram set; corpus grams stream map-only into the semi-match.
-    grams = d.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"))).alias("g")
-    )
+    # gram set; corpus grams stream map-only into the semi-match. The
+    # gram frame is the session-memoized one shared with
+    # q_llm_decontaminate (decontam.word_gram_frame).
+    grams = word_gram_frame(spark, sf_dir)
     bench_grams = (
         grams.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select("g")

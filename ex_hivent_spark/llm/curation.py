@@ -23,6 +23,7 @@ from ex_hivent_spark.catalog import load_table
 from ex_hivent_spark.functions.decimals import sql_davg
 from ex_hivent_spark.llm.dedup import shingles
 from ex_hivent_spark.plans.registry import register
+from ex_hivent_spark.session_memo import session_memo
 
 # Shared DuckDB CTE: per-doc distinct token-3-gram list, the string
 # twin of ``shingles()`` (the Spark side hashes each gram with xxhash64;
@@ -43,12 +44,16 @@ _SQL_GRAMS = """
 """
 
 
+@session_memo
 def _exploded_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, gram-hash) pairs, one row per distinct 3-gram per doc.
     Lazily localCheckpointed: both consumers (the per-gram aggregate and
     the join-back) read the one materialization instead of re-running
     the scan+shingle+explode per branch — the pattern proven 2x on
-    q_llm_ngram_jaccard."""
+    q_llm_ngram_jaccard. Session-memoized: q_llm_softdedup_weights and
+    q_llm_ngram_novelty consume the identical frame, so a session
+    running both pays the shingle pass once (each query still
+    standalone — first caller computes)."""
     d = load_table(spark, sf_dir, "documents")
     ex = d.select(
         "doc_id",

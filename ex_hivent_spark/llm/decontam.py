@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ex_hivent_spark.catalog import load_table
 from ex_hivent_spark.functions.letbind import let1
 from ex_hivent_spark.plans.registry import register
+from ex_hivent_spark.session_memo import session_memo
 
 # Production decontamination uses 8-13-token grams (GPT-3 used 13);
 # the synthetic corpus' near-dups only share shorter runs, so the
@@ -55,6 +56,23 @@ def word_ngrams(text: Column, n: int = NGRAM_N) -> Column:
     )
 
 
+@session_memo
+def word_gram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, g): the exploded word-NGRAM_N-gram stream over
+    documents, lazily localCheckpointed + session-memoized —
+    q_llm_decontaminate and corpus.tagged_corpus (q_llm_corpus_audit)
+    derive from the identical frame, so a session running both pays
+    the split+gram map once. Checkpoint trade: locally this stores raw
+    gram strings once and reads them twice; a 100 TB run would keep
+    the map-only streaming shape (drop the checkpoint) or hash grams
+    to 64 bits first — the consumers' join logic is unchanged either
+    way."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"))).alias("g")
+    ).localCheckpoint(eager=False)
+
+
 @register(
     "q_llm_decontaminate",
     oracle=f"""
@@ -81,10 +99,7 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 97 == 0), with the count of distinct shared grams — the
     contamination report a pretraining pipeline acts on (drop doc, or
     scrub the overlapping spans)."""
-    d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"))).alias("g")
-    )
+    grams = word_gram_frame(spark, sf_dir)
     bench = (
         grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
     )

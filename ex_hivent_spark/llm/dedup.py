@@ -22,6 +22,7 @@ from ex_hivent_spark.catalog import load_table
 from ex_hivent_spark.functions.decimals import dround, sql_dround
 from ex_hivent_spark.functions.letbind import let1
 from ex_hivent_spark.plans.registry import register
+from ex_hivent_spark.session_memo import session_memo
 
 # MinHash parameters: 16 bands x 2 rows = 32 permutations.
 N_PERM = 32
@@ -108,6 +109,69 @@ def perm_hash(shingle: Column, i: int) -> Column:
     )
 
 
+@session_memo
+def minhash_frames(spark: SparkSession, sf_dir: str):
+    """(sh, mins): the exploded (doc_id, shingle-hash) stream and the
+    32-permutation signature table, both lazily localCheckpointed and
+    session-memoized. Three queries derive from this identical pair
+    (q_llm_minhash_neardup, q_llm_minhash_error via
+    q_llm_dedup_threshold_sweep too) — shingling the text is the
+    dominant map stage, so a session running the family back-to-back
+    pays it once. Each query stays standalone: the first caller
+    computes."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Signature via explode + hash-aggregate, NOT per-row array folds:
+    # Spark's higher-order functions evaluate lambdas interpreted
+    # per-element (outside codegen), which measured ~25x slower here.
+    # Exploding shingles and taking 32 mins in one groupBy keeps every
+    # permutation hash inside whole-stage codegen, and partial (map-side)
+    # aggregation means the shuffle carries only |docs| x 32 longs.
+    sh = d.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    ).localCheckpoint(eager=False)
+    mins = sh.groupBy("doc_id").agg(
+        *[F.min(perm_hash(F.col("sh"), i)).alias(f"mh{i}") for i in range(N_PERM)]
+    ).localCheckpoint(eager=False)
+    return sh, mins
+
+
+def _lsh_candidates(mins: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from LSH banding of the
+    signature table. Band key: injective integer combination of the
+    band's minima (each < 2^31, so a*2^31 + b < 2^62) — an exact join
+    key both engines compute identically, where a hash of the pair
+    would be engine-specific. The only shuffle is by bucket key, never
+    an all-pairs product."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                (
+                    F.col(f"mh{i * ROWS_PER_BAND}") * F.lit(1 << 31)
+                    + F.col(f"mh{i * ROWS_PER_BAND + 1}")
+                ).alias("band_hash"),
+            )
+            for i in range(N_BANDS)
+        ]
+    )
+    bands = mins.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_hash"
+    )
+    left, right = bands.alias("a"), bands.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def _minhash_oracle_sql() -> str:
     """SQL twin of the FULL MinHash+LSH pipeline — md5-prefix shingle
     ints, the same 32 universal-hash minima, the same arithmetic band
@@ -170,56 +234,14 @@ def q_llm_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with every SQL engine, the 32 permutation minima are exact integer
     arithmetic, and band keys are injective integer combinations — the
     oracle reproduces the sketch's candidate set exactly.
+
+    Signature + banding come from the session-memoized
+    :func:`minhash_frames` / :func:`_lsh_candidates` (shared with the
+    sketch-audit pair) — first caller pays the shingle pass.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    # Signature via explode + hash-aggregate, NOT per-row array folds:
-    # Spark's higher-order functions evaluate lambdas interpreted
-    # per-element (outside codegen), which measured ~25x slower here.
-    # Exploding shingles and taking 32 mins in one groupBy keeps every
-    # permutation hash inside whole-stage codegen, and partial (map-side)
-    # aggregation means the shuffle carries only |docs| x 32 longs.
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
-    mins = sh.groupBy("doc_id").agg(
-        *[F.min(perm_hash(F.col("sh"), i)).alias(f"mh{i}") for i in range(N_PERM)]
-    )
-
-    # LSH: hash each band of the signature; docs sharing any band bucket
-    # become candidate pairs.
-    # Band key: injective integer combination of the band's minima
-    # (each < 2^31, so a*2^31 + b < 2^62) — an exact join key both
-    # engines compute identically, where a hash of the pair would be
-    # engine-specific.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                (
-                    F.col(f"mh{i * ROWS_PER_BAND}") * F.lit(1 << 31)
-                    + F.col(f"mh{i * ROWS_PER_BAND + 1}")
-                ).alias("band_hash"),
-            )
-            for i in range(N_BANDS)
-        ]
-    )
-    bands = (
-        mins.select("doc_id", F.explode(band_structs).alias("b"))
-        .select("doc_id", "b.band_id", "b.band_hash")
-    )
-    left = bands.alias("a")
-    right = bands.alias("b")
-    candidates = (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    _, mins = minhash_frames(spark, sf_dir)
+    candidates = _lsh_candidates(mins)
 
     # Exact verification: token-set Jaccard on the candidate pairs only.
     # Lazy-checkpointed: both sides of the candidate join read it.
@@ -719,57 +741,18 @@ def q_llm_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen threshold.
 
     Plan: the same explode + 32-codegen-minima aggregate and banded
-    equi-join as q_llm_minhash_neardup (signature table reused via one
-    lazy localCheckpoint feeding bands AND both estimate join-backs);
-    exact Jaccard adds two narrow (doc_id -> shingle-hash-array) joins
-    on the candidates only. Everything the audit shuffles is ids +
-    fixed-width signatures. Determinism: agreement counts are integer;
-    both ratios are single exact divisions; abs_err is IEEE on
-    identically derived doubles — fully hash-checked, no tolerance."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # ONE shingle explode feeds both aggregates (signature minima AND
-    # the exact shingle sets) — shingling the text is the expensive map
-    # stage, so computing it once and checkpointing the narrow
-    # (doc_id, hash) stream halves the scan work vs re-deriving sets
-    # from text.
-    sh = d.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
-    ).localCheckpoint(eager=False)
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(perm_hash(F.col("sh"), i)).alias(f"mh{i}")
-            for i in range(N_PERM)
-        ]
-    ).localCheckpoint(eager=False)
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                (
-                    F.col(f"mh{i * ROWS_PER_BAND}") * F.lit(1 << 31)
-                    + F.col(f"mh{i * ROWS_PER_BAND + 1}")
-                ).alias("band_hash"),
-            )
-            for i in range(N_BANDS)
-        ]
-    )
-    bands = mins.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band_id", "b.band_hash"
-    )
-    left, right = bands.alias("a"), bands.alias("b")
-    candidates = (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    equi-join as q_llm_minhash_neardup — literally the same frames, via
+    the session-memoized :func:`minhash_frames` (ONE shingle explode
+    feeds the signature minima AND the exact shingle sets; shingling
+    the text is the expensive map stage, so the family pays it once
+    per session). Exact Jaccard adds two narrow
+    (doc_id -> shingle-hash-array) joins on the candidates only.
+    Everything the audit shuffles is ids + fixed-width signatures.
+    Determinism: agreement counts are integer; both ratios are single
+    exact divisions; abs_err is IEEE on identically derived doubles —
+    fully hash-checked, no tolerance."""
+    sh, mins = minhash_frames(spark, sf_dir)
+    candidates = _lsh_candidates(mins)
 
     ma = mins.select(
         F.col("doc_id").alias("doc_a"),

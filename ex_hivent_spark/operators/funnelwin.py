@@ -85,8 +85,20 @@ def q_seq_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-funnel level histogram: per user, the deepest strictly
     ordered signup→click→purchase prefix completed within 7 days of
     the FIRST signup (each step strictly after the previous, all
-    inside the window — the ClickHouse windowFunnel contract), then
-    the user count and share at each level 0–3.
+    inside the window), then the user count and share at each level
+    0–3.
+
+    Deliberate deviation from ClickHouse windowFunnel: this anchors
+    each user's chain at the FIRST signup only (greedy earliest-step
+    matching from there), whereas windowFunnel considers EVERY cond-1
+    event as a potential chain start and reports the max level over
+    all starts — a user whose second signup leads the only complete
+    chain is under-leveled here. First-anchor is the common product
+    question ("did the user convert within 7 days of signing up?")
+    and keeps the plan at three conditional user-grain aggregates; a
+    per-signup-anchored variant needs the signup-set × step interval
+    join (q_join_interval_attribution's shape) plus a max-level
+    reduce. The oracle applies the identical first-anchor rule.
 
     Plan: three conditional user-grain hash aggregates, each joined
     user-keyed onto the previous level (aggregate-sized sides — never

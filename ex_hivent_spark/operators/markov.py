@@ -105,13 +105,35 @@ def q_seq_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (entry/exit states) rather than recurrent.
 
     Plan: one per-user lead window + hash aggregate collapses the
-    stream to the ≤ |types|² matrix; each of the 8 fixed steps is a
-    broadcast vector⋈matrix join over ≤ |types| rows — iteration cost
-    is data-volume invariant (the q_llm_graph_pagerank discipline).
-    Determinism: matrix entries are exact count divisions; per-step
-    products are e12-rounded before decimal(38,12) sums and the
-    vector re-rounds at e6, so both engines walk the identical
-    trajectory; closings are e6-rounded."""
+    stream to the ≤ |types|² transition-count matrix — that part is
+    the 100 TB work and stays fully distributed. The matrix itself is
+    then COLLECTED (bounded by construction: |event types|² rows,
+    ~25 here — the repo's ≤16-row-codebook precedent) and the 8 power
+    steps run driver-side as exact scalar arithmetic: distributing 8
+    joins over a ≤|types|-row vector was pure per-stage overhead
+    (r11 anchor: 3.4x the oracle at sf0.1; the iteration is
+    data-volume invariant either way).
+
+    Determinism: the driver loop replicates the engines' rounded
+    trajectory BIT-EXACTLY — matrix entries are single correctly-
+    rounded double divisions (Python's int/int matches), per-step
+    products are e12-rounded (floor(x*1e12+0.5) is exact integer
+    arithmetic below 2^53), summed as exact integers (the
+    decimal(38,12) sum's integer core), cast back via one correctly-
+    rounded division, and the vector re-rounds at e6 — the identical
+    trajectory the chained-CTE oracle walks.
+
+    Semantics note (deliberate truncation): states that appear only
+    as a SUCCESSOR (no outgoing transitions → no P row) absorb mass
+    that the next vector⋈matrix step then drops, so pi_stat need not
+    sum to 1 when sink states exist — it is the distribution over
+    RECURRENT (outgoing-capable) states under absorbing-state
+    truncation, not a renormalized proper distribution. The oracle
+    applies the identical truncation; renormalizing would hide how
+    much mass drains into sinks, which the gap column is there to
+    show."""
+    import math
+
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -122,46 +144,44 @@ def q_seq_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("nxt").isNotNull())
         .groupBy("cur", "nxt")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
-        .localCheckpoint(eager=False)  # matrix + marginals: one pass
     )
-    outs = pairs.groupBy("cur").agg(
-        F.sum("n_trans").cast("bigint").alias("n_out")
-    ).localCheckpoint(eager=False)  # shared by p, k, s0, emp
-    p = pairs.join(F.broadcast(outs), "cur").select(
-        "cur",
-        "nxt",
-        (F.col("n_trans").cast("double") / F.col("n_out")).alias("p_cond"),
-    ).localCheckpoint(eager=False)  # reused by all 8 steps
-    k = outs.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
-    pi = outs.crossJoin(F.broadcast(k)).select(
-        F.col("cur").alias("state"), (1.0 / F.col("k")).alias("pi")
-    )
+    rows = pairs.collect()  # ≤ |event types|² rows — bounded
+
+    n_out: dict[str, int] = {}
+    for r in rows:
+        n_out[r["cur"]] = n_out.get(r["cur"], 0) + r["n_trans"]
+    p = {
+        (r["cur"], r["nxt"]): r["n_trans"] / n_out[r["cur"]] for r in rows
+    }
+    k = len(n_out)
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    pi = {s: 1.0 / k for s in n_out}
     for _ in range(_POWER_STEPS):
-        pi = (
-            pi.join(F.broadcast(p), pi["state"] == p["cur"])
-            .groupBy(F.col("nxt").alias("state"))
-            .agg(
-                dround(
-                    F.sum(
-                        dround(F.col("pi") * F.col("p_cond"), 12).cast(
-                            "decimal(38,12)"
-                        )
-                    ).cast("double"),
-                    6,
-                ).alias("pi")
-            )
+        acc: dict[str, int] = {}  # nxt -> exact sum of e12 units
+        for (cur, nxt), pc in p.items():
+            if cur in pi:
+                t = pi[cur] * pc
+                acc[nxt] = acc.get(nxt, 0) + int(
+                    math.floor(t * 1e12 + 0.5)
+                )
+        pi = {s: r6(v / 10**12) for s, v in acc.items()}
+
+    total = sum(n_out.values())
+    out_rows = [
+        (
+            s,
+            r6(pi[s]),
+            r6(n_out[s] / total),
+            r6(abs(pi[s] - n_out[s] / total)),
         )
-    tot = outs.agg(F.sum("n_out").cast("bigint").alias("n"))
-    emp = outs.crossJoin(F.broadcast(tot)).select(
-        F.col("cur").alias("state"),
-        (F.col("n_out").cast("double") / F.col("n")).alias("pi_emp"),
-    )
-    j = pi.join(emp, "state")
-    return j.select(
-        "state",
-        dround(F.col("pi"), 6).alias("pi_stat"),
-        dround(F.col("pi_emp"), 6).alias("pi_emp"),
-        dround(F.abs(F.col("pi") - F.col("pi_emp")), 6).alias("gap"),
+        for s in n_out
+        if s in pi
+    ]
+    return spark.createDataFrame(
+        out_rows, "state string, pi_stat double, pi_emp double, gap double"
     )
 
 

@@ -5,10 +5,13 @@ supplies) and compare each oracle-backed query against DuckDB on the
 same parquet.
 
 Usage: python scripts/driver_sim.py [sf_dir] [--out results.json]
+                                    [--only q_a,q_b,...]
 (default sf_dir sf0.01). Exit code 0 iff every query passes its check.
 With --out, writes a per-query JSON record in the driver's CORRECTNESS
 format — committed per round as CORRECTNESS_LOCAL.json, the full-
-inventory complement to the driver's first-50 record.
+inventory complement to the driver's first-50 record. With --only,
+checks just the named queries (comma-separated, or repeated flags) —
+the per-op iteration loop without a full-registry sweep.
 """
 
 from __future__ import annotations
@@ -52,6 +55,11 @@ def main() -> int:
         i = args.index("--out")
         out_path = args[i + 1]
         del args[i : i + 2]
+    only: set[str] = set()
+    while "--only" in args:
+        i = args.index("--only")
+        only.update(q for q in args[i + 1].split(",") if q)
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import duckdb
@@ -67,11 +75,18 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    n_entry = len(entry.entry(spark).collect())
-    print(f"entry rows: {n_entry}")
-    assert n_entry > 0
+    if not only:
+        n_entry = len(entry.entry(spark).collect())
+        print(f"entry rows: {n_entry}")
+        assert n_entry > 0
 
     queries, oracles = entry.queries(), entry.oracle_sql()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown --only queries: {sorted(unknown)}")
+            return 2
+        queries = {n: q for n, q in queries.items() if n in only}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
