@@ -589,3 +589,165 @@ def q_llm_token_len_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_len"
         ),
     )
+
+
+# Burrows' Delta panel size: the K most frequent corpus terms
+# (classic stylometry uses 30-150 MFW; 20 keeps the per-pair panel
+# trivially broadcastable at any corpus scale).
+_DELTA_TOP_K = 20
+
+
+@register(
+    "q_llm_burrows_delta",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    stot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tok
+      FROM toks GROUP BY source
+    ),
+    tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, term
+    ),
+    top AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY sum(c) DESC, term) AS rn
+        FROM tf GROUP BY term
+      ) WHERE rn <= {_DELTA_TOP_K}
+    ),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM stot),
+    f AS (
+      SELECT s.source, t.term,
+             {sql_dround(
+                 "coalesce(tf.c, 0) * 1000000.0 / s.n_tok", 6)} AS fr
+      FROM stot s CROSS JOIN top t
+      LEFT JOIN tf ON tf.source = s.source AND tf.term = t.term
+    ),
+    mo AS (
+      SELECT term,
+             CAST(sum(CAST(fr AS DECIMAL(25,6))) AS DOUBLE) AS sf,
+             CAST(sum(CAST({sql_dround("fr * fr", 6)}
+                           AS DECIMAL(38,6))) AS DOUBLE) AS sff
+      FROM f GROUP BY term
+    ),
+    z AS (
+      SELECT f.source, f.term,
+             CASE WHEN (mo.sff - mo.sf * mo.sf / ns.k) / ns.k <= 0
+                  THEN 0.0
+                  ELSE {sql_dround(
+                      "(f.fr - mo.sf / ns.k) / ("
+                      + sql_dround(
+                          "sqrt((mo.sff - mo.sf * mo.sf / ns.k) / ns.k)",
+                          6) + ")", 6)}
+             END AS z
+      FROM f JOIN mo USING (term) CROSS JOIN ns
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           {sql_dround(
+               "CAST(sum(CAST(" + sql_dround("abs(a.z - b.z)", 6)
+               + f" AS DECIMAL(25,6))) AS DOUBLE) / {_DELTA_TOP_K}",
+               6)} AS delta
+    FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_llm_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair:
+    for the {_DELTA_TOP_K} most frequent corpus terms, each source's
+    term rate (per million tokens) is z-scored across sources, and
+    Δ(a,b) = mean |z_a − z_b| over the panel — THE authorship /
+    style-drift measure (two crawls of the same template family score
+    near 0; a source whose function-word profile diverges stands
+    out). Complements the content-level q_llm_jsd_sources (JSD reads
+    topic mix; Delta reads style via the most-COMMON words).
+
+    Plan: one token explode feeds the per-source totals, the
+    per-(source, term) counts, and the top-K pick (row_number over a
+    |vocab|-row aggregate); the z panel is |sources|×K rows — tiny at
+    any scale — and the pair join is over the K-row term key with an
+    a<b filter (|sources|² pairs of scalars, never documents).
+    Determinism: rates are e6-rounded per-million ratios (integer
+    counts / integer totals); the cross-source moment sums ride the
+    decimal detour; the population sd e6-rounds its sqrt; a
+    zero-variance term contributes z = 0 on both sides (documented
+    degenerate branch); the final mean divides by the K literal and
+    e6-rounds."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    stot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    tf = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)  # feeds top-K and the rate panel
+    wk = Window.orderBy(F.col("tc").desc(), "term")
+    top = (
+        tf.groupBy("term")
+        .agg(F.sum("c").cast("bigint").alias("tc"))
+        .select("term", F.row_number().over(wk).alias("rn"))
+        .filter(F.col("rn") <= _DELTA_TOP_K)
+        .select("term")
+    )
+    ns = stot.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    f = (
+        stot.crossJoin(F.broadcast(top))
+        .join(tf, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            dround(
+                F.coalesce(F.col("c"), F.lit(0)) * 1000000.0
+                / F.col("n_tok"),
+                6,
+            ).alias("fr"),
+        )
+    )
+    mo = f.groupBy("term").agg(
+        F.sum(F.col("fr").cast("decimal(25,6)")).cast("double").alias("sf"),
+        F.sum(dround(F.col("fr") * F.col("fr"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sff"),
+    )
+    var = (F.col("sff") - F.col("sf") * F.col("sf") / F.col("k")) / F.col(
+        "k"
+    )
+    z = (
+        f.join(F.broadcast(mo), "term")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "term",
+            F.when(var <= 0, F.lit(0.0))
+            .otherwise(
+                dround(
+                    (F.col("fr") - F.col("sf") / F.col("k"))
+                    / dround(F.sqrt(var), 6),
+                    6,
+                )
+            )
+            .alias("z"),
+        )
+    )
+    za = z.select(
+        F.col("source").alias("source_a"), "term", F.col("z").alias("za")
+    )
+    zb = z.select(
+        F.col("source").alias("source_b"), "term", F.col("z").alias("zb")
+    )
+    pairs = za.join(zb, "term").filter(F.col("source_a") < F.col("source_b"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        dround(
+            F.sum(
+                dround(F.abs(F.col("za") - F.col("zb")), 6).cast(
+                    "decimal(25,6)"
+                )
+            ).cast("double")
+            / _DELTA_TOP_K,
+            6,
+        ).alias("delta")
+    )

@@ -603,3 +603,96 @@ def q_seq_habit_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_share"
         ),
     )
+
+
+@register(
+    "q_seq_interevent_burstiness",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000
+             - lag(epoch_us(ts) // 1000000)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             CAST(count(gap) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS sg,
+             CAST(sum(gap * gap) AS BIGINT) AS sgg
+      FROM seq WHERE gap IS NOT NULL GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id, n_gaps,
+             CAST(sg AS DOUBLE) / n_gaps AS mu,
+             {sql_dround(
+                 "sqrt((CAST(sgg AS DOUBLE)"
+                 " - CAST(sg AS DOUBLE) * sg / n_gaps) / n_gaps)", 6,
+             )} AS sigma
+      FROM g WHERE n_gaps >= 3
+    )
+    SELECT user_id, n_gaps,
+           {sql_dround("mu", 6)} AS mean_gap_s,
+           sigma AS sd_gap_s,
+           CASE WHEN sigma + mu = 0 THEN 0.0
+                ELSE {sql_dround("(sigma - mu) / (sigma + mu)", 6)}
+           END AS burstiness
+    FROM s
+    """,
+)
+def q_seq_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási inter-event burstiness per user:
+    B = (σ − μ)/(σ + μ) over the user's inter-event gaps (seconds,
+    (ts, event_id) total order), for users with ≥ 3 gaps. B → −1 for
+    clockwork-regular activity, 0 for a Poisson user, → +1 for
+    extreme bursts — the per-ENTITY arrival-pattern classifier next
+    to q_ts_fano_factor's per-series dispersion (same question,
+    different grain: Fano profiles the aggregate stream, B profiles
+    each user).
+
+    Plan: one per-user lag window (user-partitioned — distributed),
+    one hash aggregate to (n, Σg, Σg²) — all exact int64 (gaps fit a
+    month in seconds, squares ≤ ~7e12, sums exact) — then per-row
+    closings. Determinism: timestamps floor to WHOLE seconds via
+    integer division of exact microseconds on BOTH sides (DuckDB's
+    epoch() keeps fractional µs where Spark's unix_timestamp
+    truncates — the gap grid must agree before any squaring); μ and
+    the variance are deterministic double arithmetic ON exact
+    integers; σ e6-rounds its sqrt (libm); B is computed from the
+    rounded σ identically on both sides; the degenerate all-zero-gap
+    user (σ = μ = 0) takes the documented 0.0 branch (regularity
+    convention)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    seq = e.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    g = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sgg"),
+    ).filter(F.col("n_gaps") >= 3)
+    n = F.col("n_gaps")
+    mu = F.col("sg").cast("double") / n
+    var = (
+        F.col("sgg").cast("double")
+        - F.col("sg").cast("double") * F.col("sg") / n
+    ) / n
+    s = g.select(
+        "user_id",
+        "n_gaps",
+        mu.alias("mu"),
+        dround(F.sqrt(var), 6).alias("sigma"),
+    )
+    sig, m = F.col("sigma"), F.col("mu")
+    return s.select(
+        "user_id",
+        "n_gaps",
+        dround(m, 6).alias("mean_gap_s"),
+        sig.alias("sd_gap_s"),
+        F.when(sig + m == 0, F.lit(0.0))
+        .otherwise(dround((sig - m) / (sig + m), 6))
+        .alias("burstiness"),
+    )

@@ -2487,3 +2487,149 @@ def q_ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("partial_r"),
     )
+
+
+@register(
+    "q_ts_arch_lm",
+    oracle=f"""
+    WITH daily AS (
+      SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+    ),
+    r AS (
+      SELECT rf, day,
+             {sql_dround(
+                 "ln(rev / lag(rev) OVER (PARTITION BY rf ORDER BY day))",
+                 6,
+             )} AS ret
+      FROM daily
+    ),
+    m AS (
+      SELECT rf,
+             CAST(sum(CAST(ret AS DECIMAL(25,6))) AS DOUBLE)
+               / count(ret) AS mr
+      FROM r WHERE ret IS NOT NULL GROUP BY rf
+    ),
+    sq AS (
+      SELECT r.rf, r.day,
+             {sql_dround(
+                 "(" + sql_dround("r.ret - m.mr", 6) + ")"
+                 " * (" + sql_dround("r.ret - m.mr", 6) + ")", 12,
+             )} AS y
+      FROM r JOIN m ON r.rf = m.rf WHERE r.ret IS NOT NULL
+    ),
+    lagged AS (
+      SELECT rf, y,
+             lag(y) OVER (PARTITION BY rf ORDER BY day) AS x
+      FROM sq
+    ),
+    s AS (
+      SELECT rf,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST({sql_dround("x * y", 12)}
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST({sql_dround("x * x", 12)}
+                           AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST({sql_dround("y * y", 12)}
+                           AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM lagged WHERE x IS NOT NULL GROUP BY rf
+    )
+    SELECT rf AS l_returnflag, n AS n_obs,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0
+                THEN NULL
+                ELSE {sql_dround(
+                    "(n * sxy - sx * sy) * (n * sxy - sx * sy)"
+                    " / ((n * sxx - sx * sx) * (n * syy - sy * sy))",
+                    6)}
+           END AS r2,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0
+                THEN NULL
+                ELSE {sql_dround(
+                    "n * ((n * sxy - sx * sy) * (n * sxy - sx * sy)"
+                    " / ((n * sxx - sx * sx) * (n * syy - sy * sy)))",
+                    6)}
+           END AS lm_stat
+    FROM s
+    """,
+)
+def q_ts_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH LM test (lag 1, lite) on the daily revenue
+    log-return series per return flag: regress today's squared
+    demeaned return on yesterday's; LM = n·R² ~ χ²(1) under no-ARCH.
+    A significant LM says volatility CLUSTERS — variance forecasting
+    (GARCH, vol targeting) has signal to work with — the conditional-
+    heteroskedasticity companion to q_ts_log_returns' unconditional
+    realized vol and q_ts_ljung_box's autocorrelation-in-levels.
+
+    Plan: one hash aggregate to the daily grain, two lag windows per
+    flag over |days| rows, one per-flag moment aggregate, one-row
+    closing per flag — time-grain bounded throughout. Determinism:
+    returns e6-round their ln; the demeaned square is e12-rounded
+    (mean is decimal-sum/count); the five regression moments are
+    e12-rounded per row and ride decimal(38,12); the degenerate
+    zero-variance denominator takes the NULL branch identically; R²
+    and LM e6-round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("day")
+    r = daily.select(
+        "l_returnflag",
+        "day",
+        dround(F.log(F.col("rev") / F.lag("rev").over(w)), 6).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    m = r.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.col("ret").cast("decimal(25,6)")).cast("double")
+            / F.count("ret")
+        ).alias("mr")
+    )
+    a = dround(F.col("ret") - F.col("mr"), 6)
+    sq = r.join(F.broadcast(m), "l_returnflag").select(
+        "l_returnflag", "day", dround(a * a, 12).alias("y")
+    )
+    lagged = sq.select(
+        "l_returnflag",
+        "y",
+        F.lag("y").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    d12 = "decimal(38,12)"
+    s = lagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(d12)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d12)).cast("double").alias("sy"),
+        F.sum(dround(F.col("x") * F.col("y"), 12).cast(d12))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(dround(F.col("x") * F.col("x"), 12).cast(d12))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(dround(F.col("y") * F.col("y"), 12).cast(d12))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r2 = num * num / (dx * dy)
+    return s.select(
+        "l_returnflag",
+        n.alias("n_obs"),
+        F.when(dx * dy <= 0, F.lit(None).cast("double"))
+        .otherwise(dround(r2, 6))
+        .alias("r2"),
+        F.when(dx * dy <= 0, F.lit(None).cast("double"))
+        .otherwise(dround(n * r2, 6))
+        .alias("lm_stat"),
+    )

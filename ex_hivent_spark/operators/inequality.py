@@ -1,0 +1,217 @@
+"""Income-inequality indices over per-customer spend, by nation: the
+Theil T index (the entropy-based inequality measure that decomposes
+additively between/within groups) and the Atkinson index at ε=1 (the
+welfare-normative measure 1 − geomean/mean) — the two standard
+complements to the Gini/Lorenz pair already in operators/drift.py
+(different axiomatics: Theil is decomposable, Atkinson carries an
+explicit inequality-aversion parameter, Gini is rank-based).
+
+Both consume the same per-customer total-spend frame (one hash
+aggregate of orders + two dimension joins), session-memoized via
+ex_hivent_spark.session_memo — first caller pays, the pair shares.
+
+Scale shape: orders collapse to |customers| rows in one partial-
+aggregated shuffle; nation joins broadcast (25 rows); the index
+closings are per-nation hash aggregates. Magnitude discipline: sums
+stay per-nation (≤ ~1.5e9 at scale 6 — inside the 2^53 unscaled-
+decimal bound the global sum would breach at sf0.1+).
+
+Determinism: per-customer spend is a decimal-detour sum; each ln/exp
+(libm) is e6-rounded on both sides (the q_agg_geometric_mean
+convention); ratios are single IEEE divisions of deterministic
+doubles; every computed double is e6-rounded before decimal
+re-aggregation.
+
+Reference parity note: the reference engine (an Elixir event-transport
+client, SURVEY.md §0) has no analytics surface; these derive from the
+driver's analytics mandate and the standard inequality-measurement
+literature (Theil 1967; Atkinson 1970).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround, sql_dround
+from ex_hivent_spark.plans.registry import register
+from ex_hivent_spark.session_memo import session_memo
+
+# Shared DuckDB CTE: per-customer spend tagged with nation name.
+_SQL_SPEND = """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+      SELECT n.n_name AS nation, s.x
+      FROM spend s
+      JOIN customer c ON c.c_custkey = s.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    g AS (
+      SELECT nation,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx
+      FROM j GROUP BY nation
+    )
+"""
+
+
+@session_memo
+def _nation_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, x): per-customer total spend with nation name, lazily
+    localCheckpointed + session-memoized — both inequality indices
+    derive from the identical frame. Customers with no orders are
+    excluded (spend is undefined, and x > 0 holds for every included
+    row since o_totalprice > 0 — the ln() domain guard)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    return (
+        spend.join(
+            customer.select("c_custkey", "c_nationkey"),
+            spend["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "x")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _nation_sums(j: DataFrame) -> DataFrame:
+    """Per-nation (n_customers, sx) totals of the spend frame."""
+    return j.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("x").cast("decimal(25,6)")).cast("double").alias("sx"),
+    )
+
+
+@register(
+    "q_agg_theil_index",
+    oracle=_SQL_SPEND
+    + f""",
+    terms AS (
+      SELECT j.nation,
+             {sql_dround(
+                 "(j.x / (g.sx / g.n_customers))"
+                 " * (" + sql_dround(
+                     "ln(j.x / (g.sx / g.n_customers))", 6) + ")", 6,
+             )} AS term
+      FROM j JOIN g USING (nation)
+    )
+    SELECT g.nation, g.n_customers,
+           {sql_dround("g.sx / g.n_customers", 6)} AS mean_spend,
+           {sql_dround(
+               "CAST(sum(CAST(t.term AS DECIMAL(25,6))) AS DOUBLE)"
+               " / g.n_customers", 6,
+           )} AS theil_t
+    FROM terms t JOIN g USING (nation)
+    GROUP BY g.nation, g.n_customers, g.sx
+    """,
+)
+def q_agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of customer-spend inequality within each nation:
+    T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ) over purchasing customers — 0 when
+    every customer spends the same, ln(n) at maximal concentration.
+    The decomposable companion to q_agg_gini_concentration: unlike
+    Gini, per-group Theils aggregate exactly into a total (between +
+    within), which is why mix-shift analyses prefer it.
+
+    Plan: one partial-aggregated customer rollup, broadcast nation
+    join, a 25-row per-nation totals frame joined back broadcast-size,
+    one closing aggregate. Determinism: spend and per-nation sums ride
+    the decimal detour; x/μ is a single IEEE division; ln is
+    e6-rounded per row (geometric-mean convention); the term product
+    is e6-rounded before its decimal sum; the closing mean divides by
+    an exact count and e6-rounds."""
+    j = _nation_spend(spark, sf_dir)
+    g = _nation_sums(j)
+    mu = F.col("sx") / F.col("n_customers")
+    r = F.col("x") / mu
+    terms = j.join(F.broadcast(g), "nation").select(
+        "nation",
+        dround(r * dround(F.log(r), 6), 6).alias("term"),
+    )
+    return (
+        terms.groupBy("nation")
+        .agg(
+            F.sum(F.col("term").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sterm")
+        )
+        .join(F.broadcast(g), "nation")
+        .select(
+            "nation",
+            "n_customers",
+            dround(mu, 6).alias("mean_spend"),
+            dround(F.col("sterm") / F.col("n_customers"), 6).alias(
+                "theil_t"
+            ),
+        )
+    )
+
+
+@register(
+    "q_agg_atkinson_index",
+    oracle=_SQL_SPEND
+    + f""",
+    lx AS (
+      SELECT nation, {sql_dround("ln(x)", 6)} AS lx FROM j
+    ),
+    la AS (
+      SELECT nation,
+             CAST(sum(CAST(lx AS DECIMAL(25,6))) AS DOUBLE) AS slx
+      FROM lx GROUP BY nation
+    )
+    SELECT g.nation, g.n_customers,
+           {sql_dround("g.sx / g.n_customers", 6)} AS mean_spend,
+           {sql_dround("exp(" + sql_dround("la.slx / g.n_customers", 6)
+                       + ")", 6)} AS geo_mean_spend,
+           {sql_dround(
+               "1.0 - (" + sql_dround(
+                   "exp(" + sql_dround("la.slx / g.n_customers", 6) + ")",
+                   6) + ") / (g.sx / g.n_customers)", 6,
+           )} AS atkinson_1
+    FROM g JOIN la USING (nation)
+    """,
+)
+def q_agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index at aversion ε=1 for customer spend
+    within each nation: A₁ = 1 − geomean(x)/mean(x) — the share of
+    total spend society would give up to equalize, under log utility.
+    0 for perfect equality, →1 as concentration grows; reported next
+    to both means so the geometric/arithmetic gap is auditable.
+
+    Plan: the session-memoized spend frame shared with
+    q_agg_theil_index, one log map, two per-nation hash aggregates.
+    Determinism: ln and the closing exp are e6-rounded (libm
+    convention); log sums ride the decimal detour; x > 0 for every
+    row by construction (o_totalprice > 0)."""
+    j = _nation_spend(spark, sf_dir)
+    g = _nation_sums(j)
+    la = (
+        j.select("nation", dround(F.log("x"), 6).alias("lx"))
+        .groupBy("nation")
+        .agg(
+            F.sum(F.col("lx").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("slx")
+        )
+    )
+    mu = F.col("sx") / F.col("n_customers")
+    geo = dround(F.exp(dround(F.col("slx") / F.col("n_customers"), 6)), 6)
+    return g.join(la, "nation").select(
+        "nation",
+        "n_customers",
+        dround(mu, 6).alias("mean_spend"),
+        geo.alias("geo_mean_spend"),
+        dround(1.0 - geo / mu, 6).alias("atkinson_1"),
+    )

@@ -1257,3 +1257,174 @@ def q_stats_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround((j - ej) / dround(F.sqrt(vj), 6), 6))
         .alias("z"),
     )
+
+
+@register(
+    "q_stats_ttest_paired",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id,
+             CASE WHEN epoch(ts) < {_MID_TS} THEN 1 ELSE 2 END AS half,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sv,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT user_id,
+             max(CASE WHEN half = 1 THEN sv / c END) AS m1,
+             max(CASE WHEN half = 2 THEN sv / c END) AS m2
+      FROM per GROUP BY user_id
+    ),
+    d AS (
+      SELECT {sql_dround("m2 - m1", 6)} AS d
+      FROM pairs WHERE m1 IS NOT NULL AND m2 IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(d AS DECIMAL(25,6))) AS DOUBLE) AS sd,
+             CAST(sum(CAST({sql_dround("d * d", 6)} AS DECIMAL(25,6)))
+                  AS DOUBLE) AS sdd
+      FROM d
+    )
+    SELECT n AS n_pairs,
+           {sql_dround("sd / n", 6)} AS mean_diff,
+           {sql_dround(
+               "sqrt((sdd - sd * sd / n) / (n - 1))", 6)} AS sd_diff,
+           CASE WHEN (sdd - sd * sd / n) / (n - 1) <= 0 THEN NULL
+                ELSE {sql_dround(
+                    "(sd / n) / sqrt((sdd - sd * sd / n) / (n - 1) / n)",
+                    6)}
+           END AS t_stat
+    FROM agg
+    """,
+)
+def q_stats_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test on per-user mean event value, first month-half vs
+    second (the same _MID_TS split McNemar uses for proportions, here
+    for means): d_u = mean2(u) − mean1(u) over users active in BOTH
+    halves, t = mean(d) / (sd(d)/√n). THE pre/post test of an
+    experimentation platform when each user is their own control —
+    pairing removes between-user variance that q_agg_welch_ttest's
+    independent-samples form must carry.
+
+    Plan: one (user, half) hash aggregate over the stream (partial
+    combine; |users|×2 rows out), a per-user pivot via conditional
+    max, one closing aggregate — traffic-invariant after the first
+    shuffle. Determinism: per-user means are decimal-sum/count; d is
+    e6-rounded, d² e6-rounded, both decimal-summed (magnitudes
+    ≤ ~5e8 at scale 6 — inside the 2^53 bound); sqrt on identical
+    doubles is correctly rounded; a non-positive variance (all d
+    equal) takes the NULL branch on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    half = F.when(F.unix_timestamp("ts") < _MID_TS, 1).otherwise(2)
+    per = e.groupBy("user_id", half.alias("half")).agg(
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sv"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    m = F.col("sv") / F.col("c")
+    pairs = per.groupBy("user_id").agg(
+        F.max(F.when(F.col("half") == 1, m)).alias("m1"),
+        F.max(F.when(F.col("half") == 2, m)).alias("m2"),
+    )
+    d = (
+        pairs.filter(F.col("m1").isNotNull() & F.col("m2").isNotNull())
+        .select(dround(F.col("m2") - F.col("m1"), 6).alias("d"))
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("d").cast("decimal(25,6)")).cast("double").alias("sd"),
+        F.sum(dround(F.col("d") * F.col("d"), 6).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sdd"),
+    )
+    n, sd, sdd = F.col("n"), F.col("sd"), F.col("sdd")
+    var = (sdd - sd * sd / n) / (n - 1)
+    return agg.select(
+        n.alias("n_pairs"),
+        dround(sd / n, 6).alias("mean_diff"),
+        dround(F.sqrt(var), 6).alias("sd_diff"),
+        F.when(var <= 0, F.lit(None).cast("double"))
+        .otherwise(dround((sd / n) / F.sqrt(var / n), 6))
+        .alias("t_stat"),
+    )
+
+
+@register(
+    "q_stats_f_test_variance",
+    oracle=f"""
+    WITH g AS (
+      SELECT l_returnflag AS rf,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS sx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+      GROUP BY l_returnflag
+    ),
+    w AS (
+      SELECT r.n AS n1,
+             (r.sxx - r.sx * r.sx / r.n) / (r.n - 1) AS s1,
+             a.n AS n2,
+             (a.sxx - a.sx * a.sx / a.n) / (a.n - 1) AS s2
+      FROM (SELECT * FROM g WHERE rf = 'R') r
+      CROSS JOIN (SELECT * FROM g WHERE rf = 'A') a
+    )
+    SELECT n1, n2,
+           CAST(n1 - 1 AS BIGINT) AS df1,
+           CAST(n2 - 1 AS BIGINT) AS df2,
+           CASE WHEN s2 <= 0 THEN NULL
+                ELSE {sql_dround("s1 / s2", 6)} END AS f_stat
+    FROM w
+    """,
+)
+def q_stats_f_test_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample F test of equal variance on l_extendedprice between
+    returned ('R') and acknowledged ('A') line items — the classical
+    variance-ratio F = s²_R / s²_A with its degrees of freedom,
+    exactly the pair q_agg_welch_ttest compares means for; running
+    both is the standard location+scale read of a segmentation.
+
+    Plan: one conditional hash aggregate (two groups), a 2-row
+    reshape, a single-row closing — entirely partial-aggregated,
+    traffic-invariant. Determinism: moment sums ride the welch-proven
+    decimal(25,6)/(38,6) detour; the RAW variances are deliberately
+    NOT emitted — their ~9e8 magnitude sits past the 2^53 unscaled-
+    decimal bound where DuckDB's decimal→double cast double-rounds
+    (±~1.5e-6 absolute on the variance, which flips any e6 grid), but
+    the F RATIO carries only ~1e-16 RELATIVE drift and e6-rounds
+    identically; a degenerate zero denominator takes the NULL branch
+    on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    g = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .groupBy(F.col("l_returnflag").alias("rf"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(x.cast("decimal(25,6)")).cast("double").alias("sx"),
+            F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        )
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    gg = g.select("rf", "n", var.alias("s2"))
+    r = gg.filter(F.col("rf") == "R").select(
+        F.col("n").alias("n1"), F.col("s2").alias("s1")
+    )
+    a = gg.filter(F.col("rf") == "A").select(
+        F.col("n").alias("n2"), F.col("s2").alias("s2")
+    )
+    w = r.crossJoin(F.broadcast(a))
+    return w.select(
+        "n1",
+        "n2",
+        (F.col("n1") - 1).cast("bigint").alias("df1"),
+        (F.col("n2") - 1).cast("bigint").alias("df2"),
+        F.when(F.col("s2") <= 0, F.lit(None).cast("double"))
+        .otherwise(dround(F.col("s1") / F.col("s2"), 6))
+        .alias("f_stat"),
+    )

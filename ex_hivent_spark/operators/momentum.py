@@ -773,3 +773,338 @@ def q_win_efficiency_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("er10"),
     )
+
+
+# Stochastic-RSI lookback (textbook: same 14 as the RSI itself) and
+# the Mass Index smoothing/summation windows (Dorsey's 9 and 25).
+_SRSI_WIN = 14
+_MI_SMA = 9
+_MI_SUM = 25
+
+# SQL twin of q_win_rsi's output frame (finance.py keeps the RSI
+# oracle inline; this re-renders the identical CTE chain from the
+# same _SQL_BARS + window constants so the two cannot drift in data,
+# only — at worst — in text).
+_SQL_RSI14 = f"""
+    bars AS ({_SQL_BARS}),
+    chg AS (
+      SELECT event_type, hour_id, close,
+             close - lag(close) OVER (PARTITION BY event_type
+                                      ORDER BY hour_id) AS chg
+      FROM bars
+    ),
+    gl AS (
+      SELECT event_type, hour_id, close,
+             CAST(count(chg) OVER w AS BIGINT) AS nchg,
+             CAST(sum(CAST(greatest(chg, 0.0) AS DECIMAL(25,6)))
+                  OVER w AS DOUBLE) AS ag,
+             CAST(sum(CAST(greatest(-chg, 0.0) AS DECIMAL(25,6)))
+                  OVER w AS DOUBLE) AS al
+      FROM chg
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_SRSI_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    ),
+    rsi AS (
+      SELECT event_type, hour_id,
+             CASE WHEN ag + al = 0 THEN 50.0
+                  ELSE 100.0 * ag / (ag + al) END AS rsi14
+      FROM gl WHERE nchg = {_SRSI_WIN}
+    )
+"""
+
+
+@register(
+    "q_win_stoch_rsi",
+    oracle=f"""
+    WITH {_SQL_RSI14},
+    roll AS (
+      SELECT event_type, hour_id, rsi14,
+             CAST(count(*) OVER w AS BIGINT) AS nr,
+             min(rsi14) OVER w AS lo,
+             max(rsi14) OVER w AS hi
+      FROM rsi
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_SRSI_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, rsi14,
+           CASE WHEN hi = lo THEN 0.5
+                ELSE {sql_dround("(rsi14 - lo) / (hi - lo)", 6)}
+           END AS stoch_rsi14
+    FROM roll WHERE nr = {_SRSI_WIN}
+    """,
+)
+def q_win_stoch_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic RSI: the %K stochastic applied to the RSI series
+    itself — (RSI − min₁₄RSI)/(max₁₄RSI − min₁₄RSI) — Chande &
+    Kroll's normalization that reads momentum RELATIVE to its own
+    recent range, firing overbought/oversold far earlier than raw RSI
+    on range-bound series. A flat RSI window (max = min) reads
+    neutral 0.5 (the q_win_rsi 50-convention carried through). Rows
+    emit only where 14 RSI values fill the frame.
+
+    Plan: composes q_win_rsi's frame directly (the same bar aggregate
+    + chg/rolling windows — one extra min/max window over the
+    already-|hours|-bounded RSI rows, sharing the (event_type,
+    hour_id) sort). Determinism: rsi14 is a deterministic double
+    (decimal-detour sums + one division); min/max picks are exact;
+    the flat-window equality compares identical doubles; the closing
+    ratio e6-rounds."""
+    from ex_hivent_spark.operators.finance import q_win_rsi
+
+    rsi = q_win_rsi(spark, sf_dir).select("event_type", "hour_id", "rsi14")
+    w = _w(-(_SRSI_WIN - 1))
+    roll = rsi.select(
+        "event_type",
+        "hour_id",
+        "rsi14",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nr"),
+        F.min("rsi14").over(w).alias("lo"),
+        F.max("rsi14").over(w).alias("hi"),
+    ).filter(F.col("nr") == _SRSI_WIN)
+    lo, hi = F.col("lo"), F.col("hi")
+    return roll.select(
+        "event_type",
+        "hour_id",
+        "rsi14",
+        F.when(hi == lo, F.lit(0.5))
+        .otherwise(dround((F.col("rsi14") - lo) / (hi - lo), 6))
+        .alias("stoch_rsi14"),
+    )
+
+
+@register(
+    "q_win_mass_index",
+    oracle=f"""
+    WITH bars AS ({_SQL_BARS}),
+    s1 AS (
+      SELECT event_type, hour_id,
+             CAST(count(*) OVER w AS BIGINT) AS nb1,
+             {sql_dround(
+                 "CAST(sum(CAST(high - low AS DECIMAL(25,6))) OVER w"
+                 f" AS DOUBLE) / {_MI_SMA}", 6)} AS sma1
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_MI_SMA - 1} PRECEDING
+                   AND CURRENT ROW)
+    ),
+    f1 AS (SELECT * FROM s1 WHERE nb1 = {_MI_SMA}),
+    s2 AS (
+      SELECT event_type, hour_id, sma1,
+             CAST(count(*) OVER w AS BIGINT) AS nb2,
+             {sql_dround(
+                 "CAST(sum(CAST(sma1 AS DECIMAL(25,6))) OVER w"
+                 f" AS DOUBLE) / {_MI_SMA}", 6)} AS sma2
+      FROM f1
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_MI_SMA - 1} PRECEDING
+                   AND CURRENT ROW)
+    ),
+    f2 AS (
+      SELECT event_type, hour_id,
+             CASE WHEN sma2 = 0 THEN 1.0
+                  ELSE {sql_dround("sma1 / sma2", 6)} END AS ratio
+      FROM s2 WHERE nb2 = {_MI_SMA}
+    ),
+    s3 AS (
+      SELECT event_type, hour_id,
+             CAST(count(*) OVER w AS BIGINT) AS nb3,
+             {sql_dround(
+                 "CAST(sum(CAST(ratio AS DECIMAL(25,6))) OVER w"
+                 " AS DOUBLE)", 6)} AS mass25
+      FROM f2
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_MI_SUM - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, mass25
+    FROM s3 WHERE nb3 = {_MI_SUM}
+    """,
+)
+def q_win_mass_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass Index (Dorsey) over the hourly bars, SMA variant: smooth
+    the bar range (high − low) twice with 9-bar simple averages,
+    take the smoothing ratio SMA₉(range)/SMA₉(SMA₉(range)), and sum
+    it over 25 bars — range-expansion "bulges" above ~27 flag
+    reversal setups regardless of direction. Dorsey's original uses
+    EMAs; this engine's indicator family standardizes on SIMPLE
+    averaging (the q_win_rsi/q_win_macd convention — SMA rides the
+    decimal detour exactly where EMA recursion would accumulate
+    engine-ordered double error), so the threshold calibrates
+    slightly differently but the bulge shape is identical. An
+    all-zero-range window (sma2 = 0, hence sma1 = 0) reads the
+    neutral ratio 1.0. Rows emit only where every stage's frame is
+    full (9 + 9 + 25 bars of warm-up).
+
+    Plan: one bar aggregate, three chained constant-width windows
+    over |hours| rows per type sharing one (event_type, hour_id)
+    sort — time-grain bounded, traffic-invariant. Determinism: each
+    stage e6-rounds BEFORE the next decimal re-aggregation; the ratio
+    guard compares identically-derived doubles."""
+    bars = _hourly_close(spark, sf_dir)
+    w9 = _w(-(_MI_SMA - 1))
+    rng = (F.col("high") - F.col("low")).cast("decimal(25,6)")
+    s1 = bars.select(
+        "event_type",
+        "hour_id",
+        F.count(F.lit(1)).over(w9).cast("bigint").alias("nb1"),
+        dround(
+            F.sum(rng).over(w9).cast("double") / _MI_SMA, 6
+        ).alias("sma1"),
+    ).filter(F.col("nb1") == _MI_SMA)
+    s2 = s1.select(
+        "event_type",
+        "hour_id",
+        "sma1",
+        F.count(F.lit(1)).over(w9).cast("bigint").alias("nb2"),
+        dround(
+            F.sum(F.col("sma1").cast("decimal(25,6)")).over(w9).cast("double")
+            / _MI_SMA,
+            6,
+        ).alias("sma2"),
+    ).filter(F.col("nb2") == _MI_SMA)
+    f2 = s2.select(
+        "event_type",
+        "hour_id",
+        F.when(F.col("sma2") == 0, F.lit(1.0))
+        .otherwise(dround(F.col("sma1") / F.col("sma2"), 6))
+        .alias("ratio"),
+    )
+    w25 = _w(-(_MI_SUM - 1))
+    s3 = f2.select(
+        "event_type",
+        "hour_id",
+        F.count(F.lit(1)).over(w25).cast("bigint").alias("nb3"),
+        dround(
+            F.sum(F.col("ratio").cast("decimal(25,6)"))
+            .over(w25)
+            .cast("double"),
+            6,
+        ).alias("mass25"),
+    ).filter(F.col("nb3") == _MI_SUM)
+    return s3.select("event_type", "hour_id", "mass25")
+
+
+# QStick SMA lookback (Chande's default 8) and the BOP smoother.
+_QSTICK_WIN = 8
+_BOP_WIN = 14
+
+
+@register(
+    "q_win_qstick",
+    oracle=f"""
+    WITH bars AS ({_SQL_OBARS}),
+    rolled AS (
+      SELECT event_type, hour_id,
+             CAST(count(*) OVER w AS BIGINT) AS nbar,
+             {sql_dround(
+                 "CAST(sum(CAST(close - open AS DECIMAL(25,6))) OVER w"
+                 f" AS DOUBLE) / {_QSTICK_WIN}", 6)} AS qstick8
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_QSTICK_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, qstick8
+    FROM rolled WHERE nbar = {_QSTICK_WIN}
+    """,
+)
+def q_win_qstick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QStick (Chande): the 8-bar simple average of (close − open) —
+    the candle-body momentum gauge: persistently positive bodies
+    (closes above opens) read buying pressure regardless of the
+    high/low wicks, the quantified version of "mostly green candles".
+    Zero is the signal line.
+
+    Plan: one open-carrying bar aggregate (risk.py's obars — both
+    row_number picks share a sort), one constant-width rolling window
+    per type over |hours| rows. Determinism: open/close are exact
+    total-order picks, the body is one exact double subtraction, and
+    the rolling mean rides the decimal detour then divides by the
+    window literal and e6-rounds."""
+    from ex_hivent_spark.operators.risk import _hourly_obars
+
+    bars = _hourly_obars(spark, sf_dir)
+    w = _w(-(_QSTICK_WIN - 1))
+    body = (F.col("close") - F.col("open")).cast("decimal(25,6)")
+    rolled = bars.select(
+        "event_type",
+        "hour_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nbar"),
+        dround(
+            F.sum(body).over(w).cast("double") / _QSTICK_WIN, 6
+        ).alias("qstick8"),
+    ).filter(F.col("nbar") == _QSTICK_WIN)
+    return rolled.select("event_type", "hour_id", "qstick8")
+
+
+@register(
+    "q_win_bop",
+    oracle=f"""
+    WITH bars AS ({_SQL_OBARS}),
+    raw AS (
+      SELECT event_type, hour_id,
+             CASE WHEN high = low THEN 0.0
+                  ELSE {sql_dround("(close - open) / (high - low)", 6)}
+             END AS bop
+      FROM bars
+    ),
+    rolled AS (
+      SELECT event_type, hour_id, bop,
+             CAST(count(*) OVER w AS BIGINT) AS nbar,
+             {sql_dround(
+                 "CAST(sum(CAST(bop AS DECIMAL(25,6))) OVER w"
+                 f" AS DOUBLE) / {_BOP_WIN}", 6)} AS bop_sma14
+      FROM raw
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_BOP_WIN - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, bop, bop_sma14
+    FROM rolled WHERE nbar = {_BOP_WIN}
+    """,
+)
+def q_win_bop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance of Power (Livermore/Arms): per bar,
+    (close − open)/(high − low) — how much of the bar's full range
+    the body captured, signed by direction (+1 = opened at the low
+    and closed at the high) — with its standard 14-bar SMA smoothing.
+    The intra-bar twin of q_win_cmf's multiplier (CMF weights the
+    CLOSE's position by volume; BOP reads the OPEN→CLOSE traversal).
+    A zero-range bar takes the documented 0.0 branch.
+
+    Plan: one open-carrying bar aggregate, a per-row map, one rolling
+    window per type — time-grain bounded. Determinism: the ratio is
+    e6-rounded per row before its decimal rolling mean; the
+    zero-range guard compares exact picks; the SMA divides by the
+    window literal and e6-rounds."""
+    from ex_hivent_spark.operators.risk import _hourly_obars
+
+    bars = _hourly_obars(spark, sf_dir)
+    raw = bars.select(
+        "event_type",
+        "hour_id",
+        F.when(F.col("high") == F.col("low"), F.lit(0.0))
+        .otherwise(
+            dround(
+                (F.col("close") - F.col("open"))
+                / (F.col("high") - F.col("low")),
+                6,
+            )
+        )
+        .alias("bop"),
+    )
+    w = _w(-(_BOP_WIN - 1))
+    rolled = raw.select(
+        "event_type",
+        "hour_id",
+        "bop",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nbar"),
+        dround(
+            F.sum(F.col("bop").cast("decimal(25,6)")).over(w).cast("double")
+            / _BOP_WIN,
+            6,
+        ).alias("bop_sma14"),
+    ).filter(F.col("nbar") == _BOP_WIN)
+    return rolled.select("event_type", "hour_id", "bop", "bop_sma14")

@@ -1421,3 +1421,92 @@ def q_stats_fligner_policello(
         )
         .alias("u_stat"),
     )
+
+
+@register(
+    "q_stats_kuiper_uniform",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) - {_EPOCH_H} AS j,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, j, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY j
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM cells
+    ),
+    dev AS (
+      SELECT event_type, n,
+             CAST(cum AS DOUBLE) / n - (j + 0.5) / {float(_N_HOURS)}
+               AS dplus,
+             (j + 0.5) / {float(_N_HOURS)}
+               - CAST(cum - c AS DOUBLE) / n AS dminus
+      FROM cum
+    )
+    SELECT event_type, n AS n_events,
+           {sql_dround("max(dplus)", 6)} AS d_plus,
+           {sql_dround("max(dminus)", 6)} AS d_minus,
+           {sql_dround("max(dplus) + max(dminus)", 6)} AS v_stat
+    FROM dev GROUP BY event_type, n
+    """,
+)
+def q_stats_kuiper_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper's V uniformity statistic for each event type's arrival
+    distribution over the fixed 720-hour month: V = D⁺ + D⁻, the sum
+    of the largest positive and negative EDF deviations under the
+    grouped-data midpoint convention u = (j+0.5)/720 (exactly
+    q_stats_cvm_uniform's assignment). Unlike the one-sided KS
+    sup-norm, V is invariant to cyclic shifts of the origin — the
+    right uniformity test for ARRIVAL-TIME-OF-DAY/month data where
+    "where the month starts" is arbitrary; a diurnal profile that KS
+    half-misses (deviation split across the wrap point) shows fully
+    in V.
+
+    Plan: one per-(type, hour) hash aggregate, one cumulative window
+    per type over ≤720 spine rows, one closing max aggregate — event
+    volume touches only the first aggregate. Determinism: deviations
+    are pure double arithmetic on exact integer counts (bit-identical
+    across engines), max picks are exact, and the three outputs
+    e6-round. D⁺ uses the inclusive cumulative count (EDF just after
+    the cell's mass), D⁻ the exclusive one (just before) — both
+    documented in the oracle identically."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+            - _EPOCH_H
+        ).alias("j"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        "j",
+        "c",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    u = (F.col("j") + 0.5) / float(_N_HOURS)
+    dev = cum.select(
+        "event_type",
+        "n",
+        (F.col("cum").cast("double") / F.col("n") - u).alias("dplus"),
+        (
+            u - (F.col("cum") - F.col("c")).cast("double") / F.col("n")
+        ).alias("dminus"),
+    )
+    return dev.groupBy("event_type", F.col("n").alias("n_events")).agg(
+        dround(F.max("dplus"), 6).alias("d_plus"),
+        dround(F.max("dminus"), 6).alias("d_minus"),
+        dround(F.max("dplus") + F.max("dminus"), 6).alias("v_stat"),
+    )

@@ -1867,3 +1867,106 @@ def q_ts_diurnal_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("h"), 6).alias("entropy"),
         dround(F.col("h") / ln24, 6).alias("uniformity"),
     )
+
+
+# Permutation-entropy embedding (Bandt–Pompe order m=3: six ordinal
+# patterns) and ln(3!) for the normalized statistic — spelled as a
+# double literal so both engines parse the identical IEEE value.
+_PE_LN6 = 1.791759469228055
+
+
+@register(
+    "q_ts_permutation_entropy",
+    oracle=f"""
+    WITH spine AS ({_SQL_TOTAL_SPINE}),
+    emb AS (
+      SELECT y AS a,
+             lead(y, 1) OVER (ORDER BY h) AS b,
+             lead(y, 2) OVER (ORDER BY h) AS c
+      FROM spine
+    ),
+    pat AS (
+      SELECT CASE
+               WHEN a <= b AND b <= c THEN 0
+               WHEN a <= c AND c < b  THEN 1
+               WHEN b < a AND a <= c  THEN 2
+               WHEN b <= c AND c < a  THEN 3
+               WHEN c < a AND a <= b  THEN 4
+               ELSE 5
+             END AS p
+      FROM emb WHERE b IS NOT NULL AND c IS NOT NULL
+    ),
+    cnt AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS c FROM pat GROUP BY p
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    terms AS (
+      SELECT {sql_dround(
+          "(CAST(c AS DOUBLE) / n) * ("
+          + sql_dround("ln(CAST(c AS DOUBLE) / n)", 6) + ")", 6,
+      )} AS term, n
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT max(n) AS n_windows,
+           CAST(count(*) AS BIGINT) AS n_patterns,
+           {sql_dround(
+               "-CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE)", 6,
+           )} AS h_perm,
+           {sql_dround(
+               "-CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE)"
+               f" / {_PE_LN6}", 6,
+           )} AS h_perm_norm
+    FROM terms
+    """,
+)
+def q_ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandt–Pompe permutation entropy (order m=3) of the hourly
+    total-count series: embed each hour with its two successors,
+    classify the triple into one of 3! ordinal patterns
+    (ties broken by POSITION — the stable-argsort convention, so
+    integer-count plateaus classify deterministically), and take the
+    Shannon entropy of the pattern histogram. H → ln 6 for white
+    noise, low for monotone/periodic structure — the
+    complexity-vs-predictability readout that complements
+    q_ts_entropy_rate (symbol dynamics) and q_ts_acf (linear memory)
+    with an ORDINAL, outlier-robust statistic.
+
+    Plan: the densified 720-row spine, two lead windows over it, one
+    ≤6-row pattern histogram, a one-row closing — event volume
+    touches only the spine's hash aggregate. The spine windows are
+    single-partition but spine-bounded (720 rows at any SF — the
+    documented grain bound of this module). Determinism: patterns
+    are exact integer comparisons; p = c/n is one exact division;
+    each ln e6-rounds, the p·ln p product e6-rounds before its
+    decimal sum; closings e6-round; ln 6 enters as a spelled double
+    literal."""
+    spine = _total_spine(spark, sf_dir)
+    w = Window.orderBy("h")
+    emb = spine.select(
+        F.col("y").alias("a"),
+        F.lead("y", 1).over(w).alias("b"),
+        F.lead("y", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    pat = emb.select(
+        F.when((a <= b) & (b <= c), 0)
+        .when((a <= c) & (c < b), 1)
+        .when((b < a) & (a <= c), 2)
+        .when((b <= c) & (c < a), 3)
+        .when((c < a) & (a <= b), 4)
+        .otherwise(5)
+        .alias("p")
+    )
+    cnt = pat.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("n"))
+    pr = F.col("c").cast("double") / F.col("n")
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        dround(pr * dround(F.log(pr), 6), 6).alias("term"), "n"
+    )
+    h = -F.sum(F.col("term").cast("decimal(25,6)")).cast("double")
+    return terms.agg(
+        F.max("n").alias("n_windows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+        dround(h, 6).alias("h_perm"),
+        dround(h / _PE_LN6, 6).alias("h_perm_norm"),
+    )

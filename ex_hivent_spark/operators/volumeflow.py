@@ -726,3 +726,206 @@ def q_win_coppock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "roc_sum",
         dround(wsum / float(_COP_WSUM), 6).alias("coppock"),
     )
+
+
+# PVO fast/slow/signal lookbacks (the PPO/MACD 12/26/9 applied to
+# volume).
+_PVO_FAST = 12
+_PVO_SLOW = 26
+_PVO_SIG = 9
+
+
+@register(
+    "q_win_pvo",
+    oracle=f"""
+    WITH bars AS ({_SQL_VBARS}),
+    sm AS (
+      SELECT event_type, hour_id,
+             CAST(count(*) OVER ws AS BIGINT) AS nbar,
+             CAST(sum(vol) OVER wf AS BIGINT) AS vf,
+             CAST(sum(vol) OVER ws AS BIGINT) AS vs
+      FROM bars
+      WINDOW wf AS (PARTITION BY event_type ORDER BY hour_id
+                    ROWS BETWEEN {_PVO_FAST - 1} PRECEDING
+                    AND CURRENT ROW),
+             ws AS (PARTITION BY event_type ORDER BY hour_id
+                    ROWS BETWEEN {_PVO_SLOW - 1} PRECEDING
+                    AND CURRENT ROW)
+    ),
+    pv AS (
+      SELECT event_type, hour_id,
+             {sql_dround(
+                 f"100.0 * (CAST(vf AS DOUBLE) / {_PVO_FAST}"
+                 f" - CAST(vs AS DOUBLE) / {_PVO_SLOW})"
+                 f" / (CAST(vs AS DOUBLE) / {_PVO_SLOW})", 6)} AS pvo
+      FROM sm WHERE nbar = {_PVO_SLOW}
+    ),
+    sg AS (
+      SELECT event_type, hour_id, pvo,
+             CAST(count(*) OVER w AS BIGINT) AS nsig,
+             {sql_dround(
+                 "CAST(sum(CAST(pvo AS DECIMAL(25,6))) OVER w"
+                 f" AS DOUBLE) / {_PVO_SIG}", 6)} AS signal
+      FROM pv
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN {_PVO_SIG - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, pvo, signal,
+           {sql_dround("pvo - signal", 6)} AS pvo_hist
+    FROM sg WHERE nsig = {_PVO_SIG}
+    """,
+)
+def q_win_pvo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentage Volume Oscillator: the PPO construction applied to
+    per-bar VOLUME — 100·(SMA₁₂(vol) − SMA₂₆(vol))/SMA₂₆(vol), with
+    its 9-bar signal line and histogram. PVO > 0 says volume is
+    running above its own baseline (participation confirms whatever
+    price is doing); the volume twin of q_win_ppo. Simple averaging
+    throughout (the module convention). The denominator cannot be
+    zero: every bar has vol ≥ 1 by construction (a bar exists only
+    where events did), so a full 26-bar window sums ≥ 26.
+
+    Plan: one volume-carrying bar aggregate, two same-sort rolling
+    windows + one signal window over |hours| rows per type.
+    Determinism: volume sums are exact integers; the SMA divisions
+    are deterministic double ops; pvo e6-rounds before the decimal
+    signal average; signal and histogram e6-round."""
+    bars = _hourly_vbars(spark, sf_dir)
+    wf = _type_hour_window(-(_PVO_FAST - 1))
+    ws = _type_hour_window(-(_PVO_SLOW - 1))
+    sm = bars.select(
+        "event_type",
+        "hour_id",
+        F.count(F.lit(1)).over(ws).cast("bigint").alias("nbar"),
+        F.sum("vol").over(wf).cast("bigint").alias("vf"),
+        F.sum("vol").over(ws).cast("bigint").alias("vs"),
+    ).filter(F.col("nbar") == _PVO_SLOW)
+    fast = F.col("vf").cast("double") / _PVO_FAST
+    slow = F.col("vs").cast("double") / _PVO_SLOW
+    pv = sm.select(
+        "event_type",
+        "hour_id",
+        dround(100.0 * (fast - slow) / slow, 6).alias("pvo"),
+    )
+    wsig = _type_hour_window(-(_PVO_SIG - 1))
+    sg = pv.select(
+        "event_type",
+        "hour_id",
+        "pvo",
+        F.count(F.lit(1)).over(wsig).cast("bigint").alias("nsig"),
+        dround(
+            F.sum(F.col("pvo").cast("decimal(25,6)"))
+            .over(wsig)
+            .cast("double")
+            / _PVO_SIG,
+            6,
+        ).alias("signal"),
+    ).filter(F.col("nsig") == _PVO_SIG)
+    return sg.select(
+        "event_type",
+        "hour_id",
+        "pvo",
+        "signal",
+        dround(F.col("pvo") - F.col("signal"), 6).alias("pvo_hist"),
+    )
+
+
+@register(
+    "q_win_nvi",
+    oracle=f"""
+    WITH bars AS ({_SQL_VBARS}),
+    lagged AS (
+      SELECT event_type, hour_id, close, vol,
+             lag(close) OVER (PARTITION BY event_type
+                              ORDER BY hour_id) AS pc,
+             lag(vol) OVER (PARTITION BY event_type
+                            ORDER BY hour_id) AS pv
+      FROM bars
+    ),
+    terms AS (
+      SELECT event_type, hour_id,
+             CASE WHEN pv IS NOT NULL AND vol < pv
+                       AND close > 0 AND pc > 0
+                  THEN {sql_dround("ln(close / pc)", 6)}
+                  ELSE 0.0 END AS term,
+             CASE WHEN pv IS NOT NULL AND vol < pv THEN 1
+                  ELSE 0 END AS is_down_vol
+      FROM lagged
+    ),
+    cum AS (
+      SELECT event_type, hour_id,
+             CAST(sum(CAST(term AS DECIMAL(25,6))) OVER w AS DOUBLE)
+               AS nvi_log,
+             CAST(sum(is_down_vol) OVER w AS BIGINT) AS n_down_vol
+      FROM terms
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, hour_id, n_down_vol,
+           {sql_dround("nvi_log", 6)} AS nvi_log
+    FROM cum
+    """,
+)
+def q_win_nvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative Volume Index (Fosback): a cumulative index that
+    applies the bar's close-to-close return ONLY on falling-volume
+    bars — the "what the smart money does on quiet hours" tracker
+    (its mirror, PVI, moves on rising volume). Computed in LOG space
+    so the cumulative product becomes an exact prefix SUM:
+    log-NVI = Σ ln(cₜ/cₜ₋₁)·[volₜ < volₜ₋₁], reported as the log
+    level plus the count of down-volume bars. The exponentiated
+    1000·exp(·) display level is deliberately NOT emitted: on this
+    synthetic series the log level reaches ~18, where the level's
+    magnitude (~1e10) puts the e6 rounding grid BELOW one double ulp
+    of exp() — un-hash-checkable; clients exponentiate at render
+    time (order-preserving, so every signal reads off the log level
+    directly). Bars with a
+    non-positive close on either side of the step contribute 0 (the
+    value = 0 rows that first appear at sf0.1 have no log-return —
+    the q_agg_geometric_mean guard convention).
+
+    Plan: one volume-carrying bar aggregate, one lag + one cumulative
+    window per type over |hours| rows (hour_id is unique per type —
+    the ROWS frame is deterministic without a tiebreaker).
+    Determinism: each ln is e6-rounded per row; the prefix sum rides
+    decimal(25,6) (|Σ| bounded by bars × max|ln-step|, far inside
+    2^53); the closing exp (libm) e6-rounds on both sides."""
+    bars = _hourly_vbars(spark, sf_dir)
+    wl = Window.partitionBy("event_type").orderBy("hour_id")
+    lagged = bars.select(
+        "event_type",
+        "hour_id",
+        "close",
+        "vol",
+        F.lag("close").over(wl).alias("pc"),
+        F.lag("vol").over(wl).alias("pv"),
+    )
+    down = F.col("pv").isNotNull() & (F.col("vol") < F.col("pv"))
+    terms = lagged.select(
+        "event_type",
+        "hour_id",
+        F.when(
+            down & (F.col("close") > 0) & (F.col("pc") > 0),
+            dround(F.log(F.col("close") / F.col("pc")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("term"),
+        F.when(down, 1).otherwise(0).alias("is_down_vol"),
+    )
+    wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = terms.select(
+        "event_type",
+        "hour_id",
+        F.sum(F.col("term").cast("decimal(25,6)"))
+        .over(wc)
+        .cast("double")
+        .alias("nvi_log"),
+        F.sum("is_down_vol").over(wc).cast("bigint").alias("n_down_vol"),
+    )
+    return cum.select(
+        "event_type",
+        "hour_id",
+        "n_down_vol",
+        dround(F.col("nvi_log"), 6).alias("nvi_log"),
+    )

@@ -134,9 +134,18 @@ def register(name: str, oracle: Optional[str] = None):
 # q_ts_diff_stationarity, q_ts_seasonal_index, q_win_ad_line,
 # q_win_choppiness, q_win_dpo, q_win_fisher_transform,
 # q_win_garman_klass, q_win_kst, q_win_parkinson_vol, q_win_rvi,
-# q_win_ultimate_osc) plus anything r12 registers form the r13 front;
-# after that the backlog is empty and the r4-latest freshness refill
-# resumes (q_agg_bitmap_rollup A-Z onward).
+# q_win_ultimate_osc) plus the r12 wave-1 registrations
+# (q_agg_theil_index, q_agg_atkinson_index, q_stats_ttest_paired,
+# q_stats_f_test_variance, q_stats_kuiper_uniform,
+# q_seq_interevent_burstiness, q_win_stoch_rsi, q_win_mass_index,
+# q_win_pvo, q_win_nvi — anchored in ANCHOR_r12.json) and the r12
+# wave-2 registrations (q_win_qstick, q_win_bop, q_ts_arch_lm,
+# q_ts_permutation_entropy, q_llm_burrows_delta — anchored in
+# ANCHOR_r12b.json), every r12 op hash-verified at
+# sf0.001/0.01/0.1 in its registration wave, plus any later r12
+# wave, form the r13 front (23 + 15 + later ≤ 50 fits one
+# rotation); after that the backlog is empty and the r4-latest
+# freshness refill resumes (q_agg_bitmap_rollup A-Z onward).
 DRIVER_CHECK_FIRST = [
     # --- 44 late-r11 never-checked ops, in written-plan order
     "q_agg_price_realization",

@@ -208,8 +208,11 @@ def main() -> int:
     keep = rows_of("q_llm_dedup_keep_best")
     check("keep_best_one_per_cluster",
           len(keep) == len(by_cluster)
-          and all(r["doc_id"] in by_cluster.get(r["cluster_id"], ())
-                  for r in keep))
+          and all(
+              r["keep_doc_id"] in by_cluster.get(r["cluster_id"], ())
+              and r["n_docs"] == len(by_cluster.get(r["cluster_id"], ()))
+              for r in keep
+          ))
 
     pr = rows_of("q_llm_graph_pagerank")
     check("pagerank_positive_covering",

