@@ -665,8 +665,9 @@ def q_llm_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     topic mix; Delta reads style via the most-COMMON words).
 
     Plan: one token explode feeds the per-source totals, the
-    per-(source, term) counts, and the top-K pick (row_number over a
-    |vocab|-row aggregate); the z panel is |sources|×K rows — tiny at
+    per-(source, term) counts, and the top-K pick (TakeOrdered over the
+    |vocab|-row aggregate — distributed partial top-Ks, no global
+    window); the z panel is |sources|×K rows — tiny at
     any scale — and the pair join is over the K-row term key with an
     a<b filter (|sources|² pairs of scalars, never documents).
     Determinism: rates are e6-rounded per-million ratios (integer
@@ -685,12 +686,13 @@ def q_llm_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("source", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     ).localCheckpoint(eager=False)  # feeds top-K and the rate panel
-    wk = Window.orderBy(F.col("tc").desc(), "term")
+    # top-K via orderBy+limit (TakeOrderedAndProject — distributed
+    # partial top-Ks, no global window over the |vocab|-row frame)
     top = (
         tf.groupBy("term")
         .agg(F.sum("c").cast("bigint").alias("tc"))
-        .select("term", F.row_number().over(wk).alias("rn"))
-        .filter(F.col("rn") <= _DELTA_TOP_K)
+        .orderBy(F.col("tc").desc(), "term")
+        .limit(_DELTA_TOP_K)
         .select("term")
     )
     ns = stot.agg(F.count(F.lit(1)).cast("bigint").alias("k"))

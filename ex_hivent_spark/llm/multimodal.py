@@ -544,3 +544,117 @@ def q_mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("start_byte").cast("int").alias("last_start"),
         F.sum(F.length("chunk_payload")).cast("bigint").alias("chunk_bytes"),
     )
+
+
+# Perceptual-hash near-dup banding: 48-bit hash, 4 bands x 12 bits,
+# Hamming acceptance radius (of 48).
+_PHASH_BANDS = 4
+_PHASH_BAND_BITS = 12
+_PHASH_MAX_HAMMING = 8
+
+
+@register(
+    "q_mm_phash_neardup",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             repeat(md5(text), CAST(doc_id % 7 + 1 AS INT)) AS payload_hex
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    ph AS (
+      SELECT media_id,
+             ('0x' || substr(md5(payload_hex), 1, 12))::BIGINT AS phash
+      FROM media
+    ),
+    bands AS (
+      SELECT media_id, phash, b.band_id,
+             (phash // (4096 ** b.band_id)) % 4096 AS band_val
+      FROM ph CROSS JOIN
+           (SELECT unnest(range({_PHASH_BANDS})) AS band_id) b
+    ),
+    cand AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             CAST(count(DISTINCT a.band_id) AS BIGINT) AS n_shared_bands,
+             CAST(bit_count(xor(min(a.phash), min(b.phash))) AS BIGINT)
+               AS hamming
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.media_id < b.media_id
+      GROUP BY a.media_id, b.media_id
+    )
+    SELECT media_a, media_b, n_shared_bands, hamming
+    FROM cand WHERE hamming <= {_PHASH_MAX_HAMMING}
+    """,
+)
+def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via perceptual-hash LSH banding —
+    the image twin of MinHash text dedup: a 48-bit pHash per image,
+    split into 4×12-bit bands; images sharing ANY band become
+    candidates (equi-join on (band_id, band_val) — never an all-pairs
+    product), verified by full-hash Hamming distance ≤ 8/48. At
+    100 TB this is THE image-dedup plan: the payload never shuffles
+    (the hash is computed in the scan stage), candidates are bounded
+    by Σ bucket², and verification is one integer xor+popcount per
+    candidate.
+
+    The pHash here is the md5-prefix int48 of the payload's hex
+    (this container has no image libs; a real deployment swaps in a
+    DCT pHash inside the same mapInPandas decode stage —
+    _decode_payload's try-import pattern — leaving every downstream
+    band/join/verify step unchanged, which is exactly the plumbing
+    this query verifies). Payloads are the synth_media bytes, so the
+    oracle re-derives the identical hash from repeat(md5(text), k).
+
+    Determinism: all-integer — md5-prefix hashes, arithmetic band
+    extraction (floor-div/mod), exact xor + bit_count; no rounding
+    anywhere."""
+    media = synth_media(spark, sf_dir).filter(F.col("kind") == "image")
+    ph = media.select(
+        "media_id",
+        F.conv(
+            F.substring(F.md5(F.lower(F.hex("payload"))), 1, 12), 16, 10
+        )
+        .cast("long")
+        .alias("phash"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                (
+                    (F.col("phash") / F.lit(4096 ** i)).cast("long")
+                    % 4096
+                ).alias("band_val"),
+            )
+            for i in range(_PHASH_BANDS)
+        ]
+    )
+    bands = ph.select(
+        "media_id", "phash", F.explode(band_structs).alias("b")
+    ).select("media_id", "phash", "b.band_id", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(
+            F.count_distinct(F.col("a.band_id"))
+            .cast("bigint")
+            .alias("n_shared_bands"),
+            F.bit_count(
+                F.min(F.col("a.phash")).bitwiseXOR(F.min(F.col("b.phash")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    return cand.filter(F.col("hamming") <= _PHASH_MAX_HAMMING).select(
+        "media_a", "media_b", "n_shared_bands", "hamming"
+    )

@@ -215,3 +215,158 @@ def q_agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         geo.alias("geo_mean_spend"),
         dround(1.0 - geo / mu, 6).alias("atkinson_1"),
     )
+
+
+@register(
+    "q_agg_theil_decomposition",
+    oracle=_SQL_SPEND
+    + f""",
+    tot AS (
+      SELECT CAST(sum(n_customers) AS BIGINT) AS nn,
+             CAST(sum(CAST(sx AS DECIMAL(38,6))) AS DOUBLE) AS sxt
+      FROM g
+    ),
+    terms AS (
+      SELECT {sql_dround(
+          "(j.x / (t.sxt / t.nn))"
+          " * (" + sql_dround("ln(j.x / (t.sxt / t.nn))", 6) + ")", 6,
+      )} AS term
+      FROM j CROSS JOIN tot t
+    ),
+    total AS (
+      SELECT {sql_dround(
+          "CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE)"
+          " / (SELECT nn FROM tot)", 6)} AS t_total
+      FROM terms
+    ),
+    within_g AS (
+      SELECT g.nation,
+             g.sx / t.sxt AS sg,
+             {sql_dround(
+                 "CAST(sum(CAST(" + sql_dround(
+                     "(j.x / (g.sx / g.n_customers))"
+                     " * (" + sql_dround(
+                         "ln(j.x / (g.sx / g.n_customers))", 6) + ")",
+                     6) + " AS DECIMAL(25,6))) AS DOUBLE)"
+                 " / g.n_customers", 6)} AS t_g
+      FROM j JOIN g USING (nation) CROSS JOIN tot t
+      GROUP BY g.nation, g.sx, g.n_customers, t.sxt
+    ),
+    parts AS (
+      SELECT
+        CAST(sum(CAST({sql_dround("sg * t_g", 6)}
+                      AS DECIMAL(25,6))) AS DOUBLE) AS t_within,
+        CAST(sum(CAST({sql_dround(
+            "sg * (" + sql_dround(
+                "ln(sg * (SELECT nn FROM tot)"
+                "   / (SELECT CAST(n_customers AS DOUBLE) FROM g g2"
+                "      WHERE g2.nation = within_g.nation))", 6) + ")",
+            6)} AS DECIMAL(25,6))) AS DOUBLE) AS t_between
+      FROM within_g
+    )
+    SELECT (SELECT nn FROM tot) AS n_customers,
+           (SELECT t_total FROM total) AS t_total,
+           {sql_dround("t_between", 6)} AS t_between,
+           {sql_dround("t_within", 6)} AS t_within,
+           {sql_dround(
+               "abs((SELECT t_total FROM total) - t_between - t_within)",
+               6)} AS recon_residual
+    FROM parts
+    """,
+)
+def q_agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Theil T between/within decomposition over nations — the
+    property q_agg_theil_index exists for: T_total = T_between +
+    Σ_g s_g·T_g exactly (s_g = nation g's spend share), so the one
+    row this emits tells you whether customer-spend inequality lives
+    BETWEEN markets (nation means differ) or WITHIN them — with the
+    reconciliation residual as an audit column (≈0 up to the e6
+    rounding of the parts; a large residual would mean the inputs
+    disagree, which is exactly what an auditor wants surfaced).
+
+    Plan: the session-memoized spend frame (shared with both index
+    queries), its 25-row per-nation totals, one global scalar
+    aggregate, one all-customer term pass — the only corpus-sized
+    work is the per-customer term map. Magnitude discipline: the
+    global spend total sums the 25 per-nation DOUBLES at
+    decimal(38,6) (one cast of a ~1e10 value — its ~1-ulp
+    double-rounding drift enters only RATIOS, never an emitted e6
+    absolute); every emitted statistic is O(1). Determinism: the
+    geometric-mean ln/e6 convention throughout; shares are single
+    divisions of deterministic doubles."""
+    j = _nation_spend(spark, sf_dir)
+    g = _nation_sums(j)
+    tot = g.agg(
+        F.sum("n_customers").cast("bigint").alias("nn"),
+        F.sum(F.col("sx").cast("decimal(38,6)")).cast("double").alias(
+            "sxt"
+        ),
+    )
+    mu_all = F.col("sxt") / F.col("nn")
+    r_all = F.col("x") / mu_all
+    total = (
+        j.crossJoin(F.broadcast(tot))
+        .select(dround(r_all * dround(F.log(r_all), 6), 6).alias("term"), "nn")
+        .groupBy("nn")
+        .agg(
+            dround(
+                F.sum(F.col("term").cast("decimal(25,6)")).cast("double")
+                / F.col("nn"),
+                6,
+            ).alias("t_total")
+        )
+    )
+    mu_g = F.col("sx") / F.col("n_customers")
+    r_g = F.col("x") / mu_g
+    within_g = (
+        j.join(F.broadcast(g), "nation")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nation", "sx", "n_customers", "sxt", "nn")
+        .agg(
+            dround(
+                F.sum(
+                    dround(r_g * dround(F.log(r_g), 6), 6).cast(
+                        "decimal(25,6)"
+                    )
+                ).cast("double")
+                / F.col("n_customers"),
+                6,
+            ).alias("t_g")
+        )
+        .select(
+            (F.col("sx") / F.col("sxt")).alias("sg"),
+            "t_g",
+            "n_customers",
+            "nn",
+        )
+    )
+    between_term = F.col("sg") * dround(
+        F.log(
+            F.col("sg") * F.col("nn") / F.col("n_customers").cast("double")
+        ),
+        6,
+    )
+    parts = within_g.agg(
+        F.sum(dround(F.col("sg") * F.col("t_g"), 6).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("t_within"),
+        F.sum(dround(between_term, 6).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("t_between"),
+    )
+    return (
+        parts.crossJoin(F.broadcast(tot.select("nn")))
+        .crossJoin(F.broadcast(total.select("t_total")))
+        .select(
+            F.col("nn").alias("n_customers"),
+            "t_total",
+            dround(F.col("t_between"), 6).alias("t_between"),
+            dround(F.col("t_within"), 6).alias("t_within"),
+            dround(
+                F.abs(
+                    F.col("t_total") - F.col("t_between") - F.col("t_within")
+                ),
+                6,
+            ).alias("recon_residual"),
+        )
+    )

@@ -535,3 +535,125 @@ def q_quality_dim_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(audit(cust, "c_custkey", o, "o_custkey", "customer"))
     )
+
+
+# The fixed 720-hour month spine (drift.py's constants).
+_OUTAGE_EPOCH_H = 473352
+_OUTAGE_N_HOURS = 720
+
+
+@register(
+    "q_quality_outage_runs",
+    oracle=f"""
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (
+      SELECT t.event_type, s.h
+      FROM types t CROSS JOIN
+           (SELECT CAST(unnest(range({_OUTAGE_EPOCH_H},
+                                     {_OUTAGE_EPOCH_H + _OUTAGE_N_HOURS}))
+                   AS BIGINT) AS h) s
+    ),
+    hourly AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.event_type, s.h, coalesce(o.y, 0) AS y
+      FROM spine s LEFT JOIN hourly o
+        ON o.event_type = s.event_type AND o.h = s.h
+    ),
+    empty AS (
+      SELECT event_type, h,
+             h - row_number() OVER (PARTITION BY event_type ORDER BY h)
+               AS grp
+      FROM grid WHERE y = 0
+    ),
+    runs AS (
+      SELECT event_type, grp,
+             CAST(count(*) AS BIGINT) AS run_len,
+             min(h) - {_OUTAGE_EPOCH_H} AS start_hour
+      FROM empty GROUP BY event_type, grp
+    )
+    SELECT t.event_type,
+           CAST(coalesce(count(r.grp), 0) AS BIGINT) AS n_outages,
+           CAST(coalesce(max(r.run_len), 0) AS BIGINT) AS max_outage_hours,
+           CAST(coalesce(sum(r.run_len), 0) AS BIGINT) AS total_empty_hours,
+           CAST(min(CASE WHEN r.run_len = 1 THEN NULL
+                         ELSE r.start_hour END) AS BIGINT)
+             AS first_multi_hour_outage
+    FROM types t LEFT JOIN runs r ON r.event_type = t.event_type
+    GROUP BY t.event_type
+    """,
+)
+def q_quality_outage_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-hour outage census per event type over the fixed 720-hour
+    month: gaps-and-islands over the densified spine — how many
+    zero-event runs, the longest, total silent hours, and where the
+    first multi-hour outage starts. THE freshness-page companion to
+    q_quality_freshness_lag's point-in-time staleness: lag says "how
+    old is the newest event", this says "how often and how long did
+    the stream actually go dark".
+
+    Plan: one per-(type, hour) hash aggregate, densified against the
+    |types|×720 literal grid (a broadcast-sized frame at any event
+    volume), then the classic h − row_number() island key — the
+    per-type window runs over ≤720 spine rows (the module's
+    documented grain bound), and runs collapse in one aggregate.
+    All-integer, no rounding anywhere; types with zero outages keep a
+    row via the left join (the audit must SAY "clean"), and the
+    first-multi-hour pick takes the documented NULL when no run
+    exceeds one hour."""
+    e = load_table(spark, sf_dir, "events")
+    types = e.select("event_type").distinct()
+    spine = spark.range(_OUTAGE_N_HOURS).select(
+        (F.col("id") + F.lit(_OUTAGE_EPOCH_H)).cast("bigint").alias("h")
+    )
+    grid = (
+        types.crossJoin(spine)
+        .join(
+            e.groupBy(
+                "event_type",
+                F.floor(F.unix_timestamp("ts") / 3600)
+                .cast("bigint")
+                .alias("h"),
+            ).agg(F.count(F.lit(1)).cast("bigint").alias("y")),
+            ["event_type", "h"],
+            "left",
+        )
+        .select(
+            "event_type", "h", F.coalesce("y", F.lit(0)).alias("y")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    empty = grid.filter(F.col("y") == 0).select(
+        "event_type",
+        "h",
+        (F.col("h") - F.row_number().over(w)).alias("grp"),
+    )
+    runs = empty.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len"),
+        (F.min("h") - F.lit(_OUTAGE_EPOCH_H)).alias("start_hour"),
+    )
+    return (
+        types.join(runs, "event_type", "left")
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(F.count("grp"), F.lit(0))
+            .cast("bigint")
+            .alias("n_outages"),
+            F.coalesce(F.max("run_len"), F.lit(0))
+            .cast("bigint")
+            .alias("max_outage_hours"),
+            F.coalesce(F.sum("run_len"), F.lit(0))
+            .cast("bigint")
+            .alias("total_empty_hours"),
+            F.min(
+                F.when(F.col("run_len") == 1, F.lit(None)).otherwise(
+                    F.col("start_hour")
+                )
+            )
+            .cast("bigint")
+            .alias("first_multi_hour_outage"),
+        )
+    )

@@ -141,11 +141,14 @@ def register(name: str, oracle: Optional[str] = None):
 # q_win_pvo, q_win_nvi — anchored in ANCHOR_r12.json) and the r12
 # wave-2 registrations (q_win_qstick, q_win_bop, q_ts_arch_lm,
 # q_ts_permutation_entropy, q_llm_burrows_delta — anchored in
-# ANCHOR_r12b.json), every r12 op hash-verified at
-# sf0.001/0.01/0.1 in its registration wave, plus any later r12
-# wave, form the r13 front (23 + 15 + later ≤ 50 fits one
-# rotation); after that the backlog is empty and the r4-latest
-# freshness refill resumes (q_agg_bitmap_rollup A-Z onward).
+# ANCHOR_r12b.json) and the r12 wave-3 registrations
+# (q_mm_phash_neardup, q_quality_outage_runs,
+# q_agg_theil_decomposition — anchored in ANCHOR_r12c.json), every
+# r12 op hash-verified at sf0.001/0.01/0.1 in its registration
+# wave, plus any later r12 wave, form the r13 front (23 + 18 +
+# later ≤ 50 fits one rotation); after that the backlog is empty
+# and the r4-latest freshness refill resumes (q_agg_bitmap_rollup
+# A-Z onward).
 DRIVER_CHECK_FIRST = [
     # --- 44 late-r11 never-checked ops, in written-plan order
     "q_agg_price_realization",

@@ -780,6 +780,11 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # aggregate (the q_stats_ansari_bradley class; the own-group and
     # tie-count windows are partitioned)
     "q_stats_fligner_policello": 1,
+    # r12: the two lead passes (offsets 1 and 2 — distinct frames, so
+    # Catalyst keeps two Window nodes) over the densified 720-row
+    # month spine (the q_ts_adf_lite class — time-grain bounded,
+    # never data-volume sized)
+    "q_ts_permutation_entropy": 2,
 }
 
 

@@ -355,3 +355,79 @@ def test_burrows_delta_symmetric_panel(spark):
     for r in rows:
         assert r["source_a"] < r["source_b"]
         assert r["delta"] >= -1e-9
+
+
+# ---------------------------------------------------------------------------
+# wave 3
+# ---------------------------------------------------------------------------
+
+
+def test_phash_neardup_exact_dups_at_zero_hamming(spark):
+    import duckdb
+
+    rows = SPECS["q_mm_phash_neardup"].spark(spark, SF_DIR).collect()
+    # exact text duplicates among image-kind docs MUST pair at hamming 0
+    con = duckdb.connect()
+    dup_pairs = con.execute(
+        f"""
+        SELECT a.doc_id, b.doc_id
+        FROM '{SF_DIR}/documents.parquet' a
+        JOIN '{SF_DIR}/documents.parquet' b
+          ON a.text = b.text AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 = 0
+          AND a.doc_id % 7 = b.doc_id % 7
+        """
+    ).fetchall()
+    got0 = {(r["media_a"], r["media_b"]) for r in rows if r["hamming"] == 0}
+    for pair in dup_pairs:
+        assert pair in got0
+    for r in rows:
+        assert 0 <= r["hamming"] <= 8
+        assert 1 <= r["n_shared_bands"] <= 4
+        assert r["media_a"] < r["media_b"]
+
+
+def test_outage_runs_reconcile_with_raw_grid(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    # independent python recount of empty-hour runs
+    hours = dict(
+        ((et, h), c)
+        for et, h, c in con.execute(
+            f"""
+            SELECT event_type,
+                   CAST(floor(epoch(ts)/3600) AS BIGINT), count(*)
+            FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    types = {et for et, _ in hours}
+    got = {
+        r["event_type"]: r
+        for r in SPECS["q_quality_outage_runs"].spark(spark, SF_DIR).collect()
+    }
+    assert set(got) == types
+    for et in types:
+        runs, cur = [], 0
+        for h in range(473352, 473352 + 720):
+            if (et, h) in hours:
+                if cur:
+                    runs.append(cur)
+                cur = 0
+            else:
+                cur += 1
+        if cur:
+            runs.append(cur)
+        assert got[et]["n_outages"] == len(runs)
+        assert got[et]["max_outage_hours"] == (max(runs) if runs else 0)
+        assert got[et]["total_empty_hours"] == sum(runs)
+
+
+def test_theil_decomposition_reconciles(spark):
+    row = SPECS["q_agg_theil_decomposition"].spark(spark, SF_DIR).collect()[0]
+    # exact decomposition up to the documented e6 rounding of the parts
+    assert row["recon_residual"] < 1e-3
+    assert row["t_total"] >= -1e-6
+    assert row["t_between"] >= -1e-3  # >= 0 mathematically; e6 slack
+    assert row["t_within"] >= -1e-6
