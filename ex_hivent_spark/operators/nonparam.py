@@ -1510,3 +1510,112 @@ def q_stats_kuiper_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.max("dminus"), 6).alias("d_minus"),
         dround(F.max("dplus") + F.max("dminus"), 6).alias("v_stat"),
     )
+
+
+@register(
+    "q_stats_ks_two_sample",
+    oracle=f"""
+    WITH vc AS (
+      SELECT value,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY value
+    ),
+    cum AS (
+      SELECT value,
+             CAST(sum(c1) OVER w AS BIGINT) AS k1,
+             CAST(sum(c2) OVER w AS BIGINT) AS k2,
+             CAST(sum(c1) OVER () AS BIGINT) AS n1,
+             CAST(sum(c2) OVER () AS BIGINT) AS n2
+      FROM vc
+      WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    dev AS (
+      SELECT n1, n2,
+             CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2 AS d
+      FROM cum
+    )
+    SELECT max(n1) AS n1, max(n2) AS n2,
+           {sql_dround("max(d)", 6)} AS d_plus,
+           {sql_dround("max(-d)", 6)} AS d_minus,
+           {sql_dround("greatest(max(d), max(-d))", 6)} AS d_stat,
+           {sql_dround(
+               "greatest(max(d), max(-d))"
+               " * sqrt(CAST(max(n1) AS DOUBLE) * max(n2)"
+               "        / (max(n1) + max(n2)))", 6)} AS ks_stat
+    FROM dev
+    """,
+)
+def q_stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the click and view
+    VALUE distributions: D = sup|F₁ − F₂| over the pooled value grid,
+    with its one-sided parts and the scaled statistic
+    D·√(n₁n₂/(n₁+n₂)) — the distribution-equality companion to
+    q_agg_welch_ttest (means) / q_stats_f_test_variance (scale) /
+    q_stats_mannwhitney_u (location shift): KS sees ANY difference.
+    (q_ts_ks_drift is the same sup-norm across TIME halves; this is
+    the across-SEGMENT form.)
+
+    Plan: event volume collapses to per-DISTINCT-value conditional
+    counts in one hash aggregate; the pooled EDF cumulative runs as
+    the blocked prefix fold over the fixed value/10 grid (≤57 blocks
+    at this value range — operators/prefix.py's deterministic
+    blocking, never a single-partition sort); one max-aggregate
+    closing. Determinism: EDF steps are exact integer-ratio doubles;
+    sup picks are exact; outputs e6-round (sqrt is the one libm
+    call). Ties across groups are handled exactly: both EDFs evaluate
+    at every pooled distinct value."""
+    e = load_table(spark, sf_dir, "events")
+    vc = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    blocked = vc.withColumn(
+        "blk", F.floor(F.col("value") / F.lit(10.0)).cast("bigint")
+    )
+    cum = running_totals_blocked(
+        blocked,
+        order_cols=["value"],
+        block_cols=["blk"],
+        sum_cols={"c1": "k1", "c2": "k2"},
+    )
+    tot = vc.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        (
+            F.col("k1").cast("double") / F.col("n1")
+            - F.col("k2").cast("double") / F.col("n2")
+        ).alias("d"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    d_stat = F.greatest(F.max("d"), F.max(-F.col("d")))
+    return dev.groupBy("n1", "n2").agg(
+        dround(F.max("d"), 6).alias("d_plus"),
+        dround(F.max(-F.col("d")), 6).alias("d_minus"),
+        dround(d_stat, 6).alias("d_stat"),
+        dround(
+            d_stat
+            * F.sqrt(n1.cast("double") * n2 / (n1 + n2)),
+            6,
+        ).alias("ks_stat"),
+    )

@@ -1970,3 +1970,230 @@ def q_ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(h, 6).alias("h_perm"),
         dround(h / _PE_LN6, 6).alias("h_perm_norm"),
     )
+
+
+# DFA block sizes (powers of two, the q_ts_hurst_rs grid) and the
+# profile scale factor: Ỹ_t = N·Y_t = N·cumsum(x) − t·Σx is an EXACT
+# integer (Y itself is cumsum(x − Σx/N), a rational), so every block
+# moment is exact int64 and the OLS closing runs on identically-cast
+# doubles. 720² un-scales the residual SS at the end.
+_DFA_SIZES = (8, 16, 32, 64)
+_DFA_SCALE2 = float(720 * 720)
+
+
+@register(
+    "q_ts_dfa_alpha",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) - {_EPOCH_H} AS hoff,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    hourly AS (
+      SELECT t.event_type, g.hoff, CAST(coalesce(o.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT CAST(range AS BIGINT) AS hoff
+                  FROM range({_N_HOURS})) g
+      LEFT JOIN obs o
+        ON o.event_type = t.event_type AND o.hoff = g.hoff
+    ),
+    prof AS (
+      SELECT event_type, hoff,
+             CAST({_N_HOURS} * sum(x) OVER (PARTITION BY event_type
+                                            ORDER BY hoff
+                                            ROWS BETWEEN UNBOUNDED
+                                            PRECEDING AND CURRENT ROW)
+                  - (hoff + 1) * (sum(x) OVER (PARTITION BY event_type))
+                  AS BIGINT) AS yt
+      FROM hourly
+    ),
+    sized AS (
+      SELECT p.event_type, s.n,
+             CAST(floor(p.hoff / s.n) AS BIGINT) AS blk,
+             p.hoff % s.n + 1 AS i, p.yt
+      FROM prof p
+      CROSS JOIN (SELECT unnest([{", ".join(str(n) for n in _DFA_SIZES)}])
+                    AS n) s
+    ),
+    blocks AS (
+      SELECT event_type, n, blk,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(yt) AS BIGINT) AS sy,
+             CAST(sum(i * yt) AS BIGINT) AS siy,
+             CAST(sum(yt * yt) AS BIGINT) AS syy
+      FROM sized GROUP BY event_type, n, blk
+    ),
+    resid AS (
+      SELECT event_type, n,
+             greatest(CAST(floor(
+               (CAST(syy AS DOUBLE)
+                - ((CAST(sy AS DOUBLE)
+                    - (CAST(n AS DOUBLE) * siy
+                       - (n * (n + 1) / 2.0) * sy)
+                      / (n * n * (CAST(n AS DOUBLE) * n - 1) / 12.0)
+                      * (n * (n + 1) / 2.0)) / n) * sy
+                - (CAST(n AS DOUBLE) * siy
+                   - (n * (n + 1) / 2.0) * sy)
+                  / (n * n * (CAST(n AS DOUBLE) * n - 1) / 12.0)
+                  * siy)
+               / {_DFA_SCALE2} + 0.5) AS BIGINT), 0) AS ss0
+      FROM blocks WHERE cnt = n
+    ),
+    fn AS (
+      SELECT event_type, n,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(CAST(ss0 AS DECIMAL(38,0))) AS DOUBLE) AS sst
+      FROM resid GROUP BY event_type, n
+    ),
+    pts AS (
+      SELECT event_type, n_blocks,
+             {sql_dround("ln(CAST(n AS DOUBLE))", 6)} AS lx,
+             {sql_dround(
+                 "ln(sqrt(sst / (n_blocks * CAST(n AS DOUBLE))))", 6,
+             )} AS ly
+      FROM fn WHERE sst > 0
+    ),
+    fit AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_blocks) AS BIGINT) AS n_blocks_total,
+             CAST(sum(CAST(lx AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(ly AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(lx * ly AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(lx * lx AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n_blocks_total,
+           CASE WHEN k < 2 OR k * sxx - sx * sx = 0 THEN NULL
+                ELSE {sql_dround(
+                    "(k * sxy - sx * sy) / (k * sxx - sx * sx)", 6)}
+           END AS dfa_alpha
+    FROM fit
+    """,
+)
+def q_ts_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended Fluctuation Analysis α of the hourly count series per
+    type: integrate the mean-centered series into the profile Y, split
+    into blocks of 8/16/32/64 hours, linearly DETREND each block (OLS
+    on the in-block index), and regress ln F(n) on ln n where F(n) is
+    the RMS residual — the robust Hurst estimator (α ≈ 0.5 white
+    noise, > 0.5 persistent, and unlike q_ts_hurst_rs' R/S it is
+    unbiased under nonstationary trends, which hourly product traffic
+    always has). Partial tail blocks drop (the hurst convention); a
+    degenerate all-zero profile takes the NULL branch.
+
+    Plan: the densified per-type spine, one type-partitioned cumsum,
+    one (type, size, block) integer-moment aggregate, 4-point closing
+    OLS — event volume touches only the first hash aggregate.
+
+    Magnitude discipline (the bollinger/f-test lesson): the profile is
+    carried as the EXACT integer Ỹ = 720·cumsum − t·Σx (Y itself is
+    rational), so the block moments (Σỹ, Σiỹ, Σỹ² ≤ ~3e17) are exact
+    int64 and both engines cast them to double identically; the
+    per-block residual SS un-scales by 720² and rounds to an INTEGER
+    (its ~1e-15 relative closing error sits far from the 0.5 grid),
+    then sums at decimal(38,0) whose total (~1e13) casts to double
+    EXACTLY below 2^53 — no scaled-decimal cast of a large value
+    anywhere. ln/sqrt e6-round per the libm convention."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+            - _EPOCH_H
+        ).alias("hoff"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    types = e.select("event_type").distinct()
+    spine = spark.range(_N_HOURS).select(F.col("id").cast("bigint").alias("hoff"))
+    hourly = (
+        types.crossJoin(spine)
+        .join(obs, ["event_type", "hoff"], "left")
+        .select(
+            "event_type", "hoff", F.coalesce("x", F.lit(0)).alias("x")
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("hoff")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    prof = hourly.select(
+        "event_type",
+        "hoff",
+        (
+            F.lit(_N_HOURS) * F.sum("x").over(wcum)
+            - (F.col("hoff") + 1) * F.sum("x").over(wall)
+        )
+        .cast("bigint")
+        .alias("yt"),
+    )
+    sizes = spark.createDataFrame([(n,) for n in _DFA_SIZES], "n bigint")
+    sized = prof.crossJoin(F.broadcast(sizes)).select(
+        "event_type",
+        "n",
+        F.floor(F.col("hoff") / F.col("n")).cast("bigint").alias("blk"),
+        (F.col("hoff") % F.col("n") + 1).alias("i"),
+        "yt",
+    )
+    blocks = sized.groupBy("event_type", "n", "blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("yt").cast("bigint").alias("sy"),
+        F.sum(F.col("i") * F.col("yt")).cast("bigint").alias("siy"),
+        F.sum(F.col("yt") * F.col("yt")).cast("bigint").alias("syy"),
+    ).filter(F.col("cnt") == F.col("n"))
+    nd = F.col("n").cast("double")
+    si = F.col("n") * (F.col("n") + 1) / 2.0
+    denom = F.col("n") * F.col("n") * (nd * F.col("n") - 1) / 12.0
+    slope = (nd * F.col("siy") - si * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * si) / F.col("n")
+    ss_scaled = (
+        F.col("syy").cast("double")
+        - intercept * F.col("sy")
+        - slope * F.col("siy")
+    )
+    resid = blocks.select(
+        "event_type",
+        "n",
+        F.greatest(
+            F.floor(ss_scaled / _DFA_SCALE2 + 0.5).cast("bigint"), F.lit(0)
+        ).alias("ss0"),
+    )
+    fn = resid.groupBy("event_type", "n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.col("ss0").cast("decimal(38,0)")).cast("double").alias("sst"),
+    ).filter(F.col("sst") > 0)
+    pts = fn.select(
+        "event_type",
+        "n_blocks",
+        dround(F.log(nd), 6).alias("lx"),
+        dround(
+            F.log(
+                F.sqrt(F.col("sst") / (F.col("n_blocks") * nd))
+            ),
+            6,
+        ).alias("ly"),
+    )
+    d6 = "decimal(25,6)"
+    fit = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_blocks").cast("bigint").alias("n_blocks_total"),
+        F.sum(F.col("lx").cast(d6)).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast(d6)).cast("double").alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast(d6)).cast("double").alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast(d6)).cast("double").alias("sxx"),
+    )
+    k = F.col("k")
+    det = k * F.col("sxx") - F.col("sx") * F.col("sx")
+    return fit.select(
+        "event_type",
+        "n_blocks_total",
+        F.when((k < 2) | (det == 0), F.lit(None).cast("double"))
+        .otherwise(
+            dround(
+                (k * F.col("sxy") - F.col("sx") * F.col("sy")) / det, 6
+            )
+        )
+        .alias("dfa_alpha"),
+    )

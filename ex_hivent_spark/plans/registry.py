@@ -143,10 +143,11 @@ def register(name: str, oracle: Optional[str] = None):
 # q_ts_permutation_entropy, q_llm_burrows_delta — anchored in
 # ANCHOR_r12b.json) and the r12 wave-3 registrations
 # (q_mm_phash_neardup, q_quality_outage_runs,
-# q_agg_theil_decomposition — anchored in ANCHOR_r12c.json), every
-# r12 op hash-verified at sf0.001/0.01/0.1 in its registration
-# wave, plus any later r12 wave, form the r13 front (23 + 18 +
-# later ≤ 50 fits one rotation); after that the backlog is empty
+# q_agg_theil_decomposition — anchored in ANCHOR_r12c.json) and the
+# r12 wave-4 registrations (q_ts_dfa_alpha, q_stats_ks_two_sample —
+# anchored in ANCHOR_r12d.json), every r12 op hash-verified at
+# sf0.001/0.01/0.1 in its registration wave, plus any later r12
+# wave, form the r13 front (23 + 20 + later ≤ 50 fits one rotation); after that the backlog is empty
 # and the r4-latest freshness refill resumes (q_agg_bitmap_rollup
 # A-Z onward).
 DRIVER_CHECK_FIRST = [

@@ -431,3 +431,108 @@ def test_theil_decomposition_reconciles(spark):
     assert row["t_total"] >= -1e-6
     assert row["t_between"] >= -1e-3  # >= 0 mathematically; e6 slack
     assert row["t_within"] >= -1e-6
+
+
+# ---------------------------------------------------------------------------
+# wave 4
+# ---------------------------------------------------------------------------
+
+
+def test_dfa_alpha_matches_python(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    hours = dict(
+        (
+            (et, h),
+            c,
+        )
+        for et, h, c in con.execute(
+            f"""
+            SELECT event_type,
+                   CAST(floor(epoch(ts)/3600) AS BIGINT) - 473352,
+                   count(*)
+            FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    types = {et for et, _ in hours}
+    got = {
+        r["event_type"]: r
+        for r in SPECS["q_ts_dfa_alpha"].spark(spark, SF_DIR).collect()
+    }
+    N = 720
+    for et in types:
+        xs = [hours.get((et, h), 0) for h in range(N)]
+        sx = sum(xs)
+        cum, yt = 0, []
+        for t, x in enumerate(xs):
+            cum += x
+            yt.append(N * cum - (t + 1) * sx)  # exact int profile
+        pts = []
+        nb_total = 0
+        for n in (8, 16, 32, 64):
+            ss_tot = 0
+            nb = 0
+            for b in range(N // n):
+                seg = yt[b * n : (b + 1) * n]
+                sy = sum(seg)
+                siy = sum((i + 1) * y for i, y in enumerate(seg))
+                syy = sum(y * y for y in seg)
+                si = n * (n + 1) / 2.0
+                denom = n * n * (float(n) * n - 1) / 12.0
+                slope = (float(n) * siy - si * sy) / denom
+                inter = (sy - slope * si) / n
+                ss = syy - inter * sy - slope * siy
+                ss0 = max(math.floor(ss / (720.0 * 720.0) + 0.5), 0)
+                ss_tot += ss0
+                nb += 1
+            if ss_tot > 0:
+                pts.append(
+                    (
+                        _e6(math.log(n)),
+                        _e6(math.log(math.sqrt(ss_tot / (nb * float(n))))),
+                    )
+                )
+                nb_total += nb
+        k = len(pts)
+        sxp = sum(p[0] for p in pts)
+        syp = sum(p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        alpha = (k * sxy - sxp * syp) / (k * sxx - sxp * sxp)
+        assert got[et]["n_blocks_total"] == nb_total
+        assert got[et]["dfa_alpha"] == pytest.approx(alpha, abs=2e-5)
+
+
+def test_ks_two_sample_matches_python(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    c = con.execute(
+        f"""
+        SELECT value,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        FROM '{SF_DIR}/events.parquet'
+        WHERE event_type IN ('click', 'view') GROUP BY value ORDER BY value
+        """
+    ).fetchall()
+    n1 = sum(r[1] for r in c)
+    n2 = sum(r[2] for r in c)
+    k1 = k2 = 0
+    dp = dm = -1.0
+    for _v, a, b in c:
+        k1 += a
+        k2 += b
+        d = k1 / n1 - k2 / n2
+        dp = max(dp, d)
+        dm = max(dm, -d)
+    row = SPECS["q_stats_ks_two_sample"].spark(spark, SF_DIR).collect()[0]
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["d_plus"] == pytest.approx(dp, abs=2e-6)
+    assert row["d_minus"] == pytest.approx(dm, abs=2e-6)
+    assert row["d_stat"] == pytest.approx(max(dp, dm), abs=2e-6)
+    assert row["ks_stat"] == pytest.approx(
+        max(dp, dm) * math.sqrt(n1 * n2 / (n1 + n2)), abs=2e-5
+    )
