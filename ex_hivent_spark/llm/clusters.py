@@ -1375,3 +1375,116 @@ def q_llm_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-top["nc"]).cast("bigint").alias("n_top"),
         ((-top["nc"]).cast("double") / F.sum("cnt")).alias("purity"),
     )
+
+
+@register(
+    "q_graph_modularity",
+    oracle=_NGRAM_PAIRS_SQL
+    + """
+    , lab AS (SELECT doc_id, lang FROM documents),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+    e_in AS (
+      SELECT la.lang, CAST(count(*) AS BIGINT) AS e_c
+      FROM pairs p
+      JOIN lab la ON la.doc_id = p.doc_a
+      JOIN lab lb ON lb.doc_id = p.doc_b
+      WHERE la.lang = lb.lang
+      GROUP BY la.lang
+    ),
+    deg AS (
+      SELECT l.lang, CAST(count(*) AS BIGINT) AS d_c
+      FROM (SELECT doc_a AS node FROM pairs
+            UNION ALL SELECT doc_b FROM pairs) u
+      JOIN lab l ON l.doc_id = u.node
+      GROUP BY l.lang
+    ),
+    terms AS (
+      SELECT d.lang,
+             CAST(coalesce(e.e_c, 0) AS BIGINT) AS e_c,
+             d.d_c, m.m,
+             floor((CAST(coalesce(e.e_c, 0) AS DOUBLE) / m.m
+                    - (CAST(d.d_c AS DOUBLE) / (2 * m.m))
+                      * (CAST(d.d_c AS DOUBLE) / (2 * m.m)))
+                   * 1000000.0 + 0.5) / 1000000.0 AS q_term
+      FROM deg d LEFT JOIN e_in e ON e.lang = d.lang
+      CROSS JOIN m
+    )
+    SELECT lang, e_c AS n_within_edges, d_c AS degree_sum, q_term,
+           floor(CAST((SELECT sum(CAST(t2.q_term AS DECIMAL(25,6)))
+                       FROM terms t2) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS modularity_q
+    FROM terms
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LANGUAGE partition over the near-dup
+    graph: Q = Σ_c (e_c/m − (d_c/2m)²) — does the duplication
+    structure align with the language communities? (Q near 0: dup
+    edges ignore language — cross-lang template reuse / translation
+    dups; high Q: dedup clusters stay within languages, so
+    per-language dedup sharding is safe.) Per-language terms emitted
+    next to the global Q so the driver of the score is visible.
+
+    Plan: the memoized prefix-filtered pair frame (never all-pairs) +
+    two broadcast-joined label lookups, a ≤|langs| aggregate each for
+    within-edges and degree mass, one scalar fold. All-integer inputs;
+    the Q terms are exact integer-ratio double arithmetic e6-rounded,
+    their sum rides the decimal detour. Oracle is quadratic in the
+    pair CTE (the skipped_heavy_oracles class at sf0.1 — covered by
+    the sampled hash check + the degree/edge invariants that
+    scripts/sf01_sample_check.py already verifies on this exact
+    frame)."""
+    from ex_hivent_spark.catalog import load_table
+    from ex_hivent_spark.functions.decimals import dround
+
+    pairs = _dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lab = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    m_df = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    la = lab.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "lang", "lang_a"
+    )
+    lb = lab.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "lang", "lang_b"
+    )
+    tagged = pairs.join(F.broadcast(la), "doc_a").join(
+        F.broadcast(lb), "doc_b"
+    )
+    e_in = (
+        tagged.filter(F.col("lang_a") == F.col("lang_b"))
+        .groupBy(F.col("lang_a").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    und = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = (
+        und.join(
+            F.broadcast(lab.withColumnRenamed("doc_id", "node")), "node"
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    md = F.col("m").cast("double")
+    q_term = dround(
+        F.col("e_c").cast("double") / md
+        - (F.col("d_c").cast("double") / (2 * md))
+        * (F.col("d_c").cast("double") / (2 * md)),
+        6,
+    )
+    terms = (
+        deg.join(e_in, "lang", "left")
+        .na.fill({"e_c": 0})
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "lang",
+            F.col("e_c").cast("bigint").alias("n_within_edges"),
+            F.col("d_c").alias("degree_sum"),
+            q_term.alias("q_term"),
+        )
+    )
+    q_all = terms.agg(
+        dround(
+            F.sum(F.col("q_term").cast("decimal(25,6)")).cast("double"), 6
+        ).alias("modularity_q")
+    )
+    return terms.crossJoin(F.broadcast(q_all))

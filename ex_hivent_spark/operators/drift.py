@@ -2633,3 +2633,151 @@ def q_ts_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround(n * r2, 6))
         .alias("lm_stat"),
     )
+
+
+# Spectral-entropy frequency grid: the first 24 month-harmonics
+# (periods 720h .. 30h) — DC excluded, so raw counts need no
+# demeaning. ln(24) as a spelled literal for the normalization.
+_SENT_KMAX = 24
+_SENT_LN_K = 3.1780538303479458
+
+
+@register(
+    "q_ts_spectral_entropy",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) - {_EPOCH_H} AS t,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, floor(epoch(ts) / 3600)
+    ),
+    terms AS (
+      SELECT event_type, k, c,
+             {sql_dround(
+                 f"cos({_TWO_PI} * CAST(k * t AS DOUBLE) / {_N_HOURS}.0)",
+                 6)} AS cosr,
+             {sql_dround(
+                 f"sin({_TWO_PI} * CAST(k * t AS DOUBLE) / {_N_HOURS}.0)",
+                 6)} AS sinr
+      FROM hourly, unnest(range(1, {_SENT_KMAX + 1})) AS u(k)
+    ),
+    f AS (
+      SELECT event_type, CAST(k AS BIGINT) AS k,
+             CAST(sum(CAST(CAST(c AS DOUBLE) * cosr AS DECIMAL(25,6)))
+                  AS DOUBLE) AS cr,
+             CAST(sum(CAST(CAST(c AS DOUBLE) * sinr AS DECIMAL(25,6)))
+                  AS DOUBLE) AS ci
+      FROM terms GROUP BY event_type, k
+    ),
+    pw AS (
+      SELECT event_type, k,
+             {sql_dround("cr * cr + ci * ci", 6)} AS p
+      FROM f
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(sum(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS pt
+      FROM pw GROUP BY event_type
+    ),
+    ent AS (
+      SELECT pw.event_type,
+             CASE WHEN pw.p <= 0 OR tot.pt <= 0 THEN 0.0
+                  ELSE {sql_dround(
+                      "(pw.p / tot.pt) * ("
+                      + sql_dround("ln(pw.p / tot.pt)", 6) + ")", 6)}
+             END AS term,
+             tot.pt
+      FROM pw JOIN tot USING (event_type)
+    )
+    SELECT event_type,
+           {sql_dround(
+               "-CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE)", 6,
+           )} AS spectral_entropy,
+           {sql_dround(
+               "-CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE)"
+               f" / {_SENT_LN_K}", 6)} AS spectral_entropy_norm
+    FROM ent GROUP BY event_type, pt
+    """,
+)
+def q_ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral (power-spectrum) entropy of the hourly count series
+    per type over the first 24 month-harmonics: H = −Σ p_k ln p_k of
+    the normalized periodogram, plus H/ln24 — near 1 for white-noise
+    traffic (power spread flat), near 0 when one cycle (the diurnal
+    k=30... at this grid the daily cycle is k=30's alias k=24-bounded
+    neighbors; in practice the low-k cluster) dominates. The
+    single-number summary of q_ts_spectral_peaks' per-harmonic table,
+    and the frequency-domain complement to q_ts_permutation_entropy's
+    ordinal complexity.
+
+    Plan: the spectral_peaks machinery widened to a 24-harmonic
+    literal grid — |hours|×24 rows per type into one hash aggregate,
+    time-grain bounded; DC is excluded so raw counts need no
+    demeaning (a constant series has zero power at every k ≥ 1 on the
+    full spine). Determinism: cos/sin e6-round per term (libm), sums
+    ride the decimal detour, per-k power e6-rounds (its ~1e9
+    magnitude stays inside decimal(38,6)'s exact-cast range at this
+    series scale), the share ratio is one division, ln e6-rounds, and
+    a zero-power harmonic contributes the documented 0 term."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+            - F.lit(_EPOCH_H)
+        ).alias("t"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    terms = hourly.select(
+        "event_type",
+        "t",
+        "c",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _SENT_KMAX + 1)])
+        ).alias("k"),
+    )
+    ang = (
+        F.lit(_TWO_PI)
+        * (F.col("k") * F.col("t")).cast("double")
+        / F.lit(float(_N_HOURS))
+    )
+    f = terms.groupBy(
+        "event_type", F.col("k").cast("bigint").alias("k")
+    ).agg(
+        F.sum(
+            (F.col("c").cast("double") * dround(F.cos(ang), 6)).cast(
+                "decimal(25,6)"
+            )
+        )
+        .cast("double")
+        .alias("cr"),
+        F.sum(
+            (F.col("c").cast("double") * dround(F.sin(ang), 6)).cast(
+                "decimal(25,6)"
+            )
+        )
+        .cast("double")
+        .alias("ci"),
+    )
+    pw = f.select(
+        "event_type",
+        "k",
+        dround(
+            F.col("cr") * F.col("cr") + F.col("ci") * F.col("ci"), 6
+        ).alias("p"),
+    )
+    tot = pw.groupBy("event_type").agg(
+        F.sum(F.col("p").cast("decimal(38,6)")).cast("double").alias("pt")
+    )
+    share = F.col("p") / F.col("pt")
+    ent = pw.join(tot, "event_type").select(
+        "event_type",
+        "pt",
+        F.when((F.col("p") <= 0) | (F.col("pt") <= 0), F.lit(0.0))
+        .otherwise(dround(share * dround(F.log(share), 6), 6))
+        .alias("term"),
+    )
+    h = -F.sum(F.col("term").cast("decimal(25,6)")).cast("double")
+    return ent.groupBy("event_type", "pt").agg(
+        dround(h, 6).alias("spectral_entropy"),
+        dround(h / _SENT_LN_K, 6).alias("spectral_entropy_norm"),
+    ).drop("pt")

@@ -2197,3 +2197,105 @@ def q_ts_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("dfa_alpha"),
     )
+
+
+# Binary-segmentation margin: candidate splits keep >= 24 hours on
+# each side so segment means are day-scale stable.
+_BSEG_MARGIN = 24
+
+
+@register(
+    "q_ts_binary_segmentation",
+    oracle=f"""
+    WITH spine AS ({_SQL_TOTAL_SPINE}),
+    cum AS (
+      SELECT h - {_EPOCH_H} + 1 AS t,
+             CAST(sum(y) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS ct,
+             CAST(sum(y) OVER () AS BIGINT) AS s
+      FROM spine
+    ),
+    gains AS (
+      SELECT t, ct, s,
+             {sql_dround(
+                 f"(CAST(t AS DOUBLE) * ({_N_HOURS} - t) / {_N_HOURS})"
+                 " * (CAST(ct AS DOUBLE) / t"
+                 f"    - CAST(s - ct AS DOUBLE) / ({_N_HOURS} - t))"
+                 " * (CAST(ct AS DOUBLE) / t"
+                 f"    - CAST(s - ct AS DOUBLE) / ({_N_HOURS} - t))",
+                 6)} AS gain
+      FROM cum
+      WHERE t >= {_BSEG_MARGIN} AND t <= {_N_HOURS - _BSEG_MARGIN}
+    ),
+    best AS (
+      SELECT t, ct, s, gain,
+             row_number() OVER (ORDER BY gain DESC, t) AS rn
+      FROM gains
+    )
+    SELECT CAST(t AS BIGINT) AS split_hour,
+           gain AS sse_gain,
+           {sql_dround("CAST(ct AS DOUBLE) / t", 6)} AS mean_left,
+           {sql_dround(
+               f"CAST(s - ct AS DOUBLE) / ({_N_HOURS} - t)", 6,
+           )} AS mean_right,
+           s AS n_events
+    FROM best WHERE rn = 1
+    """,
+)
+def q_ts_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One step of binary-segmentation changepoint detection on the
+    hourly TOTAL-count series: the split hour t* maximizing the SSE
+    reduction gain(t) = (t(N−t)/N)·(μ_left − μ_right)², with the two
+    segment means — the exact-argmax counterpart to
+    q_ts_cusum_changepoint's sequential detector (CUSUM finds WHEN a
+    drift started online; binary segmentation finds the single best
+    retrospective break, and iterating it on the halves is the
+    classic full changepoint algorithm). Candidate splits keep ≥ 24
+    hours per side; ties on gain break to the EARLIEST hour.
+
+    Plan: one cumulative window over the densified 720-row spine
+    (time-grain bounded), a per-candidate closed-form gain from the
+    exact integer (C_t, S) pair — no per-split re-scan, the prefix
+    trick — and a bounded rank-1 pick. Determinism: gains are pure
+    double arithmetic on exact int64 cumulative counts, e6-rounded;
+    the argmax orders on (gain DESC, t) so exact double ties are
+    broken deterministically; means e6-round."""
+    spine = _total_spine(spark, sf_dir)
+    w = Window.orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = spine.select(
+        (F.col("h") - _EPOCH_H + 1).alias("t"),
+        F.sum("y").over(w).cast("bigint").alias("ct"),
+        F.sum("y").over(wall).cast("bigint").alias("s"),
+    ).filter(
+        (F.col("t") >= _BSEG_MARGIN)
+        & (F.col("t") <= _N_HOURS - _BSEG_MARGIN)
+    )
+    td = F.col("t").cast("double")
+    ml = F.col("ct").cast("double") / F.col("t")
+    mr = (F.col("s") - F.col("ct")).cast("double") / (_N_HOURS - F.col("t"))
+    gains = cum.select(
+        "t",
+        "ct",
+        "s",
+        dround(
+            (td * (_N_HOURS - F.col("t")) / float(_N_HOURS))
+            * (ml - mr)
+            * (ml - mr),
+            6,
+        ).alias("gain"),
+    )
+    wr = Window.orderBy(F.col("gain").desc(), "t")
+    best = gains.select(
+        "*", F.row_number().over(wr).alias("rn")
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("t").cast("bigint").alias("split_hour"),
+        F.col("gain").alias("sse_gain"),
+        dround(ml, 6).alias("mean_left"),
+        dround(mr, 6).alias("mean_right"),
+        F.col("s").alias("n_events"),
+    )

@@ -145,9 +145,12 @@ def register(name: str, oracle: Optional[str] = None):
 # (q_mm_phash_neardup, q_quality_outage_runs,
 # q_agg_theil_decomposition — anchored in ANCHOR_r12c.json) and the
 # r12 wave-4 registrations (q_ts_dfa_alpha, q_stats_ks_two_sample —
-# anchored in ANCHOR_r12d.json), every r12 op hash-verified at
-# sf0.001/0.01/0.1 in its registration wave, plus any later r12
-# wave, form the r13 front (23 + 20 + later ≤ 50 fits one rotation); after that the backlog is empty
+# anchored in ANCHOR_r12d.json) and the r12 wave-5 registrations
+# (q_ts_spectral_entropy, q_ts_binary_segmentation,
+# q_graph_modularity — ANCHOR_r12e.json; modularity's quadratic
+# oracle joins the sampled-check family), every r12 op hash-verified
+# at sf0.001/0.01/0.1 in its registration wave, plus any later r12
+# wave, form the r13 front (23 + 23 + later ≤ 50 fits one rotation); after that the backlog is empty
 # and the r4-latest freshness refill resumes (q_agg_bitmap_rollup
 # A-Z onward).
 DRIVER_CHECK_FIRST = [

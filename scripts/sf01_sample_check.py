@@ -61,6 +61,8 @@ HEAVY_OPS = [
     "q_llm_graph_pagerank",
     "q_llm_ngram_jaccard",
     "q_llm_rouge_pairs",
+    # r12: same quadratic pair-CTE oracle family
+    "q_graph_modularity",
 ]
 
 
@@ -262,6 +264,13 @@ def main() -> int:
     ct = rows_of("q_llm_containment_dedup")
     check("containment_bounds",
           all(0.0 <= r["containment"] <= 1.0 for r in ct))
+
+    mod = rows_of("q_graph_modularity")
+    check("modularity_identities",
+          sum(r["n_within_edges"] for r in mod) <= len(pair_set)
+          and sum(r["degree_sum"] for r in mod) == 2 * len(pair_set)
+          and len({r["modularity_q"] for r in mod}) == 1
+          and all(-1.0 <= r["modularity_q"] <= 1.0 for r in mod))
 
     cx = rows_of("q_llm_cross_dedup")
     check("cross_dedup_split",

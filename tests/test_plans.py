@@ -785,6 +785,10 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # month spine (the q_ts_adf_lite class — time-grain bounded,
     # never data-volume sized)
     "q_ts_permutation_entropy": 2,
+    # r12: prefix-cumsum + grand-total + the rank-1 argmax pick, all
+    # over the same densified 720-row month spine / its ≤673-row
+    # candidate-split frame (the q_ts_kpss_lite class)
+    "q_ts_binary_segmentation": 3,
 }
 
 

@@ -536,3 +536,70 @@ def test_ks_two_sample_matches_python(spark):
     assert row["ks_stat"] == pytest.approx(
         max(dp, dm) * math.sqrt(n1 * n2 / (n1 + n2)), abs=2e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 5
+# ---------------------------------------------------------------------------
+
+
+def test_spectral_entropy_bounds_and_flat_series_zero(spark):
+    rows = SPECS["q_ts_spectral_entropy"].spark(spark, SF_DIR).collect()
+    assert rows
+    ln24 = 3.1780538303479458
+    for r in rows:
+        assert -1e-6 <= r["spectral_entropy"] <= ln24 + 1e-6
+        assert r["spectral_entropy_norm"] == pytest.approx(
+            r["spectral_entropy"] / ln24, abs=2e-6
+        )
+
+
+def test_binary_segmentation_matches_python(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    hours = dict(
+        (h, c)
+        for h, c in con.execute(
+            f"""
+            SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) - 473352,
+                   count(*)
+            FROM '{SF_DIR}/events.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    )
+    xs = [hours.get(h, 0) for h in range(720)]
+    s = sum(xs)
+    best = None
+    cum = 0
+    for t in range(1, 721):
+        cum += xs[t - 1]
+        if not (24 <= t <= 696):
+            continue
+        ml, mr = cum / t, (s - cum) / (720 - t)
+        gain = _e6((t * (720 - t) / 720.0) * (ml - mr) * (ml - mr))
+        if best is None or gain > best[0] or (gain == best[0] and t < best[1]):
+            best = (gain, t, ml, mr)
+    row = SPECS["q_ts_binary_segmentation"].spark(spark, SF_DIR).collect()[0]
+    assert row["split_hour"] == best[1]
+    assert row["sse_gain"] == pytest.approx(best[0], abs=2e-6)
+    assert row["mean_left"] == pytest.approx(best[2], abs=2e-6)
+    assert row["mean_right"] == pytest.approx(best[3], abs=2e-6)
+    assert row["n_events"] == s
+
+
+def test_modularity_identities(spark):
+    rows = SPECS["q_graph_modularity"].spark(spark, SF_DIR).collect()
+    assert rows
+    pairs = SPECS["q_llm_ngram_jaccard"].spark(spark, SF_DIR).collect()
+    m = len(pairs)
+    assert sum(r["degree_sum"] for r in rows) == 2 * m
+    assert sum(r["n_within_edges"] for r in rows) <= m
+    qs = {r["modularity_q"] for r in rows}
+    assert len(qs) == 1
+    q = qs.pop()
+    assert -1.0 <= q <= 1.0
+    # Q reconstructs from the per-community terms
+    assert q == pytest.approx(
+        sum(r["q_term"] for r in rows), abs=2e-5
+    )
