@@ -1152,3 +1152,68 @@ def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
         )
     )
+
+
+# Prefix-dup window: first N whitespace tokens (boilerplate headers,
+# mirrored/templated intros dedup on the prefix even when tails differ).
+_PREFIX_TOKENS = 16
+
+
+@register(
+    "q_llm_prefix_dup_rate",
+    oracle=f"""
+    WITH pfx AS (
+      SELECT source,
+             md5(array_to_string(
+               (string_split(text, ' '))[1:{_PREFIX_TOKENS}], ' '))
+               AS ph
+      FROM documents
+    ),
+    per AS (
+      SELECT source, ph, CAST(count(*) AS BIGINT) AS c
+      FROM pfx GROUP BY source, ph
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct_prefixes,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_prefix_dups,
+           {sql_dround(
+               "CAST(sum(c) - count(*) AS DOUBLE) / sum(c)", 6,
+           )} AS prefix_dup_rate,
+           CAST(max(c) AS BIGINT) AS max_prefix_family
+    FROM per GROUP BY source
+    """,
+)
+def q_llm_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-PREFIX duplication per source: md5 of the first
+    {_PREFIX_TOKENS} whitespace tokens, with the per-source dup rate
+    and the largest prefix family — the boilerplate-header detector
+    that whole-document dedup (q_llm_exact_dedup) misses (templated
+    intros with varying tails) and passage dedup (q_llm_passage_dedup)
+    only catches window-by-window. A source whose docs all share one
+    prefix is a template mill; cut or strip before tokenization.
+
+    Plan: map-only prefix hash (split + slice + concat — one codegen
+    expression; only the 16-byte hash shuffles), two hash aggregates.
+    All-integer counts; one e6-rounded exact-ratio rate."""
+    d = load_table(spark, sf_dir, "documents")
+    ph = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.split("text", " "), 1, _PREFIX_TOKENS)
+        )
+    )
+    per = d.select("source", ph.alias("ph")).groupBy("source", "ph").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return per.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_prefixes"),
+        (F.sum("c") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_prefix_dups"),
+        dround(
+            (F.sum("c") - F.count(F.lit(1))).cast("double") / F.sum("c"),
+            6,
+        ).alias("prefix_dup_rate"),
+        F.max("c").cast("bigint").alias("max_prefix_family"),
+    )

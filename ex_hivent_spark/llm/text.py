@@ -2019,3 +2019,121 @@ def q_llm_corr_fisher_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_upper"
         ),
     )
+
+
+# Perplexity-gate thresholds swept by the curation tuning pass (the
+# corpus's unigram ppl sits in ~29-41 on this generator; the grid
+# brackets the distribution so every SF produces a non-trivial curve).
+_PPL_THRESHOLDS = (30.0, 31.0, 32.0, 34.0, 38.0)
+
+# SQL twin of q_llm_doc_perplexity's per-doc frame (re-rendered from
+# the same CTE chain so the sweep and the per-doc score cannot drift
+# in data — the q_win_stoch_rsi convention).
+_SQL_DOC_PPL = f"""
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    dt AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c_dt
+      FROM toks GROUP BY doc_id, tok
+    ),
+    vocab AS (
+      SELECT tok, CAST(sum(c_dt) AS BIGINT) AS c_t FROM dt GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM vocab),
+    scored AS (
+      SELECT dt.doc_id,
+             dt.c_dt,
+             dt.c_dt * ({sql_dround(
+                 "ln(CAST(vocab.c_t AS DOUBLE) / tot.n)", 6
+             )}) AS lp
+      FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+    ),
+    ppl AS (
+      SELECT doc_id,
+             CAST(sum(c_dt) AS BIGINT) AS n_tokens,
+             {sql_dround(
+                 "exp(" + sql_dround(
+                     "-(CAST(sum(CAST(lp AS DECIMAL(25,6))) AS DOUBLE))"
+                     " / sum(c_dt)", 6) + ")", 6)} AS perplexity
+      FROM scored GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "q_llm_perplexity_filter_sweep",
+    oracle=f"""
+    WITH {_SQL_DOC_PPL},
+    thr AS (
+      SELECT unnest([{", ".join(str(t) for t in _PPL_THRESHOLDS)}])
+               AS max_ppl
+    ),
+    tot2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(n_tokens) AS BIGINT) AS tok_total
+      FROM ppl
+    )
+    SELECT max_ppl,
+           CAST(sum(CASE WHEN perplexity <= max_ppl THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(sum(CASE WHEN perplexity <= max_ppl THEN n_tokens
+                         ELSE 0 END) AS BIGINT) AS tokens_kept,
+           CAST(sum(CASE WHEN perplexity <= max_ppl THEN 1 ELSE 0 END)
+                AS DOUBLE) / max(n_total) AS doc_share,
+           CAST(sum(CASE WHEN perplexity <= max_ppl THEN n_tokens
+                         ELSE 0 END) AS DOUBLE) / max(tok_total)
+             AS token_share
+    FROM thr CROSS JOIN ppl CROSS JOIN tot2
+    GROUP BY max_ppl
+    """,
+)
+def q_llm_perplexity_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-gate threshold sweep: for each candidate max-ppl
+    cutoff, the documents and tokens the corpus would KEEP under the
+    unigram-LM fluency gate — the CCNet-style curation knob read as a
+    curve before committing (the q_llm_length_filter_sweep shape
+    applied to q_llm_doc_perplexity's score; composing the per-doc
+    query directly means the sweep and the score can never disagree).
+
+    Plan: the per-doc perplexity frame (explode + two hash aggregates
+    + a vocab join — all aggregate-sized) crossed with a 5-row literal
+    threshold grid and one closing aggregate. Determinism: the gate
+    compares the e6-ROUNDED perplexity against clean literals
+    (identical on both sides); counts are integers; shares are exact
+    integer-ratio divisions."""
+    ppl = q_llm_doc_perplexity(spark, sf_dir).select(
+        "doc_id", "n_tokens", "perplexity"
+    )
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in _PPL_THRESHOLDS])
+    ).alias("max_ppl")
+    tot = ppl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("n_tokens").cast("bigint").alias("tok_total"),
+    )
+    keep = F.col("perplexity") <= F.col("max_ppl")
+    grid = ppl.select("n_tokens", "perplexity", thr)
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("max_ppl")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_kept"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            (
+                F.sum(F.when(keep, 1).otherwise(0)).cast("double")
+                / F.max("n_total")
+            ).alias("doc_share"),
+            (
+                F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.max("tok_total")
+            ).alias("token_share"),
+        )
+    )

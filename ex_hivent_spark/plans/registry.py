@@ -148,9 +148,12 @@ def register(name: str, oracle: Optional[str] = None):
 # anchored in ANCHOR_r12d.json) and the r12 wave-5 registrations
 # (q_ts_spectral_entropy, q_ts_binary_segmentation,
 # q_graph_modularity — ANCHOR_r12e.json; modularity's quadratic
-# oracle joins the sampled-check family), every r12 op hash-verified
-# at sf0.001/0.01/0.1 in its registration wave, plus any later r12
-# wave, form the r13 front (23 + 23 + later ≤ 50 fits one rotation); after that the backlog is empty
+# oracle joins the sampled-check family) and the r12 wave-6
+# registrations (q_llm_prefix_dup_rate,
+# q_llm_perplexity_filter_sweep — ANCHOR_r12f.json), every r12 op
+# hash-verified at sf0.001/0.01/0.1 in its registration wave, plus
+# any later r12 wave, form the r13 front (23 + 25 + later ≤ 50
+# fits one rotation); after that the backlog is empty
 # and the r4-latest freshness refill resumes (q_agg_bitmap_rollup
 # A-Z onward).
 DRIVER_CHECK_FIRST = [

@@ -603,3 +603,55 @@ def test_modularity_identities(spark):
     assert q == pytest.approx(
         sum(r["q_term"] for r in rows), abs=2e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 6
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_dup_rate_reconciles(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    ref = dict(
+        (s, (nd, dp))
+        for s, nd, dp in con.execute(
+            f"""
+            SELECT source, count(*),
+                   count(*) - count(DISTINCT
+                     array_to_string((string_split(text, ' '))[1:16], ' '))
+            FROM '{SF_DIR}/documents.parquet' GROUP BY source
+            """
+        ).fetchall()
+    )
+    rows = SPECS["q_llm_prefix_dup_rate"].spark(spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(ref)
+    for r in rows:
+        nd, dp = ref[r["source"]]
+        assert r["n_docs"] == nd
+        assert r["n_prefix_dups"] == dp
+        assert r["n_distinct_prefixes"] == nd - dp
+        assert 0.0 <= r["prefix_dup_rate"] < 1.0
+        assert r["max_prefix_family"] >= 1
+
+
+def test_perplexity_sweep_monotone_and_reconciles(spark):
+    ppl = {
+        r["doc_id"]: r
+        for r in SPECS["q_llm_doc_perplexity"].spark(spark, SF_DIR).collect()
+    }
+    rows = sorted(
+        SPECS["q_llm_perplexity_filter_sweep"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["max_ppl"],
+    )
+    n_total = len(ppl)
+    tok_total = sum(r["n_tokens"] for r in ppl.values())
+    prev_docs = -1
+    for r in rows:
+        kept = [p for p in ppl.values() if p["perplexity"] <= r["max_ppl"]]
+        assert r["n_docs_kept"] == len(kept)
+        assert r["tokens_kept"] == sum(p["n_tokens"] for p in kept)
+        assert r["doc_share"] == pytest.approx(len(kept) / n_total, abs=1e-9)
+        assert r["n_docs_kept"] >= prev_docs  # monotone in the threshold
+        prev_docs = r["n_docs_kept"]
