@@ -11,7 +11,9 @@ With --out, writes a per-query JSON record in the driver's CORRECTNESS
 format — committed per round as CORRECTNESS_LOCAL.json, the full-
 inventory complement to the driver's first-50 record. With --only,
 checks just the named queries (comma-separated, or repeated flags) —
-the per-op iteration loop without a full-registry sweep.
+the per-op iteration loop without a full-registry sweep. With --skip,
+excludes the named queries (the sf0.1 sweep skips the quadratic-
+oracle set, which INVARIANTS_SF0_1.json covers instead).
 """
 
 from __future__ import annotations
@@ -60,6 +62,11 @@ def main() -> int:
         i = args.index("--only")
         only.update(q for q in args[i + 1].split(",") if q)
         del args[i : i + 2]
+    skip: set[str] = set()
+    while "--skip" in args:
+        i = args.index("--skip")
+        skip.update(q for q in args[i + 1].split(",") if q)
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import duckdb
@@ -87,6 +94,9 @@ def main() -> int:
             print(f"unknown --only queries: {sorted(unknown)}")
             return 2
         queries = {n: q for n, q in queries.items() if n in only}
+    if skip:
+        queries = {n: q for n, q in queries.items() if n not in skip}
+        print(f"skipping {len(skip)} queries (--skip)")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
