@@ -3176,3 +3176,220 @@ def q_emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ratio"),
     )
     return scored
+
+
+# nprobe grid swept by the IVF tuning curve (recall@TOP_K and scan
+# cost per probe budget; N_PROBE=4 is the production default above).
+_NPROBE_GRID = (1, 2, 4, 8)
+
+
+@register(
+    "q_llm_ivf_nprobe_sweep",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(e,
+               x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+      FROM emb
+    ),
+    q AS (SELECT vec_id AS query_id, u AS qu FROM unit
+          WHERE vec_id % 50 = 0),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY floor(list_dot_product(q.qu, v.u) * 1000000.0
+                                + 0.5) / 1000000.0 DESC, v.vec_id) AS rn
+        FROM q JOIN unit v ON v.vec_id <> q.query_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, u AS centroid FROM unit
+      WHERE vec_id % 37 = 1 ORDER BY vec_id LIMIT {N_CELLS}
+    ),
+    sims AS (
+      SELECT v.vec_id, c.cell_id,
+             list_dot_product(v.u, c.centroid) AS csim
+      FROM unit v CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY csim DESC, cell_id) AS rn
+      FROM sims
+    ),
+    members AS (SELECT vec_id, cell_id FROM assigned WHERE rn = 1),
+    cell_sizes AS (
+      SELECT cell_id, CAST(count(*) AS BIGINT) AS sz
+      FROM members GROUP BY cell_id
+    ),
+    pranks AS (
+      SELECT vec_id AS query_id, cell_id, rn AS prank
+      FROM assigned WHERE vec_id % 50 = 0
+    ),
+    grid AS (SELECT CAST(unnest([{", ".join(str(p) for p in _NPROBE_GRID)}])
+                    AS BIGINT) AS n_probe),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q),
+    hits AS (
+      SELECT g.n_probe, e.query_id,
+             CASE WHEN pr.prank <= g.n_probe THEN 1 ELSE 0 END AS hit
+      FROM exact e
+      JOIN members m ON m.vec_id = e.neighbor_id
+      JOIN pranks pr ON pr.query_id = e.query_id
+                    AND pr.cell_id = m.cell_id
+      CROSS JOIN grid g
+    ),
+    scans AS (
+      SELECT g.n_probe, pr.query_id,
+             CAST(sum(cs.sz) AS BIGINT) AS scanned
+      FROM pranks pr
+      JOIN cell_sizes cs ON cs.cell_id = pr.cell_id
+      CROSS JOIN grid g
+      WHERE pr.prank <= g.n_probe
+      GROUP BY g.n_probe, pr.query_id
+    )
+    SELECT h.n_probe,
+           max(nq.n_queries) AS n_queries,
+           {sql_dround(
+               f"CAST(sum(h.hit) AS DOUBLE)"
+               f" / ({TOP_K} * max(nq.n_queries))", 6)} AS recall_at_{TOP_K},
+           {sql_dround(
+               "(SELECT CAST(sum(s.scanned) AS DOUBLE) FROM scans s"
+               "  WHERE s.n_probe = h.n_probe)"
+               " / max(nq.n_queries)", 6)} AS avg_scanned
+    FROM hits h CROSS JOIN nq
+    GROUP BY h.n_probe
+    """,
+)
+def q_llm_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-budget tuning curve: recall@{TOP_K} of the IVF
+    candidate set against the exact brute-force top-{TOP_K}, and the
+    mean number of vectors scanned, for nprobe ∈ {_NPROBE_GRID} —
+    THE recall-vs-cost curve an ANN deployment reads before fixing
+    its probe budget (q_llm_ann_recall measures one operating point;
+    this sweeps the knob). The trick that makes the sweep one pass:
+    an exact neighbor is recalled at budget p iff the RANK of its
+    member cell in the query's probe ordering is ≤ p — so one
+    (neighbor → cell → probe-rank) join scores EVERY budget
+    simultaneously; no per-budget candidate join exists.
+
+    Plan: the exact side is the bounded brute-force baseline over
+    the |corpus|/50 query subset (broadcast queries, one corpus
+    pass); the probe side reuses the IVF assignment machinery
+    (broadcast 16-cell codebook); the per-budget closing crosses a
+    4-row literal grid. Determinism: cell assignment/probe ranks are
+    the exact argmax/rank orderings of q_llm_ivf_topk; recall and
+    scan counts are integer ratios, e6-rounded."""
+    from pyspark.sql import Window
+
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em)
+    q = unit.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("qu")
+    )
+    exact_scored = unit.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dround(dot(F.col("qu"), F.col("unit")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    exact_topk = (
+        exact_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    cents = (
+        unit.filter(F.col("vec_id") % 37 == 1)
+        .orderBy("vec_id")
+        .limit(N_CELLS)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("unit").alias("centroid"),
+        )
+    )
+    sims = unit.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        dot(F.col("unit"), F.col("centroid")).alias("csim"),
+    ).localCheckpoint(eager=False)  # feeds members AND probe ranks
+    members = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cell_id")).alias("neg"),
+                    F.col("cell_id"),
+                )
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.cell_id").alias("cell_id"))
+        .localCheckpoint(eager=False)  # feeds hits AND cell sizes
+    )
+    cell_sizes = members.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    pranks = (
+        sims.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell_id",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("csim").desc(), "cell_id"
+                )
+            ).alias("prank"),
+        )
+        .localCheckpoint(eager=False)  # feeds hits AND scans
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in _NPROBE_GRID], "n_probe bigint"
+    )
+    nq = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    hits = (
+        exact_topk.join(
+            members.withColumnRenamed("vec_id", "neighbor_id"),
+            "neighbor_id",
+        )
+        .join(pranks, ["query_id", "cell_id"])
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "n_probe",
+            F.when(F.col("prank") <= F.col("n_probe"), 1)
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    scans = (
+        pranks.join(F.broadcast(cell_sizes), "cell_id")
+        .crossJoin(F.broadcast(grid))
+        .filter(F.col("prank") <= F.col("n_probe"))
+        .groupBy("n_probe")
+        .agg(F.sum("sz").cast("bigint").alias("scanned_total"))
+    )
+    agg = (
+        hits.groupBy("n_probe")
+        .agg(F.sum("hit").cast("bigint").alias("n_hits"))
+        .join(scans, "n_probe")
+        .crossJoin(F.broadcast(nq))
+    )
+    return agg.select(
+        "n_probe",
+        "n_queries",
+        dround(
+            F.col("n_hits").cast("double")
+            / (TOP_K * F.col("n_queries")),
+            6,
+        ).alias(f"recall_at_{TOP_K}"),
+        dround(
+            F.col("scanned_total").cast("double") / F.col("n_queries"), 6
+        ).alias("avg_scanned"),
+    )

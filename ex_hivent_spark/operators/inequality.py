@@ -370,3 +370,64 @@ def q_agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recon_residual"),
         )
     )
+
+
+@register(
+    "q_agg_ge2_index",
+    oracle=_SQL_SPEND
+    + f""",
+    sq AS (
+      SELECT j.nation,
+             CAST(sum(CAST({sql_dround(
+                 "(j.x / (g.sx / g.n_customers))"
+                 " * (j.x / (g.sx / g.n_customers))", 6,
+             )} AS DECIMAL(38,6))) AS DOUBLE) AS srr
+      FROM j JOIN g USING (nation)
+      GROUP BY j.nation
+    )
+    SELECT g.nation, g.n_customers,
+           {sql_dround("(srr / g.n_customers - 1.0) / 2.0", 6)} AS ge2,
+           {sql_dround(
+               "sqrt(srr / g.n_customers - 1.0)", 6)} AS cv
+    FROM g JOIN sq USING (nation)
+    """,
+)
+def q_agg_ge2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GE(2), the half-squared-coefficient-of-variation member of the
+    generalized-entropy inequality family, per nation:
+    GE(2) = ((1/n)·Σ(xᵢ/μ)² − 1)/2, reported with the CV itself —
+    completing the family next to q_agg_theil_index (GE(1)) and
+    q_agg_atkinson_index: GE(2) is the top-sensitive member (weights
+    the right tail), Theil the middle, Atkinson(1) the bottom, so the
+    three TOGETHER localize where the concentration lives. The only
+    libm call is the closing sqrt; the ratios are pure arithmetic.
+
+    Plan: the session-memoized spend frame shared with the whole
+    family; one per-nation aggregate of e6-rounded squared shares
+    (share ≤ ~n, squares bounded — decimal(38,6) sums stay far inside
+    2^53), one 25-row closing join. Determinism: shares are single
+    divisions of deterministic doubles; squares e6-round before the
+    decimal sum; both outputs e6-round (mean ratio ≥ 1 by Jensen, so
+    the sqrt argument is non-negative up to e6 slack — and exact 0
+    only under perfect equality, where sqrt(0) is exact)."""
+    j = _nation_spend(spark, sf_dir)
+    g = _nation_sums(j)
+    mu = F.col("sx") / F.col("n_customers")
+    r = F.col("x") / mu
+    sq = (
+        j.join(F.broadcast(g), "nation")
+        .select("nation", dround(r * r, 6).alias("rr"))
+        .groupBy("nation")
+        .agg(
+            F.sum(F.col("rr").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("srr")
+        )
+    )
+    mean_rr = F.col("srr") / F.col("n_customers")
+    return g.join(sq, "nation").select(
+        "nation",
+        "n_customers",
+        dround((mean_rr - 1.0) / 2.0, 6).alias("ge2"),
+        dround(F.sqrt(mean_rr - 1.0), 6).alias("cv"),
+    )

@@ -150,10 +150,12 @@ def register(name: str, oracle: Optional[str] = None):
 # q_graph_modularity — ANCHOR_r12e.json; modularity's quadratic
 # oracle joins the sampled-check family) and the r12 wave-6
 # registrations (q_llm_prefix_dup_rate,
-# q_llm_perplexity_filter_sweep — ANCHOR_r12f.json), every r12 op
-# hash-verified at sf0.001/0.01/0.1 in its registration wave, plus
-# any later r12 wave, form the r13 front (23 + 25 + later ≤ 50
-# fits one rotation); after that the backlog is empty
+# q_llm_perplexity_filter_sweep — ANCHOR_r12f.json) and the r12
+# wave-7 FINAL registrations (q_agg_ge2_index,
+# q_llm_ivf_nprobe_sweep — ANCHOR_r12g.json), every r12 op
+# hash-verified at sf0.001/0.01/0.1 in its registration wave, form
+# the r13 front: exactly 23 + 27 = 50 never-driver-checked ops fill
+# the next rotation; after that the backlog is empty
 # and the r4-latest freshness refill resumes (q_agg_bitmap_rollup
 # A-Z onward).
 DRIVER_CHECK_FIRST = [

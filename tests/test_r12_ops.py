@@ -655,3 +655,55 @@ def test_perplexity_sweep_monotone_and_reconciles(spark):
         assert r["doc_share"] == pytest.approx(len(kept) / n_total, abs=1e-9)
         assert r["n_docs_kept"] >= prev_docs  # monotone in the threshold
         prev_docs = r["n_docs_kept"]
+
+
+# ---------------------------------------------------------------------------
+# wave 7 (final r12 wave)
+# ---------------------------------------------------------------------------
+
+
+def test_ge2_matches_python_and_dominates_theil(spark):
+    got = {
+        r["nation"]: r
+        for r in SPECS["q_agg_ge2_index"].spark(spark, SF_DIR).collect()
+    }
+    theil = {
+        r["nation"]: r["theil_t"]
+        for r in SPECS["q_agg_theil_index"].spark(spark, SF_DIR).collect()
+    }
+    ref = _spend_by_nation(spark, SF_DIR)
+    for nat, xs in ref.items():
+        mu = sum(xs) / len(xs)
+        ge2 = (sum((x / mu) ** 2 for x in xs) / len(xs) - 1.0) / 2.0
+        assert got[nat]["ge2"] == pytest.approx(ge2, abs=2e-5)
+        assert got[nat]["cv"] == pytest.approx(
+            math.sqrt(2 * ge2), abs=2e-5
+        )
+        # GE(2) is non-negative, and near-equal distributions put the
+        # whole family within the same first-order CV²/2 ballpark
+        # (no universal GE(2)>=GE(1) ordering exists)
+        assert got[nat]["ge2"] >= -1e-6
+        assert abs(got[nat]["ge2"] - theil[nat]) < 0.5 * max(
+            got[nat]["ge2"], theil[nat], 1e-6
+        )
+
+
+def test_ivf_nprobe_sweep_monotone_and_saturates(spark):
+    rows = sorted(
+        SPECS["q_llm_ivf_nprobe_sweep"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8]
+    prev_r, prev_s = -1.0, -1.0
+    for r in rows:
+        assert 0.0 <= r["recall_at_5"] <= 1.0 + 1e-9
+        assert r["recall_at_5"] >= prev_r - 1e-9  # recall monotone
+        assert r["avg_scanned"] >= prev_s - 1e-9  # cost monotone
+        prev_r, prev_s = r["recall_at_5"], r["avg_scanned"]
+    # probing every vector's cell budget of 8/16 cells must beat 1
+    assert rows[-1]["recall_at_5"] >= rows[0]["recall_at_5"]
+    # the n_probe=4 row must agree with q_llm_ann_recall's mean recall
+    ann = SPECS["q_llm_ann_recall"].spark(spark, SF_DIR).collect()
+    mean_ann = sum(r["recall_at_k"] for r in ann) / len(ann)
+    four = [r for r in rows if r["n_probe"] == 4][0]
+    assert four["recall_at_5"] == pytest.approx(mean_ann, abs=1e-3)
