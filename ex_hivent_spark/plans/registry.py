@@ -155,7 +155,30 @@ def register(name: str, oracle: Optional[str] = None):
 # q_llm_ivf_nprobe_sweep — ANCHOR_r12g.json), every r12 op
 # hash-verified at sf0.001/0.01/0.1 in its registration wave, form
 # the r13 front: exactly 23 + 27 = 50 never-driver-checked ops fill
-# the next rotation; after that the backlog is empty
+# the next rotation.
+# r13 ROTATION (set DRIVER_CHECK_FIRST to exactly this list, in this
+# order — the 23 late-r11 remainder first, then the 27 r12-new in
+# registration order):
+#   q_stats_ad_uniform, q_stats_cochran_q, q_stats_cohen_kappa,
+#   q_stats_concordance_gamma, q_stats_cvm_uniform, q_stats_dixon_q,
+#   q_stats_grubbs_outlier, q_stats_levene, q_stats_moods_median,
+#   q_stats_theil_u, q_stats_wilcoxon_signed_rank, q_ts_ar1_backtest,
+#   q_ts_diff_stationarity, q_ts_seasonal_index, q_win_ad_line,
+#   q_win_choppiness, q_win_dpo, q_win_fisher_transform,
+#   q_win_garman_klass, q_win_kst, q_win_parkinson_vol, q_win_rvi,
+#   q_win_ultimate_osc,
+#   q_agg_theil_index, q_agg_atkinson_index, q_stats_ttest_paired,
+#   q_stats_f_test_variance, q_stats_kuiper_uniform,
+#   q_seq_interevent_burstiness, q_win_stoch_rsi, q_win_mass_index,
+#   q_win_pvo, q_win_nvi, q_win_qstick, q_win_bop, q_ts_arch_lm,
+#   q_ts_permutation_entropy, q_llm_burrows_delta, q_mm_phash_neardup,
+#   q_quality_outage_runs, q_agg_theil_decomposition, q_ts_dfa_alpha,
+#   q_stats_ks_two_sample, q_ts_spectral_entropy,
+#   q_ts_binary_segmentation, q_graph_modularity,
+#   q_llm_prefix_dup_rate, q_llm_perplexity_filter_sweep,
+#   q_agg_ge2_index, q_llm_ivf_nprobe_sweep.
+# After r13 the never-checked backlog is EMPTY; resume the r4-latest
+# freshness refill (q_agg_bitmap_rollup A-Z onward).; after that the backlog is empty
 # and the r4-latest freshness refill resumes (q_agg_bitmap_rollup
 # A-Z onward).
 DRIVER_CHECK_FIRST = [
