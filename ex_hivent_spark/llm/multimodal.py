@@ -567,47 +567,67 @@ _PHASH_MAX_HAMMING = 8
       FROM media
     ),
     bands AS (
+      -- divisors as BIGINT literals: DuckDB's ** returns DOUBLE and
+      -- // with a double divisor does NOT floor (latent bug exposed
+      -- by the census rewrite; the empty pair output had masked it)
       SELECT media_id, phash, b.band_id,
-             (phash // (4096 ** b.band_id)) % 4096 AS band_val
+             (phash // b.divisor) % 4096 AS band_val
       FROM ph CROSS JOIN
-           (SELECT unnest(range({_PHASH_BANDS})) AS band_id) b
+           (SELECT * FROM (VALUES {", ".join(
+               f"({i}, {4096 ** i})" for i in range(_PHASH_BANDS)
+           )}) AS t(band_id, divisor)) b
     ),
-    cand AS (
-      SELECT a.media_id AS media_a, b.media_id AS media_b,
-             CAST(count(DISTINCT a.band_id) AS BIGINT) AS n_shared_bands,
-             CAST(bit_count(xor(min(a.phash), min(b.phash))) AS BIGINT)
-               AS hamming
+    buckets AS (
+      SELECT band_id, band_val, CAST(count(*) AS BIGINT) AS c
+      FROM bands GROUP BY band_id, band_val
+    ),
+    census AS (
+      SELECT band_id,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(max(c) AS BIGINT) AS max_bucket_size,
+             CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_candidate_pairs
+      FROM buckets GROUP BY band_id
+    ),
+    matched AS (
+      SELECT a.band_id, CAST(count(*) AS BIGINT) AS n_matched_pairs
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_val = b.band_val
        AND a.media_id < b.media_id
-      GROUP BY a.media_id, b.media_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_MAX_HAMMING}
+      GROUP BY a.band_id
     )
-    SELECT media_a, media_b, n_shared_bands, hamming
-    FROM cand WHERE hamming <= {_PHASH_MAX_HAMMING}
+    SELECT c.band_id, c.n_buckets, c.max_bucket_size,
+           c.n_candidate_pairs,
+           CAST(coalesce(m.n_matched_pairs, 0) AS BIGINT)
+             AS n_matched_pairs
+    FROM census c LEFT JOIN matched m ON m.band_id = c.band_id
     """,
 )
 def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate pairs via perceptual-hash LSH banding —
-    the image twin of MinHash text dedup: a 48-bit pHash per image,
-    split into 4×12-bit bands; images sharing ANY band become
-    candidates (equi-join on (band_id, band_val) — never an all-pairs
-    product), verified by full-hash Hamming distance ≤ 8/48. At
-    100 TB this is THE image-dedup plan: the payload never shuffles
-    (the hash is computed in the scan stage), candidates are bounded
-    by Σ bucket², and verification is one integer xor+popcount per
-    candidate.
+    """Image near-duplicate detection via perceptual-hash LSH banding,
+    reported as the per-band BANDING CENSUS — the image twin of
+    MinHash text dedup: a 48-bit pHash per image, split into 4×12-bit
+    bands; images sharing any band become candidates (equi-join on
+    (band_id, band_val) — never an all-pairs product), verified by
+    full-hash Hamming distance ≤ 8/48. Each band reports its bucket
+    count, largest bucket, candidate-pair volume (Σ c·(c−1)/2 — the
+    quantity that bounds join cost at scale), and how many candidates
+    VERIFIED — so the report is the tuning readout an image-dedup run
+    ships even when it finds zero dups ("n candidates tried, 0
+    verified" is a real audit; on this synthetic corpus true matches
+    exist only where whole payloads repeat).
 
-    The pHash here is the md5-prefix int48 of the payload's hex
-    (this container has no image libs; a real deployment swaps in a
-    DCT pHash inside the same mapInPandas decode stage —
-    _decode_payload's try-import pattern — leaving every downstream
-    band/join/verify step unchanged, which is exactly the plumbing
-    this query verifies). Payloads are the synth_media bytes, so the
-    oracle re-derives the identical hash from repeat(md5(text), k).
+    The pHash here is the md5-prefix int48 of the payload's hex (this
+    container has no image libs; a real deployment swaps in a DCT
+    pHash inside the same mapInPandas decode stage —
+    _decode_payload's try-import pattern — leaving every band/join/
+    verify step unchanged, which is exactly the plumbing this query
+    verifies). Payloads are the synth_media bytes, so the oracle
+    re-derives the identical hash from repeat(md5(text), k).
 
     Determinism: all-integer — md5-prefix hashes, arithmetic band
-    extraction (floor-div/mod), exact xor + bit_count; no rounding
-    anywhere."""
+    extraction (floor-div by powers of two is exact in doubles),
+    exact xor + bit_count; no rounding anywhere."""
     media = synth_media(spark, sf_dir).filter(F.col("kind") == "image")
     ph = media.select(
         "media_id",
@@ -631,30 +651,42 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = ph.select(
         "media_id", "phash", F.explode(band_structs).alias("b")
-    ).select("media_id", "phash", "b.band_id", "b.band_val")
+    ).select(
+        "media_id", "phash", "b.band_id", "b.band_val"
+    ).localCheckpoint(eager=False)  # feeds the census AND the verify join
+    buckets = bands.groupBy("band_id", "band_val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    census = buckets.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("c").cast("bigint").alias("max_bucket_size"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2)
+        .cast("bigint")
+        .alias("n_candidate_pairs"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    matched = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.media_id") < F.col("b.media_id")),
         )
-        .groupBy(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
-        )
-        .agg(
-            F.count_distinct(F.col("a.band_id"))
-            .cast("bigint")
-            .alias("n_shared_bands"),
+        .filter(
             F.bit_count(
-                F.min(F.col("a.phash")).bitwiseXOR(F.min(F.col("b.phash")))
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
             )
-            .cast("bigint")
-            .alias("hamming"),
+            <= _PHASH_MAX_HAMMING
         )
+        .groupBy(F.col("a.band_id").alias("band_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched_pairs"))
     )
-    return cand.filter(F.col("hamming") <= _PHASH_MAX_HAMMING).select(
-        "media_a", "media_b", "n_shared_bands", "hamming"
+    return census.join(matched, "band_id", "left").select(
+        "band_id",
+        "n_buckets",
+        "max_bucket_size",
+        "n_candidate_pairs",
+        F.coalesce("n_matched_pairs", F.lit(0))
+        .cast("bigint")
+        .alias("n_matched_pairs"),
     )

@@ -362,29 +362,49 @@ def test_burrows_delta_symmetric_panel(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_phash_neardup_exact_dups_at_zero_hamming(spark):
+def test_phash_census_reconciles_with_python(spark):
     import duckdb
+    import hashlib
 
-    rows = SPECS["q_mm_phash_neardup"].spark(spark, SF_DIR).collect()
-    # exact text duplicates among image-kind docs MUST pair at hamming 0
     con = duckdb.connect()
-    dup_pairs = con.execute(
+    docs = con.execute(
         f"""
-        SELECT a.doc_id, b.doc_id
-        FROM '{SF_DIR}/documents.parquet' a
-        JOIN '{SF_DIR}/documents.parquet' b
-          ON a.text = b.text AND a.doc_id < b.doc_id
-        WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 = 0
-          AND a.doc_id % 7 = b.doc_id % 7
+        SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'
+        WHERE doc_id % 3 = 0
         """
     ).fetchall()
-    got0 = {(r["media_a"], r["media_b"]) for r in rows if r["hamming"] == 0}
-    for pair in dup_pairs:
-        assert pair in got0
-    for r in rows:
-        assert 0 <= r["hamming"] <= 8
-        assert 1 <= r["n_shared_bands"] <= 4
-        assert r["media_a"] < r["media_b"]
+    phashes = {}
+    for doc_id, text in docs:
+        payload_hex = hashlib.md5(text.encode()).hexdigest() * (
+            doc_id % 7 + 1
+        )
+        ph = int(
+            hashlib.md5(payload_hex.encode()).hexdigest()[:12], 16
+        )
+        phashes[doc_id] = ph
+    rows = {
+        r["band_id"]: r
+        for r in SPECS["q_mm_phash_neardup"].spark(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    for band in range(4):
+        buckets = {}
+        for ph in phashes.values():
+            buckets.setdefault((ph >> (12 * band)) & 0xFFF, []).append(ph)
+        r = rows[band]
+        assert r["n_buckets"] == len(buckets)
+        assert r["max_bucket_size"] == max(len(v) for v in buckets.values())
+        assert r["n_candidate_pairs"] == sum(
+            len(v) * (len(v) - 1) // 2 for v in buckets.values()
+        )
+        n_match = sum(
+            1
+            for v in buckets.values()
+            for i in range(len(v))
+            for j in range(i + 1, len(v))
+            if bin(v[i] ^ v[j]).count("1") <= 8
+        )
+        assert r["n_matched_pairs"] == n_match
 
 
 def test_outage_runs_reconcile_with_raw_grid(spark):
