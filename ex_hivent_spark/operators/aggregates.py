@@ -222,16 +222,22 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
              {sql_davg("value", "avg_value")},
              count(*) AS n_events
       FROM events GROUP BY event_type
-    ) WHERE n_events > 10 AND avg_value > 90
+    ) WHERE n_events > 10 AND avg_value > 50
     """,
 )
 def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate + post-aggregation filter (HAVING)."""
+    """Aggregate + post-aggregation filter (HAVING). Threshold 50 sits
+    INSIDE the per-type mean distribution (means cluster 48-52 on this
+    generator), so the filter passes some-but-not-all groups at every
+    SF — the r12 vacuous-op audit found the old >90 threshold could
+    never fire (every SF returned zero rows, so the hash check was
+    schema-only). Changed output → fronted in the r13 rotation for a
+    fresh driver check (the r8 rewritten-op precedent)."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
         .agg(davg("value", "avg_value"), F.count(F.lit(1)).alias("n_events"))
-        .filter((F.col("n_events") > 10) & (F.col("avg_value") > 90))
+        .filter((F.col("n_events") > 10) & (F.col("avg_value") > 50))
     )
 
 

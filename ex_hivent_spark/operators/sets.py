@@ -91,16 +91,28 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_set_except",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'view'
+    SELECT user_id, CAST(ts AS DATE) AS day
+    FROM events WHERE event_type = 'view'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id, CAST(ts AS DATE)
+    FROM events WHERE event_type = 'purchase'
     """,
 )
 def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Users who viewed but never purchased."""
+    """(user, day) pairs with a view but no purchase that day — the
+    browsed-without-buying day list. The r12 vacuous-op audit found
+    the old USER-grain EXCEPT was empty at every SF (this generator's
+    users all eventually do every event type), so the hash check was
+    schema-only; the (user, day) grain is non-empty AND non-total at
+    every SF (~64% of view-days). Changed output → fronted in the
+    r13 rotation for a fresh driver check."""
     e = load_table(spark, sf_dir, "events")
-    viewed = e.filter(F.col("event_type") == "view").select("user_id")
-    purchased = e.filter(F.col("event_type") == "purchase").select("user_id")
+    viewed = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    purchased = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
     return viewed.subtract(purchased)
 
 

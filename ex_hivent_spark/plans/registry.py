@@ -157,8 +157,13 @@ def register(name: str, oracle: Optional[str] = None):
 # the r13 front: exactly 23 + 27 = 50 never-driver-checked ops fill
 # the next rotation.
 # r13 ROTATION (set DRIVER_CHECK_FIRST to exactly this list, in this
-# order — the 23 late-r11 remainder first, then the 27 r12-new in
-# registration order):
+# order — the TWO r12 output-rewrites first (q_agg_having,
+# q_set_except: the vacuous-op audit gave both non-empty semantics;
+# the r8 rewritten-op precedent fronts them), then the 23 late-r11
+# remainder, then the r12-new in registration order, trimming the
+# last two (q_agg_ge2_index, q_llm_ivf_nprobe_sweep — they slide to
+# the r14 front) so the list stays exactly 50:
+#   q_agg_having, q_set_except,
 #   q_stats_ad_uniform, q_stats_cochran_q, q_stats_cohen_kappa,
 #   q_stats_concordance_gamma, q_stats_cvm_uniform, q_stats_dixon_q,
 #   q_stats_grubbs_outlier, q_stats_levene, q_stats_moods_median,
@@ -175,10 +180,10 @@ def register(name: str, oracle: Optional[str] = None):
 #   q_quality_outage_runs, q_agg_theil_decomposition, q_ts_dfa_alpha,
 #   q_stats_ks_two_sample, q_ts_spectral_entropy,
 #   q_ts_binary_segmentation, q_graph_modularity,
-#   q_llm_prefix_dup_rate, q_llm_perplexity_filter_sweep,
-#   q_agg_ge2_index, q_llm_ivf_nprobe_sweep.
-# After r13 the never-checked backlog is EMPTY; resume the r4-latest
-# freshness refill (q_agg_bitmap_rollup A-Z onward).; after that the backlog is empty
+#   q_llm_prefix_dup_rate, q_llm_perplexity_filter_sweep.
+# r14 front: q_agg_ge2_index, q_llm_ivf_nprobe_sweep; after those the
+# never-checked backlog is EMPTY — resume the r4-latest freshness
+# refill (q_agg_bitmap_rollup A-Z onward).; after that the backlog is empty
 # and the r4-latest freshness refill resumes (q_agg_bitmap_rollup
 # A-Z onward).
 DRIVER_CHECK_FIRST = [
