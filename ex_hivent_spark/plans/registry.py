@@ -183,62 +183,65 @@ def register(name: str, oracle: Optional[str] = None):
 #   q_llm_prefix_dup_rate, q_llm_perplexity_filter_sweep.
 # r14 front: q_agg_ge2_index, q_llm_ivf_nprobe_sweep; after those the
 # never-checked backlog is EMPTY — resume the r4-latest freshness
-# refill (q_agg_bitmap_rollup A-Z onward).; after that the backlog is empty
-# and the r4-latest freshness refill resumes (q_agg_bitmap_rollup
-# A-Z onward).
+# refill (q_agg_bitmap_rollup A-Z onward).
+# r13 STATUS: DRIVER_CHECK_FIRST below IS the written r13 rotation,
+# verbatim (set at the start of r13; the r12 list it replaced went
+# 50/50 green in CORRECTNESS_r12.json).
 DRIVER_CHECK_FIRST = [
-    # --- 44 late-r11 never-checked ops, in written-plan order
-    "q_agg_price_realization",
-    "q_graph_rich_club",
-    "q_seq_user_lifespan",
-    "q_ts_weekend_effect",
-    "q_win_efficiency_ratio",
-    "q_llm_yule_k",
-    "q_quality_order_recon",
-    "q_ts_durbin_watson",
-    "q_stats_page_trend",
-    "q_win_hull_ma",
-    "q_stats_ansari_bradley",
-    "q_ts_cox_stuart",
-    "q_seq_dwell_matrix",
-    "q_emb_norm_length_corr",
-    "q_agg_order_size_profile",
-    "q_ts_bartels_rank",
-    "q_ts_runs_updown",
-    "q_win_fractal_points",
-    "q_stats_bowker_symmetry",
-    "q_seq_session_stats",
-    "q_geo_dbscan_core",
-    "q_win_sma_crossover",
-    "q_quality_ship_lag_audit",
-    "q_agg_nation_trade_balance",
-    "q_llm_vocab_gini",
-    "q_ts_fano_factor",
-    "q_win_volume_profile",
-    "q_win_td_setup",
-    "q_stats_yuen_trimmed",
-    "q_ts_rolling_corr",
-    "q_stats_chi2_homogeneity",
-    "q_llm_hapax_profile",
-    "q_agg_nation_brand_lift",
-    "q_quality_id_ts_monotonicity",
-    "q_win_opening_range",
-    "q_stats_jonckheere",
-    "q_seq_revisit_gaps",
-    "q_seq_ping_pong_rate",
-    "q_win_candle_census",
-    "q_quality_dim_coverage",
-    "q_ts_diurnal_entropy",
-    "q_stats_fligner_policello",
-    "q_seq_habit_strength",
-    "q_llm_token_len_profile",
-    # --- first 6 of the trailing 29 (A-Z), filling the 50 slots
-    "q_agg_repeat_purchase",
-    "q_emb_intrinsic_dim",
-    "q_emb_pair_cosine_hist",
-    "q_llm_source_dup_rate",
-    "q_seq_markov_stationary",
-    "q_seq_window_funnel",
+    # --- the two r12 output-rewrites first (r8 rewritten-op precedent)
+    "q_agg_having",
+    "q_set_except",
+    # --- 23 late-r11 remainder, in written-plan order
+    "q_stats_ad_uniform",
+    "q_stats_cochran_q",
+    "q_stats_cohen_kappa",
+    "q_stats_concordance_gamma",
+    "q_stats_cvm_uniform",
+    "q_stats_dixon_q",
+    "q_stats_grubbs_outlier",
+    "q_stats_levene",
+    "q_stats_moods_median",
+    "q_stats_theil_u",
+    "q_stats_wilcoxon_signed_rank",
+    "q_ts_ar1_backtest",
+    "q_ts_diff_stationarity",
+    "q_ts_seasonal_index",
+    "q_win_ad_line",
+    "q_win_choppiness",
+    "q_win_dpo",
+    "q_win_fisher_transform",
+    "q_win_garman_klass",
+    "q_win_kst",
+    "q_win_parkinson_vol",
+    "q_win_rvi",
+    "q_win_ultimate_osc",
+    # --- 25 r12-new in registration order (ANCHOR_r12–r12f), trimming
+    # q_agg_ge2_index + q_llm_ivf_nprobe_sweep to the r14 front
+    "q_agg_theil_index",
+    "q_agg_atkinson_index",
+    "q_stats_ttest_paired",
+    "q_stats_f_test_variance",
+    "q_stats_kuiper_uniform",
+    "q_seq_interevent_burstiness",
+    "q_win_stoch_rsi",
+    "q_win_mass_index",
+    "q_win_pvo",
+    "q_win_nvi",
+    "q_win_qstick",
+    "q_win_bop",
+    "q_ts_arch_lm",
+    "q_ts_permutation_entropy",
+    "q_llm_burrows_delta",
+    "q_mm_phash_neardup",
+    "q_quality_outage_runs",
+    "q_agg_theil_decomposition",
+    "q_ts_dfa_alpha",
+    "q_stats_ks_two_sample",
+    "q_ts_spectral_entropy",
+    "q_ts_binary_segmentation",
+    "q_graph_modularity",
+    "q_llm_prefix_dup_rate",
+    "q_llm_perplexity_filter_sweep",
 ]
 
 
