@@ -636,6 +636,9 @@ _DELTA_TOP_K = 20
     z AS (
       SELECT f.source, f.term,
              CASE WHEN (mo.sff - mo.sf * mo.sf / ns.k) / ns.k <= 0
+                    OR ({sql_dround(
+                        "sqrt((mo.sff - mo.sf * mo.sf / ns.k) / ns.k)",
+                        6)}) <= 0
                   THEN 0.0
                   ELSE {sql_dround(
                       "(f.fr - mo.sf / ns.k) / ("
@@ -718,17 +721,21 @@ def q_llm_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (F.col("sff") - F.col("sf") * F.col("sf") / F.col("k")) / F.col(
         "k"
     )
+    # Guard on the ROUNDED sd, not just var: dround(sqrt(var), 6)
+    # collapses to 0.0 for 0 < var < 2.5e-13 (reachable on the e6 fr
+    # grid), and dividing by a rounded-to-zero sd hits engine-specific
+    # divide-by-zero semantics (Spark ANSI error/NULL vs DuckDB IEEE).
+    sd = dround(F.sqrt(var), 6)
     z = (
         f.join(F.broadcast(mo), "term")
         .crossJoin(F.broadcast(ns))
         .select(
             "source",
             "term",
-            F.when(var <= 0, F.lit(0.0))
+            F.when((var <= 0) | (sd <= 0), F.lit(0.0))
             .otherwise(
                 dround(
-                    (F.col("fr") - F.col("sf") / F.col("k"))
-                    / dround(F.sqrt(var), 6),
+                    (F.col("fr") - F.col("sf") / F.col("k")) / sd,
                     6,
                 )
             )

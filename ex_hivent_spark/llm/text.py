@@ -2067,8 +2067,12 @@ _SQL_DOC_PPL = f"""
     oracle=f"""
     WITH {_SQL_DOC_PPL},
     thr AS (
-      SELECT unnest([{", ".join(str(t) for t in _PPL_THRESHOLDS)}])
-               AS max_ppl
+      -- CAST to DOUBLE: DuckDB types the unnested float-literal list
+      -- DECIMAL(3,1), while the Spark side emits DOUBLE; emit the
+      -- identical type so parity doesn't lean on the harness's
+      -- numeric coercion or the repr-keyed row sort.
+      SELECT CAST(unnest([{", ".join(str(t) for t in _PPL_THRESHOLDS)}])
+                  AS DOUBLE) AS max_ppl
     ),
     tot2 AS (
       SELECT CAST(count(*) AS BIGINT) AS n_total,

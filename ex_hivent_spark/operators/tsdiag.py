@@ -2089,8 +2089,13 @@ def q_ts_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Magnitude discipline (the bollinger/f-test lesson): the profile is
     carried as the EXACT integer Ỹ = 720·cumsum − t·Σx (Y itself is
-    rational), so the block moments (Σỹ, Σiỹ, Σỹ² ≤ ~3e17) are exact
-    int64 and both engines cast them to double identically; the
+    rational), so the block moments (Σỹ, Σiỹ, Σỹ² ≤ ~3e17 at the test
+    SFs) are exact and both engines cast them to double identically;
+    Σỹ² is accumulated at decimal(38,0) (not int64 — |ỹ| grows with
+    the per-type monthly count S as 720·S, and ỹ² would wrap int64
+    silently past S ≈ 1.3e5 ≈ sf1 while DuckDB promotes to HUGEINT),
+    so past-int64 totals fail LOUDLY at the closing bigint cast in
+    both engines instead of diverging; the
     per-block residual SS un-scales by 720² and rounds to an INTEGER
     (its ~1e-15 relative closing error sits far from the 0.5 grid),
     then sums at decimal(38,0) whose total (~1e13) casts to double
@@ -2141,7 +2146,17 @@ def q_ts_dfa_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum("yt").cast("bigint").alias("sy"),
         F.sum(F.col("i") * F.col("yt")).cast("bigint").alias("siy"),
-        F.sum(F.col("yt") * F.col("yt")).cast("bigint").alias("syy"),
+        # Square through decimal(38,0): int64 yt*yt would WRAP silently
+        # in non-ANSI Spark once |yt| (≤ 720·monthly-count) passes
+        # ~1.3e5 events/type-month (~sf1), while DuckDB promotes to
+        # HUGEINT. The decimal product/sum is exact, and the closing
+        # bigint cast fails loudly on overflow in both engines.
+        F.sum(
+            F.col("yt").cast("decimal(38,0)")
+            * F.col("yt").cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("syy"),
     ).filter(F.col("cnt") == F.col("n"))
     nd = F.col("n").cast("double")
     si = F.col("n") * (F.col("n") + 1) / 2.0

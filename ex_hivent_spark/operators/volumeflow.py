@@ -890,7 +890,7 @@ def q_win_nvi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROWS frame is deterministic without a tiebreaker).
     Determinism: each ln is e6-rounded per row; the prefix sum rides
     decimal(25,6) (|Σ| bounded by bars × max|ln-step|, far inside
-    2^53); the closing exp (libm) e6-rounds on both sides."""
+    2^53)."""
     bars = _hourly_vbars(spark, sf_dir)
     wl = Window.partitionBy("event_type").orderBy("hour_id")
     lagged = bars.select(
