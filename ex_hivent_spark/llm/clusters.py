@@ -842,39 +842,89 @@ _KCORE_ROUNDS = 3  # fixed peel rounds (deterministic, both engines)
            (SELECT a AS x FROM e2 UNION ALL SELECT b FROM e2) GROUP BY x),
     k2 AS (SELECT x FROM d2 WHERE c >= 2),
     e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT x FROM k2)
-                                  AND b IN (SELECT x FROM k2))
-    SELECT x AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
-    FROM (SELECT a AS x FROM e3 UNION ALL SELECT b FROM e3)
-    GROUP BY x
+                                  AND b IN (SELECT x FROM k2)),
+    d3 AS (SELECT x, count(*) AS c FROM
+           (SELECT a AS x FROM e3 UNION ALL SELECT b FROM e3) GROUP BY x)
+    SELECT CAST(0 AS INTEGER) AS peel_round,
+           CAST((SELECT count(*) FROM d0) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+           (SELECT CAST(max(c) AS BIGINT) FROM d0) AS max_degree
+    UNION ALL
+    SELECT CAST(1 AS INTEGER),
+           CAST((SELECT count(*) FROM d1) AS BIGINT),
+           CAST((SELECT count(*) FROM e1) AS BIGINT),
+           (SELECT CAST(max(c) AS BIGINT) FROM d1)
+    UNION ALL
+    SELECT CAST(2 AS INTEGER),
+           CAST((SELECT count(*) FROM d2) AS BIGINT),
+           CAST((SELECT count(*) FROM e2) AS BIGINT),
+           (SELECT CAST(max(c) AS BIGINT) FROM d2)
+    UNION ALL
+    SELECT CAST(3 AS INTEGER),
+           CAST((SELECT count(*) FROM d3) AS BIGINT),
+           CAST((SELECT count(*) FROM e3) AS BIGINT),
+           (SELECT CAST(max(c) AS BIGINT) FROM d3)
     """,
 )
 def q_graph_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core peeling of the near-dup graph, three fixed rounds: drop
     every node with degree < 2 (and its edges), recompute, repeat —
-    after peeling, what remains is the cyclic "core" of each dup
-    cluster (chains and pendant docs peel away; cores are the
-    boilerplate/template hubs worth human review before mass
-    deletion). Output: surviving nodes with their in-core degree.
+    chains and pendant docs peel away; whatever survives is the cyclic
+    "core" of each dup cluster (boilerplate/template hubs worth human
+    review before mass deletion). Output: the per-round PEEL CENSUS —
+    (round, surviving nodes, surviving edges, max degree), one row per
+    level including the un-peeled round 0.
+
+    r13 vacuous-op audit rewrite (the q_mm_phash_neardup census
+    precedent): the original per-node in-core degree listing was EMPTY
+    at every SF — the synthetic dup graph is a forest, so three peels
+    leave nothing and the hash-match was schema-only, exercising none
+    of the iteration. The census is non-empty by construction (always
+    _KCORE_ROUNDS + 1 = 4 rows), makes the oracle check every peel
+    level, and an empty final core now shows up as an explicit
+    (3, 0, 0, NULL) row instead of silence.
 
     Plan: per round, ONE degree hash aggregate + two broadcast-able
     semi-joins of the edge list against the surviving-node set —
     hash-only shuffles on 8-byte keys; each round's edge frame is
     pinned with a lazy localCheckpoint (the iterative-algorithm
-    discipline of lpa/pagerank) so lineage stays flat. The round count
-    is a FIXED literal (not run-to-fixpoint) so the oracle unrolls the
-    identical three levels. All-integer, no rounding anywhere."""
+    discipline of lpa/pagerank) so lineage stays flat, and the census
+    rows are four single-row aggregates cross-joined off those pinned
+    frames. The round count is a FIXED literal (not run-to-fixpoint)
+    so the oracle unrolls the identical levels. All-integer, no
+    rounding anywhere."""
     edges = (
         _dup_pairs(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(_KCORE_ROUNDS):
+    census = []
+    for r in range(_KCORE_ROUNDS + 1):
         deg = (
             edges.select(F.col("a").alias("x"))
             .unionAll(edges.select(F.col("b").alias("x")))
             .groupBy("x")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        census.append(
+            deg.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                F.max("c").cast("bigint").alias("max_degree"),
+            )
+            .crossJoin(
+                edges.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_edges")
+                )
+            )
+            .select(
+                F.lit(r).cast("int").alias("peel_round"),
+                "n_nodes",
+                "n_edges",
+                "max_degree",
+            )
+        )
+        if r == _KCORE_ROUNDS:
+            break
         keep = deg.filter(F.col("c") >= _KCORE_K).select("x")
         edges = (
             edges.join(
@@ -884,12 +934,10 @@ def q_graph_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b")
             .localCheckpoint(eager=False)  # flat lineage per round
         )
-    return (
-        edges.select(F.col("a").alias("doc_id"))
-        .unionAll(edges.select(F.col("b").alias("doc_id")))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-    )
+    out = census[0]
+    for c in census[1:]:
+        out = out.unionAll(c)
+    return out
 
 
 @register(

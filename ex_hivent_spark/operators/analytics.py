@@ -369,7 +369,7 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT event_id,
              lead(event_id) OVER (ORDER BY event_id) AS next_id
-      FROM events
+      FROM events WHERE event_type = 'purchase'
     )
     SELECT event_id + 1 AS gap_start, next_id - 1 AS gap_end,
            next_id - event_id - 1 AS n_missing
@@ -378,9 +378,18 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality gap detection: missing ranges in the event_id
-    sequence (the dropped-message audit every at-least-once pipeline
-    runs).
+    """Data-quality gap detection: missing ranges in the PURCHASE
+    stream's event_id sequence (the dropped-message audit every
+    at-least-once pipeline runs, scoped to one logical topic whose
+    ids are a subsequence of the global counter).
+
+    r13 vacuous-op audit rewrite: auditing the FULL event_id sequence
+    returned zero rows at every SF (the generator's id column is
+    dense), so the hash-match was schema-only and the entire blocked-
+    prefix plan below went oracle-unexercised. Scoping to the purchase
+    subsequence keeps the identical machinery and semantics (gaps are
+    now the interleaved other-type ids: 150 / 1,584 / 16,036 gap rows
+    at sf0.001/0.01/0.1) while making the oracle check every carry.
 
     Plan: the global predecessor of each id under the total event_id
     order IS the exclusive global running max of event_id — so this is
@@ -400,7 +409,9 @@ def q_quality_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere."""
     from .prefix import running_max_blocked
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
     parts = e.select("event_id").withColumn(
         "__blk", F.expr("event_id DIV 8192")
     )

@@ -151,13 +151,26 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders."""
+    """Customers who never placed a 1-URGENT order (left anti join
+    against a pre-filtered build side).
+
+    r13 vacuous-op audit rewrite: the original "customers with no
+    orders at all" was EMPTY at the sf0.01 driver gate (the generator
+    assigns ≥1 order to every sf0.01 customer), so its hash-match was
+    schema-only. The priority predicate keeps the result non-empty at
+    every gate SF (18 / 203 / 1,986 rows at sf0.001/0.01/0.1) while
+    staying a pure anti-join exercise; the filter pushes into the
+    orders scan before the join builds."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

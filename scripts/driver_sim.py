@@ -139,6 +139,22 @@ def main() -> int:
         f"oracle-pass: {n_pass}, rows-only-ok: {n_rows_only}, "
         f"FAIL: {len(fails)} of {len(queries)} @ {sf_dir}"
     )
+    # Vacuous-op surfacing (r12 lesson: an EMPTY result hash-matches
+    # trivially — schema-only — and can mask a dead threshold or a
+    # latent oracle bug). Every run prints the zero-row set so the
+    # per-wave --only iteration sees it immediately; the round-close
+    # audit record is scripts/vacuous_audit.py over the --out JSON.
+    zero = [n for n, r in records.items() if r["spark_rows"] == 0]
+    if zero:
+        from ex_hivent_spark.plans.vacuous import DOCUMENTED_EMPTY
+
+        undoc = [n for n in zero if n not in DOCUMENTED_EMPTY]
+        print(f"zero-row: {', '.join(zero)}")
+        if undoc:
+            print(
+                "ZERO-ROW UNDOCUMENTED (add semantics or a "
+                f"plans/vacuous.py reason): {', '.join(undoc)}"
+            )
     for name, why in fails:
         print(f"FAIL {name}: {why}")
     if out_path:

@@ -222,10 +222,22 @@ def main() -> int:
           and all(r["rank_e9"] > 0 for r in pr)
           and sum(r["rank_e9"] for r in pr) <= len(nodes) * 10**9)
 
-    core = rows_of("q_graph_kcore_step")
-    check("kcore_nodes_subset",
-          {r["doc_id"] for r in core} <= nodes
-          and all(r["core_degree"] >= 1 for r in core))
+    # r13 census rewrite: kcore now emits the per-round peel census
+    # (peel_round, n_nodes, n_edges, max_degree). Invariants: one row
+    # per round, round 0 matches the pair graph exactly, and peeling
+    # is monotone non-increasing in nodes and edges.
+    core = sorted(
+        rows_of("q_graph_kcore_step"), key=lambda r: r["peel_round"]
+    )
+    check("kcore_census_monotone_peel",
+          [r["peel_round"] for r in core] == [0, 1, 2, 3]
+          and core[0]["n_nodes"] == len(nodes)
+          and core[0]["n_edges"] == len(pair_set)
+          and all(
+              core[i]["n_nodes"] >= core[i + 1]["n_nodes"]
+              and core[i]["n_edges"] >= core[i + 1]["n_edges"]
+              for i in range(3)
+          ))
 
     degree_of: dict = {}
     for a, b in pair_set:

@@ -417,9 +417,11 @@ def test_ivf_trained_codebook_beats_literal_seed(spark, sf_dir, tmp_path):
 
 
 def test_kcore_peels_pendants_keeps_core(spark, tmp_path):
-    """2-core peeling: a near-dup triangle (3 mutually similar docs)
-    survives all peel rounds with in-core degree 2, while a detached
-    similar PAIR (both endpoints degree 1) is peeled in round one."""
+    """2-core peel census: a near-dup triangle (3 mutually similar
+    docs) survives all peel rounds, while a detached similar PAIR
+    (both endpoints degree 1) is peeled in round one — so the census
+    reads 5 nodes / 4 edges at round 0 and a stable 3-node / 3-edge
+    core from round 1 on."""
     core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     pair = "one two three four five six seven eight nine ten eleven"
     docs = spark.createDataFrame(
@@ -437,12 +439,17 @@ def test_kcore_peels_pendants_keeps_core(spark, tmp_path):
     from ex_hivent_spark.plans.registry import all_specs
 
     out = {
-        r.doc_id: r.core_degree
+        r.peel_round: (r.n_nodes, r.n_edges, r.max_degree)
         for r in all_specs()["q_graph_kcore_step"]
         .spark(spark, sf_dir)
         .collect()
     }
-    assert out == {10: 2, 11: 2, 12: 2}
+    assert out == {
+        0: (5, 4, 2),
+        1: (3, 3, 2),
+        2: (3, 3, 2),
+        3: (3, 3, 2),
+    }
 
 
 def test_neighbor_jaccard_dense_vs_chain(spark, tmp_path):

@@ -81,7 +81,11 @@ def test_sequence_gaps_finds_boundary_spanning_gaps(spark, tmp_path):
     from ex_hivent_spark.plans.registry import all_specs
 
     ids = [i for i in range(1, 20001) if i % 97 != 0 and not 5000 < i < 5400]
-    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    # the r13 rewrite audits the purchase subsequence; tag every id
+    # as a purchase so the expected gap list is unchanged
+    df = spark.createDataFrame(
+        [(i, "purchase") for i in ids], "event_id long, event_type string"
+    )
     os.makedirs(f"{tmp_path}/sf", exist_ok=True)
     df.write.mode("overwrite").parquet(f"{tmp_path}/sf/events.parquet")
 
@@ -115,7 +119,9 @@ def test_sequence_gaps_through_recursive_fold(spark, monkeypatch, tmp_path):
         for i in range(1, 330001)
         if i % 101 != 0 and not 98300 < i < 99200
     ]
-    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    df = spark.createDataFrame(
+        [(i, "purchase") for i in ids], "event_id long, event_type string"
+    )
     os.makedirs(f"{tmp_path}/sf", exist_ok=True)
     df.write.mode("overwrite").parquet(f"{tmp_path}/sf/events.parquet")
 
