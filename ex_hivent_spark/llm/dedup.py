@@ -15,7 +15,7 @@ whole-stage codegen and scales linearly:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
@@ -729,28 +729,18 @@ def _minhash_error_oracle_sql() -> str:
     """
 
 
-@register("q_llm_minhash_error", oracle=_minhash_error_oracle_sql())
-def q_llm_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-quality audit for the MinHash pipeline — the dedup twin of
-    q_llm_ann_recall: for every LSH-banded candidate pair, the
-    signature-agreement estimate (matching minima / 32) next to the
-    EXACT shingle-set Jaccard, and their absolute error. This is the
-    measurement that tunes N_PERM / banding before trusting the sketch
-    on a real corpus: E[estimate] = true Jaccard, and the observed error
-    distribution tells you whether 32 permutations suffice at the
-    chosen threshold.
-
-    Plan: the same explode + 32-codegen-minima aggregate and banded
-    equi-join as q_llm_minhash_neardup — literally the same frames, via
-    the session-memoized :func:`minhash_frames` (ONE shingle explode
-    feeds the signature minima AND the exact shingle sets; shingling
-    the text is the expensive map stage, so the family pays it once
-    per session). Exact Jaccard adds two narrow
-    (doc_id -> shingle-hash-array) joins on the candidates only.
-    Everything the audit shuffles is ids + fixed-width signatures.
-    Determinism: agreement counts are integer; both ratios are single
-    exact divisions; abs_err is IEEE on identically derived doubles —
-    fully hash-checked, no tolerance."""
+@session_memo
+def minhash_error_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized audit frame behind q_llm_minhash_error AND
+    q_llm_dedup_threshold_sweep: every LSH candidate pair with its
+    signature estimate, exact Jaccard and absolute error, lazily
+    localCheckpointed. r12 anchor follow-up: memoizing only the
+    signature frames still left the sweep re-running the candidate
+    join + two shingle-set joins (the actually-expensive reduce side)
+    on top of the audit — the whole PAIRS frame is the shared
+    intermediate, and it's narrow (|candidates| rows of ids + four
+    numbers), so pinning it is cheap at any scale. First caller pays;
+    each query stays standalone."""
     sh, mins = minhash_frames(spark, sf_dir)
     candidates = _lsh_candidates(mins)
 
@@ -789,7 +779,36 @@ def q_llm_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact.alias("jaccard_exact"),
             F.abs(est - exact).alias("abs_err"),
         )
+        .localCheckpoint(eager=False)
     )
+
+
+@register("q_llm_minhash_error", oracle=_minhash_error_oracle_sql())
+def q_llm_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for the MinHash pipeline — the dedup twin of
+    q_llm_ann_recall: for every LSH-banded candidate pair, the
+    signature-agreement estimate (matching minima / 32) next to the
+    EXACT shingle-set Jaccard, and their absolute error. This is the
+    measurement that tunes N_PERM / banding before trusting the sketch
+    on a real corpus: E[estimate] = true Jaccard, and the observed error
+    distribution tells you whether 32 permutations suffice at the
+    chosen threshold.
+
+    Plan: the same explode + 32-codegen-minima aggregate and banded
+    equi-join as q_llm_minhash_neardup — literally the same frames, via
+    the session-memoized :func:`minhash_frames` (ONE shingle explode
+    feeds the signature minima AND the exact shingle sets; shingling
+    the text is the expensive map stage, so the family pays it once
+    per session). Exact Jaccard adds two narrow
+    (doc_id -> shingle-hash-array) joins on the candidates only.
+    Everything the audit shuffles is ids + fixed-width signatures.
+    The pairs frame itself is session-memoized
+    (:func:`minhash_error_pairs`) so the threshold sweep reads the
+    one materialization instead of re-running the candidate + set
+    joins. Determinism: agreement counts are integer; both ratios are
+    single exact divisions; abs_err is IEEE on identically derived
+    doubles — fully hash-checked, no tolerance."""
+    return minhash_error_pairs(spark, sf_dir)
 
 
 @register(
@@ -820,9 +839,10 @@ def q_llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     except the exact 0/1 endpoints (32|5k only for k in {{0, 32}} —
     both floor exactly); the tau compare is on identically-derived
     IEEE doubles; counts are integers and the precision is one exact
-    division. Scale: one extra hash aggregate over the
-    candidate-pairs frame — negligible next to the audit itself."""
-    pairs = q_llm_minhash_error(spark, sf_dir)
+    division. Scale: one extra hash aggregate over the MATERIALIZED
+    candidate-pairs frame (:func:`minhash_error_pairs`, session-
+    memoized) — a warm call never re-runs the audit's joins."""
+    pairs = minhash_error_pairs(spark, sf_dir)
     is_dup = F.when(F.col("jaccard_exact") >= 0.5, 1).otherwise(0)
     return (
         pairs.groupBy(
@@ -905,20 +925,21 @@ def q_llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_llm_minhash_neardup: whole-doc resemblance; this: localized
     copied runs).
 
-    Plan: fingerprint selection is a pure per-row map (split +
-    transform + windowed array_min — whole-stage codegen, no UDF);
-    only the (doc_id, fingerprint-hash) pairs explode into the
-    document-frequency aggregate and back-join. At 100 TB the shuffle
-    carries ~|tokens|/W hashes per doc, never text — the winnowing
-    density 2/(W+1) is the knob that trades recall for shuffle
-    volume. Hashes are md5_int48, reproduced VERBATIM in the oracle."""
+    Plan: the gram-hash sequence is ONE per-row HOF pass (split +
+    transform over positions — the O(n·K) md5 work, identical to the
+    minhash shingle stage); window-minimum selection then runs as a
+    posexplode + doc-partitioned sliding ROWS window min, which stays
+    in JVM window codegen instead of a second interpreted HOF pass
+    (pyspark HOF lambdas evaluate per element in the interpreter, and
+    the old windowed array_min re-sliced O(W) arrays per position —
+    the r12 anchor's 2× residual was exactly that pass). Only
+    (doc_id, pos, hash) triples shuffle into the window; the distinct
+    fingerprint pairs then feed the document-frequency aggregate and
+    back-join. At 100 TB the df shuffle carries ~|tokens|/W hashes
+    per doc, never text — the winnowing density 2/(W+1) is the knob
+    that trades recall for shuffle volume. Hashes are md5_int48,
+    reproduced VERBATIM in the oracle."""
     d = load_table(spark, sf_dir, "documents")
-    # Both stages let-bound (functions/letbind.py): codegen does not
-    # CSE inside HOF lambdas, so unbound the O(n·K) md5-gram array
-    # re-evaluates under every one of the n windowed array_min
-    # references — O(n²) md5 calls per doc, measured 197 s at sf0.1
-    # vs ~2.5 s bound. let1 keeps it one pure codegen'd expression
-    # (no checkpoint barrier, no memory pin).
     hs = let1(
         F.split("text", " "),
         lambda tokens: F.transform(
@@ -931,20 +952,28 @@ def q_llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    fp = let1(
-        hs,
-        lambda h: F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size(h) - (WINNOW_W - 1), F.lit(1)),
-                ),
-                lambda j: F.array_min(F.slice(h, j, WINNOW_W)),
-            )
-        ),
+    g = d.select(
+        "doc_id", F.posexplode(hs).alias("pos", "h")
+    ).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    fps = d.select("doc_id", fp.alias("fp"))
-    ex = fps.select("doc_id", F.explode("fp").alias("f"))
+    # pos is 0-based; the oracle's 1-based j runs to max(n-W+1, 1), so
+    # keep pos ≤ max(n-W, 0). The trailing window truncates at the
+    # array end exactly like the old F.slice beyond length.
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    ex = (
+        g.withColumn("m", F.min("h").over(wmin))
+        .filter(
+            F.col("pos")
+            <= F.greatest(F.col("n") - WINNOW_W, F.lit(0))
+        )
+        .select("doc_id", F.col("m").alias("f"))
+        .distinct()
+    )
     df_tbl = ex.groupBy("f").agg(
         F.count_distinct("doc_id").alias("nd")
     )
