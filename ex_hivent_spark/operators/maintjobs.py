@@ -1,0 +1,241 @@
+"""Lakehouse maintenance planning + mergeable sketch ops — the two
+capability classes the r12 verdict called thin (task 8): a small-file
+COMPACTION/OPTIMIZE planner as a registered query, and a
+space-saving-style bounded top-k summary (the streaming-compatible
+heavy-hitters twin to the exact q_agg_heavy_hitters).
+
+q_maint_compaction_bins — the PLANNING half of maintenance.py's
+``compact_parquet`` executor (which is unit-tested but, being a write
+job, has no oracle-checkable query surface): model a daily-partitioned
+streaming sink's micro-batch files (one per (day, event_type) cell of
+the events table, the natural append grain), then pack each day's
+ordered file listing into target-size bins by BYTE OFFSET — a file
+belongs to the bin its start offset falls in, exactly Spark's
+FilePartition / parquet split-by-offset model (deterministic and
+prefix-sum expressible, where first-fit bin-close packing would need
+sequential state both engines can't share). The output is the per-bin
+rewrite manifest an OPTIMIZE job would execute.
+
+q_agg_spacesaving_topk — a deterministic, MERGEABLE bounded top-k
+summary: per deterministic block (l_orderkey DIV block-size — the
+stand-in for a partition/executor-local combiner), keep only the
+top-M (count, key) entries; the merge then knows, for any candidate
+key, an exact lower bound (sum of kept counts) and an upper bound
+(lower + Σ of the per-block kept-minimum over blocks whose summary
+dropped the key — a dropped key's block count can't exceed the M-th
+kept count there). This is the Space-Saving/Misra-Gries guarantee
+re-expressed so BOTH engines can replay it bit-for-bit: true
+Space-Saving's counter state is order-dependent and unmergeable
+across engines, while per-block exact-top-M summaries + bound
+arithmetic are pure relational algebra with the same ε·N-style error
+envelope. All-integer output; no rounding anywhere.
+
+Scale shape: both ops aggregate to a tiny summary grain (day×type
+cells; block×M entries) with map-side partial combine, then window /
+re-aggregate on that summary — event/lineitem volume touches only the
+first hash aggregate. The top-20 pick is TakeOrdered (orderBy+limit),
+never a global row_number window.
+
+Reference parity note: the reference engine (an Elixir event-transport
+client, SURVEY.md §0) has no analytics surface; these derive from the
+driver's analytics mandate, Spark's own file-split packing model, and
+the frequent-items literature (Metwally et al. 2005 Space-Saving;
+Misra–Gries 1982; Agarwal et al. 2013 mergeable summaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.plans.registry import register
+
+# Compaction model: estimated bytes per event row in the micro-batch
+# files, and the target compacted-bin size. 8 KiB targets keep the
+# plan multi-bin at every test SF; a production OPTIMIZE would pass
+# ~128 MiB with the identical plan shape.
+_ROW_BYTES = 64
+_BIN_BYTES = 8192
+
+# Space-saving summary: deterministic block width (orderkey units) and
+# kept entries per block summary.
+_SS_BLOCK = 2048
+_SS_M = 48
+_SS_TOPK = 20
+
+
+@register(
+    "q_maint_compaction_bins",
+    oracle=f"""
+    WITH files AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) * {_ROW_BYTES} AS BIGINT) AS size_bytes
+      FROM events GROUP BY 1, 2
+    ),
+    off AS (
+      SELECT day, event_type, n_rows, size_bytes,
+             CAST(coalesce(sum(size_bytes) OVER (
+                    PARTITION BY day ORDER BY event_type
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start_off
+      FROM files
+    )
+    SELECT day, start_off // {_BIN_BYTES} AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(size_bytes) AS BIGINT) AS bin_bytes
+    FROM off
+    GROUP BY day, start_off // {_BIN_BYTES}
+    """,
+)
+def q_maint_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan for a daily-partitioned events sink:
+    one micro-batch file per (day, event_type), each day's listing
+    packed into ~8 KiB bins by start-offset (the Spark
+    FilePartition/parquet-split model — deterministic, unlike
+    first-fit bin-closing, which needs sequential state). Output: the
+    per-(day, bin) rewrite manifest — file count, rows, bytes — that
+    maintenance.compact_parquet would execute per bin.
+
+    Plan: one partial-aggregated hash aggregate to the day×type file
+    grain, a day-partitioned prefix sum over ≤|event_types| rows per
+    partition (bounded window — never global), one closing aggregate
+    on the bin grain. At 100 TB, the event scan is the only
+    full-volume stage; everything after runs on the file-manifest
+    grain (|days|×|types| rows). All-integer arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    files = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")).select(
+        "day",
+        "event_type",
+        "n_rows",
+        (F.col("n_rows") * _ROW_BYTES).cast("bigint").alias("size_bytes"),
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = files.withColumn(
+        "start_off",
+        F.coalesce(F.sum("size_bytes").over(w), F.lit(0)).cast("bigint"),
+    )
+    return (
+        off.groupBy(
+            "day", F.expr(f"start_off DIV {_BIN_BYTES}").alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("size_bytes").cast("bigint").alias("bin_bytes"),
+        )
+    )
+
+
+@register(
+    "q_agg_spacesaving_topk",
+    oracle=f"""
+    WITH blk AS (
+      SELECT l_orderkey // {_SS_BLOCK} AS blk, l_partkey,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT blk, l_partkey, c,
+             row_number() OVER (PARTITION BY blk
+                                ORDER BY c DESC, l_partkey) AS rn,
+             CAST(count(*) OVER (PARTITION BY blk) AS BIGINT) AS n_keys
+      FROM blk
+    ),
+    kept AS (SELECT * FROM rk WHERE rn <= {_SS_M}),
+    thr AS (
+      SELECT blk,
+             CASE WHEN max(n_keys) > {_SS_M}
+                  THEN min(c) ELSE CAST(0 AS BIGINT) END AS t_b
+      FROM kept GROUP BY blk
+    ),
+    tot AS (SELECT CAST(sum(t_b) AS BIGINT) AS t_all FROM thr),
+    merged AS (
+      SELECT k.l_partkey,
+             CAST(sum(k.c) AS BIGINT) AS n_min,
+             CAST(sum(t.t_b) AS BIGINT) AS covered,
+             CAST(count(*) AS BIGINT) AS n_blocks_kept
+      FROM kept k JOIN thr t USING (blk)
+      GROUP BY k.l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, n_min,
+             n_min + (tot.t_all - covered) AS n_max,
+             n_blocks_kept,
+             row_number() OVER (ORDER BY n_min DESC, l_partkey) AS rn
+      FROM merged CROSS JOIN tot
+    )
+    SELECT l_partkey, n_min, n_max, n_blocks_kept, rn
+    FROM ranked WHERE rn <= {_SS_TOPK}
+    """,
+)
+def q_agg_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded approximate top-k part keys from mergeable per-block
+    summaries — the streaming/combiner-compatible twin of the exact
+    q_agg_heavy_hitters: each deterministic block (l_orderkey DIV
+    2048, the stand-in for an executor-local Space-Saving instance)
+    publishes only its top-48 (key, count) entries; merging the
+    summaries yields, per candidate, a certain LOWER count bound (kept
+    counts are exact) and an UPPER bound (a block that dropped the key
+    can hide at most its kept minimum — the Misra–Gries envelope).
+    Reports the top-20 candidates by lower bound with both bounds: a
+    candidate whose n_min beats every competitor's n_max is a
+    GUARANTEED heavy hitter without ever re-scanning the stream.
+
+    Plan: one partial-aggregated (block, key) hash aggregate — the
+    only full-volume stage — then a block-partitioned top-M window on
+    the summary grain (≤|keys| rows per block), a per-block threshold
+    aggregate, one broadcast scalar, and a key-grain merge aggregate;
+    the final top-20 is orderBy+limit (TakeOrdered), with the
+    row_number rank assigned after the limit over exactly 20 rows.
+    All-integer, deterministic ties (count DESC, key ASC)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    blk = li.groupBy(
+        F.expr(f"l_orderkey DIV {_SS_BLOCK}").alias("blk"), "l_partkey"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wr = Window.partitionBy("blk").orderBy(F.col("c").desc(), "l_partkey")
+    wb = Window.partitionBy("blk")
+    rk = blk.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n_keys", F.count(F.lit(1)).over(wb).cast("bigint")
+    )
+    kept = rk.filter(F.col("rn") <= _SS_M)
+    thr = kept.groupBy("blk").agg(
+        F.when(F.max("n_keys") > _SS_M, F.min("c"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("t_b")
+    )
+    tot = thr.agg(F.sum("t_b").cast("bigint").alias("t_all"))
+    merged = (
+        kept.join(thr, "blk")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_min"),
+            F.sum("t_b").cast("bigint").alias("covered"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks_kept"),
+        )
+    )
+    top = (
+        merged.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "n_min",
+            (F.col("n_min") + F.col("t_all") - F.col("covered")).alias(
+                "n_max"
+            ),
+            "n_blocks_kept",
+        )
+        .orderBy(F.col("n_min").desc(), "l_partkey")
+        .limit(_SS_TOPK)
+    )
+    wrank = Window.orderBy(F.col("n_min").desc(), "l_partkey")  # 20 rows
+    return top.withColumn("rn", F.row_number().over(wrank)).select(
+        "l_partkey", "n_min", "n_max", "n_blocks_kept", "rn"
+    )

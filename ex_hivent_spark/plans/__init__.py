@@ -56,5 +56,6 @@ def load_all() -> None:
     import ex_hivent_spark.operators.convert  # noqa: F401
     import ex_hivent_spark.operators.funnelwin  # noqa: F401
     import ex_hivent_spark.operators.inequality  # noqa: F401
+    import ex_hivent_spark.operators.maintjobs  # noqa: F401
 
     _LOADED = True

@@ -181,9 +181,34 @@ def register(name: str, oracle: Optional[str] = None):
 #   q_stats_ks_two_sample, q_ts_spectral_entropy,
 #   q_ts_binary_segmentation, q_graph_modularity,
 #   q_llm_prefix_dup_rate, q_llm_perplexity_filter_sweep.
-# r14 front: q_agg_ge2_index, q_llm_ivf_nprobe_sweep; after those the
-# never-checked backlog is EMPTY — resume the r4-latest freshness
-# refill (q_agg_bitmap_rollup A-Z onward).
+# r14 ROTATION (exactly 50 — set DRIVER_CHECK_FIRST to this list at
+# the start of r14): the never-checked backlog first (the 2 r12
+# stragglers + the 2 r13-new maintjobs ops), then the 3 r13
+# vacuous-op rewrites (the r8/r12 rewritten-op precedent), then the
+# freshness refill — the driver last saw these in r4; all 42 r4-era
+# names A-Z, and the first r5-era name A-Z to fill slot 50:
+#   q_agg_ge2_index, q_llm_ivf_nprobe_sweep, q_maint_compaction_bins,
+#   q_agg_spacesaving_topk,
+#   q_join_anti, q_quality_sequence_gaps, q_graph_kcore_step,
+#   q_agg_bitmap_rollup, q_agg_pricing_summary, q_agg_winsorize,
+#   q_fn_fuzzy_match, q_fn_variant_json, q_funnel_signup_purchase,
+#   q_graph_triangles, q_join_asof, q_join_asof_nearest,
+#   q_join_asof_tolerance, q_join_range_theta, q_layout_zorder,
+#   q_llm_ivfpq_search, q_llm_kmeans_step, q_llm_minhash_neardup,
+#   q_llm_passage_dedup, q_llm_pq_encode, q_llm_quality_classifier,
+#   q_llm_reservoir_sample, q_llm_semdedup, q_llm_simhash_groups,
+#   q_llm_unigram_logprob, q_quality_fk_orphans, q_quality_profile,
+#   q_tpch_q11_important_value, q_tpch_q13_order_distribution,
+#   q_tpch_q14_promo_effect, q_tpch_q15_top_supplier,
+#   q_tpch_q16_supplier_variety, q_tpch_q17_small_qty_revenue,
+#   q_tpch_q18_large_orders, q_tpch_q19_disjunctive,
+#   q_tpch_q20_excess_suppliers, q_tpch_q21_sole_supplier,
+#   q_tpch_q22_dormant_customers, q_tpch_q2_min_cost_supplier,
+#   q_tpch_q4_priority_exists, q_tpch_q6_forecast_revenue,
+#   q_tpch_q8_market_share, q_ts_linear_interp, q_win_rolling_median,
+#   q_win_time_range_frame, q_agg_approx_distinct.
+# r15 onward: continue the refill with the remaining r5-era names A-Z
+# (q_agg_audience_overlap, q_agg_mad_outliers, ...), then r6-era.
 # r13 STATUS: DRIVER_CHECK_FIRST below IS the written r13 rotation,
 # verbatim (set at the start of r13; the r12 list it replaced went
 # 50/50 green in CORRECTNESS_r12.json).

@@ -697,6 +697,9 @@ def test_ctfidf_broadcasts_label_map_and_vocab(spark, sf_dir):
 _BOUNDED_GLOBAL_WINDOWS = {
     # rank assignment over the 20-row post-TakeOrdered frame
     "q_agg_heavy_hitters": 1,
+    # r13: same pattern — rank over the 20-row post-TakeOrdered
+    # bounded-top-k candidate frame
+    "q_agg_spacesaving_topk": 1,
     # dense k_id over the PQ_K(=16)-row codebook (built via limit)
     "q_llm_pq_encode": 1,
     # same codebook window, appearing in both the encode and query arms
