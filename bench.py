@@ -165,6 +165,9 @@ HEADLINE = [
     "q_agg_hhi_concentration",
     "q_llm_heaps_law",
     "q_agg_lorenz_points",
+    # added r13 (prior entries unchanged for per-query comparability)
+    "q_maint_compaction_bins",
+    "q_agg_spacesaving_topk",
 ]
 # r8: the bench covers the FULL registered inventory — the explicit
 # list above is the round-over-round comparable prefix (order frozen),
