@@ -965,6 +965,11 @@ def q_llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
+    # Pinned: ex feeds BOTH the document-frequency aggregate and the
+    # per-doc closing aggregate, and without the barrier Catalyst
+    # re-expands the explode+window fingerprint pipeline under each
+    # side of the join (r13 plan audit). The frame is the selected
+    # (doc_id, fingerprint) pairs — ~|tokens|/W rows of two longs.
     ex = (
         g.withColumn("m", F.min("h").over(wmin))
         .filter(
@@ -973,6 +978,7 @@ def q_llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("m").alias("f"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     df_tbl = ex.groupBy("f").agg(
         F.count_distinct("doc_id").alias("nd")

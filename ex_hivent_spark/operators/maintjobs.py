@@ -206,7 +206,13 @@ def q_agg_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = blk.withColumn("rn", F.row_number().over(wr)).withColumn(
         "n_keys", F.count(F.lit(1)).over(wb).cast("bigint")
     )
-    kept = rk.filter(F.col("rn") <= _SS_M)
+    # Pin the summary frame: kept feeds three consumers (thr, tot via
+    # thr, merged), and without a materialization barrier Catalyst
+    # re-expands the full scan+aggregate+window lineage under each —
+    # the r13 plan audit showed the (blk, key) aggregate running twice.
+    # The frame is ≤ |blocks|×M rows of ids+counts: trivial to pin at
+    # any scale (the ngram_jaccard shared-aggregate precedent).
+    kept = rk.filter(F.col("rn") <= _SS_M).localCheckpoint(eager=False)
     thr = kept.groupBy("blk").agg(
         F.when(F.max("n_keys") > _SS_M, F.min("c"))
         .otherwise(F.lit(0).cast("bigint"))
