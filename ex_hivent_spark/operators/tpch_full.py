@@ -351,7 +351,8 @@ _Q11_SQL = f"""
     FROM eu_li
     GROUP BY l_partkey
     HAVING CAST(sum(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) >
-           (SELECT CAST(sum(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) * 0.001
+           (SELECT CAST(sum(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) * 1.5
+                   / count(DISTINCT l_partkey)
             FROM eu_li)
 """
 
@@ -362,7 +363,16 @@ def q_tpch_q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the total (uncorrelated scalar subquery in HAVING —
     Catalyst evaluates it once and broadcasts the one-row result).
     Identical SQL text runs on both engines; both decimal-sum the same
-    per-row doubles so threshold comparisons are bit-exact."""
+    per-row doubles so threshold comparisons are bit-exact.
+
+    Threshold is MEAN-RELATIVE (> 1.5× the average per-part value),
+    not a fixed fraction of the total: official TPC-H scales Q11's
+    fraction as 0.0001/SF for exactly this reason — a fixed fraction
+    goes vacuously empty as |parts| grows (the r13 sf0.1 zero-row
+    audit caught the old 0.001 doing just that: non-empty at sf0.01,
+    empty at sf0.1, dead at any production scale). Mean-relative
+    selects the above-1.5×-average tail at every SF
+    (14 / 331 / 2,922 parts at sf0.001/0.01/0.1)."""
     register_views(spark, sf_dir)
     return spark.sql(_Q11_SQL)
 
@@ -593,8 +603,10 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey, l_suppkey
     ), per_part AS (
       SELECT l_partkey AS t_partkey,
-             CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
-      FROM lineitem JOIN small_parts ON p_partkey = l_partkey
+             CAST(sum(CAST(pair_qty AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_qty,
+             CAST(count(*) AS BIGINT) AS n_supp
+      FROM per_pair
       GROUP BY l_partkey
     )
     SELECT DISTINCT s_name, s_acctbal
@@ -603,15 +615,28 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
-    WHERE pair_qty > 0.2 * total_qty AND r_name = 'ASIA'
+    WHERE pair_qty > 2.0 * total_qty / n_supp AND r_name = 'ASIA'
     """,
 )
 def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: ASIA suppliers holding >20%% of total shipped
-    volume of any 'small *' part (volume share replaces the availqty
-    half-of-demand test).  Nested aggregation — per-(part,supplier) and
-    per-part decimal-summed quantities joined on partkey — then a
-    distinct supplier projection; nation/region broadcast."""
+    """TPC-H Q20 shape: ASIA suppliers holding an EXCESS share of some
+    'small *' part's shipped volume (volume share replaces the
+    availqty half-of-demand test). Nested aggregation —
+    per-(part,supplier) decimal-summed quantities, re-aggregated to
+    the per-part total + supplier count — then a distinct supplier
+    projection; supplier/nation/region broadcast.
+
+    Excess is MEAN-RELATIVE (pair share > 2× the part's average
+    per-supplier share), not a fixed 20%: with |suppliers| growing in
+    SF, any fixed share threshold goes vacuously empty (the r13
+    sf0.1 zero-row audit caught 0.2 doing that — max observed share
+    at sf0.1 is 0.202), exactly why official TPC-H scales its
+    thresholds by 1/SF. Mean-relative keeps the skew tail at every SF
+    (11 / 215 / 1,108 qualifying pairs at sf0.001/0.01/0.1). The
+    per-part frame now derives FROM the per-pair frame (one lineitem
+    aggregate instead of two — the r13 plan-audit discipline), with
+    the total re-summed through the decimal detour so both engines
+    fold identical values."""
     li = load_table(spark, sf_dir, "lineitem")
     sp = (
         load_table(spark, sf_dir, "part")
@@ -622,16 +647,22 @@ def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEC = "decimal(25,6)"
     per_pair = li_small.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("pair_qty")
-    )
-    per_part = li_small.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty")
+    ).localCheckpoint(eager=False)  # feeds per_part AND the share join
+    per_part = per_pair.groupBy(
+        F.col("l_partkey").alias("t_partkey")
+    ).agg(
+        F.sum(F.col("pair_qty").cast(DEC)).cast("double").alias("total_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n_supp"),
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         per_pair.join(per_part, F.col("l_partkey") == F.col("t_partkey"))
-        .filter(F.col("pair_qty") > 0.2 * F.col("total_qty"))
+        .filter(
+            F.col("pair_qty")
+            > F.lit(2.0) * F.col("total_qty") / F.col("n_supp")
+        )
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
