@@ -965,11 +965,16 @@ def q_llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
-    # Pinned: ex feeds BOTH the document-frequency aggregate and the
-    # per-doc closing aggregate, and without the barrier Catalyst
-    # re-expands the explode+window fingerprint pipeline under each
-    # side of the join (r13 plan audit). The frame is the selected
-    # (doc_id, fingerprint) pairs — ~|tokens|/W rows of two longs.
+    # NOT pinned, deliberately: ex feeds both the document-frequency
+    # aggregate and the per-doc closing aggregate, and Catalyst does
+    # re-expand the fingerprint pipeline under each join side — but
+    # the r13 steady re-time measured the localCheckpoint variant
+    # SLOWER (3.1-4.1 s vs 1.6 s at sf0.1): materializing the
+    # ~|tokens|/W distinct pairs costs more than the doubled map-side
+    # lineage it saves, since both expansions are one scan + explode +
+    # window with full partial aggregation and no shuffle of text.
+    # (Contrast maintjobs.py's kept frame, where the pin wins: tiny
+    # output, whole extra shuffle+sort pipeline saved.)
     ex = (
         g.withColumn("m", F.min("h").over(wmin))
         .filter(
@@ -978,7 +983,6 @@ def q_llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("m").alias("f"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     df_tbl = ex.groupBy("f").agg(
         F.count_distinct("doc_id").alias("nd")
