@@ -97,3 +97,53 @@ def test_spacesaving_rank_is_lower_bound_ordered(spark):
     )
     for a, b in zip(out, out[1:]):
         assert (a["n_min"], -a["l_partkey"]) >= (b["n_min"], -b["l_partkey"])
+
+
+def test_spacesaving_summaries_merge_across_micro_batches():
+    """The mergeable-summary property that makes the sketch
+    streaming-compatible (Agarwal et al. 2013): split the stream into
+    micro-batches that deliberately do NOT align with the DIV blocks,
+    summarize each batch independently (per-block top-M + kept-min
+    threshold), merge with the Misra-Gries bound arithmetic — the
+    merged [lower, upper] interval must still contain every
+    candidate's exact global count. Pure-python replay; no Spark."""
+    rows = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pylist()
+    exact: Counter = Counter(r["l_partkey"] for r in rows)
+
+    n_batches = 3
+    summaries = []  # per batch: {blk: (kept: dict[key,count], t_b)}
+    for b in range(n_batches):
+        per_block: dict = defaultdict(Counter)
+        for i, r in enumerate(rows):
+            if i % n_batches == b:
+                per_block[r["l_orderkey"] // _SS_BLOCK][r["l_partkey"]] += 1
+        summ = {}
+        for blk, cnts in per_block.items():
+            order = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))
+            kept = dict(order[:_SS_M])
+            t_b = order[:_SS_M][-1][1] if len(cnts) > _SS_M else 0
+            summ[blk] = (kept, t_b)
+        summaries.append(summ)
+
+    candidates = {
+        k for summ in summaries for kept, _ in summ.values() for k in kept
+    }
+    assert candidates  # non-vacuous merge
+    t_total = sum(t for summ in summaries for _, t in summ.values())
+    contained = 0
+    for k in candidates:
+        lb = sum(
+            kept.get(k, 0) for summ in summaries for kept, _ in summ.values()
+        )
+        covered = sum(
+            t
+            for summ in summaries
+            for kept, t in summ.values()
+            if k in kept
+        )
+        ub = lb + (t_total - covered)
+        assert lb <= exact[k] <= ub, (k, lb, exact[k], ub)
+        contained += 1
+    assert contained == len(candidates)
