@@ -211,7 +211,13 @@ def register(name: str, oracle: Optional[str] = None):
 # (q_agg_audience_overlap, q_agg_mad_outliers, ...), then r6-era.
 # r13 STATUS: DRIVER_CHECK_FIRST below IS the written r13 rotation,
 # verbatim (set at the start of r13; the r12 list it replaced went
-# 50/50 green in CORRECTNESS_r12.json).
+# 50/50 green in CORRECTNESS_r12.json). r13 close evidence: all 50
+# re-verified locally at sf0.01 the moment the list was set; final
+# sweep 488/488 at sf0.01 (CORRECTNESS_LOCAL.json) + 470/470
+# full-oracle at sf0.1 (CORRECTNESS_SF0_1.json) + vacuous audit
+# 0 zero-row (VACUOUS_AUDIT.json); full-registry single-window
+# ANCHOR_r13.json (0 errors). The r14-front stragglers and the r13
+# rewrites were each re-verified at sf0.001/0.01/0.1 in-round.
 DRIVER_CHECK_FIRST = [
     # --- the two r12 output-rewrites first (r8 rewritten-op precedent)
     "q_agg_having",
