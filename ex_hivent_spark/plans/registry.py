@@ -209,70 +209,66 @@ def register(name: str, oracle: Optional[str] = None):
 #   q_win_time_range_frame, q_agg_approx_distinct.
 # r15 onward: continue the refill with the remaining r5-era names A-Z
 # (q_agg_audience_overlap, q_agg_mad_outliers, ...), then r6-era.
-# r13 STATUS: DRIVER_CHECK_FIRST below IS the written r13 rotation,
-# verbatim (set at the start of r13; the r12 list it replaced went
-# 50/50 green in CORRECTNESS_r12.json). r13 close evidence: all 50
-# re-verified locally at sf0.01 the moment the list was set; final
-# sweep 488/488 at sf0.01 (CORRECTNESS_LOCAL.json) + 470/470
-# full-oracle at sf0.1 (CORRECTNESS_SF0_1.json) + vacuous audit
-# 0 zero-row (VACUOUS_AUDIT.json); full-registry single-window
-# ANCHOR_r13.json (0 errors). The r14-front stragglers and the r13
-# rewrites were each re-verified at sf0.001/0.01/0.1 in-round.
+# r14 STATUS: DRIVER_CHECK_FIRST below IS the written r14 rotation,
+# verbatim (set at the start of r14; the r13 list it replaced went
+# 50/50 green in CORRECTNESS_r13.json). In-round evidence is appended
+# to this comment as the round progresses.
 DRIVER_CHECK_FIRST = [
-    # --- the two r12 output-rewrites first (r8 rewritten-op precedent)
-    "q_agg_having",
-    "q_set_except",
-    # --- 23 late-r11 remainder, in written-plan order
-    "q_stats_ad_uniform",
-    "q_stats_cochran_q",
-    "q_stats_cohen_kappa",
-    "q_stats_concordance_gamma",
-    "q_stats_cvm_uniform",
-    "q_stats_dixon_q",
-    "q_stats_grubbs_outlier",
-    "q_stats_levene",
-    "q_stats_moods_median",
-    "q_stats_theil_u",
-    "q_stats_wilcoxon_signed_rank",
-    "q_ts_ar1_backtest",
-    "q_ts_diff_stationarity",
-    "q_ts_seasonal_index",
-    "q_win_ad_line",
-    "q_win_choppiness",
-    "q_win_dpo",
-    "q_win_fisher_transform",
-    "q_win_garman_klass",
-    "q_win_kst",
-    "q_win_parkinson_vol",
-    "q_win_rvi",
-    "q_win_ultimate_osc",
-    # --- 25 r12-new in registration order (ANCHOR_r12–r12f), trimming
-    # q_agg_ge2_index + q_llm_ivf_nprobe_sweep to the r14 front
-    "q_agg_theil_index",
-    "q_agg_atkinson_index",
-    "q_stats_ttest_paired",
-    "q_stats_f_test_variance",
-    "q_stats_kuiper_uniform",
-    "q_seq_interevent_burstiness",
-    "q_win_stoch_rsi",
-    "q_win_mass_index",
-    "q_win_pvo",
-    "q_win_nvi",
-    "q_win_qstick",
-    "q_win_bop",
-    "q_ts_arch_lm",
-    "q_ts_permutation_entropy",
-    "q_llm_burrows_delta",
-    "q_mm_phash_neardup",
-    "q_quality_outage_runs",
-    "q_agg_theil_decomposition",
-    "q_ts_dfa_alpha",
-    "q_stats_ks_two_sample",
-    "q_ts_spectral_entropy",
-    "q_ts_binary_segmentation",
-    "q_graph_modularity",
-    "q_llm_prefix_dup_rate",
-    "q_llm_perplexity_filter_sweep",
+    # --- the never-driver-checked backlog first: the two r12
+    # stragglers, then the two r13-new maintjobs ops
+    "q_agg_ge2_index",
+    "q_llm_ivf_nprobe_sweep",
+    "q_maint_compaction_bins",
+    "q_agg_spacesaving_topk",
+    # --- the 3 r13 vacuous-op rewrites (r8/r12 rewritten-op precedent)
+    "q_join_anti",
+    "q_quality_sequence_gaps",
+    "q_graph_kcore_step",
+    # --- freshness refill: driver last saw these in r4; all 42 r4-era
+    # names A-Z, then the first r5-era name A-Z to fill slot 50
+    "q_agg_bitmap_rollup",
+    "q_agg_pricing_summary",
+    "q_agg_winsorize",
+    "q_fn_fuzzy_match",
+    "q_fn_variant_json",
+    "q_funnel_signup_purchase",
+    "q_graph_triangles",
+    "q_join_asof",
+    "q_join_asof_nearest",
+    "q_join_asof_tolerance",
+    "q_join_range_theta",
+    "q_layout_zorder",
+    "q_llm_ivfpq_search",
+    "q_llm_kmeans_step",
+    "q_llm_minhash_neardup",
+    "q_llm_passage_dedup",
+    "q_llm_pq_encode",
+    "q_llm_quality_classifier",
+    "q_llm_reservoir_sample",
+    "q_llm_semdedup",
+    "q_llm_simhash_groups",
+    "q_llm_unigram_logprob",
+    "q_quality_fk_orphans",
+    "q_quality_profile",
+    "q_tpch_q11_important_value",
+    "q_tpch_q13_order_distribution",
+    "q_tpch_q14_promo_effect",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q16_supplier_variety",
+    "q_tpch_q17_small_qty_revenue",
+    "q_tpch_q18_large_orders",
+    "q_tpch_q19_disjunctive",
+    "q_tpch_q20_excess_suppliers",
+    "q_tpch_q21_sole_supplier",
+    "q_tpch_q22_dormant_customers",
+    "q_tpch_q2_min_cost_supplier",
+    "q_tpch_q4_priority_exists",
+    "q_tpch_q6_forecast_revenue",
+    "q_tpch_q8_market_share",
+    "q_ts_linear_interp",
+    "q_win_rolling_median",
+    "q_win_time_range_frame",
+    "q_agg_approx_distinct",
 ]
 
 
