@@ -256,45 +256,57 @@ def q_emb_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     masks shuffle 8 bytes/vector, never the vectors. Determinism:
     cosines are e6-rounded sequential-fold dots, Hamming distances
     are exact integers, both ranks tie-break on neighbor_id, and
-    recall is an exact count over a 10-row frame."""
-    from ex_hivent_spark.llm.similarity import dot, l2_norm
+    recall is an exact count over a 10-row frame.
+
+    r14 shape: scoring runs through similarity.exact_scores — the
+    probe matrix rides inside one mapInPandas closure over a single
+    corpus pass (sign masks carried per pair as plain bigints), so the
+    per-pair Arrow traffic is 3 scalars, never two 64-dim vectors."""
+    from ex_hivent_spark.llm.similarity import exact_scores, np_unit
 
     em = load_table(spark, sf_dir, "embeddings")
-    norm = l2_norm(F.col("embedding"))
-    unit = em.select(
+    corpus = em.select(
         "vec_id",
-        F.transform(
-            "embedding", lambda x: x.cast("double") / norm
-        ).alias("u"),
+        "embedding",
         _mask(0, 32).alias("mlo"),
         _mask(32, _DIM).alias("mhi"),
     )
-    q = (
-        unit.filter(F.col("vec_id") % 50 == 0)
+    q_rows = (
+        corpus.filter(F.col("vec_id") % 50 == 0)
         .orderBy("vec_id")
         .limit(_HAM_Q)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("u").alias("qu"),
-            F.col("mlo").alias("qlo"),
-            F.col("mhi").alias("qhi"),
-        )
+        .collect()
+    )  # bounded probe set (TakeOrdered, ≤ _HAM_Q rows)
+    qmasks = spark.createDataFrame(
+        [(r["vec_id"], r["mlo"], r["mhi"]) for r in q_rows],
+        "query_id bigint, qlo bigint, qhi bigint",
     )
     from pyspark.sql import Window
 
-    scored = unit.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        dround(dot(F.col("qu"), F.col("u")), 6).alias("cosine"),
-        (
-            F.bit_count(F.col("qlo").bitwiseXOR(F.col("mlo")))
-            + F.bit_count(F.col("qhi").bitwiseXOR(F.col("mhi")))
+    scored = (
+        exact_scores(
+            corpus,
+            "vec_id",
+            "embedding",
+            [(r["vec_id"], np_unit(r["embedding"])) for r in q_rows],
+            normalize=True,
+            carry=(("mlo", "bigint"), ("mhi", "bigint")),
         )
-        .cast("bigint")
-        .alias("hamming"),
-    ).localCheckpoint(eager=False)  # both rank arms: one scoring pass
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qmasks), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround(F.col("dot"), 6).alias("cosine"),
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("mlo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("mhi")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .localCheckpoint(eager=False)
+    )  # both rank arms: one scoring pass
     wex = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -400,15 +412,12 @@ def q_emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks, exact integer occurrence counts, e6-rounded shares."""
     from pyspark.sql import Window
 
-    from ex_hivent_spark.llm.similarity import dot, l2_norm
+    from ex_hivent_spark.llm.similarity import dot, unit_vec
 
     em = load_table(spark, sf_dir, "embeddings")
-    norm = l2_norm(F.col("embedding"))
     unit = em.select(
         "vec_id",
-        F.transform(
-            "embedding", lambda x: x.cast("double") / norm
-        ).alias("u"),
+        unit_vec(F.col("embedding")).alias("u"),
     )
     q = (
         unit.filter(F.col("vec_id") % 5 == 0)
@@ -519,15 +528,12 @@ def q_emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the decimal detour, e6-rounded closing."""
     from pyspark.sql import Window
 
-    from ex_hivent_spark.llm.similarity import dot, l2_norm
+    from ex_hivent_spark.llm.similarity import dot, unit_vec
 
     em = load_table(spark, sf_dir, "embeddings")
-    norm = l2_norm(F.col("embedding"))
     unit = em.select(
         "vec_id",
-        F.transform(
-            "embedding", lambda x: x.cast("double") / norm
-        ).alias("u"),
+        unit_vec(F.col("embedding")).alias("u"),
     )
     q = (
         unit.filter(F.col("vec_id") % 5 == 0)
@@ -625,15 +631,12 @@ def q_emb_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines, exact integer bin arithmetic (the +1 shift and ×5 are
     exact on the e6 grid; cosine = 1.0 clamps into the top bin),
     e6-rounded shares."""
-    from ex_hivent_spark.llm.similarity import dot, l2_norm
+    from ex_hivent_spark.llm.similarity import dot, unit_vec
 
     em = load_table(spark, sf_dir, "embeddings")
-    norm = l2_norm(F.col("embedding"))
     unit = em.select(
         "vec_id",
-        F.transform(
-            "embedding", lambda x: x.cast("double") / norm
-        ).alias("u"),
+        unit_vec(F.col("embedding")).alias("u"),
     )
     q = (
         unit.filter(F.col("vec_id") % 5 == 0)

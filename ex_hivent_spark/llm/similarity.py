@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,9 +28,12 @@ from ex_hivent_spark.plans.registry import register
 TOP_K = 5
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Dot product of two float-array columns (sequential fold — order
-    deterministic)."""
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product as a pure Catalyst expression (sequential HOF fold —
+    order deterministic). Spark evaluates HOF lambdas INTERPRETED per
+    element, so this form is the slow path; it exists for contexts that
+    require an expression-only Column (inside another HOF lambda, where
+    a Python-UDF Column cannot appear). Hot paths use :func:`dot`."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -35,12 +41,272 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm_expr(a: Column) -> Column:
+    """Expression-only twin of :func:`l2_norm` (see :func:`dot_expr`)."""
     return F.sqrt(
         F.aggregate(
             a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
+
+
+def _seq_fold_sum(prods) -> "object":
+    """Sequential IEEE left-fold sum of each row of a 2-D float64 array,
+    INCLUDING the fold's 0.0 init term: ``np.add.accumulate`` computes
+    p0, p0+p1, ... in index order (no pairwise re-association), and the
+    closing ``+ 0.0`` reproduces the init's only observable effect —
+    the fold's 0.0 + p0 normalizes a -0.0 result to +0.0, and IEEE
+    x + (+0.0) is the identity for every other x — so the result is
+    bit-identical to ``F.aggregate(ps, lit(0.0), acc + v)``."""
+    if prods.shape[1] == 0:
+        return np.zeros(prods.shape[0], dtype=np.float64)
+    return np.add.accumulate(prods, axis=1)[:, -1] + 0.0
+
+
+def _stack64(s: "pd.Series"):
+    """(n, d) float64 matrix from a pandas Series of equal-length
+    numeric sequences — ONE C-level conversion per Arrow batch (the
+    per-row .iloc walk this replaced dominated the first cut of the
+    r14 swap). Returns None when rows are ragged."""
+    try:
+        out = np.array(s.tolist(), dtype=np.float64)
+    except ValueError:  # ragged batch
+        return None
+    return out if out.ndim == 2 else None
+
+
+def _pairwise_pd(fn):
+    """Build a pandas UDF over two float-array columns that mirrors the
+    null semantics of the HOF fold: null if either array is null or the
+    lengths differ (zip_with pads with null, poisoning the fold), else
+    ``fn`` over the float64-cast pair. The no-null uniform-length fast
+    path (every batch in practice — fixed embedding dim) is fully
+    vectorized; ragged/null batches fall back to per-row numpy."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        na = a.isnull().values
+        nb = b.isnull().values
+        if not na.any() and not nb.any():
+            A = _stack64(a)
+            B = _stack64(b)
+            if A is not None and B is not None and A.shape == B.shape:
+                return pd.Series(fn(A, B))
+        out = [None] * len(a)
+        av = a.values
+        bv = b.values
+        for i in range(len(a)):
+            if na[i] or nb[i]:
+                continue
+            x = np.asarray(av[i], dtype=np.float64)
+            y = np.asarray(bv[i], dtype=np.float64)
+            if x.shape != y.shape:
+                continue
+            out[i] = float(fn(x.reshape(1, -1), y.reshape(1, -1))[0])
+        return pd.Series(out, dtype=object)
+
+    return udf
+
+
+_DOT_PD = None
+_UNIT_PD = None
+
+
+def _dot_pd():
+    global _DOT_PD
+    if _DOT_PD is None:
+        _DOT_PD = _pairwise_pd(lambda A, B: _seq_fold_sum(A * B))
+    return _DOT_PD
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float-array columns — Arrow pandas UDF whose
+    per-row value is BIT-IDENTICAL to the sequential HOF fold
+    (:func:`dot_expr`): float64-cast products, then a numpy
+    ``add.accumulate`` left-fold (cumsum IS the IEEE sequential fold;
+    see _seq_fold_sum). Swapped from the interpreted HOF form in r14:
+    Spark evaluates HOF lambdas per-element interpreted (the r13-anchor
+    ×12-30 embedding-family tax), while this path scores whole Arrow
+    batches at C speed. Zero oracle changes — the DuckDB twins keep
+    list_dot_product/list_sum, and the hash gate at 3 SFs is the
+    IEEE-equivalence check."""
+    return _dot_pd()(a, b)
+
+
+def sq_norm(a: Column) -> Column:
+    """Sequential-fold sum of squares (Arrow path; bit-exact twin of the
+    HOF fold in :func:`l2_norm_expr` before its sqrt). The square-fold
+    IS the dot fold with both sides the same array: zip_with(a, a)
+    produces x*x per element in the same index order."""
+    return _dot_pd()(a, a)
+
+
+def l2_norm(a: Column) -> Column:
+    """L2 norm via the Arrow fold; java Math.sqrt and np/JVM sqrt are
+    both IEEE correctly-rounded, so composing F.sqrt outside the UDF
+    keeps values bit-identical to :func:`l2_norm_expr`."""
+    return F.sqrt(sq_norm(a))
+
+
+def unit_vec(a: Column) -> Column:
+    """Unit-normalize a float-array column in ONE Arrow pass:
+    per element (double)x / l2_norm — IEEE divide and sqrt are
+    correctly rounded, so each element is bit-identical to the
+    ``F.transform(a, x -> x.cast(double) / l2_norm_expr(a))`` form this
+    replaces (which paid TWO interpreted HOF walks per row). Null array
+    -> null; zero-norm rows divide to ±inf/nan exactly as the
+    expression form does."""
+    global _UNIT_PD
+    if _UNIT_PD is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<double>")
+        def udf(col: pd.Series) -> pd.Series:
+            nulls = col.isnull().values
+            if not nulls.any():
+                A = _stack64(col)
+                if A is not None and A.shape[1] > 0:
+                    U = A / np.sqrt(_seq_fold_sum(A * A))[:, None]
+                    return pd.Series(list(U))
+            out = [None] * len(col)
+            cv = col.values
+            for i in range(len(col)):
+                if nulls[i]:
+                    continue
+                x = np.asarray(cv[i], dtype=np.float64)
+                if x.size == 0:
+                    out[i] = x
+                else:
+                    p = x.reshape(1, -1)
+                    out[i] = x / np.sqrt(_seq_fold_sum(p * p)[0])
+            return pd.Series(out, dtype=object)
+
+        _UNIT_PD = udf
+    return _UNIT_PD(a)
+
+
+_PROJ_PD: dict = {}
+
+
+def projections(a: Column, planes: tuple) -> Column:
+    """All hyperplane projections of a float-array column in ONE Arrow
+    pass (array<double>, one sequential-fold dot per plane — each entry
+    bit-identical to ``dot(a, F.lit(plane))``). The multi-plane sites
+    (sign-LSH bit maps, JL transforms) previously paid one HOF fold per
+    plane; a per-plane pandas UDF would instead ship the input array
+    once PER PLANE, so the fused form also cuts the Arrow transfer by
+    |planes|×. ``planes`` must be a tuple-of-tuples (hashable — the UDF
+    is cached per plane set)."""
+    if planes not in _PROJ_PD:
+        from pyspark.sql.functions import pandas_udf
+
+        P = [list(row) for row in planes]
+
+        @pandas_udf("array<double>")
+        def udf(col: pd.Series) -> pd.Series:
+            M = np.asarray(P, dtype=np.float64)
+            nulls = col.isnull().values
+            if not nulls.any():
+                A = _stack64(col)
+                if A is not None and A.shape[1] == M.shape[1]:
+                    cols = [_seq_fold_sum(A * M[k]) for k in range(M.shape[0])]
+                    out = np.column_stack(cols)
+                    return pd.Series(list(out))
+            res = [None] * len(col)
+            cv = col.values
+            for i in range(len(col)):
+                if nulls[i]:
+                    continue
+                x = np.asarray(cv[i], dtype=np.float64)
+                if x.shape[0] != M.shape[1]:
+                    continue
+                p = x.reshape(1, -1)
+                res[i] = np.array(
+                    [_seq_fold_sum(p * M[k])[0] for k in range(M.shape[0])]
+                )
+            return pd.Series(res, dtype=object)
+
+        _PROJ_PD[planes] = udf
+    return _PROJ_PD[planes](a)
+
+
+def np_unit(v) -> "np.ndarray":
+    """Driver-side unit-normalize of one raw vector with the exact
+    engine arithmetic (float64 cast, sequential square fold, IEEE
+    sqrt/divide) — for preparing a collected query set for
+    :func:`exact_scores` without materializing unit vectors for the
+    whole corpus first."""
+    x = np.asarray(v, dtype=np.float64).reshape(1, -1)
+    return (x / np.sqrt(_seq_fold_sum(x * x))[:, None])[0]
+
+
+def exact_scores(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: list,
+    *,
+    normalize: bool = False,
+    carry: tuple = (),
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact dot scores of a BOUNDED query set against the whole corpus
+    — the scale-correct shape for every exact-scoring retrieval audit:
+    the query matrix (collected by the caller; capped by construction)
+    rides INSIDE the mapInPandas closure, the corpus streams through
+    ONCE as Arrow batches, and only the (query_id, neighbor_id, dot)
+    triples come back — never per-pair vector copies. Replaces the r13
+    broadcast-join + per-pair dot() form whose Arrow transfer carried
+    BOTH 64-dim vectors for every pair (the dominant cost in
+    ANCHOR_r14's first cut).
+
+    Each dot is the sequential IEEE fold (:func:`_seq_fold_sum`), so
+    values stay bit-identical to ``dot(qu, u)`` and to the oracles'
+    list_dot_product. ``queries`` is [(query_id, float64 vector), ...];
+    with ``normalize=True`` corpus rows are unit-normalized in the same
+    pass (the :func:`unit_vec` arithmetic — callers then pass np_unit'd
+    query vectors). ``carry`` = ((col, sparktype), ...) corpus columns
+    replicated onto each output pair (e.g. sign masks). Self-pairs are
+    NOT excluded — filter query_id != neighbor_id downstream.
+
+    At 100 TB: one narrow map stage over the corpus against a fixed
+    O(|Q|·dim) in-closure matrix; output is |Q|× the corpus row count
+    of 24-byte rows — shuffle-free until the caller's own top-k."""
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    carry_names = [c for c, _ in carry]
+    schema = "query_id bigint, neighbor_id bigint, dot double" + "".join(
+        f", {c} {t}" for c, t in carry
+    )
+
+    def fn(batches):
+        m = len(qids)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            A = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if normalize:
+                A = A / np.sqrt(_seq_fold_sum(A * A))[:, None]
+            ids = pdf[id_col].values.astype(np.int64)
+            out = {
+                "query_id": np.repeat(qids, n),
+                "neighbor_id": np.tile(ids, m),
+                "dot": np.concatenate(
+                    [_seq_fold_sum(A * Q[k]) for k in range(m)]
+                ),
+            }
+            for c in carry_names:
+                out[c] = np.tile(pdf[c].values, m)
+            yield pd.DataFrame(out)
+
+    sel = corpus.select(id_col, vec_col, *carry_names)
+    if n_partitions != 0:
+        sel = sel.repartition(
+            n_partitions or corpus.sparkSession.sparkContext.defaultParallelism
+        )
+    return sel.mapInPandas(fn, schema)
 
 
 @register(
@@ -88,10 +354,9 @@ def q_llm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _normalized(em: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Unit-normalize embeddings so cosine reduces to a dot product."""
-    norm = l2_norm(F.col("embedding"))
     return em.select(
         F.col(id_col),
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit"),
+        unit_vec(F.col("embedding")).alias("unit"),
     )
 
 
@@ -203,15 +468,26 @@ def _plane_sql(row: list[float]) -> str:
     return "[" + ", ".join(f"{v:.17e}" for v in row) + "]"
 
 
-def _sign_bits(n_planes: int, unit_col: str = "unit") -> list[Column]:
-    """0/1 sign bits of ``n_planes`` hyperplane projections of a
-    unit-vector column (projection = sequential fold over the literal
-    plane, same index order as the oracle's list_dot_product)."""
-    bits = []
-    for row in _plane_matrix(n_planes):
-        proj = dot(F.col(unit_col), F.lit(row))
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
-    return bits
+def _planes_tuple(n_planes: int) -> tuple:
+    """The literal hyperplane matrix as a hashable tuple-of-tuples (the
+    :func:`projections` cache key)."""
+    return tuple(tuple(row) for row in _plane_matrix(n_planes))
+
+
+def _sign_bits(n_planes: int, proj_col: str = "_pj") -> list[Column]:
+    """0/1 sign bits of ``n_planes`` hyperplane projections, read from a
+    MATERIALIZED projections-array column (one fused
+    :func:`projections` pass per row — each entry is the sequential
+    fold over its literal plane, same index order as the oracle's
+    list_dot_product). Callers must first
+    ``.withColumn(proj_col, projections(unit, _planes_tuple(n)))`` so
+    the Arrow pass runs once, not once per bit."""
+    return [
+        F.when(F.element_at(F.col(proj_col), p + 1) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for p in range(n_planes)
+    ]
 
 
 # Sign-LSH banding for near-dup candidate generation: 4 bands x 2
@@ -296,14 +572,14 @@ def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact LSH candidate set and the e6 cosines (both engines fold in
     index order in double precision)."""
     em = load_table(spark, sf_dir, "embeddings")
-    norm = l2_norm(F.col("embedding"))
+    n_bits = NEARDUP_BANDS * NEARDUP_BAND_BITS
     unit = em.select(
         "vec_id",
         "label",
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias("unit"),
-    )
+        unit_vec(F.col("embedding")).alias("unit"),
+    ).withColumn("_pj", projections(F.col("unit"), _planes_tuple(n_bits)))
 
-    bits = _sign_bits(NEARDUP_BANDS * NEARDUP_BAND_BITS)
+    bits = _sign_bits(n_bits)
     band_structs = F.array(
         *[
             F.struct(
@@ -406,7 +682,9 @@ def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group sort, unlike a row_number window. HASH-CHECKED against a
     SQL twin sharing the literal hyperplanes and fold order."""
     em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em)
+    unit = _normalized(em).withColumn(
+        "_pj", projections(F.col("unit"), _planes_tuple(N_HYPERPLANES))
+    )
 
     sig_bits = _sign_bits(N_HYPERPLANES)
     signature = sum(
@@ -414,7 +692,7 @@ def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig_bits[0],
     )
 
-    bucketed = unit.withColumn("bucket", signature)
+    bucketed = unit.withColumn("bucket", signature).drop("_pj")
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     scored = (
@@ -1459,11 +1737,10 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     em = load_table(spark, sf_dir, "embeddings")
-    norm = l2_norm(F.col("embedding"))
     unit = em.select(
         "vec_id",
         "label",
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
+        unit_vec(F.col("embedding")).alias("u"),
     )
     probes = (
         unit.filter(F.col("vec_id") % 97 == 0)
@@ -1980,10 +2257,9 @@ def q_llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     unit = _normalized(em).localCheckpoint(eager=False)
     e16 = F.slice(F.col("embedding"), 1, MRL_DIM)
-    n16 = l2_norm(e16)
     unit16 = em.select(
         "vec_id",
-        F.transform(e16, lambda x: x.cast("double") / n16).alias("unit"),
+        unit_vec(e16).alias("unit"),
     ).localCheckpoint(eager=False)
 
     def topk(u: DataFrame) -> DataFrame:
@@ -2094,11 +2370,7 @@ def q_emb_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = means.agg(
         F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
     ).select(F.transform(F.col("pm"), lambda s: s["m"]).alias("c"))
-    chat = cent.select(
-        F.transform(
-            "c", lambda x: x / l2_norm(F.col("c"))
-        ).alias("ch")
-    )
+    chat = cent.select(unit_vec(F.col("c")).alias("ch"))
     labels = em.select("vec_id", "label")
     scored = (
         unit.crossJoin(F.broadcast(chat))
@@ -3161,9 +3433,15 @@ def q_emb_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # One fused Arrow pass for all K projections (was K per-plane HOF
+    # folds); the pj² left-chain below keeps the original addition
+    # order, so values are bit-identical.
+    pairs = pairs.withColumn(
+        "_pj", projections(F.col("dv"), _planes_tuple(_JL_K))
+    )
     proj_sq = None
-    for row in _plane_matrix(_JL_K):
-        pj = dot(F.col("dv"), F.lit(row))
+    for k in range(_JL_K):
+        pj = F.element_at(F.col("_pj"), k + 1)
         term = pj * pj
         proj_sq = term if proj_sq is None else proj_sq + term
     scored = pairs.select(

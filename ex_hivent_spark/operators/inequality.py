@@ -46,7 +46,7 @@ _SQL_SPEND = """
       FROM orders GROUP BY o_custkey
     ),
     j AS (
-      SELECT n.n_name AS nation, s.x
+      SELECT n.n_name AS nation, s.x, s.o_custkey AS ck
       FROM spend s
       JOIN customer c ON c.c_custkey = s.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -81,7 +81,13 @@ def _nation_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             spend["o_custkey"] == F.col("c_custkey"),
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select(F.col("n_name").alias("nation"), "x")
+        # ck rides along as the deterministic rank tie-break for the
+        # quantile-share ops (palma); the index ops ignore it.
+        .select(
+            F.col("n_name").alias("nation"),
+            "x",
+            F.col("o_custkey").alias("ck"),
+        )
         .localCheckpoint(eager=False)
     )
 

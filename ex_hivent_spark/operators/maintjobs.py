@@ -104,7 +104,13 @@ def q_maint_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition (bounded window — never global), one closing aggregate
     on the bin grain. At 100 TB, the event scan is the only
     full-volume stage; everything after runs on the file-manifest
-    grain (|days|×|types| rows). All-integer arithmetic."""
+    grain (|days|×|types| rows). All-integer arithmetic.
+
+    Determinism note (r13 ADVICE): the day grain is F.to_date("ts")
+    vs the oracle's naive CAST(ts AS DATE); parity rests on the
+    session-wide spark.sql.session.timeZone=UTC pin in session.py —
+    the same dependency every other day-grain op carries (e.g.
+    aggregates.py bitmap rollup)."""
     e = load_table(spark, sf_dir, "events")
     files = e.groupBy(
         F.to_date("ts").alias("day"), "event_type"

@@ -2021,7 +2021,11 @@ _DFA_SCALE2 = float(720 * 720)
              CAST(count(*) AS BIGINT) AS cnt,
              CAST(sum(yt) AS BIGINT) AS sy,
              CAST(sum(i * yt) AS BIGINT) AS siy,
-             CAST(sum(yt * yt) AS BIGINT) AS syy
+             -- exact-int detour mirrors the Spark side's decimal(38,0)
+             -- square (see below): a raw BIGINT yt*yt would raise
+             -- out-of-range past int64 at large SF, making the two
+             -- engines fail at different stages (r13 ADVICE)
+             CAST(sum(CAST(yt AS HUGEINT) * yt) AS BIGINT) AS syy
       FROM sized GROUP BY event_type, n, blk
     ),
     resid AS (

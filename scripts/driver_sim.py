@@ -145,6 +145,17 @@ def main() -> int:
     # per-wave --only iteration sees it immediately; the round-close
     # audit record is scripts/vacuous_audit.py over the --out JSON.
     zero = [n for n, r in records.items() if r["spark_rows"] == 0]
+    # A query that errors BEFORE collect leaves spark_rows None — it is
+    # caught by the FAIL gate, but surface it as its own audited bucket
+    # so the vacuous audit's coverage is explicit (r13 ADVICE): every
+    # record is either counted (int), failed-with-err, or flagged here.
+    uncounted = [
+        n
+        for n, r in records.items()
+        if r["spark_rows"] is None and r.get("err") is None
+    ]
+    if uncounted:
+        print(f"SPARK-ROWS-NONE WITHOUT ERR (audit hole): {', '.join(uncounted)}")
     if zero:
         from ex_hivent_spark.plans.vacuous import DOCUMENTED_EMPTY
 

@@ -54,6 +54,16 @@ def main() -> int:
     stale_allowlist = sorted(
         n for n in DOCUMENTED_EMPTY if n in records and n not in zero
     )
+    # spark_rows None with no recorded error would be an audit hole —
+    # neither counted nor failed (r13 ADVICE). The sweep FAIL gate
+    # catches errored queries; this asserts the remainder all counted.
+    uncounted = sorted(
+        n
+        for n, r in records.items()
+        if isinstance(r, dict)
+        and r.get("spark_rows") is None
+        and r.get("err") is None
+    )
     audit = {
         "source": in_path,
         "n_queries": len(records),
@@ -65,7 +75,8 @@ def main() -> int:
         # entry is stale and should be dropped (kept non-fatal — a
         # newly non-empty op is progress, not a regression).
         "stale_allowlist": stale_allowlist,
-        "ok": not undocumented,
+        "uncounted_no_err": uncounted,
+        "ok": not undocumented and not uncounted,
     }
     with open(out_path, "w") as f:
         json.dump(audit, f, indent=1)
@@ -77,7 +88,9 @@ def main() -> int:
         print(f"UNDOCUMENTED ZERO-ROW: {n}")
     for n in stale_allowlist:
         print(f"stale allowlist entry (now non-empty): {n}")
-    return 1 if undocumented else 0
+    for n in uncounted:
+        print(f"UNCOUNTED (spark_rows None, no err): {n}")
+    return 1 if undocumented or uncounted else 0
 
 
 if __name__ == "__main__":
