@@ -172,6 +172,45 @@ def _sql_mask(lo: int, hi: int) -> str:
     return f"({terms})"
 
 
+def _probe_scores(spark: SparkSession, sf_dir: str, mod: int, cap: int):
+    """Exact probe-vs-corpus cosine scoring shared by the audit family:
+    the ≤``cap`` probe set (vec_id % mod == 0, TakeOrdered — bounded by
+    construction) is collected, unit-normalized driver-side with the
+    engine arithmetic (similarity.np_unit), and scored against ONE
+    streaming corpus pass via similarity.exact_scores — self-pairs
+    excluded, cosines e6-rounded sequential folds. Returns
+    (scores_df(query_id, neighbor_id, cosine), n_probes).
+
+    r14 shape: replaces the per-op broadcast-join + per-pair dot()
+    whose Arrow traffic carried both 64-dim vectors for every pair."""
+    from ex_hivent_spark.llm.similarity import exact_scores, np_unit
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        em.filter(F.col("vec_id") % mod == 0)
+        .orderBy("vec_id")
+        .limit(cap)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    scores = (
+        exact_scores(
+            em,
+            "vec_id",
+            "embedding",
+            [(r["vec_id"], np_unit(r["embedding"])) for r in q_rows],
+            normalize=True,
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround(F.col("dot"), 6).alias("cosine"),
+        )
+    )
+    return scores, len(q_rows)
+
+
 def _mask(lo: int, hi: int):
     col = None
     for j in range(lo, hi):
@@ -412,28 +451,7 @@ def q_emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks, exact integer occurrence counts, e6-rounded shares."""
     from pyspark.sql import Window
 
-    from ex_hivent_spark.llm.similarity import dot, unit_vec
-
-    em = load_table(spark, sf_dir, "embeddings")
-    unit = em.select(
-        "vec_id",
-        unit_vec(F.col("embedding")).alias("u"),
-    )
-    q = (
-        unit.filter(F.col("vec_id") % 5 == 0)
-        .orderBy("vec_id")
-        .limit(_HUB_Q)
-        .select(
-            F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
-        )
-    )
-    scored = unit.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        dround(dot(F.col("qu"), F.col("u")), 6).alias("cosine"),
-    )
+    scored, n_probes = _probe_scores(spark, sf_dir, 5, _HUB_Q)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -445,9 +463,8 @@ def q_emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     kocc = topk.groupBy("neighbor_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("occ")
     )
-    nq = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"))
     return (
-        kocc.crossJoin(F.broadcast(nq))
+        kocc.withColumn("n_probes", F.lit(n_probes).cast("bigint"))
         .groupBy(F.col("occ").alias("n_occurrences"), "n_probes")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
         .select(
@@ -528,28 +545,7 @@ def q_emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the decimal detour, e6-rounded closing."""
     from pyspark.sql import Window
 
-    from ex_hivent_spark.llm.similarity import dot, unit_vec
-
-    em = load_table(spark, sf_dir, "embeddings")
-    unit = em.select(
-        "vec_id",
-        unit_vec(F.col("embedding")).alias("u"),
-    )
-    q = (
-        unit.filter(F.col("vec_id") % 5 == 0)
-        .orderBy("vec_id")
-        .limit(_HUB_Q)
-        .select(
-            F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
-        )
-    )
-    scored = unit.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        dround(dot(F.col("qu"), F.col("u")), 6).alias("cosine"),
-    )
+    scored, _ = _probe_scores(spark, sf_dir, 5, _HUB_Q)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -631,27 +627,10 @@ def q_emb_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines, exact integer bin arithmetic (the +1 shift and ×5 are
     exact on the e6 grid; cosine = 1.0 clamps into the top bin),
     e6-rounded shares."""
-    from ex_hivent_spark.llm.similarity import dot, unit_vec
-
-    em = load_table(spark, sf_dir, "embeddings")
-    unit = em.select(
-        "vec_id",
-        unit_vec(F.col("embedding")).alias("u"),
-    )
-    q = (
-        unit.filter(F.col("vec_id") % 5 == 0)
-        .orderBy("vec_id")
-        .limit(_HUB_Q)
-        .select(
-            F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
-        )
-    )
-    cos = dround(dot(F.col("qu"), F.col("u")), 6)
-    scored = unit.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).select(
+    pair_scores, _ = _probe_scores(spark, sf_dir, 5, _HUB_Q)
+    scored = pair_scores.select(
         F.least(
-            F.floor((cos + 1.0) * 5.0).cast("bigint"),
+            F.floor((F.col("cosine") + 1.0) * 5.0).cast("bigint"),
             F.lit(_PAIR_BINS - 1),
         ).alias("bin")
     )

@@ -690,3 +690,108 @@ def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_matched_pairs"),
     )
+
+
+# Windowed RMS framing: full 16-byte windows at 50% overlap (tail
+# windows shorter than the full width are dropped — RMS of a ragged
+# frame is not comparable).
+_RMS_WIN = 16
+_RMS_HOP = 8
+
+
+@register(
+    "q_mm_audio_rms_windows",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id AS media_id,
+             repeat(md5(text), CAST(doc_id % 7 + 1 AS INT)) AS payload_hex,
+             CAST(16 * (doc_id % 7 + 1) AS BIGINT) AS nbytes
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    w AS (
+      SELECT media_id, payload_hex,
+             unnest(range(0, nbytes - {_RMS_WIN} + 1, {_RMS_HOP})) AS s
+      FROM a
+    ),
+    b AS (
+      SELECT media_id, payload_hex, s,
+             unnest(range(0, {_RMS_WIN})) AS i
+      FROM w
+    ),
+    v AS (
+      SELECT media_id, s,
+             ('0x' || substr(payload_hex, CAST(2 * (s + i) + 1 AS INT), 2))
+               ::BIGINT AS byte
+      FROM b
+    ),
+    g AS (
+      SELECT media_id, s,
+             CAST(sum(byte) AS BIGINT) AS sb,
+             CAST(sum(byte * byte) AS BIGINT) AS ssq
+      FROM v GROUP BY media_id, s
+    )
+    SELECT media_id, CAST(s AS INT) AS win_start,
+           sb AS amp_sum,
+           floor(sqrt(CAST(ssq AS DOUBLE) / {_RMS_WIN}.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS rms,
+           floor(CAST(sb AS DOUBLE) / {_RMS_WIN}.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_amp
+    FROM g
+    """,
+)
+def q_mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy profile: per full 16-byte frame at 50%
+    overlap, the RMS amplitude and DC mean of the decoded sample
+    stream (u8 samples) — the VAD/loudness feature every audio
+    curation pipeline computes before segmenting (silence trimming,
+    clipping detection); the numeric companion to q_mm_audio_chunks'
+    byte accounting.
+
+    Hash-checked end to end: frame starts are integer hop arithmetic,
+    per-frame Σb and Σb² are exact integers (≤ 16·255² — tiny), and
+    the oracle re-derives the identical sample bytes from the
+    synthetic payload's hex form, so RMS/mean agree on the e6 grid.
+    Plan: metadata-pruned scan (only audio payloads are ever decoded),
+    one Arrow-batched mapInPandas emitting exact integer frame sums
+    (parallelism = input partitions at any scale), one JVM-side
+    projection for the rounded readouts — no shuffle at all."""
+    schema = "media_id long, win_start int, sb long, ssq long"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, starts, sbs, ssqs = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = _decode_payload(p, "audio")
+                b = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                for s in range(0, len(b) - _RMS_WIN + 1, _RMS_HOP):
+                    fr = b[s : s + _RMS_WIN]
+                    ids.append(mid)
+                    starts.append(s)
+                    sbs.append(int(fr.sum()))
+                    ssqs.append(int((fr * fr).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "win_start": starts,
+                    "sb": sbs,
+                    "ssq": ssqs,
+                }
+            )
+
+    media = synth_media(spark, sf_dir)
+    frames = media.filter(F.col("kind") == "audio").mapInPandas(gen, schema)
+    from ex_hivent_spark.functions.decimals import dround
+
+    return frames.select(
+        "media_id",
+        "win_start",
+        F.col("sb").alias("amp_sum"),
+        dround(
+            F.sqrt(F.col("ssq").cast("double") / float(_RMS_WIN)), 6
+        ).alias("rms"),
+        dround(F.col("sb").cast("double") / float(_RMS_WIN), 6).alias(
+            "mean_amp"
+        ),
+    )

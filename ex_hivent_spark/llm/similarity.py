@@ -302,10 +302,12 @@ def exact_scores(
             yield pd.DataFrame(out)
 
     sel = corpus.select(id_col, vec_col, *carry_names)
-    if n_partitions != 0:
-        sel = sel.repartition(
-            n_partitions or corpus.sparkSession.sparkContext.defaultParallelism
-        )
+    # Parallelism rides the input splits (at scale, parquet's
+    # maxPartitionBytes yields thousands); an explicit repartition is
+    # opt-in only — the default shuffle cost pure overhead at gate SFs
+    # and redundant at 100 TB.
+    if n_partitions:
+        sel = sel.repartition(n_partitions)
     return sel.mapInPandas(fn, schema)
 
 
@@ -416,18 +418,27 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em)
-    queries = (
-        unit.filter(F.col("vec_id") % 50 == 0)
+    q_rows = (
+        em.filter(F.col("vec_id") % 50 == 0)
         .orderBy("vec_id")
         .limit(N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("unit").alias("q_unit"))
-    )
-    pairs = unit.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        dround(dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded probe set (TakeOrdered, ≤ N_QUERIES rows)
+    scored = (
+        exact_scores(
+            em,
+            "vec_id",
+            "embedding",
+            [(r["vec_id"], np_unit(r["embedding"])) for r in q_rows],
+            normalize=True,
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround(F.col("dot"), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -1598,16 +1609,24 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em)
-    q = unit.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("unit").alias("qu")
-    )
+    q_rows = (
+        em.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # the sampled query set (n/50 — the docstring's scale contract)
     exact_scored = (
-        unit.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        exact_scores(
+            em,
+            "vec_id",
+            "embedding",
+            [(r["vec_id"], np_unit(r["embedding"])) for r in q_rows],
+            normalize=True,
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            dround(dot(F.col("qu"), F.col("unit")), 6).alias("cosine"),
+            "neighbor_id",
+            dround(F.col("dot"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1618,14 +1637,23 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id")
     )
-    cents = (
-        unit.filter(F.col("vec_id") % 37 == 1)
+    c_rows = (
+        em.filter(F.col("vec_id") % 37 == 1)
         .orderBy("vec_id")
         .limit(PQ_K)
-        .select(F.col("vec_id").alias("cell_id"), F.col("unit").alias("centroid"))
-    )
-    sims = unit.join(F.broadcast(cents)).select(
-        "vec_id", "cell_id", dot(F.col("unit"), F.col("centroid")).alias("csim")
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded centroid seed (TakeOrdered, ≤ PQ_K rows)
+    sims = exact_scores(
+        em,
+        "vec_id",
+        "embedding",
+        [(r["vec_id"], np_unit(r["embedding"])) for r in c_rows],
+        normalize=True,
+    ).select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("query_id").alias("cell_id"),
+        F.col("dot").alias("csim"),
     )
     members = (
         sims.groupBy("vec_id")
@@ -1737,30 +1765,34 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     em = load_table(spark, sf_dir, "embeddings")
-    unit = em.select(
-        "vec_id",
-        "label",
-        unit_vec(F.col("embedding")).alias("u"),
-    )
-    probes = (
-        unit.filter(F.col("vec_id") % 97 == 0)
+    p_rows = (
+        em.filter(F.col("vec_id") % 97 == 0)
         .orderBy("vec_id")
         .limit(N_NEG_PROBES)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("label").alias("probe_label"),
-            F.col("u").alias("pu"),
-        )
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )  # bounded probe set (TakeOrdered, ≤ N_NEG_PROBES rows)
+    plabels = spark.createDataFrame(
+        [(r["vec_id"], r["label"]) for r in p_rows],
+        "probe_id bigint, probe_label int",
     )
     scored = (
-        unit.join(F.broadcast(probes), F.col("label") != F.col("probe_label"))
-        .select(
-            "probe_id",
-            "probe_label",
-            F.col("vec_id").alias("neg_id"),
-            F.col("label").alias("neg_label"),
-            dround(dot(F.col("pu"), F.col("u")), 6).alias("cosine"),
+        exact_scores(
+            em,
+            "vec_id",
+            "embedding",
+            [(r["vec_id"], np_unit(r["embedding"])) for r in p_rows],
+            normalize=True,
+            carry=(("label", "int"),),
         )
+        .select(
+            F.col("query_id").alias("probe_id"),
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            dround(F.col("dot"), 6).alias("cosine"),
+        )
+        .join(F.broadcast(plabels), "probe_id")
+        .filter(F.col("neg_label") != F.col("probe_label"))
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neg_id")
@@ -2255,23 +2287,24 @@ def q_llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em).localCheckpoint(eager=False)
-    e16 = F.slice(F.col("embedding"), 1, MRL_DIM)
-    unit16 = em.select(
-        "vec_id",
-        unit_vec(e16).alias("unit"),
-    ).localCheckpoint(eager=False)
+    q_rows = (
+        em.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # the sampled query set (n/50 — the docstring's scale contract)
+    em16 = em.select(
+        "vec_id", F.slice(F.col("embedding"), 1, MRL_DIM).alias("emb16")
+    )
 
-    def topk(u: DataFrame) -> DataFrame:
-        q = u.filter(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("query_id"), F.col("unit").alias("qu")
-        )
-        scored = u.join(
-            F.broadcast(q), F.col("vec_id") != F.col("query_id")
-        ).select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            dround(dot(F.col("qu"), F.col("unit")), 6).alias("cosine"),
+    def topk(corpus: DataFrame, vec_col: str, queries: list) -> DataFrame:
+        scored = (
+            exact_scores(corpus, "vec_id", vec_col, queries, normalize=True)
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                dround(F.col("dot"), 6).alias("cosine"),
+            )
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
@@ -2282,8 +2315,16 @@ def q_llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
         )
 
-    full_k = topk(unit)
-    tr_k = topk(unit16).withColumn("hit", F.lit(1))
+    full_k = topk(
+        em,
+        "embedding",
+        [(r["vec_id"], np_unit(r["embedding"])) for r in q_rows],
+    )
+    tr_k = topk(
+        em16,
+        "emb16",
+        [(r["vec_id"], np_unit(list(r["embedding"])[:MRL_DIM])) for r in q_rows],
+    ).withColumn("hit", F.lit(1))
     return (
         full_k.join(tr_k, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -3006,28 +3047,34 @@ def q_emb_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential dot products (the similarity-module convention);
     max/compare/subtract are exact."""
     em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em).join(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"),
-        "vec_id",
-    )
-    queries = (
-        unit.filter(F.col("vec_id") % 50 == 0)
+    q_rows = (
+        em.filter(F.col("vec_id") % 50 == 0)
         .orderBy("vec_id")
         .limit(N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("ql"),
-            F.col("unit").alias("q_unit"),
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )  # bounded query set (TakeOrdered, ≤ N_QUERIES rows)
+    qlabels = spark.createDataFrame(
+        [(r["vec_id"], r["label"]) for r in q_rows],
+        "query_id bigint, ql int",
+    )
+    scored = (
+        exact_scores(
+            em,
+            "vec_id",
+            "embedding",
+            [(r["vec_id"], np_unit(r["embedding"])) for r in q_rows],
+            normalize=True,
+            carry=(("label", "int"),),
         )
-    )
-    pairs = unit.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    )
-    scored = pairs.select(
-        "query_id",
-        "ql",
-        F.col("label").alias("nl"),
-        dround(dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qlabels), "query_id")
+        .select(
+            "query_id",
+            "ql",
+            F.col("label").alias("nl"),
+            dround(F.col("dot"), 6).alias("cosine"),
+        )
     )
     best = scored.groupBy("query_id").agg(
         F.max(
@@ -3565,16 +3612,25 @@ def q_llm_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em)
-    q = unit.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("unit").alias("qu")
-    )
-    exact_scored = unit.join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        dround(dot(F.col("qu"), F.col("unit")), 6).alias("cosine"),
+    q_rows = (
+        em.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # the sampled query set (n/50 — the docstring's scale contract)
+    exact_scored = (
+        exact_scores(
+            em,
+            "vec_id",
+            "embedding",
+            [(r["vec_id"], np_unit(r["embedding"])) for r in q_rows],
+            normalize=True,
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround(F.col("dot"), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -3584,19 +3640,23 @@ def q_llm_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id")
     )
-    cents = (
-        unit.filter(F.col("vec_id") % 37 == 1)
+    c_rows = (
+        em.filter(F.col("vec_id") % 37 == 1)
         .orderBy("vec_id")
         .limit(N_CELLS)
-        .select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("unit").alias("centroid"),
-        )
-    )
-    sims = unit.join(F.broadcast(cents)).select(
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded centroid seed (TakeOrdered, ≤ N_CELLS rows)
+    sims = exact_scores(
+        em,
         "vec_id",
-        "cell_id",
-        dot(F.col("unit"), F.col("centroid")).alias("csim"),
+        "embedding",
+        [(r["vec_id"], np_unit(r["embedding"])) for r in c_rows],
+        normalize=True,
+    ).select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("query_id").alias("cell_id"),
+        F.col("dot").alias("csim"),
     ).localCheckpoint(eager=False)  # feeds members AND probe ranks
     members = (
         sims.groupBy("vec_id")
@@ -3631,7 +3691,9 @@ def q_llm_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spark.createDataFrame(
         [(p,) for p in _NPROBE_GRID], "n_probe bigint"
     )
-    nq = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    nq = spark.createDataFrame(
+        [(len(q_rows),)], "n_queries bigint"
+    )
     hits = (
         exact_topk.join(
             members.withColumnRenamed("vec_id", "neighbor_id"),

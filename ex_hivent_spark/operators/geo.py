@@ -705,3 +705,4 @@ def q_geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_core"),
     )
+

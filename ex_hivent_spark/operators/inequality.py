@@ -437,3 +437,175 @@ def q_agg_ge2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround((mean_rr - 1.0) / 2.0, 6).alias("ge2"),
         dround(F.sqrt(mean_rr - 1.0), 6).alias("cv"),
     )
+
+
+@register(
+    "q_agg_pietra_index",
+    oracle=_SQL_SPEND
+    + f""",
+    terms AS (
+      SELECT j.nation,
+             {sql_dround("abs(j.x - g.sx / g.n_customers)", 6)} AS term
+      FROM j JOIN g USING (nation)
+    )
+    SELECT g.nation, g.n_customers,
+           {sql_dround("g.sx / g.n_customers", 6)} AS mean_spend,
+           {sql_dround(
+               "CAST(sum(CAST(t.term AS DECIMAL(25,6))) AS DOUBLE)"
+               " / (2.0 * g.sx)", 6,
+           )} AS pietra
+    FROM terms t JOIN g USING (nation)
+    GROUP BY g.nation, g.n_customers, g.sx
+    """,
+)
+def q_agg_pietra_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pietra (Hoover/Robin Hood) index of customer-spend inequality
+    within each nation: P = Σ|xᵢ−μ| / (2·Σxᵢ) — the share of total
+    spend that would have to move between customers to equalize
+    everyone. The L1 companion to Theil (entropy) and Atkinson
+    (welfare): Pietra is the maximal vertical gap between the Lorenz
+    curve and the diagonal, so it reads directly off
+    q_agg_lorenz_points.
+
+    Plan: the session-memoized per-customer spend frame (shared with
+    theil/atkinson/ge2), a 25-row per-nation totals broadcast, one
+    closing aggregate. Determinism: |x−μ| is one IEEE subtraction +
+    abs of deterministic doubles, e6-rounded per row, decimal-summed;
+    the closing ratio divides by 2·sx (a deterministic double) and
+    e6-rounds. Per-nation term sums stay ≤ 2·sx ≈ 1.5e9 at big SF —
+    inside the 2^53 unscaled-decimal bound."""
+    j = _nation_spend(spark, sf_dir)
+    g = _nation_sums(j)
+    mu = F.col("sx") / F.col("n_customers")
+    terms = j.join(F.broadcast(g), "nation").select(
+        "nation",
+        dround(F.abs(F.col("x") - mu), 6).alias("term"),
+    )
+    return (
+        terms.groupBy("nation")
+        .agg(
+            F.sum(F.col("term").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sterm")
+        )
+        .join(F.broadcast(g), "nation")
+        .select(
+            "nation",
+            "n_customers",
+            dround(mu, 6).alias("mean_spend"),
+            dround(F.col("sterm") / (2.0 * F.col("sx")), 6).alias("pietra"),
+        )
+    )
+
+
+@register(
+    "q_agg_palma_ratio",
+    oracle=_SQL_SPEND
+    + f""",
+    ranked AS (
+      SELECT nation, x, ck,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY x DESC, ck) AS rd,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY x ASC, ck) AS ra
+      FROM j
+    ),
+    kk AS (
+      SELECT nation, n_customers, sx,
+             greatest(CAST(1 AS BIGINT),
+                      CAST(floor(CAST(n_customers AS DOUBLE) / 10.0)
+                           AS BIGINT)) AS top_k,
+             greatest(CAST(1 AS BIGINT),
+                      CAST(floor(CAST(n_customers AS DOUBLE) * 2.0 / 5.0)
+                           AS BIGINT)) AS bot_k
+      FROM g
+    ),
+    shares AS (
+      SELECT k.nation, k.n_customers, k.top_k, k.bot_k, k.sx,
+             CAST(sum(CASE WHEN r.rd <= k.top_k
+                           THEN CAST(r.x AS DECIMAL(25,6)) END)
+                  AS DOUBLE) AS s_top,
+             CAST(sum(CASE WHEN r.ra <= k.bot_k
+                           THEN CAST(r.x AS DECIMAL(25,6)) END)
+                  AS DOUBLE) AS s_bot
+      FROM ranked r JOIN kk k USING (nation)
+      GROUP BY k.nation, k.n_customers, k.top_k, k.bot_k, k.sx
+    )
+    SELECT nation, n_customers, top_k, bot_k,
+           {sql_dround("s_top / sx", 6)} AS top_share,
+           {sql_dround("s_bot / sx", 6)} AS bot_share,
+           {sql_dround("s_top / s_bot", 6)} AS palma
+    FROM shares
+    """,
+)
+def q_agg_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma ratio of customer-spend inequality within each nation:
+    the top-decile spend share divided by the bottom-40% share — the
+    quantile-based index policy work prefers over Gini because it
+    isolates the two tails that actually move (Palma 2011; Cobham &
+    Sumner 2013). Group sizes floor at 1 so small nations stay
+    defined (the sf0.001 guard: ~6 customers per nation).
+
+    Plan: the memoized spend frame, two per-nation rank windows
+    (partition-bounded — |customers|/|nations| rows each, never
+    global), one conditional-sum aggregate, a 25-row closing.
+    Determinism: both ranks tie-break on the customer key (ck); group
+    cutoffs are floor(n/10.0) on IEEE doubles (identical in both
+    engines); tail sums ride the decimal detour; the three closing
+    ratios are single IEEE divisions, e6-rounded."""
+    from pyspark.sql import Window
+
+    j = _nation_spend(spark, sf_dir)
+    g = _nation_sums(j)
+    wd = Window.partitionBy("nation").orderBy(F.col("x").desc(), "ck")
+    wa = Window.partitionBy("nation").orderBy(F.col("x").asc(), "ck")
+    ranked = j.select(
+        "nation",
+        "x",
+        F.row_number().over(wd).alias("rd"),
+        F.row_number().over(wa).alias("ra"),
+    )
+    one = F.lit(1).cast("bigint")
+    kk = g.select(
+        "nation",
+        "n_customers",
+        "sx",
+        F.greatest(
+            one,
+            F.floor(F.col("n_customers").cast("double") / 10.0).cast(
+                "bigint"
+            ),
+        ).alias("top_k"),
+        F.greatest(
+            one,
+            F.floor(
+                F.col("n_customers").cast("double") * 2.0 / 5.0
+            ).cast("bigint"),
+        ).alias("bot_k"),
+    )
+    dec = "decimal(25,6)"
+    shares = (
+        ranked.join(F.broadcast(kk), "nation")
+        .groupBy("nation", "n_customers", "top_k", "bot_k", "sx")
+        .agg(
+            F.sum(
+                F.when(F.col("rd") <= F.col("top_k"), F.col("x").cast(dec))
+            )
+            .cast("double")
+            .alias("s_top"),
+            F.sum(
+                F.when(F.col("ra") <= F.col("bot_k"), F.col("x").cast(dec))
+            )
+            .cast("double")
+            .alias("s_bot"),
+        )
+    )
+    return shares.select(
+        "nation",
+        "n_customers",
+        "top_k",
+        "bot_k",
+        dround(F.col("s_top") / F.col("sx"), 6).alias("top_share"),
+        dround(F.col("s_bot") / F.col("sx"), 6).alias("bot_share"),
+        dround(F.col("s_top") / F.col("s_bot"), 6).alias("palma"),
+    )

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.functions.decimals import dround
 from ex_hivent_spark.plans.registry import register
 
 # Compaction model: estimated bytes per event row in the micro-batch
@@ -250,4 +251,81 @@ def q_agg_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrank = Window.orderBy(F.col("n_min").desc(), "l_partkey")  # 20 rows
     return top.withColumn("rn", F.row_number().over(wrank)).select(
         "l_partkey", "n_min", "n_max", "n_blocks_kept", "rn"
+    )
+
+
+@register(
+    "q_maint_partition_skew",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY day
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM f),
+    r AS (
+      SELECT day, n_rows,
+             row_number() OVER (ORDER BY n_rows, day) AS rn
+      FROM f
+    ),
+    med AS (
+      SELECT n_rows AS median_rows
+      FROM r CROSS JOIN nd WHERE rn = (n_days + 1) // 2
+    )
+    SELECT f.day, f.n_rows, m.median_rows,
+           floor(CAST(f.n_rows AS DOUBLE) / m.median_rows
+                 * 1000000.0 + 0.5) / 1000000.0 AS skew_ratio,
+           CAST(CASE WHEN f.n_rows > 2 * m.median_rows
+                     THEN 1 ELSE 0 END AS INTEGER) AS flagged
+    FROM f CROSS JOIN med m
+    """,
+)
+def q_maint_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit for the daily-partitioned events sink:
+    each day-partition's row count against the (lower) median
+    partition, flagging partitions above 2× median — the listing a
+    maintenance planner feeds into salting / repartition decisions
+    (skewed day-partitions are what make the shuffle stragglers that
+    AQE's skew-join handling exists for). Companion to
+    q_maint_compaction_bins: that op packs SMALL files, this one
+    surfaces OVERSIZED partitions.
+
+    Plan: one partial-aggregated scan to the |days| grain; the median
+    pick is a rank over that time-grain-bounded frame (the
+    q_ts_granger_lite class — |days| rows regardless of data volume)
+    and a one-row broadcast back. Determinism: exact integer counts;
+    the lower median picks rank (n+1)//2 under the (n_rows, day)
+    total order; skew_ratio is one IEEE division, e6-rounded.
+
+    Determinism note: the day grain is F.to_date("ts") vs the
+    oracle's naive CAST(ts AS DATE) — parity rests on the session
+    timeZone=UTC pin (the q_maint_compaction_bins convention)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    nd = f.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    w = Window.orderBy("n_rows", "day")  # |days| rows — bounded grain
+    med = (
+        f.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("rn")
+            == F.floor((F.col("n_days") + 1) / 2).cast("bigint")
+        )
+        .select(F.col("n_rows").alias("median_rows"))
+    )
+    return f.crossJoin(F.broadcast(med)).select(
+        "day",
+        "n_rows",
+        "median_rows",
+        dround(
+            F.col("n_rows").cast("double") / F.col("median_rows"), 6
+        ).alias("skew_ratio"),
+        F.when(F.col("n_rows") > 2 * F.col("median_rows"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("flagged"),
     )

@@ -342,3 +342,121 @@ def q_stats_bowker_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     )
+
+
+_SQL_TRANS_CTES = """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_trans
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    outs AS (
+      SELECT cur, CAST(sum(n_trans) AS BIGINT) AS n_out
+      FROM pairs GROUP BY cur
+    ),
+    p AS (
+      SELECT p.cur, p.nxt,
+             CAST(p.n_trans AS DOUBLE) / o.n_out AS pc
+      FROM pairs p JOIN outs o ON p.cur = o.cur
+    )
+"""
+
+
+@register(
+    "q_seq_markov_entropy_rate",
+    oracle=_SQL_TRANS_CTES
+    + f""",
+    terms AS (
+      SELECT cur,
+             {sql_dround("pc * (" + sql_dround("ln(pc)", 6) + ")", 6)}
+               AS term
+      FROM p
+    ),
+    h AS (
+      SELECT cur,
+             {sql_dround(
+                 "-CAST(sum(CAST(term AS DECIMAL(25,6))) AS DOUBLE)", 6,
+             )} AS h_state
+      FROM terms GROUP BY cur
+    ),
+    tot AS (SELECT CAST(sum(n_out) AS BIGINT) AS n FROM outs),
+    base AS (
+      SELECT o.cur AS state, o.n_out, h.h_state,
+             {sql_dround("CAST(o.n_out AS DOUBLE) / t.n", 6)} AS pi_emp
+      FROM outs o JOIN h ON h.cur = o.cur CROSS JOIN tot t
+    )
+    SELECT state, n_out, h_state, pi_emp,
+           {sql_dround("pi_emp * h_state", 6)} AS contrib
+    FROM base
+    """,
+)
+def q_seq_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain, per state: the
+    conditional next-step entropy H(cur) = −Σ P(nxt|cur)·ln P(nxt|cur)
+    of each state's outgoing row, its empirical occupancy share, and
+    the occupancy-weighted contribution — Σ contrib is the chain's
+    empirical entropy rate (Shannon/Cover-Thomas), the predictability
+    readout next to q_seq_markov_stationary's long-run distribution:
+    low-entropy states are where next-event prediction (and prefetch)
+    pays; a rising rate is behavioral drift.
+
+    Plan: event volume collapses ONCE to the ≤|types|² transition
+    matrix (the markov_stationary lead-window + hash aggregate); every
+    later stage runs on ≤|types| rows. Determinism: P entries are
+    single exact IEEE divisions of integer counts; each ln is
+    e6-rounded at the source (geometric-mean convention), the product
+    e6-rounds before its decimal sum, and the closing negation /
+    weighting are exact-then-e6 — magnitudes are all ≤ ln|types|, far
+    inside every bound."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    outs = pairs.groupBy("cur").agg(
+        F.sum("n_trans").cast("bigint").alias("n_out")
+    )
+    p = pairs.join(F.broadcast(outs), "cur").select(
+        "cur",
+        (F.col("n_trans").cast("double") / F.col("n_out")).alias("pc"),
+    )
+    terms = p.select(
+        "cur",
+        dround(F.col("pc") * dround(F.log("pc"), 6), 6).alias("term"),
+    )
+    h = terms.groupBy("cur").agg(
+        dround(
+            -F.sum(F.col("term").cast("decimal(25,6)")).cast("double"), 6
+        ).alias("h_state")
+    )
+    tot = outs.agg(F.sum("n_out").cast("bigint").alias("n"))
+    base = (
+        outs.join(h, "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cur").alias("state"),
+            "n_out",
+            "h_state",
+            dround(F.col("n_out").cast("double") / F.col("n"), 6).alias(
+                "pi_emp"
+            ),
+        )
+    )
+    return base.select(
+        "state",
+        "n_out",
+        "h_state",
+        "pi_emp",
+        dround(F.col("pi_emp") * F.col("h_state"), 6).alias("contrib"),
+    )

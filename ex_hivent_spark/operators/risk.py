@@ -572,3 +572,81 @@ def q_win_garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.greatest(F.col("st") / _RANGE_WIN, F.lit(0.0))), 6
         ).alias("gk24"),
     )
+
+
+@register(
+    "q_agg_ulcer_index",
+    oracle=f"""
+    WITH d AS (
+      SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+    ),
+    r AS (
+      SELECT rf, day, rev,
+             max(rev) OVER (PARTITION BY rf ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS runmax
+      FROM d
+    ),
+    dd AS (
+      SELECT rf, {sql_dround("rev / runmax - 1.0", 6)} AS dd FROM r
+    )
+    SELECT rf,
+           CAST(count(*) AS BIGINT) AS n_days,
+           min(dd) AS max_drawdown,
+           {sql_dround(
+               "sqrt(CAST(sum(CAST(dd * dd AS DECIMAL(38,12)))"
+               " AS DOUBLE) / count(*))", 6,
+           )} AS ulcer
+    FROM dd GROUP BY rf
+    """,
+)
+def q_agg_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index of the per-flag daily revenue series: the RMS of
+    the running drawdown dd_t = rev_t / runmax_t − 1 (≤ 0), plus the
+    deepest drawdown — the path-dependent risk readout Sharpe/VaR
+    can't see (Martin & McCann 1989): two series with identical return
+    moments but different drawdown PERSISTENCE get different ulcers.
+    Drawdowns stay as fractions (never ×100) so the squared sums
+    remain ≤ |days| — inside the 2^53 unscaled-decimal(38,12) bound.
+
+    Plan: one hash aggregate to the daily grain, a per-flag running
+    max (partitioned, time-grain-bounded window), one closing
+    aggregate. Determinism: revenue rides the decimal detour; runmax
+    is an exact pick; dd is one IEEE division e6-rounded, so dd² is
+    exact on the 1e-12 grid and the decimal(38,12) sum is exact; the
+    closing sqrt-of-mean e6-rounds; min(dd) is already on the e6
+    grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = (
+        Window.partitionBy("rf")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = d.select(
+        "rf",
+        dround(F.col("rev") / F.max("rev").over(w) - 1.0, 6).alias("dd"),
+    )
+    return dd.groupBy("rf").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.min("dd").alias("max_drawdown"),
+        dround(
+            F.sqrt(
+                F.sum(
+                    (F.col("dd") * F.col("dd")).cast("decimal(38,12)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("ulcer"),
+    )

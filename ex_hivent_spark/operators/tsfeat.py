@@ -719,3 +719,62 @@ def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("nn_dist"),
     )
+
+
+@register(
+    "q_ts_cid_ce",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    d AS (
+      SELECT event_type,
+             c - lag(c) OVER (PARTITION BY event_type ORDER BY hr) AS df
+      FROM h
+    )
+    SELECT event_type,
+           CAST(count(df) AS BIGINT) AS n_steps,
+           CAST(sum(df * df) AS BIGINT) AS energy,
+           floor(sqrt(CAST(sum(df * df) AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS ce
+    FROM d WHERE df IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_ts_cid_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complexity-invariant distance complexity estimate (Batista et
+    al. 2014) per event type: CE = √Σ(Δc)² over the hourly count
+    series — the "stretched length" of the series that CID uses to
+    normalize distances so erratic series don't look artificially far
+    from smooth ones; here it ranks event types by traffic-shape
+    complexity (spiky ingest vs steady heartbeat) for anomaly-budget
+    allocation. Hours with no events contribute no bar (observed-grain
+    convention, the q_ts_fano_factor precedent); the diff spans the
+    gap.
+
+    Plan: one partial-aggregated hash aggregate to the (type, hour)
+    grain, one partitioned lag (time-grain-bounded window), one
+    closing aggregate. All-integer until the final sqrt: counts,
+    diffs, and the energy Σ(Δc)² are exact BIGINTs on both engines
+    (hourly counts keep the squared sum far below 2^63), so the only
+    rounding is the closing e6 sqrt."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    d = h.select(
+        "event_type", (F.col("c") - F.lag("c").over(w)).alias("df")
+    )
+    return (
+        d.filter(F.col("df").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("df").cast("bigint").alias("n_steps"),
+            F.sum(F.col("df") * F.col("df")).cast("bigint").alias("energy"),
+            dround(
+                F.sqrt(F.sum(F.col("df") * F.col("df")).cast("double")), 6
+            ).alias("ce"),
+        )
+    )

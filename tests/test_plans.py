@@ -756,6 +756,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # r11: rank over the TakeOrdered ≤1000-row vocabulary head (the
     # q_agg_heavy_hitters post-limit class)
     "q_llm_vocab_coverage": 1,
+    # r14: lower-median rank over the |days| day-partition manifest
+    # (time-grain bounded — the q_ts_granger_lite class)
+    "q_maint_partition_skew": 1,
     # r11: two chained lags (first + second difference) over the
     # densified 720-row month spine (the q_ts_kpss_lite class)
     "q_ts_diff_stationarity": 2,
