@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ex_hivent_spark.catalog import load_table
-from ex_hivent_spark.functions.decimals import sql_davg
+from ex_hivent_spark.functions.decimals import dround, sql_davg
 from ex_hivent_spark.llm.dedup import shingles
 from ex_hivent_spark.plans.registry import register
 from ex_hivent_spark.session_memo import session_memo
@@ -301,4 +301,84 @@ def q_llm_length_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tokens_kept").cast("double") / F.col("tok_total")).alias(
             "token_share"
         ),
+    )
+
+
+# Context-window token budget for training-sequence packing (tokens
+# here = whitespace tokens, the q_llm_token_histogram convention).
+_PACK_BUDGET = 2048
+
+
+@register(
+    "q_llm_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS BIGINT) AS tok
+      FROM documents
+    ),
+    off AS (
+      SELECT source, doc_id, tok,
+             CAST(coalesce(sum(tok) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS off
+      FROM t
+    )
+    SELECT source, off // {_PACK_BUDGET} AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           floor(CAST(sum(tok) AS DOUBLE) / {_PACK_BUDGET}.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS fill_ratio
+    FROM off GROUP BY source, off // {_PACK_BUDGET}
+    """,
+)
+def q_llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing plan: per source, documents in doc_id
+    order are packed into {_PACK_BUDGET}-token context windows by
+    CUMULATIVE OFFSET — a document belongs to the bin its start offset
+    falls in (the q_maint_compaction_bins / Spark FilePartition model:
+    deterministic and prefix-sum expressible, where first-fit bin
+    closing needs sequential state). Output: the per-(source, bin)
+    manifest — doc count, token count, id span, fill ratio — that a
+    packed-pretraining writer would execute; fill_ratio > 1 marks
+    straddling documents (real packers split those).
+
+    Plan: one map-side token count (whitespace tokens, the
+    token-histogram convention), a source-partitioned prefix sum, one
+    closing hash aggregate on the bin grain. All-integer until the
+    e6-rounded fill ratio. At 100 TB the prefix sum is the only
+    ordered stage and it partitions by source — the packing of
+    different sources is embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = t.withColumn(
+        "off", F.coalesce(F.sum("tok").over(w), F.lit(0)).cast("bigint")
+    )
+    return off.groupBy(
+        "source", F.expr(f"off DIV {_PACK_BUDGET}").alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+        dround(
+            F.sum("tok").cast("double") / float(_PACK_BUDGET), 6
+        ).alias("fill_ratio"),
     )

@@ -1619,3 +1619,111 @@ def q_stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+@register(
+    "q_stats_kendall_w",
+    oracle=f"""
+    WITH d AS (
+      SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+    ),
+    mm AS (SELECT CAST(count(DISTINCT rf) AS BIGINT) AS m FROM d),
+    full_days AS (
+      SELECT day FROM d CROSS JOIN mm
+      GROUP BY day, mm.m HAVING count(*) = mm.m
+    ),
+    ranks AS (
+      SELECT rf, day,
+             CAST(row_number() OVER (PARTITION BY rf
+                                     ORDER BY rev, day) AS BIGINT) AS r
+      FROM d JOIN full_days USING (day)
+    ),
+    rs AS (
+      SELECT day, CAST(sum(r) AS BIGINT) AS rsum
+      FROM ranks GROUP BY day
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rs),
+    s4 AS (
+      SELECT CAST(sum((2 * rsum - mm.m * (nn.n + 1))
+                      * (2 * rsum - mm.m * (nn.n + 1))) AS BIGINT) AS s4
+      FROM rs CROSS JOIN mm CROSS JOIN nn
+      GROUP BY mm.m, nn.n
+    )
+    SELECT mm.m AS n_judges, nn.n AS n_items, s4.s4 AS s4,
+           floor(3.0 * s4.s4
+                 / (CAST(mm.m AS DOUBLE) * mm.m
+                    * (CAST(nn.n AS DOUBLE) * nn.n * nn.n - nn.n))
+                 * 1000000.0 + 0.5) / 1000000.0 AS w
+    FROM s4 CROSS JOIN mm CROSS JOIN nn
+    """,
+)
+def q_stats_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across the return-flag
+    "judges": each flag ranks the common trading days by its daily
+    revenue; W ∈ [0,1] measures how much the m rankings agree
+    (W = 12·S / (m²(n³−n)), Kendall & Babington Smith 1939) — the
+    multi-rater companion to q_stats_kendall_tau's two-series view.
+    Only days carried by ALL flags enter (complete-block requirement);
+    revenue ties are broken by day, making every rank a total order.
+
+    Plan: one hash aggregate to the (flag, day) grain, a HAVING-style
+    complete-day filter, per-flag rank windows (time-grain-bounded
+    partitions), a per-day rank-sum aggregate, one closing row.
+    Determinism: ALL-INTEGER core — using S4 = Σ(2·Rᵢ − m(n+1))² = 4S
+    keeps the deviations integral (no n+1 halves), so W = 3·S4 /
+    (m²(n³−n)) is a single IEEE division of exact integers,
+    e6-rounded; magnitudes ≤ m²n³ ≈ 1e11 at sf0.1 — far inside
+    int64."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    mm = d.agg(F.countDistinct("rf").cast("bigint").alias("m"))
+    full_days = (
+        d.crossJoin(F.broadcast(mm))
+        .groupBy("day", "m")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == F.col("m"))
+        .select("day")
+    )
+    wr = Window.partitionBy("rf").orderBy("rev", "day")
+    ranks = d.join(full_days, "day").select(
+        "rf", "day", F.row_number().over(wr).cast("bigint").alias("r")
+    )
+    rs = ranks.groupBy("day").agg(F.sum("r").cast("bigint").alias("rsum"))
+    nn = rs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dev = 2 * F.col("rsum") - F.col("m") * (F.col("n") + 1)
+    s4 = (
+        rs.crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(nn))
+        .groupBy("m", "n")
+        .agg(F.sum(dev * dev).cast("bigint").alias("s4"))
+    )
+    return s4.select(
+        F.col("m").alias("n_judges"),
+        F.col("n").alias("n_items"),
+        "s4",
+        dround(
+            3.0
+            * F.col("s4")
+            / (
+                F.col("m").cast("double")
+                * F.col("m")
+                * (
+                    F.col("n").cast("double") * F.col("n") * F.col("n")
+                    - F.col("n")
+                )
+            ),
+            6,
+        ).alias("w"),
+    )
