@@ -696,3 +696,80 @@ def q_seq_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround((sig - m) / (sig + m), 6))
         .alias("burstiness"),
     )
+
+
+@register(
+    "q_seq_first_touch_attribution",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type AS first_touch
+      FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.first_touch,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(coalesce(sum(CASE WHEN c.user_id IS NOT NULL
+                                  THEN 1 END), 0) AS BIGINT)
+             AS n_converted,
+           floor(coalesce(sum(CASE WHEN c.user_id IS NOT NULL
+                                   THEN 1 END), 0)
+                 / CAST(count(*) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS conv_rate
+    FROM firsts f LEFT JOIN conv c ON c.user_id = f.user_id
+    GROUP BY f.first_touch
+    """,
+)
+def q_seq_first_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch conversion attribution: every user's FIRST event
+    type (their acquisition channel in the attribution sense), and per
+    channel how many of those users ever purchased — the classic
+    first-touch model next to q_seq_conversion_latency's timing view
+    and q_funnel_signup_purchase's step view.
+
+    Plan: one per-user rank window picks the first event ((ts,
+    event_id) total order — the id tiebreak makes tied timestamps
+    deterministic), one distinct-converters aggregate, a user-keyed
+    left join, one closing hash aggregate on the ≤|types| channel
+    grain. Determinism: exact integer counts; conv_rate is one IEEE
+    division, e6-rounded."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("first_touch"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        firsts.join(conv, "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.coalesce(F.sum("hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_converted"),
+            dround(
+                F.coalesce(F.sum("hit"), F.lit(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("conv_rate"),
+        )
+    )

@@ -460,3 +460,129 @@ def q_seq_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pi_emp",
         dround(F.col("pi_emp") * F.col("h_state"), 6).alias("contrib"),
     )
+
+
+_HIT_TARGET = "purchase"
+_HIT_STEPS = 8
+
+
+def _sql_hitting() -> str:
+    """Chained-CTE oracle: v0 = [target -> 1], absorbing walk
+    v_{t+1}(s) = e6( Σ_nxt P(nxt|s)·v_t(nxt) ) for non-target states;
+    the target stays pinned at 1 (absorbing)."""
+    steps = []
+    for t in range(_HIT_STEPS):
+        steps.append(
+            f"""v{t + 1} AS (
+      SELECT p.cur AS state,
+             CASE WHEN p.cur = '{_HIT_TARGET}' THEN 1.0 ELSE
+             {sql_dround(
+                 "CAST(sum(CAST("
+                 + sql_dround("p.p_cond * v.v", 12)
+                 + " AS DECIMAL(38,12))) AS DOUBLE)", 6,
+             )} END AS v
+      FROM p JOIN v{t} v ON v.state = p.nxt
+      GROUP BY p.cur
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n_trans
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    outs AS (
+      SELECT cur, CAST(sum(n_trans) AS BIGINT) AS n_out
+      FROM pairs GROUP BY cur
+    ),
+    p AS (
+      SELECT p.cur, p.nxt,
+             CAST(p.n_trans AS DOUBLE) / o.n_out AS p_cond
+      FROM pairs p JOIN outs o ON p.cur = o.cur
+    ),
+    v0 AS (
+      SELECT cur AS state,
+             CASE WHEN cur = '{_HIT_TARGET}' THEN 1.0 ELSE 0.0 END AS v
+      FROM outs
+    ),
+    {chain}
+    SELECT o.cur AS state, o.n_out,
+           {sql_dround("v.v", 6)} AS hit_prob_{_HIT_STEPS}
+    FROM outs o JOIN v{_HIT_STEPS} v ON v.state = o.cur
+    """
+
+
+@register("q_seq_markov_hitting", oracle=_sql_hitting())
+def q_seq_markov_hitting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-step hitting probability of the '{target}' state from every
+    behavior state under the empirical transition chain: v_K(s) =
+    P(reach {target} within K=8 steps | start at s), computed by the
+    absorbing-state value iteration v_{{t+1}} = P·v_t with the target
+    pinned at 1 — the funnel-convergence readout (how reachable is
+    purchase from each entry state) complementing
+    q_seq_markov_stationary's long-run occupancy.
+
+    Plan + determinism: the q_seq_markov_stationary discipline — the
+    stream collapses ONCE to the bounded ≤|types|² transition matrix
+    (distributed lead window + hash aggregate), the matrix is
+    collected (≤25 rows), and the 8 absorbing steps run driver-side
+    replicating both engines' rounded trajectory BIT-EXACTLY
+    (int/int division; e12 floor-rounding of each product is exact
+    integer arithmetic below 2^53; per-step e6 re-round). Successor
+    states the vector join drops (no outgoing row) contribute 0 —
+    the identical truncation the chained-CTE oracle applies.
+
+    The docstring uses {{target}} = purchase (a literal constant
+    shared with the oracle text)."""
+    import math
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    pairs = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    rows = pairs.collect()  # ≤ |event types|² rows — bounded
+
+    n_out: dict[str, int] = {}
+    for r in rows:
+        n_out[r["cur"]] = n_out.get(r["cur"], 0) + r["n_trans"]
+    p = {
+        (r["cur"], r["nxt"]): r["n_trans"] / n_out[r["cur"]] for r in rows
+    }
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    v = {s: (1.0 if s == _HIT_TARGET else 0.0) for s in n_out}
+    for _ in range(_HIT_STEPS):
+        acc: dict[str, int] = {}
+        for (cur, nxt), pc in p.items():
+            if nxt in v:
+                t = pc * v[nxt]
+                acc[cur] = acc.get(cur, 0) + int(
+                    math.floor(t * 1e12 + 0.5)
+                )
+        v = {
+            s: (1.0 if s == _HIT_TARGET else r6(acc.get(s, 0) / 10**12))
+            for s in n_out
+        }
+
+    out_rows = [
+        (s, n_out[s], r6(v[s])) for s in n_out
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        f"state string, n_out bigint, hit_prob_{_HIT_STEPS} double",
+    )

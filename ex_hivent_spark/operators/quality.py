@@ -657,3 +657,68 @@ def q_quality_outage_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("first_multi_hour_outage"),
         )
     )
+
+
+_GAP_ALERT_US = 3_600_000_000  # 1 hour, in microseconds
+
+
+@register(
+    "q_quality_ts_gaps",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) AS prev_us,
+             epoch_us(ts) AS cur_us
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, cur_us - prev_us AS gap_us
+      FROM g WHERE prev_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(CASE WHEN gap_us > {_GAP_ALERT_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over_1h,
+           floor(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_sec
+    FROM d GROUP BY event_type
+    """,
+)
+def q_quality_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-freshness audit: per event type, the inter-arrival gap
+    profile of the event stream — the largest silent window, how many
+    gaps exceeded the 1-hour alert bound, and the mean gap — the
+    stream-level liveness view next to q_quality_outage_runs'
+    zero-hour runs and q_seq_revisit_gaps' per-user view.
+
+    Plan: one per-type lag window over the (ts, event_id) total order,
+    one closing hash aggregate on the ≤|types| grain. Determinism:
+    gaps are exact BIGINT microseconds (unix_micros ≙ epoch_us —
+    both truncate nothing; the µs grid is the storage grid); only the
+    mean converts to seconds, e6-rounded (≈1e3-1e4 magnitude — far
+    from the 1e9 rounding trap)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.sum(
+            F.when(F.col("gap_us") > _GAP_ALERT_US, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_gaps_over_1h"),
+        dround(
+            F.sum("gap_us").cast("double")
+            / F.count(F.lit(1))
+            / 1000000.0,
+            6,
+        ).alias("mean_gap_sec"),
+    )
