@@ -2318,3 +2318,118 @@ def q_ts_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(mr, 6).alias("mean_right"),
         F.col("s").alias("n_events"),
     )
+
+
+@register(
+    "q_ts_cusum_detect",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY event_type
+    ),
+    walk AS (
+      SELECT d.event_type, d.day, tot.n, tot.total,
+             CAST(row_number() OVER (PARTITION BY d.event_type
+                                     ORDER BY d.day) AS BIGINT) AS t,
+             CAST(sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS s
+      FROM d JOIN tot USING (event_type)
+    ),
+    dev AS (
+      SELECT event_type, day, n, total, t,
+             abs(n * s - t * total) AS absd
+      FROM walk
+    ),
+    best AS (
+      SELECT event_type, n, total,
+             max(struct_pack(absd := absd, negt := -t, t := t,
+                             day := day)) AS b
+      FROM dev GROUP BY event_type, n, total
+    )
+    SELECT event_type,
+           n AS n_days, total AS n_events,
+           b.day AS cp_day,
+           CAST(b.absd AS BIGINT) AS cusum_peak,
+           floor(CAST(b.absd AS DOUBLE) / (CAST(n AS DOUBLE) * total)
+                 * 1000000.0 + 0.5) / 1000000.0 AS rel_peak
+    FROM best
+    """,
+)
+def q_ts_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detector on each event type's daily count
+    series: the day t* maximizing |S_t − t·μ| (the classic
+    cumulative-sum drift statistic, Page 1954), reported with the
+    peak deviation and its mean-relative size — the single-shift
+    companion to q_ts_binary_segmentation's recursive splits.
+
+    ALL-INTEGER core: the deviation is computed as |n·S_t − t·total|
+    (multiplying through by n clears the mean's division), so the
+    walk, the argmax, and the peak are exact BIGINTs in both engines
+    — n·total stays far inside int64 at any realistic SF. Ties break
+    toward the EARLIEST day via the (absd, −t) struct-max. The only
+    rounding is the e6 mean-relative closing.
+
+    Plan: one hash aggregate to the (type, day) grain, one per-type
+    prefix-sum/rank window (time-grain bounded), a struct-argmax hash
+    aggregate — no global window, no collect."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = d.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    ws = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walk = (
+        d.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "total",
+            F.row_number().over(wo).cast("bigint").alias("t"),
+            F.sum("c").over(ws).cast("bigint").alias("s"),
+        )
+    )
+    dev = walk.select(
+        "event_type",
+        "day",
+        "n",
+        "total",
+        "t",
+        F.abs(
+            F.col("n") * F.col("s") - F.col("t") * F.col("total")
+        ).alias("absd"),
+    )
+    best = dev.groupBy("event_type", "n", "total").agg(
+        F.max(
+            F.struct(
+                F.col("absd"),
+                (-F.col("t")).alias("negt"),
+                F.col("t"),
+                F.col("day"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("total").alias("n_events"),
+        F.col("b.day").alias("cp_day"),
+        F.col("b.absd").cast("bigint").alias("cusum_peak"),
+        dround(
+            F.col("b.absd").cast("double")
+            / (F.col("n").cast("double") * F.col("total")),
+            6,
+        ).alias("rel_peak"),
+    )
