@@ -209,10 +209,46 @@ def register(name: str, oracle: Optional[str] = None):
 #   q_win_time_range_frame, q_agg_approx_distinct.
 # r15 onward: continue the refill with the remaining r5-era names A-Z
 # (q_agg_audience_overlap, q_agg_mad_outliers, ...), then r6-era.
+# r15 ROTATION (exactly 50 — set DRIVER_CHECK_FIRST to this list at
+# the start of r15): the 13 r14-new ops first (never driver-checked;
+# each oracle-verified at sf0.001/0.01/0.1 in its registration wave —
+# ANCHOR_r14_emb/b/c/d/e), then the freshness refill — the driver
+# last saw these in r5; the first 37 of the 45 r5-era names A-Z
+# (q_agg_approx_distinct already rode r14's slot 50):
+#   q_agg_pietra_index, q_agg_palma_ratio, q_seq_markov_entropy_rate,
+#   q_mm_audio_rms_windows, q_maint_partition_skew, q_agg_ulcer_index,
+#   q_ts_cid_ce, q_llm_sequence_pack, q_stats_kendall_w,
+#   q_seq_markov_hitting, q_seq_first_touch_attribution,
+#   q_quality_ts_gaps, q_ts_cusum_detect,
+#   q_agg_audience_overlap, q_agg_mad_outliers, q_agg_user_entropy,
+#   q_agg_weighted_median, q_emb_dim_stats, q_emb_pca_power_step,
+#   q_fn_bitwise, q_fn_datetime_arith, q_fn_try_arith,
+#   q_geo_radius_join, q_graph_ancestry, q_join_salted_skew,
+#   q_layout_hilbert, q_llm_ann_recall, q_llm_bigram_logprob,
+#   q_llm_bm25_topk, q_llm_bpe_train, q_llm_ccnet_buckets,
+#   q_llm_containment_dedup, q_llm_corpus_audit, q_llm_dsir_weights,
+#   q_llm_gopher_rules, q_llm_hard_negatives, q_llm_idf_rarity,
+#   q_llm_minhash_error, q_llm_ngram_jaccard, q_llm_ngram_novelty,
+#   q_llm_softdedup_weights, q_llm_substring_dedup,
+#   q_llm_temperature_mix, q_llm_tokenizer_fertility,
+#   q_llm_topk_ngrams, q_llm_zipf_fit, q_mm_shard_pack,
+#   q_set_relational_division, q_tpch_q12_priority_by_flag, q_ts_acf.
+# r16 onward: the remaining 8 r5-era names A-Z (q_ts_anomaly,
+# q_ts_cusum_changepoint, q_ts_ewma, q_ts_seasonal_decompose,
+# q_win_attribution_multitouch, q_win_pattern_match,
+# q_win_period_over_period, q_win_streaks), then r6-era.
 # r14 STATUS: DRIVER_CHECK_FIRST below IS the written r14 rotation,
 # verbatim (set at the start of r14; the r13 list it replaced went
-# 50/50 green in CORRECTNESS_r13.json). In-round evidence is appended
-# to this comment as the round progresses.
+# 50/50 green in CORRECTNESS_r13.json; the new list re-verified 50/50
+# at sf0.01 the moment it was set — /tmp rotation check, committed
+# evidence is the round-close sweep). r14 registered 13 ops
+# (488 -> 501), every one hash-verified at sf0.001 + sf0.01 + sf0.1
+# in its registration wave and anchored on arrival (ANCHOR_r14_emb,
+# _r14b, _r14c, _r14d, _r14e — all floor-class). The r14 perf
+# experiment (the embedding Arrow swap) landed as
+# similarity.exact_scores — see BASELINE.md r14 section: same-set
+# family total 54.5 s (r13) -> ~25 s, every former x12-30 op now
+# x6-9. Close evidence appended at the round-close commit.
 DRIVER_CHECK_FIRST = [
     # --- the never-driver-checked backlog first: the two r12
     # stragglers, then the two r13-new maintjobs ops
