@@ -168,6 +168,20 @@ HEADLINE = [
     # added r13 (prior entries unchanged for per-query comparability)
     "q_maint_compaction_bins",
     "q_agg_spacesaving_topk",
+    # added r14 (prior entries unchanged for per-query comparability)
+    "q_agg_pietra_index",
+    "q_agg_palma_ratio",
+    "q_seq_markov_entropy_rate",
+    "q_mm_audio_rms_windows",
+    "q_maint_partition_skew",
+    "q_agg_ulcer_index",
+    "q_ts_cid_ce",
+    "q_llm_sequence_pack",
+    "q_stats_kendall_w",
+    "q_seq_markov_hitting",
+    "q_seq_first_touch_attribution",
+    "q_quality_ts_gaps",
+    "q_ts_cusum_detect",
 ]
 # r8: the bench covers the FULL registered inventory — the explicit
 # list above is the round-over-round comparable prefix (order frozen),

@@ -248,7 +248,14 @@ def register(name: str, oracle: Optional[str] = None):
 # experiment (the embedding Arrow swap) landed as
 # similarity.exact_scores — see BASELINE.md r14 section: same-set
 # family total 54.5 s (r13) -> ~25 s, every former x12-30 op now
-# x6-9. Close evidence appended at the round-close commit.
+# x6-9. r14 CLOSE evidence (final tree): 501/501 sf0.01 sweep +
+# vacuous audit 0 zero-row 0 uncounted; 483/483 sf0.1 full-oracle +
+# INVARIANTS 18/18 and all structural invariants; pytest 1033/0 (3
+# env-gated skips); full-registry single-window ANCHOR_r14.json
+# (494 compared, 0 errors, 0.175x suite; common-481-op spark total
+# 488.6 -> 388.5 s vs r13); BENCH_FULL 341.6 s / 54-query core 46.9 s
+# (r13: 48.9). Sweep-last honored: no registration after the final
+# sweep.
 DRIVER_CHECK_FIRST = [
     # --- the never-driver-checked backlog first: the two r12
     # stragglers, then the two r13-new maintjobs ops
