@@ -735,7 +735,7 @@ def q_emb_norm_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOUBLE before multiplying in identical IEEE order; every √ is
     e6-rounded before its e6-rounded ratio; zero-variance sides read
     NULL on both engines."""
-    from ex_hivent_spark.llm.similarity import l2_norm
+    from ex_hivent_spark.llm.similarity import l2_norm_expr
 
     l1 = F.aggregate(
         F.col("embedding"),
@@ -744,7 +744,7 @@ def q_emb_norm_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        dround(l2_norm(F.col("embedding")), 6).alias("x2"),
+        dround(l2_norm_expr(F.col("embedding")), 6).alias("x2"),
         dround(l1, 6).alias("x1"),
     )
     d = load_table(spark, sf_dir, "documents").select(

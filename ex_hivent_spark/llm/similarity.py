@@ -330,7 +330,7 @@ def q_llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.size("embedding").alias("n_dims"),
-        dround(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+        dround(l2_norm_expr(F.col("embedding")), 6).alias("l2_norm"),
     )
 
 
@@ -624,7 +624,7 @@ def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            dround(dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
+            dround(dot_expr(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
         )
         .distinct()  # a pair can agree on several bands
     )
@@ -715,7 +715,7 @@ def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-            dround(dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
+            dround(dot_expr(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
         )
     )
     # argmax by (cosine desc, neighbor_id asc): max of a struct ordered
@@ -835,7 +835,7 @@ def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "unit",
         "cell_id",
-        dot(F.col("unit"), F.col("centroid")).alias("csim"),
+        dot_expr(F.col("unit"), F.col("centroid")).alias("csim"),
     )
     members = (
         sims.groupBy("vec_id")
@@ -888,7 +888,7 @@ def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            dround(dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+            dround(dot_expr(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
         )
     )
     w_top = Window.partitionBy("query_id").orderBy(
@@ -949,7 +949,7 @@ def _cell_members(spark: SparkSession, sf_dir: str):
         "vec_id",
         "unit",
         "cell_id",
-        dot(F.col("unit"), F.col("centroid")).alias("csim"),
+        dot_expr(F.col("unit"), F.col("centroid")).alias("csim"),
     )
     members = (
         sims.groupBy("vec_id")
@@ -1132,7 +1132,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_id",
             "vec_id",
             "keep_cand",
-            dot(F.col("u1"), F.col("u2")).alias("cos"),
+            dot_expr(F.col("u1"), F.col("u2")).alias("cos"),
         )
         .filter(F.col("cos") >= SEMDEDUP_TAU)
     )
@@ -1267,7 +1267,7 @@ def q_llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "m",
         "k_id",
-        dot(F.col("sub_x"), F.col("sub_c")).alias("ip"),
+        dot_expr(F.col("sub_x"), F.col("sub_c")).alias("ip"),
     )
     best = (
         scored.groupBy("vec_id", "m")
@@ -1421,7 +1421,7 @@ def q_llm_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = unit.join(F.broadcast(cents)).select(
         "vec_id",
         "cell_id",
-        dot(F.col("unit"), F.col("centroid")).alias("csim"),
+        dot_expr(F.col("unit"), F.col("centroid")).alias("csim"),
     )
     members = (
         sims.groupBy("vec_id")
@@ -1453,7 +1453,7 @@ def q_llm_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         subs.join(F.broadcast(csubs), "m")
         .select(
             "vec_id", "m", "k_id",
-            dot(F.col("sub_x"), F.col("sub_c")).alias("ip"),
+            dot_expr(F.col("sub_x"), F.col("sub_c")).alias("ip"),
         )
         .groupBy("vec_id", "m")
         .agg(
@@ -1492,7 +1492,7 @@ def q_llm_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "m",
             "k_id",
-            dot(F.col("sub_x"), F.col("sub_c")).alias("ip"),
+            dot_expr(F.col("sub_x"), F.col("sub_c")).alias("ip"),
         )
     )
     cand = (
@@ -1967,7 +1967,7 @@ def ivf_candidates(
     sims = unit.join(F.broadcast(cents)).select(
         "vec_id",
         "cell_id",
-        dot(F.col("unit"), F.col("centroid")).alias("csim"),
+        dot_expr(F.col("unit"), F.col("centroid")).alias("csim"),
     )
     members = (
         sims.groupBy("vec_id")
@@ -2037,7 +2037,7 @@ def ivf_recall(
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        dround(dot(F.col("qu"), F.col("unit")), 6).alias("cosine"),
+        dround(dot_expr(F.col("qu"), F.col("unit")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -2133,7 +2133,7 @@ def build_ivf_index(
             "vec_id",
             "unit",
             "cell_id",
-            dot(F.col("unit"), F.col("centroid")).alias("csim"),
+            dot_expr(F.col("unit"), F.col("centroid")).alias("csim"),
         )
         members = (
             sims.groupBy("vec_id")
@@ -2417,7 +2417,7 @@ def q_emb_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit.crossJoin(F.broadcast(chat))
         .select(
             "vec_id",
-            dround(dot(F.col("unit"), F.col("ch")), 6).alias(
+            dround(dot_expr(F.col("unit"), F.col("ch")), 6).alias(
                 "cos_centroid"
             ),
         )
@@ -2538,11 +2538,11 @@ def q_emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_id",
         "sub_x",
         "sub_c",
-        dot(F.col("sub_x"), F.col("sub_c")).alias("ip"),
+        dot_expr(F.col("sub_x"), F.col("sub_c")).alias("ip"),
     )
     err = dround(
-        dot(F.col("b.sub_x"), F.col("b.sub_x"))
-        + dot(F.col("b.sub_c"), F.col("b.sub_c"))
+        dot_expr(F.col("b.sub_x"), F.col("b.sub_x"))
+        + dot_expr(F.col("b.sub_c"), F.col("b.sub_c"))
         - 2 * F.col("b.ip"),
         6,
     )
