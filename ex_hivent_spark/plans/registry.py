@@ -255,7 +255,12 @@ def register(name: str, oracle: Optional[str] = None):
 # (494 compared, 0 errors, 0.175x suite; common-481-op spark total
 # 488.6 -> 388.5 s vs r13); BENCH_FULL 341.6 s / 54-query core 46.9 s
 # (r13: 48.9). Sweep-last honored: no registration after the final
-# sweep.
+# sweep. FINAL-TREE gate v2 (after the post-close pair-join revert,
+# the last code change of the round): full sf0.01 sweep regenerated
+# BYTE-IDENTICAL (501/501, vacuous 0 — values unchanged by
+# construction, the r13 no-churn precedent); pytest 1033/0 (17:37);
+# the 34-op embedding family re-verified hash-green at all 3 SFs;
+# same-window revert re-times in ANCHOR_r14f.json.
 DRIVER_CHECK_FIRST = [
     # --- the never-driver-checked backlog first: the two r12
     # stragglers, then the two r13-new maintjobs ops
