@@ -262,62 +262,63 @@ def register(name: str, oracle: Optional[str] = None):
 # the 34-op embedding family re-verified hash-green at all 3 SFs;
 # same-window revert re-times in ANCHOR_r14f.json.
 DRIVER_CHECK_FIRST = [
-    # --- the never-driver-checked backlog first: the two r12
-    # stragglers, then the two r13-new maintjobs ops
-    "q_agg_ge2_index",
-    "q_llm_ivf_nprobe_sweep",
-    "q_maint_compaction_bins",
-    "q_agg_spacesaving_topk",
-    # --- the 3 r13 vacuous-op rewrites (r8/r12 rewritten-op precedent)
-    "q_join_anti",
-    "q_quality_sequence_gaps",
-    "q_graph_kcore_step",
-    # --- freshness refill: driver last saw these in r4; all 42 r4-era
-    # names A-Z, then the first r5-era name A-Z to fill slot 50
-    "q_agg_bitmap_rollup",
-    "q_agg_pricing_summary",
-    "q_agg_winsorize",
-    "q_fn_fuzzy_match",
-    "q_fn_variant_json",
-    "q_funnel_signup_purchase",
-    "q_graph_triangles",
-    "q_join_asof",
-    "q_join_asof_nearest",
-    "q_join_asof_tolerance",
-    "q_join_range_theta",
-    "q_layout_zorder",
-    "q_llm_ivfpq_search",
-    "q_llm_kmeans_step",
-    "q_llm_minhash_neardup",
-    "q_llm_passage_dedup",
-    "q_llm_pq_encode",
-    "q_llm_quality_classifier",
-    "q_llm_reservoir_sample",
-    "q_llm_semdedup",
-    "q_llm_simhash_groups",
-    "q_llm_unigram_logprob",
-    "q_quality_fk_orphans",
-    "q_quality_profile",
-    "q_tpch_q11_important_value",
-    "q_tpch_q13_order_distribution",
-    "q_tpch_q14_promo_effect",
-    "q_tpch_q15_top_supplier",
-    "q_tpch_q16_supplier_variety",
-    "q_tpch_q17_small_qty_revenue",
-    "q_tpch_q18_large_orders",
-    "q_tpch_q19_disjunctive",
-    "q_tpch_q20_excess_suppliers",
-    "q_tpch_q21_sole_supplier",
-    "q_tpch_q22_dormant_customers",
-    "q_tpch_q2_min_cost_supplier",
-    "q_tpch_q4_priority_exists",
-    "q_tpch_q6_forecast_revenue",
-    "q_tpch_q8_market_share",
-    "q_ts_linear_interp",
-    "q_win_rolling_median",
-    "q_win_time_range_frame",
-    "q_agg_approx_distinct",
+    # --- the 13 r14-new ops first (never driver-checked; each
+    # oracle-verified at sf0.001/0.01/0.1 in its registration wave)
+    "q_agg_pietra_index",
+    "q_agg_palma_ratio",
+    "q_seq_markov_entropy_rate",
+    "q_mm_audio_rms_windows",
+    "q_maint_partition_skew",
+    "q_agg_ulcer_index",
+    "q_ts_cid_ce",
+    "q_llm_sequence_pack",
+    "q_stats_kendall_w",
+    "q_seq_markov_hitting",
+    "q_seq_first_touch_attribution",
+    "q_quality_ts_gaps",
+    "q_ts_cusum_detect",
+    # --- freshness refill: driver last saw these in r5; the first
+    # 37 of the 45 r5-era names A-Z (q_agg_approx_distinct rode
+    # r14's slot 50)
+    "q_agg_audience_overlap",
+    "q_agg_mad_outliers",
+    "q_agg_user_entropy",
+    "q_agg_weighted_median",
+    "q_emb_dim_stats",
+    "q_emb_pca_power_step",
+    "q_fn_bitwise",
+    "q_fn_datetime_arith",
+    "q_fn_try_arith",
+    "q_geo_radius_join",
+    "q_graph_ancestry",
+    "q_join_salted_skew",
+    "q_layout_hilbert",
+    "q_llm_ann_recall",
+    "q_llm_bigram_logprob",
+    "q_llm_bm25_topk",
+    "q_llm_bpe_train",
+    "q_llm_ccnet_buckets",
+    "q_llm_containment_dedup",
+    "q_llm_corpus_audit",
+    "q_llm_dsir_weights",
+    "q_llm_gopher_rules",
+    "q_llm_hard_negatives",
+    "q_llm_idf_rarity",
+    "q_llm_minhash_error",
+    "q_llm_ngram_jaccard",
+    "q_llm_ngram_novelty",
+    "q_llm_softdedup_weights",
+    "q_llm_substring_dedup",
+    "q_llm_temperature_mix",
+    "q_llm_tokenizer_fertility",
+    "q_llm_topk_ngrams",
+    "q_llm_zipf_fit",
+    "q_mm_shard_pack",
+    "q_set_relational_division",
+    "q_tpch_q12_priority_by_flag",
+    "q_ts_acf",
 ]
+
 
 
 def all_specs() -> dict[str, QuerySpec]:
