@@ -75,13 +75,24 @@ def _stack64(s: "pd.Series"):
     return out if out.ndim == 2 else None
 
 
+def _has_none(row) -> bool:
+    """True when a non-null array row carries an element-level None —
+    zip_with/transform yield NULL there, while a bare numpy conversion
+    would silently coerce it to NaN."""
+    return any(e is None for e in row)
+
+
 def _pairwise_pd(fn):
     """Build a pandas UDF over two float-array columns that mirrors the
-    null semantics of the HOF fold: null if either array is null or the
-    lengths differ (zip_with pads with null, poisoning the fold), else
-    ``fn`` over the float64-cast pair. The no-null uniform-length fast
-    path (every batch in practice — fixed embedding dim) is fully
-    vectorized; ragged/null batches fall back to per-row numpy."""
+    null semantics of the HOF fold: null if either array is null, the
+    lengths differ (zip_with pads with null, poisoning the fold), or an
+    ELEMENT is null (the fold's acc + null is null — numpy would coerce
+    it to NaN, so the fast path is only taken when the stacked batch is
+    NaN-free, and the fallback scans rows for None explicitly; a real
+    NaN float still computes to NaN, matching the fold). The no-null
+    uniform-length fast path (every batch in practice — fixed embedding
+    dim) is fully vectorized; ragged/null/NaN batches fall back to
+    per-row numpy."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -91,13 +102,19 @@ def _pairwise_pd(fn):
         if not na.any() and not nb.any():
             A = _stack64(a)
             B = _stack64(b)
-            if A is not None and B is not None and A.shape == B.shape:
+            if (
+                A is not None
+                and B is not None
+                and A.shape == B.shape
+                and not np.isnan(A).any()
+                and not np.isnan(B).any()
+            ):
                 return pd.Series(fn(A, B))
         out = [None] * len(a)
         av = a.values
         bv = b.values
         for i in range(len(a)):
-            if na[i] or nb[i]:
+            if na[i] or nb[i] or _has_none(av[i]) or _has_none(bv[i]):
                 continue
             x = np.asarray(av[i], dtype=np.float64)
             y = np.asarray(bv[i], dtype=np.float64)
@@ -155,8 +172,11 @@ def unit_vec(a: Column) -> Column:
     correctly rounded, so each element is bit-identical to the
     ``F.transform(a, x -> x.cast(double) / l2_norm_expr(a))`` form this
     replaces (which paid TWO interpreted HOF walks per row). Null array
-    -> null; zero-norm rows divide to ±inf/nan exactly as the
-    expression form does."""
+    -> null; an element-level null poisons the norm fold, so every
+    output element is null (an array of nulls, same length — exactly
+    the expression form; the fast path refuses NaN-bearing batches so
+    numpy's None->NaN coercion can never leak); zero-norm rows divide
+    to ±inf/nan exactly as the expression form does."""
     global _UNIT_PD
     if _UNIT_PD is None:
         from pyspark.sql.functions import pandas_udf
@@ -166,13 +186,16 @@ def unit_vec(a: Column) -> Column:
             nulls = col.isnull().values
             if not nulls.any():
                 A = _stack64(col)
-                if A is not None and A.shape[1] > 0:
+                if A is not None and A.shape[1] > 0 and not np.isnan(A).any():
                     U = A / np.sqrt(_seq_fold_sum(A * A))[:, None]
                     return pd.Series(list(U))
             out = [None] * len(col)
             cv = col.values
             for i in range(len(col)):
                 if nulls[i]:
+                    continue
+                if _has_none(cv[i]):
+                    out[i] = [None] * len(cv[i])
                     continue
                 x = np.asarray(cv[i], dtype=np.float64)
                 if x.size == 0:
@@ -209,7 +232,11 @@ def projections(a: Column, planes: tuple) -> Column:
             nulls = col.isnull().values
             if not nulls.any():
                 A = _stack64(col)
-                if A is not None and A.shape[1] == M.shape[1]:
+                if (
+                    A is not None
+                    and A.shape[1] == M.shape[1]
+                    and not np.isnan(A).any()
+                ):
                     cols = [_seq_fold_sum(A * M[k]) for k in range(M.shape[0])]
                     out = np.column_stack(cols)
                     return pd.Series(list(out))
@@ -217,6 +244,12 @@ def projections(a: Column, planes: tuple) -> Column:
             cv = col.values
             for i in range(len(col)):
                 if nulls[i]:
+                    continue
+                # element-level null poisons every per-plane fold ->
+                # an array of n_planes nulls (the per-plane dot_expr
+                # form); NaN floats still compute to NaN normally.
+                if _has_none(cv[i]):
+                    res[i] = [None] * M.shape[0]
                     continue
                 x = np.asarray(cv[i], dtype=np.float64)
                 if x.shape[0] != M.shape[1]:
@@ -253,48 +286,82 @@ def exact_scores(
 ) -> DataFrame:
     """Exact dot scores of a BOUNDED query set against the whole corpus
     — the scale-correct shape for every exact-scoring retrieval audit:
-    the query matrix (collected by the caller; capped by construction)
-    rides INSIDE the mapInPandas closure, the corpus streams through
-    ONCE as Arrow batches, and only the (query_id, neighbor_id, dot)
-    triples come back — never per-pair vector copies. Replaces the r13
-    broadcast-join + per-pair dot() form whose Arrow transfer carried
-    BOTH 64-dim vectors for every pair (the dominant cost in
+    the query matrix (collected by the caller) ships ONCE per executor
+    as a Spark broadcast variable (torrent-distributed — not re-shipped
+    per task, and never serialized into the closure, so the uncapped
+    n/50-sampled callers don't grow task payloads), the corpus streams
+    through ONCE as Arrow batches, and only the (query_id, neighbor_id,
+    dot) triples come back — never per-pair vector copies. Replaces the
+    r13 broadcast-join + per-pair dot() form whose Arrow transfer
+    carried BOTH 64-dim vectors for every pair (the dominant cost in
     ANCHOR_r14's first cut).
 
     Each dot is the sequential IEEE fold (:func:`_seq_fold_sum`), so
     values stay bit-identical to ``dot(qu, u)`` and to the oracles'
     list_dot_product. ``queries`` is [(query_id, float64 vector), ...];
-    with ``normalize=True`` corpus rows are unit-normalized in the same
+    an EMPTY list returns an empty DataFrame of the declared schema
+    (the broadcast-join form's degenerate result). With
+    ``normalize=True`` corpus rows are unit-normalized in the same
     pass (the :func:`unit_vec` arithmetic — callers then pass np_unit'd
-    query vectors). ``carry`` = ((col, sparktype), ...) corpus columns
-    replicated onto each output pair (e.g. sign masks). Self-pairs are
-    NOT excluded — filter query_id != neighbor_id downstream.
+    query vectors). Null or wrong-length corpus vectors are SKIPPED
+    (the join form emitted them with NULL dot; every downstream caller
+    filters/top-ks those away, so the row sets agree where it matters).
+    ``carry`` = ((col, sparktype), ...) corpus columns replicated onto
+    each output pair (e.g. sign masks). Self-pairs are NOT excluded —
+    filter query_id != neighbor_id downstream.
 
     At 100 TB: one narrow map stage over the corpus against a fixed
-    O(|Q|·dim) in-closure matrix; output is |Q|× the corpus row count
-    of 24-byte rows — shuffle-free until the caller's own top-k."""
-    qids = np.array([q[0] for q in queries], dtype=np.int64)
-    Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    O(|Q|·dim) per-executor matrix; output is |Q|× the corpus row count
+    of 24-byte rows — shuffle-free until the caller's own top-k. The
+    boundedness of |Q| is the CALLER's contract: most sites cap with
+    limit(); the three n/50-sampled recall audits are O(n/50) by
+    design and document that at the call site."""
     carry_names = [c for c, _ in carry]
     schema = "query_id bigint, neighbor_id bigint, dot double" + "".join(
         f", {c} {t}" for c, t in carry
     )
+    spark = corpus.sparkSession
+    if not queries:
+        return spark.createDataFrame([], schema)
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    bq = spark.sparkContext.broadcast((qids, Q))
 
     def fn(batches):
-        m = len(qids)
+        bqids, bQ = bq.value
+        m = len(bqids)
+        dim = bQ.shape[1]
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 continue
-            A = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vals = pdf[vec_col]
+            try:
+                A = np.array(vals.tolist(), dtype=np.float64)
+                ok = A.ndim == 2 and A.shape[1] == dim
+            except (ValueError, TypeError):
+                ok = False
+            if not ok:  # null/ragged rows present — keep the valid ones
+                rows = vals.tolist()
+                keep = np.fromiter(
+                    (r is not None and len(r) == dim for r in rows),
+                    dtype=bool,
+                    count=len(rows),
+                )
+                if not keep.any():
+                    continue
+                pdf = pdf[keep]
+                A = np.array(
+                    [r for r, k in zip(rows, keep) if k], dtype=np.float64
+                )
+            n = len(pdf)
             if normalize:
                 A = A / np.sqrt(_seq_fold_sum(A * A))[:, None]
             ids = pdf[id_col].values.astype(np.int64)
             out = {
-                "query_id": np.repeat(qids, n),
+                "query_id": np.repeat(bqids, n),
                 "neighbor_id": np.tile(ids, m),
                 "dot": np.concatenate(
-                    [_seq_fold_sum(A * Q[k]) for k in range(m)]
+                    [_seq_fold_sum(A * bQ[k]) for k in range(m)]
                 ),
             }
             for c in carry_names:

@@ -277,18 +277,25 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the hours can be outliers without moving it), the right "is
     traffic growing?" estimator for spiky ops data.
 
-    Plan: the stream collapses to an hourly (type, hour, count) frame
-    first, BOUNDED to the trailing _TRAIL_HOURS (90 days) per type via
-    a broadcast per-type max-hour join — so the pairwise self-join is
-    quadratic only in ≤2160 hours (≤2.3M pairs/type at ANY retention,
-    independent of raw event volume; multi-year series no longer grow
-    the pair frame), and the exact median comes from a rank window
-    partitioned by event type over the pairs frame. Determinism:
-    slopes are integer-difference ratios (exact IEEE divisions with
-    distinct hour keys so no 0-division), ties in the rank order are
-    broken by the unique (ha, hb) pair key, and the even-count median
-    midpoint (min+max)/2 over the two middle rows is written
-    identically in both engines."""
+    Plan (r15 selection rewrite — the markov bounded-collect
+    discipline): the stream collapses ONCE to an hourly (type, hour,
+    count) frame BOUNDED to the trailing _TRAIL_HOURS (90 days) per
+    type via a broadcast per-type max-hour join, so the collected
+    frame is ≤2160 rows/type BY CONSTRUCTION at any retention or raw
+    volume — the one data-sized stage is the distributed hourly hash
+    aggregate. The ≤C(2160,2) pairwise slopes and the exact median
+    order statistics then run driver-side in numpy, replacing the
+    prior 5-key (one task per type) skewed self-join + full 1.3M-row
+    rank-window sort — the suite's one super-linear distributed plan
+    (r14 VERDICT perf item 2). Determinism: slopes are the identical
+    integer-difference IEEE divisions both engines evaluate (int64
+    diffs exactly representable, one correctly-rounded divide); the
+    median is the (floor, ceil)((n+1)/2) slope order statistics — a
+    value-level selection, so the oracle's (ha, hb) rank tie-break
+    is irrelevant to the emitted values — and the even-count midpoint
+    (lo + hi)/2 is the same double expression. Oracle unchanged."""
+    import numpy as np
+
     e = load_table(spark, sf_dir, "events")
     hourly = (
         e.select(
@@ -299,9 +306,6 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)  # max-hour probe + both
-        # self-join sides + ranks: one event-stream scan, the bounded
-        # hourly frame is reused
     )
     maxh = hourly.groupBy("event_type").agg(F.max("h").alias("mh"))
     bounded = (
@@ -309,42 +313,30 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h") > F.col("mh") - _TRAIL_HOURS)
         .drop("mh")
     )
-    a = bounded.alias("a")
-    b = bounded.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.event_type") == F.col("b.event_type"))
-        & (F.col("a.h") < F.col("b.h")),
-    ).select(
-        F.col("a.event_type").alias("event_type"),
-        (
-            (F.col("b.c") - F.col("a.c")).cast("double")
-            / (F.col("b.h") - F.col("a.h"))
-        ).alias("slope"),
-        F.col("a.h").alias("ha"),
-        F.col("b.h").alias("hb"),
-    )
-    w = Window.partitionBy("event_type").orderBy("slope", "ha", "hb")
-    n_w = Window.partitionBy("event_type")
-    ranked = pairs.select(
-        "event_type",
-        "slope",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(n_w).alias("n"),
-    )
-    mid_lo = F.floor((F.col("n") + 1) / F.lit(2.0)).cast("bigint")
-    mid_hi = F.ceil((F.col("n") + 1) / F.lit(2.0)).cast("bigint")
-    return (
-        ranked.filter(
-            (F.col("rn") == mid_lo) | (F.col("rn") == mid_hi)
-        )
-        .groupBy("event_type")
-        .agg(
-            F.any_value("n").alias("n_pairs"),
-            ((F.min("slope") + F.max("slope")) / 2).alias(
-                "theil_sen_slope"
-            ),
-        )
+    rows = bounded.collect()  # ≤ _TRAIL_HOURS rows per type — bounded
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["h"], r["c"]))
+    out = []
+    for t, hc in sorted(by_type.items()):
+        if len(hc) < 2:
+            continue  # no pairs — the join form emits no row either
+        hc.sort()  # h ascending, so every triu pair has h[j] > h[i]:
+        # the oracle's a.h < b.h orientation (positive denominators —
+        # keeps a zero count-diff at +0.0, never −0.0)
+        h = np.array([x for x, _ in hc], dtype=np.int64)
+        c = np.array([y for _, y in hc], dtype=np.int64)
+        i, j = np.triu_indices(len(h), 1)
+        slopes = (c[j] - c[i]).astype(np.float64) / (
+            h[j] - h[i]
+        ).astype(np.float64)
+        n = int(slopes.size)
+        k1 = (n + 1) // 2
+        k2 = -(-(n + 1) // 2)
+        ss = np.partition(slopes, [k1 - 1, k2 - 1])
+        out.append((t, n, float((ss[k1 - 1] + ss[k2 - 1]) / 2)))
+    return spark.createDataFrame(
+        out, "event_type string, n_pairs bigint, theil_sen_slope double"
     )
 
 

@@ -469,7 +469,13 @@ _HIT_STEPS = 8
 def _sql_hitting() -> str:
     """Chained-CTE oracle: v0 = [target -> 1], absorbing walk
     v_{t+1}(s) = e6( Σ_nxt P(nxt|s)·v_t(nxt) ) for non-target states;
-    the target stays pinned at 1 (absorbing)."""
+    the target stays pinned at 1 (absorbing). LEFT JOIN + coalesce
+    everywhere a v_t is consumed, so a successor absent from v_t
+    contributes 0 WITHOUT dropping the state's row — the driver-side
+    trajectory keeps every outs state alive each step, and the two
+    engines must agree on the row set by construction even on
+    degenerate chains (same values on the shipped data, where every
+    successor set intersects outs)."""
     steps = []
     for t in range(_HIT_STEPS):
         steps.append(
@@ -478,10 +484,10 @@ def _sql_hitting() -> str:
              CASE WHEN p.cur = '{_HIT_TARGET}' THEN 1.0 ELSE
              {sql_dround(
                  "CAST(sum(CAST("
-                 + sql_dround("p.p_cond * v.v", 12)
+                 + sql_dround("p.p_cond * coalesce(v.v, 0.0)", 12)
                  + " AS DECIMAL(38,12))) AS DOUBLE)", 6,
              )} END AS v
-      FROM p JOIN v{t} v ON v.state = p.nxt
+      FROM p LEFT JOIN v{t} v ON v.state = p.nxt
       GROUP BY p.cur
     )"""
         )
@@ -513,8 +519,8 @@ def _sql_hitting() -> str:
     ),
     {chain}
     SELECT o.cur AS state, o.n_out,
-           {sql_dround("v.v", 6)} AS hit_prob_{_HIT_STEPS}
-    FROM outs o JOIN v{_HIT_STEPS} v ON v.state = o.cur
+           {sql_dround("coalesce(v.v, 0.0)", 6)} AS hit_prob_{_HIT_STEPS}
+    FROM outs o LEFT JOIN v{_HIT_STEPS} v ON v.state = o.cur
     """
 
 
