@@ -388,8 +388,16 @@ def q_agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/prefix.py — negated-cents blocks keep the order
     monotone; NO single-partition sort anywhere), and the class split
     compares 10·cum against 7·t / 9·t in pure integers (no float
-    boundary can disagree between engines). Determinism: integers
-    end-to-end; the one share ratio is e6-rounded."""
+    boundary can disagree between engines). The grand total t is a
+    ONE-row driver collect off the checkpointed rev frame folded into
+    the class predicate as literals — the r15 profile showed the
+    former tot-aggregate + crossJoin(broadcast) pair bought two extra
+    codegen stages for a scalar (steady-state after: ~1.3 s; the
+    anchor's 3.4 s one-shot is per-plan codegen/stage setup, not data
+    work — run-to-run same-session re-times drop 4.1→1.3 s with NO
+    plan change). Determinism: integers end-to-end (t·7/t·9 are exact
+    int64 products far below 2^63 at any SF); the one share ratio is
+    e6-rounded against the exact int64→double t."""
     l = load_table(spark, sf_dir, "lineitem")
     rev = (
         l.select(
@@ -406,7 +414,7 @@ def q_agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("neg", (-F.col("cents")).cast("bigint"))
         .localCheckpoint(eager=False)  # totals probe + prefix pass
     )
-    tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
+    t = rev.agg(F.sum("cents").cast("bigint")).collect()[0][0]
     blocked = rev.withColumn("blk", F.expr("neg DIV 10000000"))
     ranked = running_totals_blocked(
         blocked,
@@ -414,16 +422,15 @@ def q_agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["blk"],
         sum_cols={"cents": "cum"},
     )
-    classed = ranked.crossJoin(F.broadcast(tot)).select(
+    classed = ranked.select(
         "cents",
-        F.when(F.col("cum") * 10 <= F.col("t") * 7, F.lit("A"))
-        .when(F.col("cum") * 10 <= F.col("t") * 9, F.lit("B"))
+        F.when(F.col("cum") * 10 <= F.lit(t * 7), F.lit("A"))
+        .when(F.col("cum") * 10 <= F.lit(t * 9), F.lit("B"))
         .otherwise(F.lit("C"))
         .alias("abc_class"),
-        "t",
     )
     return (
-        classed.groupBy("abc_class", "t")
+        classed.groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),
             F.sum("cents").cast("bigint").alias("revenue_cents"),
@@ -433,7 +440,7 @@ def q_agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_parts",
             "revenue_cents",
             dround(
-                F.col("revenue_cents").cast("double") / F.col("t"), 6
+                F.col("revenue_cents").cast("double") / F.lit(float(t)), 6
             ).alias("rev_share"),
         )
         .orderBy("abc_class")
