@@ -795,3 +795,166 @@ def q_mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_amp"
         ),
     )
+
+
+@register(
+    "q_mm_pixel_stats",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS media_id,
+             repeat(md5(text), CAST(doc_id % 7 + 1 AS INT)) AS payload_hex,
+             CAST(16 * (doc_id % 7 + 1) AS BIGINT) AS n_px
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    b AS (
+      SELECT media_id, n_px,
+             ('0x' || substr(payload_hex, CAST(2 * i + 1 AS INT), 2))::BIGINT
+               AS byte
+      FROM a, unnest(range(0, n_px)) t(i)
+    ),
+    g AS (
+      SELECT media_id,
+             CAST(any_value(n_px) AS BIGINT) AS n_px,
+             CAST(sum(byte) AS BIGINT) AS sb,
+             CAST(sum(byte * byte) AS BIGINT) AS ssq,
+             CAST(min(byte) AS BIGINT) AS px_min,
+             CAST(max(byte) AS BIGINT) AS px_max
+      FROM b GROUP BY media_id
+    )
+    SELECT media_id, n_px, px_min, px_max,
+           px_max - px_min AS px_range,
+           floor(CAST(sb AS DOUBLE) / n_px * 1000000.0 + 0.5)
+               / 1000000.0 AS mean_px,
+           floor((CAST(ssq AS DOUBLE) / n_px
+                  - (CAST(sb AS DOUBLE) / n_px)
+                    * (CAST(sb AS DOUBLE) / n_px)) * 1000000.0 + 0.5)
+               / 1000000.0 AS var_px
+    FROM g
+    """,
+)
+def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image pixel statistics over the decoded (grayscale) buffer:
+    exact min/max/range plus e6-rounded mean and population variance —
+    the brightness/contrast screen an image-curation pipeline runs
+    before training (all-black frames, blown-out scans, low-dynamic-
+    range crops all gate on exactly these), the image companion to
+    q_mm_audio_rms_windows' energy profile.
+
+    Hash-checked end to end: per-image Σb, Σb², min, max are exact
+    integers (≤ 112·255² — tiny) computed in one Arrow-batched
+    mapInPandas pass over the metadata-pruned scan (only image-kind
+    payloads decode; at 100 TB parallelism = input partitions, no
+    shuffle before the final tiny projection), and the oracle
+    re-derives the identical bytes from the synthetic payload's hex
+    form, so mean/variance agree on the e6 grid (the variance is the
+    same div/div/mul/sub expression tree in both engines)."""
+    schema = "media_id long, n_px long, sb long, ssq long, mn long, mx long"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ns, sbs, ssqs, mns, mxs = [], [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = _decode_payload(p, "image")
+                b = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                ids.append(mid)
+                ns.append(int(b.size))
+                sbs.append(int(b.sum()))
+                ssqs.append(int((b * b).sum()))
+                mns.append(int(b.min()))
+                mxs.append(int(b.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_px": ns,
+                    "sb": sbs,
+                    "ssq": ssqs,
+                    "mn": mns,
+                    "mx": mxs,
+                }
+            )
+
+    media = synth_media(spark, sf_dir)
+    stats = media.filter(F.col("kind") == "image").mapInPandas(gen, schema)
+    from ex_hivent_spark.functions.decimals import dround
+
+    mean_raw = F.col("sb").cast("double") / F.col("n_px")
+    return stats.select(
+        "media_id",
+        "n_px",
+        F.col("mn").alias("px_min"),
+        F.col("mx").alias("px_max"),
+        (F.col("mx") - F.col("mn")).alias("px_range"),
+        dround(mean_raw, 6).alias("mean_px"),
+        dround(
+            F.col("ssq").cast("double") / F.col("n_px")
+            - mean_raw * mean_raw,
+            6,
+        ).alias("var_px"),
+    )
+
+
+_ASPECT_BATCH = 32
+
+
+@register(
+    "q_mm_aspect_bucket_pack",
+    oracle=f"""
+    WITH m AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image' ELSE 'video' END AS kind,
+             CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 48 + 1 AS BIGINT) AS h
+      FROM documents WHERE doc_id % 3 <> 1
+    ),
+    g AS (
+      SELECT kind, w * 4 // h AS aspect_bucket,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(w * h) AS BIGINT) AS total_px
+      FROM m GROUP BY kind, w * 4 // h
+    )
+    SELECT kind, CAST(aspect_bucket AS BIGINT) AS aspect_bucket,
+           n_items, total_px,
+           (n_items + {_ASPECT_BATCH - 1}) // {_ASPECT_BATCH} AS n_batches,
+           ((n_items + {_ASPECT_BATCH - 1}) // {_ASPECT_BATCH})
+               * {_ASPECT_BATCH} - n_items AS pad_waste
+    FROM g
+    """,
+)
+def q_mm_aspect_bucket_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for batched vision training: visual
+    media (image/video) group into integer quarter-aspect buckets
+    (⌊4·w/h⌋ — the standard trick so a batch shares one crop shape),
+    and each bucket reports its item count, total pixel budget, the
+    number of fixed-size batches it fills, and the padding waste of
+    the last partial batch — the planning readout a multimodal
+    dataloader uses to pick bucket boundaries.
+
+    Plan: pure typed-metadata arithmetic — the payload column is
+    never touched (the module's metadata-pruning contract), one
+    JVM-side hash aggregate; integers end-to-end, no rounding."""
+    media = synth_media(spark, sf_dir)
+    m = media.filter(F.col("kind") != "audio").select(
+        "kind",
+        F.col("meta.width").cast("bigint").alias("w"),
+        F.col("meta.height").cast("bigint").alias("h"),
+    )
+    g = (
+        m.select(
+            "kind", F.expr("w * 4 DIV h").alias("aspect_bucket"), "w", "h"
+        )
+        .groupBy("kind", "aspect_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("w") * F.col("h")).cast("bigint").alias("total_px"),
+        )
+    )
+    n_batches = F.expr(f"(n_items + {_ASPECT_BATCH - 1}) DIV {_ASPECT_BATCH}")
+    return g.select(
+        "kind",
+        "aspect_bucket",
+        "n_items",
+        "total_px",
+        n_batches.alias("n_batches"),
+        (n_batches * _ASPECT_BATCH - F.col("n_items")).alias("pad_waste"),
+    )

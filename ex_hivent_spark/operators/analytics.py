@@ -751,6 +751,78 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_PARTS = 16
+
+
+@register(
+    "q_layout_range_bounds",
+    oracle=f"""
+    WITH r AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+    rk AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS rn
+      FROM r
+    )
+    SELECT ((rn - 1) * {_RANGE_PARTS}) // t.n AS tile,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS lower_cents,
+           CAST(max(cents) AS BIGINT) AS upper_cents
+    FROM rk CROSS JOIN t GROUP BY 1
+    """,
+)
+def q_layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced range-partition boundary planning — the layout twin of
+    repartitionByRange's sampled exchange, made EXACT: rank every
+    order by (integer-cent total price, orderkey tiebreak), split the
+    rank space into {_RANGE_PARTS} equal tiles, and report each
+    tile's row count and exact [lower, upper] key bounds — the
+    boundary manifest a bucketed/range-layout writer needs so that
+    every output file holds the same row count with a tight key range
+    (the data-skipping contract q_layout_zorder verifies for the
+    2-D curve, here for the 1-D sort layout).
+
+    Plan: the global rank is the blocked prefix fold
+    (operators/prefix.py — $100k cent-blocks are monotone in the
+    order key; NO single-partition window), the total row count is a
+    one-row driver collect (the abc-classification discipline), and
+    the tile split ((rn−1)·P DIV n) plus per-tile bounds are pure
+    integer hash-aggregate work. Integers end-to-end; no rounding."""
+    from ex_hivent_spark.operators.prefix import running_totals_blocked
+
+    o = load_table(spark, sf_dir, "orders")
+    r = o.select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    ).withColumn("one", F.lit(1).cast("bigint"))
+    n = r.agg(F.count(F.lit(1)).cast("bigint")).collect()[0][0]
+    blocked = r.withColumn("blk", F.expr("cents DIV 10000000"))
+    ranked = running_totals_blocked(
+        blocked,
+        order_cols=["cents", "o_orderkey"],
+        block_cols=["blk"],
+        sum_cols={"one": "rn"},
+    )
+    return (
+        ranked.select(
+            "cents",
+            F.expr(f"((rn - 1) * {_RANGE_PARTS}) DIV {n}").alias("tile"),
+        )
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("cents").cast("bigint").alias("lower_cents"),
+            F.max("cents").cast("bigint").alias("upper_cents"),
+        )
+    )
+
+
 @register(
     "q_tpch_q6_forecast_revenue",
     oracle=f"""

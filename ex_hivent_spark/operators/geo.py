@@ -706,3 +706,101 @@ def q_geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_core"),
     )
 
+
+
+# Voronoi catchment sites: a fixed literal set of 8 depot/store points
+# on the same [0, 1e6) integer grid as the synthesized customer
+# points — shared verbatim with the oracle text.
+_SITES = tuple(
+    (i, (i * 2654435761 + 97531) % 1_000_000, (i * 40503 + 13579) % 1_000_000)
+    for i in range(8)
+)
+_SQL_SITES = ", ".join(f"({i}, {sx}, {sy})" for i, sx, sy in _SITES)
+
+
+@register(
+    "q_geo_voronoi_catchment",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * {_AX}) % {_MOD} AS kx,
+             (c_custkey * {_AY}) % {_MOD} AS ky
+      FROM customer
+    ),
+    sites(site_id, sx, sy) AS (VALUES {_SQL_SITES}),
+    cand AS (
+      SELECT id, site_id,
+             (kx - sx) * (kx - sx) + (ky - sy) * (ky - sy) AS d2
+      FROM pts CROSS JOIN sites
+    ),
+    md AS (SELECT id, min(d2) AS mind FROM cand GROUP BY id),
+    asg AS (
+      SELECT c.id, CAST(min(c.site_id) AS BIGINT) AS site_id,
+             CAST(min(c.d2) AS BIGINT) AS d2
+      FROM cand c JOIN md m ON m.id = c.id AND c.d2 = m.mind
+      GROUP BY c.id
+    )
+    SELECT site_id,
+           CAST(count(*) AS BIGINT) AS n_pts,
+           CAST(max(d2) AS BIGINT) AS max_dist2,
+           floor(CAST(sum(CAST(floor(sqrt(CAST(d2 AS DOUBLE))
+                                     * 1000000.0 + 0.5) / 1000000.0
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_dist
+    FROM asg GROUP BY site_id
+    """,
+)
+def q_geo_voronoi_catchment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voronoi catchment assignment: every customer point goes to its
+    nearest of 8 fixed depot sites (exact squared-distance argmin,
+    site-id tie-break), and each site reports its catchment size, the
+    farthest assigned point, and the mean assignment distance — the
+    store-catchment / fulfillment-coverage readout next to the
+    radius-join and grid-density shapes.
+
+    Plan: the site set is a literal broadcast (|sites| rows), so the
+    assignment is one map-side crossJoin + a per-point min aggregate —
+    no point-to-point pairs anywhere, linear at any scale. Spark's
+    argmin is min(struct(d2, site_id)) — lexicographically identical
+    to the oracle's two-step min(d2)-then-min(site_id). Determinism:
+    squared distances are exact int64; sqrt is IEEE correctly rounded
+    and e6-rounded per row before the exact decimal sum (the module's
+    one-libm-call discipline)."""
+    from ex_hivent_spark.functions.decimals import dround
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * _AX) % _MOD).alias("kx"),
+        ((F.col("c_custkey") * _AY) % _MOD).alias("ky"),
+    )
+    sites = spark.createDataFrame(
+        list(_SITES), "site_id bigint, sx bigint, sy bigint"
+    )
+    d2 = (F.col("kx") - F.col("sx")) * (F.col("kx") - F.col("sx")) + (
+        F.col("ky") - F.col("sy")
+    ) * (F.col("ky") - F.col("sy"))
+    cand = pts.crossJoin(F.broadcast(sites)).select(
+        "id", "site_id", d2.alias("d2")
+    )
+    asg = (
+        cand.groupBy("id")
+        .agg(F.min(F.struct("d2", "site_id")).alias("b"))
+        .select(
+            F.col("b.site_id").cast("bigint").alias("site_id"),
+            F.col("b.d2").cast("bigint").alias("d2"),
+        )
+    )
+    return asg.groupBy("site_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+        F.max("d2").cast("bigint").alias("max_dist2"),
+        dround(
+            F.sum(
+                dround(F.sqrt(F.col("d2").cast("double")), 6).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_dist"),
+    )

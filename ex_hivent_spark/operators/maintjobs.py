@@ -329,3 +329,206 @@ def q_maint_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("flagged"),
     )
+
+
+# Bloom sizing: target fpp 1% -> optimal bits/key = -ln(0.01)/ln(2)^2
+# and k = round(ln2 * m/n) = 7. Both are LITERAL constants shared with
+# the oracle so no engine evaluates the outer ln's.
+_BLOOM_BITS_PER_KEY = 9.585058610817272
+_BLOOM_K = 7
+
+
+@register(
+    "q_maint_bloom_sizing",
+    oracle=f"""
+    WITH p AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS ym,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT ym, n_keys,
+             CAST(ceil(n_keys * {_BLOOM_BITS_PER_KEY}) AS BIGINT) AS m_bits
+      FROM p
+    ),
+    e AS (
+      SELECT ym, n_keys, m_bits,
+             floor(exp(-({_BLOOM_K}.0 * n_keys) / m_bits)
+                   * 1000000.0 + 0.5) / 1000000.0 AS miss
+      FROM s
+    )
+    SELECT ym, n_keys, m_bits,
+           floor(CAST(m_bits AS DOUBLE) / n_keys * 1000000.0 + 0.5)
+               / 1000000.0 AS bits_per_key,
+           CAST({_BLOOM_K} AS BIGINT) AS k_hashes,
+           floor((1.0 - miss) * (1.0 - miss) * (1.0 - miss) * (1.0 - miss)
+                 * (1.0 - miss) * (1.0 - miss) * (1.0 - miss)
+                 * 1000000.0 + 0.5) / 1000000.0 AS fpp
+    FROM e
+    """,
+)
+def q_maint_bloom_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing plan per month partition of the orders
+    table: for each month's key count, the optimal filter size in bits
+    at a 1% target false-positive rate (m = ⌈n · 9.585…⌉, the closed
+    form -n·ln p / ln²2 with the constant folded to a shared literal),
+    the fixed k = 7 hash count, and the achieved fpp
+    (1 - e^{-kn/m})^k — the planning readout a lakehouse writes into
+    file footers / join-pushdown config before building the filters.
+
+    Plan: one hash aggregate to the month grain (12·years rows at any
+    SF), then pure per-row arithmetic. Determinism: n and m are exact
+    integers (n·9.585… is an exact double product far below 2^53 and
+    ceil is unambiguous); the ONE libm call (exp) is e6-rounded per
+    the module convention, and the 7th power is explicit left-assoc
+    multiplication of the rounded miss rate in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("ym")
+        )
+        .groupBy("ym")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    )
+    s = p.withColumn(
+        "m_bits",
+        F.ceil(F.col("n_keys") * _BLOOM_BITS_PER_KEY).cast("bigint"),
+    )
+    miss = dround(
+        F.exp(-(F.lit(float(_BLOOM_K)) * F.col("n_keys")) / F.col("m_bits")),
+        6,
+    )
+    e = s.withColumn("miss", miss)
+    hit = 1.0 - F.col("miss")
+    return e.select(
+        "ym",
+        "n_keys",
+        "m_bits",
+        dround(F.col("m_bits").cast("double") / F.col("n_keys"), 6).alias(
+            "bits_per_key"
+        ),
+        F.lit(_BLOOM_K).cast("bigint").alias("k_hashes"),
+        dround(hit * hit * hit * hit * hit * hit * hit, 6).alias("fpp"),
+    )
+
+
+# Retention tiers in exact microseconds (age is relative to the
+# table's own max timestamp so the op is reproducible on static data).
+_TIER_US = (
+    ("hot", 30 * 86400 * 10**6),
+    ("warm", 90 * 86400 * 10**6),
+    ("cold", 365 * 86400 * 10**6),
+)
+
+
+@register(
+    "q_maint_retention_tiers",
+    oracle=f"""
+    WITH mx AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+    t AS (
+      SELECT event_type,
+             CASE WHEN mx.mx - epoch_us(ts) <= {_TIER_US[0][1]} THEN 'hot'
+                  WHEN mx.mx - epoch_us(ts) <= {_TIER_US[1][1]} THEN 'warm'
+                  WHEN mx.mx - epoch_us(ts) <= {_TIER_US[2][1]} THEN 'cold'
+                  ELSE 'expired' END AS tier
+      FROM events CROSS JOIN mx
+    ),
+    g AS (
+      SELECT event_type, tier, CAST(count(*) AS BIGINT) AS n_events
+      FROM t GROUP BY event_type, tier
+    ),
+    tt AS (
+      SELECT event_type, CAST(sum(n_events) AS BIGINT) AS n_type
+      FROM g GROUP BY event_type
+    )
+    SELECT g.event_type, g.tier, g.n_events,
+           floor(CAST(g.n_events AS DOUBLE) / tt.n_type * 1000000.0 + 0.5)
+               / 1000000.0 AS share
+    FROM g JOIN tt ON tt.event_type = g.event_type
+    """,
+)
+def q_maint_retention_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy planning: every event lands in an age tier
+    (hot ≤30 d, warm ≤90 d, cold ≤365 d, expired beyond) relative to
+    the stream's own max timestamp, and each (event_type, tier) cell
+    reports its row count and within-type share — the reclaimable-
+    volume readout a lakehouse VACUUM/tiering job plans against.
+
+    Plan: one max-timestamp aggregate broadcast onto the scan (the
+    tier CASE is a map-side expression — no shuffle added), one hash
+    aggregate to the (type, tier) grain, one broadcast join for the
+    per-type totals. Determinism: ages are exact integer microseconds
+    (unix_micros / epoch_us — both exact BIGINT µs, the r14
+    q_quality_ts_gaps discipline); the one share ratio is e6."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.unix_micros("ts")).alias("mx"))
+    age = F.col("mx") - F.unix_micros(F.col("ts"))
+    tier = (
+        F.when(age <= _TIER_US[0][1], F.lit("hot"))
+        .when(age <= _TIER_US[1][1], F.lit("warm"))
+        .when(age <= _TIER_US[2][1], F.lit("cold"))
+        .otherwise(F.lit("expired"))
+    )
+    g = (
+        e.crossJoin(F.broadcast(mx))
+        .select("event_type", tier.alias("tier"))
+        .groupBy("event_type", "tier")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    tt = g.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_type")
+    )
+    return g.join(F.broadcast(tt), "event_type").select(
+        "event_type",
+        "tier",
+        "n_events",
+        dround(
+            F.col("n_events").cast("double") / F.col("n_type"), 6
+        ).alias("share"),
+    )
+
+
+@register(
+    "q_maint_incremental_watermark",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             max(epoch_us(ts)) AS pmax_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    w AS (SELECT min(pmax_us) AS watermark_us FROM p)
+    SELECT p.event_type, p.pmax_us, p.n_events,
+           p.pmax_us - w.watermark_us AS lag_us,
+           CAST(p.pmax_us = w.watermark_us AS BOOLEAN) AS is_blocking
+    FROM p CROSS JOIN w
+    """,
+)
+def q_maint_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-load watermark audit: per stream partition (event
+    type), the newest timestamp and row count; the SAFE global
+    watermark an incremental CDC/merge job may advance to is the MIN
+    of those per-partition maxima, and each partition reports how far
+    ahead of it it runs (lag_us) plus whether it is the blocking
+    straggler — the first thing to check when an incremental pipeline
+    stops advancing.
+
+    Plan: one hash aggregate to the per-type grain, then a 1-row
+    min cross-joined back (broadcast). Exact integer microseconds
+    end-to-end (unix_micros / epoch_us); no rounding anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("pmax_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w = p.agg(F.min("pmax_us").alias("watermark_us"))
+    return p.crossJoin(F.broadcast(w)).select(
+        "event_type",
+        "pmax_us",
+        "n_events",
+        (F.col("pmax_us") - F.col("watermark_us")).alias("lag_us"),
+        (F.col("pmax_us") == F.col("watermark_us")).alias("is_blocking"),
+    )
