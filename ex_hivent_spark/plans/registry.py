@@ -209,6 +209,31 @@ def register(name: str, oracle: Optional[str] = None):
 #   q_win_time_range_frame, q_agg_approx_distinct.
 # r15 onward: continue the refill with the remaining r5-era names A-Z
 # (q_agg_audience_overlap, q_agg_mad_outliers, ...), then r6-era.
+# r16 ROTATION (exactly 50 — set DRIVER_CHECK_FIRST to this list at
+# the start of r16): the 7 r15-new ops first (never driver-checked;
+# each 3-SF hash-verified in its registration wave — ANCHOR_r15b),
+# then the 8 remaining r5-era names A-Z, then the freshness refill —
+# the first 35 of the 46 r6-era names A-Z (the driver last saw them
+# in r6; the remaining 11, q_tpch_q9_product_profit onward A-Z, slide
+# to the r17 front):
+#  q_mm_pixel_stats, q_mm_aspect_bucket_pack, q_maint_bloom_sizing,
+#   q_maint_retention_tiers, q_maint_incremental_watermark,
+#   q_geo_voronoi_catchment, q_layout_range_bounds, q_ts_anomaly,
+#   q_ts_cusum_changepoint, q_ts_ewma, q_ts_seasonal_decompose,
+#   q_win_attribution_multitouch, q_win_pattern_match,
+#   q_win_period_over_period, q_win_streaks, q_ab_proportion_test,
+#   q_agg_heavy_hitters, q_filter_compound, q_filter_null_like,
+#   q_filter_topic, q_fn_array, q_fn_math, q_fn_string,
+#   q_include_subset, q_join_bloom_prefilter, q_join_full_outer,
+#   q_join_inner_equi, q_join_left_outer, q_join_semi,
+#   q_join_star_multiway, q_llm_classifier_eval, q_llm_ctfidf_topics,
+#   q_llm_dedup_threshold_sweep, q_llm_domain_stats, q_llm_exact_dedup,
+#   q_llm_good_turing, q_llm_langid_confusion, q_llm_quality_score,
+#   q_llm_text_stats, q_llm_winnowing_fingerprint, q_mm_decode_features,
+#   q_mm_frame_sample, q_project_enrich, q_quality_benford,
+#   q_scan_events, q_scan_projection, q_source_json_props,
+#   q_stream_late_audit, q_tpch_q5_local_supplier,
+#   q_tpch_q7_nation_volume.
 # r15 ROTATION (exactly 50 — set DRIVER_CHECK_FIRST to this list at
 # the start of r15): the 13 r14-new ops first (never driver-checked;
 # each oracle-verified at sf0.001/0.01/0.1 in its registration wave —
