@@ -188,3 +188,79 @@ def test_exact_scores_row_count_shape(spark):
         for r in out.groupBy("query_id").agg(F.count("*").alias("n")).collect()
     }
     assert per_q == {99: 40, 98: 40, 97: 40}
+
+
+def test_element_level_none_yields_null_like_the_fold(spark):
+    """r15 ADVICE fix: an element-level None inside an array must
+    follow the fold semantics — the poisoned fold makes dot NULL, and
+    unit_vec/projections emit full-length arrays of nulls (the shared
+    norm/fold is NULL, so every output element divides/folds to NULL)
+    — never numpy's silent None→NaN coercion."""
+    from ex_hivent_spark.llm.similarity import (
+        dot,
+        dot_expr,
+        projections,
+        unit_vec,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, None, 3.0], [1.0, 1.0, 1.0]),
+            (2, [1.0, 2.0, 3.0], [1.0, None, 1.0]),
+            (3, [1.0, 2.0, 3.0], [1.0, 1.0, 1.0]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r["id"]: (r["d"], r["e"], r["u"], r["p"])
+        for r in df.select(
+            "id",
+            dot(F.col("a"), F.col("b")).alias("d"),
+            dot_expr(F.col("a"), F.col("b")).alias("e"),
+            unit_vec(F.col("a")).alias("u"),
+            projections(F.col("a"), ((1.0, 0.0, 0.0), (0.0, 0.0, 1.0))).alias(
+                "p"
+            ),
+        ).collect()
+    }
+    for i in (1, 2):
+        d, e, u, p = got[i]
+        assert d is None and e is None  # dot mirrors the fold exactly
+    # row 1 has the None in `a`: unit/projections poison to null arrays
+    _, _, u1, p1 = got[1]
+    assert u1 == [None, None, None]
+    assert p1 == [None, None]
+    # row 2's `a` is clean: unit/projections stay real
+    _, _, u2, p2 = got[2]
+    assert all(v is not None for v in u2) and all(v is not None for v in p2)
+    d3, e3, _, _ = got[3]
+    assert d3 == e3 == 6.0
+
+
+def test_exact_scores_empty_queries_and_dirty_corpus(spark):
+    """r15 ADVICE fix: an empty query set returns an empty frame of
+    the declared schema (no np.stack crash), and null / wrong-length
+    corpus vectors are skipped instead of blowing up the Arrow batch
+    conversion."""
+    from ex_hivent_spark.llm.similarity import exact_scores
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, None),          # null vector: skipped
+            (3, [1.0]),         # ragged: skipped
+            (4, [0.0, 2.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    empty = exact_scores(corpus, "vec_id", "embedding", [])
+    assert empty.columns == ["query_id", "neighbor_id", "dot"]
+    assert empty.count() == 0
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["dot"]
+        for r in exact_scores(
+            corpus, "vec_id", "embedding", [(9, [1.0, 1.0])]
+        ).collect()
+    }
+    assert got == {(9, 1): 1.0, (9, 4): 2.0}
