@@ -128,6 +128,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_table(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """``load_table`` plus a SCALE-ADAPTIVE hash repartition on ``key``
+    (r16 optimization, guide §2.5/§6): the driver testdata ships each
+    table as ONE single-row-group parquet file, and a parquet reader
+    can only parallelize across row groups — so every scan stage runs
+    as one task, and any expensive map-side work before the first
+    exchange (tokenization, md5/xxhash window hashing, shingle builds,
+    per-row HOF transforms) is single-threaded no matter how many
+    cores the session has.
+
+    The repartition fires ONLY when the scan's split count is below
+    the session's default parallelism — derived from the input, not a
+    constant tuned for local mode. At 100 TB a table scan yields
+    thousands of splits, the condition is false, and this is exactly
+    ``load_table`` (zero added shuffle). On the gate SFs it costs one
+    tiny exchange (the biggest table is 11 MB) and buys every
+    downstream map stage the full core count.
+
+    Correctness: hash partitioning on a stable data key is
+    deterministic (no round-robin, SPARK-38388 does not apply), and
+    row order within a partition is irrelevant to the callers — this
+    helper is only used by ops whose downstream operators are
+    order-insensitive (hash aggregates, equi-joins, windows that sort
+    their own partitions); each adoption is oracle-verified at 3 SFs.
+    Memoized per (sf_dir, table, key) like the base reads."""
+    per_session = _DF_CACHE.setdefault(spark, {})
+    cache_key = (sf_dir, name, "spread", key)
+    cached = per_session.get(cache_key)
+    if cached is not None:
+        return cached
+    df = load_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(key))
+    per_session[cache_key] = df
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql-based plans)."""
     for name in TABLES:

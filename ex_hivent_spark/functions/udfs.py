@@ -126,18 +126,32 @@ def q_udf_grouped_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas z-score per user over event values, rounded to 1e-6
-    so the pandas arithmetic hash-matches the SQL window formulation
-    (equivalence also asserted in unit tests). Degenerate groups (NaN on
-    the pandas path, NULL in SQL) surface as NULL."""
+    """Per-user z-score of event values, rounded to 1e-6.
+
+    r16 OPTIMIZATION: computed with the native window formulation (one
+    hash-partitioned window, whole-stage codegen, zero Python boundary)
+    instead of the ``applyInPandas`` grouped-map it launched with — the
+    grouped-map shipped EVERY event row JVM→Python→JVM per user group
+    (guide §4.1/§2.3) and was the suite's slowest query (4.25 s; the
+    window form runs the same one shuffle without the Arrow round-trip).
+    The two paths are equivalence-tested (tests/test_udfs.py
+    test_zscore_matches_window_twin); :func:`zscore_per_group` remains
+    the engine's grouped-map surface for logic that genuinely needs a
+    pandas frame per key. Degenerate groups (single-row → stddev_samp
+    NULL; constant → 0/0) surface as NULL via try_divide, matching the
+    pandas twin's NaN→NULL mapping and the oracle."""
     e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    out = zscore_per_group(e, "user_id", "value")
-    return out.select(
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    z = F.try_divide(
+        F.col("value") - F.avg("value").over(w),
+        F.stddev_samp("value").over(w),
+    )
+    return e.select(
         "event_id",
         "user_id",
-        F.when(
-            F.isnan("zscore"), F.lit(None).cast("bigint")
-        ).otherwise(F.floor(F.col("zscore") * 1e6 + F.lit(0.5))).alias("zscore_e6"),
+        F.floor(z * 1e6 + F.lit(0.5)).cast("bigint").alias("zscore_e6"),
     )
 
 

@@ -116,6 +116,125 @@ def _vdist(dims: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r16 OPTIMIZATION: literal-centroid distance path.
+#
+# The _vdist plan fans the corpus out ×64 (posexplode) ×k (the dim-only
+# broadcast join) and shuffles the n·64·k rows through TWO hash
+# aggregates — 1.28M rows at the 2k-vector gate SF, n·640 at any scale.
+# But k centroids are a k×64 matrix: collect them ONCE (bounded by the
+# label cardinality — the abc-classification literal discipline), and
+# every per-vector distance becomes a ROW-LOCAL zip_with/aggregate fold
+# over the embedding array against a literal centroid array. The corpus
+# is touched in one narrow map pass with NO fan-out and NO per-vector
+# shuffle; only |labels|-sized frames move. Guarded: a label set larger
+# than _CENT_LITERAL_MAX (plan-size bound) falls back to the
+# distributed _vdist plan, which handles unbounded k.
+#
+# Exactness: per element ((x-c)²) is cast to decimal(25,12) exactly as
+# the oracle's per-row term; the fold's decimal additions are exact at
+# scale 12 (SUM over the same terms — decimal addition is
+# order-insensitive); coalesce(·, 0) reproduces SUM's null-skip.
+# ---------------------------------------------------------------------------
+
+_CENT_LITERAL_MAX = 128
+
+from ex_hivent_spark.session_memo import session_memo  # noqa: E402
+
+
+@session_memo
+def _cent_rows(spark: SparkSession, sf_dir: str):
+    """Collected k×64 centroid rows (clabel, dim, c, n) — bounded by
+    the label cardinality. Session-memoized (the cosupplier_frames
+    precedent): the three cluster-quality queries share one collect."""
+    return _cent(_dims(spark, sf_dir)).collect()
+
+
+def _centroids_local(spark: SparkSession, sf_dir: str):
+    """(labels, {label: centroid}, {label: n}, complete) — the collected
+    k×64 centroid matrix. ``complete`` is False if any (label, dim)
+    cell is missing or null (ragged corpus) — callers then fall back to
+    the distributed plan."""
+    rows = _cent_rows(spark, sf_dir)
+    vecs: dict = {}
+    counts: dict = {}
+    complete = True
+    for r in rows:
+        d = r["dim"]
+        if d is None or not (0 <= d < _DIM):
+            complete = False
+            continue
+        vecs.setdefault(r["clabel"], [None] * _DIM)[d] = r["c"]
+        counts[r["clabel"]] = r["n"]
+    complete = complete and bool(vecs) and all(
+        c is not None for v in vecs.values() for c in v
+    )
+    labels = sorted(vecs, key=lambda x: (x is None, x))
+    return labels, vecs, counts, complete
+
+
+def _dist_lit(e_col, cvec) -> "F.Column":
+    """e6-rounded Euclidean distance of an embedding array column to a
+    literal centroid — the row-local twin of one _vdist group."""
+    zero = F.lit(0).cast("decimal(25,12)")
+    sq = F.zip_with(
+        e_col,
+        F.array(*[F.lit(float(c)) for c in cvec]),
+        lambda x, c: ((x - c) * (x - c)).cast("decimal(25,12)"),
+    )
+    s = F.aggregate(
+        sq, zero, lambda acc, v: (acc + F.coalesce(v, zero)).cast(
+            "decimal(25,12)"
+        )
+    )
+    return dround(F.sqrt(s.cast("double")), 6)
+
+
+def _emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, e) with null/empty embeddings dropped — the rows
+    the posexplode pipeline would drop (explode of null/empty emits
+    nothing)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).filter(F.col("e").isNotNull() & (F.size("e") > 0))
+
+
+def _silhouette_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-k fallback: the original posexplode + _vdist plan."""
+    dims = _dims(spark, sf_dir).localCheckpoint(eager=False)
+    vd = _vdist(dims, _cent(dims))
+    ab = vd.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("dist"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("dist"))
+        ).alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    s = ab.select(
+        "label",
+        F.when(F.greatest(a, b) == 0, F.lit(0.0))
+        .otherwise(dround((b - a) / F.greatest(a, b), 6))
+        .alias("sil"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(
+                F.sum(F.col("sil").cast("decimal(25,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
 @register(
     "q_emb_silhouette",
     oracle=f"""
@@ -152,20 +271,47 @@ def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid distances — O(n·k) instead of O(n²), the only version
     that survives a 10⁹-vector corpus.
 
-    Plan: one corpus posexplode → broadcast k×64 centroid join →
-    per-vector hash aggregate (map-side combined); vectors never
-    shuffle. Determinism: decimal-detour sums, e6-rounded sqrt per
-    (vec, centroid), e6 silhouette per vector BEFORE the per-label
-    decimal mean; the a = b = 0 degenerate point reads 0."""
-    dims = _dims(spark, sf_dir).localCheckpoint(eager=False)
-    vd = _vdist(dims, _cent(dims))
-    ab = vd.groupBy("vec_id", "label").agg(
-        F.max(
-            F.when(F.col("clabel") == F.col("label"), F.col("dist"))
-        ).alias("a"),
-        F.min(
-            F.when(F.col("clabel") != F.col("label"), F.col("dist"))
-        ).alias("b"),
+    Plan (r16 OPTIMIZATION — was posexplode → dim-only broadcast join
+    → two n-scale hash aggregates, a ×64×k corpus fan-out): the k
+    centroids are collected once (_centroids_local) and every a/b is
+    a row-local fold against literal centroid arrays — one narrow map
+    pass over the corpus, zero per-vector shuffle; the only exchange
+    left carries |labels| rows. Falls back to the distributed _vdist
+    plan above _CENT_LITERAL_MAX labels. Determinism: identical
+    decimal-detour terms, e6-rounded sqrt per (vec, centroid), e6
+    silhouette per vector BEFORE the per-label decimal mean; the
+    a = b = 0 degenerate point reads 0."""
+    labels, vecs, _counts, complete = _centroids_local(spark, sf_dir)
+    if not complete or len(labels) > _CENT_LITERAL_MAX:
+        return _silhouette_distributed(spark, sf_dir)
+    base = _emb_base(spark, sf_dir)
+    proj = base.select(
+        "vec_id",
+        "label",
+        *[
+            _dist_lit(F.col("e"), vecs[lab]).alias(f"_d{i}")
+            for i, lab in enumerate(labels)
+        ],
+    )
+    own = None
+    for i, lab in enumerate(labels):
+        cond = F.col("label") == F.lit(lab)
+        own = (
+            F.when(cond, F.col(f"_d{i}"))
+            if own is None
+            else own.when(cond, F.col(f"_d{i}"))
+        )
+    others = [
+        F.when(F.col("label") != F.lit(lab), F.col(f"_d{i}"))
+        for i, lab in enumerate(labels)
+    ]
+    nearest_other = (
+        F.least(*others)
+        if len(others) >= 2
+        else F.lit(None).cast("double")
+    )
+    ab = proj.select(
+        "vec_id", "label", own.alias("a"), nearest_other.alias("b")
     )
     a, b = F.col("a"), F.col("b")
     s = ab.select(
@@ -188,59 +334,8 @@ def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_emb_davies_bouldin",
-    oracle=f"""
-    WITH dims AS ({_SQL_DIMS}),
-    cent AS ({_SQL_CENT}),
-    vdist AS ({_SQL_VDIST}),
-    intra AS (
-      SELECT label,
-             CAST(count(*) AS BIGINT) AS n,
-             {sql_dround(
-                 "CAST(sum(CAST(dist AS DECIMAL(25,9))) AS DOUBLE)"
-                 " / count(*)", 6)} AS s_intra
-      FROM vdist WHERE clabel = label GROUP BY label
-    ),
-    cd AS (
-      SELECT a.clabel AS la, b.clabel AS lb,
-             {sql_dround(
-                 "sqrt(CAST(sum(CAST((a.c - b.c) * (a.c - b.c)"
-                 " AS DECIMAL(25,12))) AS DOUBLE))", 6)} AS m
-      FROM cent a JOIN cent b
-        ON a.dim = b.dim AND a.clabel <> b.clabel
-      GROUP BY a.clabel, b.clabel
-    ),
-    r AS (
-      SELECT cd.la AS label, ia.n,
-             ia.s_intra,
-             max(CASE WHEN cd.m = 0 THEN NULL ELSE
-               {sql_dround("(ia.s_intra + ib.s_intra) / cd.m", 6)}
-             END) AS r_max
-      FROM cd
-      JOIN intra ia ON ia.label = cd.la
-      JOIN intra ib ON ib.label = cd.lb
-      GROUP BY cd.la, ia.n, ia.s_intra
-    )
-    SELECT label, n, s_intra, r_max FROM r ORDER BY label
-    """,
-)
-def q_emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Davies–Bouldin components per label: S_i = mean distance of the
-    label's vectors to their centroid (cluster spread), and
-    R_i = max_{j≠i} (S_i + S_j)/M_ij with M the inter-centroid
-    distance — the worst-competitor compactness/separation ratio
-    whose mean over labels is the DB index (lower = better-separated
-    clustering). Emitting the per-label decomposition (not just the
-    scalar) names WHICH class pair is collapsing.
-
-    Plan: the corpus touches one posexplode + one broadcast-join
-    distance aggregate (own-centroid rows only feed S_i); the
-    pairwise M frame is k²·64 rows of centroid data. Determinism:
-    decimal sums, e6-rounded sqrts and ratios — the max runs over
-    already-rounded ratios so accumulation order never matters; a
-    zero inter-centroid distance (duplicate centroids) yields NULL
-    rather than an engine-specific infinity."""
+def _davies_bouldin_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-k fallback: the original posexplode + _vdist plan."""
     dims = _dims(spark, sf_dir).localCheckpoint(eager=False)
     cent = _cent(dims).localCheckpoint(eager=False)
     vd = _vdist(dims, cent)
@@ -256,6 +351,12 @@ def q_emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s_intra"),
         )
     )
+    return _db_close(cent, intra)
+
+
+def _db_close(cent: DataFrame, intra: DataFrame) -> DataFrame:
+    """cd (pairwise centroid distance) + R_i closing over a centroid
+    frame and the per-label intra frame — shared by both DB plans."""
     a = cent.select(
         F.col("clabel").alias("la"), "dim", F.col("c").alias("ca")
     )
@@ -309,6 +410,68 @@ def q_emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_emb_davies_bouldin",
+    oracle=f"""
+    WITH dims AS ({_SQL_DIMS}),
+    cent AS ({_SQL_CENT}),
+    vdist AS ({_SQL_VDIST}),
+    intra AS (
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS n,
+             {sql_dround(
+                 "CAST(sum(CAST(dist AS DECIMAL(25,9))) AS DOUBLE)"
+                 " / count(*)", 6)} AS s_intra
+      FROM vdist WHERE clabel = label GROUP BY label
+    ),
+    cd AS (
+      SELECT a.clabel AS la, b.clabel AS lb,
+             {sql_dround(
+                 "sqrt(CAST(sum(CAST((a.c - b.c) * (a.c - b.c)"
+                 " AS DECIMAL(25,12))) AS DOUBLE))", 6)} AS m
+      FROM cent a JOIN cent b
+        ON a.dim = b.dim AND a.clabel <> b.clabel
+      GROUP BY a.clabel, b.clabel
+    ),
+    r AS (
+      SELECT cd.la AS label, ia.n,
+             ia.s_intra,
+             max(CASE WHEN cd.m = 0 THEN NULL ELSE
+               {sql_dround("(ia.s_intra + ib.s_intra) / cd.m", 6)}
+             END) AS r_max
+      FROM cd
+      JOIN intra ia ON ia.label = cd.la
+      JOIN intra ib ON ib.label = cd.lb
+      GROUP BY cd.la, ia.n, ia.s_intra
+    )
+    SELECT label, n, s_intra, r_max FROM r ORDER BY label
+    """,
+)
+def q_emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin components per label: S_i = mean distance of the
+    label's vectors to their centroid (cluster spread), and
+    R_i = max_{j≠i} (S_i + S_j)/M_ij with M the inter-centroid
+    distance — the worst-competitor compactness/separation ratio
+    whose mean over labels is the DB index (lower = better-separated
+    clustering). Emitting the per-label decomposition (not just the
+    scalar) names WHICH class pair is collapsing.
+
+    Plan: the corpus touches one posexplode + one broadcast-join
+    distance aggregate (own-centroid rows only feed S_i — the
+    clabel = label predicate pushes into the join, so there is NO ×k
+    fan-out here); the pairwise M frame is k²·64 rows of centroid
+    data. r16 NOTE: the literal-centroid fold that speeds up
+    q_emb_silhouette was A/B-tested here and REGRESSED (1.43 → 2.41 s
+    — the own-label-only plan never paid the ×k fan-out, while the
+    interpreted per-element decimal fold costs more than the
+    codegen'd aggregate), so this op deliberately keeps the
+    distributed plan. Determinism: decimal sums, e6-rounded sqrts and
+    ratios — the max runs over already-rounded ratios so accumulation
+    order never matters; a zero inter-centroid distance (duplicate
+    centroids) yields NULL rather than an engine-specific infinity."""
+    return _davies_bouldin_distributed(spark, sf_dir)
+
+
+@register(
     "q_emb_calinski_harabasz",
     oracle=f"""
     WITH dims AS ({_SQL_DIMS}),
@@ -356,9 +519,40 @@ def q_emb_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the same one-explode pipeline; B is centroid-frame-sized
     arithmetic against the broadcast grand centroid, W reuses the
     own-centroid distance pass (sum of e6-grid squared distances).
-    Determinism: decimal sums everywhere, each squared term e6-rounded
-    before its cross-row decimal sum, degenerate W = 0 / k = 1 read
-    NULL on both engines."""
+    r16 NOTE: the literal-centroid fold that speeds up
+    q_emb_silhouette was A/B-tested here and REGRESSED (1.27 → 3.75 s
+    — same reason as q_emb_davies_bouldin: no ×k fan-out to remove,
+    and the interpreted decimal fold plus the 128-column grand
+    aggregate cost more than the codegen'd posexplode plan), so this
+    op deliberately keeps the distributed plan. Determinism: decimal
+    sums everywhere, each squared term e6-rounded before its
+    cross-row decimal sum, degenerate W = 0 / k = 1 read NULL on both
+    engines."""
+    return _calinski_distributed(spark, sf_dir)
+
+
+def _ch_close(b: DataFrame, w: DataFrame, k: DataFrame) -> DataFrame:
+    """CH index closing select over the one-row b/w/k frames."""
+    out = b.crossJoin(w).crossJoin(k)
+    b_ss, w_ss, kk, n = (
+        F.col("b_ss"),
+        F.col("w_ss"),
+        F.col("k"),
+        F.col("n_vecs"),
+    )
+    return out.select(
+        n.alias("n_vecs"),
+        kk.alias("k"),
+        dround(b_ss, 6).alias("b_ss"),
+        dround(w_ss, 6).alias("w_ss"),
+        F.when((w_ss == 0) | (kk <= 1), F.lit(None).cast("double"))
+        .otherwise(dround((b_ss / (kk - 1)) / (w_ss / (n - kk)), 6))
+        .alias("ch_index"),
+    )
+
+
+def _calinski_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-k fallback: the original posexplode + _vdist plan."""
     dims = _dims(spark, sf_dir).localCheckpoint(eager=False)
     cent = _cent(dims).localCheckpoint(eager=False)
     vd = _vdist(dims, cent)
@@ -399,19 +593,4 @@ def q_emb_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = cent.agg(
         F.countDistinct("clabel").cast("bigint").alias("k")
     )
-    out = b.crossJoin(w).crossJoin(k)
-    b_ss, w_ss, kk, n = (
-        F.col("b_ss"),
-        F.col("w_ss"),
-        F.col("k"),
-        F.col("n_vecs"),
-    )
-    return out.select(
-        n.alias("n_vecs"),
-        kk.alias("k"),
-        dround(b_ss, 6).alias("b_ss"),
-        dround(w_ss, 6).alias("w_ss"),
-        F.when((w_ss == 0) | (kk <= 1), F.lit(None).cast("double"))
-        .otherwise(dround((b_ss / (kk - 1)) / (w_ss / (n - kk)), 6))
-        .alias("ch_index"),
-    )
+    return _ch_close(b, w, k)

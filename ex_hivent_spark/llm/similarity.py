@@ -303,9 +303,12 @@ def exact_scores(
     (the broadcast-join form's degenerate result). With
     ``normalize=True`` corpus rows are unit-normalized in the same
     pass (the :func:`unit_vec` arithmetic — callers then pass np_unit'd
-    query vectors). Null or wrong-length corpus vectors are SKIPPED
-    (the join form emitted them with NULL dot; every downstream caller
-    filters/top-ks those away, so the row sets agree where it matters).
+    query vectors). Null, wrong-length, or NaN/None-element corpus
+    vectors are SKIPPED (the join form emitted element-None rows with
+    a NULL dot, which every downstream caller filters/top-ks away;
+    Arrow materializes list nulls as NaN at this boundary, so the NaN
+    and None classes are deliberately coalesced — a NaN dot would
+    otherwise sort FIRST in the callers' cosine-desc top-k windows).
     ``carry`` = ((col, sparktype), ...) corpus columns replicated onto
     each output pair (e.g. sign masks). Self-pairs are NOT excluded —
     filter query_id != neighbor_id downstream.
@@ -353,6 +356,24 @@ def exact_scores(
                 A = np.array(
                     [r for r, k in zip(rows, keep) if k], dtype=np.float64
                 )
+            # r16 ADVICE fix: a right-length row carrying an
+            # element-level None passes the length filter, and at the
+            # mapInPandas boundary Arrow materializes list<double>
+            # nulls as NaN in a float64 ndarray — None and NaN are ONE
+            # indistinguishable class here (measured; unlike the
+            # pandas_udf fold wrappers, which see the original lists).
+            # The join+dot form this replaced produced a NULL dot for
+            # the None case, which the callers' top-k filters drop —
+            # whereas a NaN dot sorts FIRST in cosine-desc windows. So
+            # the whole NaN-bearing class is skipped, matching the
+            # documented skip contract. Vectorized; no cost on clean
+            # batches beyond one isnan scan.
+            nan_rows = np.isnan(A).any(axis=1)
+            if nan_rows.any():
+                if nan_rows.all():
+                    continue
+                pdf = pdf[~nan_rows]
+                A = A[~nan_rows]
             n = len(pdf)
             if normalize:
                 A = A / np.sqrt(_seq_fold_sum(A * A))[:, None]

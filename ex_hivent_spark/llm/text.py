@@ -1601,61 +1601,48 @@ def q_llm_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents shorter than the window get their single whole-document
     TTR (the standard degenerate case).
 
-    Plan: tokens posexplode per document; each sliding window is the
-    FORWARD 50-row frame over the per-DOCUMENT window (bounded by one
-    document's token count — the sessionize discipline, never a global
-    sort), its distinct count via array_distinct over the frame's
-    collected tokens (a ≤50-element array per row — bounded state);
-    one hash aggregate closes per document. Determinism: distinct
-    counts are exact integers; each window TTR is one exact double
-    division; the per-doc mean rides the decimal detour.
+    Plan (r16 OPTIMIZATION — was posexplode + 50-row window frame +
+    broadcast join + hash aggregate, 3 Exchanges and a per-token
+    collect_list array build): every sliding window lives inside one
+    document's token array, so the whole computation is ROW-LOCAL —
+    one projection computing size(array_distinct(slice(t, i, 50)))
+    for each window start and folding the per-window TTRs through the
+    decimal detour. ZERO exchanges, zero window state, no token
+    shuffle at any scale; the only distributed step is the
+    scale-adaptive scan spread (catalog.spread_table — a no-op at
+    real scale, where the scan itself has enough splits).
+    Determinism: distinct counts are exact integers; each window TTR
+    is one exact double division cast to decimal(25,6) exactly like
+    the oracle's per-window term; the fold's decimal additions are
+    exact at scale 6 (oracle: SUM over the same terms — decimal
+    addition is order-insensitive).
 
     Scale note: work is O(total_tokens × W) with W=50 fixed — linear
-    in corpus size, shuffle keyed by doc_id (the posexplode keeps
-    token order via pos, no skew beyond the largest single doc)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
-    )
-    nt = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
-    )
-    from pyspark.sql import Window
+    in corpus size and embarrassingly parallel per document."""
+    from ex_hivent_spark.catalog import spread_table
 
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, _MATTR_W - 1)
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
+    t = F.split("text", " ")
+    n = F.size(t)
+    starts = F.sequence(F.lit(1), F.greatest(n - (_MATTR_W - 1), F.lit(1)))
+    denom = F.least(n.cast("double"), F.lit(float(_MATTR_W)))
+    ttrs = F.transform(
+        starts,
+        lambda i: (
+            F.size(F.array_distinct(F.slice(t, i, _MATTR_W))).cast("double")
+            / denom
+        ).cast("decimal(25,6)"),
     )
-    win = toks.select(
+    msum = F.aggregate(
+        ttrs,
+        F.lit(0).cast("decimal(25,6)"),
+        lambda acc, v: (acc + v).cast("decimal(25,6)"),
+    )
+    return d.filter(F.col("text").isNotNull()).select(
         "doc_id",
-        "pos",
-        F.size(F.array_distinct(F.collect_list("tok").over(w)))
-        .cast("bigint")
-        .alias("d"),
-        F.count(F.lit(1)).over(w).cast("bigint").alias("wlen"),
-    )
-    # keep windows that are full, plus the single pos=0 window of a
-    # short document (its frame holds the whole document)
-    win = win.join(F.broadcast(nt), "doc_id").filter(
-        (F.col("wlen") == _MATTR_W) | (F.col("pos") == 0)
-    )
-    return win.groupBy("doc_id").agg(
-        F.max("n_tokens").cast("bigint").alias("n_tokens"),
-        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-        (
-            F.sum(
-                (
-                    F.col("d").cast("double")
-                    / F.least(
-                        F.col("n_tokens").cast("double"),
-                        F.lit(float(_MATTR_W)),
-                    )
-                ).cast("decimal(25,6)")
-            ).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mattr"),
+        n.cast("bigint").alias("n_tokens"),
+        F.size(starts).cast("bigint").alias("n_windows"),
+        (msum.cast("double") / F.size(starts)).alias("mattr"),
     )
 
 

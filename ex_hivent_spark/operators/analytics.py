@@ -802,6 +802,14 @@ def q_layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     ).withColumn("one", F.lit(1).cast("bigint"))
     n = r.agg(F.count(F.lit(1)).cast("bigint")).collect()[0][0]
+    if not n:  # empty orders: the tile expression below would be a
+        # literal `DIV 0` — the oracle's GROUP BY over zero rows is an
+        # empty frame, so return one of the declared schema instead.
+        return spark.createDataFrame(
+            [],
+            "tile bigint, n_rows bigint, lower_cents bigint,"
+            " upper_cents bigint",
+        )
     blocked = r.withColumn("blk", F.expr("cents DIV 10000000"))
     ranked = running_totals_blocked(
         blocked,

@@ -478,30 +478,32 @@ def q_agg_daily_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias(f"s_{a}_{b}")
             )
-    mom = daily.agg(*mom_aggs).localCheckpoint(
-        eager=False
-    )  # all 6 pair rows: one moments pass
-    outs = []
+    mom = daily.agg(*mom_aggs)
+    # r16 OPTIMIZATION: the 6 pair rows were a 6-way unionByName of
+    # one-row selects over a lazily-checkpointed moments frame — six
+    # plan branches, a checkpoint materialization job, and 6× the
+    # codegen. All six rows derive from the SAME one-row frame, so one
+    # inline() over an array of structs emits them in a single branch
+    # (identical per-pair expressions, identical values — the oracle's
+    # UNION ALL is row-order-free).
+    pair_structs = []
     for i, a in enumerate(names):
         for b in names[i + 1:]:
             n = F.col("n_days")
             cov = F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / n
             va = F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / n
             vb = F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}") / n
-            outs.append(
-                mom.select(
+            pair_structs.append(
+                F.struct(
                     F.lit(a).alias("metric_x"),
                     F.lit(b).alias("metric_y"),
-                    "n_days",
+                    F.col("n_days").alias("n_days"),
                     dround(
                         cov / F.sqrt(F.greatest(va * vb, F.lit(0.0))), 6
                     ).alias("pearson_r"),
                 )
             )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return mom.select(F.inline(F.array(*pair_structs)))
 
 
 # Price-elasticity ln-price centering literal (p_retailprice spans

@@ -293,7 +293,16 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     median is the (floor, ceil)((n+1)/2) slope order statistics — a
     value-level selection, so the oracle's (ha, hb) rank tie-break
     is irrelevant to the emitted values — and the even-count midpoint
-    (lo + hi)/2 is the same double expression. Oracle unchanged."""
+    (lo + hi)/2 is the same double expression. Oracle unchanged.
+
+    Scale assumption (r15 ADVICE): the ≤2160-rows bound is PER TYPE;
+    the collect and the serial per-type numpy loop (~2.3M slopes,
+    ~56 MB of temporaries per full-window type) scale linearly with
+    the number of distinct event types on the driver. That is the
+    deliberate trade for an event-taxonomy-sized type set (tens to
+    low thousands — ~120 MB collected and minutes of numpy at 1,000
+    types); a corpus keyed by an UNBOUNDED type column (user-id-like)
+    needs the distributed self-join plan this replaced instead."""
     import numpy as np
 
     e = load_table(spark, sf_dir, "events")

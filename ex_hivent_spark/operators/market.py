@@ -415,6 +415,14 @@ def q_agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # totals probe + prefix pass
     )
     t = rev.agg(F.sum("cents").cast("bigint")).collect()[0][0]
+    if t is None:  # empty lineitem: F.sum over zero rows is NULL — the
+        # oracle's GROUP BY over zero rows is an empty frame, so return
+        # one of the declared schema instead of building `lit(None)*7`.
+        return spark.createDataFrame(
+            [],
+            "abc_class string, n_parts bigint, revenue_cents bigint,"
+            " rev_share double",
+        )
     blocked = rev.withColumn("blk", F.expr("neg DIV 10000000"))
     ranked = running_totals_blocked(
         blocked,

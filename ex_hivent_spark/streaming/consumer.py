@@ -169,36 +169,60 @@ def route(
     writes its own ok/quarantine sinks under batch_id-keyed directories
     (idempotent overwrite on replay → effectively-once per sink, with
     per-topic quarantine isolation). All subscriptions advance on the
-    shared checkpoint: one source offset log, N logical consumers."""
+    shared checkpoint: one source offset log, N logical consumers.
+
+    r16 OPTIMIZATION (guide §2.6 — overlap independent jobs): the N
+    subscription slices are INDEPENDENT jobs over the one materialized
+    batch (disjoint topic filters, disjoint sink directories), yet the
+    serial loop left the cluster idle through each slice's write tail.
+    They now run from a small driver thread pool, so one slice's
+    checkpoint/write tail back-fills with the next slice's tasks —
+    Spark's scheduler happily runs several jobs at once; actions were
+    only sequential because this loop called them sequentially. FIFO
+    scheduling keeps the earlier slice prioritized (the back-fill
+    behavior the guide recommends); failures propagate via result
+    iteration, so a failed slice still fails the micro-batch and the
+    checkpoint does not commit (replay semantics unchanged)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _dispatch(batch: DataFrame, batch_id: int, sub: Subscription) -> None:
+        slice_ = batch.filter(
+            F.col("name") == F.lit(sub.topic)
+        ).repartition(sub.partition_count, F.col("meta.key"))
+        evaluated = (
+            slice_.withColumn("error", _error_column(sub.process))
+            .withColumn(
+                "queue",
+                F.concat_ws(
+                    ":",
+                    F.lit(sub.service),
+                    F.col("partition_id").cast("string"),
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ok = evaluated.filter(F.col("error").isNull()).drop("error")
+        failed = evaluated.filter(F.col("error").isNotNull()).withColumn(
+            "quarantined_at", F.current_timestamp()
+        )
+        ok.write.mode("overwrite").parquet(
+            f"{sub.processed_dir}/batch_id={batch_id}"
+        )
+        failed.write.mode("overwrite").parquet(
+            f"{sub.quarantine_dir}/batch_id={batch_id}"
+        )
 
     def _handle(batch: DataFrame, batch_id: int) -> None:
         batch = batch.localCheckpoint(eager=True)
-        for sub in subscriptions:
-            slice_ = batch.filter(
-                F.col("name") == F.lit(sub.topic)
-            ).repartition(sub.partition_count, F.col("meta.key"))
-            evaluated = (
-                slice_.withColumn("error", _error_column(sub.process))
-                .withColumn(
-                    "queue",
-                    F.concat_ws(
-                        ":",
-                        F.lit(sub.service),
-                        F.col("partition_id").cast("string"),
-                    ),
-                )
-                .localCheckpoint(eager=True)
-            )
-            ok = evaluated.filter(F.col("error").isNull()).drop("error")
-            failed = evaluated.filter(F.col("error").isNotNull()).withColumn(
-                "quarantined_at", F.current_timestamp()
-            )
-            ok.write.mode("overwrite").parquet(
-                f"{sub.processed_dir}/batch_id={batch_id}"
-            )
-            failed.write.mode("overwrite").parquet(
-                f"{sub.quarantine_dir}/batch_id={batch_id}"
-            )
+        # 2-3 jobs in flight is plenty (guide §2.6): enough to fill the
+        # write tail, not so many that they fight for executors.
+        with ThreadPoolExecutor(
+            max_workers=min(3, max(1, len(subscriptions)))
+        ) as pool:
+            for _ in pool.map(
+                lambda sub: _dispatch(batch, batch_id, sub), subscriptions
+            ):
+                pass
 
     raw = (
         spark.readStream.schema(INGRESS_SCHEMA)

@@ -264,3 +264,44 @@ def test_exact_scores_empty_queries_and_dirty_corpus(spark):
         ).collect()
     }
     assert got == {(9, 1): 1.0, (9, 4): 2.0}
+
+
+def test_exact_scores_fast_path_nan_class_skipped(spark):
+    """r16 ADVICE fix: a RIGHT-LENGTH corpus row with an element-level
+    None passes the length keep-filter, and at the mapInPandas
+    boundary Arrow materializes list nulls as NaN — so the whole
+    NaN-bearing class (element None and genuine NaN alike, which are
+    indistinguishable here) is skipped, matching the join+dot form's
+    NULL-dot skip contract instead of emitting a NaN that sorts first
+    in the callers' cosine-desc top-k windows."""
+    from ex_hivent_spark.llm.similarity import exact_scores
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, None]),            # element None: skipped
+            (3, [float("nan"), 1.0]),    # NaN: same class, skipped
+            (4, [0.0, 2.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["dot"]
+        for r in exact_scores(
+            corpus, "vec_id", "embedding", [(9, [1.0, 1.0])]
+        ).collect()
+    }
+    assert got == {(9, 1): 1.0, (9, 4): 2.0}
+
+
+def test_exact_scores_fast_path_all_rows_element_none(spark):
+    """Degenerate batch: every right-length row carries an element
+    None — the whole batch is skipped, yielding an empty result."""
+    from ex_hivent_spark.llm.similarity import exact_scores
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, None]), (2, [None, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = exact_scores(corpus, "vec_id", "embedding", [(9, [1.0, 1.0])])
+    assert out.count() == 0
