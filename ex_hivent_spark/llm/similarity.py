@@ -450,6 +450,24 @@ def _normalized(em: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+from ex_hivent_spark.session_memo import session_memo  # noqa: E402
+
+
+@session_memo
+def _unit_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized, lazily-checkpointed (vec_id, unit) frame —
+    the one normalization pass of the corpus that every IVF/PQ/kNN
+    query in this module starts from (r16 OPTIMIZATION, the
+    minhash_frames precedent): without it each query's codebook,
+    assignment, sub-vector, and probe subtrees re-ran the Arrow
+    normalize per subtree (a broadcast subtree is its own job), which
+    profiling showed as 6-11 jobs per IVF query. Each query remains
+    standalone — the first caller pays one normalize."""
+    return _normalized(load_table(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=False
+    )
+
+
 N_QUERIES = 100
 
 
@@ -694,13 +712,25 @@ def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(NEARDUP_BANDS)
         ]
     )
+    # r16 OPTIMIZATION (guide §8 — decide with small rows, move heavy
+    # bytes once): candidate generation ran the band self-join WITH the
+    # 64-double unit vectors on both sides and computed a cosine per
+    # (pair, band) BEFORE the distinct — a pair agreeing on several
+    # bands paid the dot (and shipped 128 doubles through the scoring
+    # projection) once per band. Now the self-join runs over the
+    # 4-column (vec_id, label, band_id, band_hash) frame, the distinct
+    # collapses multi-band duplicates on 24-byte rows, and the unit
+    # vectors broadcast-join back onto the UNIQUE pairs for exactly one
+    # dot each — the same placement as the oracle's DISTINCT cand CTE.
+    # Values unchanged: duplicate candidates had identical cosines, so
+    # dedup-before-score and dedup-after-score emit the same set.
     banded = unit.select(
-        "vec_id", "label", "unit", F.explode(band_structs).alias("b")
-    ).select("vec_id", "label", "unit", "b.band_id", "b.band_hash")
+        "vec_id", "label", F.explode(band_structs).alias("b")
+    ).select("vec_id", "label", "b.band_id", "b.band_hash")
 
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
@@ -712,9 +742,27 @@ def q_llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            dround(dot_expr(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
         )
         .distinct()  # a pair can agree on several bands
+    )
+    ua = unit.select(
+        F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua")
+    )
+    ub = unit.select(
+        F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub")
+    )
+    # No broadcast hint: the unit frame is corpus-sized (auto-broadcast
+    # picks it up below the 10 MB threshold at gate SFs; at 10⁹ vectors
+    # the planner correctly shuffle-joins on the vec keys instead).
+    pairs = (
+        cand.join(ua, "vec_a")
+        .join(ub, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            dround(dot(F.col("ua"), F.col("ub")), 6).alias("cosine"),
+        )
     )
     return (
         pairs.filter(F.col("cosine") >= 0.35)
@@ -780,8 +828,7 @@ def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(struct) hash aggregation — partial (map-side) combine, no
     per-group sort, unlike a row_number window. HASH-CHECKED against a
     SQL twin sharing the literal hyperplanes and fold order."""
-    em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em).withColumn(
+    unit = _unit_frame(spark, sf_dir).withColumn(
         "_pj", projections(F.col("unit"), _planes_tuple(N_HYPERPLANES))
     )
 
@@ -803,7 +850,7 @@ def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-            dround(dot_expr(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
+            dround(dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
         )
     )
     # argmax by (cosine desc, neighbor_id asc): max of a struct ordered
@@ -900,8 +947,7 @@ def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em)
+    unit = _unit_frame(spark, sf_dir)
 
     # Deterministic stride-sample of the codebook; orderBy+limit is a
     # TakeOrdered (per-partition top-N + driver merge), never a global sort.
@@ -923,7 +969,7 @@ def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "unit",
         "cell_id",
-        dot_expr(F.col("unit"), F.col("centroid")).alias("csim"),
+        dot(F.col("unit"), F.col("centroid")).alias("csim"),
     )
     members = (
         sims.groupBy("vec_id")
@@ -976,7 +1022,7 @@ def q_llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            dround(dot_expr(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+            dround(dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
         )
     )
     w_top = Window.partitionBy("query_id").orderBy(
@@ -1025,8 +1071,7 @@ def _cell_members(spark: SparkSession, sf_dir: str):
     """(cents, members): the IVF literal-stride codebook and every
     vector's nearest-cell assignment — the same broadcast + argmax
     aggregation plan as q_llm_ivf_topk (see that docstring)."""
-    em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em)
+    unit = _unit_frame(spark, sf_dir)
     cents = (
         unit.filter(F.col("vec_id") % 37 == 1)
         .orderBy("vec_id")
@@ -1037,7 +1082,7 @@ def _cell_members(spark: SparkSession, sf_dir: str):
         "vec_id",
         "unit",
         "cell_id",
-        dot_expr(F.col("unit"), F.col("centroid")).alias("csim"),
+        dot(F.col("unit"), F.col("centroid")).alias("csim"),
     )
     members = (
         sims.groupBy("vec_id")
@@ -1220,7 +1265,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_id",
             "vec_id",
             "keep_cand",
-            dot_expr(F.col("u1"), F.col("u2")).alias("cos"),
+            dot(F.col("u1"), F.col("u2")).alias("cos"),
         )
         .filter(F.col("cos") >= SEMDEDUP_TAU)
     )
@@ -1316,8 +1361,7 @@ def q_llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     HASH-CHECKED: literal stride codebook + index-order folds; codes
     are exact integers, `retained` is e6."""
-    em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em)
+    unit = _unit_frame(spark, sf_dir)
     from pyspark.sql import Window
 
     cents = (
@@ -1355,7 +1399,7 @@ def q_llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "m",
         "k_id",
-        dot_expr(F.col("sub_x"), F.col("sub_c")).alias("ip"),
+        dot(F.col("sub_x"), F.col("sub_c")).alias("ip"),
     )
     best = (
         scored.groupBy("vec_id", "m")
@@ -1495,8 +1539,7 @@ def q_llm_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds, decimal-summed ADC, e6 rounding, unique tie-breaks."""
     from pyspark.sql import Window
 
-    em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em)
+    unit = _unit_frame(spark, sf_dir)
     cents = (
         unit.filter(F.col("vec_id") % 37 == 1)
         .orderBy("vec_id")
@@ -1509,7 +1552,7 @@ def q_llm_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = unit.join(F.broadcast(cents)).select(
         "vec_id",
         "cell_id",
-        dot_expr(F.col("unit"), F.col("centroid")).alias("csim"),
+        dot(F.col("unit"), F.col("centroid")).alias("csim"),
     )
     members = (
         sims.groupBy("vec_id")
@@ -1541,7 +1584,7 @@ def q_llm_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         subs.join(F.broadcast(csubs), "m")
         .select(
             "vec_id", "m", "k_id",
-            dot_expr(F.col("sub_x"), F.col("sub_c")).alias("ip"),
+            dot(F.col("sub_x"), F.col("sub_c")).alias("ip"),
         )
         .groupBy("vec_id", "m")
         .agg(
@@ -1580,7 +1623,7 @@ def q_llm_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "m",
             "k_id",
-            dot_expr(F.col("sub_x"), F.col("sub_c")).alias("ip"),
+            dot(F.col("sub_x"), F.col("sub_c")).alias("ip"),
         )
     )
     cand = (
@@ -2055,7 +2098,7 @@ def ivf_candidates(
     sims = unit.join(F.broadcast(cents)).select(
         "vec_id",
         "cell_id",
-        dot_expr(F.col("unit"), F.col("centroid")).alias("csim"),
+        dot(F.col("unit"), F.col("centroid")).alias("csim"),
     )
     members = (
         sims.groupBy("vec_id")
@@ -2115,8 +2158,7 @@ def ivf_recall(
     codebook against the literal seed with."""
     from pyspark.sql import Window
 
-    em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em).localCheckpoint(eager=False)
+    unit = _unit_frame(spark, sf_dir)
     q = unit.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("unit").alias("qu")
     )
@@ -2125,7 +2167,7 @@ def ivf_recall(
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        dround(dot_expr(F.col("qu"), F.col("unit")), 6).alias("cosine"),
+        dround(dot(F.col("qu"), F.col("unit")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -2156,7 +2198,7 @@ def literal_codebook(
 ) -> DataFrame:
     """The deterministic stride-sample seed codebook shared with the
     registered IVF queries (q_llm_ivf_topk's cents stage)."""
-    unit = _normalized(load_table(spark, sf_dir, "embeddings"))
+    unit = _unit_frame(spark, sf_dir)
     return (
         unit.filter(F.col("vec_id") % 37 == 1)
         .orderBy("vec_id")
@@ -2194,9 +2236,7 @@ def build_ivf_index(
 
     from ex_hivent_spark.sources import versioned
 
-    unit = _normalized(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "unit"
-    ).localCheckpoint(eager=False)  # every iteration re-reads it
+    unit = _unit_frame(spark, sf_dir)  # memoized + lazily checkpointed
 
     seed = (
         unit.filter(F.col("vec_id") % 37 == 1)
@@ -2221,7 +2261,7 @@ def build_ivf_index(
             "vec_id",
             "unit",
             "cell_id",
-            dot_expr(F.col("unit"), F.col("centroid")).alias("csim"),
+            dot(F.col("unit"), F.col("centroid")).alias("csim"),
         )
         members = (
             sims.groupBy("vec_id")
@@ -2483,9 +2523,8 @@ def q_emb_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is a map-only pass; the bottom-N is a TakeOrdered
     (per-partition top + driver merge, no global sort). Determinism:
     decimal means, e6 cosine, vec_id tie-break."""
-    em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em).localCheckpoint(eager=False)  # centroid
-    # aggregate + scoring pass share one normalization
+    unit = _unit_frame(spark, sf_dir)  # centroid aggregate +
+    # scoring pass share the memoized normalization
     means = (
         unit.select(F.posexplode("unit").alias("pos", "val"))
         .groupBy("pos")
@@ -2500,12 +2539,14 @@ def q_emb_outlier_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
     ).select(F.transform(F.col("pm"), lambda s: s["m"]).alias("c"))
     chat = cent.select(unit_vec(F.col("c")).alias("ch"))
-    labels = em.select("vec_id", "label")
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
     scored = (
         unit.crossJoin(F.broadcast(chat))
         .select(
             "vec_id",
-            dround(dot_expr(F.col("unit"), F.col("ch")), 6).alias(
+            dround(dot(F.col("unit"), F.col("ch")), 6).alias(
                 "cos_centroid"
             ),
         )
@@ -2592,8 +2633,7 @@ def q_emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     MSE; max over e6-rounded values is exact."""
     from pyspark.sql import Window
 
-    em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em)
+    unit = _unit_frame(spark, sf_dir)
     cents = (
         unit.filter(F.col("vec_id") % 37 == 1)
         .orderBy("vec_id")
@@ -2626,11 +2666,11 @@ def q_emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_id",
         "sub_x",
         "sub_c",
-        dot_expr(F.col("sub_x"), F.col("sub_c")).alias("ip"),
+        dot(F.col("sub_x"), F.col("sub_c")).alias("ip"),
     )
     err = dround(
-        dot_expr(F.col("b.sub_x"), F.col("b.sub_x"))
-        + dot_expr(F.col("b.sub_c"), F.col("b.sub_c"))
+        dot(F.col("b.sub_x"), F.col("b.sub_x"))
+        + dot(F.col("b.sub_c"), F.col("b.sub_c"))
         - 2 * F.col("b.ip"),
         6,
     )
@@ -2713,9 +2753,8 @@ def q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates. Determinism: decimal dim sums, e6-rounded squares
     before the decimal norm fold, exact count arithmetic, e6
     outputs."""
-    em = load_table(spark, sf_dir, "embeddings")
-    unit = _normalized(em).localCheckpoint(eager=False)  # dim sums +
-    # the n-count probe share one normalization pass
+    unit = _unit_frame(spark, sf_dir)  # dim sums + the n-count
+    # probe share the memoized normalization pass
     n_df = unit.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     dimsums = (
         unit.select(F.posexplode("unit").alias("pos", "val"))

@@ -252,31 +252,45 @@ def _blocked_offsets(
         combine is not None
         and blk_schema[-1].dataType.simpleString() in _INTEGRAL
     )
+    tot = None
     if distributable:
-        # the totals frame feeds both the count probe and whichever
+        # the totals frame feeds both the bounded probe and whichever
         # path wins — pin it so df is aggregated exactly once
         tot_df = tot_df.localCheckpoint(eager=False)
-        probe = tot_df.agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.max(block_cols[-1]).alias("__maxb"),
-            F.min(block_cols[-1]).alias("__minb"),
-        ).collect()[0]
-        n_blocks = probe["__n"]
-        # Termination: a DIV-fanout level only shrinks the LAST key;
-        # once its range fits inside one fanout cell, further levels
-        # cannot reduce the count below |leading-col combos| — fold on
-        # the driver (the leading columns' cardinality is the caller's
-        # own bound, e.g. |event types| or |groups|).
-        can_split = (
-            probe["__maxb"] is not None
-            and (probe["__maxb"] // _FANOUT) != ((probe["__minb"] or 0) // _FANOUT)
-        )
+        # r16 OPTIMIZATION: probe via ONE bounded collect instead of a
+        # count/min/max aggregate job FOLLOWED by the full collect —
+        # limit(max+1) returns every block row when the count fits the
+        # driver budget (the overwhelmingly common case: value-grid
+        # blockings), so the fold proceeds from the same rows and the
+        # whole offsets build costs a single job. Only a genuinely
+        # over-budget blocking pays the extra range probe that decides
+        # whether another DIV-fanout level can still split it.
+        tot = tot_df.limit(max_driver_blocks + 1).collect()
+        if len(tot) <= max_driver_blocks:
+            can_split = False  # driver fold on the rows we already hold
+        else:
+            tot = None
+            probe = tot_df.agg(
+                F.max(block_cols[-1]).alias("__maxb"),
+                F.min(block_cols[-1]).alias("__minb"),
+            ).collect()[0]
+            # Termination: a DIV-fanout level only shrinks the LAST
+            # key; once its range fits inside one fanout cell, further
+            # levels cannot reduce the count below |leading-col
+            # combos| — fold on the driver (the leading columns'
+            # cardinality is the caller's own bound, e.g. |event
+            # types| or |groups|).
+            can_split = (
+                probe["__maxb"] is not None
+                and (probe["__maxb"] // _FANOUT)
+                != ((probe["__minb"] or 0) // _FANOUT)
+            )
     else:
-        n_blocks = None  # driver path unconditionally (legacy contract)
-        can_split = False
+        can_split = False  # driver path unconditionally (legacy contract)
 
-    if not distributable or n_blocks <= max_driver_blocks or not can_split:
-        tot = tot_df.collect()
+    if not can_split:
+        if tot is None:
+            tot = tot_df.collect()
         tot.sort(key=lambda r: tuple(r[c] for c in block_cols))
         acc = {k: None for k in schema_types}
         rows = []
