@@ -244,9 +244,14 @@ def pagerank(
     # IEEE ops): floor(1e12 / n + 0.5), floor((1.0-d) * 1e12 / n + 0.5).
     init = int(math.floor(float(PR_SCALE) / n_nodes + 0.5))
     base = int(math.floor((1.0 - damping) * float(PR_SCALE) / n_nodes + 0.5))
+    # r16 OPTIMIZATION (guide §5.4): per-iteration checkpoints are LAZY.
+    # eager=True forced a blocking driver job per round (profiled at
+    # 78-83 jobs/run for the 10-round PageRank); eager=False truncates
+    # lineage identically but materializes as part of the next round's
+    # own job, collapsing the driver round-trips to one per round.
     ranks = nodes.withColumn(
         "rank_e12", F.lit(init).cast("long")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(n_iter):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
@@ -271,7 +276,7 @@ def pagerank(
                     ).cast("long")
                 ).alias("rank_e12"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", "rank_e12")
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.catalog import load_table, spread_table
 from ex_hivent_spark.functions.decimals import dround, sql_dround
 from ex_hivent_spark.functions.letbind import let1
 from ex_hivent_spark.plans.registry import register
@@ -119,7 +119,12 @@ def minhash_frames(spark: SparkSession, sf_dir: str):
     dominant map stage, so a session running the family back-to-back
     pays it once. Each query stays standalone: the first caller
     computes."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r16 OPTIMIZATION (guide §2.5/§6): spread the single-row-group
+    # documents scan so the per-row shingle/window map work runs on
+    # every core instead of one task; no-op on multi-split inputs.
+    d = spread_table(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "text"
+    )
     # Signature via explode + hash-aggregate, NOT per-row array folds:
     # Spark's higher-order functions evaluate lambdas interpreted
     # per-element (outside codegen), which measured ~25x slower here.
@@ -322,7 +327,10 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's all-pairs-within-lang plan on the identical sf0.1 input
     runs 159 s vs ~3.5 s for this plan (45x) — the blocking key, not
     the engine, is the win."""
-    d = load_table(spark, sf_dir, "documents")
+    # r16 OPTIMIZATION (guide §2.5/§6): spread the single-row-group
+    # documents scan so the per-row shingle/window map work runs on
+    # every core instead of one task; no-op on multi-split inputs.
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     tk = d.select(
         "doc_id",
         "lang",
@@ -501,7 +509,10 @@ def q_llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of docs skews a shuffle partition at worst (AQE splits it), it
     cannot OOM an executor. dup_frac is a single bigint/bigint double
     division, bit-deterministic."""
-    d = load_table(spark, sf_dir, "documents")
+    # r16 OPTIMIZATION (guide §2.5/§6): spread the single-row-group
+    # documents scan so the per-row shingle/window map work runs on
+    # every core instead of one task; no-op on multi-split inputs.
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     K = SUBSTR_WIN_CHARS
     text = F.col("text")
     anchors = F.filter(
@@ -608,7 +619,10 @@ def q_llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold predicate compares integers. Result is IDENTICAL to
     the oracle's all-pairs plan, which runs quadratically in DuckDB —
     the blocking key is the 100 TB path, as with q_llm_ngram_jaccard."""
-    d = load_table(spark, sf_dir, "documents")
+    # r16 OPTIMIZATION (guide §2.5/§6): spread the single-row-group
+    # documents scan so the per-row shingle/window map work runs on
+    # every core instead of one task; no-op on multi-split inputs.
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     tk = d.select(
         "doc_id",
         F.explode(shingles(F.col("text"), hasher=F.xxhash64)).alias("h"),
@@ -939,7 +953,10 @@ def q_llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc, never text — the winnowing density 2/(W+1) is the knob
     that trades recall for shuffle volume. Hashes are md5_int48,
     reproduced VERBATIM in the oracle."""
-    d = load_table(spark, sf_dir, "documents")
+    # r16 OPTIMIZATION (guide §2.5/§6): spread the single-row-group
+    # documents scan so the per-row shingle/window map work runs on
+    # every core instead of one task; no-op on multi-split inputs.
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     hs = let1(
         F.split("text", " "),
         lambda tokens: F.transform(

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.catalog import load_table, spread_table
 from ex_hivent_spark.functions.decimals import (
     davg,
     dround,
@@ -1177,7 +1177,10 @@ def q_llm_entropy_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides; the weighted sum rides the decimal detour; the
     closing is e6-rounded. Scale bound: c·log2(c) stays under the
     2^53/1e6 decimal bound through ~1e11-token corpora."""
-    d = load_table(spark, sf_dir, "documents")
+    # r16 OPTIMIZATION (guide §2.5/§6): spread the single-row-group
+    # documents scan so the per-row shingle/window map work runs on
+    # every core instead of one task; no-op on multi-split inputs.
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     t = F.split("text", " ")
 
     def entropy_of(grams: DataFrame) -> DataFrame:

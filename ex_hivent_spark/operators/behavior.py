@@ -58,7 +58,11 @@ def _quintile(frame: DataFrame, metric: str, block: float, out: str) -> DataFram
         block_cols=["blk"],
         sum_cols={"one": "rnk"},
     )
-    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    # r16 OPTIMIZATION: count the INPUT frame, not the ranked one — the
+    # row count is identical (running_totals_blocked inner-joins every
+    # block back), and the broadcast-n subtree no longer re-executes
+    # the window + offsets join just to count rows.
+    n = frame.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
     return (
         ranked.crossJoin(F.broadcast(n))
         .select(
