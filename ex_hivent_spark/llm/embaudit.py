@@ -352,31 +352,25 @@ def q_emb_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     wham = Window.partitionBy("query_id").orderBy(
         F.col("hamming").asc(), F.col("neighbor_id")
     )
-    exact = (
-        scored.withColumn("rn", F.row_number().over(wex))
-        .filter(F.col("rn") <= _HAM_K)
-        .select("query_id", "neighbor_id")
+    # r16: both rank columns STACK on one frame (same partition key →
+    # Spark plans one exchange + two sorts, not two window subtrees),
+    # and the exact∩ham overlap is a conditional count per query —
+    # the two filtered arms and their (query_id, neighbor_id) left
+    # join are gone. Equivalence: n_overlap = |{rows in both top-K}|
+    # either way, and every query_id groups over its full neighbor
+    # set, so no query row can disappear.
+    both = scored.select(
+        "query_id",
+        F.row_number().over(wex).alias("rn_ex"),
+        F.row_number().over(wham).alias("rn_ham"),
     )
-    ham = (
-        scored.withColumn("rn", F.row_number().over(wham))
-        .filter(F.col("rn") <= _HAM_K)
-        .select(
-            "query_id",
-            F.col("neighbor_id").alias("h_neighbor_id"),
-            F.lit(1).alias("hit"),
-        )
+    hit = F.sum(
+        F.when((F.col("rn_ex") <= _HAM_K) & (F.col("rn_ham") <= _HAM_K), 1)
+        .otherwise(0)
     )
-    j = exact.join(
-        ham,
-        (exact["query_id"] == ham["query_id"])
-        & (exact["neighbor_id"] == ham["h_neighbor_id"]),
-        "left",
-    ).select(exact["query_id"], "hit")
-    return j.groupBy("query_id").agg(
-        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_overlap"),
-        dround(
-            F.coalesce(F.sum("hit"), F.lit(0)) / float(_HAM_K), 6
-        ).alias("recall"),
+    return both.groupBy("query_id").agg(
+        hit.cast("bigint").alias("n_overlap"),
+        dround(hit / float(_HAM_K), 6).alias("recall"),
     )
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.catalog import load_table, spread_table
 from ex_hivent_spark.functions.decimals import davg, dround, sql_davg, sql_dround
 from ex_hivent_spark.functions.letbind import let1
 from ex_hivent_spark.plans.registry import register
@@ -845,8 +845,14 @@ def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain hash aggregation over ~vocab^2-bounded keys), while the
     context- and unigram-count tables are vocab-sized and broadcast.
     Per-instance nll is e6-rounded then decimal-averaged, so the driver
-    hash matches DuckDB bit-for-bit."""
-    d = load_table(spark, sf_dir, "documents")
+    hash matches DuckDB bit-for-bit.
+
+    r16: spread_table parallelizes the three tokenize/explode map
+    sides (single-row-group scan = one task otherwise), and the corpus
+    token total rides as a one-row broadcast instead of a plan-build
+    collect — that collect ran a FULL extra tokenize+aggregate job
+    before execution even started."""
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     t = F.split("text", " ")
     w = d.select("doc_id", t.alias("t")).where(F.size("t") >= 2)
     bg = w.select(
@@ -865,7 +871,7 @@ def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
-    total = float(uni.agg(F.sum("cu")).first()[0])  # one scalar pre-pass
+    tot = uni.agg(F.sum("cu").cast("double").alias("total"))
     bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
     ctx = (
         bgc.withColumn("prev", F.substring_index("bigram", " ", 1))
@@ -874,10 +880,11 @@ def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = (
         _BG_LAMBDA * F.col("cb").cast("double") / F.col("cc")
-        + (1.0 - _BG_LAMBDA) * F.col("cu").cast("double") / total
+        + (1.0 - _BG_LAMBDA) * F.col("cu").cast("double") / F.col("total")
     )
     scored = (
         bg.join(bgc, "bigram")
+        .crossJoin(F.broadcast(tot))
         .join(
             F.broadcast(ctx),
             F.substring_index(F.col("bigram"), " ", 1) == F.col("prev"),
@@ -962,8 +969,13 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized explode + hash agg + a ONE-ROW broadcast equi-join
     (literal key, so it plans as BroadcastHashJoin, not a nested-loop
     scalar product) + map-only replace; per-round lazy localCheckpoint
-    truncates the growing lineage exactly as the PageRank loop does."""
-    d = load_table(spark, sf_dir, "documents")
+    truncates the growing lineage exactly as the PageRank loop does.
+
+    r16: spread_table parallelizes the corpus tokenize+explode map
+    side (single-row-group scan = one task otherwise); the merge
+    rounds themselves run on the vocabulary-sized frame and are
+    unchanged."""
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.col("w") != ""
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ex_hivent_spark.catalog import load_table, register_views
+from ex_hivent_spark.catalog import load_table, register_views, spread_table
 from ex_hivent_spark.functions.decimals import dround, dsum, sql_dround, sql_dsum
 from ex_hivent_spark.plans.registry import register
 
@@ -260,8 +260,14 @@ def q_agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing formulas are plain double arithmetic — bit-exact vs the
     oracle with no tolerance, which native streaming co-moment
     implementations cannot guarantee across engines. Same single hash
-    aggregate + map-side combine as any sum."""
-    li = load_table(spark, sf_dir, "lineitem")
+    aggregate + map-side combine as any sum.
+
+    r16: spread_table — the single-row-group testdata scan ran the
+    whole 6-decimal-sum partial aggregate in ONE task; hash-spreading
+    on l_orderkey parallelizes the map side, and since decimal sums
+    are order-insensitive the result is bit-identical (oracle-verified
+    at 3 SFs). No-op on multi-split inputs."""
+    li = spread_table(spark, sf_dir, "lineitem", "l_orderkey")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("l_quantity", "sx"),

@@ -469,7 +469,11 @@ def q_agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risk",
         lnt.alias("lnt_u"),
         F.when(d == nr, 1).otherwise(0).alias("zero_flag"),
-    )
+        # r16: the second blocked-prefix pass consumes this frame TWICE
+        # (its local window + its offsets probe) — pin it so the first
+        # prefix pass's window + offsets join is not re-executed per
+        # consumer (same reason grid above is checkpointed).
+    ).localCheckpoint(eager=False)
     cum = running_totals_blocked(
         terms.select(
             "dur_h",

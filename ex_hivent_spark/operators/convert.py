@@ -128,15 +128,22 @@ def q_seq_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nt = vc.agg(F.sum("cnt").cast("bigint").alias("n"))
     c = cum.crossJoin(F.broadcast(nt))
-    lo = c.filter(
-        F.col("cum") >= F.floor((F.col("n") + 1) / 2.0).cast("bigint")
-    ).agg(F.min("d_us").alias("v_lo"))
-    hi = c.filter(
-        F.col("cum") >= F.floor(F.col("n") / 2.0).cast("bigint") + 1
-    ).agg(F.min("d_us").alias("v_hi"))
-    med = lo.crossJoin(F.broadcast(hi)).select(
-        ((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med_us")
-    )
+    # r16: both middle picks in one conditional aggregate (min ignores
+    # when()-nulls) — one pass over the prefix subtree, no lo⋈hi join.
+    med = c.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((F.col("n") + 1) / 2.0).cast("bigint"),
+                F.col("d_us"),
+            )
+        ).alias("v_lo"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor(F.col("n") / 2.0).cast("bigint") + 1,
+                F.col("d_us"),
+            )
+        ).alias("v_hi"),
+    ).select(((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med_us"))
     m = p.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_converted"),
         F.sum(F.col("d_us").cast("decimal(25,0)"))
@@ -301,15 +308,22 @@ def q_seq_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nt = vc.agg(F.sum("cnt").cast("bigint").alias("n"))
     c = cum.crossJoin(F.broadcast(nt))
-    lo = c.filter(
-        F.col("cum") >= F.floor((F.col("n") + 1) / 2.0).cast("bigint")
-    ).agg(F.min("span_us").alias("v_lo"))
-    hi = c.filter(
-        F.col("cum") >= F.floor(F.col("n") / 2.0).cast("bigint") + 1
-    ).agg(F.min("span_us").alias("v_hi"))
-    med = lo.crossJoin(F.broadcast(hi)).select(
-        ((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med_us")
-    )
+    # r16: both middle picks in one conditional aggregate (min ignores
+    # when()-nulls) — one pass over the prefix subtree, no lo⋈hi join.
+    med = c.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((F.col("n") + 1) / 2.0).cast("bigint"),
+                F.col("span_us"),
+            )
+        ).alias("v_lo"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor(F.col("n") / 2.0).cast("bigint") + 1,
+                F.col("span_us"),
+            )
+        ).alias("v_hi"),
+    ).select(((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med_us"))
     m = u.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum(F.col("span_us").cast("decimal(25,0)"))

@@ -590,15 +590,23 @@ def q_stats_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nt = vc.agg(F.sum("cnt").cast("bigint").alias("n"))
     c = cum.crossJoin(F.broadcast(nt))
-    lo = c.filter(
-        F.col("cum") >= F.floor((F.col("n") + 1) / 2.0).cast("bigint")
-    ).agg(F.min("value").alias("v_lo"))
-    hi = c.filter(
-        F.col("cum") >= F.floor(F.col("n") / 2.0).cast("bigint") + 1
-    ).agg(F.min("value").alias("v_hi"))
-    med = lo.crossJoin(F.broadcast(hi)).select(
-        ((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med")
-    )
+    # r16: both middle picks in ONE conditional aggregate (min ignores
+    # the when()-null rows) instead of two filtered aggregates that each
+    # re-executed the prefix subtree, plus the lo⋈hi broadcast join.
+    med = c.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor((F.col("n") + 1) / 2.0).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("v_lo"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.floor(F.col("n") / 2.0).cast("bigint") + 1,
+                F.col("value"),
+            )
+        ).alias("v_hi"),
+    ).select(((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med"))
     g = (
         e.crossJoin(F.broadcast(med))
         .groupBy("event_type")

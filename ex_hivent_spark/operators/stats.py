@@ -755,23 +755,30 @@ def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ng",
         )
     )
-    lo = (
-        cumv.filter(
-            F.col("cum") >= F.floor((F.col("ng") + 1) / 2.0).cast("bigint")
+    # r16: both middle picks in ONE conditional aggregate (min ignores
+    # the when()-null rows, so min(when(cond, v)) == filter(cond).min(v))
+    # instead of two filtered aggregates that each re-executed the whole
+    # prefix subtree (window exchange + offsets join) — one pass, no
+    # lo⋈hi join.
+    med = (
+        cumv.groupBy("et")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.floor((F.col("ng") + 1) / 2.0).cast("bigint"),
+                    F.col("value"),
+                )
+            ).alias("v_lo"),
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.floor(F.col("ng") / 2.0).cast("bigint") + 1,
+                    F.col("value"),
+                )
+            ).alias("v_hi"),
         )
-        .groupBy("et")
-        .agg(F.min("value").alias("v_lo"))
-    )
-    hi = (
-        cumv.filter(
-            F.col("cum")
-            >= F.floor(F.col("ng") / 2.0).cast("bigint") + 1
-        )
-        .groupBy("et")
-        .agg(F.min("value").alias("v_hi"))
-    )
-    med = lo.join(hi, "et").select(
-        "et", ((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med")
+        .select("et", ((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med"))
     )
     z = e.join(
         F.broadcast(med), e["event_type"] == med["et"]

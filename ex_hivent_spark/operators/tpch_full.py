@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ex_hivent_spark.catalog import load_table, register_views
+from ex_hivent_spark.catalog import load_table, register_views, spread_table
 from ex_hivent_spark.functions.decimals import davg, dsum, sql_davg, sql_dsum
 from ex_hivent_spark.plans.registry import register
 
@@ -704,24 +704,34 @@ def q_tpch_q21_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT-EXISTS double correlation of the original, expressed as one
     per-order aggregation (distinct suppliers, distinct R-suppliers)
     instead of two correlated rescans.  Integer counts only; orderkey
-    is the single shuffle key; supplier broadcasts."""
-    li = load_table(spark, sf_dir, "lineitem")
-    ord_stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    is the single shuffle key; supplier broadcasts.
+
+    r16: one lineitem pass instead of two.  The old form aggregated
+    lineitem twice (a double-countDistinct with an Expand, plus a
+    DISTINCT for the R-pairs) and joined the results; since both the
+    per-order supplier counts and the identity of the sole R-supplier
+    are determined by the deduplicated (orderkey, suppkey, had-an-R-line)
+    pairs, one pair-level aggregation followed by a per-order rollup of
+    those (tiny) pair rows yields the same relation: n_supp = pair
+    count, n_r_supp = count of R-pairs, and when n_r_supp = 1 the sole
+    R supplier is max(suppkey | R).  Plan: 2 scans + Expand + 3
+    lineitem-scale Exchanges -> 1 scan + 1 lineitem-scale Exchange.
+    spread_table parallelizes the pair aggregation's map side (the
+    single-row-group scan ran it in one task), and hash partitioning
+    on l_orderkey also satisfies both groupings — no added shuffle."""
+    li = spread_table(spark, sf_dir, "lineitem", "l_orderkey")
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("l_returnflag") == "R").alias("any_r")
     )
-    r_pairs = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.count(F.when(F.col("any_r"), True)).alias("n_r_supp"),
+        F.max(F.when(F.col("any_r"), F.col("l_suppkey"))).alias("l_suppkey"),
     )
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
     return (
-        r_pairs.join(ord_stats, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")

@@ -404,17 +404,16 @@ def q_ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     cumv = vc.select("y", F.sum("cnt").over(wv).cast("bigint").alias("cum"))
-    lo = (
-        cumv.filter(F.col("cum") >= (_N_HOURS + 1) // 2)
-        .agg(F.min("y").alias("v_lo"))
-    )
-    hi = (
-        cumv.filter(F.col("cum") >= _N_HOURS // 2 + 1)
-        .agg(F.min("y").alias("v_hi"))
-    )
-    med = lo.crossJoin(hi).select(
-        ((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med")
-    )
+    # r16: both middle picks in one conditional aggregate (min ignores
+    # when()-nulls) — one pass over the cum subtree, no lo⋈hi join.
+    med = cumv.agg(
+        F.min(
+            F.when(F.col("cum") >= (_N_HOURS + 1) // 2, F.col("y"))
+        ).alias("v_lo"),
+        F.min(
+            F.when(F.col("cum") >= _N_HOURS // 2 + 1, F.col("y"))
+        ).alias("v_hi"),
+    ).select(((F.col("v_lo") + F.col("v_hi")) / 2.0).alias("med"))
     signs = (
         series.crossJoin(F.broadcast(med))
         .filter(F.col("y") != F.col("med"))

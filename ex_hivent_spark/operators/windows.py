@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.catalog import load_table, spread_table
 from ex_hivent_spark.functions.decimals import dround, dsum, sql_dround, sql_dsum
 from ex_hivent_spark.plans.registry import register
 
@@ -548,7 +548,12 @@ def q_ts_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines with no rounding detour."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    # r16: spread_table — both per-user aggregates ran their partial
+    # phase inside the ONE-task single-row-group scan; hash-spreading
+    # on user_id parallelizes the map sides, and HashPartitioning
+    # (user_id) satisfies both groupings AND the window's clustering,
+    # so no grouping re-shuffle is added. No-op on multi-split inputs.
+    e = spread_table(spark, sf_dir, "events", "user_id")
     bounds = e.groupBy("user_id").agg(
         F.greatest(
             (F.unix_micros(F.min("ts")) / _GRID_US).cast("long")
@@ -959,6 +964,15 @@ def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         F.col("a") <= F.col("b")  # duplicate-ts same-user events: empty
     )
+    # r16: the query rows ride THROUGH the prefix machinery carrying
+    # their event_id/ts payload (running_totals_blocked preserves
+    # non-sum columns), so the old `.distinct()` hash aggregate and the
+    # (event_type, ts)-keyed fan-back join are gone — one events scan,
+    # two fewer exchanges. Exactness: every kind=1 row has d=0, so all
+    # query rows tied at the same (tp, kind) read the same running sum
+    # regardless of their intra-tie order.
+    null_id = F.lit(None).cast(dict(e.dtypes)["event_id"])
+    null_ts = F.lit(None).cast(dict(e.dtypes)["ts"])
     deltas = (
         spans.select("event_type", F.col("a").alias("tp"), F.lit(1).alias("d"))
         .unionByName(
@@ -968,13 +982,22 @@ def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "tp")
         .agg(F.sum("d").cast("bigint").alias("d"))
-        .withColumn("kind", F.lit(0))
+        .select(
+            "event_type",
+            "tp",
+            "d",
+            F.lit(0).alias("kind"),
+            null_id.alias("event_id"),
+            null_ts.alias("ts"),
+        )
     )
-    queries = (
-        e.select("event_type", tus.alias("tp"))
-        .distinct()
-        .withColumn("d", F.lit(0).cast("bigint"))
-        .withColumn("kind", F.lit(1))  # deltas at equal time apply first
+    queries = e.select(
+        "event_type",
+        tus.alias("tp"),
+        F.lit(0).cast("bigint").alias("d"),
+        F.lit(1).alias("kind"),  # deltas at equal time apply first
+        "event_id",
+        "ts",
     )
     points = (
         deltas.unionByName(queries)
@@ -989,15 +1012,12 @@ def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type", "blk"],
         {"d": "uniq"},
     )
-    counts = cum.filter(F.col("kind") == 1).select(
-        F.col("event_type").alias("q_type"),
-        F.col("tp").alias("q_t"),
+    return cum.filter(F.col("kind") == 1).select(
+        "event_id",
+        "event_type",
+        "ts",
         F.col("uniq").cast("bigint").alias("uniq_users_1h"),
     )
-    return e.join(
-        counts,
-        (F.col("event_type") == F.col("q_type")) & (tus == F.col("q_t")),
-    ).select("event_id", "event_type", "ts", "uniq_users_1h")
 
 
 # --------------------------------------------------------------------------

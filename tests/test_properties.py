@@ -93,14 +93,17 @@ def test_prefix_filter_is_lossless(spark, case):
     # run the registered implementation against this table by monkey-
     # patching the loader (the query only reads `documents`)
     orig = dedup.load_table
+    orig_spread = dedup.spread_table
     try:
         dedup.load_table = lambda spark_, sf_dir_, name_: df
+        dedup.spread_table = lambda spark_, sf_dir_, name_, key_: df
         got = {
             (r.doc_a, r.doc_b): r.jaccard
             for r in dedup.q_llm_ngram_jaccard(spark, "ignored").collect()
         }
     finally:
         dedup.load_table = orig
+        dedup.spread_table = orig_spread
 
     # naive all-pairs with the same shingle definition
     tokens = F.split("text", " ")
@@ -298,14 +301,17 @@ def test_containment_prefix_filter_is_lossless(spark, case):
         [(i, t, "xx") for i, t in case], "doc_id long, text string, lang string"
     )
     orig = dedup.load_table
+    orig_spread = dedup.spread_table
     try:
         dedup.load_table = lambda spark_, sf_dir_, name_: df
+        dedup.spread_table = lambda spark_, sf_dir_, name_, key_: df
         got = {
             (r.doc_small, r.doc_big): r.containment
             for r in dedup.q_llm_containment_dedup(spark, "ignored").collect()
         }
     finally:
         dedup.load_table = orig
+        dedup.spread_table = orig_spread
 
     tokens = F.split("text", " ")
     sh = df.select(
