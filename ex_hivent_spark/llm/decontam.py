@@ -160,6 +160,10 @@ def q_llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     which sf0.01 DuckDB can afford."""
     from ex_hivent_spark.llm.dedup import shingles
 
+    # r16: A/B-tested spread_table (the dedup-family precedent) and
+    # REVERTED — a measured wash (1.47 plain vs 1.51 spread median):
+    # the bench-side shingle set is small and the corpus-side work is
+    # dominated by the candidate equi-join, not the map phase.
     d = load_table(spark, sf_dir, "documents")
     tk = d.select(
         "doc_id",

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.catalog import load_table, spread_table
 from ex_hivent_spark.functions.decimals import dround, sql_dround
 from ex_hivent_spark.plans.registry import register
 
@@ -145,8 +145,12 @@ def q_llm_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition — bounded by one document's repetitions of one term —
     and the decile rollup is a 10-row hash aggregate. Determinism:
     the decile is exact integer arithmetic (pos·10 div n), counts are
-    integers, the closing share is one IEEE division e6-rounded."""
-    d = load_table(spark, sf_dir, "documents")
+    integers, the closing share is one IEEE division e6-rounded.
+    r16: spread_table parallelizes the posexplode map side (one-task
+    single-row-group scan otherwise); HashPartitioning(doc_id) also
+    satisfies the (doc_id, term) window clustering, so the windowed
+    token stream never re-shuffles."""
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     toks = d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n"),
@@ -241,6 +245,11 @@ def q_llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is two IEEE divisions of integers, e6-rounded."""
     from ex_hivent_spark.operators.prefix import running_totals_blocked
 
+    # r16: A/B-tested spread_table here and REVERTED (1.30 plain vs
+    # 1.52 spread median) — both per-row metrics flow straight into
+    # few-key aggregates/prefix folds, so the scan-task partial
+    # aggregate already reduces the data; the doc_id repartition only
+    # added an exchange.
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     hits = F.size(F.filter(toks, lambda t: t.isin(*_RRF_TERMS))).cast(

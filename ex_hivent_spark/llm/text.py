@@ -1175,6 +1175,13 @@ def q_llm_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ranks below+1..below+cnt have mean below+(cnt+1)/2)."""
     from ex_hivent_spark.operators.prefix import running_totals_blocked
 
+    # r16: A/B-tested spread_table here and REVERTED — the groupBy
+    # immediately after reduces to few distinct keys, so the scan-task
+    # partial aggregate is the data reduction; a doc_id repartition
+    # ships raw rows across an extra exchange and measured SLOWER
+    # (classifier_eval 1.13 plain vs ~1.7 spread; same shape for
+    # calibration_bins). Single-task map cost is below the exchange
+    # cost for this op.
     d = load_table(spark, sf_dir, "documents")
     labeled = d.select(
         "doc_id",
@@ -1455,6 +1462,13 @@ def q_llm_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts, decimal-summed score mass, e6-rounded outputs."""
     from ex_hivent_spark.operators.prefix import running_totals_blocked
 
+    # r16: A/B-tested spread_table here and REVERTED — the groupBy
+    # immediately after reduces to few distinct keys, so the scan-task
+    # partial aggregate is the data reduction; a doc_id repartition
+    # ships raw rows across an extra exchange and measured SLOWER
+    # (classifier_eval 1.13 plain vs ~1.7 spread; same shape for
+    # calibration_bins). Single-task map cost is below the exchange
+    # cost for this op.
     d = load_table(spark, sf_dir, "documents")
     labeled = d.select(
         "doc_id",

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ex_hivent_spark.catalog import load_table, register_views
+from ex_hivent_spark.catalog import load_table, register_views, spread_table
 from ex_hivent_spark.functions.decimals import (
     davg,
     dround,
@@ -47,8 +47,13 @@ from ex_hivent_spark.plans.registry import register
 )
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-style pricing summary: the flagship batch spine
-    (scan → pushed filter → project → partial+final hash agg)."""
-    l = load_table(spark, sf_dir, "lineitem")
+    (scan → pushed filter → project → partial+final hash agg).
+    r16: spread_table — the single-row-group testdata scan ran the
+    7-aggregate partial phase (decimal products included) in ONE task;
+    hash-spreading on l_orderkey parallelizes the map side (decimal
+    sums are order-insensitive, oracle-verified). No-op on real
+    multi-split inputs."""
+    l = spread_table(spark, sf_dir, "lineitem", "l_orderkey")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

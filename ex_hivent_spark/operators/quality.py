@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.catalog import load_table, spread_table
 from ex_hivent_spark.functions.decimals import dround, sql_dround
 from ex_hivent_spark.plans.registry import register
 
@@ -257,8 +257,13 @@ def q_quality_order_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact micro-unit BIGINT per order (floor(x·1e6+0.5) — identical
     doubles in, identical integers out), so the 1%-band count and the
     integer-sum mean are exact on both engines; the closing mean is
-    e6-rounded."""
-    li = load_table(spark, sf_dir, "lineitem")
+    e6-rounded.
+
+    r16: spread_table — the per-order aggregate's partial phase (an
+    e6-round + decimal cast per line) ran inside the one-task scan;
+    hash-spreading on l_orderkey parallelizes it, and the aggregate
+    output keeps HashPartitioning(l_orderkey) for the header join."""
+    li = spread_table(spark, sf_dir, "lineitem", "l_orderkey")
     o = load_table(spark, sf_dir, "orders")
     ls = li.groupBy("l_orderkey").agg(
         F.sum(

@@ -215,7 +215,11 @@ def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     products are computed in EXACT decimal arithmetic
     (decimal(25,1) × decimal(12,0) — at rank·cnt ≈ 1e15⁺ a double ulp
     exceeds the .5 grid, the gini lesson); the closing H is e6-rounded
-    (the decimal→double casts of >2⁵³ sums double-round in DuckDB)."""
+    (the decimal→double casts of >2⁵³ sums double-round in DuckDB).
+    r16: A/B-tested spread_table on the events scan and REVERTED
+    (1.09 plain vs 1.66 spread median) — both value-grain aggregates
+    collapse to ~|distinct values| partials inside the scan task, so
+    the user_id repartition shipped raw rows for nothing."""
     e = load_table(spark, sf_dir, "events")
     vc = e.groupBy("value").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")

@@ -439,10 +439,24 @@ def test_gopher_rules_is_map_only(spark, sf_dir):
 def test_bigram_logprob_broadcasts_vocab_tables(spark, sf_dir):
     """Context and unigram count tables are vocab-sized → must
     broadcast; only the bigram-count aggregate may shuffle. No
-    cartesian/nested-loop anywhere."""
+    accidental cartesian — the ONE allowed nested-loop is the
+    deliberate one-row broadcast of the corpus token total (the
+    r16 change that replaced a plan-build collect; the standard
+    tiny-pre-pass crossJoin(broadcast(one_row_agg)) pattern)."""
+    import re
+
     plan = plan_of(spark, sf_dir, "q_llm_bigram_logprob")
     assert plan.count("BroadcastHashJoin") >= 2
-    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    # the formatted plan mentions each node in the tree AND in the
+    # detail section — count distinct node ids, not text occurrences
+    nodes = set(re.findall(r"BroadcastNestedLoopJoin[^(\n]*\((\d+)\)", plan))
+    assert len(nodes) <= 1
+    # every nested-loop mention must be that broadcast node (no plain
+    # CartesianProduct / non-broadcast nested loop anywhere)
+    assert plan.count("NestedLoop") == plan.count("BroadcastNestedLoopJoin")
+    if nodes:
+        assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
 
 
 def test_ccnet_buckets_single_token_shuffle(spark, sf_dir):
