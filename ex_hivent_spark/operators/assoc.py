@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ex_hivent_spark.catalog import load_table
+from ex_hivent_spark.catalog import load_table, spread_table
 from ex_hivent_spark.functions.decimals import dround, sql_dround
 from ex_hivent_spark.plans.registry import register
 
@@ -450,8 +450,14 @@ def q_agg_daily_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-sum/count e6-rounded, so cross products are exact
     1e-12-grid values summed at decimal(38,12); each closing r is
     e6-rounded with the variance product zero-clamped under the
-    sqrt."""
-    li = load_table(spark, sf_dir, "lineitem")
+    sqrt.
+
+    r16: spread_table — the daily aggregate's partial phase (4 decimal
+    casts+sums per line) ran inside the one-task single-row-group
+    scan; A/B measured spread 2.08/2.74 s vs plain 2.54/3.78 s
+    medians (two arms each). Decimal sums are order-insensitive, so
+    the repartition is exactness-safe; no-op on multi-split inputs."""
+    li = spread_table(spark, sf_dir, "lineitem", "l_orderkey")
     day_aggs = [
         dround(
             F.sum(F.col(src).cast("decimal(25,6)")).cast("double")

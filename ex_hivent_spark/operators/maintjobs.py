@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ex_hivent_spark.catalog import load_table, spread_table
+from ex_hivent_spark.catalog import load_table
 from ex_hivent_spark.functions.decimals import dround
 from ex_hivent_spark.plans.registry import register
 
@@ -205,12 +205,12 @@ def q_agg_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number rank assigned after the limit over exactly 20 rows.
     All-integer, deterministic ties (count DESC, key ASC).
 
-    r16: spread_table — the (blk, key) aggregate's partial phase ran
-    inside the one-task single-row-group scan; hash-spreading on
-    l_orderkey parallelizes it (blocks are l_orderkey DIV 2048, so the
-    spread even co-locates most of each block). No-op on multi-split
-    inputs."""
-    li = spread_table(spark, sf_dir, "lineitem", "l_orderkey")
+    r16: A/B-tested spread_table on the lineitem scan and REVERTED
+    (plain 2.0-2.1 s vs spread 2.4-3.1 s medians, two arms each) —
+    the (blk, key) partial aggregate already reduces inside the scan
+    task, so the repartition shipped raw rows for nothing (the same
+    few-distinct-keys pattern as the wave-6 reverts)."""
+    li = load_table(spark, sf_dir, "lineitem")
     blk = li.groupBy(
         F.expr(f"l_orderkey DIV {_SS_BLOCK}").alias("blk"), "l_partkey"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
