@@ -346,8 +346,16 @@ def q_fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary encoding is parsed once at ingest and every downstream
     field access is a cheap typed probe, instead of re-parsing JSON
     text per expression as ``get_json_object`` does. The oracle mirrors
-    with DuckDB's JSON probes on the same paths."""
-    e = load_table(spark, sf_dir, "events")
+    with DuckDB's JSON probes on the same paths.
+
+    r16 wave 8: spread_table — the op is a pure projection doing four
+    JSON parses per row, which ran entirely inside the one-task scan
+    (1 job, no exchange, zero parallelism); the scale-adaptive spread
+    parallelizes the parse map side and is inert on multi-split
+    production inputs (guide §2.5/§6.2)."""
+    from ex_hivent_spark.catalog import spread_table
+
+    e = spread_table(spark, sf_dir, "events", "event_id")
     v = F.parse_json("props")
     return e.select(
         "event_id",
@@ -491,8 +499,14 @@ def q_fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     malformed row kills hours of work. The ``try_*`` family turns those
     into NULLs: try_divide for the zero denominator, try_cast for
     non-numeric strings. Hash-checked against the explicit CASE/
-    TRY_CAST oracle so the NULL-production contract is pinned."""
-    e = load_table(spark, sf_dir, "events")
+    TRY_CAST oracle so the NULL-production contract is pinned.
+
+    r16 wave 9: spread_table — a pure three-try-expression projection
+    that ran entirely inside the one-task scan (the variant_json
+    pattern, §2.5/§6.2); inert on multi-split production inputs."""
+    from ex_hivent_spark.catalog import spread_table
+
+    e = spread_table(spark, sf_dir, "events", "event_id")
     return e.select(
         "event_id",
         F.try_divide(F.col("value"), F.col("user_id") % 7).alias("safe_div"),

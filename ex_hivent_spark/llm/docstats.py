@@ -93,7 +93,8 @@ def q_llm_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     vc = d.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+    )  # wave-9 pin A/B-tested and REVERTED (1.01 -> 1.12 s: the
+    # duplicated documents subtrees overlap within one job)
     blocked = vc.withColumn(
         "blk", F.floor(F.col("v") / F.lit(_LEN_BLOCK))
     )

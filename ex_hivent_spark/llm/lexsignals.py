@@ -694,7 +694,8 @@ def q_llm_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stot = toks.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tok")
-    )
+    )  # wave-9 pin A/B-tested and REVERTED (wash-to-slower: the
+    # duplicated tokenize subtrees overlap within one job)
     tf = toks.groupBy("source", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     ).localCheckpoint(eager=False)  # feeds top-K and the rate panel

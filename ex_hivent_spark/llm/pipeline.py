@@ -635,11 +635,12 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated-domain stand-in) than the general corpus, the standard
     pretraining-data-selection signal.
 
-    Plan: one token explode feeds BOTH histogram aggregates (source =
-    whole corpus, target = the filtered slice) — each a 256-row result
-    broadcast back to the token stream, so the corpus side never
-    shuffles: two tiny hash-aggs + one broadcast join + one per-doc
-    aggregate, linear at 100 TB. Determinism: the smoothed ratio is
+    Plan: ONE token explode builds BOTH histograms in a single 256-row
+    hash aggregate (target = conditional count over the same grouped
+    stream); the ts/tt totals fold from that pinned histogram and ride
+    back as a one-row broadcast, so the corpus side never shuffles:
+    one tiny hash-agg + one broadcast join + one per-doc aggregate,
+    linear at 100 TB. Determinism: the smoothed ratio is
     computed as exact-integer-to-double casts multiplied THEN divided
     (never bigint products that could overflow at corpus scale), ln is
     the single libm op e6-rounded per token (the q_llm_unigram_logprob
@@ -657,20 +658,38 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    src_cnt = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
-    tgt_cnt = (
-        toks.filter(F.col("source") == DSIR_TARGET_SOURCE)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # r16 wave 8: BOTH histograms in ONE tokenize pass (the target
+    # side is a conditional count over the same grouped stream), and
+    # the ts/tt totals fold from the pinned 256-row histogram instead
+    # of two plan-build-time .count() jobs that each re-ran the full
+    # explode (the before profile showed 5 tokenize passes; now 2 —
+    # the histogram and the per-doc scoring join).
+    hist = (
+        toks.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cs"),
+            F.count(
+                F.when(F.col("source") == DSIR_TARGET_SOURCE, 1)
+            ).alias("ct"),
+        )
+        .localCheckpoint(eager=False)
     )
-    stats = src_cnt.join(tgt_cnt, "b", "left").na.fill({"ct": 0})
-    ts = toks.count()
-    tt = toks.filter(F.col("source") == DSIR_TARGET_SOURCE).count()
+    tot = hist.agg(
+        F.sum("cs").cast("bigint").alias("ts_tot"),
+        F.sum("ct").cast("bigint").alias("tt_tot"),
+    )
+    stats = hist.crossJoin(F.broadcast(tot))
 
     lr = dround(
         F.log(
-            ((F.col("ct") + 1).cast("double") * F.lit(float(ts + DSIR_BUCKETS)))
-            / ((F.col("cs") + 1).cast("double") * F.lit(float(tt + DSIR_BUCKETS)))
+            (
+                (F.col("ct") + 1).cast("double")
+                * (F.col("ts_tot") + DSIR_BUCKETS).cast("double")
+            )
+            / (
+                (F.col("cs") + 1).cast("double")
+                * (F.col("tt_tot") + DSIR_BUCKETS).cast("double")
+            )
         ),
         6,
     ).alias("lr")

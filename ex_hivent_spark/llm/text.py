@@ -319,7 +319,11 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     query 3.6x its DuckDB oracle at sf0.1 — the explode itself is
     cheap). The empty-text edge (split('','') -> ['']) is filtered;
     1-char outputs can never be ''."""
-    d = load_table(spark, sf_dir, "documents")
+    # r16 wave 9: spread_table — the per-CHARACTER explode is the
+    # heaviest map fan-out in the text family and collapses to
+    # (doc, char) keys in the partial aggregate; it ran single-task
+    # (the dedup-family spread pattern, §2.5).
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     chars = d.select(
         "doc_id",
         F.explode(F.split("text", "")).alias("ch"),
@@ -638,6 +642,9 @@ def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
+    # r16 wave 9 NOTE: pinning dl/qtoks was A/B-tested and REVERTED
+    # (0.70 -> 0.78 s): the duplicated tokenize subtrees run
+    # concurrently within one job (the kendall_w lesson).
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
@@ -866,6 +873,10 @@ def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
+    # r16 wave 9 NOTE: pinning uni/bgc was A/B-tested and REVERTED
+    # (1.23 -> 1.84 s): the five tokenize subtrees execute
+    # concurrently inside one job, and the two checkpoints serialize
+    # them into blocking jobs instead.
     uni = (
         w.select(F.explode("t").alias("tok"))
         .groupBy("tok")

@@ -607,8 +607,14 @@ def q_basket_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct set — bounded fan-out, never a cross join over users; the
     type-level tables are vocabulary-sized broadcasts."""
     e = load_table(spark, sf_dir, "events")
+    # r16 wave 9: the user count becomes a one-row broadcast instead
+    # of a plan-build .count() job (kept). Pinning per_user was also
+    # A/B-tested and REVERTED (wash-to-slower: the duplicated distinct
+    # subtrees overlap within one job).
     per_user = e.select("user_id", "event_type").distinct()
-    n_users = per_user.select("user_id").distinct().count()
+    nu = per_user.agg(
+        F.count_distinct("user_id").cast("bigint").alias("nu")
+    )
     singles = per_user.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_with")
     )
@@ -632,13 +638,15 @@ def q_basket_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = singles.select(
         F.col("event_type").alias("type_b"), F.col("n_with").alias("nb")
     )
-    lift = (F.col("n_both").cast("double") / n_users) / (
-        (F.col("na").cast("double") / n_users)
-        * (F.col("nb").cast("double") / n_users)
+    nud = F.col("nu").cast("double")
+    lift = (F.col("n_both").cast("double") / nud) / (
+        (F.col("na").cast("double") / nud)
+        * (F.col("nb").cast("double") / nud)
     )
     return (
         pairs.join(F.broadcast(sa), "type_a")
         .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(nu))
         .select("type_a", "type_b", "n_both", dround(lift, 6).alias("lift"))
     )
 
@@ -1216,6 +1224,9 @@ def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort at 100 TB; the 4-scalar bounds pre-pass is the
     zorder_write convention (at scale, column statistics provide it
     for free)."""
+    # r16 wave 9 NOTE: spread_table was A/B-tested and REVERTED
+    # (1.53 plain vs 1.60 spread, 4 -> 6 jobs): the rotation chain is
+    # cheap integer codegen, so the added exchange bought nothing.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey"
     )
@@ -1351,6 +1362,9 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison are per-row IEEE on identically derived doubles, so the
     outlier COUNT hash-matches too."""
     e = load_table(spark, sf_dir, "events")
+    # r16 wave 9 NOTE: pinning med/mad was A/B-tested and REVERTED
+    # (0.59 -> 0.78 s): the duplicated percentile subtrees overlap
+    # within one job; the checkpoints serialize them.
     med = e.groupBy("event_type").agg(
         dround(F.percentile("value", F.lit(0.5)), 6).alias("med_r")
     )

@@ -239,6 +239,9 @@ def q_agg_quintile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
 
     def half(pred) -> DataFrame:
+        # r16 wave 9 NOTE: pinning each half frame was A/B-tested and
+        # REVERTED (calm tiebreak 2.00 unpinned vs 5.91 pinned) — the
+        # duplicated filtered aggregates overlap within one job.
         return (
             e.filter(pred)
             .groupBy("user_id")
@@ -788,7 +791,8 @@ def q_agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.min("ts").cast("date"))
         .cast("date")
         .alias("cohort_week")
-    )
+    )  # wave-9 pin A/B-tested and REVERTED (0.56 unpinned vs 0.73
+    # pinned in the calm tiebreak)
     sizes = fs.groupBy("cohort_week").agg(
         F.count(F.lit(1)).cast("bigint").alias("cohort_users")
     )
@@ -1020,6 +1024,8 @@ def q_seq_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("ts") < cut)
         .groupBy("cur", "nxt")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # wave-9 pin A/B-tested and REVERTED (0.86 unpinned vs 0.91
+        # pinned; the duplicated lead-window subtrees overlap)
     )
     wp = Window.partitionBy("cur").orderBy(
         F.col("cnt").desc(), F.col("nxt").asc()

@@ -204,7 +204,8 @@ def q_agg_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = o.groupBy("o_custkey").agg(
         F.min(us).alias("t1"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-    )
+    )  # wave-9 pin A/B-tested and REVERTED (0.49 unpinned vs 0.62
+    # pinned in the calm tiebreak)
     seconds = (
         o.join(firsts.select("o_custkey", "t1"), "o_custkey")
         .filter(us > F.col("t1"))

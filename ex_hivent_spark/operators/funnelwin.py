@@ -112,6 +112,11 @@ def q_seq_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == _FUNNEL_STEPS[0])
         .groupBy("user_id")
         .agg(F.min(us).alias("t1"))
+        # r16 wave 9 NOTE: pin variants (4-pin and 2-pin) were both
+        # A/B-tested and REVERTED (4-pin 1.45 s; 2-pin wash-to-slower
+        # in the calm tiebreak vs 0.76 unpinned): the duplicated
+        # filtered-aggregate subtrees overlap within one job, and
+        # each checkpoint adds a blocking materialization job.
     )
     s2 = (
         e.filter(F.col("event_type") == _FUNNEL_STEPS[1])

@@ -315,13 +315,18 @@ def q_stats_chisq_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed counts are exact integers, each cell term is one IEEE
     chain e6-rounded, and the 7-term sum rides the decimal detour."""
     e = load_table(spark, sf_dir, "events")
+    # r16 wave 9: derive the type list from the observed grid (a type
+    # with zero events appears in neither — kept, one scan saved with
+    # no checkpoint). Pinning obs was also A/B-tested and REVERTED
+    # (0.43 unpinned vs 0.55 pinned: the duplicated subtrees overlap
+    # within one job).
     obs = e.groupBy(
         "event_type",
         (
             F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") % 7
         ).alias("dow"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
-    types = e.select("event_type").distinct()
+    types = obs.select("event_type").distinct()
     grid = types.crossJoin(
         F.broadcast(
             spark.range(7).select(F.col("id").cast("bigint").alias("dow"))
@@ -437,6 +442,13 @@ def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose sums stay far below 2^53 (order-insensitive); the closings
     are IEEE chains from integers, e6-rounded."""
     e = load_table(spark, sf_dir, "events")
+    # r16 wave 9 NOTE: pinning this frame was A/B-tested TWICE and
+    # REVERTED (calm tiebreak 2.29 unpinned vs 6.03 pinned): the nine
+    # duplicated events subtrees all sit inside the final job and run
+    # CONCURRENTLY across the cores, while a localCheckpoint
+    # serializes the aggregate into a blocking materialization ahead
+    # of every consumer. Contrast q_stats_page_trend, whose consumers
+    # include sequential driver-collect jobs.
     daily = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
         "event_type",
@@ -982,12 +994,16 @@ def q_stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT dims in identical IEEE order; √Var is e6-rounded before the
     e6-rounded z; a degenerate single-type panel reads NULL z."""
     e = load_table(spark, sf_dir, "events")
+    # r16 wave 8: pin the (day, type) frame — it is ≤ |days|·|types|
+    # rows yet feeds FIVE consumers (n_days, kept, cells → ranked +
+    # dims), each of which previously re-ran the events-scale
+    # aggregate (the before plan holds six events scans).
     daily = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("d"),
         "event_type",
     ).agg(
         F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("m")
-    )
+    ).localCheckpoint(eager=False)
     n_days_f = daily.agg(
         F.count_distinct("d").cast("bigint").alias("n_days")
     )

@@ -225,7 +225,8 @@ def q_join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
         F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
-    )
+    )  # wave-9 pin A/B-tested and REVERTED (0.62 unpinned vs 0.75
+    # pinned in the calm tiebreak)
     c = (
         e.filter(F.col("event_type").isin("click", "view"))
         .select(

@@ -423,6 +423,9 @@ def q_seq_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.filter(F.col("nxt").isNotNull())
         .groupBy("cur", "nxt")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+        # r16 wave 9 NOTE: pinning this matrix was A/B-tested and
+        # REVERTED (0.80 unpinned vs 1.33 pinned): the duplicated
+        # lead-window subtrees overlap within one job.
     )
     outs = pairs.groupBy("cur").agg(
         F.sum("n_trans").cast("bigint").alias("n_out")

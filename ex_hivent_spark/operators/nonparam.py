@@ -247,6 +247,12 @@ def q_stats_wilcoxon_signed_rank(
         "user_id", dround(F.col("m2") - F.col("m1"), 6).alias("d")
     ).filter(F.col("d") != 0)
     nz = nz.select("user_id", "d", F.abs(F.col("d")).alias("absd"))
+    # r16 wave 8 NOTE: an (absd, sign)-count restructure (one events
+    # pass, W+ from rnk·c products) was A/B-tested and REVERTED —
+    # 1.55 s/12 jobs → 2.00 s/14 jobs: the pair frame is near-events-
+    # sized, so materializing the finer checkpoint and re-deriving the
+    # distinct-|d| counts from it per consumer cost more than the
+    # second scan it saved (the kruskal/mannwhitney A/B read the same).
     vc = nz.groupBy("absd").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     ).localCheckpoint(eager=False)  # ranks + ties: one pass
@@ -1593,6 +1599,10 @@ def q_stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("c2"),
         )
+        # r16 wave 8: pin the distinct-value frame — it feeds the
+        # blocked prefix fold (two consumers) AND the n1/n2 totals,
+        # each of which previously re-ran the events-scale aggregate.
+        .localCheckpoint(eager=False)
     )
     blocked = vc.withColumn(
         "blk", F.floor(F.col("value") / F.lit(10.0)).cast("bigint")
@@ -1696,6 +1706,11 @@ def q_stats_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rev")
     )
+    # r16 wave 9 NOTE: pinning this ≤|flags|·|days| frame was A/B-
+    # tested and REVERTED (1.29 -> 2.77 s): the seven duplicated
+    # lineitem subtrees run CONCURRENTLY inside one job, while the
+    # checkpoint serializes the aggregate into a blocking job ahead
+    # of every consumer.
     mm = d.agg(F.countDistinct("rf").cast("bigint").alias("m"))
     full_days = (
         d.crossJoin(F.broadcast(mm))

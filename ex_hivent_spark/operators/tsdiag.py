@@ -900,7 +900,9 @@ def q_ts_diff_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     base — the SCALE.md magnitude lesson), each difference e6-rounded
     at the source so squares sit on the 1e-12 grid in decimal(38,12)
     sums, e6-rounded closings."""
-    spine = _total_spine(spark, sf_dir)
+    spine = _total_spine(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # r16 wave 8: base + deviations share one events pass
     base = spine.agg(
         F.floor(F.sum("y").cast("double") / F.count(F.lit(1)))
         .cast("bigint")
@@ -991,7 +993,8 @@ def q_ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     hod = spine.groupBy((F.col("h") % 24).alias("hour_of_day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hours"),
         F.sum("y").cast("bigint").alias("y_sum"),
-    )
+    ).localCheckpoint(eager=False)  # r16 wave 8: the 24-row frame
+    # feeds the grand mean AND the output — one events pass
     tot = hod.agg(
         (F.sum("y_sum").cast("double") / F.sum("n_hours")).alias(
             "grand_mean"

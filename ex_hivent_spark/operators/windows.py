@@ -1346,6 +1346,10 @@ def q_ts_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type").isin("view", "purchase"))
         .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # r16 wave 9 NOTE: pinning this frame was A/B-tested and
+        # REVERTED (0.62 unpinned vs 1.14 pinned in the calm
+        # tiebreak): the four duplicated events subtrees overlap
+        # within one job.
     )
     v = hourly.filter(F.col("event_type") == "view").select(
         "h", F.col("cnt").alias("a")
