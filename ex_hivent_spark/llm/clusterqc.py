@@ -193,8 +193,16 @@ def _dist_lit(e_col, cvec) -> "F.Column":
 def _emb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, e) with null/empty embeddings dropped — the rows
     the posexplode pipeline would drop (explode of null/empty emits
-    nothing)."""
-    em = load_table(spark, sf_dir, "embeddings")
+    nothing).
+
+    r16 wave 10: spread_table — the sole consumer (the silhouette
+    literal-centroid path) evaluates k x 64 interpreted zip_with/
+    aggregate folds PER ROW in the projection directly over this scan,
+    which ran as ONE task on the single-row-group input (guide §2.5);
+    inert on multi-split production inputs."""
+    from ex_hivent_spark.catalog import spread_table
+
+    em = spread_table(spark, sf_dir, "embeddings", "vec_id")
     return em.select(
         "vec_id",
         "label",

@@ -266,6 +266,12 @@ def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     a decodable image, so the deterministic fallback path runs
     everywhere (tests/test_multimodal.py exercises the real-PIL branch
     separately)."""
+    # r16 wave 10 NOTE: spreading the synthesized media frame before
+    # the decode was A/B-tested THREE times and REVERTED (mins 0.53-
+    # 0.66 plain vs 0.76-0.78 spread): the repartition ships the
+    # repeated binary payloads, which costs more than the decode —
+    # the guide §8 lesson (never shuffle heavy opaque bytes to buy
+    # map parallelism).
     feats = extract_features(synth_media(spark, sf_dir))
     return feats.select(
         "media_id",

@@ -251,8 +251,11 @@ def q_llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality signal (the Gopher/MassiveText-style filter):
     fraction of duplicated token 2-grams per document. High values mark
     boilerplate/templated text for exclusion from training sets. Pure
-    integer ratio — hash-exact, map-only, codegen'd."""
-    d = load_table(spark, sf_dir, "documents")
+    integer ratio — hash-exact, map-only, codegen'd.
+
+    r16 wave 10: spread_table — map-only gram building over the
+    one-task scan (the variant_json pattern, §2.5)."""
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     # let-bound twice (functions/letbind.py): the gram array is
     # referenced by three projection fields and codegen does not CSE
     # across HOF-produced subtrees, so unbound it (and its inner
@@ -759,8 +762,11 @@ def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Map-only — one regex split per doc, all higher-order array
     expressions, no shuffle at all; at 100 TB this runs at scan speed
-    and feeds the keep flag straight into a partition-pruned rewrite."""
-    d = load_table(spark, sf_dir, "documents")
+    and feeds the keep flag straight into a partition-pruned rewrite.
+
+    r16 wave 10: spread_table — the regex splits and HOF filters ran
+    inside the one-task scan (the variant_json pattern, §2.5)."""
+    d = spread_table(spark, sf_dir, "documents", "doc_id")
     toks = F.split("text", r"\s+")
     stop = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_words = F.size(toks)
