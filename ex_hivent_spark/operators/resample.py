@@ -158,8 +158,7 @@ def q_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(25,6)"))
         .cast("double")
         .alias("m")
-    ).localCheckpoint(eager=False)  # r16 wave 8: the observed mean and
-    # the replicate fan-out share one events pass
+    )
     obs = u.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         (
@@ -188,20 +187,7 @@ def q_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         / _U_DEN
     )
-    # r16 wave 8: the B·|users| md5 fan-out is pure map work, but the
-    # pinned per-user aggregate collapses to ~1 AQE partition locally
-    # — spread it across the cores when the source scan is
-    # single-split (the spread_table gate: inert on multi-split
-    # production inputs, where u is already wide).
-    reps_src = u
-    if (
-        load_table(spark, sf_dir, "events").rdd.getNumPartitions()
-        < spark.sparkContext.defaultParallelism
-    ):
-        reps_src = u.repartition(
-            spark.sparkContext.defaultParallelism, "user_id"
-        )
-    reps = reps_src.crossJoin(F.broadcast(grid)).select(
+    reps = u.crossJoin(F.broadcast(grid)).select(
         "user_id", "m", "rep", _pois_weight(uni).alias("w")
     )
     rmean = (
@@ -214,9 +200,6 @@ def q_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("wsum") > 0)
         .select("rep", (F.col("wm") / F.col("wsum")).alias("bm"))
-        .localCheckpoint(eager=False)  # r16 wave 8: the rank window
-        # and the deviation pass both read the 200-row replicate frame
-        # — without the pin each re-ran the whole fan-out aggregate
     )
     wr = Window.orderBy("bm", "rep")
     ranked = rmean.select(
@@ -341,9 +324,7 @@ def q_agg_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s_all") - F.col("s_d"))
             / (F.col("n_all") - F.col("n_d"))
         ).alias("lm"),
-    )  # wave-9 pin A/B-tested and REVERTED (0.66 unpinned vs 0.80
-    # pinned in the calm tiebreak: the duplicated orders subtrees
-    # overlap within one job)
+    )
     bar = loo.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum(F.col("lm").cast("decimal(25,6)")).cast("double").alias("ls"),
