@@ -144,9 +144,20 @@ def spread_table(
     the session's default parallelism — derived from the input, not a
     constant tuned for local mode. At 100 TB a table scan yields
     thousands of splits, the condition is false, and this is exactly
-    ``load_table`` (zero added shuffle). On the gate SFs it costs one
-    tiny exchange (the biggest table is 11 MB) and buys every
-    downstream map stage the full core count.
+    ``load_table`` (zero added shuffle).
+
+    r17: the fan-out target is SIZE-AWARE — ``ceil(uncompressed_bytes /
+    spread_split_bytes)`` capped at defaultParallelism, instead of a
+    flat defaultParallelism (r16's form fanned an 11 MB table to 32
+    tasks at 32 cores, maximizing scheduler overhead exactly where
+    there is no data to spread; the driver's 8-core run beat its
+    32-core run on the spread adopters). Bytes come from the local
+    parquet footers — metadata only, no Spark job, deterministic. The
+    per-task quantum (default 64 KiB raw) is deliberately far below a
+    plain-scan split size because every adopter does per-row work
+    (tokenize/regex/HOF folds) that costs orders of magnitude more CPU
+    per byte than a scan; it is env-tunable (SPARK_GRAFT_SPREAD_SPLIT_BYTES)
+    for clusters.
 
     Correctness: hash partitioning on a stable data key is
     deterministic (no round-robin, SPARK-38388 does not apply), and
@@ -161,11 +172,58 @@ def spread_table(
     if cached is not None:
         return cached
     df = load_table(spark, sf_dir, name)
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, F.col(key))
+    para = spark.sparkContext.defaultParallelism
+    splits = df.rdd.getNumPartitions()
+    if splits < para:
+        from ex_hivent_spark.config import setting_integer
+
+        quantum = max(1, setting_integer("spread_split_bytes", 1 << 16))
+        nbytes = _table_input_bytes(sf_dir, name)
+        target = min(para, max(1, -(-nbytes // quantum)))
+        if target > splits:
+            df = df.repartition(target, F.col(key))
     per_session[cache_key] = df
     return df
+
+
+# Raw-byte sizes of table inputs, from parquet footers (metadata-only).
+_TABLE_BYTES: dict[tuple, int] = {}
+
+
+def _table_input_bytes(sf_dir: str, name: str) -> int:
+    """Uncompressed bytes of one table's parquet data, read from the
+    local footer(s). Metadata-only (no Spark job, no data read) and
+    deterministic for a read-only testdata dir. Returns 0 when the
+    path is not locally inspectable (object stores) — spread then
+    stays a no-op, which is the correct call at that scale anyway."""
+    key = (sf_dir, name)
+    cached = _TABLE_BYTES.get(key)
+    if cached is not None:
+        return cached
+    path = f"{sf_dir}/{name}.parquet"
+    total = 0
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = [path]
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            total += sum(
+                meta.row_group(i).total_byte_size
+                for i in range(meta.num_row_groups)
+            )
+    except Exception:  # pragma: no cover - non-local or unreadable path
+        total = 0
+    _TABLE_BYTES[key] = total
+    return total
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -30,6 +30,11 @@ SETTINGS: dict[str, tuple] = {
     "sf_dir": (SYSTEM, "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     "driver_memory": (SYSTEM, "SPARK_DRIVER_MEMORY", "8g"),
     "master": (SYSTEM, "SPARK_MASTER", None),
+    # Raw bytes of table data per task when spread_table fans a
+    # below-parallelism scan out (r17): the spread target is
+    # ceil(uncompressed_bytes / this), capped at defaultParallelism —
+    # derived from the input, not a constant per core count.
+    "spread_split_bytes": (SYSTEM, "SPARK_GRAFT_SPREAD_SPLIT_BYTES", "65536"),
 }
 
 

@@ -621,6 +621,8 @@ def q_emb_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines, exact integer bin arithmetic (the +1 shift and ×5 are
     exact on the e6 grid; cosine = 1.0 clamps into the top bin),
     e6-rounded shares."""
+    from pyspark.sql import Window
+
     pair_scores, _ = _probe_scores(spark, sf_dir, 5, _HUB_Q)
     scored = pair_scores.select(
         F.least(
@@ -628,22 +630,24 @@ def q_emb_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_PAIR_BINS - 1),
         ).alias("bin")
     )
-    nt = scored.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs_total")
+    # r17 (the ndcg_eval fix, guide §2.4): the pair total used to ride
+    # as crossJoin(broadcast(scored.agg(count))) — a broadcast job that
+    # recomputed the ENTIRE probe dot pass before the main job could
+    # start. The total is just the sum of the ≤10 histogram counts, so
+    # derive it with a single-partition window over the tiny aggregate:
+    # the dot pass now runs exactly once.
+    hist = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
-    return (
-        scored.crossJoin(F.broadcast(nt))
-        .groupBy("bin", "n_pairs_total")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
-        .select(
-            "bin",
-            dround(F.col("bin") / 5.0 - 1.0, 6).alias("bin_lo"),
-            "n_pairs",
-            dround(
-                F.col("n_pairs").cast("double") / F.col("n_pairs_total"),
-                6,
-            ).alias("share"),
-        )
+    wall = Window.partitionBy()
+    return hist.select(
+        "bin",
+        dround(F.col("bin") / 5.0 - 1.0, 6).alias("bin_lo"),
+        "n_pairs",
+        dround(
+            F.col("n_pairs").cast("double") / F.sum("n_pairs").over(wall),
+            6,
+        ).alias("share"),
     )
 
 

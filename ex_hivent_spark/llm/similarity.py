@@ -827,8 +827,16 @@ def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per-vector best in-bucket neighbor, found with a single
     max(struct) hash aggregation — partial (map-side) combine, no
     per-group sort, unlike a row_number window. HASH-CHECKED against a
-    SQL twin sharing the literal hyperplanes and fold order."""
-    unit = _unit_frame(spark, sf_dir).withColumn(
+    SQL twin sharing the literal hyperplanes and fold order.
+
+    r17: back on the un-memoized ``_normalized`` stream (the r15 form).
+    The r16 move onto the lazily-checkpointed ``_unit_frame`` regressed
+    this query on BOTH boxes (driver 0.54x, builder 0.69x): lsh needs
+    only one cheap normalize pass, and its self-join's two subtrees run
+    concurrently inside one job, so the checkpoint's serialized
+    materialization is pure cost here (the r16 pin/concurrency lesson)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    unit = _normalized(em).withColumn(
         "_pj", projections(F.col("unit"), _planes_tuple(N_HYPERPLANES))
     )
 
@@ -2851,6 +2859,8 @@ def q_llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     detour; the closing ratio is e6-rounded. IDCG sums the SAME
     e6-rounded discount grid, so NDCG = 1 exactly when all relevant
     hits lead the ranking."""
+    from pyspark.sql import Window
+
     topk = q_llm_cosine_topk(spark, sf_dir)
     em = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     lq = em.select(
@@ -2880,11 +2890,17 @@ def q_llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 1000000.0
     )
     terms = rel.select("query_id", "rn", "rel", disc.alias("disc"))
-    nrel = terms.groupBy("query_id").agg(
-        F.sum("rel").cast("bigint").alias("n_rel")
-    )
+    # r17 (guide §2.4): n_rel as a window over query_id instead of a
+    # groupBy + broadcast join-back — the broadcast side recomputed the
+    # ENTIRE topk subtree (scoring pass + rank window) as its own
+    # sequential job before the main job could start; the window rides
+    # the same query_id partitioning the final aggregate needs anyway,
+    # so the scoring pass now runs exactly once.
+    wq = Window.partitionBy("query_id")
     perq = (
-        terms.join(F.broadcast(nrel), "query_id")
+        terms.withColumn(
+            "n_rel", F.sum("rel").over(wq).cast("bigint")
+        )
         .groupBy("query_id")
         .agg(
             F.max("n_rel").alias("n_rel"),

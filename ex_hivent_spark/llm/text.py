@@ -475,17 +475,28 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (tiny → broadcast back to the token stream, no shuffle of the
     corpus side), one per-doc aggregate. ``ln`` is the single libm op —
     e6-rounded per token, then decimal-summed, so the driver hash
-    matches DuckDB exactly."""
+    matches DuckDB exactly.
+
+    r17: the corpus token total was a plan-build ``toks.count()`` — a
+    FULL extra tokenize+explode job before execution even started (the
+    exact antipattern r16 removed from bigram/dsir/basket_event_lift).
+    Now it is a per-doc ``size(split(...))`` sum — one scan, no explode,
+    no shuffle of the token stream — riding as a one-row broadcast
+    crossJoin. Same numeric value (token count is integer-exact in a
+    double), same e6-rounded nll."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.count()  # one scalar; reused as a literal
+    tot = d.select(
+        F.coalesce(F.size(F.split("text", " ")), F.lit(0)).alias("n")
+    ).agg(F.sum("n").cast("double").alias("t_total"))
 
     nll = dround(
-        F.log(F.lit(float(total)) / F.col("c").cast("double")), 6
+        F.log(F.col("t_total") / F.col("c").cast("double")), 6
     ).alias("nll")
     return (
         toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
         .select("doc_id", nll)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tokens"), davg("nll", "avg_surprisal"))
@@ -764,9 +775,11 @@ def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions, no shuffle at all; at 100 TB this runs at scan speed
     and feeds the keep flag straight into a partition-pruned rewrite.
 
-    r16 wave 10: spread_table — the regex splits and HOF filters ran
-    inside the one-task scan (the variant_json pattern, §2.5)."""
-    d = spread_table(spark, sf_dir, "documents", "doc_id")
+    r17: reverted the r16 wave-10 spread_table — it contradicted this
+    docstring and tests/test_plans.py::test_gopher_rules_is_map_only
+    (the map-only contract is the point of the operator; the ~0.1 s
+    local win was marginal)."""
+    d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", r"\s+")
     stop = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_words = F.size(toks)

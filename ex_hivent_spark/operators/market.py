@@ -976,6 +976,13 @@ def q_agg_order_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("c"),
     )
+    # r17: pin the tiny bucket frame (the cms_audit/grid_density
+    # pattern) — the grand total used to ride as
+    # crossJoin(broadcast(buckets.agg(...))), a broadcast job that
+    # recomputed the full lineitem per-order aggregate before the main
+    # job started. Pinned, both consumers read the ≤|n_lines|-row
+    # materialization: one lineitem pass.
+    buckets = buckets.localCheckpoint(eager=False)
     tot = buckets.agg(F.sum("c").cast("bigint").alias("t"))
     cd = F.col("c").cast("double")
     return buckets.crossJoin(F.broadcast(tot)).select(

@@ -69,9 +69,28 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum unit cost (min over an aggregated cost table replaces the
     correlated subquery — one pass, no re-execution).  Unit cost
     min(l_extendedprice/l_quantity) stands in for ps_supplycost.  The
-    supplier/nation/region side is tiny (broadcasts); both aggregations
-    shuffle on l_partkey[, l_suppkey].  LIMIT sorts on a unique key set."""
-    li = load_table(spark, sf_dir, "lineitem")
+    supplier/nation/region side is tiny (broadcasts); the cost
+    aggregation shuffles on (l_partkey, l_suppkey).  LIMIT sorts on a
+    unique key set.
+
+    r17 (guide §3.2/§2.4): (a) the selective part predicate
+    (p_size=15 AND p_type='STANDARD') pre-filters lineitem through a
+    broadcast semi-join BEFORE the cost aggregate — the per-part min
+    is independent of other parts, so restricting partkeys early
+    changes nothing while cutting the aggregate's input ~50x; (b) the
+    min-cost correlated shape is a window over l_partkey instead of a
+    groupBy + self-join — the cost_eu subtree previously appeared
+    twice in the plan (lineitem scanned and aggregated twice)."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
     )
@@ -88,19 +107,12 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost_eu = cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
-    best = cost_eu.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("supply_cost").alias("min_cost")
-    )
-    p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
-    )
+    wmin = Window.partitionBy("l_partkey")
+    best = cost_eu.withColumn(
+        "min_cost", F.min("supply_cost").over(wmin)
+    ).filter(F.col("supply_cost") == F.col("min_cost"))
     return (
-        cost_eu.join(
-            best,
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("supply_cost") == F.col("min_cost")),
-        )
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        best.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(20)
@@ -544,12 +556,41 @@ _Q17_SQL = f"""
 @register("q_tpch_q17_small_qty_revenue", oracle=_Q17_SQL)
 def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue lost to small-quantity orders — lines
-    under 20%% of their part's average quantity.  The correlated average
-    becomes a pre-aggregated join side (one pass over lineitem, then an
-    equi-join on partkey); the average itself is decimal-sum/count so
-    the 0.2*avg threshold compares identically in both engines."""
-    register_views(spark, sf_dir)
-    return spark.sql(_Q17_SQL)
+    under 20%% of their part's average quantity.  The average is
+    decimal-sum/count so the 0.2*avg threshold compares identically in
+    both engines.
+
+    r17 (guide §3.2/§2.4, the Q2 treatment): (a) the selective brand
+    predicate pre-filters lineitem through a broadcast semi-join BEFORE
+    anything aggregates — a part's average quantity depends only on its
+    own lines, so restricting partkeys early changes nothing; (b) the
+    correlated average is a window over l_partkey instead of a second
+    lineitem aggregate + join back — lineitem scans 2 → 1, and the one
+    exchange carries only the brand-filtered lines."""
+    from pyspark.sql import Window
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#7")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).over(w).cast("double")
+        / F.count("l_quantity").over(w)
+    )
+    qualifying = li.withColumn("avg_qty", avg_qty).filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
+    )
+    return qualifying.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
 
 
 # --------------------------------------------------------------------------

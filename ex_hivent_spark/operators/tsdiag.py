@@ -1960,6 +1960,12 @@ def q_ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p")
     )
     cnt = pat.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # r17: A/B-tested BOTH a single-partition-window total (jobs 5->4
+    # but min 0.79->0.92 s: two extra stages cost more than the removed
+    # broadcast job at gate SF) and a localCheckpoint pin (wall wash,
+    # jobs 5->7) against this double-pass form — neither beat it
+    # locally, so the r16 shape stays (the broadcast total recomputes
+    # the lag-window pass, but the two passes are only ~0.4 s here).
     tot = cnt.agg(F.sum("c").cast("bigint").alias("n"))
     pr = F.col("c").cast("double") / F.col("n")
     terms = cnt.crossJoin(F.broadcast(tot)).select(

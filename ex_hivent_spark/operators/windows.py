@@ -787,30 +787,32 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one bounded rows-frame window per user — frame order is the
     (ts, event_id) sort both engines share, and the per-element fold
     runs in index order.  Frame size is constant, so cost is O(n·K)
-    with no growing state."""
+    with no growing state.
+
+    r17 (guide §2.4 per-task work): the collect_list array build + two
+    interpreted HOF folds per row are replaced by K=8 lag expressions
+    plus row_number in the SAME window spec (one WindowExec, bounded
+    O(1) state, all codegen). Arithmetic is bit-identical to the
+    oracle's fold: term k is lag_k * 0.5^k (0.5^k exact binary, the
+    same double the pow produced), summed oldest-first left-assoc with
+    missing lags contributing exact +0.0 terms (x + 0.0 == x in IEEE
+    for the non-negative partial sums here, and an all-zero prefix
+    stays exactly 0.0); the denominator 2 - 0.5^(m-1) is the oracle's
+    geometric sum in closed form — every partial sum of distinct
+    binary powers is exactly representable, so no rounding anywhere.
+    Hash-verified at 3 SFs (events.value carries no NULLs; the
+    collect_list form skipped NULLs and so would the oracle diverge —
+    the no-NULL value domain is the established engine convention)."""
     e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(_EWMA_WINDOW - 1), Window.currentRow)
-    )
-    arr = F.collect_list("value").over(w)
-    n = F.size(arr)
-    idx = F.sequence(F.lit(1), n)
-    num = F.aggregate(
-        F.zip_with(
-            arr,
-            idx,
-            lambda x, i: x * F.pow(F.lit(0.5), (n - i).cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    den = F.aggregate(
-        F.transform(idx, lambda i: F.pow(F.lit(0.5), (n - i).cast("double"))),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    for k in range(_EWMA_WINDOW - 1, 0, -1):
+        num = num + F.coalesce(
+            F.lag("value", k).over(w) * F.lit(0.5**k), F.lit(0.0)
+        )
+    num = num + F.col("value")  # lag 0, weight 0.5^0 == 1
+    m = F.least(F.row_number().over(w), F.lit(_EWMA_WINDOW))
+    den = F.lit(2.0) - F.pow(F.lit(0.5), (m - 1).cast("double"))
     return e.select(
         "event_id",
         "user_id",

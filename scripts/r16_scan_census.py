@@ -39,14 +39,15 @@ def main() -> int:
 
     specs = all_specs()
     if top:
-        bench = json.load(open("BENCH_FULL.json"))["queries"]
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        bench = json.load(open(os.path.join(repo_root, "BENCH_FULL.json")))["queries"]
         ranked = sorted(bench.items(), key=lambda kv: -kv[1])
         names.extend(k for k, _ in ranked[:top] if k in specs)
 
     spark = get_session(app_name="r16-scan-census")
     spark.sparkContext.setLogLevel("ERROR")
 
-    pat = re.compile(r"Location:.*?/([a-z]+)\.parquet")
+    pat = re.compile(r"Location:.*?/([a-z0-9_]+)\.parquet")
     for name in names:
         try:
             df = specs[name].spark(spark, sf_dir)
