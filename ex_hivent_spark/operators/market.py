@@ -155,6 +155,10 @@ def q_graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p")
         .agg(F.sum("h1").cast("bigint").alias("a2"))
     )
+    # r17: pinning auth2 here was A/B-tested and REVERTED (min 2.60 ->
+    # 3.81 s, jobs 15 -> 16): the extra materialization barrier costs
+    # more than the norm broadcast's re-derivation of the aggregate
+    # chain from the already-pinned edge list.
     nrm = auth2.agg(
         dround(
             F.sqrt(

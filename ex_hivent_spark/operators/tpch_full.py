@@ -451,20 +451,30 @@ def q_tpch_q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: histogram of non-urgent order counts per
-    customer, zero-order customers included (filtered left join — the
-    priority predicate sits in the join condition, not a post-filter).
-    Two aggregations: custkey shuffle, then the tiny c_count histogram."""
+    customer, zero-order customers included.
+
+    r17 (guide §2.3 — aggregate before you shuffle/join): orders
+    pre-aggregates to per-custkey counts BEFORE meeting customer, so
+    the left join matches one count row per customer instead of
+    multiplying every customer by its order rows and counting after
+    (same count: per-customer order count is independent of other
+    customers; no-match customers read coalesce(0), exactly the rows
+    the filtered left join counted as 0). The orders shuffle carries
+    partial-aggregated counts, not raw rows."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    oc = (
+        o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
     return (
-        c.join(
-            o,
-            (F.col("o_custkey") == F.col("c_custkey"))
-            & (F.col("o_orderpriority") != "1-URGENT"),
-            "left",
+        c.join(oc, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint")).alias(
+                "c_count"
+            )
         )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
         .groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
     )

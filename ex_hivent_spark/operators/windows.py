@@ -650,12 +650,18 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch contract instead — that asymmetry is the scale design, not
     an accident."""
     e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(_MED_WINDOW - 1), Window.currentRow)
-    )
-    arr = F.array_sort(F.collect_list("value").over(w))
+    # r17 (the ewma/anomaly lag treatment, guide §2.4): the bounded
+    # frame's collect_list re-built a window-state array per row; K−1
+    # lag expressions in the same window spec are O(1)/row offset
+    # lookups. array_compact drops the frame-start NULL lags, giving
+    # exactly the multiset collect_list gathered (events.value itself
+    # carries no NULLs — the engine's established domain); the sort and
+    # the middle-element arithmetic are unchanged.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [
+        F.lag("value", k).over(w) for k in range(_MED_WINDOW - 1, 0, -1)
+    ]
+    arr = F.array_sort(F.array_compact(F.array(*lags, F.col("value"))))
     n = F.size(arr)
     odd = F.try_element_at(arr, ((n + F.lit(1)) / 2).cast("int"))
     even = (
@@ -861,23 +867,48 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     are e6 for display.  Rows with fewer than 20 predecessors are
     warm-up and excluded.
 
-    Plan: one bounded rows-frame window, shuffle keyed on user_id."""
+    Plan: shuffle keyed on user_id, then TWO window passes over the
+    same (ts, event_id) sort — a running decimal prefix-sum pass and a
+    lag/row_number pass over it.
+
+    r17 (guide §2.4 per-task work): the bounded [-20, -1] frame made
+    Spark re-aggregate 20 decimal addends PER ROW (O(n·K) interpreted
+    decimal ops — profiled at ~1.8 s vs ewma's 0.5 s after its lag
+    rewrite). Running (unbounded-preceding) frames are O(1)/row, so the
+    trailing sums are now PREFIX DIFFERENCES: s1 = lag(ps,1) −
+    lag(ps,21), s2 likewise over value², n = min(row_number−1, 20).
+    Decimal arithmetic is exact and order-free, so the difference is
+    bit-identical to the frame sum the oracle computes; both window
+    specs share one exchange and one sort (same keys)."""
     e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-_ANOM_WINDOW, -1)
-    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     DEC = "decimal(25,6)"
-    s1 = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
-    s2 = (
-        F.sum((F.col("value") * F.col("value")).cast(DEC)).over(w).cast("double")
+    zero = F.lit(0).cast(DEC)
+    ps1 = F.sum(F.col("value").cast(DEC)).over(wrun)
+    ps2 = F.sum((F.col("value") * F.col("value")).cast(DEC)).over(wrun)
+    pre = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        ps1.alias("_ps1"),
+        ps2.alias("_ps2"),
+        F.row_number().over(wo).alias("_rn"),
     )
-    n = F.count("*").over(w)
+    s1 = (
+        F.coalesce(F.lag("_ps1", 1).over(wo), zero)
+        - F.coalesce(F.lag("_ps1", _ANOM_WINDOW + 1).over(wo), zero)
+    ).cast("double")
+    s2 = (
+        F.coalesce(F.lag("_ps2", 1).over(wo), zero)
+        - F.coalesce(F.lag("_ps2", _ANOM_WINDOW + 1).over(wo), zero)
+    ).cast("double")
+    n = F.least(F.col("_rn") - 1, F.lit(_ANOM_WINDOW)).cast("bigint")
     mean = s1 / n
     std = F.sqrt((s2 - s1 * s1 / n) / n)
     return (
-        e.select(
+        pre.select(
             "event_id",
             "user_id",
             "value",

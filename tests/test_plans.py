@@ -385,9 +385,16 @@ def test_ewma_single_window_pass(spark, sf_dir):
 
 
 def test_anomaly_single_window_pass(spark, sf_dir):
+    """r17: the trailing sums are prefix differences — a running-sum
+    window plus a lag window STACKED on the same (user_id, ts,
+    event_id) clustering. Two Window operators, but still exactly one
+    exchange and one sort (the second pass reuses the first's order),
+    and still no self-join."""
     plan = plan_of(spark, sf_dir, "q_ts_anomaly", mode="simple")
-    assert plan.count("Window") == 1
+    assert plan.count("Window") <= 2
     assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort") == 1
 
 
 def test_bm25_prunes_explode_before_aggregates(spark, sf_dir):
@@ -709,6 +716,10 @@ def test_ctfidf_broadcasts_label_map_and_vocab(spark, sf_dir):
 # prior limit or an aggregation whose cardinality doesn't grow with
 # data volume). Anything else funnels the whole input through one task.
 _BOUNDED_GLOBAL_WINDOWS = {
+    # r17: grand-total share over the ≤10-row cosine-bin histogram
+    # (bounded by the literal _PAIR_BINS, never data-volume sized) —
+    # replaced a broadcast join-back that recomputed the probe dot pass
+    "q_emb_pair_cosine_hist": 1,
     # rank assignment over the 20-row post-TakeOrdered frame
     "q_agg_heavy_hitters": 1,
     # r13: same pattern — rank over the 20-row post-TakeOrdered
